@@ -1,0 +1,139 @@
+"""C1-C5 string-normalization cleaners (ref:cleaners.py:1-79).
+
+Each cleaner is a pure ``Column -> Column`` builder.  The reference applies
+cleaners via single-threaded row-wise ``pandas.apply`` (ref:pipeline.py:45-49);
+here they are native Catalyst expressions, so an arbitrary chain of cleaners
+fuses into one whole-stage-codegen projection — N reference passes become one.
+
+Only C1 (ftfy mojibake repair) needs Python; it is an Arrow-batched pandas UDF
+gated on ftfy being importable, with a passthrough fallback.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from chat_data_pipeline_spark.functions.text import strip
+
+# --- C2: normalize_whitespace (ref:cleaners.py:13-19) -----------------------
+# The reference maps every char in its `whitespace` set to ASCII space.  Set
+# members by codepoint: 0x20 0x84(NEL as latin-1) 0x2002 0x2003 0x2005 0x2008
+# 0x2009 0x200a 0x202f 0x3000 0xfffc.  (The set literal also contains "", a
+# no-op member — SURVEY.md §2.3 C2.)
+_WHITESPACE_CHARS = (
+    "\u0084\u2002\u2003\u2005\u2008\u2009\u200a\u202f\u3000\ufffc"
+)
+
+# --- C3: normalize_punctuation (ref:cleaners.py:22-63) -----------------------
+# 34 unicode → ASCII mappings; three have multi-char replacements and must go
+# through replace() rather than translate().
+_PUNCT_MULTI = {"—": " - ", "．": ". ", "…": "..."}
+_PUNCT_SINGLE = {
+    "，": ",",
+    "。": ".",
+    "、": ",",
+    "„": '"',
+    "”": '"',
+    "“": '"',
+    "«": '"',
+    "»": '"',
+    "１": '"',
+    "」": '"',
+    "「": '"',
+    "《": '"',
+    "》": '"',
+    "´": "'",
+    "∶": ":",
+    "：": ":",
+    "？": "?",
+    "！": "!",
+    "（": "(",
+    "）": ")",
+    "；": ";",
+    "–": "-",
+    "～": "~",
+    "’": "'",
+    "━": "-",
+    "〈": "<",
+    "〉": ">",
+    "【": "[",
+    "】": "]",
+    "％": "%",
+    "►": "-",
+}
+
+try:  # optional dependency — not baked into the test container
+    import ftfy  # type: ignore
+
+    _HAS_FTFY = True
+except ImportError:  # pragma: no cover
+    _HAS_FTFY = False
+
+
+def _ftfy_fix(batch: pd.Series) -> pd.Series:
+    import ftfy  # local import: runs on executors
+
+    return batch.map(lambda t: "" if t is None else ftfy.fix_text(t))
+
+
+def fix_utf8_encoding(col: Column) -> Column:
+    """C1 — ftfy mojibake repair; ``None -> ""`` (ref:cleaners.py:5-8).
+
+    Falls back to null-coalescing passthrough when ftfy is unavailable (the
+    null rule is the only part with relational semantics).  The UDF is built
+    lazily so importing this module never requires an active SparkSession.
+    """
+    if _HAS_FTFY:
+        return pandas_udf(_ftfy_fix, "string")(col)
+    return F.coalesce(col, F.lit(""))
+
+
+def normalize_whitespace(col: Column) -> Column:
+    """C2 — map the reference's unicode-space set to ASCII space
+    (ref:cleaners.py:13-19)."""
+    return F.translate(col, _WHITESPACE_CHARS, " " * len(_WHITESPACE_CHARS))
+
+
+def normalize_punctuation(col: Column) -> Column:
+    """C3 — 34 unicode→ASCII punctuation mappings (ref:cleaners.py:22-63).
+
+    Multi-char replacements first (their outputs are ASCII, disjoint from the
+    translate source set, so order is safe).
+    """
+    out = col
+    for src, dst in _PUNCT_MULTI.items():
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    src_chars = "".join(_PUNCT_SINGLE)
+    dst_chars = "".join(_PUNCT_SINGLE.values())
+    return F.translate(out, src_chars, dst_chars)
+
+
+def remove_empty_lines(col: Column, strict_compat: bool = False) -> Column:
+    """C4 — drop blank lines, re-join with \\n (ref:cleaners.py:66-73).
+
+    The reference has a bug: its guard ``if text is None or isinstance(text,
+    str)`` is always true so it always returns "" (SURVEY.md §7.3).  Default
+    is the *intended* semantics; ``strict_compat=True`` reproduces the bug.
+    """
+    if strict_compat:
+        return F.lit("")
+    lines = F.split(col, "\n")
+    kept = F.filter(lines, lambda x: x.rlike(r"\S"))
+    return F.array_join(kept, "\n")
+
+
+def clean_new_lines(col: Column) -> Column:
+    """C5 — strip() then remove all newlines (ref:cleaners.py:76-79)."""
+    return F.regexp_replace(strip(col), "\n", "")
+
+
+CLEANERS: dict[str, object] = {
+    "fix_utf8_encoding": fix_utf8_encoding,
+    "normalize_whitespace": normalize_whitespace,
+    "normalize_punctuation": normalize_punctuation,
+    "remove_empty_lines": remove_empty_lines,
+    "clean_new_lines": clean_new_lines,
+}

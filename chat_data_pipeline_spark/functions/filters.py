@@ -1,0 +1,386 @@
+"""F1-F11 row-quality filters with the reference's dry-run score/keep duality.
+
+Reference executor contract (ref:pipeline.py:52-67): each filter produces a
+criteria column named ``{column}_{filter}_criteria``; in dry-run mode the raw
+score is kept and no rows are dropped, otherwise rows where the criteria is
+truthy survive and the column is dropped.
+
+Every filter here exposes a pair of ``Column -> Column`` builders:
+
+- ``<name>_score`` — the dry-run score expression;
+- ``<name>_keep``  — the boolean keep predicate.
+
+Filters F1, F4, F6, F7, F8, F9, F10, F11 are pure native expressions (JVM,
+whole-stage codegen).  F3 (nsfw substring ratio over 403 phrases) and F5
+(char-ngram repetition) are Arrow-batched pandas UDFs — the per-row Python
+algorithms (Counter over sliding windows; 403 substring counts) have no
+acceptable native form.  F2 (perplexity) delegates to a pluggable scorer
+(real KenLM when installed, a deterministic stub otherwise) — see
+``chat_data_pipeline_spark.functions.perplexity``.
+
+dry-run quirks preserved from the reference: F8 ``check_gender`` ignores
+dry_run (ref:filters.py:162 — param unused) and F9/F10/F11 return booleans
+even when scoring (ref:filters.py:178-185,270-289); our score builders return
+the same shapes.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from chat_data_pipeline_spark.functions import text as T
+from chat_data_pipeline_spark.functions.wordlists import (
+    HARSH_UNWANTED_PHRASES,
+    NSFW_PHRASES,
+    UNWANTED_PHRASES,
+)
+
+# --------------------------------------------------------------------------
+# F1 check_word_number (ref:filters.py:6-15)
+# --------------------------------------------------------------------------
+
+
+def check_word_number_score(col: Column, **_: object) -> Column:
+    return T.word_count(col).cast("long")
+
+
+def check_word_number_keep(
+    col: Column,
+    min_word_threshold: int = 5,
+    max_word_threshold: int = 512,
+    **_: object,
+) -> Column:
+    wc = T.word_count(col)
+    return (wc >= F.lit(min_word_threshold)) & (wc <= F.lit(max_word_threshold))
+
+
+# --------------------------------------------------------------------------
+# F2 check_perplexity (ref:filters.py:18-28, ref:kenlm_model.py)
+# --------------------------------------------------------------------------
+
+
+def check_perplexity_score(col: Column, model: object | None = None, **_: object) -> Column:
+    from chat_data_pipeline_spark.functions import perplexity
+
+    return perplexity.perplexity_score(col, model)
+
+
+def check_perplexity_keep(
+    col: Column,
+    model: object | None = None,
+    min_perplexity_threshold: float = 300,
+    max_perplexity_threshold: float = 3_000,
+    **_: object,
+) -> Column:
+    ppl = check_perplexity_score(col, model=model)
+    return (ppl >= F.lit(float(min_perplexity_threshold))) & (
+        ppl <= F.lit(float(max_perplexity_threshold))
+    )
+
+
+# --------------------------------------------------------------------------
+# F3 check_nsfw_words (ref:filters.py:83-99)
+# ratio = sum of non-overlapping substring counts of 403 phrases over the
+# lowercased doc, divided by \w+ word count; 0 when no words.
+# --------------------------------------------------------------------------
+
+_WORD_RE = re.compile(r"\w+")
+
+
+def _nsfw_ratio_batch(batch: pd.Series) -> pd.Series:
+    phrases = NSFW_PHRASES
+
+    def ratio(doc: str | None) -> float:
+        doc = str(doc).lower() if doc is not None else "none"
+        num_words = len(_WORD_RE.findall(doc))
+        if num_words == 0:
+            return 0.0
+        return sum(doc.count(p) for p in phrases) / num_words
+
+    return batch.map(ratio)
+
+
+def check_nsfw_words_score(col: Column, **_: object) -> Column:
+    return pandas_udf(_nsfw_ratio_batch, "double")(col)
+
+
+def check_nsfw_words_keep(
+    col: Column, flagged_words_threshold: float = 0.025, **_: object
+) -> Column:
+    return check_nsfw_words_score(col) <= F.lit(float(flagged_words_threshold))
+
+
+def nsfw_ratio_native(col: Column, phrases: list[str] | None = None) -> Column:
+    """Native-expression variant of the F3 score for a *small* phrase list.
+
+    Used by oracle-parity queries where the UDF-free plan matters; the full
+    403-phrase list would emit ~800 string expressions, so the pandas UDF is
+    the production path (SURVEY.md §2.4 F3).
+    """
+    phrases = NSFW_PHRASES if phrases is None else phrases
+    lowered = F.lower(col)
+    total = None
+    for p in phrases:
+        cnt = T.substring_count(lowered, p)
+        total = cnt if total is None else total + cnt
+    wc = T.word_count(col)
+    return F.when(wc > 0, total.cast("double") / wc).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# F4 check_lowercase_ratio (ref:filters.py:102-113)
+# count of chars in ascii_lowercase / total chars; 0 if empty.
+# --------------------------------------------------------------------------
+
+
+def check_lowercase_ratio_score(col: Column, **_: object) -> Column:
+    n = F.length(col)
+    lower_count = n - F.length(F.regexp_replace(col, "[a-z]", ""))
+    return F.when(n > 0, lower_count.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def check_lowercase_ratio_keep(
+    col: Column, lowercase_threshold: float = 0.75, **_: object
+) -> Column:
+    return check_lowercase_ratio_score(col) >= F.lit(float(lowercase_threshold))
+
+
+# --------------------------------------------------------------------------
+# F5 check_char_repetition (ref:filters.py:116-128, ref:utils.py:310-339)
+# Sliding char n-grams (n=10); ratio = sum of the top min(floor(sqrt(k)),
+# k - #singletons) frequencies over the total frequency mass.
+# --------------------------------------------------------------------------
+
+
+def char_repetition_ratio(doc: str, n: int) -> float:
+    """Pure-Python reimplementation of ref:utils.py:310-339 (used in-UDF and
+    by differential tests)."""
+    if doc is None:
+        return 0.0
+    ngrams = [doc[i : i + n] for i in range(len(doc) - n + 1)]
+    freq = Counter(ngrams)
+    if not freq:
+        return 0.0
+    values = sorted(freq.values(), reverse=True)
+    singletons = sum(1 for v in values if v == 1)
+    top_k = min(int(np.sqrt(len(values))), len(values) - singletons)
+    return sum(values[:top_k]) / sum(values)
+
+
+def check_char_repetition_score(
+    col: Column, char_repetition_len: int = 10, **_: object
+) -> Column:
+    n = int(char_repetition_len)
+
+    def batch_ratio(batch: pd.Series) -> pd.Series:
+        return batch.map(lambda d: char_repetition_ratio(d, n))
+
+    return pandas_udf(batch_ratio, "double")(col)
+
+
+def check_char_repetition_keep(
+    col: Column,
+    char_repetition_len: int = 10,
+    char_repetition_threshold: float = 0.2,
+    **_: object,
+) -> Column:
+    score = check_char_repetition_score(col, char_repetition_len)
+    return score <= F.lit(float(char_repetition_threshold))
+
+
+# --------------------------------------------------------------------------
+# F6 check_truncation (ref:filters.py:131-140)
+# doc.split(token) -> (model_response, edited_response); keep (=is truncation)
+# when edited_response is NOT a substring of model_response.
+# --------------------------------------------------------------------------
+
+
+def _split2(col: Column, token: str) -> tuple[Column, Column]:
+    parts = F.split(col, re.escape(token), 2)
+    return F.element_at(parts, 1), F.element_at(parts, 2)
+
+
+def check_truncation_keep(
+    col: Column, splitter_token: str = "<|truncation_splitter|>", **_: object
+) -> Column:
+    model_response, edited_response = _split2(col, splitter_token)
+    return ~F.contains(model_response, edited_response)
+
+
+def check_truncation_score(
+    col: Column, splitter_token: str = "<|truncation_splitter|>", **_: object
+) -> Column:
+    return check_truncation_keep(col, splitter_token).cast("int")
+
+
+# --------------------------------------------------------------------------
+# F7 check_completion (ref:filters.py:143-156)
+# last char of the stripped doc must be one of the completion punctuation set.
+# --------------------------------------------------------------------------
+
+COMPLETION_PUNCTUATION = [".", "!", "?", "*", '"', "”", "~", "…", "'", "]", ")", "`", ";"]
+
+
+def check_completion_keep(col: Column, **_: object) -> Column:
+    stripped = T.strip(col)
+    last = F.substring(stripped, -1, 1)
+    return (F.length(stripped) > 0) & last.isin(COMPLETION_PUNCTUATION)
+
+
+def check_completion_score(col: Column, **_: object) -> Column:
+    return check_completion_keep(col).cast("int")
+
+
+# --------------------------------------------------------------------------
+# F8 check_gender (ref:filters.py:159-175)
+# Split on token; True when some aligned whitespace-token position holds two
+# *different* gendered words.  zip_with pads the longer side with nulls, which
+# the null-safe condition rejects — equivalent to the reference's min-length
+# loop.  NB the reference ignores dry_run here (ref:filters.py:162).
+# --------------------------------------------------------------------------
+
+GENDERED_WORDS = ["he", "she", "him", "her", "girl", "boy"]
+
+
+def check_gender_keep(
+    col: Column, splitter_token: str = "<|gender_splitter|>", **_: object
+) -> Column:
+    response, edited = _split2(col, splitter_token)
+    rw = T.whitespace_tokens(F.lower(response))
+    ew = T.whitespace_tokens(F.lower(edited))
+    pair_hit = F.zip_with(
+        rw,
+        ew,
+        lambda x, y: x.isin(GENDERED_WORDS) & y.isin(GENDERED_WORDS) & (x != y),
+    )
+    return F.coalesce(F.exists(pair_hit, lambda b: b), F.lit(False))
+
+
+# dry_run is ignored by the reference: score IS the boolean.
+check_gender_score = check_gender_keep
+
+
+# --------------------------------------------------------------------------
+# F9 check_empty (ref:filters.py:178-185)
+# non-empty after removing "..." and "…" and stripping.  Returns bool in
+# dry-run too (reference has no score branch).
+# --------------------------------------------------------------------------
+
+
+def check_empty_keep(col: Column, **_: object) -> Column:
+    cleaned = F.replace(col, F.lit("..."), F.lit(""))
+    cleaned = F.replace(cleaned, F.lit("…"), F.lit(""))
+    return F.length(T.strip(cleaned)) != 0
+
+
+check_empty_score = check_empty_keep
+
+
+# --------------------------------------------------------------------------
+# F10/F11 check_ethics / check_ethics_harsh (ref:filters.py:270-289)
+# keep when the lowercased doc contains NONE of the phrase list.
+# --------------------------------------------------------------------------
+
+
+def _contains_none(col: Column, phrases: list[str]) -> Column:
+    lowered = F.lower(col)
+    hit = F.exists(
+        F.lit(phrases).cast("array<string>"), lambda p: F.contains(lowered, p)
+    )
+    return ~hit
+
+
+def check_ethics_keep(col: Column, **_: object) -> Column:
+    return _contains_none(col, UNWANTED_PHRASES)
+
+
+def check_ethics_harsh_keep(col: Column, **_: object) -> Column:
+    return _contains_none(col, HARSH_UNWANTED_PHRASES)
+
+
+check_ethics_score = check_ethics_keep
+check_ethics_harsh_score = check_ethics_harsh_keep
+
+
+# --------------------------------------------------------------------------
+# Registry — mirrors the reference's getattr(filters, name) lookup
+# (ref:utils.py:23-50) plus custom_partial kwargs (ref:utils.py:142-146).
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FilterSpec:
+    name: str
+    score: Callable[..., Column]
+    keep: Callable[..., Column]
+    defaults: dict = field(default_factory=dict)
+
+    def score_expr(self, col: Column, **kwargs: object) -> Column:
+        return self.score(col, **{**self.defaults, **kwargs})
+
+    def keep_expr(self, col: Column, **kwargs: object) -> Column:
+        return self.keep(col, **{**self.defaults, **kwargs})
+
+
+FILTERS: dict[str, FilterSpec] = {
+    spec.name: spec
+    for spec in [
+        FilterSpec(
+            "check_word_number",
+            check_word_number_score,
+            check_word_number_keep,
+            {"min_word_threshold": 5, "max_word_threshold": 512},
+        ),
+        FilterSpec(
+            "check_perplexity",
+            check_perplexity_score,
+            check_perplexity_keep,
+            {"min_perplexity_threshold": 300, "max_perplexity_threshold": 3_000},
+        ),
+        FilterSpec(
+            "check_nsfw_words",
+            check_nsfw_words_score,
+            check_nsfw_words_keep,
+            {"flagged_words_threshold": 0.025},
+        ),
+        FilterSpec(
+            "check_lowercase_ratio",
+            check_lowercase_ratio_score,
+            check_lowercase_ratio_keep,
+            {"lowercase_threshold": 0.75},
+        ),
+        FilterSpec(
+            "check_char_repetition",
+            check_char_repetition_score,
+            check_char_repetition_keep,
+            {"char_repetition_len": 10, "char_repetition_threshold": 0.2},
+        ),
+        FilterSpec(
+            "check_truncation",
+            check_truncation_score,
+            check_truncation_keep,
+            {"splitter_token": "<|truncation_splitter|>"},
+        ),
+        FilterSpec("check_completion", check_completion_score, check_completion_keep),
+        FilterSpec(
+            "check_gender",
+            check_gender_score,
+            check_gender_keep,
+            {"splitter_token": "<|gender_splitter|>"},
+        ),
+        FilterSpec("check_empty", check_empty_score, check_empty_keep),
+        FilterSpec("check_ethics", check_ethics_score, check_ethics_keep),
+        FilterSpec(
+            "check_ethics_harsh", check_ethics_harsh_score, check_ethics_harsh_keep
+        ),
+    ]
+}

@@ -1,0 +1,500 @@
+"""Deduplication operators — the reference's flagship MinHash-LSH near-dedup
+(ref:minhash_deduplication.py:1-319) re-architected for Spark, plus the wider
+dedup family a large-scale training-data pipeline needs: exact, SimHash,
+n-gram Jaccard, and embedding-cosine near-dup.
+
+Reference → Spark architecture shift (SURVEY.md §2.5, §3.3):
+
+  reference                               this engine
+  ---------                               -----------
+  forked-process fingerprint map          Arrow-batched pandas UDF (D1-D3)
+  sequential driver LSH build (D5)        band posexplode → shuffle on
+                                          (band, signature) → per-bucket min
+  in-RAM UnionFind on driver (D6)         distributed min-label propagation
+                                          with per-round localCheckpoint
+  keep-min filter (D8)                    anti-join on the dropped-id set
+
+Scale notes: the driver-side union-find is THE reference bottleneck (whole id
+universe in one process).  Here every stage is a shuffle whose key cardinality
+shrinks monotonically (bands → edges → dropped ids), buckets are never
+materialized as lists (per-bucket min via window, so a viral duplicate cluster
+can't blow an executor), and AQE handles skewed bucket keys.  Seed-42 parity:
+permutations come from ``np.random.RandomState(42)`` exactly as
+ref:minhash_deduplication.py:25-27,235-244, so signatures are bit-identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import re
+import struct as _struct
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+logger = logging.getLogger("chat_data_pipeline_spark")
+
+SEED = 42
+MAX_HASH = np.uint64((1 << 32) - 1)
+MERSENNE_PRIME = np.uint64((1 << 61) - 1)
+# ref:minhash_deduplication.py:26 — note this tokenizer KEEPS empty strings
+# produced by adjacent delimiters; shingles may contain them.  Parity kept.
+NON_ALPHA = re.compile("[^A-Za-z_0-9]")
+
+_ID = "__id__"
+
+
+# --------------------------------------------------------------------------
+# D4 optimal (B, R) — datasketch's weighted FP/FN minimization
+# (ref:minhash_deduplication.py:119-176).  scipy-free: the integrands are
+# smooth on [0,1], so composite Simpson on a fine grid reproduces the argmin.
+# --------------------------------------------------------------------------
+
+
+def _simpson(f, a: float, b: float, n: int = 512) -> float:
+    if b <= a:
+        return 0.0
+    xs = np.linspace(a, b, n + 1)
+    ys = f(xs)
+    h = (b - a) / n
+    return float(h / 3 * (ys[0] + ys[-1] + 4 * ys[1:-1:2].sum() + 2 * ys[2:-1:2].sum()))
+
+
+def optimal_param(
+    threshold: float,
+    num_perm: int,
+    false_positive_weight: float = 0.5,
+    false_negative_weight: float = 0.5,
+) -> tuple[int, int]:
+    min_error = float("inf")
+    opt = (0, 0)
+    for b in range(1, num_perm + 1):
+        max_r = num_perm // b
+        for r in range(1, max_r + 1):
+            fp = _simpson(lambda s: 1 - (1 - s ** float(r)) ** float(b), 0.0, threshold)
+            fn = _simpson(
+                lambda s: 1 - (1 - (1 - s ** float(r)) ** float(b)), threshold, 1.0
+            )
+            error = fp * false_positive_weight + fn * false_negative_weight
+            if error < min_error:
+                min_error = error
+                opt = (b, r)
+    return opt
+
+
+# --------------------------------------------------------------------------
+# D1-D3 fingerprinting (ref:minhash_deduplication.py:32-116)
+# --------------------------------------------------------------------------
+
+
+def _permutations(num_perm: int, seed: int = SEED) -> np.ndarray:
+    """Bit-identical to ref:minhash_deduplication.py:235-244."""
+    rng = np.random.RandomState(seed)
+    return np.array(
+        [
+            (
+                rng.randint(1, MERSENNE_PRIME, dtype=np.uint64),
+                rng.randint(0, MERSENNE_PRIME, dtype=np.uint64),
+            )
+            for _ in range(num_perm)
+        ],
+        dtype=np.uint64,
+    ).T
+
+
+def sha1_hash32(data: bytes) -> int:
+    """ref:minhash_deduplication.py:59-71."""
+    return _struct.unpack("<I", hashlib.sha1(data).digest()[:4])[0]
+
+
+def minhash_signature(
+    content: str,
+    num_perm: int,
+    ngram_size: int,
+    min_ngram_size: int,
+    permutations: np.ndarray,
+    hashranges: list[tuple[int, int]],
+) -> list[bytes]:
+    """Single-doc signature — the exact embed_func arithmetic
+    (ref:minhash_deduplication.py:74-116): word shingles over the NON_ALPHA
+    split (empties included), sha1-32 token hashes, (a*h+b) mod p & MAX_HASH
+    column-min, byteswapped band slices."""
+    hashvalues = np.ones(num_perm, dtype=np.uint64) * MAX_HASH
+    seq = NON_ALPHA.split(content)
+    if len(seq) >= min_ngram_size:
+        tokens = {
+            " ".join(seq[i : i + ngram_size])
+            for i in range(len(seq) - ngram_size + 1)
+        }
+    else:
+        tokens = set()
+    if tokens:
+        hv = np.array([sha1_hash32(t.encode("utf-8")) for t in tokens], dtype=np.uint64)
+        a, b = permutations
+        phv = np.bitwise_and(
+            ((hv * np.tile(a, (len(hv), 1)).T).T + b) % MERSENNE_PRIME, MAX_HASH
+        )
+        hashvalues = np.vstack([phv, hashvalues]).min(axis=0)
+    return [bytes(hashvalues[start:end].byteswap().data) for start, end in hashranges]
+
+
+# --------------------------------------------------------------------------
+# D6 distributed connected components (min-label propagation)
+# --------------------------------------------------------------------------
+
+
+def connected_components_min_label(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Distributed replacement for the driver-side UnionFind
+    (ref:minhash_deduplication.py:179-193,273-280).
+
+    Input: ``edges(src, dst)`` undirected-intent pairs.  Output: ``(node,
+    label)`` where label is the minimum id of the node's connected component —
+    exactly the reference's "min id wins" union rule.
+
+    Min-label propagation: label(u) ← min(label(u), min over neighbours of
+    label(v)); converges in O(component diameter) rounds.  LSH edge sets are
+    star-shaped per bucket so diameters stay tiny.  Each round is one shuffle
+    join + one aggregate; ``localCheckpoint`` truncates lineage so round N's
+    plan doesn't replay rounds 1..N-1.
+    """
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.groupBy("src")
+        .agg(F.min("dst").alias("label"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("label")).alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for iteration in range(max_iterations):
+        cand = (
+            und.join(labels, und["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("cand"))
+        )
+        merged = labels.join(cand, labels["node"] == cand["src"], "left").select(
+            labels["node"],
+            labels["label"].alias("old_label"),
+            F.least(labels["label"], F.coalesce(cand["cand"], labels["label"])).alias(
+                "label"
+            ),
+        )
+        merged = merged.localCheckpoint(eager=True)
+        changed = merged.filter(F.col("label") < F.col("old_label")).count()
+        labels = merged.select("node", "label")
+        if changed == 0:
+            break
+    else:  # pragma: no cover
+        logger.warning("connected components: max_iterations hit before fixpoint")
+    return labels
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH dedup — D1-D9 end-to-end
+# --------------------------------------------------------------------------
+
+
+def minhash_dedup(
+    df: DataFrame,
+    column: str = "text",
+    id_col: str | None = None,
+    ngram_size: int = 5,
+    num_perm: int = 256,
+    threshold: float = 0.7,
+    min_ngram_size: int = 5,
+    seed: int = SEED,
+    verbose: bool = False,
+) -> DataFrame:
+    """``deduplicate`` (ref:minhash_deduplication.py:214-319), Spark-first.
+
+    Keep-choice parity: the member with the minimum id of each near-dup
+    cluster survives (ref:minhash_deduplication.py:193,297-302).  When
+    ``id_col`` is None a ``monotonically_increasing_id`` stands in for the
+    reference's row-order ids (unique + ordered per partition — SURVEY.md §4.3).
+    """
+    start_time = time.time()
+    timers: dict[str, float] = {}
+
+    drop_id = id_col is None
+    if drop_id:
+        id_col = _ID
+        df = df.withColumn(id_col, F.monotonically_increasing_id())
+
+    t0 = time.time()
+    B, R = optimal_param(threshold, num_perm)
+    hashranges = [(i * R, (i + 1) * R) for i in range(B)]
+    permutations = _permutations(num_perm, seed)
+    timers["load_dataset"] = time.time() - t0
+
+    # --- D1-D3 fingerprint (Arrow-batched; permutation table ships in the
+    # UDF closure — 256×2×8 bytes) -----------------------------------------
+    t0 = time.time()
+
+    def fingerprint_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            sigs = [
+                minhash_signature(
+                    content if content is not None else "",
+                    num_perm,
+                    ngram_size,
+                    min_ngram_size,
+                    permutations,
+                    hashranges,
+                )
+                for content in batch[column]
+            ]
+            yield pd.DataFrame({"id": batch[id_col], "sigs": sigs})
+
+    fingerprints = df.select(id_col, column).mapInPandas(
+        fingerprint_batches, schema="id long, sigs array<binary>"
+    )
+    timers["minhash"] = time.time() - t0
+
+    # --- D5 LSH buckets → edges (no bucket materialization) ----------------
+    t0 = time.time()
+    bands = fingerprints.select(
+        "id", F.posexplode("sigs").alias("band", "sig")
+    )
+    bucket_window = Window.partitionBy("band", "sig")
+    edges = (
+        bands.withColumn("root", F.min("id").over(bucket_window))
+        .filter(F.col("root") != F.col("id"))
+        .select(F.col("id").alias("src"), F.col("root").alias("dst"))
+        .distinct()
+    )
+
+    # --- D6-D7 clustering --------------------------------------------------
+    labels = connected_components_min_label(edges)
+    timers["clustering"] = time.time() - t0
+
+    # --- D8 keep-min filter ------------------------------------------------
+    t0 = time.time()
+    dropped = labels.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    result = df.join(dropped, on=id_col, how="left_anti")
+    timers["filtering"] = time.time() - t0
+
+    if verbose:  # D9 telemetry (ref:minhash_deduplication.py:305-317)
+        data_size = df.count()
+        final_size = result.count()
+        dup_size = data_size - final_size
+        pad = 32
+        for key, value in timers.items():
+            logger.info(f"{key:<{pad}}: {value:.2f} seconds")
+        logger.info(f"{'Data Number (before)':<{pad}}: {data_size}")
+        logger.info(
+            f"{'Data Number (after)':<{pad}}: {final_size} ({final_size / data_size:.2%})"
+        )
+        logger.info(f"{'Duplicate Number':<{pad}}: {dup_size} ({dup_size / data_size:.2%})")
+        logger.info(f"{'Total Time':<{pad}}: {time.time() - start_time:.2f} seconds")
+
+    return result.drop(_ID) if drop_id else result
+
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy; min-id survivor)
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, columns: list[str] | str, id_col: str) -> DataFrame:
+    """Keep the minimum-id row per exact key.  Window-min instead of
+    groupBy+join: one shuffle, no row explosion, AQE-skew-safe."""
+    if isinstance(columns, str):
+        columns = [columns]
+    w = Window.partitionBy(*columns)
+    return (
+        df.withColumn("__min_id__", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__min_id__"))
+        .drop("__min_id__")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dedup (exact similarity, LSH-free)
+# --------------------------------------------------------------------------
+
+
+def word_shingles(col: Column, n: int = 5) -> Column:
+    """Distinct space-joined word n-grams as a native expression (\\w+ words;
+    this operator's own tokenizer — intentionally not the reference's
+    empty-keeping NON_ALPHA split)."""
+    from chat_data_pipeline_spark.functions import text as T
+
+    tokens = T.words(col)
+    k = F.size(tokens) - F.lit(n - 1)
+    return F.when(k > 0, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_edges(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    ngram_size: int = 5,
+    threshold: float = 0.7,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact-Jaccard candidate edges via shingle-inverted-index self-join.
+
+    Scale levers: shingles above ``max_shingle_freq`` document-frequency are
+    dropped before the self-join (a stop-shingle cap — giant postings lists
+    produce quadratic candidate blowup while contributing no discrimination).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(column), ngram_size).alias("sh")
+    )
+    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
+    postings = shingled.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_freq is not None:
+        freq_ok = (
+            postings.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        postings = postings.join(freq_ok, "shingle")
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    sim = (
+        inter.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+    return sim.select(F.col("id1").alias("src"), F.col("id2").alias("dst"), "jaccard")
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    ngram_size: int = 5,
+    threshold: float = 0.7,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact-Jaccard near-dedup: min-id survivor per similarity component."""
+    edges = ngram_jaccard_edges(
+        df, column, id_col, ngram_size, threshold, max_shingle_freq
+    ).select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    # src column holds the larger id after the swap; direction is irrelevant
+    # to the undirected component search.
+    labels = connected_components_min_label(edges)
+    dropped = labels.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(dropped, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dedup
+# --------------------------------------------------------------------------
+
+
+def _simhash64(text: str | None) -> int:
+    """64-bit SimHash over \\w+ word tokens; token hash = first 8 bytes of
+    md5 (engine-independent, deterministic)."""
+    if not text:
+        return 0
+    counts = [0] * 64
+    for tok in re.findall(r"\w+", text.lower()):
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for bit in range(64):
+            counts[bit] += 1 if (h >> bit) & 1 else -1
+    sig = 0
+    for bit in range(64):
+        if counts[bit] > 0:
+            sig |= 1 << bit
+    return sig - (1 << 64) if sig >= (1 << 63) else sig  # to signed i64
+
+
+def simhash_signature_col(col_name: str) -> Column:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def batch(s: pd.Series) -> pd.Series:
+        return s.map(_simhash64).astype("int64")
+
+    return pandas_udf(batch, "long")(F.col(col_name))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    hamming_threshold: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dedup: band the 64-bit signature into ``n_bands`` chunks
+    (pigeonhole: any pair within ``hamming_threshold`` < n_bands shares ≥1
+    exact band), verify candidates with native popcount, min-id survivor."""
+    sigs = df.select(F.col(id_col).alias("id"), simhash_signature_col(column).alias("sig"))
+    width = 64 // n_bands
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sig", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "sig", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .distinct()
+    )
+    edges = cand.filter(
+        F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2"))) <= hamming_threshold
+    ).select("src", "dst")
+    labels = connected_components_min_label(edges)
+    dropped = labels.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(dropped, on=id_col, how="left_anti")

@@ -1,0 +1,94 @@
+"""G1-G4 sampling / set operations (ref:utils.py:205-250,285-293) plus the
+seeded shuffle P8 (ref:main.py:73).
+
+The reference's sampling is nondeterministic (unseeded ``group.sample`` /
+``random.sample``, SURVEY.md §7.3); this engine pins determinism two ways:
+
+- ``seed``-based: Spark's ``rand(seed)`` — deterministic per run/partitioning;
+- hash-based (``deterministic=True``): rank by ``md5(key)`` — a pure function
+  of the DATA, so results are identical across engines and partitionings
+  (and therefore duckdb-oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shuffle_rows(df: DataFrame, seed: int = 42) -> DataFrame:
+    """P8 ``dataset.shuffle(seed=42)`` (ref:main.py:73)."""
+    return df.orderBy(F.rand(seed))
+
+
+def sample_grouped(
+    df: DataFrame,
+    group_col: str,
+    size: float,
+    id_col: str,
+    min_group_rows: int = 5,
+    seed: int | None = 42,
+    deterministic: bool = True,
+) -> DataFrame:
+    """G1 ``sample_dataset`` (ref:utils.py:218-236): groups with ≥5 rows are
+    downsampled to ``ceil(len * size)`` rows; smaller groups pass whole.
+
+    ``deterministic=True`` ranks rows inside a group by md5(group||id) — an
+    engine-independent pseudo-random order; otherwise ``rand(seed)``.
+    """
+    order = (
+        F.md5(F.concat_ws("\x1f", F.col(group_col).cast("string"), F.col(id_col).cast("string")))
+        if deterministic
+        else F.rand(seed)
+    )
+    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col).asc())
+    cnt = F.count("*").over(Window.partitionBy(group_col))
+    ranked = df.withColumn("__rn__", F.row_number().over(w)).withColumn("__cnt__", cnt)
+    kept = ranked.filter(
+        (F.col("__cnt__") < F.lit(min_group_rows))
+        | (F.col("__rn__") <= F.ceil(F.col("__cnt__") * F.lit(float(size))))
+    )
+    return kept.drop("__rn__", "__cnt__")
+
+
+def sample_proportional(
+    frames: list[DataFrame],
+    proportions: list[float],
+    target_size: int,
+    group_col: str,
+    id_col: str,
+    deterministic: bool = True,
+) -> DataFrame:
+    """G2 ``sample_datasets`` (ref:utils.py:205-215): cap the target by each
+    source's capacity/proportion, sample each source to its share, union."""
+    counts = [df.count() for df in frames]
+    capacity = min(
+        int(c / p) if p > 0 else 1 << 62 for c, p in zip(counts, proportions)
+    )
+    total = min(target_size, capacity)
+    sampled = []
+    for df, p, c in zip(frames, proportions, counts):
+        want = int(total * p)
+        frac = min(1.0, want / c) if c else 0.0
+        sampled.append(
+            sample_grouped(
+                df, group_col, frac, id_col, min_group_rows=0, deterministic=deterministic
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), sampled)
+
+
+def dataset_subtraction(a: DataFrame, b: DataFrame, on: str = "ids") -> DataFrame:
+    """G3 ``_dataset_subtraction`` (ref:utils.py:285-293): rows of ``a`` whose
+    key is absent from ``b`` — the Python-set diff becomes a left-anti join."""
+    return a.join(b.select(on).distinct(), on=on, how="left_anti")
+
+
+def dropped_sample(
+    before: DataFrame, after: DataFrame, id_col: str = "ids", n: int = 10
+) -> DataFrame:
+    """ref:utils.py:149-156: sample of rows present before but not after a
+    filter, for inspection logs."""
+    return before.join(after.select(id_col), on=id_col, how="left_anti").limit(n)

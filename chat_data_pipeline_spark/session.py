@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Local test/bench profile targets ``local[N]`` (single JVM); the config set is
+chosen so the same logical plans scale to a 1000-executor cluster reading
+~100 TB: AQE handles runtime partition coalescing / skew joins, shuffle
+partitioning is explicit, and Arrow transfer is on for the few pandas-UDF
+operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "chat-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Notes on scale: none of these settings are local-mode hacks.  On a real
+    cluster the same builder is used with ``master`` unset (from spark-submit)
+    and ``shuffle_partitions`` sized to ~2-3× total cores; AQE then coalesces
+    small post-shuffle partitions and splits skewed ones at runtime.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+        # splitting, and dynamic broadcast-join selection.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Arrow for the pandas-UDF operators (minhash fingerprint, char-rep).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Deterministic timestamp semantics for oracle comparisons.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Quieter local runs.
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

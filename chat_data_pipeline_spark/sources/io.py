@@ -1,0 +1,64 @@
+"""Sources & sinks S1-S7 (ref:main.py:78-87, ref:preprocessor.py:60-79).
+
+The reference loads HuggingFace hub datasets, concatenates splits, stamps a
+``source`` provenance column, and unions datasets (ref:main.py:78-87).  Spark
+equivalents: format-dispatched reads, ``unionByName(allowMissingColumns=True)``
+and ``F.lit`` provenance.  The reference's save/reload defragmentation hack
+(S5, ref:preprocessor.py:64-72) maps to ``localCheckpoint`` — only needed to
+truncate lineage in iterative ops.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str | None = None, **options: str
+) -> DataFrame:
+    """S1: load one dataset.  Format inferred from the extension when not
+    given (parquet default — the driver's testdata is parquet)."""
+    if fmt is None:
+        lowered = path.lower()
+        if lowered.endswith((".json", ".jsonl")):
+            fmt = "json"
+        elif lowered.endswith(".csv"):
+            fmt = "csv"
+        else:
+            fmt = "parquet"
+    reader = spark.read.options(**options)
+    return reader.format(fmt).load(path)
+
+
+def combine_sources(
+    spark: SparkSession,
+    paths: list[str],
+    source_column: str = "source",
+    fmt: str | None = None,
+) -> DataFrame:
+    """S2-S4 ``combine_datasets`` (ref:main.py:78-87): per-path read, stamp a
+    constant ``source`` column when absent, union all by name."""
+    from pyspark.sql import functions as F
+
+    frames = []
+    for path in paths:
+        df = read_table(spark, path, fmt)
+        if source_column not in df.columns:
+            df = df.withColumn(source_column, F.lit(path))
+        frames.append(df)
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
+
+
+def write_sink(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """S6 hub sink equivalent (ref:main.py:74)."""
+    df.write.mode(mode).format(fmt).save(path)
+
+
+def defragment(df: DataFrame) -> DataFrame:
+    """S5 (ref:preprocessor.py:64-72): lineage truncation before iterative
+    work; Spark-side this is a local checkpoint, not a disk round-trip."""
+    return df.localCheckpoint(eager=True)
