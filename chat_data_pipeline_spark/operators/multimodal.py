@@ -1,0 +1,122 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Training-data extension: multimodal payloads ride as opaque ``binary`` columns
+with typed metadata; decode / feature-extraction / resize / frame-sampling run
+as Arrow-batched ``mapInPandas`` stages so each executor touches only its
+partition's payloads (no driver collection, no shuffle — narrow transforms).
+
+The actual codecs (PIL/libav/etc.) are NOT available in this container, so
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` behind the
+``codec="real"`` gate; ``codec="fake"`` (default) is a deterministic,
+dependency-free stand-in that keeps every piece of Spark-side plumbing —
+schema, batch iteration, partitioning — real and testable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("mime_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = "doc_id long, n_bytes long, first_byte int, fake_aspect long"
+
+
+def decode_image(payload: bytes):  # pragma: no cover - real codec unavailable
+    """Real image decode — requires PIL, not present in this container."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "use codec='fake' for the deterministic stand-in"
+    )
+
+
+def _fake_features(payload: bytes | None) -> tuple[int, int, int]:
+    """Deterministic fake 'decode': byte length, first byte, length-derived
+    aspect bucket.  Matches the SQL oracle definition exactly."""
+    if not payload:
+        return 0, 0, 0
+    n = len(payload)
+    return n, payload[0], n % 7
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    codec: str = "fake",
+) -> DataFrame:
+    """Feature-extraction stage over a binary payload column.
+
+    ``mapInPandas`` keeps Arrow batches on the executor; at 100 TB this is the
+    pattern for decode-heavy stages (CPU-bound, embarrassingly parallel,
+    no shuffle) — swap ``_fake_features`` for a real codec and the plan shape
+    is unchanged.
+    """
+    if codec != "fake":
+        decode_image(b"")  # raises NotImplementedError
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            feats = [_fake_features(p) for p in batch[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch[id_col],
+                    "n_bytes": [f[0] for f in feats],
+                    "first_byte": [f[1] for f in feats],
+                    "fake_aspect": [f[2] for f in feats],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sampling plumbing: 1 payload row → N pseudo-frame rows.
+
+    Real video frame extraction is stubbed (the 'frame' is a byte-slice); the
+    Spark mechanics — a generator mapInPandas producing a variable number of
+    output rows per input row — are the real thing.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, frame_nos, frames = [], [], []
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = payload or b""
+                for frame_no in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    start = frame_no * every_n_bytes
+                    ids.append(mid)
+                    frame_nos.append(frame_no)
+                    frames.append(bytes(payload[start : start + every_n_bytes]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": frame_nos, "frame": frames}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema="media_id long, frame_no int, frame binary"
+    )

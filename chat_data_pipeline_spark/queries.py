@@ -1,0 +1,1059 @@
+"""Query inventory: every operator from SURVEY.md §2 (+ the training-data
+extensions) as a named (spark_fn, oracle_sql) pair over the driver testdata.
+
+Contract (driver): ``fn(spark, sf_dir) -> DataFrame`` and an equivalent ANSI
+SQL string duckdb runs against the same parquet tables; results must match on
+row count, schema and order-insensitive value hash.  Rules applied throughout:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are computed in exact integer cents (prices/discounts are
+  2-decimal, quantities integral in this corpus) and divided back at the end,
+  so double summation order can't produce cross-engine drift;
+- remaining doubles are rounded to 6 decimals on both sides;
+- timestamps leave the query as epoch seconds (BIGINT).
+
+Queries whose semantics are not SQL-expressible (MinHash/SimHash signatures,
+seeded rand shuffle) have ``oracle=None`` → the driver records a rows-only
+check, and pytest covers them differentially against pure-Python reference
+reimplementations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.functions import analysis as A
+from chat_data_pipeline_spark.functions import cleaners as C
+from chat_data_pipeline_spark.functions import filters as FL
+from chat_data_pipeline_spark.functions import text as T
+from chat_data_pipeline_spark.functions.wordlists import (
+    HARSH_UNWANTED_PHRASES,
+    NSFW_PHRASES,
+    UNWANTED_PHRASES,
+)
+from chat_data_pipeline_spark.operators import conversation as CV
+from chat_data_pipeline_spark.operators import dedup as D
+from chat_data_pipeline_spark.operators import sampling as S
+from chat_data_pipeline_spark.operators import similarity as SIM
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn):
+        REGISTRY[name] = Query(fn, oracle, doc)
+        return fn
+
+    return wrap
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        return _read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which the vectorized Spark
+    reader rejects; read nanos as long and convert (integer division — a
+    double roundtrip would lose precision above 2^53 ns)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+# cents helpers: exact integer arithmetic for 2-decimal doubles
+def _cents(col):  # double(2dp) -> long hundredths
+    return F.round(col * 100).cast("long")
+
+
+# ===========================================================================
+# Relational core (bench headliners; Catalyst join/agg surface)
+# ===========================================================================
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * CAST(ROUND((1-l_discount)*100) AS BIGINT)) AS DOUBLE)/10000 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * CAST(ROUND((1-l_discount)*100) AS BIGINT) * CAST(ROUND((1+l_tax)*100) AS BIGINT)) AS DOUBLE)/1000000 AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: scan-heavy agg with exact-cents arithmetic",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    ext_c = _cents(F.col("l_extendedprice"))
+    disc_c = _cents(F.lit(1) - F.col("l_discount"))
+    tax_c = _cents(F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents(F.col("l_quantity"))).cast("double") / 100).alias("sum_qty"),
+            (F.sum(ext_c).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(ext_c * disc_c).cast("double") / 10_000).alias("sum_disc_price"),
+            (F.sum(ext_c * disc_c * tax_c).cast("double") / 1_000_000).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * CAST(ROUND((1-l.l_discount)*100) AS BIGINT)) AS DOUBLE)/10000 AS revenue,
+           CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_epoch,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: 3-way join, agg, deterministic top-k",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    rev = _cents(F.col("l_extendedprice")) * _cents(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev).cast("double") / 10_000).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * CAST(ROUND((1-l.l_discount)*100) AS BIGINT)) AS DOUBLE)/10000 AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q5 shape: star join through dims — dims broadcast",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(
+            F.broadcast(nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+        )
+    )
+    rev = _cents(F.col("l_extendedprice")) * _cents(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        .groupBy("n_name")
+        .agg((F.sum(rev).cast("double") / 10_000).alias("revenue"))
+    )
+
+
+@_register(
+    "q6_revenue_forecast",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)/10000 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape: pushed-down selective scan + global agg",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(rev).cast("double") / 10_000).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "orders_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "grouping-sets surface: ROLLUP over two dims",
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(_cents(F.col("o_totalprice"))).cast("double") / 100).alias("total_price"),
+    )
+
+
+@_register(
+    "customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "G3 dataset-subtraction semantics as left-anti join (ref:utils.py:285-293)",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return S.dataset_subtraction(
+        cust, orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey"
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "events_hourly_agg",
+    """
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*10000) AS BIGINT)) AS DOUBLE)/10000 AS sum_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "event-time tumbling-window aggregation (batch twin of the streaming op)",
+)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 10_000).cast("long")).cast("double") / 10_000).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("hour").alias("hour_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    "semi-structured: JSON prop extraction + agg",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@_register(
+    "events_top_users",
+    """
+    SELECT * FROM (
+      SELECT event_type, user_id, total_value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY total_value DESC, user_id ASC) AS rank
+      FROM (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(ROUND(value*10000) AS BIGINT)) AS DOUBLE)/10000 AS total_value
+        FROM events GROUP BY event_type, user_id
+      )
+    ) WHERE rank <= 5
+    """,
+    "window-function surface: per-group top-k users by value",
+)
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        (F.sum(F.round(F.col("value") * 10_000).cast("long")).cast("double") / 10_000).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("event_type", "user_id", "total_value", "rank")
+    )
+
+
+@_register(
+    "union_provenance",
+    """
+    SELECT doc_id, text, source, 'primary' AS origin FROM documents WHERE source IN ('src0','src1')
+    UNION ALL
+    SELECT doc_id, text, source, 'secondary' AS origin FROM documents WHERE source IN ('src2','src3')
+    """,
+    "S2-S4 multi-source union with provenance stamping (ref:main.py:78-87)",
+)
+def union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.filter(F.col("source").isin("src0", "src1")).withColumn(
+        "origin", F.lit("primary")
+    )
+    b = docs.filter(F.col("source").isin("src2", "src3")).withColumn(
+        "origin", F.lit("secondary")
+    )
+    return a.unionByName(b).select("doc_id", "text", "source", "origin")
+
+
+# ===========================================================================
+# Cleaners C2-C5 as queries over documents
+# ===========================================================================
+
+
+def _sql_normalize_punct(expr: str) -> str:
+    """duckdb twin of cleaners.normalize_punctuation (replaces first, then
+    translate) — built from the same mapping tables."""
+    out = expr
+    for src, dst in C._PUNCT_MULTI.items():
+        out = f"replace({out}, {_sql_quote(src)}, {_sql_quote(dst)})"
+    src_chars = "".join(C._PUNCT_SINGLE)
+    dst_chars = "".join(C._PUNCT_SINGLE.values())
+    return f"translate({out}, {_sql_quote(src_chars)}, {_sql_quote(dst_chars)})"
+
+
+def _sql_normalize_ws(expr: str) -> str:
+    chars = C._WHITESPACE_CHARS
+    return f"translate({expr}, {_sql_quote(chars)}, {_sql_quote(' ' * len(chars))})"
+
+
+@_register(
+    "docs_normalize",
+    f"""
+    SELECT doc_id, {_sql_normalize_punct(_sql_normalize_ws('text'))} AS normalized
+    FROM documents
+    """,
+    "C2+C3 whitespace & punctuation normalization (ref:cleaners.py:13-63)",
+)
+def docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        C.normalize_punctuation(C.normalize_whitespace(F.col("text"))).alias("normalized"),
+    )
+
+
+@_register(
+    "docs_remove_empty_lines",
+    """
+    SELECT doc_id,
+           array_to_string(list_filter(str_split(text, chr(10)), x -> regexp_matches(x, '\\S')), chr(10)) AS cleaned
+    FROM documents
+    """,
+    "C4 intended semantics (reference always returns '' — SURVEY.md §7.3)",
+)
+def docs_remove_empty_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", C.remove_empty_lines(F.col("text")).alias("cleaned"))
+
+
+_STRIP_SQL = (
+    "regexp_replace(regexp_replace({e}, '^[\\s\\u0085\\u00a0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]+', ''), '[\\s\\u0085\\u00a0\\u1680"
+    "\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]+$', '')"
+)
+
+
+def _sql_strip(expr: str) -> str:
+    return _STRIP_SQL.format(e=expr)
+
+
+@_register(
+    "docs_clean_new_lines",
+    f"""
+    SELECT doc_id, replace({_sql_strip('text')}, chr(10), '') AS cleaned
+    FROM documents
+    """,
+    "C5 strip + newline removal (ref:cleaners.py:76-79)",
+)
+def docs_clean_new_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", C.clean_new_lines(F.col("text")).alias("cleaned"))
+
+
+# ===========================================================================
+# Filters F1, F3, F4, F6, F7, F8, F9, F10, F11 as queries over documents
+# ===========================================================================
+
+
+@_register(
+    "filter_word_count",
+    r"""
+    SELECT doc_id, len(regexp_extract_all(lower(text), '\w+')) AS word_count
+    FROM documents
+    WHERE len(regexp_extract_all(lower(text), '\w+')) BETWEEN 5 AND 128
+    """,
+    "F1 check_word_number keep + score (ref:filters.py:6-15)",
+)
+def filter_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    col = F.col("text")
+    return docs.filter(
+        FL.check_word_number_keep(col, min_word_threshold=5, max_word_threshold=128)
+    ).select("doc_id", FL.check_word_number_score(col).cast("long").alias("word_count"))
+
+
+@_register(
+    "filter_lowercase_ratio",
+    """
+    SELECT doc_id, round(lr, 6) AS lowercase_ratio FROM (
+      SELECT doc_id,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS lr
+      FROM documents
+    ) WHERE lr >= 0.75
+    """,
+    "F4 check_lowercase_ratio (ref:filters.py:102-113)",
+)
+def filter_lowercase_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    score = FL.check_lowercase_ratio_score(F.col("text"))
+    return (
+        docs.withColumn("lr", score)
+        .filter(F.col("lr") >= 0.75)
+        .select("doc_id", F.round("lr", 6).alias("lowercase_ratio"))
+    )
+
+
+@_register(
+    "filter_completion",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE length({_sql_strip('text')}) > 0
+      AND substr({_sql_strip('text')}, length({_sql_strip('text')}), 1) IN
+          ('.','!','?','*','"','”','~','…','''',']',')','`',';')
+    """,
+    "F7 check_completion (ref:filters.py:143-156)",
+)
+def filter_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.filter(FL.check_completion_keep(F.col("text"))).select("doc_id")
+
+
+@_register(
+    "filter_empty",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE length({_sql_strip("replace(replace(text, '...', ''), '…', '')")}) != 0
+    """,
+    "F9 check_empty (ref:filters.py:178-185)",
+)
+def filter_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.filter(FL.check_empty_keep(F.col("text"))).select("doc_id")
+
+
+def _sql_contains_none(phrases: list[str]) -> str:
+    clauses = " OR ".join(
+        f"contains(lower(text), {_sql_quote(p)})" for p in phrases
+    )
+    return f"NOT ({clauses})"
+
+
+@_register(
+    "filter_ethics",
+    f"""
+    SELECT doc_id FROM documents WHERE {_sql_contains_none(UNWANTED_PHRASES)}
+    """,
+    "F10 check_ethics — refusal-phrase rejection, bug-compatible list (ref:filters.py:270-278)",
+)
+def filter_ethics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.filter(FL.check_ethics_keep(F.col("text"))).select("doc_id")
+
+
+@_register(
+    "filter_ethics_harsh",
+    f"""
+    SELECT doc_id FROM documents WHERE {_sql_contains_none(HARSH_UNWANTED_PHRASES)}
+    """,
+    "F11 check_ethics_harsh (ref:filters.py:281-289)",
+)
+def filter_ethics_harsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.filter(FL.check_ethics_harsh_keep(F.col("text"))).select("doc_id")
+
+
+def _sql_nsfw_ratio_query() -> str:
+    """duckdb twin of F3: a flat 403-term sum chain trips duckdb's binder
+    recursion limit, so the phrase list is unnested into rows and aggregated
+    (same non-overlapping substring-count semantics)."""
+    phrase_list = ", ".join(_sql_quote(p) for p in NSFW_PHRASES)
+    return f"""
+    WITH ph AS (SELECT unnest([{phrase_list}]) AS p),
+    hits AS (
+      SELECT d.doc_id,
+             CAST(SUM((length(lower(d.text)) - length(replace(lower(d.text), ph.p, ''))) / length(ph.p)) AS BIGINT) AS n_hits
+      FROM documents d CROSS JOIN ph
+      GROUP BY d.doc_id
+    ),
+    wc AS (
+      SELECT doc_id, len(regexp_extract_all(lower(text), '\\w+')) AS n_words FROM documents
+    )
+    SELECT d.doc_id,
+           round(CASE WHEN w.n_words > 0 THEN CAST(h.n_hits AS DOUBLE) / w.n_words ELSE 0.0 END, 6) AS nsfw_ratio
+    FROM documents d
+    JOIN hits h ON h.doc_id = d.doc_id
+    JOIN wc w  ON w.doc_id = d.doc_id
+    """
+
+
+@_register(
+    "filter_nsfw_score",
+    _sql_nsfw_ratio_query(),
+    "F3 check_nsfw_words dry-run score — 403-phrase substring ratio (ref:filters.py:83-99)",
+)
+def filter_nsfw_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(FL.check_nsfw_words_score(F.col("text")), 6).alias("nsfw_ratio")
+    )
+
+
+_TRUNC_TOKEN = "<|truncation_splitter|>"
+
+
+@_register(
+    "filter_truncation",
+    f"""
+    WITH built AS (
+      SELECT doc_id,
+             text || '{_TRUNC_TOKEN}' ||
+             CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 30)
+                  ELSE upper(substr(text, 1, 30)) END AS doc
+      FROM documents
+    )
+    SELECT doc_id FROM built
+    WHERE NOT contains(str_split(doc, '{_TRUNC_TOKEN}')[1],
+                       str_split(doc, '{_TRUNC_TOKEN}')[2])
+    """,
+    "F6 check_truncation over constructed (model, edited) pairs (ref:filters.py:131-140)",
+)
+def filter_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    edited = F.when(
+        F.col("doc_id") % 2 == 0, F.substring("text", 1, 30)
+    ).otherwise(F.upper(F.substring("text", 1, 30)))
+    built = docs.select(
+        "doc_id", F.concat("text", F.lit(_TRUNC_TOKEN), edited).alias("doc")
+    )
+    return built.filter(FL.check_truncation_keep(F.col("doc"))).select("doc_id")
+
+
+_GENDER_TOKEN = "<|gender_splitter|>"
+
+
+@_register(
+    "filter_gender",
+    f"""
+    WITH built AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'he went to town'  || '{_GENDER_TOKEN}' || 'she went to town'
+                  WHEN doc_id % 3 = 1 THEN 'he stayed at home' || '{_GENDER_TOKEN}' || 'he left at home'
+                  ELSE 'the girl ran fast'  || '{_GENDER_TOKEN}' || 'the boy ran fast' END AS doc
+      FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(str_split(doc, '{_GENDER_TOKEN}')[1]), '\\S+') AS a,
+             regexp_extract_all(lower(str_split(doc, '{_GENDER_TOKEN}')[2]), '\\S+') AS b
+      FROM built
+    )
+    SELECT doc_id FROM parts
+    WHERE len(list_filter(range(1, least(len(a), len(b)) + 1),
+              i -> list_contains(['he','she','him','her','girl','boy'], a[i])
+               AND list_contains(['he','she','him','her','girl','boy'], b[i])
+               AND a[i] != b[i])) > 0
+    """,
+    "F8 check_gender over constructed pairs; min-length zip semantics (ref:filters.py:159-175)",
+)
+def filter_gender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    doc = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(f"he went to town{_GENDER_TOKEN}she went to town"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(f"he stayed at home{_GENDER_TOKEN}he left at home"))
+        .otherwise(F.lit(f"the girl ran fast{_GENDER_TOKEN}the boy ran fast"))
+    )
+    built = docs.select("doc_id", doc.alias("doc"))
+    return built.filter(FL.check_gender_keep(F.col("doc"))).select("doc_id")
+
+
+@_register(
+    "pipeline_output_preset",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE len(regexp_extract_all(lower(text), '\\w+')) BETWEEN 5 AND 128
+      AND length({_sql_strip('text')}) > 0
+      AND substr({_sql_strip('text')}, length({_sql_strip('text')}), 1) IN
+          ('.','!','?','*','"','”','~','…','''',']',')','`',';')
+      AND CASE WHEN length(text) > 0
+               THEN CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE) / length(text)
+               ELSE 0.0 END >= 0.75
+    """,
+    "composed native subset of get_output_text_filters (ref:utils.py:71-107) — Catalyst fuses all three predicates into one scan",
+)
+def pipeline_output_preset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    col = F.col("text")
+    return docs.filter(
+        FL.check_word_number_keep(col, 5, 128)
+        & FL.check_completion_keep(col)
+        & FL.check_lowercase_ratio_keep(col, 0.75)
+    ).select("doc_id")
+
+
+# ===========================================================================
+# Deduplication family over documents
+# ===========================================================================
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY text) AS m
+      FROM documents
+    ) WHERE doc_id = m
+    """,
+    "exact dedup, min-id survivor per identical text",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id").select("doc_id", "text")
+
+
+_JACCARD_SQL = r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)])
+                  ELSE [] END AS shingles
+      FROM toks
+    ), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    postings AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+      FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+      SELECT id1, id2
+      FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+      WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.7
+    )
+"""
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    _JACCARD_SQL
+    + """
+    , und AS (SELECT id1 AS a, id2 AS b FROM edges UNION ALL SELECT id2, id1 FROM edges),
+    reach(node, r) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT DISTINCT node FROM reach WHERE r < node)
+    """,
+    "exact n-gram-Jaccard near-dedup (tau=0.7), min-id survivor via recursive reachability",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return D.ngram_jaccard_dedup(docs, "text", "doc_id", ngram_size=5, threshold=0.7).select(
+        "doc_id"
+    )
+
+
+@_register(
+    "dedup_minhash",
+    None,  # signature arithmetic (sha1 + seeded permutations) is not SQL-expressible
+    "D1-D8 MinHash-LSH near-dedup, reference-parity seed 42 (ref:minhash_deduplication.py)",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return D.minhash_dedup(docs, "text", id_col="doc_id").select("doc_id")
+
+
+@_register(
+    "dedup_simhash",
+    None,  # 64-bit md5 simhash not expressible in duckdb SQL
+    "SimHash near-dedup: banded hamming<=3 candidates, popcount verify",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return D.simhash_dedup(docs, "text", "doc_id").select("doc_id")
+
+
+# ===========================================================================
+# Embedding similarity
+# ===========================================================================
+
+_COSINE_SQL = """
+    list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]), (x,y) -> x+y)
+    / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y))
+     * sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y)))
+"""
+
+
+@_register(
+    "embedding_neardup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round({_COSINE_SQL}, 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({_COSINE_SQL}, 6) >= 0.45
+    """,
+    "embedding-cosine near-dup candidate pairs (exact pairwise; LSH path at scale)",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.embedding_neardup_pairs(emb, threshold=0.45)
+
+
+@_register(
+    "ann_topk_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, a.vec_id, round({_COSINE_SQL.replace('b.v', 'q.v').replace('a.v', 'a.v')}, 6) AS cosine
+      FROM e a CROSS JOIN (SELECT query_id, v FROM q) q
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    "brute-force cosine top-10 for 8 query vectors (exact ANN baseline)",
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SIM.brute_force_topk(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+
+def _sql_stopword_hits(lang: str) -> str:
+    words = ", ".join(_sql_quote(w) for w in A.STOPWORDS[lang])
+    return (
+        r"len(list_filter(regexp_extract_all(lower(text), '\w+'),"
+        f" w -> list_contains([{words}], w)))"
+    )
+
+
+@_register(
+    "lang_id_counts",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_sql_stopword_hits('en')} AS en, {_sql_stopword_hits('de')} AS de,
+             {_sql_stopword_hits('es')} AS es, {_sql_stopword_hits('fr')} AS fr
+      FROM documents
+    )
+    SELECT CASE WHEN en = 0 AND de = 0 AND es = 0 AND fr = 0 THEN 'und'
+                WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+                WHEN de >= es AND de >= fr THEN 'de'
+                WHEN es >= fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM scored GROUP BY 1
+    """,
+    "heuristic stopword language-ID, deterministic argmax",
+)
+def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(A.language_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_SQL_PUNCT_CLASS = r"[.,;:!?''\"()\[\]{}<>~`*%&#@^_|\\/+=-]"
+
+
+@_register(
+    "quality_scores",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\\w+')) AS DOUBLE) AS wc,
+             {_sql_stopword_hits('en')} AS hits,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '{_SQL_PUNCT_CLASS}', '', 'g')) AS punct,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+      FROM documents
+    )
+    SELECT doc_id, round(
+        0.25 * least(wc / 100.0, 1.0)
+      + 0.25 * least((CASE WHEN wc > 0 THEN hits / wc ELSE 0.0 END) * 3.0, 1.0)
+      + 0.25 * (1.0 - least((CASE WHEN n > 0 THEN CAST(punct AS DOUBLE) / n ELSE 0.0 END) * 4.0, 1.0))
+      + 0.25 * (CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n ELSE 0.0 END)
+    , 6) AS quality FROM m
+    """,
+    "composite [0,1] quality heuristic (length/stopword/punct/alpha terms)",
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", A.quality_score(F.col("text")).alias("quality"))
+
+
+@_register(
+    "token_counts",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '\w+')) AS word_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS bpe_ish_tokens
+    FROM documents
+    """,
+    "token counting: whitespace, \\w+ words, BPE-ish pre-tokenizer",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("ws_tokens"),
+        A.token_count_words(F.col("text")).cast("long").alias("word_tokens"),
+        A.token_count_bpe_ish(F.col("text")).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@_register(
+    "doc_fingerprints",
+    r"""
+    SELECT doc_id,
+           COALESCE(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(lower(text), '\w+'),
+                              t -> CAST(ord(t[1]) * 131 + length(t) AS BIGINT))),
+             (acc, v) -> (acc * 1000003 + v) % 2147483647
+           ), 0) AS fingerprint,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    "Karp-Rabin-style rolling fingerprint over word tokens + md5 content hash",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        A.doc_fingerprint(F.col("text")).alias("fingerprint"),
+        A.content_hash(F.col("text")).alias("content_md5"),
+    )
+
+
+# ===========================================================================
+# Sampling G1 (deterministic hash-rank variant)
+# ===========================================================================
+
+
+@_register(
+    "sample_grouped_users",
+    """
+    WITH ranked AS (
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(CAST(user_id AS VARCHAR) || chr(31) || CAST(event_id AS VARCHAR)) ASC,
+                        event_id ASC
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events
+    )
+    SELECT event_id, user_id FROM ranked
+    WHERE cnt < 5 OR rn <= CAST(ceil(cnt * 0.5) AS BIGINT)
+    """,
+    "G1 grouped sampling, engine-independent md5 rank (ref:utils.py:218-236)",
+)
+def sample_grouped_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return S.sample_grouped(
+        ev, "user_id", 0.5, "event_id", min_group_rows=5, deterministic=True
+    ).select("event_id", "user_id")
+
+
+@_register(
+    "shuffle_hash_sample",
+    """
+    SELECT doc_id FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100
+    """,
+    "P8 deterministic shuffle: hash-order sample (seeded rand(42) variant is rows-only)",
+)
+def shuffle_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(F.md5(F.col("doc_id").cast("string"))).select("doc_id").limit(100)
+    )
+
+
+# ===========================================================================
+# Conversation lifecycle P1+P2 over constructed conversations
+# ===========================================================================
+
+
+@_register(
+    "conversation_pairs",
+    """
+    WITH conv AS (
+      SELECT user_id,
+             list(struct_pack(content := props,
+                              do_train := event_type = 'purchase',
+                              role := event_type) ORDER BY ts, event_id) AS conversation
+      FROM events GROUP BY user_id
+    ), expl AS (
+      SELECT user_id, unnest(conversation) AS msg,
+             generate_subscripts(conversation, 1) AS pos, conversation
+      FROM conv
+    )
+    SELECT user_id, CAST(pos - 1 AS INT) AS n_prefix,
+           trim(msg.content) AS response,
+           CASE WHEN pos > 1 THEN trim(conversation[pos-1].content) ELSE '' END AS instruction
+    FROM expl WHERE msg.do_train
+    """,
+    "P1+P2 conversation explode + instruction/response derivation "
+    "(ref:main.py:90-117) over conversations built from the events stream",
+)
+def conversation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    conv = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "props", "event_type"))
+            ).alias("ordered")
+        )
+        .select(
+            "user_id",
+            F.transform(
+                "ordered",
+                lambda m: F.struct(
+                    m.getField("props").alias("content"),
+                    (m.getField("event_type") == "purchase").alias("do_train"),
+                    m.getField("event_type").alias("role"),
+                ),
+            ).alias("conversation"),
+        )
+    )
+    exploded = CV.add_content_columns(CV.explode_conversations(conv))
+    return exploded.select(
+        "user_id",
+        F.size("input").alias("n_prefix"),
+        "response",
+        "instruction",
+    )
+
+
+# ===========================================================================
+# Multimodal plumbing (binary payload column; deterministic fake decode)
+# ===========================================================================
+
+
+@_register(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           COALESCE(ord(NULLIF(substr(text, 1, 1), '')), 0) AS first_byte,
+           octet_length(CAST(text AS BLOB)) % 7 AS fake_aspect
+    FROM documents
+    """,
+    "binary-column decode plumbing: payload bytes through mapInPandas with a "
+    "deterministic fake feature extractor (real codecs stubbed — see operators.multimodal)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators.multimodal import extract_features
+
+    docs = _read(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return extract_features(payloads, id_col="doc_id", payload_col="payload")
