@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced through full materialization with the noop sink (write
+path executes every operator; count() alone can let Catalyst prune work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headliners: relational core + the pipeline/dedup/vector/text surfaces.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "orders_rollup",
+    "events_hourly_agg",
+    "events_top_users",
+    "conversation_pairs",
+    "pipeline_output_preset",
+    "filter_nsfw_score",
+    "docs_normalize",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "embedding_neardup_lsh",
+    "ann_topk_cosine",
+    "lang_id_counts",
+    "quality_scores",
+    "token_counts",
+    "doc_fingerprints",
+    "sample_grouped_users",
+]
+
+
+def main() -> None:
+    from chat_data_pipeline_spark import get_spark
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    spark = get_spark(
+        app_name="cdp-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64")),
+    )
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+    except ValueError:
+        sf = 0.0
+
+    # warm table IO/JIT so the first query isn't charged for session warmup
+    for t in ["lineitem", "orders", "customer", "part", "supplier", "nation",
+              "region", "events", "documents", "embeddings"]:
+        try:
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = REGISTRY[name]
+        # warm the IO cache / JIT once at tiny scale? No — measure cold per query.
+        t0 = time.time()
+        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

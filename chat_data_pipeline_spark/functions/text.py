@@ -18,9 +18,11 @@ STRIP_CLASS = (
 )
 
 # ``re.findall(r'\w+', text.lower())`` — the reference's universal word
-# tokenizer (ref:utils.py:304-305).  Java and RE2 both treat \w as ASCII
-# [A-Za-z0-9_] by default, so the same pattern is oracle-safe.
-WORD_PATTERN = r"\w+"
+# tokenizer (ref:utils.py:304-305).  Python's \w is UNICODE-aware (letters,
+# digits incl. fullwidth forms, underscore); Java and RE2 default \w to
+# ASCII.  The explicit class below is valid and identical in Java regex AND
+# RE2 (duckdb oracle) and matches Python's semantics on L*/N*/_ .
+WORD_PATTERN = r"[\p{L}\p{N}_]+"
 
 
 def strip(col: Column) -> Column:

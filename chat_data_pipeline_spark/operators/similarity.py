@@ -60,11 +60,15 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
-    scored = df.crossJoin(F.broadcast(queries)).select(
+    corpus = df.withColumn("__norm__", norm_expr(F.col(vec_col)))
+    probes = queries.withColumn("__qnorm__", norm_expr(F.col(query_vec_col)))
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(
-            cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6
+            dot_expr(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__norm__") * F.col("__qnorm__")),
+            6,
         ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -119,10 +123,16 @@ def lsh_topk(
     probes = queries.withColumn(
         "__bucket__", lsh_bucket_expr(F.col(query_vec_col), planes)
     )
+    corpus = corpus.withColumn("__norm__", norm_expr(F.col(vec_col)))
+    probes = probes.withColumn("__qnorm__", norm_expr(F.col(query_vec_col)))
     scored = corpus.join(F.broadcast(probes), "__bucket__").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+        F.round(
+            dot_expr(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__norm__") * F.col("__qnorm__")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -149,8 +159,16 @@ def embedding_neardup_pairs(
     With ``n_planes`` set, candidates are restricted to SRP-bucket collisions
     — the 100 TB path (high-cosine pairs collide with high probability).
     """
-    left = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    right = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    left = df.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        norm_expr(F.col(vec_col)).alias("n1"),
+    )
+    right = df.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        norm_expr(F.col(vec_col)).alias("n2"),
+    )
     if n_planes:
         planes = _hyperplanes(dim, n_planes, seed)
         left = left.withColumn("__bucket__", lsh_bucket_expr(F.col("v1"), planes))
@@ -162,7 +180,9 @@ def embedding_neardup_pairs(
         pairs.select(
             "id1",
             "id2",
-            F.round(cosine_expr(F.col("v1"), F.col("v2")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )

@@ -457,9 +457,9 @@ def docs_clean_new_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "filter_word_count",
     r"""
-    SELECT doc_id, len(regexp_extract_all(lower(text), '\w+')) AS word_count
+    SELECT doc_id, len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS word_count
     FROM documents
-    WHERE len(regexp_extract_all(lower(text), '\w+')) BETWEEN 5 AND 128
+    WHERE len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) BETWEEN 5 AND 128
     """,
     "F1 check_word_number keep + score (ref:filters.py:6-15)",
 )
@@ -567,7 +567,7 @@ def _sql_nsfw_ratio_query() -> str:
       GROUP BY d.doc_id
     ),
     wc AS (
-      SELECT doc_id, len(regexp_extract_all(lower(text), '\\w+')) AS n_words FROM documents
+      SELECT doc_id, len(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+')) AS n_words FROM documents
     )
     SELECT d.doc_id,
            round(CASE WHEN w.n_words > 0 THEN CAST(h.n_hits AS DOUBLE) / w.n_words ELSE 0.0 END, 6) AS nsfw_ratio
@@ -660,7 +660,7 @@ def filter_gender(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_output_preset",
     f"""
     SELECT doc_id FROM documents
-    WHERE len(regexp_extract_all(lower(text), '\\w+')) BETWEEN 5 AND 128
+    WHERE len(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+')) BETWEEN 5 AND 128
       AND length({_sql_strip('text')}) > 0
       AND substr({_sql_strip('text')}, length({_sql_strip('text')}), 1) IN
           ('.','!','?','*','"','”','~','…','''',']',')','`',';')
@@ -702,7 +702,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_SQL = r"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              CASE WHEN len(t) >= 5
@@ -793,6 +793,16 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_neardup_lsh",
+    None,  # approximate (SRP-bucket-blocked) — verified against the exact variant in pytest
+    "embedding near-dup via random-hyperplane LSH blocking: the 100 TB scale path",
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.embedding_neardup_pairs(emb, threshold=0.45, n_planes=6)
+
+
+@_register(
     "ann_topk_cosine",
     f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -826,7 +836,7 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_stopword_hits(lang: str) -> str:
     words = ", ".join(_sql_quote(w) for w in A.STOPWORDS[lang])
     return (
-        r"len(list_filter(regexp_extract_all(lower(text), '\w+'),"
+        r"len(list_filter(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+'),"
         f" w -> list_contains([{words}], w)))"
     )
 
@@ -867,7 +877,7 @@ _SQL_PUNCT_CLASS = r"[.,;:!?''\"()\[\]{}<>~`*%&#@^_|\\/+=-]"
     f"""
     WITH m AS (
       SELECT doc_id,
-             CAST(len(regexp_extract_all(lower(text), '\\w+')) AS DOUBLE) AS wc,
+             CAST(len(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+')) AS DOUBLE) AS wc,
              {_sql_stopword_hits('en')} AS hits,
              length(text) AS n,
              length(text) - length(regexp_replace(text, '{_SQL_PUNCT_CLASS}', '', 'g')) AS punct,
@@ -893,7 +903,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT doc_id,
            len(regexp_extract_all(text, '\S+')) AS ws_tokens,
-           len(regexp_extract_all(lower(text), '\w+')) AS word_tokens,
+           len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS word_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS bpe_ish_tokens
     FROM documents
     """,
@@ -915,7 +925,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            COALESCE(list_reduce(
              list_prepend(CAST(0 AS BIGINT),
-               list_transform(regexp_extract_all(lower(text), '\w+'),
+               list_transform(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+'),
                               t -> CAST(ord(t[1]) * 131 + length(t) AS BIGINT))),
              (acc, v) -> (acc * 1000003 + v) % 2147483647
            ), 0) AS fingerprint,

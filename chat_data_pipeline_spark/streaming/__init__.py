@@ -1,0 +1,6 @@
+from chat_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
+    read_events_stream,
+    sessionize,
+    streaming_clean_filter,
+    windowed_event_aggregates,
+)

@@ -1,0 +1,205 @@
+"""Differential tests: Spark Column expressions vs the pure-Python reference
+semantics (tests/reference_semantics.py) on FIXTURES.md-style engineered
+strings, plus property tests (idempotence, dry-run/keep consistency)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.functions import cleaners as C
+from chat_data_pipeline_spark.functions import filters as FL
+from chat_data_pipeline_spark.functions.wordlists import (
+    HARSH_UNWANTED_PHRASES,
+    NSFW_PHRASES,
+    UNWANTED_PHRASES,
+)
+from tests import reference_semantics as R
+
+# FIXTURES.md §2-style engineered strata
+DOCS = [
+    "plain sentence with five words.",
+    "，。、„”“«»１」「《》´∶：？！（）；–—．～’…━〈〉【】％►",  # full punct map
+    "unicode spaces and more　here￼!",
+    "line one\n\n   \nline two\n\t\nline three",
+    "  leading and trailing  ",
+    "",
+    "...",
+    "……",
+    "one two three four",  # 4 words — below the 5-word preset bound
+    "one two three four five",  # exactly 5
+    " ".join(f"w{i}" for i in range(128)),  # exactly 128
+    " ".join(f"w{i}" for i in range(129)),  # 129 — above
+    "UPPERCASE ONLY 123 !!!",
+    "mixedCASE with Some lower",
+    "ends without punctuation",
+    "ends with period.",
+    'ends with quote"',
+    "ends with tilde~",
+    "abcdefghij" * 8,  # strong 10-gram repetition
+    "abcdefghij" + "x" * 90,  # weak repetition
+    "as an ai language model I cannot do that.",
+    "prioritize human safety",  # dead concatenated-phrase fragment (bug pin)
+    "I'm sorry but sorry is harsh.",
+    "this text mentions sex exactly once in eleven words total here",
+    "clean words " * 50,
+    None,
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(DOCS)], "id long, text string")
+
+
+def _collect(df, col):
+    return {r["id"]: r["out"] for r in df.select("id", col.alias("out")).collect()}
+
+
+def test_normalize_whitespace_matches_reference(docs_df):
+    got = _collect(docs_df, C.normalize_whitespace(F.col("text")))
+    for i, t in enumerate(DOCS):
+        if t is None:
+            assert got[i] is None
+        else:
+            assert got[i] == R.normalize_whitespace(t), f"doc {i}: {t!r}"
+
+
+def test_normalize_punctuation_matches_reference(docs_df):
+    got = _collect(docs_df, C.normalize_punctuation(F.col("text")))
+    for i, t in enumerate(DOCS):
+        if t is not None:
+            assert got[i] == R.normalize_punctuation(t), f"doc {i}: {t!r}"
+
+
+def test_remove_empty_lines_intended(docs_df):
+    got = _collect(docs_df, C.remove_empty_lines(F.col("text")))
+    for i, t in enumerate(DOCS):
+        if t is not None:
+            assert got[i] == R.remove_empty_lines_intended(t), f"doc {i}: {t!r}"
+
+
+def test_remove_empty_lines_strict_compat(docs_df):
+    got = _collect(docs_df, C.remove_empty_lines(F.col("text"), strict_compat=True))
+    for i, t in enumerate(DOCS):
+        assert got[i] == ""  # the reference bug: always ""
+
+
+def test_clean_new_lines_matches_reference(docs_df):
+    got = _collect(docs_df, C.clean_new_lines(F.col("text")))
+    for i, t in enumerate(DOCS):
+        if t is not None:
+            assert got[i] == R.clean_new_lines(t), f"doc {i}: {t!r}"
+
+
+def test_cleaners_idempotent(docs_df):
+    """clean(clean(x)) == clean(x) for the normalization cleaners."""
+    for builder in (C.normalize_whitespace, C.normalize_punctuation, C.clean_new_lines):
+        once = _collect(docs_df, builder(F.col("text")))
+        twice = _collect(docs_df, builder(builder(F.col("text"))))
+        assert once == twice, builder
+
+
+def test_word_count_and_keep(docs_df):
+    got = _collect(docs_df, FL.check_word_number_score(F.col("text")))
+    kept = _collect(docs_df, FL.check_word_number_keep(F.col("text"), 5, 128))
+    for i, t in enumerate(DOCS):
+        if t is None:
+            continue
+        n = len(R.get_words(t))
+        assert got[i] == n, f"doc {i}"
+        assert kept[i] == (5 <= n <= 128), f"doc {i}"
+
+
+def test_lowercase_ratio(docs_df):
+    got = _collect(docs_df, FL.check_lowercase_ratio_score(F.col("text")))
+    for i, t in enumerate(DOCS):
+        if t is not None:
+            assert got[i] == pytest.approx(R.lowercase_ratio(t)), f"doc {i}"
+
+
+def test_char_repetition(docs_df):
+    got = _collect(docs_df, FL.check_char_repetition_score(F.col("text"), 10))
+    for i, t in enumerate(DOCS):
+        if t is not None:
+            assert got[i] == pytest.approx(R.char_repetition_ratio(t, 10)), f"doc {i}"
+
+
+def test_completion(docs_df):
+    got = _collect(docs_df, FL.check_completion_keep(F.col("text")))
+    for i, t in enumerate(DOCS):
+        if t is not None:
+            assert got[i] == R.check_completion(t), f"doc {i}: {t!r}"
+
+
+def test_empty(docs_df):
+    got = _collect(docs_df, FL.check_empty_keep(F.col("text")))
+    for i, t in enumerate(DOCS):
+        if t is not None:
+            assert got[i] == R.check_empty(t), f"doc {i}: {t!r}"
+
+
+def test_nsfw_ratio(docs_df):
+    got = _collect(docs_df, FL.check_nsfw_words_score(F.col("text")))
+    for i, t in enumerate(DOCS):
+        if t is not None:
+            assert got[i] == pytest.approx(R.nsfw_ratio(t, NSFW_PHRASES)), f"doc {i}"
+
+
+def test_ethics_both_lists(docs_df):
+    got = _collect(docs_df, FL.check_ethics_keep(F.col("text")))
+    harsh = _collect(docs_df, FL.check_ethics_harsh_keep(F.col("text")))
+    for i, t in enumerate(DOCS):
+        if t is None:
+            continue
+        assert got[i] == R.check_ethics(t, UNWANTED_PHRASES), f"doc {i}: {t!r}"
+        assert harsh[i] == R.check_ethics(t, HARSH_UNWANTED_PHRASES), f"doc {i}: {t!r}"
+
+
+def test_ethics_bug_compat(docs_df):
+    """The missing-comma bug makes 'prioritize human safety' alone pass, and
+    'sorry' fail only the harsh list (SURVEY.md §7.3)."""
+    got = _collect(docs_df, FL.check_ethics_keep(F.col("text")))
+    harsh = _collect(docs_df, FL.check_ethics_harsh_keep(F.col("text")))
+    i_frag = DOCS.index("prioritize human safety")
+    i_sorry = DOCS.index("I'm sorry but sorry is harsh.")
+    assert got[i_frag] is True  # dead phrase: passes the soft list
+    assert got[i_sorry] is True
+    assert harsh[i_sorry] is False
+
+
+TRUNC = "<|truncation_splitter|>"
+GENDER = "<|gender_splitter|>"
+
+
+def test_truncation_and_gender(spark):
+    rows = [
+        (0, f"hello world{TRUNC}world"),
+        (1, f"hello world{TRUNC}mars"),
+        (2, f"abc{TRUNC}"),
+        (3, f"{TRUNC}abc"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = _collect(df, FL.check_truncation_keep(F.col("text")))
+    for i, t in rows:
+        assert got[i] == R.check_truncation(t), f"doc {i}: {t!r}"
+
+    rows = [
+        (0, f"he went{GENDER}she went"),
+        (1, f"he went{GENDER}he stayed"),
+        (2, f"the boy ran{GENDER}the girl ran"),
+        (3, f"she is here{GENDER}extra words she is"),
+        (4, f"nothing{GENDER}"),
+        (5, f"  he {GENDER} she  "),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = _collect(df, FL.check_gender_keep(F.col("text")))
+    for i, t in rows:
+        assert got[i] == R.check_gender(t), f"doc {i}: {t!r}"
+
+
+def test_perplexity_stub_deterministic(docs_df):
+    a = _collect(docs_df, FL.check_perplexity_score(F.col("text")))
+    b = _collect(docs_df, FL.check_perplexity_score(F.col("text")))
+    assert a == b
+    assert all(v is None or v >= 1.0 for v in a.values())

@@ -1,0 +1,170 @@
+"""Golden tests for the conversation lifecycle P1→P2→P3 + D10 and the
+pipeline executor contract (criteria naming, dry-run, reports, G4 split)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.operators import conversation as CV
+from chat_data_pipeline_spark.operators import sampling as S
+from chat_data_pipeline_spark.plans import SparkPreprocessor
+from chat_data_pipeline_spark.plans.pipeline import (
+    criteria_column_name,
+    rename_dry_run_columns,
+    split_dataset_by_filter,
+)
+
+CONV_SCHEMA = (
+    "id long, source string, "
+    "conversation array<struct<content string, do_train boolean, role string>>"
+)
+
+
+@pytest.fixture(scope="module")
+def conv_df(spark):
+    rows = [
+        # multi-target conversation (2 do_train)
+        (1, "s1", [("sys", False, "System"), (" hi ", False, "User"),
+                   (" hello! ", True, "Assistant"), ("more?", False, "User"),
+                   ("sure.", True, "Assistant")]),
+        # first message is the do_train target → empty input, instruction ""
+        (2, "s1", [("first!", True, "Assistant")]),
+        # no do_train → contributes no rows
+        (3, "s2", [("a", False, "User"), ("b", False, "Assistant")]),
+        # whitespace-heavy contents exercise strip()
+        (4, "s2", [("  q  ", False, "User"), ("  a  ", True, "Assistant")]),
+    ]
+    return spark.createDataFrame(rows, CONV_SCHEMA)
+
+
+def test_explode_and_derive(conv_df):
+    out = CV.add_content_columns(CV.explode_conversations(conv_df))
+    rows = {(r.id, r.response): r for r in out.collect()}
+    assert len(rows) == 4  # 2 + 1 + 0 + 1
+    r = rows[(1, "hello!")]
+    assert r.instruction == "hi"
+    assert [m.content for m in r.input] == ["sys", " hi "]
+    r = rows[(1, "sure.")]
+    assert r.instruction == "more?"
+    assert len(r.input) == 4
+    r = rows[(2, "first!")]
+    assert r.instruction == "" and r.input == []
+    r = rows[(4, "a")]
+    assert r.instruction == "q"
+
+
+def test_chatml_roundtrip(conv_df):
+    out = CV.to_chatml(CV.add_content_columns(CV.explode_conversations(conv_df)))
+    rows = out.filter(F.col("id") == 1).collect()
+    for r in rows:
+        # prefix messages all do_train=False; last message True with stripped content
+        *prefix, last = r.conversation
+        assert all(not m.do_train for m in prefix)
+        assert last.do_train and last.role == "Assistant"
+        assert last.content == last.content.strip()
+
+
+def test_dedup_key(conv_df):
+    got = {
+        r.id: r.key
+        for r in conv_df.select(
+            "id", CV.dedup_key_expr(F.col("conversation")).alias("key")
+        ).collect()
+    }
+    # reference: concat do_train contents + "\n\n" each, then strip
+    assert got[1] == " hello! \n\nsure."[0:].strip() or got[1] == "hello! \n\nsure."
+    assert got[1] == ("" + " hello! " + "\n\n" + "sure." + "\n\n").strip()
+    assert got[2] == "first!"
+    assert got[3] == ""
+
+
+def test_pipeline_criteria_naming():
+    assert (
+        criteria_column_name("response", "check_word_number")
+        == "response_check_word_number_criteria"
+    )
+
+
+def test_pipeline_dry_run_and_rename(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six."), (2, "x")], "id long, text string"
+    )
+    pre = SparkPreprocessor(column_name="text", filters=["check_word_number", "check_completion"])
+    dry = pre.run(df, dry_run=True)
+    assert dry.count() == 2
+    assert "text_check_word_number_criteria" in dry.columns
+    assert "text_check_completion_criteria" in dry.columns
+    renamed = rename_dry_run_columns(dry, "sweep1")
+    assert "text_check_word_number_criteria_sweep1" in renamed.columns
+
+
+def test_pipeline_filters_and_reports(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six."), (2, "too short")], "id long, text string"
+    )
+    pre = SparkPreprocessor(
+        column_name="text",
+        filters=[("check_word_number", {"min_word_threshold": 5, "max_word_threshold": 100})],
+        verbose=True,
+    )
+    out = pre.run(df)
+    assert [r.id for r in out.collect()] == [1]
+    (report,) = pre.reports
+    assert report.rows_before == 2 and report.rows_after == 1
+    assert report.score_summary["count"] == 2
+
+
+def test_split_dataset_by_filter(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six."), (2, "x")], "id long, text string"
+    )
+    passed, failed = split_dataset_by_filter(df, "text", "check_word_number")
+    assert {r.id for r in passed.collect()} == {1}
+    assert {r.id for r in failed.collect()} == {2}
+
+
+def test_sample_grouped_rules(spark):
+    rows = [(i, "big") for i in range(20)] + [(100 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, user_id string")
+    out = S.sample_grouped(df, "user_id", 0.5, "id")
+    by_user = {
+        r.user_id: r.n
+        for r in out.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_user["big"] == 10  # ceil(20 * 0.5)
+    assert by_user["small"] == 4  # < 5 rows: kept whole
+    # deterministic
+    again = {r.id for r in S.sample_grouped(df, "user_id", 0.5, "id").collect()}
+    assert again == {r.id for r in out.collect()}
+
+
+def test_dataset_subtraction(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], "ids long")
+    b = spark.createDataFrame([(2,), (9,)], "ids long")
+    assert {r.ids for r in S.dataset_subtraction(a, b).collect()} == {1, 3}
+
+
+def test_multimodal_plumbing(spark):
+    from chat_data_pipeline_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello world")), (2, bytearray(b"")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    feats = {r.doc_id: r for r in MM.extract_features(df).collect()}
+    assert feats[1].n_bytes == 11 and feats[1].first_byte == ord("h")
+    assert feats[2].n_bytes == 0 and feats[3].n_bytes == 0
+
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(df, codec="real")
+
+    frames = MM.sample_frames(
+        spark.createDataFrame(
+            [(1, bytearray(bytes(range(256)) * 20))], "media_id long, payload binary"
+        ),
+        every_n_bytes=1024,
+        max_frames=8,
+    ).collect()
+    assert len(frames) == 5  # 5120 bytes → 5 frames
+    assert all(len(fr.frame) == 1024 for fr in frames)

@@ -1,0 +1,138 @@
+"""Dedup differential + property tests.
+
+The MinHash path is checked end-to-end against a single-process
+reimplementation of the reference pipeline (embed_func → LSH → union-find →
+keep-min, tests/reference_semantics.py) on a controlled near-dup corpus —
+survivor sets must be identical, pinning both signature arithmetic (seed 42)
+and the min-id keep rule."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.operators import dedup as D
+from tests import reference_semantics as R
+
+WORDS = (
+    "spark query join filter window table scan merge sort hash batch stream "
+    "row column value key order group agg data fast slow small big the a"
+).split()
+
+
+def _make_corpus(n_clusters=30, seed=7) -> dict[int, str]:
+    """Clusters of near-dups at varied similarity + singletons + exact dups +
+    sub-min_ngram shorties (FIXTURES.md §3)."""
+    rng = random.Random(seed)
+    texts: dict[int, str] = {}
+    idx = 0
+    for c in range(n_clusters):
+        base = [rng.choice(WORDS) for _ in range(40)]
+        texts[idx] = " ".join(base)
+        idx += 1
+        for variant in range(rng.randint(0, 3)):
+            mutated = list(base)
+            n_mut = rng.choice([0, 1, 2, 8, 20])  # 0 = exact dup
+            for _ in range(n_mut):
+                mutated[rng.randrange(len(mutated))] = rng.choice(WORDS)
+            texts[idx] = " ".join(mutated)
+            idx += 1
+    for _ in range(10):  # singletons
+        texts[idx] = " ".join(rng.choice(WORDS) for _ in range(25)) + f" unique{idx}"
+        idx += 1
+    for short in ["tiny", "a b c", ""]:  # below min_ngram_size
+        texts[idx] = short
+        idx += 1
+    return texts
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return _make_corpus()
+
+
+def test_minhash_matches_reference_pipeline(spark, corpus):
+    expected = R.reference_minhash_dedup_keep_ids(corpus)
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {
+        r.doc_id
+        for r in D.minhash_dedup(df, "text", id_col="doc_id").select("doc_id").collect()
+    }
+    assert got == expected
+
+
+def test_minhash_properties(spark, corpus):
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    out = D.minhash_dedup(df, "text", id_col="doc_id")
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    # subset of input; deterministic across runs
+    assert kept <= set(corpus)
+    again = {
+        r.doc_id
+        for r in D.minhash_dedup(df, "text", id_col="doc_id").select("doc_id").collect()
+    }
+    assert kept == again
+    # exact duplicates never both survive; the min id of each exact-dup group does
+    by_text: dict[str, list[int]] = {}
+    for i, t in corpus.items():
+        by_text.setdefault(t, []).append(i)
+    for t, ids in by_text.items():
+        if len(ids) > 1 and len(R.NON_ALPHA.split(t)) >= 5:
+            assert min(ids) in kept
+            assert len(set(ids) & kept) == 1
+
+
+def test_exact_dedup_min_id(spark):
+    df = spark.createDataFrame(
+        [(0, "a"), (3, "a"), (1, "b"), (2, "b"), (9, "c")], "id long, t string"
+    )
+    kept = {r.id for r in D.exact_dedup(df, "t", "id").collect()}
+    assert kept == {0, 1, 9}
+
+
+def test_connected_components_chain(spark):
+    """Chain a-b-c-d must collapse to min label even though no single bucket
+    contains all members (transitivity — what a 1-round approach would miss)."""
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 1), (7, 5), (9, 7), (20, 18)], "src long, dst long"
+    )
+    labels = {r.node: r.label for r in D.connected_components_min_label(edges).collect()}
+    assert labels[9] == labels[7] == labels[5] == labels[3] == labels[1] == 1
+    assert labels[20] == 18
+
+
+def test_ngram_jaccard_dedup(spark, corpus):
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    kept = {r.doc_id for r in D.ngram_jaccard_dedup(df, "text", "doc_id").collect()}
+    assert kept <= set(corpus)
+    # exact dup groups keep exactly the min
+    by_text: dict[str, list[int]] = {}
+    for i, t in corpus.items():
+        by_text.setdefault(t, []).append(i)
+    for t, ids in by_text.items():
+        if len(ids) > 1 and len(t.split()) >= 5:
+            assert min(ids) in kept and len(set(ids) & kept) == 1
+
+
+def test_simhash_dedup(spark, corpus):
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    kept = {r.doc_id for r in D.simhash_dedup(df, "text", "doc_id").collect()}
+    assert kept <= set(corpus)
+    by_text: dict[str, list[int]] = {}
+    for i, t in corpus.items():
+        by_text.setdefault(t, []).append(i)
+    for t, ids in by_text.items():
+        if len(ids) > 1 and t:
+            assert min(ids) in kept and len(set(ids) & kept) == 1
+
+
+def test_simhash_signature_python_parity():
+    assert D._simhash64("the quick brown fox") == D._simhash64("the quick brown fox")
+    assert D._simhash64("") == 0
+    # near-identical docs have close signatures (low hamming)
+    a = D._simhash64("the quick brown fox jumps over the lazy dog " * 3)
+    b = D._simhash64("the quick brown fox jumps over the lazy cat " * 3)
+    ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16
