@@ -329,17 +329,28 @@ def exact_dedup(df: DataFrame, columns: list[str] | str, id_col: str) -> DataFra
 def word_shingles(col: Column, n: int = 5) -> Column:
     """Distinct space-joined word n-grams as a native expression (\\w+ words;
     this operator's own tokenizer — intentionally not the reference's
-    empty-keeping NON_ALPHA split)."""
+    empty-keeping NON_ALPHA split).
+
+    The tokenizer regex is bound to a lambda variable via a single-element
+    ``transform`` so it evaluates ONCE per row; inlining it into the
+    per-shingle ``slice`` lambda makes Catalyst re-run the regex for every
+    shingle position (~tokens× slower — measured 10× on the bench corpus).
+    """
     from chat_data_pipeline_spark.functions import text as T
 
-    tokens = T.words(col)
-    k = F.size(tokens) - F.lit(n - 1)
-    return F.when(k > 0, F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(tokens, i, n), " "),
-        )
-    )).otherwise(F.array().cast("array<string>"))
+    def shingle(tokens: Column) -> Column:
+        k = F.size(tokens) - F.lit(n - 1)
+        return F.when(
+            k > 0,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.array_join(F.slice(tokens, i, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.get(F.transform(F.array(T.words(col)), shingle), 0)
 
 
 def ngram_jaccard_edges(
@@ -356,11 +367,21 @@ def ngram_jaccard_edges(
     dropped before the self-join (a stop-shingle cap — giant postings lists
     produce quadratic candidate blowup while contributing no discrimination).
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(column), ngram_size).alias("sh")
-    )
-    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
-    postings = shingled.select("id", F.explode("sh").alias("shingle"))
+    # Postings carry xxhash64(shingle), not the 5-word string: the self-join
+    # shuffles/broadcasts 8-byte keys instead of ~30-byte strings, and
+    # set-intersection counts are unchanged barring 64-bit collisions
+    # (~n²/2⁶⁵ — irrelevant at any feasible shingle count).  Materialized
+    # once via localCheckpoint so the tokenize+shingle pass runs once, not
+    # once per join side / pushed-down filter copy.
+    postings = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(column), ngram_size)).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("shingle"))
+    postings = postings.localCheckpoint(eager=True)
+    # shingles are distinct per doc, so |set| = posting count per id;
+    # computed BEFORE the stop-shingle cap so the Jaccard denominator stays
+    # the true set size (the cap only prunes candidate generation).
+    sizes = postings.groupBy("id").agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
         freq_ok = (
             postings.groupBy("shingle")
