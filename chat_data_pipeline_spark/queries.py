@@ -987,36 +987,139 @@ def shuffle_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ===========================================================================
-# Conversation lifecycle P1+P2 over constructed conversations
-# ===========================================================================
+@_register(
+    "filter_char_repetition",
+    r"""
+    WITH grams AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 10) AS g
+      FROM documents, unnest(range(1, length(text) - 10 + 2)) AS t(i)
+    ), freq AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    ), st AS (
+      SELECT doc_id, c,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS k,
+             count(*) FILTER (WHERE c = 1) OVER (PARTITION BY doc_id) AS singles,
+             sum(c) OVER (PARTITION BY doc_id) AS total
+      FROM freq
+    ), r AS (
+      SELECT doc_id,
+             CAST(COALESCE(sum(c) FILTER (WHERE rn <= least(CAST(floor(sqrt(k)) AS BIGINT), k - singles)), 0) AS DOUBLE) / MAX(total) AS ratio
+      FROM st GROUP BY doc_id
+    )
+    SELECT d.doc_id, round(COALESCE(r.ratio, 0.0), 6) AS char_rep_ratio
+    FROM documents d LEFT JOIN r USING (doc_id)
+    WHERE round(COALESCE(r.ratio, 0.0), 6) <= 0.2
+    """,
+    "F5 check_char_repetition (ref:filters.py:116-128, utils.py:310-339): "
+    "sum of top-floor(sqrt(k)) char-10-gram frequencies over total, keep <= 0.2",
+)
+def filter_char_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    score = F.round(FL.check_char_repetition_score(F.col("text"), 10), 6)
+    return docs.select("doc_id", score.alias("char_rep_ratio")).filter(
+        F.col("char_rep_ratio") <= 0.2
+    )
 
 
 @_register(
-    "conversation_pairs",
+    "filter_perplexity",
+    None,  # stub scorer is crc32-based (no duckdb crc32) — rows-only; pytest
+    # covers determinism and the keep-window logic differentially
+    "F2 check_perplexity (ref:filters.py:18-28, kenlm_model.py): cc_net "
+    "normalize → score; deterministic StubScorer stands in for KenLM "
+    "(heavyweight optional dep), keep window [300, 10000]",
+)
+def filter_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.functions import perplexity as PX
+
+    docs = _read(spark, sf_dir, "documents")
+    score = F.round(PX.perplexity_score(F.col("text")), 6)
+    return docs.select("doc_id", score.alias("ppl")).filter(
+        F.col("ppl").between(300.0, 10000.0)
+    )
+
+
+@_register(
+    "sample_proportional_mix",
     """
-    WITH conv AS (
+    WITH c1 AS (SELECT count(*) AS n FROM documents WHERE lang = 'en'),
+    c2 AS (SELECT count(*) AS n FROM documents WHERE lang <> 'en'),
+    params AS (
+      SELECT least(CAST(2000 AS BIGINT),
+                   least(CAST(floor((SELECT n FROM c1) / 0.6) AS BIGINT),
+                         CAST(floor((SELECT n FROM c2) / 0.4) AS BIGINT))) AS total
+    ),
+    f1 AS (SELECT least(1.0, CAST(floor((SELECT total FROM params) * 0.6) AS DOUBLE) / (SELECT n FROM c1)) AS frac),
+    f2 AS (SELECT least(1.0, CAST(floor((SELECT total FROM params) * 0.4) AS DOUBLE) / (SELECT n FROM c2)) AS frac),
+    ranked AS (
+      SELECT doc_id, (lang = 'en') AS is_en,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(lang || chr(31) || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM documents
+    )
+    SELECT doc_id FROM ranked
+    WHERE (is_en AND rn <= CAST(ceil(cnt * (SELECT frac FROM f1)) AS BIGINT))
+       OR (NOT is_en AND rn <= CAST(ceil(cnt * (SELECT frac FROM f2)) AS BIGINT))
+    """,
+    "G2 proportional mixing (ref:utils.py:205-215): capacity-capped target, "
+    "per-source deterministic grouped sampling (en 60% / rest 40%), union",
+)
+def sample_proportional_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en")
+    rest = docs.filter(F.col("lang") != "en")
+    mixed = S.sample_proportional(
+        [en, rest], [0.6, 0.4], 2000, group_col="lang", id_col="doc_id"
+    )
+    return mixed.select("doc_id")
+
+
+@_register(
+    "split_by_filter",
+    f"""
+    SELECT doc_id,
+           length({_sql_strip('text')}) > 0 AND substr({_sql_strip('text')}, length({_sql_strip('text')}), 1) IN
+             ('.','!','?','*','"','”','~','…','''',']',')','`',';') AS keep
+    FROM documents
+    """,
+    "G4 split_dataset_by_filter (ref:utils.py:239-250): one criteria pass "
+    "tags every row pass/fail (check_completion); both partitions derive "
+    "from the same cached scan",
+)
+def split_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.plans.pipeline import split_dataset_by_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    passed, failed = split_dataset_by_filter(docs, "text", "check_completion")
+    return passed.select("doc_id", F.lit(True).alias("keep")).unionByName(
+        failed.select("doc_id", F.lit(False).alias("keep"))
+    )
+
+
+# ===========================================================================
+# Conversation lifecycle P1-P3 + D10 over constructed conversations
+# ===========================================================================
+
+# events → chat-schema conversations (§1.3): one conversation per user,
+# messages ordered by (ts, event_id), 'purchase' events are do_train targets.
+_SQL_CONV_CTE = """
+    conv AS (
       SELECT user_id,
              list(struct_pack(content := props,
                               do_train := event_type = 'purchase',
                               role := event_type) ORDER BY ts, event_id) AS conversation
       FROM events GROUP BY user_id
-    ), expl AS (
-      SELECT user_id, unnest(conversation) AS msg,
-             generate_subscripts(conversation, 1) AS pos, conversation
-      FROM conv
     )
-    SELECT user_id, CAST(pos - 1 AS INT) AS n_prefix,
-           trim(msg.content) AS response,
-           CASE WHEN pos > 1 THEN trim(conversation[pos-1].content) ELSE '' END AS instruction
-    FROM expl WHERE msg.do_train
-    """,
-    "P1+P2 conversation explode + instruction/response derivation "
-    "(ref:main.py:90-117) over conversations built from the events stream",
-)
-def conversation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read(spark, sf_dir, "events")
-    conv = (
+"""
+
+
+def _events_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    return (
         ev.groupBy("user_id")
         .agg(
             F.array_sort(
@@ -1035,6 +1138,26 @@ def conversation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversation"),
         )
     )
+
+
+@_register(
+    "conversation_pairs",
+    f"""
+    WITH {_SQL_CONV_CTE}, expl AS (
+      SELECT user_id, unnest(conversation) AS msg,
+             generate_subscripts(conversation, 1) AS pos, conversation
+      FROM conv
+    )
+    SELECT user_id, CAST(pos - 1 AS INT) AS n_prefix,
+           trim(msg.content) AS response,
+           CASE WHEN pos > 1 THEN trim(conversation[pos-1].content) ELSE '' END AS instruction
+    FROM expl WHERE msg.do_train
+    """,
+    "P1+P2 conversation explode + instruction/response derivation "
+    "(ref:main.py:90-117) over conversations built from the events stream",
+)
+def conversation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conv = _events_conversations(spark, sf_dir)
     exploded = CV.add_content_columns(CV.explode_conversations(conv))
     return exploded.select(
         "user_id",
@@ -1042,6 +1165,66 @@ def conversation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "response",
         "instruction",
     )
+
+
+@_register(
+    "conversation_chatml",
+    f"""
+    WITH {_SQL_CONV_CTE}, expl AS (
+      SELECT user_id, generate_subscripts(conversation, 1) AS pos,
+             unnest(conversation) AS msg, conversation
+      FROM conv
+    ), targets AS (SELECT * FROM expl WHERE msg.do_train)
+    SELECT user_id, CAST(pos-1 AS INT) AS n_prefix, CAST(j AS INT) AS msg_pos,
+           conversation[CAST(j AS INT)].content AS content,
+           FALSE AS do_train,
+           conversation[CAST(j AS INT)].role AS role
+    FROM targets, unnest(range(1, pos)) AS t(j)
+    UNION ALL
+    SELECT user_id, CAST(pos-1 AS INT) AS n_prefix, CAST(pos AS INT) AS msg_pos,
+           trim(msg.content) AS content, TRUE AS do_train, msg.role AS role
+    FROM targets
+    """,
+    "P3 chatml reassembly (ref:main.py:120-135): prefix messages do_train=False, "
+    "trimmed response re-appended do_train=True; exploded to scalars for hashing",
+)
+def conversation_chatml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conv = _events_conversations(spark, sf_dir)
+    ex = CV.add_content_columns(CV.explode_conversations(conv))
+    ex = ex.withColumn("n_prefix", F.size("input"))
+    chatml = CV.to_chatml(ex)
+    return chatml.select(
+        "user_id",
+        "n_prefix",
+        F.posexplode("conversation").alias("msg_pos", "msg"),
+    ).select(
+        "user_id",
+        "n_prefix",
+        (F.col("msg_pos") + 1).cast("int").alias("msg_pos"),
+        F.col("msg.content").alias("content"),
+        F.col("msg.do_train").alias("do_train"),
+        F.col("msg.role").alias("role"),
+    )
+
+
+@_register(
+    "conversation_dedup",
+    f"""
+    WITH {_SQL_CONV_CTE}, keys AS (
+      SELECT user_id,
+             {_sql_strip("COALESCE(list_aggregate(list_transform(list_filter(conversation, m -> m.do_train), m -> m.content), 'string_agg', chr(10) || chr(10)), '')")} AS k
+      FROM conv
+    )
+    SELECT user_id FROM keys
+    QUALIFY user_id = min(user_id) OVER (PARTITION BY k)
+    """,
+    "D10 conversation dedup prep + exact dedup (ref:minhash_deduplication.py:196-211): "
+    "key = do_train contents joined with blank lines, min-id survivor per key",
+)
+def conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conv = _events_conversations(spark, sf_dir)
+    keyed = CV.prepare_conversation_dedup(conv)
+    return D.exact_dedup(keyed, "text", "user_id").select("user_id")
 
 
 # ===========================================================================
