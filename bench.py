@@ -69,6 +69,20 @@ def main() -> None:
         except Exception:
             pass
 
+    # warm the Python UDF workers (one per core): first pandas-UDF stage in a
+    # session otherwise pays ~5s of worker spawn + Arrow init, charged to
+    # whichever query happens to run first
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _noop(s):
+        return s
+
+    n = spark.sparkContext.defaultParallelism
+    spark.range(n * 10, numPartitions=n).select(_noop("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = REGISTRY[name]

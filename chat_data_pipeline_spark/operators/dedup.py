@@ -256,7 +256,9 @@ def minhash_dedup(
             ]
             yield pd.DataFrame({"id": batch[id_col], "sigs": sigs})
 
-    fingerprints = df.select(id_col, column).mapInPandas(
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    fingerprints = repartition_for_compute(df.select(id_col, column)).mapInPandas(
         fingerprint_batches, schema="id long, sigs array<binary>"
     )
     timers["minhash"] = time.time() - t0
@@ -475,7 +477,11 @@ def simhash_dedup(
     """SimHash near-dedup: band the 64-bit signature into ``n_bands`` chunks
     (pigeonhole: any pair within ``hamming_threshold`` < n_bands shares ≥1
     exact band), verify candidates with native popcount, min-id survivor."""
-    sigs = df.select(F.col(id_col).alias("id"), simhash_signature_col(column).alias("sig"))
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    sigs = repartition_for_compute(df.select(F.col(id_col).alias("id"), F.col(column))).select(
+        "id", simhash_signature_col(column).alias("sig")
+    )
     width = 64 // n_bands
     bands = sigs.select(
         "id",

@@ -86,7 +86,11 @@ def extract_features(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    return repartition_for_compute(df.select(id_col, payload_col)).mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
 
 
 def sample_frames(

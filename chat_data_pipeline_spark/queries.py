@@ -583,7 +583,9 @@ def _sql_nsfw_ratio_query() -> str:
     "F3 check_nsfw_words dry-run score — 403-phrase substring ratio (ref:filters.py:83-99)",
 )
 def filter_nsfw_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    docs = repartition_for_compute(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select(
         "doc_id", F.round(FL.check_nsfw_words_score(F.col("text")), 6).alias("nsfw_ratio")
     )
@@ -1015,7 +1017,9 @@ def shuffle_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum of top-floor(sqrt(k)) char-10-gram frequencies over total, keep <= 0.2",
 )
 def filter_char_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    docs = repartition_for_compute(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     score = F.round(FL.check_char_repetition_score(F.col("text"), 10), 6)
     return docs.select("doc_id", score.alias("char_rep_ratio")).filter(
         F.col("char_rep_ratio") <= 0.2
@@ -1032,8 +1036,9 @@ def filter_char_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def filter_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chat_data_pipeline_spark.functions import perplexity as PX
+    from chat_data_pipeline_spark.session import repartition_for_compute
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = repartition_for_compute(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     score = F.round(PX.perplexity_score(F.col("text")), 6)
     return docs.select("doc_id", score.alias("ppl")).filter(
         F.col("ppl").between(300.0, 10000.0)

@@ -56,3 +56,20 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def repartition_for_compute(df, partitions: int | None = None):
+    """Widen partitioning ahead of a CPU-bound (pandas-UDF) stage.
+
+    File sources split by bytes (``spark.sql.files.maxPartitionBytes``), so a
+    small-but-compute-heavy input can arrive as ONE split and serialize the
+    whole UDF stage onto one core.  When the input already has >= target
+    splits (the normal case on a real cluster reading many files) this is a
+    no-op — no shuffle is added at scale; when it doesn't, shuffling a few MB
+    to unlock every core is always the right trade.
+    """
+    sc = df.sparkSession.sparkContext
+    target = partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
