@@ -91,6 +91,43 @@ def fix_utf8_encoding(col: Column) -> Column:
     return F.coalesce(col, F.lit(""))
 
 
+# The highest-frequency UTF-8-read-as-Latin-1/cp1252 mojibake sequences (the
+# core of what ftfy repairs in web corpora).  Longest-first so compound
+# sequences win before their prefixes.  All-native replace chain — the 100 TB
+# path when the full ftfy heuristic isn't worth a Python roundtrip.
+MOJIBAKE_MAP: dict[str, str] = {
+    "â€™": "’",
+    "â€œ": "“",
+    "â€“": "–",
+    "â€”": "—",
+    "â€¦": "…",
+    "â€˜": "‘",
+    "Ã©": "é",
+    "Ã¨": "è",
+    "Ã§": "ç",
+    "Ã±": "ñ",
+    "Ã¼": "ü",
+    "Ã¶": "ö",
+    "Ã¤": "ä",
+    "Ã³": "ó",
+    "Ãº": "ú",
+    "Ã­": "í",
+    "Â«": "«",
+    "Â»": "»",
+    "Â°": "°",
+}
+
+
+def fix_mojibake_native(col: Column) -> Column:
+    """Native-expression repair of the common mojibake sequences; ``None ->
+    ""`` like C1.  Deterministic and engine-independent (oracle-safe), unlike
+    the full ftfy heuristic."""
+    out = F.coalesce(col, F.lit(""))
+    for bad, good in MOJIBAKE_MAP.items():
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
 def normalize_whitespace(col: Column) -> Column:
     """C2 — map the reference's unicode-space set to ASCII space
     (ref:cleaners.py:13-19)."""

@@ -257,6 +257,53 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_type_cube",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(hour(ts) AS INT), -1) AS hr, COUNT(*) AS n,
+           round(CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS DOUBLE)/1000000, 6) AS sum_value
+    FROM events
+    GROUP BY CUBE(event_type, CAST(hour(ts) AS INT))
+    """,
+    "grouping-sets surface: CUBE over (event_type, hour); grouping nulls "
+    "coalesced to sentinels so the cross-engine hash compare is null-free",
+)
+def events_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * 1_000_000).cast("long")
+    return (
+        ev.withColumn("hr", F.hour("ts").cast("int"))
+        .cube("event_type", "hr")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(micros).cast("double") / 1_000_000, 6).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("hr", F.lit(-1)).alias("hr"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "users_intersect",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "set-op surface: INTERSECT (users with both click and purchase events)",
+)
+def users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@_register(
     "customers_without_orders",
     """
     SELECT c.c_custkey, c.c_name
@@ -447,6 +494,62 @@ def _sql_strip(expr: str) -> str:
 def docs_clean_new_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", C.clean_new_lines(F.col("text")).alias("cleaned"))
+
+
+def _sql_mojibake(expr: str) -> str:
+    from chat_data_pipeline_spark.functions.cleaners import MOJIBAKE_MAP
+
+    out = f"COALESCE({expr}, '')"
+    for bad, good in MOJIBAKE_MAP.items():
+        out = f"replace({out}, {_sql_quote(bad)}, {_sql_quote(good)})"
+    return out
+
+
+@_register(
+    "docs_fix_mojibake",
+    f"""
+    SELECT doc_id, {_sql_mojibake('text')} AS fixed
+    FROM documents
+    """,
+    "C1 scale path: native replace-chain repair of the high-frequency "
+    "UTF-8-as-Latin-1 mojibake sequences (full ftfy heuristic is the optional "
+    "pandas-UDF variant, ref:cleaners.py:5-8)",
+)
+def docs_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", C.fix_mojibake_native(F.col("text")).alias("fixed"))
+
+
+@_register(
+    "edit_pairs_concat",
+    f"""
+    SELECT doc_id AS ids,
+           text || '<|splitter|>' || lang AS concatenated,
+           ' ' || replace({_sql_strip('lang')}, chr(10), '') || chr(10) AS post_output
+    FROM documents
+    """,
+    "P5+P6+P7 edit-pair column ops (ref:utils.py:160-202,296-301): rename, "
+    "special-token concat, post-processed output text",
+)
+def edit_pairs_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    # P5: project into the edit-pair schema (rename+keep, ref:utils.py:178-194)
+    pairs = docs.select(
+        F.col("doc_id").alias("ids"),
+        F.col("text").alias("input_text"),
+        F.col("lang").alias("output_text"),
+    )
+    # P6: response<token>output concat (ref:utils.py:296-301)
+    pairs = pairs.withColumn(
+        "concatenated",
+        F.concat(F.col("input_text"), F.lit("<|splitter|>"), F.col("output_text")),
+    )
+    # P7: " " + clean_new_lines(x) + "\n" (ref:utils.py:197-202)
+    pairs = pairs.withColumn(
+        "post_output",
+        F.concat(F.lit(" "), C.clean_new_lines(F.col("output_text")), F.lit("\n")),
+    )
+    return pairs.select("ids", "concatenated", "post_output")
 
 
 # ===========================================================================

@@ -2,5 +2,6 @@ from chat_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
     read_events_stream,
     sessionize,
     streaming_clean_filter,
+    streaming_exact_dedup,
     windowed_event_aggregates,
 )

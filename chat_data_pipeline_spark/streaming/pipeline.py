@@ -123,6 +123,22 @@ def streaming_clean_filter(
     return pre.run(events)
 
 
+def streaming_exact_dedup(
+    events: DataFrame,
+    keys: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Continuous exact dedup: drop rows whose key was already seen within
+    the watermark horizon.  ``dropDuplicatesWithinWatermark`` bounds the
+    dedup state by event time — the unbounded-state variant
+    (``dropDuplicates``) eventually OOMs a 100 TB stream; near-dup (MinHash)
+    stays a periodic batch job over the landed data by design."""
+    return events.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 SESSION_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events int, total_value double"
 _STATE_SCHEMA = "start long, end long, n int, total double"
 

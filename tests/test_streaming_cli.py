@@ -79,6 +79,29 @@ def test_streaming_clean_filter(spark, tmp_path, events_dir):
     assert n > 0
 
 
+def test_streaming_exact_dedup(spark, tmp_path, events_dir):
+    from chat_data_pipeline_spark.streaming import streaming_exact_dedup
+
+    stream = read_events_stream(spark, events_dir)
+    deduped = streaming_exact_dedup(stream, ["user_id", "event_type"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select count(*) n, count(distinct user_id || '|' || event_type) d from dedup_stream"
+        ).first()
+    finally:
+        q.stop()
+    # one survivor per (user_id, event_type) key — all keys arrive in one file
+    assert got.n == got.d > 0
+
+
 def test_sessionize_stream(spark, tmp_path, events_dir):
     stream = read_events_stream(spark, events_dir)
     sessions = sessionize(stream, gap_seconds=600)
