@@ -83,13 +83,18 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # two timed runs per query, report the min: steady-state cost with JIT /
+    # page-cache first-touch amortized (inputs are NOT pre-cached — every run
+    # includes the parquet scan)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = REGISTRY[name]
-        # warm the IO cache / JIT once at tiny scale? No — measure cold per query.
-        t0 = time.time()
-        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
