@@ -457,12 +457,30 @@ def _simhash64(text: str | None) -> int:
     return sig - (1 << 64) if sig >= (1 << 63) else sig  # to signed i64
 
 
+def _simhash64_vectorized(text: str | None) -> int:
+    """Same arithmetic as ``_simhash64`` with the per-bit tally vectorized
+    (the 64-iteration Python loop per token dominated profiles ~4×)."""
+    if not text:
+        return 0
+    toks = re.findall(r"\w+", text.lower())
+    if not toks:
+        return 0
+    hs = np.frombuffer(
+        b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks),
+        dtype=">u8",
+    ).astype(np.uint64)
+    ones = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).sum(axis=0)
+    counts = ones.astype(np.int64) * 2 - len(hs)
+    sig = int(np.packbits((counts > 0)[::-1]).view(">u8")[0])
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
 def simhash_signature_col(col_name: str) -> Column:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def batch(s: pd.Series) -> pd.Series:
-        return s.map(_simhash64).astype("int64")
+        return s.map(_simhash64_vectorized).astype("int64")
 
     return pandas_udf(batch, "long")(F.col(col_name))
 
@@ -479,8 +497,12 @@ def simhash_dedup(
     exact band), verify candidates with native popcount, min-id survivor."""
     from chat_data_pipeline_spark.session import repartition_for_compute
 
-    sigs = repartition_for_compute(df.select(F.col(id_col).alias("id"), F.col(column))).select(
-        "id", simhash_signature_col(column).alias("sig")
+    # materialized once: the banded self-join references sigs on BOTH sides,
+    # which would otherwise run the signature UDF twice over the corpus
+    sigs = (
+        repartition_for_compute(df.select(F.col(id_col).alias("id"), F.col(column)))
+        .select("id", simhash_signature_col(column).alias("sig"))
+        .localCheckpoint(eager=True)
     )
     width = 64 // n_bands
     bands = sigs.select(

