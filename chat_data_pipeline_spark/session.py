@@ -50,6 +50,12 @@ def get_spark(
         # Quieter local runs.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # bucketed tables (write_bucketed) live in the file-based warehouse;
+        # in-memory catalog, no Hive metastore
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/cdp-spark-warehouse"),
+        )
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

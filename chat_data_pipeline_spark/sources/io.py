@@ -62,3 +62,26 @@ def defragment(df: DataFrame) -> DataFrame:
     """S5 (ref:preprocessor.py:64-72): lineage truncation before iterative
     work; Spark-side this is a local checkpoint, not a disk round-trip."""
     return df.localCheckpoint(eager=True)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+) -> None:
+    """Bucketed parquet table: co-locates join/agg keys at write time so
+    repeated joins on ``bucket_cols`` skip the shuffle entirely (both sides
+    bucketed with the same count → zero-Exchange sort-merge join).  At 100 TB
+    this is the difference between re-shuffling the fact table per query and
+    shuffling once at ingest.  Plain in-memory catalog — no Hive metastore
+    needed for file-based bucketing."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
+    writer = (
+        df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

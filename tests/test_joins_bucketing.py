@@ -1,0 +1,86 @@
+"""Join strategy helpers: salted equi-join equivalence and bucketed-table
+zero-shuffle joins."""
+
+from __future__ import annotations
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.operators.joins import salted_join
+from chat_data_pipeline_spark.sources.io import write_bucketed
+
+SF_DIR = os.environ.get("CDP_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    plain = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select("o_orderkey", "c_name")
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), customer, "c_custkey"
+    ).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "zz")], "k int, v string")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k int, w string")
+    out = salted_join(left, right, "k", n_salts=4, how="left").collect()
+    assert len(out) == 3
+    assert {r.k: r.w for r in out}[99] is None
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    write_bucketed(orders, "orders_b", "o_custkey", num_buckets=8)
+    write_bucketed(customer, "customer_b", "c_custkey", num_buckets=8)
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob = spark.table("orders_b")
+        cb = spark.table("customer_b")
+        joined = ob.join(cb, ob["o_custkey"] == cb["c_custkey"]).select(
+            "o_orderkey", "c_name"
+        )
+        plan = _plan(joined)
+        # both sides bucketed on the join key with equal counts -> the
+        # sort-merge join reads buckets directly, no Exchange on either side
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+        # and the result matches the shuffled plain-parquet join
+        plain = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .join(
+                spark.read.parquet(f"{SF_DIR}/customer.parquet"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
