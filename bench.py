@@ -31,12 +31,15 @@ BENCH_QUERIES = [
     "events_hourly_agg",
     "events_top_users",
     "conversation_pairs",
+    "conversation_chatml",
     "pipeline_output_preset",
     "filter_nsfw_score",
+    "filter_char_repetition",
     "docs_normalize",
     "dedup_exact",
     "dedup_minhash",
     "dedup_ngram_jaccard",
+    "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "ann_topk_cosine",
     "lang_id_counts",

@@ -28,6 +28,13 @@ from chat_data_pipeline_spark.functions.filters import FilterSpec
 from chat_data_pipeline_spark.plans.registry import get_cleaner, get_filter
 
 logger = logging.getLogger("chat_data_pipeline_spark")
+# the reference self-reports at INFO (ref:preprocessor.py:81-91); make
+# verbose mode visible even when the host app never configured logging
+if not logger.handlers and not logging.getLogger().handlers:
+    _h = logging.StreamHandler()
+    _h.setFormatter(logging.Formatter("%(levelname)s:%(name)s:%(message)s"))
+    logger.addHandler(_h)
+    logger.setLevel(logging.INFO)
 
 CRITERIA_SUFFIX = "criteria"
 

@@ -1,0 +1,112 @@
+"""Property-based tests (SURVEY.md §5.2 item 4): cleaner idempotence and
+null-safety, filter score/keep duality, dedup invariants, seed determinism.
+
+Hypothesis drives the *semantics* functions (pure Python / single-row Column
+evaluation via a tiny DataFrame) — full-corpus behavior is covered by the
+oracle-parity suite.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.operators.dedup import (
+    _simhash64,
+    _simhash64_vectorized,
+    minhash_signature,
+    _permutations,
+    optimal_param,
+)
+from tests.reference_semantics import (
+    char_repetition_ratio as ref_char_repetition_ratio,
+    clean_new_lines as ref_clean_new_lines,
+    normalize_punctuation as ref_normalize_punctuation,
+    normalize_whitespace as ref_normalize_whitespace,
+)
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300
+)
+SETTINGS = settings(
+    max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+@given(TEXT)
+@SETTINGS
+def test_cleaners_idempotent(text):
+    for clean in (ref_normalize_whitespace, ref_normalize_punctuation, ref_clean_new_lines):
+        once = clean(text)
+        assert clean(once) == once
+
+
+@given(TEXT)
+@SETTINGS
+def test_char_repetition_score_bounds(text):
+    r = ref_char_repetition_ratio(text, 10)
+    assert 0.0 <= r <= 1.0
+
+
+@given(TEXT)
+@SETTINGS
+def test_simhash_vectorized_matches_scalar(text):
+    assert _simhash64(text) == _simhash64_vectorized(text)
+
+
+@given(TEXT)
+@SETTINGS
+def test_minhash_signature_deterministic_and_shaped(text):
+    perms = _permutations(16)
+    B, R = optimal_param(0.7, 16)
+    ranges = [(i * R, (i + 1) * R) for i in range(B)]
+    s1 = minhash_signature(text, 16, 3, 3, perms, ranges)
+    s2 = minhash_signature(text, 16, 3, 3, perms, ranges)
+    assert s1 == s2
+    assert len(s1) == B
+    assert all(len(b) == R * 8 for b in s1)
+
+
+def test_word_count_keep_iff_score_in_window(spark):
+    """F1 duality: keep == (lo <= score <= hi) on a real DataFrame."""
+    from chat_data_pipeline_spark.functions.filters import (
+        check_word_number_keep,
+        check_word_number_score,
+    )
+
+    rows = [(i, " ".join(["w"] * i)) for i in range(0, 20)] + [(99, None), (98, "")]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = df.select(
+        "id",
+        check_word_number_score(F.col("t")).alias("score"),
+        check_word_number_keep(F.col("t"), 3, 10).alias("keep"),
+    ).collect()
+    for r in out:
+        expected = r.score is not None and 3 <= r.score <= 10
+        assert bool(r.keep) == expected, r
+
+
+def test_dedup_output_subset_and_min_id_survivor(spark):
+    from chat_data_pipeline_spark.operators.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = (
+        [(i, base) for i in range(5)]  # exact dup cluster -> id 0 survives
+        + [(i, f"unique document number {i} with its own words entirely") for i in range(10, 15)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in minhash_dedup(df, "text", id_col="doc_id").collect()}
+    assert kept <= {r[0] for r in rows}
+    assert 0 in kept and not (kept & {1, 2, 3, 4})
+    assert {10, 11, 12, 13, 14} <= kept
+
+
+def test_shuffle_seed_deterministic(spark):
+    from chat_data_pipeline_spark.operators.sampling import shuffle_rows
+
+    df = spark.range(500)
+    a = [r.id for r in shuffle_rows(df, seed=42).collect()]
+    b = [r.id for r in shuffle_rows(df, seed=42).collect()]
+    assert a == b
+    assert sorted(a) == list(range(500))
