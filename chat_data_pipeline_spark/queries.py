@@ -933,6 +933,22 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register(
+    "ann_topk_ivf",
+    None,  # kmeans coarse quantizer not SQL-expressible — recall vs the
+    # brute-force baseline is asserted in pytest instead
+    "IVF approximate top-10: inverted-list coarse index (seeded kmeans), "
+    "n_probe/n_centroids scan fraction — the density-adaptive ANN scale path",
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SIM.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================

@@ -1,0 +1,85 @@
+"""Similarity-search operators: exact baseline self-consistency and recall of
+the approximate (SRP-LSH, IVF) scale paths against brute force."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.operators import similarity as SIM
+
+SF_DIR = os.environ.get("CDP_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@pytest.fixture(scope="module")
+def exact_topk(emb, queries):
+    rows = SIM.brute_force_topk(emb, queries, k=10).collect()
+    by_query: dict[int, set[int]] = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, set()).add(r.vec_id)
+    return by_query
+
+
+def _recall(approx_rows, exact: dict[int, set[int]]) -> float:
+    got: dict[int, set[int]] = {}
+    for r in approx_rows:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(got.get(q, set()) & ids) for q, ids in exact.items())
+    total = sum(len(ids) for ids in exact.values())
+    return hits / total
+
+
+def test_brute_force_self_hit(exact_topk):
+    # each query vector is in the corpus: it must be its own top hit
+    for q, ids in exact_topk.items():
+        assert q in ids
+
+
+def test_ivf_recall(emb, queries, exact_topk):
+    rows = SIM.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).collect()
+    assert _recall(rows, exact_topk) >= 0.5
+    # rank contract: exactly <= 10 per query, dense from 1
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_deterministic(emb, queries):
+    a = sorted(map(tuple, SIM.ivf_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, SIM.ivf_topk(emb, queries, k=5).collect()))
+    assert a == b
+
+
+def test_lsh_recall(emb, queries, exact_topk):
+    rows = SIM.lsh_topk(emb, queries, k=10, n_planes=4, n_tables=8).collect()
+    assert _recall(rows, exact_topk) >= 0.4  # OR-amplified SRP
+
+
+def test_neardup_lsh_subset_of_exact(spark, emb):
+    exact = {
+        (r.id1, r.id2)
+        for r in SIM.embedding_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    approx = {
+        (r.id1, r.id2)
+        for r in SIM.embedding_neardup_pairs(emb, threshold=0.45, n_planes=6).collect()
+    }
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.2
