@@ -28,6 +28,8 @@ def read_table(
             fmt = "csv"
         else:
             fmt = "parquet"
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
     reader = spark.read.options(**options)
     return reader.format(fmt).load(path)
 

@@ -182,6 +182,27 @@ def test_cli_lifecycle(spark, tmp_path):
         assert r.conversation[-1].do_train is True
 
 
+def test_combine_sources_mixed_formats(spark, tmp_path):
+    """S1 format dispatch + S3/S4 provenance union across parquet/json/csv."""
+    from chat_data_pipeline_spark.sources.io import combine_sources
+
+    pq = str(tmp_path / "a.parquet")
+    js = str(tmp_path / "b.json")
+    cs = str(tmp_path / "c.csv")
+    spark.createDataFrame([(1, "x")], "id long, v string").write.parquet(pq)
+    spark.createDataFrame([(2, "y")], "id long, v string").write.json(js)
+    spark.createDataFrame([(3, "z")], "id long, v string").write.option(
+        "header", True
+    ).csv(cs)
+
+    df = combine_sources(spark, [pq, js, cs])
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r.source for r in rows} == {pq, js, cs}
+    # csv reads untyped without a schema — values still land
+    assert {str(r.id) for r in rows} == {"1", "2", "3"}
+
+
 def test_mini_yaml_parser():
     from chat_data_pipeline_spark.cli import _mini_yaml
 
