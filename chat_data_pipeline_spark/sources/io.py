@@ -55,9 +55,23 @@ def combine_sources(
     )
 
 
-def write_sink(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
-    """S6 hub sink equivalent (ref:main.py:74)."""
-    df.write.mode(mode).format(fmt).save(path)
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | str | None = None,
+) -> None:
+    """S6 hub sink equivalent (ref:main.py:74).  ``partition_by`` writes
+    hive-style partition directories — downstream reads on those columns
+    prune at the file listing (the first lever against a 100 TB scan)."""
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        partition_by = (
+            [partition_by] if isinstance(partition_by, str) else partition_by
+        )
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
 
 
 def defragment(df: DataFrame) -> DataFrame:

@@ -47,6 +47,30 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert {r.k: r.w for r in out}[99] is None
 
 
+def test_partitioned_sink_prunes(spark, tmp_path):
+    from chat_data_pipeline_spark.sources.io import write_sink
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    write_sink(docs, out, partition_by="lang")
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # partition pruning: the lang predicate resolves at file listing — the
+    # scan's partition filters carry it, and only that directory is read
+    plan = _plan(back.filter(F.col("lang") == "en"))
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_dropped_sample_inspection(spark):
+    from chat_data_pipeline_spark.operators.sampling import dropped_sample
+
+    before = spark.range(100).withColumnRenamed("id", "ids")
+    after = before.filter(F.col("ids") % 10 != 0)
+    dropped = dropped_sample(before, after, id_col="ids", n=5).collect()
+    assert len(dropped) == 5
+    assert all(r.ids % 10 == 0 for r in dropped)
+
+
 @pytest.fixture(scope="module")
 def bucketed_tables(spark):
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
