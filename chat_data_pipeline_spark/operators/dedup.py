@@ -422,14 +422,37 @@ def ngram_jaccard_dedup(
     threshold: float = 0.7,
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """Exact-Jaccard near-dedup: min-id survivor per similarity component."""
+    """Exact-Jaccard near-dedup: min-id survivor per similarity component.
+
+    Exact-duplicate texts collapse to their min-id representative BEFORE the
+    shingle self-join: clones are Jaccard-1.0 by definition, so the result is
+    identical, while the candidate-pair count drops from O(clones²) per clone
+    group to zero (a 20×-replicated corpus OOMed the pairwise aggregation
+    without this).  The representative's component label is the global min id
+    of the merged group, so the survivor choice is unchanged.
+    """
+    key = F.xxhash64(F.coalesce(F.col(column), F.lit("")))
+    members = df.select(F.col(id_col).alias("node"), key.alias("__k__"))
+    reps = members.groupBy("__k__").agg(F.min("node").alias("rep"))
+    mapping = members.join(reps, "__k__").select("node", "rep").localCheckpoint(eager=True)
+
+    rep_rows = df.join(
+        mapping.filter(F.col("node") == F.col("rep")).select(F.col("node").alias(id_col)),
+        id_col,
+    )
     edges = ngram_jaccard_edges(
-        df, column, id_col, ngram_size, threshold, max_shingle_freq
+        rep_rows, column, id_col, ngram_size, threshold, max_shingle_freq
     ).select(F.col("src").alias("dst"), F.col("dst").alias("src"))
     # src column holds the larger id after the swap; direction is irrelevant
     # to the undirected component search.
     labels = connected_components_min_label(edges)
-    dropped = labels.filter(F.col("label") != F.col("node")).select(
+    node_label = mapping.join(
+        labels, mapping["rep"] == labels["node"], "left"
+    ).select(
+        mapping["node"],
+        F.coalesce(labels["label"], mapping["rep"]).alias("label"),
+    )
+    dropped = node_label.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias(id_col)
     )
     return df.join(dropped, on=id_col, how="left_anti")
@@ -499,11 +522,16 @@ def simhash_dedup(
 
     # materialized once: the banded self-join references sigs on BOTH sides,
     # which would otherwise run the signature UDF twice over the corpus
-    sigs = (
+    all_sigs = (
         repartition_for_compute(df.select(F.col(id_col).alias("id"), F.col(column)))
         .select("id", simhash_signature_col(column).alias("sig"))
         .localCheckpoint(eager=True)
     )
+    # hamming-0 groups (exact clones included) collapse to their min-id
+    # representative before the banded self-join — identical signatures are
+    # one component by definition, and clone groups otherwise contribute
+    # O(group²) candidate pairs
+    sigs = all_sigs.groupBy("sig").agg(F.min("id").alias("id")).select("id", "sig")
     width = 64 // n_bands
     bands = sigs.select(
         "id",
@@ -543,7 +571,15 @@ def simhash_dedup(
         F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2"))) <= hamming_threshold
     ).select("src", "dst")
     labels = connected_components_min_label(edges)
-    dropped = labels.filter(F.col("label") != F.col("node")).select(
-        F.col("node").alias(id_col)
+    # expand representative labels back over their hamming-0 group members
+    mapping = all_sigs.join(
+        sigs.select(F.col("sig"), F.col("id").alias("rep")), "sig"
+    ).select(F.col("id").alias("member"), "rep")
+    node_label = mapping.join(labels, mapping["rep"] == labels["node"], "left").select(
+        F.col("member"),
+        F.coalesce(labels["label"], F.col("rep")).alias("label"),
+    )
+    dropped = node_label.filter(F.col("member") != F.col("label")).select(
+        F.col("member").alias(id_col)
     )
     return df.join(dropped, on=id_col, how="left_anti")

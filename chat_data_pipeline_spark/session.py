@@ -33,6 +33,12 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # local-mode driver hosts all executor threads; the 1g JVM default
+        # OOMs wide aggregations long before the machine does (set before
+        # the JVM launches, so it must go through the builder)
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         # Adaptive execution: runtime shuffle-partition coalescing, skew-join
         # splitting, and dynamic broadcast-join selection.
         .config("spark.sql.adaptive.enabled", "true")
