@@ -35,4 +35,7 @@ Layout
 
 __version__ = "0.1.0"
 
-from chat_data_pipeline_spark.session import get_spark  # noqa: F401
+from chat_data_pipeline_spark.session import (  # noqa: F401
+    get_spark,
+    repartition_for_compute,
+)

@@ -261,6 +261,11 @@ def minhash_dedup(
     fingerprints = repartition_for_compute(df.select(id_col, column)).mapInPandas(
         fingerprint_batches, schema="id long, sigs array<binary>"
     )
+    if verbose:
+        # materialize the stage so the timer measures execution, not lazy
+        # plan construction (the reference's taxonomy times real work,
+        # ref:minhash_deduplication.py:225-316)
+        fingerprints = fingerprints.localCheckpoint(eager=True)
     timers["minhash"] = time.time() - t0
 
     # --- D5 LSH buckets → edges (no bucket materialization) ----------------
@@ -276,7 +281,7 @@ def minhash_dedup(
         .distinct()
     )
 
-    # --- D6-D7 clustering --------------------------------------------------
+    # --- D6-D7 clustering (CC itself runs eager per-round actions) ---------
     labels = connected_components_min_label(edges)
     timers["clustering"] = time.time() - t0
 
