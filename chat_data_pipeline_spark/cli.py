@@ -127,6 +127,13 @@ def _mini_yaml(text: str):
         if v.startswith("[") and v.endswith("]"):
             inner = v[1:-1].strip()
             return [_scalar(x) for x in inner.split(",")] if inner else []
+        if v.startswith("{") and v.endswith("}"):
+            inner = v[1:-1].strip()
+            out = {}
+            for part in (inner.split(",") if inner else []):
+                k, _, val = part.partition(":")
+                out[k.strip()] = _scalar(val.strip())
+            return out
         return _scalar(v)
 
     result, _ = parse_block(0, 0)

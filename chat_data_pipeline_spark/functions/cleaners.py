@@ -157,8 +157,13 @@ def remove_empty_lines(col: Column, strict_compat: bool = False) -> Column:
     """
     if strict_compat:
         return F.lit("")
+    from chat_data_pipeline_spark.functions.text import STRIP_CLASS
+
+    # "blank" = nothing but unicode whitespace (Python line.strip() == ""),
+    # not just ASCII \s
+    non_ws = STRIP_CLASS.replace("[", "[^", 1)
     lines = F.split(col, "\n")
-    kept = F.filter(lines, lambda x: x.rlike(r"\S"))
+    kept = F.filter(lines, lambda x: x.rlike(non_ws))
     return F.array_join(kept, "\n")
 
 

@@ -17,6 +17,10 @@ STRIP_CLASS = (
     "[\\s\\u0085\\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]"
 )
 
+# a run of non-whitespace — Python str.split() token (Java spelling; the
+# duckdb oracle uses the RE2 \x{hhhh} spelling of the same class)
+NONWS_TOKEN = STRIP_CLASS.replace("[", "[^", 1) + "+"
+
 # ``re.findall(r'\w+', text.lower())`` — the reference's universal word
 # tokenizer (ref:utils.py:304-305).  Python's \w is UNICODE-aware (letters,
 # digits incl. fullwidth forms, underscore); Java and RE2 default \w to
@@ -47,8 +51,10 @@ def words(col: Column) -> Column:
 
 def whitespace_tokens(col: Column) -> Column:
     """Python ``str.split()`` equivalent: split on whitespace runs, drop
-    empties (ref:filters.py:166-167 uses ``.split()``)."""
-    return F.filter(F.split(strip(col), r"\s+"), lambda x: x != F.lit(""))
+    empties (ref:filters.py:166-167 uses ``.split()``).  Splits on the full
+    unicode whitespace class — Java ``\\s`` is ASCII-only and would leave
+    'he\\u00a0went' as one token where Python yields two."""
+    return F.filter(F.split(strip(col), f"{STRIP_CLASS}+"), lambda x: x != F.lit(""))
 
 
 def substring_count(col: Column, phrase: str) -> Column:

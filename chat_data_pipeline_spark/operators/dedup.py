@@ -227,7 +227,13 @@ def minhash_dedup(
     drop_id = id_col is None
     if drop_id:
         id_col = _ID
-        df = df.withColumn(id_col, F.monotonically_increasing_id())
+        # pin the generated ids: the plan is evaluated in several independent
+        # jobs (fingerprint/CC vs the final anti-join), and a nondeterministic
+        # upstream (sample, limit, UDF) would otherwise get DIFFERENT ids per
+        # evaluation — the dropped-id set would then delete the wrong rows
+        df = df.withColumn(id_col, F.monotonically_increasing_id()).localCheckpoint(
+            eager=True
+        )
 
     t0 = time.time()
     B, R = optimal_param(threshold, num_perm)
@@ -523,6 +529,14 @@ def simhash_dedup(
     """SimHash near-dedup: band the 64-bit signature into ``n_bands`` chunks
     (pigeonhole: any pair within ``hamming_threshold`` < n_bands shares ≥1
     exact band), verify candidates with native popcount, min-id survivor."""
+    if hamming_threshold >= n_bands:
+        raise ValueError(
+            f"pigeonhole requires hamming_threshold ({hamming_threshold}) < "
+            f"n_bands ({n_bands}): pairs differing by one bit per band share "
+            "no band and would silently never become candidates"
+        )
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands ({n_bands}) must divide 64")
     from chat_data_pipeline_spark.session import repartition_for_compute
 
     # materialized once: the banded self-join references sigs on BOTH sides,

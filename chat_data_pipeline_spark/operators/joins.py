@@ -33,7 +33,16 @@ def salted_join(
     Cost model: replicates the small side ``n_salts``× through the shuffle —
     only worth it when the other side is far smaller than the hot key's row
     count (the usual shape: fact × dimension too big to broadcast).
+
+    Right/full outer joins are rejected: the replicated side's unmatched
+    keys would surface once PER SALT (n_salts null-extended copies).
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}: "
+            "the replicated side would emit unmatched rows once per salt"
+        )
     on = [on] if isinstance(on, str) else list(on)
     salt = F.floor(F.rand(seed) * n_salts).cast("int")
     left = skewed.withColumn("__salt__", salt)

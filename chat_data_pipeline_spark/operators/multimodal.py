@@ -38,7 +38,7 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-FEATURE_SCHEMA = "doc_id long, n_bytes long, first_byte int, fake_aspect long"
+FEATURE_SCHEMA = "doc_id long, n_bytes long, first_cp int, fake_aspect long"
 
 
 def decode_image(payload: bytes):  # pragma: no cover - real codec unavailable
@@ -50,12 +50,15 @@ def decode_image(payload: bytes):  # pragma: no cover - real codec unavailable
 
 
 def _fake_features(payload: bytes | None) -> tuple[int, int, int]:
-    """Deterministic fake 'decode': byte length, first byte, length-derived
-    aspect bucket.  Matches the SQL oracle definition exactly."""
+    """Deterministic fake 'decode': byte length, first decoded codepoint,
+    length-derived aspect bucket.  The codepoint (not raw first byte) is what
+    the SQL oracle's ord(substr(text,1,1)) computes — they diverge for any
+    payload starting with a multibyte character."""
     if not payload:
         return 0, 0, 0
     n = len(payload)
-    return n, payload[0], n % 7
+    first = ord(payload.decode("utf-8", errors="replace")[0])
+    return n, first, n % 7
 
 
 def extract_features(
@@ -81,7 +84,7 @@ def extract_features(
                 {
                     "doc_id": batch[id_col],
                     "n_bytes": [f[0] for f in feats],
-                    "first_byte": [f[1] for f in feats],
+                    "first_cp": [f[1] for f in feats],
                     "fake_aspect": [f[2] for f in feats],
                 }
             )

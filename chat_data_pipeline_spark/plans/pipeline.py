@@ -178,7 +178,9 @@ def split_dataset_by_filter(
     id-set anti-join double pass.
     """
     spec = get_filter(flt, **kwargs) if not isinstance(flt, FilterSpec) else flt
-    keep = spec.keep_expr(F.col(column))
+    # NULL keep (e.g. NULL input text) must land in `failed`, not vanish from
+    # both partitions under three-valued logic — the split is exhaustive
+    keep = F.coalesce(spec.keep_expr(F.col(column)), F.lit(False))
     scored = df.withColumn("__keep__", keep).cache()
     passed = scored.filter(F.col("__keep__")).drop("__keep__")
     failed = scored.filter(~F.col("__keep__")).drop("__keep__")

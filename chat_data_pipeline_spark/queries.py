@@ -85,6 +85,30 @@ def _cents(col):  # double(2dp) -> long hundredths
     return F.round(col * 100).cast("long")
 
 
+# RE2 (duckdb) does NOT understand \uXXXX escapes — they silently fail to
+# match, so the unicode members of the strip class never stripped.  RE2's
+# syntax is \x{hhhh}; Java (Spark) uses \uXXXX — keep the two spellings of
+# the SAME class in sync with functions.text.STRIP_CLASS.
+_SQL_WS_CLASS_INNER = (
+    "\\s\\x{0085}\\x{00a0}\\x{1680}\\x{2000}-\\x{200a}"
+    "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}"
+)
+_STRIP_SQL = (
+    "regexp_replace(regexp_replace({e}, '^[" + _SQL_WS_CLASS_INNER + "]+', ''), "
+    "'[" + _SQL_WS_CLASS_INNER + "]+$', '')"
+)
+# Python str.split() splits on every unicode whitespace char — '\\S+' is
+# ASCII-only in RE2 and misses NBSP & friends
+_SQL_WS_TOKEN = "[^" + _SQL_WS_CLASS_INNER + "]+"
+# single non-whitespace char (blank-line detection)
+_SQL_NONWS_CHAR = "[^" + _SQL_WS_CLASS_INNER + "]"
+
+
+def _sql_strip(expr: str) -> str:
+    # plain replace, not str.format: the RE2 \x{hhhh} escapes contain braces
+    return _STRIP_SQL.replace("{e}", expr)
+
+
 # ===========================================================================
 # Relational core (bench headliners; Catalyst join/agg surface)
 # ===========================================================================
@@ -462,7 +486,9 @@ def docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_remove_empty_lines",
     """
     SELECT doc_id,
-           array_to_string(list_filter(str_split(text, chr(10)), x -> regexp_matches(x, '\\S')), chr(10)) AS cleaned
+           array_to_string(list_filter(str_split(text, chr(10)), x -> regexp_matches(x, '"""
+    + _SQL_NONWS_CHAR
+    + """')), chr(10)) AS cleaned
     FROM documents
     """,
     "C4 intended semantics (reference always returns '' — SURVEY.md §7.3)",
@@ -472,15 +498,6 @@ def docs_remove_empty_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", C.remove_empty_lines(F.col("text")).alias("cleaned"))
 
 
-_STRIP_SQL = (
-    "regexp_replace(regexp_replace({e}, '^[\\s\\u0085\\u00a0\\u1680\\u2000-\\u200a"
-    "\\u2028\\u2029\\u202f\\u205f\\u3000]+', ''), '[\\s\\u0085\\u00a0\\u1680"
-    "\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]+$', '')"
-)
-
-
-def _sql_strip(expr: str) -> str:
-    return _STRIP_SQL.format(e=expr)
 
 
 @_register(
@@ -738,8 +755,8 @@ _GENDER_TOKEN = "<|gender_splitter|>"
       FROM documents
     ), parts AS (
       SELECT doc_id,
-             regexp_extract_all(lower(str_split(doc, '{_GENDER_TOKEN}')[1]), '\\S+') AS a,
-             regexp_extract_all(lower(str_split(doc, '{_GENDER_TOKEN}')[2]), '\\S+') AS b
+             regexp_extract_all(lower(str_split(doc, '{_GENDER_TOKEN}')[1]), '{_SQL_WS_TOKEN}') AS a,
+             regexp_extract_all(lower(str_split(doc, '{_GENDER_TOKEN}')[2]), '{_SQL_WS_TOKEN}') AS b
       FROM built
     )
     SELECT doc_id FROM parts
@@ -1023,18 +1040,21 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_counts",
     r"""
     SELECT doc_id,
-           len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+           len(regexp_extract_all(text, '"""
+    + _SQL_WS_TOKEN
+    + r"""')) AS ws_tokens,
            len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS word_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS bpe_ish_tokens
     FROM documents
     """,
-    "token counting: whitespace, \\w+ words, BPE-ish pre-tokenizer",
+    "token counting: whitespace (unicode str.split semantics), \\w+ words, "
+    "BPE-ish pre-tokenizer",
 )
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(T.NONWS_TOKEN)).cast("long").alias("ws_tokens"),
         A.token_count_words(F.col("text")).cast("long").alias("word_tokens"),
         A.token_count_bpe_ish(F.col("text")).cast("long").alias("bpe_ish_tokens"),
     )
@@ -1361,7 +1381,7 @@ def conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            octet_length(CAST(text AS BLOB)) AS n_bytes,
-           COALESCE(ord(NULLIF(substr(text, 1, 1), '')), 0) AS first_byte,
+           COALESCE(ord(NULLIF(substr(text, 1, 1), '')), 0) AS first_cp,
            octet_length(CAST(text AS BLOB)) % 7 AS fake_aspect
     FROM documents
     """,

@@ -153,7 +153,7 @@ def test_multimodal_plumbing(spark):
         "doc_id long, payload binary",
     )
     feats = {r.doc_id: r for r in MM.extract_features(df).collect()}
-    assert feats[1].n_bytes == 11 and feats[1].first_byte == ord("h")
+    assert feats[1].n_bytes == 11 and feats[1].first_cp == ord("h")
     assert feats[2].n_bytes == 0 and feats[3].n_bytes == 0
 
     with pytest.raises(NotImplementedError):

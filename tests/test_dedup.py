@@ -116,6 +116,20 @@ def test_ngram_jaccard_dedup(spark, corpus):
             assert min(ids) in kept and len(set(ids) & kept) == 1
 
 
+def test_ngram_jaccard_clone_bridge(spark):
+    """Clone groups collapse to representatives, and a near-dup bridge still
+    merges a whole clone group into the component (survivor = global min)."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # change the last word: 5 of 6 shingles shared -> Jaccard 5/7 ≈ 0.714 ≥ 0.7
+    a_near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    b = "one two three four five six seven eight nine ten"
+    c = "completely different words entirely unrelated to anything else here now"
+    rows = [(1, a), (2, a), (3, a), (4, a_near), (10, b), (11, b), (20, c)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in D.ngram_jaccard_dedup(df, "text", "doc_id").collect()}
+    assert kept == {1, 10, 20}
+
+
 def test_simhash_dedup(spark, corpus):
     df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
     kept = {r.doc_id for r in D.simhash_dedup(df, "text", "doc_id").collect()}
