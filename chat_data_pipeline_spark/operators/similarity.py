@@ -307,18 +307,20 @@ def embedding_neardup_pairs(
     n_tables: int = 12,
     dim: int = 64,
     seed: int = 42,
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold.
 
-    ``n_planes=None`` → exact all-pairs via broadcast matmul: one side is
-    broadcast as a dense float64 matrix and each Arrow batch of the other
-    side scores against it with BLAS (the vector twin of a broadcast hash
-    join — at 100 TB the broadcast side is blocked into chunks that fit an
-    executor, corpus × block per pass).  Per-element higher-order-function
-    scoring of the same pairs measured ~20× slower.
-    With ``n_planes`` set, candidates are restricted to SRP-bucket collisions
-    — the no-broadcast scale path (high-cosine pairs collide with high
-    probability); only collisions are scored, natively.
+    ``n_planes=None`` → EXACT all-pairs via broadcast matmul: the corpus is
+    broadcast as a dense float64 matrix and each Arrow batch scores against
+    it with BLAS (the vector twin of a broadcast hash join, and like one it
+    requires the broadcast side to fit in memory — guarded by
+    ``max_broadcast_rows``).  Exact mode is the small-corpus / oracle /
+    verification path; at scale use ``n_planes``: SRP-LSH candidate blocking
+    with no broadcast of the corpus (high-cosine pairs collide in ≥1 table
+    with high probability), only collisions scored.  Per-element
+    higher-order-function scoring of the same pairs measured ~20× slower
+    than the matmul.
     """
     if n_planes:
         # narrow candidate generation: only (id, bucket) rows go through the
@@ -368,6 +370,13 @@ def embedding_neardup_pairs(
     from chat_data_pipeline_spark.session import repartition_for_compute
 
     id_type = dict(df.dtypes)[id_col]
+    total = df.count()
+    if total > max_broadcast_rows:
+        raise ValueError(
+            f"exact all-pairs would broadcast {total} vectors "
+            f"(max_broadcast_rows={max_broadcast_rows}); use the SRP-LSH "
+            "path (n_planes/n_tables) for corpora that don't fit a broadcast"
+        )
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
