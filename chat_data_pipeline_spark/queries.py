@@ -328,6 +328,102 @@ def users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q10_returned_revenue",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name,
+             SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) *
+                 CAST(ROUND((1-l.l_discount)*100) AS BIGINT)) AS rev_c
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name
+    )
+    SELECT c_custkey, c_name, CAST(rev_c AS DOUBLE)/10000 AS revenue
+    FROM rev ORDER BY rev_c DESC, c_custkey ASC LIMIT 20
+    """,
+    "TPC-H Q10 shape: 3-way join, filter, top-20 by aggregated revenue "
+    "(deterministic tie-break on custkey)",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev_c = F.sum(
+        _cents(F.col("l_extendedprice")) * _cents(F.lit(1) - F.col("l_discount"))
+    ).alias("rev_c")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(rev_c)
+    )
+    return (
+        rev.orderBy(F.col("rev_c").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_c").cast("double") / 10_000).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "q18_large_orders",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) > 200*100
+    """,
+    "TPC-H Q18 shape: group-by + HAVING on the aggregate",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    qty_c = F.sum(_cents(F.col("l_quantity"))).alias("qty_c")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(qty_c)
+        .filter(F.col("qty_c") > 200 * 100)
+        .select("l_orderkey", (F.col("qty_c").cast("double") / 100).alias("sum_qty"))
+    )
+
+
+@_register(
+    "orders_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE)/100 AS running_spend
+    FROM orders
+    """,
+    "window surface: per-customer running spend over deterministic "
+    "(orderdate, orderkey) order",
+)
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(_cents(F.col("o_totalprice"))).over(w).cast("double") / 100).alias(
+            "running_spend"
+        ),
+    )
+
+
+@_register(
     "customers_without_orders",
     """
     SELECT c.c_custkey, c.c_name
@@ -1394,3 +1490,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return extract_features(payloads, id_col="doc_id", payload_col="payload")
+
+
+@_register(
+    "multimodal_frame_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, upper(hex(CAST(text AS BLOB))) AS ph,
+             octet_length(CAST(text AS BLOB)) AS n
+      FROM documents
+    )
+    SELECT doc_id AS media_id, CAST(f - 1 AS INT) AS frame_no,
+           substring(ph, (f-1)*512 + 1, 512) AS frame_hex
+    FROM b, unnest(range(1, least(8, greatest(1, n // 256)) + 1)) AS t(f)
+    """,
+    "1 payload -> N pseudo-frame rows: the variable-fanout mapInPandas shape "
+    "of video frame sampling (real codec stubbed; byte-slice frames, "
+    "hex-encoded for the cross-engine compare since duckdb can't slice blobs)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators.multimodal import sample_frames
+
+    docs = _read(spark, sf_dir, "documents")
+    payloads = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = sample_frames(payloads, every_n_bytes=256, max_frames=8)
+    return frames.select(
+        "media_id", "frame_no", F.upper(F.hex("frame")).alias("frame_hex")
+    )
