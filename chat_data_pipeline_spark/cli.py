@@ -192,9 +192,14 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from chat_data_pipeline_spark import get_spark
 
     config = load_yaml(args.config_path)
+    # only stop the session if this invocation created it — getOrCreate may
+    # hand back a host application's session (tests, notebooks)
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="cdp-cli", master=args.master)
     out = run_config(spark, config)
     output_path = config.get("output_path")
@@ -203,7 +208,8 @@ def main(argv: list[str] | None = None) -> None:
         logger.info("wrote %s", output_path)
     else:
         print(out.count())
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

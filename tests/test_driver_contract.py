@@ -1,0 +1,51 @@
+"""The driver contract itself: __spark_entry__ exposes entry/queries/
+oracle_sql coherently."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = E.queries()
+    osql = E.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 50
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
+
+
+def test_entry_runs_and_has_stable_schema(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars_clean",
+    ]
+
+
+def test_cli_main_end_to_end(spark, tmp_path):
+    """argparse main(): config file in, parquet out."""
+    from chat_data_pipeline_spark.cli import main
+
+    conv = str(tmp_path / "conv.parquet")
+    spark.createDataFrame(
+        [(i, "s", [(f"question {i}", False, "User"), (f"answer {i % 5}!", True, "Assistant")]) for i in range(20)],
+        "id long, source string, conversation array<struct<content string, do_train boolean, role string>>",
+    ).write.parquet(conv)
+    out = str(tmp_path / "out.parquet")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        f"datasets:\n  - path: {conv}\noutput_path: {out}\nseed: 42\n"
+        "response:\n  cleaners: [normalize_whitespace]\n  filters: []\n"
+        "  deduplication:\n    do_deduplication: true\n"
+        "    minhash_config: {ngram_size: 2, num_perm: 32, threshold: 0.7, min_ngram_size: 2}\n"
+        "instruction:\n  cleaners: []\n  filters: []\n"
+        "  deduplication: {do_deduplication: false}\n"
+    )
+    main(["--config_path", str(cfg)])
+    result = spark.read.parquet(out)
+    assert result.count() == 5  # 20 pairs dedup to 5 distinct answers
+    assert {f.name for f in result.schema.fields} >= {"conversation", "source"}
