@@ -30,6 +30,9 @@ BENCH_QUERIES = [
     "orders_rollup",
     "events_hourly_agg",
     "events_top_users",
+    "events_sessionize_batch",
+    "events_asof_view",
+    "events_error_context",
     "conversation_pairs",
     "conversation_chatml",
     "pipeline_output_preset",

@@ -39,6 +39,7 @@ from chat_data_pipeline_spark.operators import conversation as CV
 from chat_data_pipeline_spark.operators import dedup as D
 from chat_data_pipeline_spark.operators import sampling as S
 from chat_data_pipeline_spark.operators import similarity as SIM
+from chat_data_pipeline_spark.operators import temporal as TP
 
 
 @dataclass(frozen=True)
@@ -518,6 +519,112 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select("event_type", "user_id", "total_value", "rank")
+    )
+
+
+@_register(
+    "events_sessionize_batch",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_idx
+      FROM o
+    )
+    SELECT user_id, session_idx,
+           CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS session_start_epoch,
+           CAST(epoch_us(MAX(ts)) // 1000000 AS BIGINT) AS session_end_epoch,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+    "batch gap-sessionization (lag + running sum, one window shuffle) — "
+    "batch twin of streaming.sessionize, gap 1800s",
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return TP.sessionize_batch(ev, gap_seconds=1800)
+
+
+@_register(
+    "events_asof_view",
+    """
+    SELECT c.event_id AS click_id, c.user_id,
+           COALESCE((SELECT v.event_id FROM events v
+                     WHERE v.event_type = 'view' AND v.user_id = c.user_id
+                       AND v.ts <= c.ts
+                     ORDER BY v.ts DESC, v.event_id DESC LIMIT 1), -1) AS last_view_id
+    FROM events c WHERE c.event_type = 'click'
+    """,
+    "as-of join: each click matched to the latest at-or-before view of the "
+    "same user — union+window formulation, one shuffle, no non-equi join",
+)
+def events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    out = TP.asof_join(clicks, views, on="user_id", right_cols=["view_id"])
+    return out.select(
+        "click_id", "user_id", F.coalesce("view_id", F.lit(-1)).alias("last_view_id")
+    )
+
+
+@_register(
+    "events_error_context",
+    """
+    SELECT e.event_id AS error_id, e.user_id,
+           COUNT(x.event_id) AS n_recent,
+           CAST(COALESCE(SUM(CAST(ROUND(x.value*10000) AS BIGINT)), 0) AS DOUBLE)/10000
+             AS recent_value
+    FROM events e LEFT JOIN events x
+      ON x.user_id = e.user_id
+     AND x.ts >= e.ts - INTERVAL 300 SECOND AND x.ts < e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id
+    """,
+    "banded range join: per error event, same-user activity in the preceding "
+    "5 min — time-binned equi-join (2x probe fanout) instead of a non-equi "
+    "nested loop",
+)
+def events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    others = ev.select(
+        "user_id",
+        F.col("ts").alias("x_ts"),
+        F.col("event_id").alias("x_id"),
+        F.col("value").alias("x_value"),
+    )
+    pairs = TP.banded_range_join(
+        errors, others, on="user_id", band_seconds=300, left_ts="ts", right_ts="x_ts"
+    )
+    ctx = pairs.groupBy("error_id").agg(
+        F.count("x_id").alias("n_recent"),
+        (F.sum(F.round(F.col("x_value") * 10_000).cast("long")).cast("double") / 10_000).alias(
+            "recent_value"
+        ),
+    )
+    return (
+        errors.select("error_id", "user_id")
+        .join(ctx, "error_id", "left")
+        .select(
+            "error_id",
+            "user_id",
+            F.coalesce("n_recent", F.lit(0)).alias("n_recent"),
+            F.coalesce("recent_value", F.lit(0.0)).alias("recent_value"),
+        )
     )
 
 
