@@ -523,6 +523,36 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    "TPC-H Q4 shape: correlated EXISTS as a left-semi hash join (corpus has "
+    "no commit/receipt dates; late-ship predicate instead)",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@_register(
     "events_sessionize_batch",
     """
     WITH o AS (
