@@ -825,6 +825,42 @@ def filter_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "filter_stats_describe",
+    r"""
+    WITH s AS (
+      SELECT source, len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS wc
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n,
+           round(CAST(SUM(wc) AS DOUBLE)/COUNT(*), 6) AS mean_wc,
+           MIN(wc) AS min_wc, MAX(wc) AS max_wc,
+           round(sqrt(greatest(0.0,
+             (SUM(wc*wc) - CAST(SUM(wc)*SUM(wc) AS DOUBLE)/COUNT(*))
+               / (COUNT(*) - 1))), 6) AS std_wc
+    FROM s GROUP BY source
+    """,
+    "the reference's per-filter describe() stats contract (ref:pipeline.py:57) "
+    "as a grouped agg — stddev from integer power sums, so the double math is "
+    "order-independent and cross-engine exact",
+)
+def filter_stats_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    wc = FL.check_word_number_score(F.col("text")).cast("long")
+    base = docs.select("source", wc.alias("wc"))
+    n = F.count("*")
+    s1 = F.sum("wc")
+    s2 = F.sum(F.col("wc") * F.col("wc"))
+    var = (s2 - (s1 * s1).cast("double") / n) / (n - F.lit(1))
+    return base.groupBy("source").agg(
+        n.alias("n"),
+        F.round(s1.cast("double") / n, 6).alias("mean_wc"),
+        F.min("wc").alias("min_wc"),
+        F.max("wc").alias("max_wc"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), var)), 6).alias("std_wc"),
+    )
+
+
+@_register(
     "filter_lowercase_ratio",
     """
     SELECT doc_id, round(lr, 6) AS lowercase_ratio FROM (
