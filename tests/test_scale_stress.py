@@ -43,3 +43,47 @@ def test_dedup_family_survives_clone_blowup(big):
     assert exact < n / 2
     assert jac <= exact and mh <= exact and sh <= exact
     assert jac > 0 and mh > 0 and sh > 0
+
+
+def test_temporal_ops_survive_event_blowup(spark, tmp_path_factory):
+    """asof + banded range join + sessionize over 20x-replicated events
+    (~200k rows at sf0.01): guards that the union+window and binned-equi-join
+    shapes hold up when every user's timeline is 20x denser."""
+    from chat_data_pipeline_spark.operators import temporal as TP
+    from chat_data_pipeline_spark.queries import _read_events
+
+    ev = _read_events(spark, SF_DIR)
+    out = str(tmp_path_factory.mktemp("stress") / "events")
+    ev.crossJoin(spark.range(20).withColumnRenamed("id", "rep")).select(
+        (F.col("event_id") * 100 + F.col("rep")).alias("event_id"),
+        (F.col("ts") + F.make_interval(secs=F.col("rep") * F.lit(0.000001))).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).repartition(16).write.parquet(out)
+    big = spark.read.parquet(out)
+    n = big.count()
+
+    clicks = big.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = big.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    asof = TP.asof_join(clicks, views, on="user_id", right_cols=["view_id"])
+    assert asof.count() == clicks.count()  # left rowcount preserved at scale
+
+    sess = TP.sessionize_batch(big, gap_seconds=1800)
+    agg = sess.agg(F.sum("n_events").alias("s")).collect()[0]["s"]
+    assert agg == n  # every event lands in exactly one session
+
+    errors = big.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    others = big.select(
+        "user_id", F.col("ts").alias("x_ts"), F.col("event_id").alias("x_id")
+    )
+    pairs = TP.banded_range_join(
+        errors, others, on="user_id", band_seconds=300, left_ts="ts", right_ts="x_ts"
+    )
+    assert pairs.count() > 0
