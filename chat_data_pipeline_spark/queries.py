@@ -659,6 +659,58 @@ def events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_pivot_types",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup
+    FROM events GROUP BY user_id
+    """,
+    "pivot: per-user event-type counts as columns — value list pinned so "
+    "Spark skips the distinct-values pre-scan (one aggregation, no extra job)",
+)
+def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    types = ["click", "view", "error", "purchase", "signup"]
+    piv = ev.groupBy("user_id").pivot("event_type", types).count()
+    # pivot-count leaves absent combos null; the FILTER oracle counts 0
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@_register(
+    "lineitem_unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           round(l_quantity, 6) AS amount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', round(l_extendedprice, 6)
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', round(l_discount, 6)
+    FROM lineitem
+    """,
+    "unpivot/melt: wide measures to long (measure, amount) rows via stack — "
+    "a projection-only expansion, no shuffle",
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'l_quantity', l_quantity, "
+            "'l_extendedprice', l_extendedprice, "
+            "'l_discount', l_discount) AS (measure, amount)"
+        ),
+    ).withColumn("amount", F.round("amount", 6))
+
+
+@_register(
     "union_provenance",
     """
     SELECT doc_id, text, source, 'primary' AS origin FROM documents WHERE source IN ('src0','src1')
