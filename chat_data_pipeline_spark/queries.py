@@ -659,6 +659,59 @@ def events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_value_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "EXACT percentiles (linear interpolation, identical in Spark and DuckDB) "
+    "— the quantile rows of the reference's describe() contract; at 100 TB "
+    "swap percentile() for percentile_approx (t-digest sketch, mergeable "
+    "map-side) at the cost of oracle exactness",
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+@_register(
+    "events_grouping_sets",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(user_id AS VARCHAR), 'ALL') AS user_grp,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value*10000) AS BIGINT)) AS DOUBLE)/10000 AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id), ())
+    """,
+    "GROUPING SETS (beyond cube/rollup) through the spark.sql surface; "
+    "grouping NULLs coalesced to sentinels on both engines",
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(user_id AS STRING), 'ALL') AS user_grp,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value*10000) AS BIGINT)) AS DOUBLE)/10000 AS sum_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
+    )
+
+
+@_register(
     "events_pivot_types",
     """
     SELECT user_id,
