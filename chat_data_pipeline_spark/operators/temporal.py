@@ -54,7 +54,7 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys + [right_ts]]
-    left_payload = [c for c in left.columns if c not in keys]
+    left_payload = [c for c in left.columns if c not in keys + [left_ts]]
     overlap = set(left_payload) & set(right_cols)
     if overlap:
         raise ValueError(f"rename overlapping right columns first: {sorted(overlap)}")

@@ -121,11 +121,22 @@ class SparkPreprocessor:
 
     # -- dedup (ref:preprocessor.py:60-79) -----------------------------------
     def _deduplicate(self, df: DataFrame) -> DataFrame:
-        from chat_data_pipeline_spark.operators.dedup import minhash_dedup
+        """The reference only knows MinHash-LSH (ref:preprocessor.py:60-79);
+        the ``method`` config key additionally routes to the engine's exact
+        and n-gram-Jaccard dedup so the full lifecycle stays SQL-checkable
+        (exact dedup has a DuckDB oracle; MinHash signatures do not)."""
+        from chat_data_pipeline_spark.operators import dedup as D
 
         cfg = dict(self.deduplication_config or {})
         cfg.pop("do_deduplication", None)
-        return minhash_dedup(df, self.column_name, verbose=self.verbose, **cfg)
+        method = cfg.pop("method", "minhash")
+        if method == "exact":
+            return D.exact_dedup(df, self.column_name, cfg.pop("id_col"))
+        if method == "ngram_jaccard":
+            return D.ngram_jaccard_dedup(df, self.column_name, cfg.pop("id_col"), **cfg)
+        if method != "minhash":
+            raise ValueError(f"unknown dedup method {method!r}")
+        return D.minhash_dedup(df, self.column_name, verbose=self.verbose, **cfg)
 
     @staticmethod
     def _resolve(flt: str | FilterSpec | tuple[str, dict]) -> FilterSpec:

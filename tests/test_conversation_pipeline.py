@@ -168,3 +168,43 @@ def test_multimodal_plumbing(spark):
     ).collect()
     assert len(frames) == 5  # 5120 bytes → 5 frames
     assert all(len(fr.frame) == 1024 for fr in frames)
+
+
+def test_pipeline_dedup_method_exact_and_unknown(spark):
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    pre = SparkPreprocessor(
+        column_name="text",
+        deduplication_config={"method": "exact", "id_col": "doc_id"},
+    )
+    assert sorted(r.doc_id for r in pre.run(df).collect()) == [1, 3]
+
+    bad = SparkPreprocessor(
+        column_name="text", deduplication_config={"method": "nope", "id_col": "doc_id"}
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown dedup method"):
+        bad.run(df)
+
+
+def test_stats_describe_single_row_group(spark, tmp_path):
+    """A source group with exactly one document must yield std 0.0, not a
+    Spark-4 ANSI DIVIDE_BY_ZERO (round-2 ADVICE medium)."""
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three four", "en", "solo"),
+            (1, "a b c", "en", "pair"),
+            (2, "a b c d e f", "en", "pair"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["filter_stats_describe"].fn(spark, str(tmp_path))
+    rows = {r.source: r for r in out.collect()}
+    assert rows["solo"].n == 1 and rows["solo"].std_wc == 0.0
+    assert rows["pair"].n == 2 and rows["pair"].std_wc > 0.0

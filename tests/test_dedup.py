@@ -150,3 +150,35 @@ def test_simhash_signature_python_parity():
     b = D._simhash64("the quick brown fox jumps over the lazy cat " * 3)
     ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert ham <= 16
+
+
+def test_ngram_jaccard_cap_noop_below_threshold(spark, corpus):
+    """With a document-frequency cap no corpus shingle reaches, the capped
+    result is identical to the uncapped one (the registered query relies on
+    this at sf0.01 with cap 128)."""
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    uncapped = {r.doc_id for r in D.ngram_jaccard_dedup(df, "text", "doc_id").collect()}
+    capped = {
+        r.doc_id
+        for r in D.ngram_jaccard_dedup(
+            df, "text", "doc_id", max_shingle_freq=128
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_ngram_jaccard_cap_prunes_hot_shingle_candidates(spark):
+    """Docs that share ONLY a hot shingle lose their edge under the cap —
+    the stop-shingle guard's whole point at scale."""
+    hot = "the quick brown fox jumps"
+    rows = [(i, f"{hot} unique{i} tail{i} words{i} here{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # at threshold 0.05 the uncapped index emits all 45 hot-shingle pairs;
+    # capping at df<=5 (< 10 docs) drops the hot shingle and with it every
+    # candidate — while per-doc set sizes (denominators) stay the true 5
+    uncapped = D.ngram_jaccard_edges(df, "text", "doc_id", threshold=0.05)
+    capped = D.ngram_jaccard_edges(
+        df, "text", "doc_id", threshold=0.05, max_shingle_freq=5
+    )
+    assert uncapped.count() == 45
+    assert capped.count() == 0

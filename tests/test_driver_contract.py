@@ -49,3 +49,21 @@ def test_cli_main_end_to_end(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == 5  # 20 pairs dedup to 5 distinct answers
     assert {f.name for f in result.schema.fields} >= {"conversation", "source"}
+
+
+def test_correctness_window_is_all_oracle_backed():
+    """The driver hash-checks only the first 50 registry entries; every one of
+    them must carry an oracle, with the rows-only queries rotated to the tail
+    (round-2 verdict task #1)."""
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    window = list(REGISTRY)[:50]
+    assert all(REGISTRY[n].oracle is not None for n in window)
+    # the 12 previously never-driver-verified queries + the lifecycle query
+    must_be_windowed = {
+        "doc_fingerprints", "sample_grouped_users", "shuffle_hash_sample",
+        "filter_char_repetition", "sample_proportional_mix", "split_by_filter",
+        "conversation_pairs", "conversation_chatml", "conversation_dedup",
+        "multimodal_features", "multimodal_frame_sample", "pipeline_lifecycle",
+    }
+    assert must_be_windowed <= set(window)

@@ -50,7 +50,11 @@ def test_asof_backward_ties_and_nulls(quotes, trades):
 def test_asof_preserves_left_rowcount(quotes, trades):
     out = TP.asof_join(trades, quotes, on="key", right_cols=["qid"])
     assert out.count() == trades.count()
-    assert set(out.columns) == {"key", "ts", "tid", "qid"}
+    # list, not set: a duplicated ts column would hide in a set compare and
+    # make any downstream out.select("ts") raise AMBIGUOUS_REFERENCE
+    assert sorted(out.columns) == ["key", "qid", "tid", "ts"]
+    assert len(out.columns) == len(set(out.columns))
+    assert out.select("ts").count() == trades.count()  # must resolve
 
 
 def test_asof_forward(quotes, trades):
