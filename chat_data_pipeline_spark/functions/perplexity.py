@@ -87,12 +87,27 @@ class StubScorer:
         ).cast("double") + F.lit(1.0)
 
 
+def doc_perplexity(doc: str | None, model: object, sp: object) -> float:
+    """ref:kenlm_model.py:122-142 arithmetic, factored out of the UDF closure
+    so it is unit-testable against fake model/tokenizer objects (the real
+    kenlm/sentencepiece natives are not installable in every environment):
+    per-line log10-score over the sentencepiece-tokenized doc,
+    ppl = 10^(−Σlog/Σ(len+1)), rounded to 1 decimal."""
+    if doc is None:
+        return float("nan")
+    doc = " ".join(sp.encode_as_pieces(doc))
+    log_score, length = 0.0, 0
+    for line in doc.split("\n"):
+        log_score += model.score(line)
+        length += len(line.split()) + 1
+    return round(10.0 ** (-log_score / length), 1)
+
+
 class KenlmScorer:
     """Real KenLM scorer (requires kenlm + sentencepiece + model files).
 
-    Reproduces ref:kenlm_model.py:122-142: per-line log-score over the
-    sentencepiece-tokenized normalized doc, ppl = 10^(−Σlog/Σ(len+1)),
-    rounded to 1 decimal.  Models load lazily once per executor.
+    Scoring arithmetic lives in :func:`doc_perplexity`; models load lazily
+    once per executor.
     """
 
     def __init__(self, kenlm_model_path: str, sp_model_path: str, **normalize_kwargs):
@@ -100,34 +115,26 @@ class KenlmScorer:
         self.sp_model_path = sp_model_path
         self.normalize_kwargs = normalize_kwargs
 
+    def _load_models(self):
+        """Executor-side model init; overridable for fake-model testing."""
+        import kenlm  # noqa: F401 — executor-side import
+        import sentencepiece
+
+        model = kenlm.Model(self.kenlm_model_path)
+        sp = sentencepiece.SentencePieceProcessor()
+        sp.load(self.sp_model_path)
+        return model, sp
+
     def score(self, col: Column) -> Column:
-        kenlm_path, sp_path = self.kenlm_model_path, self.sp_model_path
-        kwargs = dict(self.normalize_kwargs)
+        load = self._load_models
 
         def batch_ppl(batch: pd.Series) -> pd.Series:
-            import kenlm  # noqa: F401 — executor-side import
-            import sentencepiece
-
             if not hasattr(batch_ppl, "_models"):
-                model = kenlm.Model(kenlm_path)
-                sp = sentencepiece.SentencePieceProcessor()
-                sp.load(sp_path)
-                batch_ppl._models = (model, sp)
+                batch_ppl._models = load()
             model, sp = batch_ppl._models
+            return batch.map(lambda doc: doc_perplexity(doc, model, sp))
 
-            def ppl(doc: str | None) -> float:
-                if doc is None:
-                    return float("nan")
-                doc = " ".join(sp.encode_as_pieces(doc))
-                log_score, length = 0.0, 0
-                for line in doc.split("\n"):
-                    log_score += model.score(line)
-                    length += len(line.split()) + 1
-                return round(10.0 ** (-log_score / length), 1)
-
-            return batch.map(ppl)
-
-        normalized = cc_net_normalize(col, **kwargs)
+        normalized = cc_net_normalize(col, **self.normalize_kwargs)
         return pandas_udf(batch_ppl, "double")(normalized)
 
 

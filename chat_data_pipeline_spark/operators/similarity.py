@@ -203,12 +203,22 @@ def _train_centroids(
     sample_rows: int = 10_000,
     iters: int = 10,
     seed: int = 42,
+    id_col: str | None = None,
 ) -> np.ndarray:
     """Coarse quantizer for the IVF index: seeded Lloyd iterations on a
     bounded driver-side sample (sample size is fixed regardless of corpus
-    size, like every IVF build).  Deterministic: seeded sample order, seeded
-    init, argmin ties to the lowest centroid id."""
-    sample = df.select(vec_col).limit(sample_rows).toPandas()
+    size, like every IVF build).  Deterministic: hash-of-id sample order (a
+    bare ``limit`` is partition-layout-dependent), seeded init, argmin ties
+    to the lowest centroid id."""
+    if id_col is not None:
+        sample = (
+            df.select(id_col, vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(sample_rows)
+            .toPandas()
+        )
+    else:
+        sample = df.select(vec_col).limit(sample_rows).toPandas()
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
@@ -268,25 +278,29 @@ def ivf_topk(
     the data distribution (centroids follow density)."""
     from pyspark.sql import Window
 
-    centroids = _train_centroids(df, vec_col, n_centroids, seed=seed)
+    centroids = _train_centroids(df, vec_col, n_centroids, seed=seed, id_col=id_col)
     corpus = _ivf_assign_expr(df.select(id_col, vec_col), vec_col, centroids, "__lists__", 1)
     corpus = corpus.select(
         id_col, vec_col, F.element_at("__lists__", 1).alias("__list__")
-    ).withColumn("__norm__", norm_expr(F.col(vec_col)))
+    )
     probes = _ivf_assign_expr(
         queries.select(query_id_col, query_vec_col), query_vec_col, centroids, "__lists__", n_probe
     )
     probes = probes.select(
         query_id_col, query_vec_col, F.explode("__lists__").alias("__list__")
-    ).withColumn("__qnorm__", norm_expr(F.col(query_vec_col)))
-    scored = corpus.join(F.broadcast(probes), "__list__").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(
-            dot_expr(F.col(vec_col), F.col(query_vec_col))
-            / (F.col("__norm__") * F.col("__qnorm__")),
-            6,
-        ).alias("cosine"),
+    )
+    q_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(df.dtypes)[id_col]
+    pairs = corpus.join(F.broadcast(probes), "__list__").select(
+        F.col(query_id_col).alias("id1"),
+        F.col(id_col).alias("id2"),
+        F.col(query_vec_col).alias("__v1__"),
+        F.col(vec_col).alias("__v2__"),
+    )
+    scored = _score_candidate_pairs(
+        pairs, f"id1 {q_type}, id2 {id_type}, cosine double"
+    ).select(
+        F.col("id1").alias(query_id_col), F.col("id2").alias(id_col), "cosine"
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -296,6 +310,38 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def _score_candidate_pairs(
+    pairs: DataFrame, schema: str, threshold: float | None = None
+) -> DataFrame:
+    """Score (id1, id2, __v1__, __v2__) candidate rows: cosine per pair as one
+    numpy einsum per Arrow batch; ``threshold`` (if given) keeps only pairs
+    at-or-above it.  Rounding (6 dp) matches the exact broadcast-matmul path
+    bit-for-bit."""
+    import pandas as pd
+
+    def score(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            m1 = np.stack([np.asarray(v, dtype=np.float64) for v in batch["__v1__"]])
+            m2 = np.stack([np.asarray(v, dtype=np.float64) for v in batch["__v2__"]])
+            cos = np.round(
+                np.einsum("ij,ij->i", m1, m2)
+                / (np.sqrt((m1 * m1).sum(axis=1)) * np.sqrt((m2 * m2).sum(axis=1))),
+                6,
+            )
+            keep = cos >= threshold if threshold is not None else slice(None)
+            yield pd.DataFrame(
+                {
+                    "id1": batch["id1"].to_numpy()[keep],
+                    "id2": batch["id2"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return pairs.mapInPandas(score, schema=schema)
 
 
 def embedding_neardup_pairs(
@@ -323,46 +369,63 @@ def embedding_neardup_pairs(
     than the matmul.
     """
     if n_planes:
-        # narrow candidate generation: only (id, bucket) rows go through the
-        # self-join shuffle — vectors are fetched back once per pair side
-        # after the candidate set (and its dedup across tables) is known
+        # One shuffle total: (id, vec) rows hash to their SRP buckets (vector
+        # payload is dim·4 bytes — n_tables× the corpus through the shuffle,
+        # same order as MinHash band signatures), then each bucket scores its
+        # own all-pairs cosine as ONE numpy matmul inside applyInPandas, and
+        # only surviving pairs (output-sized) reach the cross-table dedup.
+        # This replaces bucket-self-join → distinct → double vector-fetch
+        # join → per-pair scoring: that plan shipped |candidates| · 2·dim
+        # floats through Arrow (~450 MB at sf0.1) where this one ships
+        # n_tables · |corpus| · dim (~6 MB).  ``max_bucket_size`` is the skew
+        # guard: a bucket that big means n_planes is too low for the corpus
+        # (its pairs are near-random collisions); skip it rather than letting
+        # one task go quadratic.
+        # NB no repartition_for_compute here: bucket-gen is ~72·dim flops per
+        # row (cheap), and the groupBy shuffle right after it parallelizes the
+        # expensive part (scoring) no matter how the input is split — an extra
+        # round-robin exchange would only add a stage.
+        import pandas as pd
+
+        max_bucket_size = 4096
+        thr = float(threshold)
+        id_type = dict(df.dtypes)[id_col]
+        # each row ships its FULL per-table bucket list into every bucket it
+        # lands in (n_tables longs — noise next to the dim·4-byte vector), so
+        # cross-table pair dedup happens inside the bucket: a pair is emitted
+        # only by its lowest-table collision.  That removes the post-scoring
+        # global dropDuplicates exchange — the plan is exactly one shuffle.
+        blist = lsh_multitable_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
         buckets = df.select(
             F.col(id_col).alias("id"),
-            F.explode(
-                lsh_multitable_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)
-            ).alias("__bucket__"),
-        ).localCheckpoint(eager=True)
-        a, b = buckets.alias("a"), buckets.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.__bucket__") == F.col("b.__bucket__"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-            .distinct()
-        )
-        v1 = df.select(
-            F.col(id_col).alias("id1"),
-            F.col(vec_col).alias("v1"),
-            norm_expr(F.col(vec_col)).alias("n1"),
-        )
-        v2 = df.select(
-            F.col(id_col).alias("id2"),
-            F.col(vec_col).alias("v2"),
-            norm_expr(F.col(vec_col)).alias("n2"),
-        )
-        return (
-            cand.join(v1, "id1")
-            .join(v2, "id2")
-            .select(
-                "id1",
-                "id2",
-                F.round(
-                    dot_expr(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
-                ).alias("cosine"),
-            )
-            .filter(F.col("cosine") >= F.lit(float(threshold)))
+            F.col(vec_col).alias("__v__"),
+            blist.alias("__blist__"),
+        ).select("id", "__v__", "__blist__", F.explode("__blist__").alias("__bucket__"))
+
+        def score_bucket(pdf):
+            # oversized bucket = n_planes too low for the corpus (its pairs
+            # are near-random collisions): skip rather than go quadratic in
+            # one task.  A skipped pair can still surface via a smaller
+            # later-table bucket unless that bucket also saw the collision.
+            if len(pdf) < 2 or len(pdf) > max_bucket_size:
+                return pd.DataFrame({"id1": [], "id2": [], "cosine": []})
+            ids = pdf["id"].to_numpy()
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v__"]])
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+            keep = (sims >= thr) & (ids[:, None] < ids[None, :])
+            # suppress pairs that already collided in an earlier table —
+            # bucket ids are table-offset, so equality only holds in-table
+            t_g = int(pdf["__bucket__"].iloc[0]) >> n_planes
+            if t_g:
+                B = np.stack([np.asarray(b) for b in pdf["__blist__"]])
+                for t in range(t_g):
+                    keep &= B[:, t][:, None] != B[:, t][None, :]
+            ii, jj = np.nonzero(keep)
+            return pd.DataFrame({"id1": ids[ii], "id2": ids[jj], "cosine": sims[ii, jj]})
+
+        return buckets.groupBy("__bucket__").applyInPandas(
+            score_bucket, f"id1 {id_type}, id2 {id_type}, cosine double"
         )
 
     import pandas as pd
@@ -370,10 +433,12 @@ def embedding_neardup_pairs(
     from chat_data_pipeline_spark.session import repartition_for_compute
 
     id_type = dict(df.dtypes)[id_col]
-    total = df.count()
-    if total > max_broadcast_rows:
+    # limit-probe, not a full count(): the guard only needs to know whether
+    # the corpus EXCEEDS the cap, so scan at most cap+1 narrow rows
+    over = df.select(id_col).limit(max_broadcast_rows + 1).count()
+    if over > max_broadcast_rows:
         raise ValueError(
-            f"exact all-pairs would broadcast {total} vectors "
+            f"exact all-pairs would broadcast >{max_broadcast_rows} vectors "
             f"(max_broadcast_rows={max_broadcast_rows}); use the SRP-LSH "
             "path (n_planes/n_tables) for corpora that don't fit a broadcast"
         )

@@ -51,6 +51,9 @@ class FilterReport:
     rows_before: int | None = None
     rows_after: int | None = None
     score_summary: dict[str, float] | None = None
+    # non-verbose mode: metrics ride the caller's action (df.observe) and are
+    # pulled into the plain fields by SparkPreprocessor.collect_reports()
+    observation: object | None = None
 
     @property
     def removed(self) -> int | None:
@@ -80,6 +83,7 @@ class SparkPreprocessor:
     deduplication_config: dict | None = None
     verbose: bool = False
     reports: list[FilterReport] = field(default_factory=list)
+    _final_obs: object | None = field(default=None, repr=False)
 
     def run(self, df: DataFrame, dry_run: bool = False) -> DataFrame:
         df = self._clean(df)
@@ -112,12 +116,46 @@ class SparkPreprocessor:
                 scored = df.withColumn(crit, spec.score_expr(col))
                 report.score_summary = _describe(scored, crit)
                 report.rows_before = scored.count()
+            elif not df.isStreaming:
+                # fully lazy: the describe() stats ride the caller's FINAL
+                # action as observed metrics — zero extra passes, vs one
+                # count + one aggregate per filter in verbose mode.  (Not on
+                # streaming plans: Observation rejects them — per-microbatch
+                # metrics come from StreamingQueryListener instead.)
+                df, report.observation = _observe_criteria(df, spec, col)
             df = df.filter(spec.keep_expr(col))
             if self.verbose:
                 report.rows_after = df.count()
                 _log_reduction(report)
             self.reports.append(report)
+        if not dry_run and not self.verbose and any(
+            r.observation is not None for r in self.reports
+        ):
+            from pyspark.sql import Observation
+
+            self._final_obs = Observation()
+            df = df.observe(self._final_obs, F.count(F.lit(1)).alias("rows_after"))
         return df
+
+    def collect_reports(self) -> list[FilterReport]:
+        """Non-verbose mode: pull the observed per-filter metrics (available
+        after the caller has run ANY action over the returned plan) into the
+        reports — rows_before/score stats per filter; ``rows_after`` is the
+        next filter's rows_before (filters chain with nothing between them),
+        and the trailing count-only observation closes the last filter.
+        Blocks if called before an action has executed the plan."""
+        observed = [r for r in self.reports if r.observation is not None]
+        for i, report in enumerate(observed):
+            stats = dict(report.observation.get)
+            report.rows_before = int(stats.pop("rows_before"))
+            report.score_summary = stats
+            if i > 0:
+                observed[i - 1].rows_after = report.rows_before
+                _log_reduction(observed[i - 1])
+        if observed and self._final_obs is not None:
+            observed[-1].rows_after = int(self._final_obs.get["rows_after"])
+            _log_reduction(observed[-1])
+        return self.reports
 
     # -- dedup (ref:preprocessor.py:60-79) -----------------------------------
     def _deduplicate(self, df: DataFrame) -> DataFrame:
@@ -144,6 +182,28 @@ class SparkPreprocessor:
             name, kwargs = flt
             return get_filter(name, **kwargs)
         return get_filter(flt)
+
+
+def _observe_criteria(df: DataFrame, spec: FilterSpec, col: Column):
+    """Attach the describe() metric set for one filter's criteria as observed
+    metrics (ref:pipeline.py:57's stats contract, with zero extra passes —
+    CollectMetrics evaluates during whatever action the caller runs)."""
+    from pyspark.sql import Observation
+
+    score = spec.score_expr(col).cast("double")
+    obs = Observation()
+    df = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_before"),
+        F.avg(score).alias("mean"),
+        F.stddev(score).alias("std"),
+        F.min(score).alias("min"),
+        F.percentile_approx(score, 0.25).alias("25%"),
+        F.percentile_approx(score, 0.5).alias("50%"),
+        F.percentile_approx(score, 0.75).alias("75%"),
+        F.max(score).alias("max"),
+    )
+    return df, obs
 
 
 def _describe(df: DataFrame, column: str) -> dict[str, float]:

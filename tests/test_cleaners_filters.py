@@ -203,3 +203,55 @@ def test_perplexity_stub_deterministic(docs_df):
     b = _collect(docs_df, FL.check_perplexity_score(F.col("text")))
     assert a == b
     assert all(v is None or v >= 1.0 for v in a.values())
+
+
+def test_kenlm_doc_perplexity_arithmetic():
+    """ref:kenlm_model.py:122-142 scoring math against fake model/tokenizer
+    objects (the native deps are absent here; the arithmetic is what's ours)."""
+    import math
+
+    from chat_data_pipeline_spark.functions.perplexity import doc_perplexity
+
+    class FakeModel:  # log10-score: -1 per whitespace token
+        def score(self, line):
+            return -float(len(line.split()))
+
+    class FakeSP:  # identity piece split
+        def encode_as_pieces(self, doc):
+            return doc.split(" ")
+
+    m, sp = FakeModel(), FakeSP()
+    # "a b\nc d" → lines "a b", "c d": Σlog = -4, Σ(len+1) = 6 → 10^(4/6) → 4.6
+    assert doc_perplexity("a b\nc d", m, sp) == 4.6
+    assert doc_perplexity("hello world", m, sp) == round(10 ** (2 / 3), 1)
+    assert math.isnan(doc_perplexity(None, m, sp))
+
+
+def test_kenlm_scorer_udf_path_with_fake_models(spark):
+    """KenlmScorer's whole Spark path (normalize → pandas UDF → per-doc ppl)
+    with the executor-side model loader stubbed — previously zero executions."""
+    from chat_data_pipeline_spark.functions.perplexity import KenlmScorer
+
+    class FakeScorer(KenlmScorer):
+        def _load_models(self):
+            class FakeModel:
+                def score(self, line):
+                    return -float(len(line.split()))
+
+            class FakeSP:
+                def encode_as_pieces(self, doc):
+                    return doc.split(" ")
+
+            return FakeModel(), FakeSP()
+
+    scorer = FakeScorer("/nonexistent.arpa", "/nonexistent.spm")
+    # NB cc_net normalization strips \n (non-printing class, as the
+    # reference does), so the scored doc is a single line
+    df = spark.createDataFrame([(1, "hello world"), (2, None)], "id long, text string")
+    rows = {r.id: r.ppl for r in df.select(
+        "id", scorer.score(F.col("text")).alias("ppl")
+    ).collect()}
+    assert rows[1] == round(10 ** (2 / 3), 1)  # Σlog=-2, Σ(len+1)=3
+    import math
+
+    assert rows[2] is None or math.isnan(rows[2])

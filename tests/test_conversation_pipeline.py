@@ -208,3 +208,37 @@ def test_stats_describe_single_row_group(spark, tmp_path):
     rows = {r.source: r for r in out.collect()}
     assert rows["solo"].n == 1 and rows["solo"].std_wc == 0.0
     assert rows["pair"].n == 2 and rows["pair"].std_wc > 0.0
+
+
+def test_pipeline_observed_stats_non_verbose(spark):
+    """Non-verbose mode: per-filter describe() stats and row counts ride the
+    caller's ONE action via df.observe — collect_reports() runs zero extra
+    Spark jobs (round-2 verdict task #7; ref:pipeline.py:57 contract)."""
+    df = spark.createDataFrame(
+        [(1, "one two three four five six."), (2, "seven eight nine ten."), (3, "x")],
+        "id long, text string",
+    )
+    pre = SparkPreprocessor(
+        column_name="text",
+        filters=[
+            ("check_word_number", {"min_word_threshold": 4, "max_word_threshold": 100}),
+            "check_completion",
+        ],
+    )
+    out = pre.run(df)
+    sc = spark.sparkContext
+    sc.setJobGroup("obs-test", "observed stats")
+    try:
+        assert out.count() == 2
+        jobs_after_action = len(sc.statusTracker().getJobIdsForGroup("obs-test"))
+        reports = pre.collect_reports()
+        jobs_after_collect = len(sc.statusTracker().getJobIdsForGroup("obs-test"))
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs_after_collect == jobs_after_action  # stats cost no extra pass
+    wc, comp = reports
+    assert wc.rows_before == 3 and wc.rows_after == 2 and wc.removed == 1
+    assert wc.score_summary["mean"] == pytest.approx((6 + 4 + 1) / 3)
+    assert wc.score_summary["min"] == 1.0 and wc.score_summary["max"] == 6.0
+    assert comp.rows_before == 2 and comp.rows_after == 2
+    assert comp.score_summary["mean"] == 1.0  # both survivors end with '.'

@@ -64,6 +64,18 @@ def test_ivf_deterministic(emb, queries):
     a = sorted(map(tuple, SIM.ivf_topk(emb, queries, k=5).collect()))
     b = sorted(map(tuple, SIM.ivf_topk(emb, queries, k=5).collect()))
     assert a == b
+    # partition-layout invariance: the centroid sample orders by hash-of-id,
+    # so a repartitioned corpus must yield the identical index and results
+    c = sorted(map(tuple, SIM.ivf_topk(emb.repartition(7), queries, k=5).collect()))
+    assert a == c
+
+
+def test_ivf_centroids_partition_invariant(emb):
+    import numpy as np
+
+    a = SIM._train_centroids(emb, "embedding", 8, id_col="vec_id")
+    b = SIM._train_centroids(emb.repartition(13), "embedding", 8, id_col="vec_id")
+    assert np.array_equal(a, b)
 
 
 def test_lsh_recall(emb, queries, exact_topk):
