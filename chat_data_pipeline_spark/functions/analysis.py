@@ -50,17 +50,51 @@ def language_id(col: Column) -> Column:
     """Deterministic argmax over per-language stopword hit counts.
 
     Tie-break follows STOPWORDS order (en > de > es > fr); zero hits
-    everywhere → 'und' (undetermined).  The SQL oracle mirrors this CASE
-    chain verbatim.
+    everywhere → 'und' (undetermined).  The SQL oracle mirrors the CASE
+    chain verbatim (over 4 per-language filter counts — same counts).
+
+    Plan shape: ONE tokenize and ONE aggregate fold; each token takes 4
+    hash-set probes (``isin`` over ≥10 literals compiles to InSet) and the
+    four counts ride a single accumulator as two 32-bit fields per long —
+    the naive form (4 × tokenize → filter(isin) passes, each re-evaluated
+    by the when-chain) measured ~4× slower at sf0.1.  Counts saturate only
+    past 2³² single-language stopword hits per document — unreachable.
     """
-    en, de, es, fr = (stopword_hits(col, l) for l in ("en", "de", "es", "fr"))
-    return (
-        F.when((en == 0) & (de == 0) & (es == 0) & (fr == 0), F.lit("und"))
-        .when((en >= de) & (en >= es) & (en >= fr), F.lit("en"))
-        .when((de >= es) & (de >= fr), F.lit("de"))
-        .when(es >= fr, F.lit("es"))
-        .otherwise(F.lit("fr"))
+    en_w, de_w, es_w, fr_w = (STOPWORDS[l] for l in ("en", "de", "es", "fr"))
+    zero = F.lit(0).cast("long")
+
+    def hit(tok: Column, words: list[str], shift: int) -> Column:
+        bump = F.lit(1 << shift).cast("long") if shift else F.lit(1).cast("long")
+        return F.when(tok.isin(words), bump).otherwise(zero)
+
+    packed = F.aggregate(
+        T.words(col),
+        F.struct(zero.alias("a"), zero.alias("b")),
+        lambda acc, t: F.struct(
+            (acc["a"] + hit(t, en_w, 0) + hit(t, de_w, 32)).alias("a"),
+            (acc["b"] + hit(t, es_w, 0) + hit(t, fr_w, 32)).alias("b"),
+        ),
     )
+
+    low32 = F.lit((1 << 32) - 1).cast("long")
+
+    def decide(p: Column) -> Column:
+        en = p["a"].bitwiseAND(low32)
+        de = F.shiftright(p["a"], 32)
+        es = p["b"].bitwiseAND(low32)
+        fr = F.shiftright(p["b"], 32)
+        return (
+            F.when((en == 0) & (de == 0) & (es == 0) & (fr == 0), F.lit("und"))
+            .when((en >= de) & (en >= es) & (en >= fr), F.lit("en"))
+            .when((de >= es) & (de >= fr), F.lit("de"))
+            .when(es >= fr, F.lit("es"))
+            .otherwise(F.lit("fr"))
+        )
+
+    # bind the aggregate ONCE (single-element transform) — the when-chain
+    # references the counts many times, and an unbound reference would
+    # re-run the whole fold per reference
+    return F.get(F.transform(F.array(packed), decide), 0)
 
 
 def token_count_whitespace(col: Column) -> Column:

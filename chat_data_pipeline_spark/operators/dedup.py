@@ -385,8 +385,12 @@ def ngram_jaccard_edges(
     # set-intersection counts are unchanged barring 64-bit collisions
     # (~n²/2⁶⁵ — irrelevant at any feasible shingle count).  Materialized
     # once via localCheckpoint so the tokenize+shingle pass runs once, not
-    # once per join side / pushed-down filter copy.
-    postings = df.select(
+    # once per join side / pushed-down filter copy.  The tokenize+shingle
+    # projection is the CPU-heavy part — spread it across cores first (no-op
+    # when the scan already has enough splits).
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    postings = repartition_for_compute(df.select(id_col, column)).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(column), ngram_size)).alias("shingle"),
     ).select("id", F.xxhash64("shingle").alias("shingle"))
@@ -396,13 +400,15 @@ def ngram_jaccard_edges(
     # the true set size (the cap only prunes candidate generation).
     sizes = postings.groupBy("id").agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
-        freq_ok = (
-            postings.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_freq)
-            .select("shingle")
+        # document-frequency cap as a window count, not groupBy+join-back:
+        # one shuffle on shingle (which the self-join below keys on anyway)
+        # instead of an aggregate exchange plus a join exchange
+        w = Window.partitionBy("shingle")
+        postings = (
+            postings.withColumn("__df__", F.count("*").over(w))
+            .filter(F.col("__df__") <= max_shingle_freq)
+            .drop("__df__")
         )
-        postings = postings.join(freq_ok, "shingle")
     a = postings.alias("a")
     b = postings.alias("b")
     inter = (

@@ -1433,7 +1433,11 @@ def _sql_stopword_hits(lang: str) -> str:
     "heuristic stopword language-ID, deterministic argmax",
 )
 def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    # the tokenize+fold is CPU-bound and the testdata parquet is one split —
+    # spread the scan before the expression (no-op with enough splits)
+    docs = repartition_for_compute(_read(spark, sf_dir, "documents").select("text"))
     return (
         docs.select(A.language_id(F.col("text")).alias("predicted_lang"))
         .groupBy("predicted_lang")
@@ -1466,7 +1470,11 @@ _SQL_PUNCT_CLASS = r"[.,;:!?''\"()\[\]{}<>~`*%&#@^_|\\/+=-]"
     "composite [0,1] quality heuristic (length/stopword/punct/alpha terms)",
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    docs = repartition_for_compute(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.select("doc_id", A.quality_score(F.col("text")).alias("quality"))
 
 
