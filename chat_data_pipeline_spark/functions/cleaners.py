@@ -11,6 +11,8 @@ gated on ftfy being importable, with a passthrough fallback.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -79,16 +81,59 @@ def _ftfy_fix(batch: pd.Series) -> pd.Series:
     return batch.map(lambda t: "" if t is None else ftfy.fix_text(t))
 
 
-def fix_utf8_encoding(col: Column) -> Column:
-    """C1 — ftfy mojibake repair; ``None -> ""`` (ref:cleaners.py:5-8).
+# chars that only plausibly appear as the Latin-1/cp1252 rendering of UTF-8
+# lead/continuation bytes (Â Ã â plus the cp1252 window-punctuation block) —
+# the trigger set for attempting an encoding reversal
+_MOJIBAKE_HINT = re.compile("[ÂÃâ€œžˆ‹]")
 
-    Falls back to null-coalescing passthrough when ftfy is unavailable (the
-    null rule is the only part with relational semantics).  The UDF is built
-    lazily so importing this module never requires an active SparkSession.
+
+def fix_encoding_text(text: str | None, max_passes: int = 3) -> str:
+    """Stdlib reimplementation of the core ftfy ``fix_encoding`` move
+    (ref:cleaners.py:5-8 wraps ftfy): when a string looks like UTF-8 bytes
+    read back through cp1252/Latin-1, re-encode through that codec and decode
+    as UTF-8.  A repair is accepted only if the full round-trip succeeds AND
+    it reduces the count of mojibake hint characters (ftfy's "badness must
+    decrease" rule); up to ``max_passes`` passes unwind double-encoding.
+    ``None -> ""`` like C1.  Limitation vs real ftfy: a string mixing
+    mojibake with codepoints outside both codecs is left unrepaired (no
+    sloppy-codec segment fixing)."""
+    if text is None:
+        return ""
+    for _ in range(max_passes):
+        hints = len(_MOJIBAKE_HINT.findall(text))
+        if not hints:
+            break
+        fixed = None
+        for codec in ("cp1252", "latin-1"):
+            try:
+                candidate = text.encode(codec).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if len(_MOJIBAKE_HINT.findall(candidate)) < hints:
+                fixed = candidate
+            break  # cp1252 encodable: don't also try latin-1 on the same text
+        if fixed is None or fixed == text:
+            break
+        text = fixed
+    return text
+
+
+def _heuristic_fix(batch: pd.Series) -> pd.Series:
+    return batch.map(fix_encoding_text)
+
+
+def fix_utf8_encoding(col: Column) -> Column:
+    """C1 — mojibake repair; ``None -> ""`` (ref:cleaners.py:5-8).
+
+    Prefers real ftfy when importable; otherwise runs the stdlib
+    :func:`fix_encoding_text` heuristic in an Arrow-batched UDF — the
+    production path executes either way instead of silently degrading to a
+    null-coalescing passthrough.  The UDF is built lazily so importing this
+    module never requires an active SparkSession.
     """
     if _HAS_FTFY:
         return pandas_udf(_ftfy_fix, "string")(col)
-    return F.coalesce(col, F.lit(""))
+    return pandas_udf(_heuristic_fix, "string")(col)
 
 
 # The highest-frequency UTF-8-read-as-Latin-1/cp1252 mojibake sequences (the

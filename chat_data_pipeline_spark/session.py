@@ -53,6 +53,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Deterministic timestamp semantics for oracle comparisons.
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; read nanos as long session-wide so
+        # readers don't have to mutate conf per call
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Quieter local runs.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

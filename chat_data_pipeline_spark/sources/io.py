@@ -55,6 +55,81 @@ def combine_sources(
     )
 
 
+def hub_splits_to_spark(
+    spark: SparkSession,
+    splits: dict[str, object],
+    staging_dir: str,
+    split_column: str = "split",
+) -> DataFrame:
+    """S2 split concatenation for hub-shaped data (ref:main.py:78-81,
+    ref:utils.py:173 ``concatenate_datasets``): each split object exposes the
+    ``datasets.Dataset.to_parquet(path)`` contract; splits stage to parquet
+    once and SPARK reads them back — the data path from there on is a plain
+    distributed parquet scan, never a driver-side pandas materialization —
+    unioned by name with a ``split`` provenance column."""
+    from pyspark.sql import functions as F
+
+    import os
+
+    frames = []
+    for split_name, dset in splits.items():
+        path = os.path.join(staging_dir, f"{split_name}.parquet")
+        dset.to_parquet(path)
+        frames.append(
+            spark.read.parquet(path).withColumn(split_column, F.lit(split_name))
+        )
+    if not frames:
+        raise ValueError("dataset has no splits")
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+
+
+def read_hub_dataset(
+    spark: SparkSession,
+    name: str,
+    config: str | None = None,
+    staging_dir: str | None = None,
+    split_column: str = "split",
+) -> DataFrame:
+    """S1 HuggingFace hub source (ref:main.py:78, ``load_dataset``).  Needs
+    the ``datasets`` package (network + hub cache); the Spark-side plumbing
+    is :func:`hub_splits_to_spark` and is tested without it."""
+    try:
+        import datasets
+    except ImportError as exc:  # pragma: no cover - hub deps absent in CI
+        raise NotImplementedError(
+            "read_hub_dataset requires the 'datasets' package; load the data "
+            "as parquet/json/csv and use read_table/combine_sources instead"
+        ) from exc
+    import tempfile
+
+    loaded = datasets.load_dataset(name, config) if config else datasets.load_dataset(name)
+    if not hasattr(loaded, "items"):  # a single split came back
+        loaded = {"train": loaded}
+    return hub_splits_to_spark(
+        spark, dict(loaded), staging_dir or tempfile.mkdtemp(), split_column
+    )
+
+
+def write_hub_dataset(
+    df: DataFrame, repo_id: str, staging_dir: str, private: bool = True
+) -> str:
+    """S6 hub sink (ref:main.py:74, ``push_to_hub``): stage the DataFrame as
+    parquet (distributed write), then upload the folder via huggingface_hub.
+    Returns the staged path; upload needs the hub package + a token."""
+    write_sink(df, staging_dir, fmt="parquet")
+    try:
+        from huggingface_hub import HfApi
+    except ImportError as exc:  # pragma: no cover - hub deps absent in CI
+        raise NotImplementedError(
+            f"data staged to {staging_dir}; pushing to the hub requires the "
+            "'huggingface_hub' package"
+        ) from exc
+    api = HfApi()
+    api.create_repo(repo_id, repo_type="dataset", private=private, exist_ok=True)
+    api.upload_folder(repo_id=repo_id, repo_type="dataset", folder_path=staging_dir)
+    return staging_dir
+
+
 def write_sink(
     df: DataFrame,
     path: str,

@@ -255,3 +255,45 @@ def test_kenlm_scorer_udf_path_with_fake_models(spark):
     import math
 
     assert rows[2] is None or math.isnan(rows[2])
+
+
+def test_fix_encoding_heuristic_pure():
+    """Stdlib encoding-repair: must fix everything the native replace-chain
+    map fixes, unwind double-encoding, and leave clean/undecodable text
+    alone (C1 production path — previously never executed without ftfy)."""
+    from chat_data_pipeline_spark.functions.cleaners import (
+        MOJIBAKE_MAP,
+        fix_encoding_text,
+    )
+
+    for bad, good in MOJIBAKE_MAP.items():
+        assert fix_encoding_text(f"x {bad} y") == f"x {good} y"
+    # classic UTF-8-read-as-Latin-1 (latin-1 maps every byte, unlike cp1252
+    # whose table has holes like 0x9D — the right-double-quote tail byte)
+    once = "It’s “fine” — naïve café".encode("utf-8").decode("latin-1")
+    twice = once.encode("utf-8").decode("latin-1")
+    assert fix_encoding_text(once) == "It’s “fine” — naïve café"
+    assert fix_encoding_text(twice) == "It’s “fine” — naïve café"
+    # clean unicode (no hint chars) is untouched; lone hint char is not
+    # decodable as utf-8 and stays as-is; None coalesces to ""
+    assert fix_encoding_text("hello — naïve café 你好") == "hello — naïve café 你好"
+    assert fix_encoding_text("Â is a letter") == "Â is a letter"
+    assert fix_encoding_text(None) == ""
+
+
+def test_fix_utf8_encoding_udf_path(spark):
+    """C1 through the Spark plan: the production cleaner executes a real
+    repair (ftfy when present, the stdlib heuristic otherwise)."""
+    from chat_data_pipeline_spark.functions import cleaners as C
+
+    rows = [(1, "smart quote: â€™ done"), (2, None), (3, "plain ascii.")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.fixed
+        for r in df.select(
+            "id", C.fix_utf8_encoding(F.col("text")).alias("fixed")
+        ).collect()
+    }
+    assert got[1] == "smart quote: ’ done"
+    assert got[2] == ""
+    assert got[3] == "plain ascii."

@@ -108,3 +108,48 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         assert joined.count() == plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_hub_splits_to_spark(spark, tmp_path):
+    """Hub-source plumbing without hub deps: any object with the
+    datasets.Dataset ``to_parquet`` contract stages once, Spark reads the
+    staged parquet (distributed path), splits concat with provenance."""
+    import pandas as pd
+
+    from chat_data_pipeline_spark.sources.io import hub_splits_to_spark
+
+    class FakeSplit:
+        def __init__(self, pdf):
+            self.pdf = pdf
+
+        def to_parquet(self, path):
+            self.pdf.to_parquet(path)
+
+    splits = {
+        "train": FakeSplit(pd.DataFrame({"id": [1, 2], "text": ["a", "b"]})),
+        # test split misses a column -> unionByName(allowMissingColumns)
+        "test": FakeSplit(pd.DataFrame({"id": [3]})),
+    }
+    out = hub_splits_to_spark(spark, splits, str(tmp_path))
+    rows = {r.id: (r.split, r.text) for r in out.collect()}
+    assert rows == {1: ("train", "a"), 2: ("train", "b"), 3: ("test", None)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no splits"):
+        hub_splits_to_spark(spark, {}, str(tmp_path))
+
+
+def test_hub_reader_gated_without_datasets(spark):
+    """Absent hub deps, the reader raises the documented NotImplementedError
+    instead of failing obscurely (C1-style degradation is not allowed)."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    from chat_data_pipeline_spark.sources.io import read_hub_dataset
+
+    if importlib.util.find_spec("datasets") is not None:
+        _pytest.skip("datasets installed; gating path not reachable")
+    with _pytest.raises(NotImplementedError, match="datasets"):
+        read_hub_dataset(spark, "user/some-dataset")
