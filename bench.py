@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "token_counts",
     "doc_fingerprints",
     "sample_grouped_users",
+    "pipeline_lifecycle",
 ]
 
 

@@ -292,9 +292,18 @@ check_empty_score = check_empty_keep
 
 
 def _contains_none(col: Column, phrases: list[str]) -> Column:
-    lowered = F.lower(col)
-    hit = F.exists(
-        F.lit(phrases).cast("array<string>"), lambda p: F.contains(lowered, p)
+    # bind lower(col) ONCE via a single-element transform: an expression
+    # referenced inside a higher-order lambda re-evaluates per element, so
+    # the naive form lowercases the whole document once per phrase (49-69
+    # phrases → measured ~5s of pure re-lowercasing at sf0.1)
+    hit = F.get(
+        F.transform(
+            F.array(F.lower(col)),
+            lambda low: F.exists(
+                F.lit(phrases).cast("array<string>"), lambda p: F.contains(low, p)
+            ),
+        ),
+        0,
     )
     return ~hit
 

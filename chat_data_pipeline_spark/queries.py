@@ -1898,8 +1898,13 @@ _LIFECYCLE_CLEANED = _sql_normalize_punct(_sql_normalize_ws("text"))
 )
 def pipeline_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chat_data_pipeline_spark.plans import SparkPreprocessor
+    from chat_data_pipeline_spark.session import repartition_for_compute
 
-    docs = _read(spark, sf_dir, "documents")
+    # the fused clean+filter projection is CPU-bound regex work; spread the
+    # single-row-group test scan before it (no-op with enough splits)
+    docs = repartition_for_compute(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     pre = SparkPreprocessor(
         column_name="text",
         cleaners=["normalize_whitespace", "normalize_punctuation"],
