@@ -175,6 +175,8 @@ def connected_components_min_label(edges: DataFrame, max_iterations: int = 50) -
         )
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     for iteration in range(max_iterations):
         cand = (
             und.join(labels, und["dst"] == labels["node"])
@@ -188,8 +190,17 @@ def connected_components_min_label(edges: DataFrame, max_iterations: int = 50) -
                 "label"
             ),
         )
+        # convergence check rides the checkpoint's own materialization job as
+        # an observed metric — a separate count() re-scanned labels per round
+        obs = Observation()
+        merged = merged.observe(
+            obs,
+            F.sum(
+                F.when(F.col("label") < F.col("old_label"), 1).otherwise(0)
+            ).alias("changed"),
+        )
         merged = merged.localCheckpoint(eager=True)
-        changed = merged.filter(F.col("label") < F.col("old_label")).count()
+        changed = int(obs.get["changed"] or 0)
         labels = merged.select("node", "label")
         if changed == 0:
             break
