@@ -105,6 +105,14 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # BASELINE.md comparability: clean -> filter -> dedup throughput in rows/s
+    # (the reference's own execution model is single-threaded pandas apply)
+    extras: dict[str, float] = {}
+    if "pipeline_lifecycle" in timings and timings["pipeline_lifecycle"] > 0:
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        extras["lifecycle_rows_per_sec"] = round(
+            n_docs / timings["pipeline_lifecycle"], 1
+        )
     print(
         json.dumps(
             {
@@ -113,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **extras,
             }
         )
     )
