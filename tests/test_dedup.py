@@ -182,3 +182,24 @@ def test_ngram_jaccard_cap_prunes_hot_shingle_candidates(spark):
     )
     assert uncapped.count() == 45
     assert capped.count() == 0
+
+
+def test_minhash_telemetry_taxonomy(spark, corpus, caplog):
+    """D9: verbose minhash dedup logs the reference's exact stage-timer
+    taxonomy and counters (ref:minhash_deduplication.py:305-317)."""
+    import logging
+
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    with caplog.at_level(logging.INFO, logger="chat_data_pipeline_spark"):
+        D.minhash_dedup(df, "text", id_col="doc_id", num_perm=32, verbose=True).count()
+    text = "\n".join(r.getMessage() for r in caplog.records)
+    for marker in (
+        "minhash",
+        "clustering",
+        "filtering",
+        "Data Number (before)",
+        "Data Number (after)",
+        "Duplicate Number",
+        "Total Time",
+    ):
+        assert marker in text, f"missing telemetry line: {marker}"
