@@ -1920,6 +1920,189 @@ def pipeline_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Gopher-style repetition signals (functions/repetition.py)
+# ===========================================================================
+
+# The synthetic documents are single-line word soup, so the line/paragraph
+# signals are exercised over a CONSTRUCTED multi-line doc (three shapes keyed
+# on doc_id % 3: duplicated lines / all-unique / duplicated paragraph) — the
+# same build on both engines, following the filter_truncation pattern so no
+# signal is vacuously zero.  The n-gram signals run on the raw text.
+_REPETITION_SQL_BODY = r"""
+    WITH parts AS (
+      SELECT doc_id, substr(text, 1, 30) AS s1, substr(text, 31, 30) AS s2,
+             substr(text, 61, 30) AS s3, chr(10) AS nl
+      FROM documents
+    ), built AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN s1 || nl || s2 || nl || s1 || nl || s1
+             WHEN doc_id % 3 = 1 THEN s1 || nl || s2 || nl || s3
+             ELSE s1 || nl || s2 || nl || nl || s1 || nl || s2 END AS b
+      FROM parts
+    ), linearr AS (
+      SELECT doc_id,
+             list_filter(string_split(b, chr(10)), x -> trim(x) <> '') AS lf,
+             list_filter(string_split(b, chr(10) || chr(10)), x -> trim(x) <> '') AS pf
+      FROM built
+    ), linefrac AS (
+      SELECT doc_id,
+        CASE WHEN len(lf) > 0
+             THEN CAST(len(lf) - len(list_distinct(lf)) AS DOUBLE) / len(lf)
+             ELSE 0.0 END AS dup_line_frac,
+        CASE WHEN len(pf) > 0
+             THEN CAST(len(pf) - len(list_distinct(pf)) AS DOUBLE) / len(pf)
+             ELSE 0.0 END AS dup_para_frac
+      FROM linearr
+    ), lx AS (
+      SELECT doc_id, unnest(lf) AS line FROM linearr
+    ), lc AS (
+      SELECT doc_id, line, COUNT(*) AS c, length(line) AS ln
+      FROM lx GROUP BY doc_id, line
+    ), lchar AS (
+      SELECT doc_id, SUM((c - 1) * ln) AS dupc, SUM(c * ln) AS totc
+      FROM lc GROUP BY doc_id
+    ), toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS t
+      FROM documents
+    ), den AS (
+      SELECT doc_id, length(array_to_string(t, ' ')) AS d FROM toks
+    ), g2 AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS g
+      FROM toks
+    ), c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+    top2 AS (SELECT doc_id, MAX(c * length(g)) AS m FROM c2 GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS g
+      FROM toks
+    ), c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+    top3 AS (SELECT doc_id, MAX(c * length(g)) AS m FROM c3 GROUP BY doc_id),
+    g5 AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS g
+      FROM toks
+    ), c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g),
+    dup5 AS (
+      SELECT doc_id, SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS m
+      FROM c5 GROUP BY doc_id
+    ), signals AS (
+      SELECT d.doc_id,
+        lfr.dup_line_frac,
+        CASE WHEN COALESCE(lch.totc, 0) > 0
+             THEN CAST(lch.dupc AS DOUBLE) / lch.totc ELSE 0.0 END AS dup_line_char_frac,
+        lfr.dup_para_frac,
+        CASE WHEN den.d > 0 THEN CAST(COALESCE(t2.m, 0) AS DOUBLE) / den.d
+             ELSE 0.0 END AS top_2gram_char_frac,
+        CASE WHEN den.d > 0 THEN CAST(COALESCE(t3.m, 0) AS DOUBLE) / den.d
+             ELSE 0.0 END AS top_3gram_char_frac,
+        CASE WHEN den.d > 0 THEN CAST(COALESCE(d5.m, 0) AS DOUBLE) / den.d
+             ELSE 0.0 END AS dup_5gram_char_frac
+      FROM documents d
+      JOIN linefrac lfr ON lfr.doc_id = d.doc_id
+      LEFT JOIN lchar lch ON lch.doc_id = d.doc_id
+      JOIN den ON den.doc_id = d.doc_id
+      LEFT JOIN top2 t2 ON t2.doc_id = d.doc_id
+      LEFT JOIN top3 t3 ON t3.doc_id = d.doc_id
+      LEFT JOIN dup5 d5 ON d5.doc_id = d.doc_id
+    )
+"""
+
+
+def _repetition_inputs(spark: SparkSession, sf_dir: str):
+    """(docs_with_built, line_stats_col, profile_col) shared by both queries."""
+    from chat_data_pipeline_spark.functions import repetition as RP
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    docs = repartition_for_compute(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    s1 = F.substring("text", 1, 30)
+    s2 = F.substring("text", 31, 30)
+    s3 = F.substring("text", 61, 30)
+    built = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat_ws("\n", s1, s2, s1, s1))
+        .when(F.col("doc_id") % 3 == 1, F.concat_ws("\n", s1, s2, s3))
+        .otherwise(F.concat(s1, F.lit("\n"), s2, F.lit("\n\n"), s1, F.lit("\n"), s2))
+    )
+    # materialize each struct ONCE, then expand — multiple field references
+    # must not duplicate the HOF fold / re-invoke the pandas UDF
+    staged = docs.select(
+        "doc_id",
+        RP.line_repetition_stats(built).alias("ls"),
+        RP.ngram_repetition_profile(T.words(F.col("text"))).alias("prof"),
+    )
+    return staged
+
+
+@_register(
+    "docs_repetition_signals",
+    _REPETITION_SQL_BODY
+    + """
+    SELECT doc_id,
+      round(dup_line_frac, 6) AS dup_line_frac,
+      round(dup_line_char_frac, 6) AS dup_line_char_frac,
+      round(dup_para_frac, 6) AS dup_para_frac,
+      round(top_2gram_char_frac, 6) AS top_2gram_char_frac,
+      round(top_3gram_char_frac, 6) AS top_3gram_char_frac,
+      round(dup_5gram_char_frac, 6) AS dup_5gram_char_frac
+    FROM signals
+    """,
+    "Gopher repetition signals (Rae et al. 2021 App. A): dup line/para/char "
+    "fractions over a constructed multi-line doc + top-2/3-gram and "
+    "dup-5-gram char fractions over raw text — per-doc, shuffle-free "
+    "(native HOF line stats + one Arrow-batched profile UDF)",
+)
+def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _repetition_inputs(spark, sf_dir)
+    return staged.select(
+        "doc_id",
+        F.round(F.col("ls.dup_line_frac"), 6).alias("dup_line_frac"),
+        F.round(F.col("ls.dup_line_char_frac"), 6).alias("dup_line_char_frac"),
+        F.round(F.col("ls.dup_para_frac"), 6).alias("dup_para_frac"),
+        F.round(F.col("prof.top_2gram_char_frac"), 6).alias("top_2gram_char_frac"),
+        F.round(F.col("prof.top_3gram_char_frac"), 6).alias("top_3gram_char_frac"),
+        F.round(F.col("prof.dup_5gram_char_frac"), 6).alias("dup_5gram_char_frac"),
+    )
+
+
+# discriminating at sf0.01: the built doc drops doc_id%3 in {0,2} via line
+# signals (dup_line_frac=0.5 > 0.30), and top_2gram 0.10 splits the word-soup
+# distribution (min 0.029 / median 0.068 / max 0.329) — kept and dropped rows
+# both nonzero, so a constant-true or constant-false predicate fails the hash.
+_REPETITION_FILTER_THRESHOLDS = {"top_2gram_char_frac": 0.10}
+
+
+@_register(
+    "filter_repetition",
+    _REPETITION_SQL_BODY
+    + """
+    SELECT doc_id FROM signals
+    WHERE dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+      AND dup_para_frac <= 0.30 AND top_2gram_char_frac <= 0.10
+      AND dup_5gram_char_frac <= 0.15
+    """,
+    "Gopher repetition keep-filter over the same constructed docs: Gopher "
+    "thresholds with top-2gram tightened to 0.10 so both branches are "
+    "populated at sf0.01",
+)
+def filter_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.functions import repetition as RP
+
+    staged = _repetition_inputs(spark, sf_dir)
+    keep = RP.repetition_keep(
+        F.col("ls"),
+        F.col("prof"),
+        thresholds=_REPETITION_FILTER_THRESHOLDS,
+        signals=[
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "dup_para_frac",
+            "top_2gram_char_frac",
+            "dup_5gram_char_frac",
+        ],
+    )
+    return staged.filter(keep).select("doc_id")
+
+
+# ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
 
