@@ -2103,6 +2103,82 @@ def filter_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Benchmark n-gram decontamination (operators/decontamination.py)
+# ===========================================================================
+
+# Benchmark = every 97th doc_id (6 docs at sf0.01), train = the rest; word
+# 3-grams make 171/494 train docs contaminated at sf0.01 (8-grams — the
+# production default — share almost nothing in the synthetic word soup, which
+# would make the check vacuous).  Spark joins on xxhash64(shingle) (8-byte
+# broadcast keys); the oracle joins on the shingle string — results diverge
+# only on a 64-bit collision (~10⁻⁹ here).
+_DECONTAM_SQL_BODY = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+      FROM toks
+    ), grams AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ), train AS (
+      SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0
+    ), hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_bench_ngrams
+      FROM train t JOIN bench b USING (g) GROUP BY t.doc_id
+    )
+"""
+
+
+def _decontam_split(spark: SparkSession, sf_dir: str):
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    docs = repartition_for_compute(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return train, bench
+
+
+@_register(
+    "decontaminate_report",
+    _DECONTAM_SQL_BODY + "SELECT doc_id, n_bench_ngrams FROM hits",
+    "benchmark-overlap report: per contaminated train doc, how many of its "
+    "distinct word 3-grams appear in the benchmark split — broadcast "
+    "hash-semi-join probe, zero shuffle of the train side before the "
+    "per-doc count",
+)
+def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import decontamination as DC
+
+    train, bench = _decontam_split(spark, sf_dir)
+    return DC.contamination_report(train, bench, "text", "doc_id", ngram_size=3)
+
+
+@_register(
+    "decontaminate_ngram",
+    _DECONTAM_SQL_BODY
+    + """
+    SELECT doc_id FROM documents
+    WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+    "decontaminated training split: train docs sharing no word 3-gram with "
+    "the benchmark split (GPT-3 App. C-style n-gram decontamination)",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import decontamination as DC
+
+    train, bench = _decontam_split(spark, sf_dir)
+    return DC.ngram_decontaminate(train, bench, "text", "doc_id", ngram_size=3).select(
+        "doc_id"
+    )
+
+
+# ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
 
