@@ -2179,6 +2179,50 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Sequence packing (operators/packing.py)
+# ===========================================================================
+
+
+@_register(
+    "pack_sequences_bins",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, n_tokens, h,
+             CAST('0x' || substr(h, 1, 4) AS INTEGER) % 8 AS shard
+      FROM toks
+    ), walked AS (
+      SELECT doc_id, n_tokens, shard,
+             SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY h ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS prev
+      FROM sharded
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(floor(prev / 256.0) AS BIGINT) AS bin_id,
+           prev - CAST(floor(prev / 256.0) AS BIGINT) * 256 AS bin_offset
+    FROM walked
+    """,
+    "sequence packing into 256-token bins over 8 md5 shards: per-shard "
+    "stable pseudo-random order + running-sum window — one shuffle total, "
+    "shard count bounds every sort partition at 100 TB",
+)
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import packing as PK
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", T.word_count(F.col("text")).alias("n_tokens")
+    )
+    packed = PK.pack_sequences(docs, "n_tokens", "doc_id", budget=256, n_shards=8)
+    return packed.select("doc_id", "n_tokens", "shard", "bin_id", "bin_offset")
+
+
+# ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
 
