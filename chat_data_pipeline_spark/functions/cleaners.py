@@ -217,10 +217,37 @@ def clean_new_lines(col: Column) -> Column:
     return F.regexp_replace(strip(col), "\n", "")
 
 
+# --- PII redaction (training-data extension; no reference counterpart) ------
+# Patterns restricted to the Java-regex ∩ RE2 subset (no lookarounds) so the
+# duckdb oracle can run the byte-identical regex.  Replacement order matters:
+# emails first (their local part may contain digits a later phone pass would
+# mangle), then IPv4 (so the phone pattern can't swallow dotted quads), then
+# phone runs.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    (r"\+?\d[\d().\s-]{6,}\d", "[PHONE]"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / IPv4s / phone-number runs with typed placeholders.
+
+    A curation pipeline redacts rather than drops — the document stays useful
+    while the identifier is gone.  Three chained native ``regexp_replace``
+    calls fuse into the same codegen projection as the other cleaners.
+    """
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 CLEANERS: dict[str, object] = {
     "fix_utf8_encoding": fix_utf8_encoding,
     "normalize_whitespace": normalize_whitespace,
     "normalize_punctuation": normalize_punctuation,
     "remove_empty_lines": remove_empty_lines,
     "clean_new_lines": clean_new_lines,
+    "redact_pii": redact_pii,
 }

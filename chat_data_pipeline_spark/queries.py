@@ -2179,6 +2179,55 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# PII redaction (functions/cleaners.redact_pii)
+# ===========================================================================
+
+
+@_register(
+    "docs_redact_pii",
+    r"""
+    WITH built AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 40) || ' contact bob' || CAST(doc_id AS VARCHAR) || '@mail-host.example.com for help'
+             WHEN doc_id % 4 = 1 THEN substr(text, 1, 40) || ' call +1 (415) 555-0' || CAST(100 + doc_id % 900 AS VARCHAR) || ' today'
+             WHEN doc_id % 4 = 2 THEN substr(text, 1, 40) || ' seen from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 AS VARCHAR) || ' at dawn'
+             ELSE substr(text, 1, 40) END AS doc
+      FROM documents
+    )
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(doc, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+        '\+?\d[\d().\s-]{6,}\d', '[PHONE]', 'g') AS red
+    FROM built
+    """,
+    "PII redaction cleaner over constructed emails / phone runs / IPv4s — "
+    "three chained native regexp_replace passes (Java-regex ∩ RE2 patterns), "
+    "one codegen projection",
+)
+def docs_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 40)
+    built = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(head, F.lit(" contact bob"), F.col("doc_id").cast("string"), F.lit("@mail-host.example.com for help")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(head, F.lit(" call +1 (415) 555-0"), (F.lit(100) + F.col("doc_id") % 900).cast("string"), F.lit(" today")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(head, F.lit(" seen from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit("."), (F.col("doc_id") % 200).cast("string"), F.lit(" at dawn")),
+        )
+        .otherwise(head)
+    )
+    return docs.select("doc_id", C.redact_pii(built).alias("red"))
+
+
+# ===========================================================================
 # Sequence packing (operators/packing.py)
 # ===========================================================================
 

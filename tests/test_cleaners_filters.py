@@ -297,3 +297,26 @@ def test_fix_utf8_encoding_udf_path(spark):
     assert got[1] == "smart quote: ’ done"
     assert got[2] == ""
     assert got[3] == "plain ascii."
+
+
+def test_redact_pii(spark):
+    from chat_data_pipeline_spark.functions import cleaners as C
+
+    rows = [
+        (1, "mail me at jo.doe+spam@sub.example.co.uk thanks"),
+        (2, "call +1 (415) 555-0123 or 020 7946 0958 now"),
+        (3, "server 192.168.0.1 pinged 10.0.255.200"),
+        (4, "mixed: a@b.io at 10.0.0.1 tel +44 7700 900123"),
+        (5, "no pii here, just words and 7 lonely digits"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.red
+        for r in df.select("id", C.redact_pii(F.col("text")).alias("red")).collect()
+    }
+    assert got[1] == "mail me at [EMAIL] thanks"
+    assert got[2] == "call [PHONE] or [PHONE] now"
+    # IPs must be typed [IP], not swallowed by the phone pattern
+    assert got[3] == "server [IP] pinged [IP]"
+    assert got[4] == "mixed: [EMAIL] at [IP] tel [PHONE]"
+    assert got[5] == rows[4][1]
