@@ -168,3 +168,30 @@ def doc_fingerprint(col: Column) -> Column:
 def content_hash(col: Column) -> Column:
     """md5 of the raw text — the exact-duplicate key."""
     return F.md5(F.encode(col, "UTF-8"))
+
+
+# --- URL / domain signals (C4 / RefinedWeb-style source filtering) ----------
+# Java-regex ∩ RE2 patterns so the duckdb oracle runs them byte-identically.
+URL_PATTERN = r"https?://[^\s]+"
+_DOMAIN_PATTERN = r"^https?://([^/:?#\s]+)"
+
+
+def extract_urls(col: Column) -> Column:
+    """All http(s) URLs in the text, in order (array<string>)."""
+    return F.regexp_extract_all(col, F.lit(URL_PATTERN), F.lit(0))
+
+
+def url_domain(url: Column) -> Column:
+    """Lower-cased host part of a URL ('' if the value isn't a URL)."""
+    return F.lower(F.regexp_extract(url, _DOMAIN_PATTERN, 1))
+
+
+def domain_blocklist_keep(col: Column, blocked: list[str]) -> Column:
+    """Keep predicate: the text links to NO blocked domain.
+
+    The blocklist compiles to an InSet probe over the extracted domains —
+    native, no join; for blocklists too big for a literal set, join the
+    exploded domains against a broadcast blocklist table instead.
+    """
+    urls = extract_urls(col)
+    return ~F.exists(urls, lambda u: F.lower(F.regexp_extract(u, _DOMAIN_PATTERN, 1)).isin(blocked))

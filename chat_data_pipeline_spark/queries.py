@@ -2179,6 +2179,92 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# URL / domain signals (functions/analysis.py)
+# ===========================================================================
+
+# Constructed links (the corpus has none): most docs link site{0..12}, every
+# 6th doc adds a second mirror link, every 11th has no URL at all.
+_URL_BUILT_SQL = """
+    WITH built AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 40)
+             WHEN doc_id % 6 = 0 THEN substr(text, 1, 40)
+                  || ' see https://Site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                  || ' and http://mirror.example.org/x?q=' || CAST(doc_id AS VARCHAR)
+             ELSE substr(text, 1, 40)
+                  || ' see https://Site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) END AS doc
+      FROM documents
+    )
+"""
+
+
+def _url_built(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 40)
+    site = F.concat(
+        F.lit(" see https://Site"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    mirror = F.concat(F.lit(" and http://mirror.example.org/x?q="), F.col("doc_id").cast("string"))
+    built = (
+        F.when(F.col("doc_id") % 11 == 0, head)
+        .when(F.col("doc_id") % 6 == 0, F.concat(head, site, mirror))
+        .otherwise(F.concat(head, site))
+    )
+    return docs.select("doc_id", built.alias("doc"))
+
+
+@_register(
+    "domain_doc_counts",
+    _URL_BUILT_SQL
+    + r"""
+    , urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(doc, 'https?://[^\s]+')) AS u FROM built
+    )
+    SELECT lower(regexp_extract(u, '^https?://([^/:?#\s]+)', 1)) AS domain,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM urls GROUP BY 1
+    """,
+    "per-domain document counts over extracted links — the C4/RefinedWeb "
+    "source-distribution audit (explode + count-distinct, one shuffle)",
+)
+def domain_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    built = _url_built(spark, sf_dir)
+    return (
+        built.select("doc_id", F.explode(A.extract_urls(F.col("doc"))).alias("u"))
+        .select("doc_id", A.url_domain(F.col("u")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    )
+
+
+_BLOCKED_DOMAINS = ["site0.example.com", "site7.example.com", "mirror.example.org"]
+
+
+@_register(
+    "filter_domain_blocklist",
+    _URL_BUILT_SQL
+    + r"""
+    SELECT doc_id FROM built
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (SELECT unnest(regexp_extract_all(doc, 'https?://[^\s]+')) AS u) t
+      WHERE lower(regexp_extract(u, '^https?://([^/:?#\s]+)', 1))
+            IN ('site0.example.com', 'site7.example.com', 'mirror.example.org')
+    )
+    """,
+    "domain-blocklist keep-filter: docs linking to no blocked domain — "
+    "native InSet probe over extracted domains, no join",
+)
+def filter_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    built = _url_built(spark, sf_dir)
+    return built.filter(
+        A.domain_blocklist_keep(F.col("doc"), _BLOCKED_DOMAINS)
+    ).select("doc_id")
+
+
+# ===========================================================================
 # PII redaction (functions/cleaners.redact_pii)
 # ===========================================================================
 
@@ -2301,6 +2387,19 @@ _WINDOW_TAIL = [
     "events_pivot_types",
     "events_hourly_agg",
     "events_json_extract",
+    # rotated out in round 3 (each hash-green in CORRECTNESS_r01 AND _r02,
+    # byte-unchanged since) to admit the round-3 operators — repetition
+    # signals, decontamination, PII redaction, sequence packing — into the
+    # driver window; equivalent in-window coverage remains (joins: q5/q4/q18,
+    # rollup/cube: events_type_cube + events_grouping_sets, windows:
+    # sessionize/asof, cleaners: docs_normalize/remove_empty_lines, filter
+    # ratios: filter_nsfw/char_repetition):
+    "q3_shipping_priority",
+    "orders_rollup",
+    "events_top_users",
+    "q10_returned_revenue",
+    "docs_clean_new_lines",
+    "filter_lowercase_ratio",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
