@@ -51,6 +51,12 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "sample_grouped_users",
     "pipeline_lifecycle",
+    # round-3 training-data extensions
+    "docs_repetition_signals",
+    "decontaminate_ngram",
+    "pack_sequences_bins",
+    "docs_redact_pii",
+    "filter_domain_blocklist",
 ]
 
 

@@ -2179,6 +2179,57 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Corpus-wide paragraph dedup (operators/span_dedup.py)
+# ===========================================================================
+
+
+@_register(
+    "paragraph_dedup",
+    r"""
+    WITH built AS (
+      SELECT doc_id,
+             'shared block ' || CAST(doc_id % 5 AS VARCHAR)
+             || chr(10) || chr(10) || substr(text, 1, 40)
+             || chr(10) || chr(10) || 'common footer' AS doc
+      FROM documents
+    ), paras AS (
+      SELECT doc_id, pos, {} AS para
+      FROM (SELECT doc_id, string_split(doc, chr(10) || chr(10)) AS l FROM built),
+           LATERAL (SELECT unnest(range(1, len(l) + 1)) AS pos) t
+    ), nonblank AS (
+      SELECT doc_id, pos, para FROM paras WHERE para <> ''
+    ), winners AS (
+      SELECT doc_id, pos, para FROM (
+        SELECT doc_id, pos, para,
+               ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        FROM nonblank
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup
+    FROM winners GROUP BY doc_id
+    """.format(_sql_strip("l[pos]")),
+    "C4-style corpus-wide paragraph dedup over constructed docs (5 shared "
+    "header variants + unique body + universal footer): every distinct "
+    "paragraph survives once at its first (id,pos) occurrence — min-struct "
+    "agg + AQE-splittable equi-join, NOT a window, so a footer repeated in "
+    "10%% of the corpus can't create one giant window partition",
+)
+def paragraph_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import span_dedup as SD
+
+    docs = _read(spark, sf_dir, "documents")
+    built = F.concat_ws(
+        "\n\n",
+        F.concat(F.lit("shared block "), (F.col("doc_id") % 5).cast("string")),
+        F.substring("text", 1, 40),
+        F.lit("common footer"),
+    )
+    return SD.paragraph_dedup(
+        docs.select("doc_id", built.alias("doc")), "doc", "doc_id"
+    )
+
+
+# ===========================================================================
 # URL / domain signals (functions/analysis.py)
 # ===========================================================================
 

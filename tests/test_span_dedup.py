@@ -1,0 +1,49 @@
+"""Corpus-wide paragraph dedup (operators/span_dedup.py)."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from chat_data_pipeline_spark.operators import span_dedup as SD
+
+
+def test_first_occurrence_wins_and_reassembly_order(spark):
+    rows = [
+        (1, "alpha\n\nshared\n\nbeta"),
+        (2, "shared\n\ngamma"),  # 'shared' already seen in doc 1
+        (3, "gamma\n\nalpha"),  # both already seen
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_dedup for r in SD.paragraph_dedup(df, "text", "doc_id").collect()}
+    assert got[1] == "alpha\n\nshared\n\nbeta"
+    assert got[2] == "gamma"
+    assert 3 not in got  # every paragraph of doc 3 was claimed earlier
+
+
+def test_within_doc_duplicates_collapse(spark):
+    df = spark.createDataFrame([(7, "x\n\nx\n\ny")], "doc_id long, text string")
+    got = SD.paragraph_dedup(df, "text", "doc_id").first()
+    assert got.text_dedup == "x\n\ny"
+
+
+def test_blank_and_whitespace_paragraphs_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "  a  \n\n   \n\nb")], "doc_id long, text string"
+    )
+    got = SD.paragraph_dedup(df, "text", "doc_id").first()
+    assert got.text_dedup == "a\n\nb"  # trimmed, blank gone
+
+
+def test_plan_uses_agg_join_not_paragraph_window(spark):
+    df = spark.createDataFrame([(1, "a\n\nb")], "doc_id long, text string")
+    out = SD.paragraph_dedup(df, "text", "doc_id")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # skew-safety contract: winner selection must be an aggregation feeding a
+    # join — a Window over paragraph content would serialize hot keys
+    assert "Window" not in plan
+    assert re.search(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
