@@ -523,6 +523,153 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q2_min_cost_supplier",
+    """
+    WITH mins AS (
+      SELECT l_partkey, MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS min_cents
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT DISTINCT p.p_partkey, p.p_brand, s.s_name,
+           CAST(m.min_cents AS DOUBLE)/100 AS min_price
+    FROM lineitem l
+    JOIN mins m ON m.l_partkey = l.l_partkey
+             AND CAST(ROUND(l.l_extendedprice*100) AS BIGINT) = m.min_cents
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    """,
+    "TPC-H Q2 shape (no partsupp in this corpus): correlated min-cost "
+    "supplier per part — the correlated scalar subquery decorrelates into a "
+    "partial-aggregating groupBy + equi-join back on (key, min); dims "
+    "broadcast; exact-cents min so float ties can't split across engines",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    mins = (
+        li.groupBy("l_partkey")
+        .agg(F.min("cents").alias("min_cents"))
+        .withColumnRenamed("l_partkey", "m_partkey")
+    )
+    at_min = li.join(
+        mins,
+        (li["l_partkey"] == mins["m_partkey"]) & (li["cents"] == mins["min_cents"]),
+    ).select("l_partkey", "l_suppkey", "min_cents")
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        at_min.join(F.broadcast(part), at_min["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), at_min["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            (F.col("min_cents").cast("double") / 100).alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+@_register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: customer order-count distribution — left outer join "
+    "with a pushed join-side predicate, then a double aggregation (the "
+    "second groupBy runs on the tiny distinct-count domain)",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_register(
+    "q22_idle_rich_customers",
+    """
+    WITH avg_bal AS (
+      SELECT AVG(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS DOUBLE)/100 AS totacctbal
+    FROM customer c, avg_bal
+    WHERE CAST(ROUND(c.c_acctbal*100) AS BIGINT) > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    "TPC-H Q22 shape: above-average-balance customers with no orders — "
+    "scalar-aggregate subquery broadcast as a 1-row cross join + left-anti "
+    "join on orders, grouped per nation; balances in exact cents",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        "c_acctbal",
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("bal_cents").alias("a"))
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("bal_cents") > F.col("a"))
+    idle = rich.join(orders, rich["c_custkey"] == orders["o_custkey"], "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        (F.sum("bal_cents").cast("double") / 100).alias("totacctbal"),
+    )
+
+
+@_register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 2, 3, 4, 5)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+    "TPC-H Q16 shape: distinct-supplier counts per part attribute with a "
+    "NOT-IN exclusion subquery — left-anti against the (broadcast) excluded "
+    "supplier set, broadcast dim join, count-distinct agg",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 2, 3, 4, 5))
+    bad_supp = (
+        _read(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li["l_suppkey"] == bad_supp["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
     "q4_order_priority",
     """
     SELECT o.o_orderpriority, COUNT(*) AS order_count
@@ -2458,6 +2605,14 @@ _WINDOW_TAIL = [
     "events_type_cube",
     "filter_ethics_harsh",
     "events_value_quantiles",
+    # (third batch — admits the four round-3 TPC-H shapes q2/q13/q22/q16;
+    # anti-join coverage stays via q22, gap-session logic via events_asof/
+    # error_context, check_empty runs inside pipeline_lifecycle, word_count
+    # drives pack_sequences_bins):
+    "events_sessionize_batch",
+    "customers_without_orders",
+    "filter_empty",
+    "token_counts",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end

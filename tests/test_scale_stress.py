@@ -87,3 +87,40 @@ def test_temporal_ops_survive_event_blowup(spark, tmp_path_factory):
         errors, others, on="user_id", band_seconds=300, left_ts="ts", right_ts="x_ts"
     )
     assert pairs.count() > 0
+
+
+def test_round3_ops_survive_clone_blowup(big, spark):
+    """decontamination + paragraph dedup + packing over the 20x corpus:
+    guards the broadcast probe, the winner agg-join, and the shard window
+    against clone-amplified input (~10k docs)."""
+    from chat_data_pipeline_spark.operators import decontamination as DC
+    from chat_data_pipeline_spark.operators import packing as PK
+    from chat_data_pipeline_spark.operators import span_dedup as SD
+    from chat_data_pipeline_spark.functions import text as T
+
+    n = big.count()
+    bench = big.filter(F.col("doc_id") % 97 == 0)
+    train = big.filter(F.col("doc_id") % 97 != 0)
+    surv = DC.ngram_decontaminate(train, bench, "text", "doc_id", ngram_size=3)
+    assert 0 < surv.count() < n
+
+    built = big.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n", F.substring("text", 1, 60), F.lit("common footer"), F.substring("text", 30, 60)
+        ).alias("doc"),
+    )
+    deduped = SD.paragraph_dedup(built, "doc", "doc_id")
+    # 'common footer' survives exactly once corpus-wide
+    assert deduped.filter(F.col("text_dedup").contains("common footer")).count() == 1
+
+    packed = PK.pack_sequences(
+        big.select("doc_id", T.word_count(F.col("text")).alias("n_tokens")),
+        "n_tokens",
+        "doc_id",
+        budget=2048,
+        n_shards=32,
+    )
+    man = packed.groupBy("shard").agg(F.max("bin_id").alias("mx"), F.count("*").alias("c"))
+    rows = man.collect()
+    assert len(rows) == 32 and all(r.mx > 0 for r in rows)
