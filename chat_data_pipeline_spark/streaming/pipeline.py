@@ -139,6 +139,40 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_decontaminate(
+    stream: DataFrame,
+    bench: DataFrame,
+    column: str,
+    ngram_size: int = 8,
+) -> DataFrame:
+    """Continuous benchmark decontamination — stateless per-row predicate.
+
+    The batch operator's explode → semi-join → anti-join shape would become
+    a stream-stream join here (the contaminated-id side derives from the
+    stream), which Spark rejects for anti joins; instead the small static
+    benchmark is collapsed ONCE to its distinct shingle-hash set and shipped
+    in the plan as an array literal, and each doc keeps iff
+    ``NOT arrays_overlap(its_shingle_hashes, bench_hashes)`` — pure
+    projection + filter, so the stream needs no watermark and no state.
+    The bench set must be driver-sized (it is, by the operator's contract —
+    benchmarks are ≪ the corpus); re-plan the query to pick up a new set.
+    """
+    from chat_data_pipeline_spark.operators.decontamination import _shingle_hashes
+    from chat_data_pipeline_spark.operators.dedup import word_shingles
+
+    bench_hashes = [
+        r.h for r in _shingle_hashes(bench, column, ngram_size).distinct().collect()
+    ]
+    doc_hashes = F.transform(
+        word_shingles(F.col(column), ngram_size), lambda s: F.xxhash64(s)
+    )
+    if not bench_hashes:
+        return stream
+    return stream.filter(
+        ~F.arrays_overlap(doc_hashes, F.lit(bench_hashes))
+    )
+
+
 SESSION_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events int, total_value double"
 _STATE_SCHEMA = "start long, end long, n int, total double"
 

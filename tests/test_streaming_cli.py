@@ -212,3 +212,44 @@ def test_mini_yaml_parser():
     assert cfg["response"]["cleaners"] == ["normalize_whitespace", "normalize_punctuation"]
     assert cfg["response"]["filters"][0]["args"]["max_word_threshold"] == 100
     assert cfg["instruction"]["deduplication"]["do_deduplication"] is False
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Stream-side decontamination drops exactly the docs the batch operator
+    drops (stateless predicate ≡ explode/semi/anti shape)."""
+    from chat_data_pipeline_spark.operators import decontamination as DC
+    from chat_data_pipeline_spark.streaming import streaming_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    src = str(tmp_path / "train_src")
+    train.repartition(3).write.parquet(src)
+
+    batch_kept = {
+        r.doc_id
+        for r in DC.ngram_decontaminate(train, bench, "text", "doc_id", 3).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_decontaminate(stream, bench, "text", ngram_size=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decontam_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_decontam"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_kept = {r.doc_id for r in spark.sql("select doc_id from decontam_stream").collect()}
+    finally:
+        q.stop()
+    assert stream_kept == batch_kept
+    assert 0 < len(stream_kept) < train.count()
