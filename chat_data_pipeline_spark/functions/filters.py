@@ -321,6 +321,56 @@ check_ethics_harsh_score = check_ethics_harsh_keep
 
 
 # --------------------------------------------------------------------------
+# Training-data extension filters (round 3) — Gopher repetition gates and
+# the domain blocklist, exposed through the same name registry so YAML/
+# SparkPreprocessor configs compose them with the reference filters.
+# --------------------------------------------------------------------------
+
+
+def check_repetition_score(col: Column, **_: object) -> Column:
+    """Dry-run scalar: the top-2-gram char fraction (the Gopher signal with
+    the widest dynamic range on real corpora)."""
+    from chat_data_pipeline_spark.functions import repetition as RP
+    from chat_data_pipeline_spark.functions import text as T
+
+    return RP.ngram_repetition_profile(T.words(col))["top_2gram_char_frac"]
+
+
+def check_repetition_keep(
+    col: Column,
+    thresholds: dict | None = None,
+    signals: list | None = None,
+    **_: object,
+) -> Column:
+    from chat_data_pipeline_spark.functions import repetition as RP
+    from chat_data_pipeline_spark.functions import text as T
+
+    return RP.repetition_keep(
+        RP.line_repetition_stats(col),
+        RP.ngram_repetition_profile(T.words(col)),
+        thresholds=thresholds,
+        signals=signals,
+    )
+
+
+def check_domain_blocklist_keep(
+    col: Column, blocked_domains: list | None = None, **_: object
+) -> Column:
+    from chat_data_pipeline_spark.functions import analysis as A
+
+    if not blocked_domains:
+        return F.lit(True)
+    return A.domain_blocklist_keep(col, list(blocked_domains))
+
+
+def check_domain_blocklist_score(col: Column, **_: object) -> Column:
+    """Dry-run scalar: number of http(s) links in the doc."""
+    from chat_data_pipeline_spark.functions import analysis as A
+
+    return F.size(A.extract_urls(col)).cast("double")
+
+
+# --------------------------------------------------------------------------
 # Registry — mirrors the reference's getattr(filters, name) lookup
 # (ref:utils.py:23-50) plus custom_partial kwargs (ref:utils.py:142-146).
 # --------------------------------------------------------------------------
@@ -390,6 +440,15 @@ FILTERS: dict[str, FilterSpec] = {
         FilterSpec("check_ethics", check_ethics_score, check_ethics_keep),
         FilterSpec(
             "check_ethics_harsh", check_ethics_harsh_score, check_ethics_harsh_keep
+        ),
+        FilterSpec(
+            "check_repetition", check_repetition_score, check_repetition_keep
+        ),
+        FilterSpec(
+            "check_domain_blocklist",
+            check_domain_blocklist_score,
+            check_domain_blocklist_keep,
+            {"blocked_domains": []},
         ),
     ]
 }

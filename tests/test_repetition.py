@@ -90,3 +90,30 @@ def test_repetition_keep_signal_subset(spark):
         RP.repetition_keep(F.col("ls"), F.col("prof"), signals=["dup_5gram_char_frac"])
     ).count()
     assert full == 0 and restricted == 1
+
+
+def test_repetition_filter_composes_in_pipeline(spark):
+    """check_repetition / check_domain_blocklist resolve by name through
+    SparkPreprocessor like any reference filter."""
+    from chat_data_pipeline_spark.plans import SparkPreprocessor
+
+    # Gopher top-ngram gates assume realistically long docs (a 10-token doc
+    # has one bigram carrying >20% of its mass by accident) — the keeper doc
+    # is corpus-length on purpose
+    varied = " ".join(f"token{i} value{i * 7 % 23}" for i in range(40))
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, varied),
+        (3, varied + " but see https://bad.example.com/x for more"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pre = SparkPreprocessor(
+        column_name="text",
+        cleaners=[],
+        filters=[
+            "check_repetition",
+            ("check_domain_blocklist", {"blocked_domains": ["bad.example.com"]}),
+        ],
+    )
+    kept = {r.doc_id for r in pre.run(df).collect()}
+    assert kept == {2}
