@@ -34,8 +34,15 @@ from chat_data_pipeline_spark.operators.dedup import word_shingles
 
 
 def _shingle_hashes(df: DataFrame, column: str, ngram_size: int, *cols: Column | str):
-    """(``*cols``, h) — one row per distinct-in-doc shingle, hashed to long."""
-    return df.select(
+    """(``*cols``, h) — one row per distinct-in-doc shingle, hashed to long.
+
+    The tokenize+shingle projection is the CPU-heavy stage, so the compute
+    spread (no-op once input splits ≥ cores) lives HERE — callers' survivor
+    anti-joins must not inherit a repartition of the big side.
+    """
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    return repartition_for_compute(df).select(
         *cols, F.explode(word_shingles(F.col(column), ngram_size)).alias("__s__")
     ).select(*cols, F.xxhash64("__s__").alias("h"))
 

@@ -2281,11 +2281,10 @@ _DECONTAM_SQL_BODY = r"""
 
 
 def _decontam_split(spark: SparkSession, sf_dir: str):
-    from chat_data_pipeline_spark.session import repartition_for_compute
-
-    docs = repartition_for_compute(
-        _read(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    # no repartition here: the operator spreads its own shingle probe, and a
+    # query-level repartition would ride the survivor anti-join's left side
+    # (a full reshuffle of the surviving corpus for nothing)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return train, bench
