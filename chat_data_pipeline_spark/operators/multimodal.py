@@ -96,6 +96,50 @@ def extract_features(
     )
 
 
+def resize_raw_gray(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    src_width: int = 32,
+    out_w: int = 8,
+    out_h: int = 8,
+) -> DataFrame:
+    """Nearest-neighbor resize over a RAW GRAYSCALE payload (row-major
+    ``src_width``-wide single-byte pixels; height = len//width, tail
+    cropped; payloads shorter than one row are dropped).
+
+    Unlike the gated decoders this stage does REAL pixel math — numpy
+    index-striding per Arrow batch — so the resize path is executable and
+    oracle-checkable without codec libraries: a real JPEG path would swap
+    the ``np.frombuffer`` line for a decode and keep the identical
+    mapInPandas shape, schema, and partitioning (narrow, shuffle-free).
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, outs = [], []
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = payload or b""
+                h = len(payload) // src_width
+                if h < 1:
+                    continue
+                arr = np.frombuffer(
+                    payload[: h * src_width], dtype=np.uint8
+                ).reshape(h, src_width)
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * src_width) // out_w
+                ids.append(mid)
+                outs.append(arr[np.ix_(rows, cols)].tobytes())
+            yield pd.DataFrame({"media_id": ids, "resized": outs})
+
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    return repartition_for_compute(df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias(payload_col)
+    )).mapInPandas(run, schema="media_id long, resized binary")
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "media_id",

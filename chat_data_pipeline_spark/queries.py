@@ -2014,6 +2014,35 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "multimodal_resize",
+    """
+    WITH p AS (
+      SELECT doc_id AS media_id, text, length(text) // 32 AS h
+      FROM documents
+    )
+    SELECT media_id,
+           md5(array_to_string(
+             [substr(text, 1 + (((k // 8) * h) // 8) * 32 + (((k % 8) * 32) // 8), 1)
+              for k in range(0, 64)], '')) AS resized_md5
+    FROM p WHERE h >= 1
+    """,
+    "REAL pixel math in the multimodal path: 8x8 nearest-neighbor resize of "
+    "32-wide raw-grayscale payloads (numpy index striding per Arrow batch; "
+    "the corpus is ASCII so the oracle's char positions are byte positions). "
+    "A production JPEG path swaps one decode line, same plan shape",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators.multimodal import resize_raw_gray
+
+    docs = _read(spark, sf_dir, "documents")
+    payloads = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    out = resize_raw_gray(payloads, src_width=32, out_w=8, out_h=8)
+    return out.select("media_id", F.md5("resized").alias("resized_md5"))
+
+
 # ===========================================================================
 # End-to-end lifecycle: clean -> filter -> dedup through SparkPreprocessor
 # ===========================================================================
@@ -2612,6 +2641,9 @@ _WINDOW_TAIL = [
     "customers_without_orders",
     "filter_empty",
     "token_counts",
+    # (fourth batch — admits multimodal_resize; F1 word-count still executes
+    # in-window inside pipeline_lifecycle's filter chain):
+    "filter_word_count",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end

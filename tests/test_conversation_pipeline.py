@@ -242,3 +242,27 @@ def test_pipeline_observed_stats_non_verbose(spark):
     assert wc.score_summary["min"] == 1.0 and wc.score_summary["max"] == 6.0
     assert comp.rows_before == 2 and comp.rows_after == 2
     assert comp.score_summary["mean"] == 1.0  # both survivors end with '.'
+
+
+def test_resize_raw_gray_nearest_neighbor(spark):
+    """Hand-computed 4x4 -> 2x2 nearest-neighbor resize, plus short-payload drop."""
+    import numpy as np
+
+    from chat_data_pipeline_spark.operators.multimodal import resize_raw_gray
+
+    img = bytes(range(16))  # 4x4 row-major: row i = [4i..4i+3]
+    rows = [(1, img), (2, b"abc"), (3, img + b"XYZ")]  # 3: tail-cropped
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: bytes(r.resized)
+        for r in resize_raw_gray(
+            df, src_width=4, out_w=2, out_h=2
+        ).collect()
+    }
+    # rows/cols sampled at (0*4)//2=0 and (1*4)//2=2 -> pixels (0,0),(0,2),(2,0),(2,2)
+    assert got[1] == bytes([0, 2, 8, 10])
+    assert got[3] == got[1]  # extra tail bytes cropped before reshape
+    assert 2 not in got  # shorter than one row -> dropped
+    # cross-check against numpy's own fancy indexing
+    arr = np.frombuffer(img, dtype=np.uint8).reshape(4, 4)
+    assert got[1] == arr[np.ix_([0, 2], [0, 2])].tobytes()
