@@ -2354,6 +2354,56 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Hashed-feature linear classifier scoring (functions/scoring.py)
+# ===========================================================================
+
+# Deterministic pseudo-model: 64 buckets, weights are exact sixteenths so the
+# token-sum is exact in binary and the only cross-engine wiggle is exp()'s
+# last ulp (killed by round 6).
+_CLS_WEIGHTS = [(((i * 37) % 21) - 10) / 16.0 for i in range(64)]
+_CLS_BIAS = 0.125
+
+
+def _cls_weights_sql() -> str:
+    return "[" + ", ".join(repr(w) for w in _CLS_WEIGHTS) + "]"
+
+
+@_register(
+    "quality_classifier_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+') AS t
+      FROM documents
+    ), hits AS (
+      SELECT doc_id,
+             SUM(({_cls_weights_sql()})[
+               (try_cast('0x' || substr(md5(tok), 1, 2) AS INTEGER) % 64) + 1
+             ]) AS total,
+             COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           round(1.0 / (1.0 + exp(-({_CLS_BIAS} + COALESCE(h.total / h.c, 0.0)))), 6) AS cls_score
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+    "fasttext-style hashed-bag-of-words linear classifier inference as a "
+    "native Column fold: weights inlined as an array literal, md5 buckets, "
+    "sigmoid of the token-mean — zero shuffle, zero Python, inference at "
+    "scan speed",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.functions import scoring as SC
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(
+            SC.linear_score(F.col("text"), _CLS_WEIGHTS, bias=_CLS_BIAS), 6
+        ).alias("cls_score"),
+    )
+
+
+# ===========================================================================
 # Corpus-wide paragraph dedup (operators/span_dedup.py)
 # ===========================================================================
 
@@ -2644,6 +2694,10 @@ _WINDOW_TAIL = [
     # (fourth batch — admits multimodal_resize; F1 word-count still executes
     # in-window inside pipeline_lifecycle's filter chain):
     "filter_word_count",
+    # (fifth batch — admits quality_classifier_scores; the quality-scoring
+    # family keeps an in-window row via that classifier query, and the
+    # composite quality_score remains pytest-covered):
+    "quality_scores",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
