@@ -2354,6 +2354,36 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Document chunking (operators/chunking.py)
+# ===========================================================================
+
+
+@_register(
+    "chunk_documents_windows",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '{_SQL_WS_TOKEN}') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(s // 24 AS INT) AS chunk_no,
+           CAST(least(32, len(t) - s) AS INT) AS n_chunk_tokens,
+           array_to_string(t[s+1:s+32], ' ') AS chunk_text
+    FROM toks, LATERAL (
+      SELECT unnest(range(0, ((len(t) - 1) // 24) * 24 + 1, 24)) AS s
+    ) u
+    WHERE len(t) > 0
+    """,
+    "fixed-window chunking (32 tokens, overlap 8): context-window prep as a "
+    "pure narrow posexplode — tokenizer bound once per row, no shuffle",
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import chunking as CH
+
+    docs = _read(spark, sf_dir, "documents")
+    return CH.chunk_documents(docs, "text", "doc_id", chunk_tokens=32, overlap=8)
+
+
+# ===========================================================================
 # Hashed-feature linear classifier scoring (functions/scoring.py)
 # ===========================================================================
 
@@ -2698,6 +2728,9 @@ _WINDOW_TAIL = [
     # family keeps an in-window row via that classifier query, and the
     # composite quality_score remains pytest-covered):
     "quality_scores",
+    # (sixth batch — admits chunk_documents_windows; star-join coverage
+    # remains in-window via q2/q13/q16/q22 and q1's agg scan):
+    "q5_local_supplier_volume",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
