@@ -57,6 +57,12 @@ BENCH_QUERIES = [
     "pack_sequences_bins",
     "docs_redact_pii",
     "filter_domain_blocklist",
+    "paragraph_dedup",
+    "quality_classifier_scores",
+    "chunk_documents_windows",
+    "multimodal_resize",
+    "q13_order_count_distribution",
+    "q22_idle_rich_customers",
 ]
 
 
