@@ -159,3 +159,30 @@ def test_packing_walk_invariants(rows, budget):
         assert bin_id >= prev_bin
         prev_bin = bin_id
         cum += toks
+
+
+@given(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=5), max_size=30),
+    st.integers(2, 10),
+    st.integers(0, 5),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_chunking_matches_python_replay(spark, tokens, chunk, overlap):
+    from chat_data_pipeline_spark.operators.chunking import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    step = chunk - overlap
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        (r.chunk_no, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(df, "text", "doc_id", chunk, overlap).collect()
+    )
+    toks = text.split()
+    want = [
+        (i, min(chunk, len(toks) - s), " ".join(toks[s : s + chunk]))
+        for i, s in enumerate(range(0, max(len(toks), 1), step))
+        if s < len(toks)
+    ]
+    assert got == want
