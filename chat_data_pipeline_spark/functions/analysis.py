@@ -191,7 +191,10 @@ def domain_blocklist_keep(col: Column, blocked: list[str]) -> Column:
 
     The blocklist compiles to an InSet probe over the extracted domains —
     native, no join; for blocklists too big for a literal set, join the
-    exploded domains against a broadcast blocklist table instead.
+    exploded domains against a broadcast blocklist table instead.  Extracted
+    domains are lowercased, so the blocklist is case-folded to match (a
+    mixed-case entry would otherwise never fire).
     """
     urls = extract_urls(col)
-    return ~F.exists(urls, lambda u: F.lower(F.regexp_extract(u, _DOMAIN_PATTERN, 1)).isin(blocked))
+    folded = [d.lower() for d in blocked]
+    return ~F.exists(urls, lambda u: url_domain(u).isin(folded))

@@ -329,11 +329,14 @@ check_ethics_harsh_score = check_ethics_harsh_keep
 
 def check_repetition_score(col: Column, **_: object) -> Column:
     """Dry-run scalar: the top-2-gram char fraction (the Gopher signal with
-    the widest dynamic range on real corpora)."""
+    the widest dynamic range on real corpora) — computed alone, one Counter
+    pass per doc."""
     from chat_data_pipeline_spark.functions import repetition as RP
     from chat_data_pipeline_spark.functions import text as T
 
-    return RP.ngram_repetition_profile(T.words(col))["top_2gram_char_frac"]
+    return RP.ngram_repetition_profile(T.words(col), top_ns=(2,), dup_ns=())[
+        "top_2gram_char_frac"
+    ]
 
 
 def check_repetition_keep(
@@ -345,11 +348,24 @@ def check_repetition_keep(
     from chat_data_pipeline_spark.functions import repetition as RP
     from chat_data_pipeline_spark.functions import text as T
 
+    names = (
+        list(signals)
+        if signals is not None
+        else list(RP.LINE_FIELDS) + RP._PROFILE_FIELDS
+    )
+    # build the narrowest profile the gate references — each extra n is a
+    # per-doc Counter pass the predicate would never look at
+    top_ns, dup_ns = RP.profile_ns_for(names)
+    profile = (
+        RP.ngram_repetition_profile(T.words(col), top_ns, dup_ns)
+        if (top_ns or dup_ns)
+        else F.lit(None)
+    )
     return RP.repetition_keep(
         RP.line_repetition_stats(col),
-        RP.ngram_repetition_profile(T.words(col)),
+        profile,
         thresholds=thresholds,
-        signals=signals,
+        signals=names,
     )
 
 
@@ -382,12 +398,23 @@ class FilterSpec:
     score: Callable[..., Column]
     keep: Callable[..., Column]
     defaults: dict = field(default_factory=dict)
+    # keep as a function of the SCORE column, where keep ≡ f(score): lets the
+    # pipeline materialize the score once and derive both the observed stats
+    # AND the predicate from that single column — without it, a UDF-backed
+    # score would execute twice (once inside CollectMetrics, once inside the
+    # Filter; Catalyst does not dedup distinct Python-UDF instances across
+    # those nodes).
+    keep_from_score: Callable[..., Column] | None = None
 
     def score_expr(self, col: Column, **kwargs: object) -> Column:
         return self.score(col, **{**self.defaults, **kwargs})
 
     def keep_expr(self, col: Column, **kwargs: object) -> Column:
         return self.keep(col, **{**self.defaults, **kwargs})
+
+    def keep_from_score_expr(self, score_col: Column, **kwargs: object) -> Column:
+        assert self.keep_from_score is not None
+        return self.keep_from_score(score_col, **{**self.defaults, **kwargs})
 
 
 FILTERS: dict[str, FilterSpec] = {
@@ -398,30 +425,46 @@ FILTERS: dict[str, FilterSpec] = {
             check_word_number_score,
             check_word_number_keep,
             {"min_word_threshold": 5, "max_word_threshold": 512},
+            keep_from_score=lambda s, min_word_threshold=5, max_word_threshold=512, **_: (
+                (s >= F.lit(min_word_threshold)) & (s <= F.lit(max_word_threshold))
+            ),
         ),
         FilterSpec(
             "check_perplexity",
             check_perplexity_score,
             check_perplexity_keep,
             {"min_perplexity_threshold": 300, "max_perplexity_threshold": 3_000},
+            keep_from_score=lambda s, min_perplexity_threshold=300, max_perplexity_threshold=3_000, **_: (
+                (s >= F.lit(float(min_perplexity_threshold)))
+                & (s <= F.lit(float(max_perplexity_threshold)))
+            ),
         ),
         FilterSpec(
             "check_nsfw_words",
             check_nsfw_words_score,
             check_nsfw_words_keep,
             {"flagged_words_threshold": 0.025},
+            keep_from_score=lambda s, flagged_words_threshold=0.025, **_: (
+                s <= F.lit(float(flagged_words_threshold))
+            ),
         ),
         FilterSpec(
             "check_lowercase_ratio",
             check_lowercase_ratio_score,
             check_lowercase_ratio_keep,
             {"lowercase_threshold": 0.75},
+            keep_from_score=lambda s, lowercase_threshold=0.75, **_: (
+                s >= F.lit(float(lowercase_threshold))
+            ),
         ),
         FilterSpec(
             "check_char_repetition",
             check_char_repetition_score,
             check_char_repetition_keep,
             {"char_repetition_len": 10, "char_repetition_threshold": 0.2},
+            keep_from_score=lambda s, char_repetition_threshold=0.2, **_: (
+                s <= F.lit(float(char_repetition_threshold))
+            ),
         ),
         FilterSpec(
             "check_truncation",

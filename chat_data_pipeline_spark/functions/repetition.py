@@ -104,18 +104,23 @@ def line_repetition_stats(col: Column) -> Column:
     return F.get(F.transform(bound, stats), 0)
 
 
-def _gram_fracs(toks: list[str]) -> list[float]:
+def _gram_fracs(
+    toks: list[str],
+    top_ns: tuple[int, ...] = TOP_NS,
+    dup_ns: tuple[int, ...] = DUP_NS,
+) -> list[float]:
+    n_fields = len(top_ns) + len(dup_ns)
     joined_len = len(" ".join(toks)) if toks else 0
     out: list[float] = []
     if joined_len == 0:
-        return [0.0] * len(_PROFILE_FIELDS)
-    for n in TOP_NS:
+        return [0.0] * n_fields
+    for n in top_ns:
         grams = Counter(
             " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
         )
         top = max((c * len(g) for g, c in grams.items()), default=0)
         out.append(top / joined_len)
-    for n in DUP_NS:
+    for n in dup_ns:
         grams = Counter(
             " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
         )
@@ -124,23 +129,44 @@ def _gram_fracs(toks: list[str]) -> list[float]:
     return out
 
 
-def _profile_batch(tokens: pd.Series) -> pd.DataFrame:
-    rows = [_gram_fracs(list(t) if t is not None else []) for t in tokens]
-    return pd.DataFrame(rows, columns=_PROFILE_FIELDS)
-
-
-def ngram_repetition_profile(tokens_col: Column) -> Column:
-    """Struct of top-{2,3,4}-gram and dup-{5..10}-gram char fractions.
+def ngram_repetition_profile(
+    tokens_col: Column,
+    top_ns: tuple[int, ...] = TOP_NS,
+    dup_ns: tuple[int, ...] = DUP_NS,
+) -> Column:
+    """Struct of top-``top_ns``-gram and dup-``dup_ns``-gram char fractions.
 
     ``tokens_col`` must be an ``array<string>`` of word tokens (produce it
-    JVM-side with ``T.words`` so the regex never runs in Python).  The UDF is
-    built here, driver-side — a module-level ``@pandas_udf`` would re-run its
-    schema parse on worker import, where no SparkSession exists.
+    JVM-side with ``T.words`` so the regex never runs in Python).  Pass only
+    the n values you gate on — each n costs one Counter pass per document.
+    The UDF is built here, driver-side — a module-level ``@pandas_udf``
+    would re-run its schema parse on worker import, where no SparkSession
+    exists.
     """
+    top_ns, dup_ns = tuple(top_ns), tuple(dup_ns)
+    fields = [f"top_{n}gram_char_frac" for n in top_ns] + [
+        f"dup_{n}gram_char_frac" for n in dup_ns
+    ]
     schema = StructType(
-        [StructField(f, DoubleType(), nullable=False) for f in _PROFILE_FIELDS]
+        [StructField(f, DoubleType(), nullable=False) for f in fields]
     )
-    return pandas_udf(_profile_batch, schema)(tokens_col)
+
+    def batch(tokens: pd.Series) -> pd.DataFrame:
+        rows = [
+            _gram_fracs(list(t) if t is not None else [], top_ns, dup_ns)
+            for t in tokens
+        ]
+        return pd.DataFrame(rows, columns=fields)
+
+    return pandas_udf(batch, schema)(tokens_col)
+
+
+def profile_ns_for(signals: list[str]) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """(top_ns, dup_ns) actually referenced by ``signals`` — lets callers
+    build the narrowest profile their gate needs."""
+    top = tuple(n for n in TOP_NS if f"top_{n}gram_char_frac" in signals)
+    dup = tuple(n for n in DUP_NS if f"dup_{n}gram_char_frac" in signals)
+    return top, dup
 
 
 # Gopher Appendix-A thresholds (Rae et al. 2021, Table A1).
@@ -171,9 +197,11 @@ def repetition_keep(
 ) -> Column:
     """Gopher-style keep predicate over the two signal structs.
 
-    ``signals`` restricts which fractions participate (default: all 12);
-    a restricted predicate lets the caller skip computing grams it does
-    not gate on.
+    ``signals`` restricts which fractions participate (default: all 12).
+    The restriction prunes work only if the PROFILE was built narrow too —
+    pair with ``profile_ns_for(signals)`` when constructing ``profile``
+    (the UDF computes every field present in its schema regardless of which
+    the predicate references).
     """
     th = dict(GOPHER_THRESHOLDS)
     if thresholds:

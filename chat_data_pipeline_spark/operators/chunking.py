@@ -10,9 +10,11 @@ Semantics (mirrored exactly by the duckdb oracle):
 - tokens = whitespace tokens of the original text (case and punctuation
   preserved; chunk text re-joins with single spaces, so intra-token
   whitespace is normalized — documented loss),
-- chunk starts at every multiple of ``step = chunk_tokens - overlap``
-  strictly below the token count; chunk ``i`` covers tokens
-  ``[i*step, i*step + chunk_tokens)`` (the last chunk is shorter),
+- chunk starts at every multiple of ``step = chunk_tokens - overlap`` whose
+  chunk contributes at least one NEW token (``start + overlap < n``; without
+  this, any doc with ``step < n <= chunk_tokens`` re-emits a final chunk
+  wholly contained in the previous one); chunk ``i`` covers tokens
+  ``[i*step, i*step + chunk_tokens)`` (the last chunk may be shorter),
 - empty docs produce no chunks.
 
 Scale design: pure narrow projection + ``posexplode`` — no shuffle, no
@@ -42,7 +44,11 @@ def chunk_documents(
 
     def chunks(tokens):
         n = F.size(tokens)
-        last_start = (F.floor((n - 1) / step) * step).cast("int")
+        # largest start with start + overlap < n (every later multiple of
+        # step would only re-emit already-covered tokens)
+        last_start = (
+            F.floor(F.greatest(n - overlap - 1, F.lit(0)) / step) * step
+        ).cast("int")
         starts = F.when(
             n > 0, F.sequence(F.lit(0), last_start, F.lit(step))
         ).otherwise(F.array().cast("array<int>"))

@@ -79,8 +79,15 @@ def ngram_decontaminate(
     ngram_size: int = 8,
     broadcast_bench: bool = True,
 ) -> DataFrame:
-    """Training rows (full schema) with every contaminated doc removed."""
+    """Training rows (full schema) with every contaminated doc removed.
+
+    The contaminated-id side carries NO broadcast hint: contamination can
+    approach the full train side on a dirty corpus (171/494 docs in the
+    sf0.01 fixture already), so a forced broadcast would OOM exactly when
+    decontamination matters most — AQE broadcasts it automatically whenever
+    it actually is small.
+    """
     contaminated = contamination_report(
         train, bench, column, id_col, ngram_size, broadcast_bench
     ).select(id_col)
-    return train.join(F.broadcast(contaminated), id_col, "left_anti")
+    return train.join(contaminated, id_col, "left_anti")

@@ -354,6 +354,7 @@ def embedding_neardup_pairs(
     dim: int = 64,
     seed: int = 42,
     max_broadcast_rows: int = 1_000_000,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold.
 
@@ -387,7 +388,6 @@ def embedding_neardup_pairs(
         # round-robin exchange would only add a stage.
         import pandas as pd
 
-        max_bucket_size = 4096
         thr = float(threshold)
         id_type = dict(df.dtypes)[id_col]
         # each row ships its FULL per-table bucket list into every bucket it
@@ -401,6 +401,24 @@ def embedding_neardup_pairs(
             F.col(vec_col).alias("__v__"),
             blist.alias("__blist__"),
         ).select("id", "__v__", "__blist__", F.explode("__blist__").alias("__bucket__"))
+
+        # Oversized buckets are SKIPPED by the scorer, so the cross-table
+        # "already collided in an earlier table" suppression must not credit
+        # them — otherwise a pair whose lowest-table bucket was skipped is
+        # emitted by NO table (silent recall hole exactly on skewed corpora).
+        # The set is tiny by construction (each member bucket holds
+        # > max_bucket_size rows), so one column-pruned count pre-pass +
+        # driver collect is cheap; vectors never ride this job.
+        oversized = np.array(
+            [
+                r["__bucket__"]
+                for r in buckets.groupBy("__bucket__")
+                .agg(F.count("*").alias("c"))
+                .filter(F.col("c") > max_bucket_size)
+                .collect()
+            ],
+            dtype=np.int64,
+        )
 
         def score_partition(batches):
             # the repartition below hash-partitions on __bucket__, so every
@@ -436,12 +454,18 @@ def embedding_neardup_pairs(
                 sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
                 keep = (sims >= thr) & (ids[:, None] < ids[None, :])
                 # suppress pairs that already collided in an earlier table —
-                # bucket ids are table-offset, so equality only holds in-table
+                # bucket ids are table-offset, so equality only holds
+                # in-table — but only when that earlier bucket was actually
+                # scored (an oversized earlier bucket emitted nothing)
                 t_g = int(bk[s]) >> n_planes
                 if t_g:
                     B = blists[s:e]
                     for t in range(t_g):
-                        keep &= B[:, t][:, None] != B[:, t][None, :]
+                        same = B[:, t][:, None] == B[:, t][None, :]
+                        if len(oversized):
+                            scored_rows = ~np.isin(B[:, t], oversized)
+                            same &= scored_rows[:, None]
+                        keep &= ~same
                 ii, jj = np.nonzero(keep)
                 out1.append(ids[ii])
                 out2.append(ids[jj])

@@ -122,6 +122,17 @@ class SparkPreprocessor:
                 # count + one aggregate per filter in verbose mode.  (Not on
                 # streaming plans: Observation rejects them — per-microbatch
                 # metrics come from StreamingQueryListener instead.)
+                if spec.keep_from_score is not None:
+                    # keep ≡ f(score): materialize the score ONCE and hang
+                    # both the metrics and the predicate off that column —
+                    # otherwise a UDF-backed score runs twice (CollectMetrics
+                    # and Filter hold distinct Python-UDF instances that
+                    # Catalyst will not dedup)
+                    df = df.withColumn(crit, spec.score_expr(col))
+                    df, report.observation = _observe_score(df, F.col(crit))
+                    df = df.filter(spec.keep_from_score_expr(F.col(crit))).drop(crit)
+                    self.reports.append(report)
+                    continue
                 df, report.observation = _observe_criteria(df, spec, col)
             df = df.filter(spec.keep_expr(col))
             if self.verbose:
@@ -187,10 +198,20 @@ class SparkPreprocessor:
 def _observe_criteria(df: DataFrame, spec: FilterSpec, col: Column):
     """Attach the describe() metric set for one filter's criteria as observed
     metrics (ref:pipeline.py:57's stats contract, with zero extra passes —
-    CollectMetrics evaluates during whatever action the caller runs)."""
+    CollectMetrics evaluates during whatever action the caller runs).
+
+    Fallback path for filters whose keep is not a pure function of the score
+    (`keep_from_score` absent) — the score expression appears in BOTH the
+    metrics and (via keep) the filter; fine for native expressions, which is
+    exactly the set that lands here.
+    """
+    return _observe_score(df, spec.score_expr(col))
+
+
+def _observe_score(df: DataFrame, score: Column):
     from pyspark.sql import Observation
 
-    score = spec.score_expr(col).cast("double")
+    score = score.cast("double")
     obs = Observation()
     df = df.observe(
         obs,

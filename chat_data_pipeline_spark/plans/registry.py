@@ -39,7 +39,13 @@ def get_filter(flt: str | FilterSpec, **kwargs: object) -> FilterSpec:
         except KeyError:
             raise KeyError(f"unknown filter {flt!r}; known: {sorted(FILTERS)}") from None
     if kwargs:
-        spec = FilterSpec(spec.name, spec.score, spec.keep, {**spec.defaults, **kwargs})
+        spec = FilterSpec(
+            spec.name,
+            spec.score,
+            spec.keep,
+            {**spec.defaults, **kwargs},
+            keep_from_score=spec.keep_from_score,
+        )
     return spec
 
 

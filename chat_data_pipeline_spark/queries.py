@@ -2369,12 +2369,13 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(least(32, len(t) - s) AS INT) AS n_chunk_tokens,
            array_to_string(t[s+1:s+32], ' ') AS chunk_text
     FROM toks, LATERAL (
-      SELECT unnest(range(0, ((len(t) - 1) // 24) * 24 + 1, 24)) AS s
+      SELECT unnest(range(0, (greatest(len(t) - 9, 0) // 24) * 24 + 1, 24)) AS s
     ) u
     WHERE len(t) > 0
     """,
     "fixed-window chunking (32 tokens, overlap 8): context-window prep as a "
-    "pure narrow posexplode — tokenizer bound once per row, no shuffle",
+    "pure narrow posexplode — tokenizer bound once per row, no shuffle; a "
+    "start is emitted only if its chunk adds uncovered tokens",
 )
 def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chat_data_pipeline_spark.operators import chunking as CH

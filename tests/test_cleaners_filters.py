@@ -320,3 +320,28 @@ def test_redact_pii(spark):
     assert got[3] == "server [IP] pinged [IP]"
     assert got[4] == "mixed: [EMAIL] at [IP] tel [PHONE]"
     assert got[5] == rows[4][1]
+
+
+def test_observed_stats_share_one_udf_instance(spark):
+    """Non-verbose mode with a UDF-backed filter: the score UDF must appear
+    exactly once in the plan (CollectMetrics and Filter both hang off the
+    materialized criteria column, not off separate UDF instances)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from chat_data_pipeline_spark.plans import SparkPreprocessor
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} with some words") for i in range(10)],
+        "doc_id long, text string",
+    )
+    pre = SparkPreprocessor(column_name="text", cleaners=[], filters=["check_nsfw_words"])
+    out = pre.run(df)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    nodes = re.findall(r"\(\d+\) (ArrowEvalPython|BatchEvalPython)", plan)
+    assert len(nodes) == 1, plan
+    assert "CollectMetrics" in plan

@@ -180,9 +180,24 @@ def test_chunking_matches_python_replay(spark, tokens, chunk, overlap):
         for r in chunk_documents(df, "text", "doc_id", chunk, overlap).collect()
     )
     toks = text.split()
-    want = [
-        (i, min(chunk, len(toks) - s), " ".join(toks[s : s + chunk]))
-        for i, s in enumerate(range(0, max(len(toks), 1), step))
-        if s < len(toks)
+    starts = [
+        s
+        for s in range(0, max(len(toks), 1), step)
+        if s == 0 or s + overlap < len(toks)
     ]
+    want = (
+        [
+            (i, min(chunk, len(toks) - s), " ".join(toks[s : s + chunk]))
+            for i, s in enumerate(starts)
+        ]
+        if toks
+        else []
+    )
     assert got == want
+    # correctness properties: full coverage, no chunk subsumed by its neighbor
+    covered = set()
+    for i, s in enumerate(starts):
+        covered.update(range(s, min(s + chunk, len(toks))))
+        if i > 0:
+            assert s + overlap < len(toks)  # contributes new tokens
+    assert covered == set(range(len(toks)))

@@ -95,3 +95,69 @@ def test_neardup_lsh_subset_of_exact(spark, emb):
     assert approx <= exact
     if exact:
         assert len(approx) / len(exact) >= 0.2
+
+
+def test_oversized_bucket_does_not_mask_later_table_pairs(spark):
+    """A pair whose lowest-table bucket is skipped as oversized must still be
+    emitted by a later, small-enough bucket (regression: the cross-table
+    dedup used to credit skipped buckets, silently dropping those pairs)."""
+    import numpy as np
+
+    from chat_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        lsh_multitable_buckets,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_planes, n_tables, cap, thr = 16, 2, 4, 8, 0.9
+    base = rng.normal(size=dim)
+    rows = []
+    for i in range(40):  # noisy near-dup cluster -> mixed bucket sizes
+        v = base + rng.normal(scale=0.05, size=dim)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from pyspark.sql import functions as F
+
+    blists = {
+        r.vec_id: list(r.b)
+        for r in df.select(
+            "vec_id",
+            lsh_multitable_buckets(F.col("embedding"), dim, n_planes, n_tables, 42).alias("b"),
+        ).collect()
+    }
+    sizes = {}
+    for bl in blists.values():
+        for b in bl:
+            sizes[b] = sizes.get(b, 0) + 1
+    vecs = dict(rows)
+
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    expected = set()
+    interesting = 0
+    for i in range(40):
+        for j in range(i + 1, 40):
+            shared = [
+                t
+                for t in range(n_tables)
+                if blists[i][t] == blists[j][t]
+            ]
+            scored = [t for t in shared if 2 <= sizes[blists[i][t]] <= cap]
+            if shared and scored and min(shared) not in scored:
+                interesting += 1  # lowest collision skipped, later one scored
+            if scored and cos(vecs[i], vecs[j]) >= thr:
+                expected.add((i, j))
+    # precondition: the regression scenario actually occurs in this corpus
+    assert interesting > 0
+
+    got = {
+        (min(r.id1, r.id2), max(r.id1, r.id2))
+        for r in embedding_neardup_pairs(
+            df, threshold=thr, n_planes=n_planes, n_tables=n_tables,
+            dim=dim, max_bucket_size=cap,
+        ).collect()
+    }
+    assert got == expected
