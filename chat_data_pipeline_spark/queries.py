@@ -2385,6 +2385,81 @@ def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Exact substring dedup (operators/substring_dedup.py)
+# ===========================================================================
+
+# Half the docs get a verbatim 8-token run injected mid-document (plus the
+# corpus's own exact clones, which duplicate every window they share) — the
+# run survives only in its min-(id,pos) occurrence.  Spark keys windows by
+# xxhash64; the oracle uses the window string itself.
+_SUBSTR_RUN = " alpha beta gamma delta epsilon zeta eta theta "
+
+
+@_register(
+    "substring_dedup_docs",
+    f"""
+    WITH built AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0
+             THEN substr(text, 1, 80) || '{_SUBSTR_RUN}' || substr(text, 81, 60)
+             ELSE substr(text, 1, 140) END AS doc
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, regexp_extract_all(doc, '{_SQL_WS_TOKEN}') AS t FROM built
+    ), occ AS (
+      SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS s
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS pos
+      ) u
+    ), dup AS (
+      SELECT s FROM occ GROUP BY s HAVING COUNT(*) > 1
+    ), ranked AS (
+      SELECT o.doc_id, o.pos,
+             ROW_NUMBER() OVER (PARTITION BY o.s ORDER BY o.doc_id, o.pos) AS rn
+      FROM occ o JOIN dup USING (s)
+    ), cuts AS (
+      SELECT doc_id, pos FROM ranked WHERE rn > 1
+    ), tokpos AS (
+      SELECT doc_id, idx, t[idx] AS token
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS idx) v
+    ), kept AS (
+      SELECT tk.doc_id, string_agg(tk.token, ' ' ORDER BY tk.idx) AS txt
+      FROM tokpos tk
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cuts c
+        WHERE c.doc_id = tk.doc_id AND tk.idx >= c.pos AND tk.idx < c.pos + 8
+      )
+      GROUP BY tk.doc_id
+    )
+    SELECT b.doc_id, COALESCE(k.txt, '') AS text_dedup
+    FROM built b LEFT JOIN kept k ON k.doc_id = b.doc_id
+    """,
+    "ExactSubstr dedup (Lee et al. 2021, word-window variant, k=8): every "
+    "duplicated 8-token window cut from all but its first occurrence — "
+    "min-struct winner agg + skew-splittable join, per-doc interval "
+    "exclusion rebuild only on touched docs",
+)
+def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import substring_dedup as SS
+
+    docs = _read(spark, sf_dir, "documents")
+    built = (
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.substring("text", 1, 80),
+                F.lit(_SUBSTR_RUN),
+                F.substring("text", 81, 60),
+            ),
+        )
+        .otherwise(F.substring("text", 1, 140))
+    )
+    return SS.exact_substring_dedup(
+        docs.select("doc_id", built.alias("doc")), "doc", "doc_id", k=8
+    )
+
+
+# ===========================================================================
 # Hashed-feature linear classifier scoring (functions/scoring.py)
 # ===========================================================================
 
@@ -2732,6 +2807,10 @@ _WINDOW_TAIL = [
     # (sixth batch — admits chunk_documents_windows; star-join coverage
     # remains in-window via q2/q13/q16/q22 and q1's agg scan):
     "q5_local_supplier_volume",
+    # (seventh batch — admits substring_dedup_docs; temporal coverage keeps
+    # events_asof_view in-window, and the banded range join stays green in
+    # pytest + two prior driver rounds):
+    "events_error_context",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
