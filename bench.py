@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "multimodal_resize",
     "q13_order_count_distribution",
     "q22_idle_rich_customers",
+    "substring_dedup_docs",
+    "sample_stratified_lang",
+    "events_moving_average",
 ]
 
 

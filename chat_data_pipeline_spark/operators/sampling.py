@@ -92,3 +92,66 @@ def dropped_sample(
     """ref:utils.py:149-156: sample of rows present before but not after a
     filter, for inspection logs."""
     return before.join(after.select(id_col), on=id_col, how="left_anti").limit(n)
+
+
+# --------------------------------------------------------------------------
+# Training-data extensions (round 3): deterministic stratified sampling and
+# hash-range dataset splits.  Both derive a uniform [0,1) value from the
+# row id's md5 (first 8 hex chars / 2^32) — engine-independent, so the
+# duckdb oracle reproduces membership exactly, and re-runs are stable under
+# any repartitioning (unlike rand(seed) or df.sampleBy, whose draw depends
+# on partition layout).
+# --------------------------------------------------------------------------
+
+
+def _md5_uniform(id_col: Column | str) -> Column:
+    hex8 = F.substring(F.md5(F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string")), 1, 8)
+    return F.conv(hex8, 16, 10).cast("double") / F.lit(4294967296.0)
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling with a deterministic md5 draw.
+
+    Keeps a row iff u(id) < fractions[stratum] (strata absent from the map
+    use ``default_fraction``).  Pure narrow filter — no shuffle, no state;
+    expected per-stratum counts are n_s·f_s with hypergeometric-free
+    determinism (the same ids are kept on every run and every engine).
+    """
+    u = _md5_uniform(id_col)
+    frac = None
+    for k, v in fractions.items():
+        cond = F.col(strata_col) == F.lit(k)
+        frac = F.when(cond, F.lit(float(v))) if frac is None else frac.when(cond, F.lit(float(v)))
+    frac = F.lit(float(default_fraction)) if frac is None else frac.otherwise(F.lit(float(default_fraction)))
+    return df.filter(u < frac)
+
+
+def hash_split(
+    df: DataFrame, id_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Adds a ``split`` label ('train'/'val'/'test'/...) by md5-uniform range.
+
+    ``weights`` must sum to ~1; ranges are cumulative in dict order, so the
+    assignment is total and deterministic.  Narrow projection — the classic
+    leakage-safe dataset split (a given id lands in the same split on every
+    engine, every run, every scale).
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = _md5_uniform(id_col)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)

@@ -67,3 +67,33 @@ def test_correctness_window_is_all_oracle_backed():
         "multimodal_features", "multimodal_frame_sample", "pipeline_lifecycle",
     }
     assert must_be_windowed <= set(window)
+
+
+def test_correctness_window_covers_unverified_queries():
+    """Every oracle-backed query that has never earned a driver CORRECTNESS
+    row must sit inside the first-50 window (the driver checks only those),
+    and every in-window entry must have an oracle.  Guards the displacement
+    trap: a new @_register placed mid-file silently pushes later entries
+    past position 50."""
+    import json
+    import os
+
+    import __spark_entry__ as E
+
+    names = list(E.queries())
+    oracles = E.oracle_sql()
+    window = names[:50]
+    assert all(n in oracles for n in window), [n for n in window if n not in oracles]
+
+    verified: set[str] = set()
+    for fname in sorted(os.listdir("/root/repo")):
+        if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
+            rows = json.load(open(f"/root/repo/{fname}"))
+            verified |= {
+                k
+                for k, v in rows.items()
+                if isinstance(v, dict) and v.get("hash_match")
+            }
+    never = [n for n in names if n in oracles and n not in verified]
+    outside = [n for n in never if n not in window]
+    assert not outside, f"never-driver-verified queries outside the window: {outside}"

@@ -55,3 +55,29 @@ def test_classifier_keep_threshold(spark):
 def test_rejects_empty_weights(spark):
     with pytest.raises(ValueError):
         SC.linear_score(F.lit("x"), [])
+
+
+def test_stratified_and_split_determinism(spark):
+    from chat_data_pipeline_spark.operators.sampling import hash_split, sample_stratified
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'zh' END AS lang"
+    )
+    a = {r.doc_id for r in sample_stratified(df, "lang", {"en": 0.5, "zh": 0.1}, "doc_id").collect()}
+    b = {r.doc_id for r in sample_stratified(df.repartition(7), "lang", {"en": 0.5, "zh": 0.1}, "doc_id").collect()}
+    assert a == b  # layout-independent membership
+    en = sum(1 for i in a if i % 2 == 0) / 500
+    zh = sum(1 for i in a if i % 2 == 1) / 500
+    assert 0.4 < en < 0.6 and zh < 0.2  # fractions roughly honored
+
+    s = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 700
+    # total assignment, no row lost
+    assert sum(counts.values()) == 1000
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"train": 0.5, "val": 0.1})
