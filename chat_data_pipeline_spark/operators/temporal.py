@@ -23,8 +23,18 @@ primitives so the plan scales to 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_us(col: Column | str) -> Column:
+    """Epoch microseconds, tolerant of TIMESTAMP_NTZ inputs (parquet
+    TIMESTAMP(MICROS) without UTC adjustment infers NTZ under Spark 4, and
+    ``unix_micros`` rejects that type).  The cast is a no-op on TIMESTAMP
+    and an instant-preserving reinterpretation on NTZ when the session
+    timezone is UTC (session.py pins it)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def asof_join(
@@ -108,9 +118,9 @@ def asof_join(
     )
     if tolerance_seconds is not None:
         age = (
-            F.unix_micros(F.col(ts_t)) - F.unix_micros(F.col(p)["__rts__"])
+            _epoch_us(F.col(ts_t)) - _epoch_us(F.col(p)["__rts__"])
             if asc
-            else F.unix_micros(F.col(p)["__rts__"]) - F.unix_micros(F.col(ts_t))
+            else _epoch_us(F.col(p)["__rts__"]) - _epoch_us(F.col(ts_t))
         )
         out = out.withColumn(
             p,
@@ -143,13 +153,13 @@ def banded_range_join(
     if overlap:
         raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
     band_us = band_seconds * 1_000_000
-    r = right.withColumn("__bin__", F.floor(F.unix_micros(F.col(right_ts)) / band_us))
+    r = right.withColumn("__bin__", F.floor(_epoch_us(right_ts) / band_us))
     l_bins = left.withColumn(
         "__bin__",
         F.explode(
             F.array(
-                F.floor(F.unix_micros(F.col(left_ts)) / band_us) - 1,
-                F.floor(F.unix_micros(F.col(left_ts)) / band_us),
+                F.floor(_epoch_us(left_ts) / band_us) - 1,
+                F.floor(_epoch_us(left_ts) / band_us),
             )
         ),
     )
@@ -179,7 +189,7 @@ def sessionize_batch(
     gap_us = gap_seconds * 1_000_000
     brk = (
         F.when(
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)) > gap_us,
+            _epoch_us(ts_col) - _epoch_us(F.lag(ts_col).over(w)) > gap_us,
             1,
         )
         .otherwise(0)
@@ -191,8 +201,8 @@ def sessionize_batch(
         .withColumn("session_idx", F.sum("__brk__").over(run) + 1)
     )
     return sessions.groupBy(user_col, "session_idx").agg(
-        F.unix_timestamp(F.min(ts_col)).alias("session_start_epoch"),
-        F.unix_timestamp(F.max(ts_col)).alias("session_end_epoch"),
+        F.unix_timestamp(F.min(ts_col).cast("timestamp")).alias("session_start_epoch"),
+        F.unix_timestamp(F.max(ts_col).cast("timestamp")).alias("session_end_epoch"),
         F.count("*").alias("n_events"),
         (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
             "total_value"

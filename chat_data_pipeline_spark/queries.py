@@ -67,13 +67,24 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which the vectorized Spark
-    reader rejects; read nanos as long and convert (integer division — a
-    double roundtrip would lose precision above 2^53 ns)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Normalize events.ts to TIMESTAMP (LTZ) whatever the parquet encoding:
+
+    - TIMESTAMP(NANOS): the vectorized reader only accepts it via the
+      session-wide ``nanosAsLong`` legacy conf (set in session.py) → arrives
+      as bigint; convert with integer division (a double roundtrip would
+      lose precision above 2^53 ns).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ, which ``unix_micros``/window arithmetic reject.  The
+      session timezone is pinned to UTC, so an NTZ→LTZ cast preserves the
+      wall-clock AND the epoch the DuckDB oracle computes from the same
+      naive values.
+    """
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -40,8 +40,8 @@ EVENT_SCHEMA = StructType(
     ]
 )
 
-# The driver testdata stores ts as parquet TIMESTAMP(NANOS), which Spark only
-# reads via the nanosAsLong legacy path — declare long, convert after load.
+# TIMESTAMP(NANOS) parquet is only readable via the nanosAsLong legacy path —
+# declare long, convert after load (used when auto-detection sees nanos).
 _EVENT_SCHEMA_RAW = StructType(
     [
         StructField("event_id", LongType()),
@@ -58,20 +58,24 @@ def read_events_stream(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int = 1,
-    nanos_ts: bool = True,
+    nanos_ts: bool | None = None,
 ) -> DataFrame:
     """File-source stream with an explicit schema (streams cannot infer).
 
-    ``nanos_ts=True`` handles TIMESTAMP(NANOS) parquet (the driver testdata);
-    set False for sources writing standard micros.
+    ``nanos_ts=None`` (default) auto-detects the parquet timestamp encoding
+    with a one-footer batch read of the same path: bigint → the legacy
+    TIMESTAMP(NANOS) path, anything else → a plain TIMESTAMP schema.  The
+    detection is a driver-side metadata read, not a data scan.
     """
+    if nanos_ts is None:
+        nanos_ts = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
     if not nanos_ts:
-        return (
+        df = (
             spark.readStream.schema(EVENT_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(path)
         )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     df = (
         spark.readStream.schema(_EVENT_SCHEMA_RAW)
         .option("maxFilesPerTrigger", max_files_per_trigger)
