@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     "substring_dedup_docs",
     "sample_stratified_lang",
     "events_moving_average",
+    # round-4 additions
+    "docs_bm25_probe",
+    "corpus_top_bigrams",
+    "dedup_keep_best",
+    "sample_temperature_lang",
 ]
 
 

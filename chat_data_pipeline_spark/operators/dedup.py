@@ -345,6 +345,34 @@ def exact_dedup(df: DataFrame, columns: list[str] | str, id_col: str) -> DataFra
     )
 
 
+def exact_dedup_keep_best(
+    df: DataFrame,
+    columns: list[str] | str,
+    quality_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Canonical selection (round 4): per exact key keep the HIGHEST-quality
+    row (ties → minimum id) instead of exact_dedup's blind min-id survivor.
+
+    Curation pipelines prefer this form when duplicates differ in extraction
+    quality — e.g. the same page scraped twice, once with boilerplate — so
+    the survivor should be the best-scoring copy, not the first-seen one.
+    Same single-shuffle window shape as exact_dedup: row_number over
+    (quality desc, id asc) per key; deterministic for any orderable quality
+    column (prefer integer-valued scores: float quality computed differently
+    across engines can flip near-tie orderings)."""
+    if isinstance(columns, str):
+        columns = [columns]
+    w = Window.partitionBy(*columns).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard near-dedup (exact similarity, LSH-free)
 # --------------------------------------------------------------------------

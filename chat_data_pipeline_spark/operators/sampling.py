@@ -155,3 +155,62 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.3,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based group rebalancing (round 4): downsample toward the
+    exponentiated-count distribution p_g ∝ count_g^alpha — the multilingual
+    corpus-mixing rule (XLM-R-style α-sampling, public methodology).  α < 1
+    flattens the group distribution (upweights rare languages/sources
+    RELATIVELY by cutting dominant ones harder); α = 1 is proportional.
+
+    Deterministic: per-group quota q_g = min(c_g, floor(T·p_g)) with
+    T = floor(target_frac·N); rows ranked inside each group by
+    md5(group||id) — the same engine-independent order sample_grouped uses —
+    and rank ≤ quota survives.
+
+    Scale: one count aggregation (group-cardinality-sized, broadcast back)
+    plus one window shuffle on group_col; no driver-side loops.  Skewed
+    groups are exactly the ones the quota cuts hardest, so the window sort
+    shrinks where it would have been biggest.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__c__"))
+    tot = counts.agg(
+        F.sum("__c__").alias("__n__"),
+        F.sum(F.pow("__c__", F.lit(float(alpha)))).alias("__z__"),
+    )
+    quota = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__q__",
+            F.least(
+                F.col("__c__"),
+                F.floor(
+                    F.floor(F.lit(float(target_frac)) * F.col("__n__"))
+                    * F.pow("__c__", F.lit(float(alpha)))
+                    / F.col("__z__")
+                ).cast("long"),
+            ),
+        )
+        .select(group_col, "__q__")
+    )
+    order = F.md5(
+        F.concat_ws(
+            "\x1f", F.col(group_col).cast("string"), F.col(id_col).cast("string")
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col).asc())
+    ranked = df.withColumn("__rn__", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quota), group_col)
+        .filter(F.col("__rn__") <= F.col("__q__"))
+        .drop("__rn__", "__q__")
+    )

@@ -37,6 +37,7 @@ from chat_data_pipeline_spark.functions.wordlists import (
 )
 from chat_data_pipeline_spark.operators import conversation as CV
 from chat_data_pipeline_spark.operators import dedup as D
+from chat_data_pipeline_spark.operators import retrieval as RT
 from chat_data_pipeline_spark.operators import sampling as S
 from chat_data_pipeline_spark.operators import similarity as SIM
 from chat_data_pipeline_spark.operators import temporal as TP
@@ -2827,6 +2828,168 @@ def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Retrieval / corpus-stats / canonical-selection / temperature mixing
+# (operators/retrieval.py, operators/dedup.py, operators/sampling.py — r4)
+# ===========================================================================
+
+
+@_register(
+    "docs_bm25_probe",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS ws
+      FROM documents
+    ), dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT t.doc_id, tok.s AS term, d.dl, COUNT(*) AS tf
+      FROM toks t, unnest(t.ws) AS tok(s), dl d
+      WHERE d.doc_id = t.doc_id
+        AND tok.s IN ('join', 'hash', 'scan', 'window', 'sort')
+      GROUP BY t.doc_id, tok.s, d.dl
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           round(CAST(SUM(CAST(ROUND(
+             ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+           * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS bm25
+    FROM tf, dfreq, stats
+    WHERE dfreq.term = tf.term
+    GROUP BY tf.doc_id
+    """,
+    "Okapi BM25 of every document against a fixed probe-term bag — postings "
+    "pruned to probe terms BEFORE any shuffle; df/corpus stats broadcast; "
+    "contributions summed as integer nanos so cross-engine addition order "
+    "can't change the hash",
+)
+def docs_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO repartition_for_compute here: bm25's plan fans the token lineage
+    # into three branches (corpus stats, tf postings, df counts) and each
+    # branch would re-pay the repartition shuffle of the full text — the
+    # probe-term filter already prunes the explode to near-nothing, so the
+    # narrow single-split scan is the cheaper side at bench scale (measured
+    # 0.9 s vs 4.0 s with the shuffle)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return RT.bm25_scores(
+        docs, ["join", "hash", "scan", "window", "sort"], "text", "doc_id"
+    )
+
+
+@_register(
+    "corpus_top_bigrams",
+    r"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT array_to_string(t[i:i+1], ' ') AS ngram
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    )
+    SELECT ngram, COUNT(*) AS n_occurrences
+    FROM grams GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+    """,
+    "corpus-wide top-20 word bigrams (vocab/boilerplate mining): map-side "
+    "combine into one vocabulary shuffle, then TakeOrderedAndProject — "
+    "per-partition top-k + driver merge, never a global sort",
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    # single-row-group testdata parquet arrives as ONE split; the gram
+    # explode is the CPU hot spot, so spread it before generating (no-op on
+    # multi-file sources at scale)
+    docs = repartition_for_compute(_read(spark, sf_dir, "documents").select("text"))
+    return RT.top_ngrams(docs, "text", n=2, k=20)
+
+
+@_register(
+    "dedup_keep_best",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_distinct([array_to_string(t[i:i+4], ' ')
+                                      for i in range(1, len(t) - 3)])
+                  ELSE [] END AS shingles
+      FROM toks
+    ), keys AS (
+      SELECT s.doc_id, COALESCE(MIN(md5(u.sh)), CAST(s.doc_id AS VARCHAR)) AS k
+      FROM sh s LEFT JOIN (SELECT doc_id, unnest(shingles) AS sh FROM sh) u
+        ON u.doc_id = s.doc_id
+      GROUP BY s.doc_id
+    ), scored AS (
+      SELECT d.doc_id, k.k,
+             len(regexp_extract_all(lower(d.text), '[\p{L}\p{N}_]+')) AS wc
+      FROM documents d JOIN keys k ON k.doc_id = d.doc_id
+    ), ranked AS (
+      SELECT doc_id, wc,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY wc DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, CAST(wc AS INTEGER) AS n_words FROM ranked WHERE rn = 1
+    """,
+    "canonical selection: single-permutation MinHash bucket (min md5 of the "
+    "doc's 5-gram shingles; shingle-free docs form singleton buckets) with "
+    "the HIGHEST-word-count member surviving, ties to min id — keep-best "
+    "near-dup dedup in one window shuffle",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    shingles = D.word_shingles(F.col("text"), 5)
+    key = F.coalesce(
+        F.array_min(F.transform(shingles, F.md5)),
+        F.col("doc_id").cast("string"),
+    )
+    scored = docs.select(
+        "doc_id",
+        key.alias("__k__"),
+        T.word_count(F.col("text")).alias("n_words"),
+    )
+    return D.exact_dedup_keep_best(scored, "__k__", "n_words", "doc_id").select(
+        "doc_id", "n_words"
+    )
+
+
+@_register(
+    "sample_temperature_lang",
+    r"""
+    WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(c) AS n, SUM(pow(c, 0.3)) AS z FROM c),
+    q AS (
+      SELECT c.lang,
+             LEAST(c.c, CAST(FLOOR(FLOOR(0.5 * tot.n) * pow(c.c, 0.3) / tot.z)
+                             AS BIGINT)) AS q
+      FROM c, tot
+    ), r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(lang || chr(31) || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang FROM r JOIN q ON q.lang = r.lang WHERE r.rn <= q.q
+    """,
+    "temperature (alpha=0.3) language rebalancing toward p_l with counts^alpha "
+    "— XLM-R-style corpus mixing; quotas from one broadcast count table, "
+    "md5-ranked membership so the kept id set is engine- and "
+    "partitioning-independent",
+)
+def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    out = S.temperature_sample(docs, "lang", "doc_id", alpha=0.3, target_frac=0.5)
+    return out.select("doc_id", "lang")
+
+
+# ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
 
@@ -2905,6 +3068,17 @@ _WINDOW_TAIL = [
     "q4_order_priority",
     "docs_normalize",
     "q1_pricing_summary",
+    # (round-4 rotation — admits docs_bm25_probe, corpus_top_bigrams,
+    # dedup_keep_best, sample_temperature_lang; each rotated query is
+    # hash-green in CORRECTNESS_r03 and byte-unchanged: join coverage stays
+    # via q13/q16/q22, cleaner coverage via docs_fix_mojibake +
+    # pipeline_lifecycle's C2/C3 stages, GROUPING SETS via events_type_cube's
+    # cube twin in pytest and the moving-average/asof windows in-window,
+    # fingerprints via content-hash use inside dedup_exact and pytest):
+    "q2_min_cost_supplier",
+    "docs_remove_empty_lines",
+    "events_grouping_sets",
+    "doc_fingerprints",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end

@@ -59,12 +59,14 @@ def test_correctness_window_is_all_oracle_backed():
 
     window = list(REGISTRY)[:50]
     assert all(REGISTRY[n].oracle is not None for n in window)
-    # the 12 previously never-driver-verified queries + the lifecycle query
+    # queries still awaiting their first driver hash-verification (the r2
+    # batch minus those verified green in CORRECTNESS_r03) + the round-4
+    # additions; test_correctness_window_covers_unverified_queries derives
+    # the same invariant dynamically from the CORRECTNESS files
     must_be_windowed = {
-        "doc_fingerprints", "sample_grouped_users", "shuffle_hash_sample",
-        "filter_char_repetition", "sample_proportional_mix", "split_by_filter",
-        "conversation_pairs", "conversation_chatml", "conversation_dedup",
-        "multimodal_features", "multimodal_frame_sample", "pipeline_lifecycle",
+        "docs_bm25_probe", "corpus_top_bigrams",
+        "dedup_keep_best", "sample_temperature_lang",
+        "pipeline_lifecycle",
     }
     assert must_be_windowed <= set(window)
 

@@ -1,0 +1,121 @@
+"""Round-4 operators: BM25 probe scoring, top-k n-grams, keep-best canonical
+selection, temperature group rebalancing.
+
+Differential strategy mirrors the rest of the suite: a plain-Python
+reimplementation of the published algorithm checks the Column-expression
+plans on constructed corpora (the duckdb oracle covers the sf-scale paths
+via tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.operators import dedup as D
+from chat_data_pipeline_spark.operators import retrieval as RT
+from chat_data_pipeline_spark.operators import sampling as S
+
+DOCS = [
+    (0, "spark shuffles the hash join across the cluster"),
+    (1, "a hash join beats a sort merge join on small builds"),
+    (2, "window functions sort within partitions"),
+    (3, "no relevant terms here at all"),
+    (4, ""),
+]
+
+
+def _py_bm25(docs, terms, k1=1.2, b=0.75):
+    import re
+
+    toks = {i: re.findall(r"[^\W]+", t.lower(), re.UNICODE) for i, t in docs}
+    dls = {i: len(ws) for i, ws in toks.items()}
+    n = len(docs)
+    avgdl = sum(dls.values()) / n
+    tf = {}
+    for i, ws in toks.items():
+        for t in ws:
+            if t in terms:
+                tf[(i, t)] = tf.get((i, t), 0) + 1
+    df = {}
+    for (_i, t), _c in tf.items():
+        df[t] = df.get(t, 0) + 1
+    out = {}
+    for (i, t), c in tf.items():
+        idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+        contrib = idf * c * (k1 + 1.0) / (c + k1 * (1.0 - b + b * dls[i] / avgdl))
+        out[i] = out.get(i, 0) + round(contrib * 1e9)
+    return {i: round(v / 1e9, 6) for i, v in out.items()}
+
+
+def test_bm25_matches_python_reference(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    terms = ["join", "hash", "sort"]
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in RT.bm25_scores(df, terms, "text", "doc_id").collect()
+    }
+    want = _py_bm25(DOCS, set(terms))
+    assert got == pytest.approx(want)
+    # doc 3 and the empty doc match no terms → absent
+    assert 3 not in got and 4 not in got
+    # doc 1 has join twice + hash — highest score
+    assert max(got, key=got.get) == 1
+
+
+def test_bm25_rejects_empty_query(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        RT.bm25_scores(df, [], "text", "doc_id")
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    rows = [(0, "a b a b c"), (1, "a b x"), (2, "zz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r["ngram"], r["n_occurrences"]) for r in RT.top_ngrams(df, "text", n=2, k=3).collect()]
+    # bigram stream: doc0 -> a b, b a, a b, b c ; doc1 -> a b, b x ; doc2 -> none
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1)]  # ties broken lexicographically
+
+
+def test_top_ngrams_short_docs_yield_nothing(spark):
+    df = spark.createDataFrame([(0, "solo")], ["doc_id", "text"])
+    assert RT.top_ngrams(df, "text", n=2, k=5).count() == 0
+
+
+def test_keep_best_survivor_quality_then_id(spark):
+    rows = [
+        (10, "k1", 5),
+        (11, "k1", 9),  # best quality in k1 → survives
+        (12, "k1", 9),  # tie with 11 → larger id loses
+        (20, "k2", 1),  # singleton survives
+    ]
+    df = spark.createDataFrame(rows, ["ids", "key", "q"])
+    got = sorted(
+        r["ids"] for r in D.exact_dedup_keep_best(df, "key", "q", "ids").collect()
+    )
+    assert got == [11, 20]
+
+
+def test_temperature_sample_flattens_skew(spark):
+    # 90/10 skew: alpha=0.3 must cut the dominant group's SHARE, not just size
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["ids", "grp"])
+    out = S.temperature_sample(df, "grp", "ids", alpha=0.3, target_frac=0.5)
+    by = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # exact quotas: T=50, z=90^.3+10^.3; q_g = min(c_g, floor(T*c^.3/z))
+    z = 90**0.3 + 10**0.3
+    assert by["big"] == min(90, math.floor(50 * 90**0.3 / z))
+    assert by["small"] == min(10, math.floor(50 * 10**0.3 / z))
+    assert by["big"] / by["small"] < 90 / 10  # flatter than the input ratio
+
+
+def test_temperature_sample_partitioning_invariant(spark):
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["ids", "grp"])
+    a = sorted(r["ids"] for r in S.temperature_sample(df, "grp", "ids").collect())
+    b = sorted(
+        r["ids"]
+        for r in S.temperature_sample(df.repartition(7), "grp", "ids").collect()
+    )
+    assert a == b and len(a) > 0
