@@ -539,3 +539,67 @@ def embedding_neardup_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(dropped, on=id_col, how="left_anti")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    public methodology): k-means-partition the embedding space, then remove
+    cosine-≥-threshold near-duplicates WITHIN each cluster, keeping the
+    min-id member of every duplicate component (the dedup-family survivor
+    rule).  Cross-cluster near-dups are intentionally out of contract — the
+    clustering IS the blocking step that makes the quadratic local.
+
+    Scale (100 TB): pairwise work drops from O(N²) to Σ_c O(|c|²); pick
+    ``n_clusters ∝ N`` so clusters stay bounded (SemDeDup used 50k clusters
+    for LAION-440M).  Centroid training is a bounded driver-side sample
+    (deterministic md5-ordered, seeded Lloyd — reused from the IVF build);
+    assignment is one narrow Arrow-batched matmul pass; per-cluster dedup is
+    an ``applyInPandas`` group task with no driver state.  The only wide op
+    is the one groupBy(cluster) shuffle + the survivor semi-join.
+    """
+    import pandas as pd
+
+    centroids = _train_centroids(df, vec_col, n_clusters, seed=seed, id_col=id_col)
+    assigned = _ivf_assign_expr(
+        df.select(id_col, vec_col), vec_col, centroids, "__lists__", 1
+    ).select(id_col, vec_col, F.element_at("__lists__", 1).alias("__cluster__"))
+    id_type = dict(df.dtypes)[id_col]
+    thr = float(threshold)
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()[order]]
+        )
+        normed = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+        # same 6-dp rounding as every other cosine path in this module, so
+        # threshold decisions agree with the pair/LSH operators bit-for-bit
+        sims = np.round(normed @ normed.T, 6)
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, j in zip(*np.nonzero(np.triu(sims >= thr, k=1))):
+            ri, rj = find(int(i)), find(int(j))
+            if ri != rj:  # ids ascend with index → min root = min id
+                lo, hi = (ri, rj) if ri < rj else (rj, ri)
+                parent[hi] = lo
+        keep = [i for i in range(len(ids)) if find(i) == i]
+        return pd.DataFrame({id_col: ids[keep]})
+
+    kept = assigned.groupBy("__cluster__").applyInPandas(
+        dedup_cluster, schema=f"{id_col} {id_type}"
+    )
+    return df.join(kept, on=id_col, how="left_semi")

@@ -2989,6 +2989,22 @@ def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+@_register(
+    "dedup_semantic",
+    None,  # k-means blocking is not SQL-expressible; differential pytest
+    # coverage in tests/test_similarity.py (survivor-rule + blocking props)
+    "SemDeDup-style semantic dedup: k-means cluster blocking, per-cluster "
+    "cosine components via applyInPandas, min-id survivors — quadratic work "
+    "bounded to cluster size",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    out = SIM.semantic_dedup(
+        emb, threshold=0.95, n_clusters=16, id_col="vec_id", vec_col="embedding"
+    )
+    return out.select("vec_id", "label")
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================

@@ -161,3 +161,66 @@ def test_oversized_bucket_does_not_mask_later_table_pairs(spark):
         ).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(30, 8)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant exact clones of ids 0..4 at ids 100..104 (cosine 1.0 > thr)
+    for i in range(5):
+        rows.append((100 + i, [float(x) for x in base[i]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.semantic_dedup(df, threshold=0.95, n_clusters=4)
+    kept = sorted(r.vec_id for r in out.collect())
+    # min-id survivor: the originals stay, every planted clone goes
+    assert set(range(5)) <= set(kept)
+    assert not any(v >= 100 for v in kept)
+    assert len(kept) <= 30
+
+
+def test_semantic_dedup_dropped_have_kept_neighbor(emb):
+    """Every dropped row must have a kept same-cluster neighbor at
+    cosine >= threshold (the witness that it was a duplicate)."""
+    import numpy as np
+
+    thr = 0.9
+    out = SIM.semantic_dedup(emb, threshold=thr, n_clusters=8)
+    kept_ids = {r.vec_id for r in out.select("vec_id").collect()}
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    normed = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+    cents = SIM._train_centroids(emb, "embedding", 8, id_col="vec_id")
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cluster = d2.argmin(axis=1)
+    sims = np.round(normed @ normed.T, 6)
+    dropped = [i for i, v in enumerate(ids) if v not in kept_ids]
+    assert dropped, "fixture should contain at least one near-dup at 0.9"
+    for i in dropped:
+        witnesses = [
+            j
+            for j in range(len(ids))
+            if ids[j] in kept_ids
+            and cluster[j] == cluster[i]
+            and sims[i, j] >= thr
+            and ids[j] < ids[i]
+        ]
+        assert witnesses, f"dropped {ids[i]} has no kept min-id witness"
+
+
+def test_semantic_dedup_partitioning_invariant(emb):
+    a = sorted(r.vec_id for r in SIM.semantic_dedup(emb, 0.9, 8).collect())
+    b = sorted(
+        r.vec_id for r in SIM.semantic_dedup(emb.repartition(13), 0.9, 8).collect()
+    )
+    assert a == b
