@@ -579,7 +579,11 @@ def semantic_dedup(
         mat = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()[order]]
         )
-        normed = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+        # zero-norm guard: an all-zero embedding would otherwise yield a NaN
+        # row in sims (NaN >= thr is False, so zero vectors silently never
+        # dedup); with the eps floor they normalize to the zero vector and
+        # score cosine 0 against everything — kept, deterministically.
+        normed = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)[:, None]
         # same 6-dp rounding as every other cosine path in this module, so
         # threshold decisions agree with the pair/LSH operators bit-for-bit
         sims = np.round(normed @ normed.T, 6)

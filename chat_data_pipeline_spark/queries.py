@@ -2810,7 +2810,8 @@ def docs_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_tokens, shard,
            CAST(floor(prev / 256.0) AS BIGINT) AS bin_id,
-           prev - CAST(floor(prev / 256.0) AS BIGINT) * 256 AS bin_offset
+           CAST(prev - CAST(floor(prev / 256.0) AS BIGINT) * 256 AS BIGINT)
+             AS bin_offset
     FROM walked
     """,
     "sequence packing into 256-token bins over 8 md5 shards: per-shard "
@@ -2820,8 +2821,11 @@ def docs_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chat_data_pipeline_spark.operators import packing as PK
 
+    # n_tokens cast to long: regexp_count emits INT while the duckdb oracle's
+    # len(...) emits BIGINT, and the driver's value hash (unlike its schema
+    # check) is width-sensitive — both engines must emit int64.
     docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", T.word_count(F.col("text")).alias("n_tokens")
+        "doc_id", T.word_count(F.col("text")).cast("long").alias("n_tokens")
     )
     packed = PK.pack_sequences(docs, "n_tokens", "doc_id", budget=256, n_shards=8)
     return packed.select("doc_id", "n_tokens", "shard", "bin_id", "bin_offset")

@@ -188,34 +188,73 @@ def test_semantic_dedup_drops_planted_near_dups(spark):
     assert len(kept) <= 30
 
 
-def test_semantic_dedup_dropped_have_kept_neighbor(emb):
-    """Every dropped row must have a kept same-cluster neighbor at
-    cosine >= threshold (the witness that it was a duplicate)."""
+def test_semantic_dedup_dropped_transitively_reach_kept(spark):
+    """Every dropped row is transitively connected to a kept row through
+    cosine-≥-threshold edges WITHIN its cluster — the exact union-find
+    contract.  (A direct-witness check is stronger than the operator
+    guarantees: in an A-B-C chain the ends dedup without being ≥ thr of each
+    other.)  Near-dups are PLANTED, not assumed present in a corpus fixture."""
     import numpy as np
 
+    rng = np.random.RandomState(7)
     thr = 0.9
-    out = SIM.semantic_dedup(emb, threshold=thr, n_clusters=8)
+    n_clusters = 4
+    base = rng.randn(30, 8)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # near-clones of ids 0..4 at cosine ~0.9999 — guaranteed drops
+    for i in range(5):
+        rows.append((100 + i, [float(x) for x in base[i] + 0.01 * rng.randn(8)]))
+    # 3-link chain at 20° steps: adjacent cosines ~0.94 ≥ thr, but the ends
+    # sit at ~0.77 < thr — a dropped end has NO direct kept witness
+    u = np.zeros(8)
+    u[0] = 1.0
+    w = np.zeros(8)
+    w[1] = 1.0
+    th = np.deg2rad(20.0)
+    for k in range(3):
+        v = np.cos(k * th) * u + np.sin(k * th) * w
+        rows.append((200 + k, [float(x) for x in 3.0 * v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = SIM.semantic_dedup(df, threshold=thr, n_clusters=n_clusters)
     kept_ids = {r.vec_id for r in out.select("vec_id").collect()}
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+
+    ids = np.array([r[0] for r in rows])
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
     normed = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-    cents = SIM._train_centroids(emb, "embedding", 8, id_col="vec_id")
+    sims = np.round(normed @ normed.T, 6)
+    # cluster assignment exactly as the operator computes it
+    cents = SIM._train_centroids(df, "embedding", n_clusters, id_col="vec_id")
     d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     cluster = d2.argmin(axis=1)
-    sims = np.round(normed @ normed.T, 6)
-    dropped = [i for i, v in enumerate(ids) if v not in kept_ids]
-    assert dropped, "fixture should contain at least one near-dup at 0.9"
+
+    dropped = [i for i in range(len(ids)) if ids[i] not in kept_ids]
+    assert dropped, "planted near-clones must produce at least one drop"
     for i in dropped:
-        witnesses = [
-            j
-            for j in range(len(ids))
-            if ids[j] in kept_ids
-            and cluster[j] == cluster[i]
-            and sims[i, j] >= thr
-            and ids[j] < ids[i]
-        ]
-        assert witnesses, f"dropped {ids[i]} has no kept min-id witness"
+        seen = {i}
+        frontier = [i]
+        reached_kept = False
+        while frontier and not reached_kept:
+            nxt = []
+            for a in frontier:
+                for b in range(len(ids)):
+                    if b in seen or cluster[b] != cluster[a] or sims[a, b] < thr:
+                        continue
+                    if ids[b] in kept_ids:
+                        reached_kept = True
+                    seen.add(b)
+                    nxt.append(b)
+            frontier = nxt
+        assert reached_kept, f"dropped {ids[i]} unreachable from any kept row"
+
+
+def test_semantic_dedup_zero_norm_vectors_kept(spark):
+    """All-zero embeddings must not NaN-poison the similarity matrix: they
+    score cosine 0 against everything (eps-floored norm) and survive."""
+    rows = [(0, [0.0] * 8), (1, [0.0] * 8), (2, [1.0] + [0.0] * 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(r.vec_id for r in SIM.semantic_dedup(df, 0.9, 1).collect())
+    assert kept == [0, 1, 2]
 
 
 def test_semantic_dedup_partitioning_invariant(emb):
