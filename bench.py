@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "corpus_top_bigrams",
     "dedup_keep_best",
     "sample_temperature_lang",
+    # round-5 additions
+    "dedup_semantic",
 ]
 
 

@@ -544,10 +544,11 @@ def embedding_neardup_dedup(
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    target_cluster_size: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
     public methodology): k-means-partition the embedding space, then remove
@@ -556,16 +557,24 @@ def semantic_dedup(
     rule).  Cross-cluster near-dups are intentionally out of contract — the
     clustering IS the blocking step that makes the quadratic local.
 
-    Scale (100 TB): pairwise work drops from O(N²) to Σ_c O(|c|²); pick
-    ``n_clusters ∝ N`` so clusters stay bounded (SemDeDup used 50k clusters
-    for LAION-440M).  Centroid training is a bounded driver-side sample
-    (deterministic md5-ordered, seeded Lloyd — reused from the IVF build);
-    assignment is one narrow Arrow-batched matmul pass; per-cluster dedup is
-    an ``applyInPandas`` group task with no driver state.  The only wide op
+    Scale (100 TB): pairwise work drops from O(N²) to Σ_c O(|c|²); clusters
+    must stay bounded as the corpus grows (SemDeDup used 50k clusters for
+    LAION-440M), so ``n_clusters=None`` (the default) derives it from the
+    corpus: ``ceil(count / target_cluster_size)`` — one cheap count()
+    action, and per-cluster work stays ~target² sims at ANY corpus size.
+    Pass an explicit ``n_clusters`` only for tests / known-small corpora.
+    Centroid training is a bounded driver-side sample (deterministic
+    md5-ordered, seeded Lloyd — reused from the IVF build); assignment is
+    one narrow Arrow-batched matmul pass; per-cluster dedup is an
+    ``applyInPandas`` group task with no driver state.  The only wide op
     is the one groupBy(cluster) shuffle + the survivor semi-join.
     """
+    import math
+
     import pandas as pd
 
+    if n_clusters is None:
+        n_clusters = max(4, math.ceil(df.count() / target_cluster_size))
     centroids = _train_centroids(df, vec_col, n_clusters, seed=seed, id_col=id_col)
     assigned = _ivf_assign_expr(
         df.select(id_col, vec_col), vec_col, centroids, "__lists__", 1

@@ -58,15 +58,22 @@ def test_correctness_window_is_all_oracle_backed():
     from chat_data_pipeline_spark.queries import REGISTRY
 
     window = list(REGISTRY)[:50]
-    assert all(REGISTRY[n].oracle is not None for n in window)
-    # queries still awaiting their first driver hash-verification (the r2
-    # batch minus those verified green in CORRECTNESS_r03) + the round-4
-    # additions; test_correctness_window_covers_unverified_queries derives
-    # the same invariant dynamically from the CORRECTNESS files
+    # dedup_semantic is the ONE sanctioned rows-only window entry: k-means
+    # blocking is not SQL-expressible, and the r4 verdict requires it to earn
+    # a driver row anyway (rows-only signal beats no signal)
+    rows_only_allowed = {"dedup_semantic"}
+    assert all(
+        REGISTRY[n].oracle is not None or n in rows_only_allowed for n in window
+    )
+    # queries still awaiting their first driver hash-verification + the
+    # round-5 window moves (dedup_semantic new; events_hourly_agg rotated
+    # back in after its shared reader changed in r4);
+    # test_correctness_window_covers_unverified_queries derives the oracle
+    # invariant dynamically from the CORRECTNESS files
     must_be_windowed = {
         "docs_bm25_probe", "corpus_top_bigrams",
         "dedup_keep_best", "sample_temperature_lang",
-        "pipeline_lifecycle",
+        "pipeline_lifecycle", "dedup_semantic", "events_hourly_agg",
     }
     assert must_be_windowed <= set(window)
 
@@ -85,7 +92,9 @@ def test_correctness_window_covers_unverified_queries():
     names = list(E.queries())
     oracles = E.oracle_sql()
     window = names[:50]
-    assert all(n in oracles for n in window), [n for n in window if n not in oracles]
+    assert all(
+        n in oracles or n == "dedup_semantic" for n in window
+    ), [n for n in window if n not in oracles]
 
     verified: set[str] = set()
     for fname in sorted(os.listdir("/root/repo")):
