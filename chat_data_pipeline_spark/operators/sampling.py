@@ -63,7 +63,20 @@ def sample_proportional(
 ) -> DataFrame:
     """G2 ``sample_datasets`` (ref:utils.py:205-215): cap the target by each
     source's capacity/proportion, sample each source to its share, union."""
-    counts = [df.count() for df in frames]
+    # ONE Spark action for every source's count (a per-frame count() loop is
+    # one job per source — noisy at many sources): tag each frame, union the
+    # tags only, aggregate.  Projecting to just the literal tag keeps the
+    # union schema-compatible even when sources have different columns.
+    tagged = [
+        df.select(F.lit(i).alias("__src__")) for i, df in enumerate(frames)
+    ]
+    counted = dict(
+        reduce(DataFrame.unionByName, tagged)
+        .groupBy("__src__")
+        .agg(F.count("*").alias("__c__"))
+        .collect()
+    )
+    counts = [counted.get(i, 0) for i in range(len(frames))]
     capacity = min(
         int(c / p) if p > 0 else 1 << 62 for c, p in zip(counts, proportions)
     )
@@ -182,10 +195,18 @@ def temperature_sample(
     """
     if alpha <= 0:
         raise ValueError("alpha must be positive")
+    # per-group weight c^alpha as INTEGER NANOS (the bm25_scores convention):
+    # a float SUM's addition order differs between engines/partitionings, so
+    # a quota landing exactly on a floor boundary could flip the kept set;
+    # rounding each contribution to int64 first makes Z an exact integer sum
+    # (order-independent), and every remaining op is a deterministic IEEE
+    # double expression both engines evaluate identically.
+    p_nanos = F.round(F.pow("__c__", F.lit(float(alpha))) * F.lit(1e9)).cast("long")
     counts = df.groupBy(group_col).agg(F.count("*").alias("__c__"))
+    counts = counts.withColumn("__p__", p_nanos)
     tot = counts.agg(
         F.sum("__c__").alias("__n__"),
-        F.sum(F.pow("__c__", F.lit(float(alpha)))).alias("__z__"),
+        F.sum("__p__").alias("__z__"),
     )
     quota = (
         counts.crossJoin(F.broadcast(tot))
@@ -193,9 +214,14 @@ def temperature_sample(
             "__q__",
             F.least(
                 F.col("__c__"),
+                # T cast to double BEFORE the multiply: duckdb's FLOOR yields
+                # DOUBLE, so its T*p is a double multiply — mirror the exact
+                # op order or T*p > 2^53 could round differently per engine
                 F.floor(
-                    F.floor(F.lit(float(target_frac)) * F.col("__n__"))
-                    * F.pow("__c__", F.lit(float(alpha)))
+                    F.floor(F.lit(float(target_frac)) * F.col("__n__")).cast(
+                        "double"
+                    )
+                    * F.col("__p__")
                     / F.col("__z__")
                 ).cast("long"),
             ),

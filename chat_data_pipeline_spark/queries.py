@@ -1592,11 +1592,11 @@ def _sql_stopword_hits(lang: str) -> str:
     "heuristic stopword language-ID, deterministic argmax",
 )
 def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chat_data_pipeline_spark.session import repartition_for_compute
-
-    # the tokenize+fold is CPU-bound and the testdata parquet is one split —
-    # spread the scan before the expression (no-op with enough splits)
-    docs = repartition_for_compute(_read(spark, sf_dir, "documents").select("text"))
+    # no repartition_for_compute: all-native expression work — A/B at sf0.1
+    # measured the exchange a wash locally and it's pure overhead on a real
+    # multi-split scan; the helper is reserved for pandas-UDF stages where a
+    # single-split input would serialize Python workers onto one core
+    docs = _read(spark, sf_dir, "documents").select("text")
     return (
         docs.select(A.language_id(F.col("text")).alias("predicted_lang"))
         .groupBy("predicted_lang")
@@ -1629,11 +1629,8 @@ _SQL_PUNCT_CLASS = r"[.,;:!?''\"()\[\]{}<>~`*%&#@^_|\\/+=-]"
     "composite [0,1] quality heuristic (length/stopword/punct/alpha terms)",
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chat_data_pipeline_spark.session import repartition_for_compute
-
-    docs = repartition_for_compute(
-        _read(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    # no repartition_for_compute: native Column fold, exchange is overhead
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.select("doc_id", A.quality_score(F.col("text")).alias("quality"))
 
 
@@ -2964,11 +2961,15 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "sample_temperature_lang",
     r"""
-    WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
-    tot AS (SELECT SUM(c) AS n, SUM(pow(c, 0.3)) AS z FROM c),
+    WITH c AS (
+      SELECT lang, COUNT(*) AS c,
+             CAST(ROUND(pow(COUNT(*), 0.3) * 1e9) AS BIGINT) AS p
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(c) AS n, SUM(p) AS z FROM c),
     q AS (
       SELECT c.lang,
-             LEAST(c.c, CAST(FLOOR(FLOOR(0.5 * tot.n) * pow(c.c, 0.3) / tot.z)
+             LEAST(c.c, CAST(FLOOR(FLOOR(0.5 * tot.n) * c.p / tot.z)
                              AS BIGINT)) AS q
       FROM c, tot
     ), r AS (

@@ -18,6 +18,7 @@ continuous training-data pipeline needs:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -65,10 +66,16 @@ def read_events_stream(
     ``nanos_ts=None`` (default) auto-detects the parquet timestamp encoding
     with a one-footer batch read of the same path: bigint → the legacy
     TIMESTAMP(NANOS) path, anything else → a plain TIMESTAMP schema.  The
-    detection is a driver-side metadata read, not a data scan.
+    detection is a driver-side metadata read, not a data scan.  An empty or
+    not-yet-populated source directory (a normal file-stream startup state)
+    has no footer to probe — fall back to the plain EVENT_SCHEMA rather
+    than failing stream construction.
     """
     if nanos_ts is None:
-        nanos_ts = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+        try:
+            nanos_ts = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+        except AnalysisException:
+            nanos_ts = False
     if not nanos_ts:
         df = (
             spark.readStream.schema(EVENT_SCHEMA)

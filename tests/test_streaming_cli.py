@@ -27,6 +27,17 @@ def events_dir(tmp_path):
     return str(d)
 
 
+def test_stream_on_empty_source_dir_constructs(spark, tmp_path):
+    """nanos_ts auto-detection must not fail on an empty/not-yet-populated
+    source directory (a normal file-stream startup state): the schema probe
+    falls back to EVENT_SCHEMA instead of raising 'Unable to infer schema'."""
+    d = tmp_path / "empty_in"
+    d.mkdir()
+    stream = read_events_stream(spark, str(d))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
 def test_windowed_aggregates_stream_equals_batch(spark, tmp_path, events_dir):
     from chat_data_pipeline_spark.queries import _read_events
 
