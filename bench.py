@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "sample_temperature_lang",
     # round-5 additions
     "dedup_semantic",
+    "paragraph_dedup_within",
+    "decontaminate_bloom_report",
+    "decontaminate_semantic",
+    "ann_topk_pq",
 ]
 
 

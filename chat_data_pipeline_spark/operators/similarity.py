@@ -14,7 +14,7 @@ the hot path.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from chat_data_pipeline_spark.operators.dedup import connected_components_min_label
@@ -309,6 +309,178 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str | None = None,
+) -> np.ndarray:
+    """Product-quantization codebooks ``(m, k, dim/m)`` (Jégou et al. 2011,
+    public methodology): the vector splits into ``m`` subspaces, each with
+    its own ``k``-centroid quantizer trained by the same bounded
+    deterministic sample + seeded Lloyd loop as the IVF build.  Vectors are
+    L2-NORMALIZED before training/encoding so asymmetric inner-product
+    lookups approximate cosine — the similarity this module's ANN family
+    ranks by."""
+    if id_col is not None:
+        sample = (
+            df.select(id_col, vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(sample_rows)
+            .toPandas()
+        )
+    else:
+        sample = df.select(vec_col).limit(sample_rows).toPandas()
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)[:, None]
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books = np.empty((m, k, dsub))
+    rng = np.random.RandomState(seed)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=min(k, len(sub)), replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j, : len(cent)] = cent
+        if len(cent) < k:  # degenerate tiny sample: pad with the last centroid
+            books[j, len(cent) :] = cent[-1]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, pq_code array<int>) — each vector compressed to ``m`` sub-
+    centroid indices: dim·4 bytes → m bytes (32× at dim=64, m=8, k≤256).
+
+    THE memory lever for a 100 TB embedding store: the encoded corpus fits
+    ~30× more vectors per executor, and encoding is a narrow Arrow-batched
+    pass (codebooks ship in the closure — KB-scale), zero shuffles."""
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = books.shape
+    id_type = dict(df.dtypes)[id_col]
+
+    def encode(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+            )
+            mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)[:, None]
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ books[j].T)
+                    + (books[j] * books[j]).sum(axis=1)[None, :]
+                )
+                # stable argmin (ties to lowest index) — deterministic codes
+                codes[:, j] = np.argsort(d2, axis=1, kind="stable")[:, 0]
+            yield pd.DataFrame(
+                {id_col: batch[id_col].to_numpy(), "pq_code": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} {id_type}, pq_code array<int>"
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_subcentroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric-distance PQ scan.
+
+    Per query a ``(m, k)`` lookup table of sub-inner-products is built
+    driver-side (tiny) and broadcast; each partition scores its encoded
+    vectors with ``m`` table lookups per vector (no float math on the
+    corpus side), emits its local top-k, and one final window over the
+    ≤ partitions·k·|queries| candidate rows ranks globally.  The full-
+    precision corpus is never shuffled or rescanned — the classic
+    IVF-free ADC scan, here as the compressed complement to ``ivf_topk``.
+    """
+    import pandas as pd
+
+    books = train_pq_codebooks(
+        df, vec_col, m=m, k=n_subcentroids, seed=seed, id_col=id_col
+    )
+    dsub = books.shape[2]
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qids = qpdf[query_id_col].to_numpy()
+    qmat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in qpdf[query_vec_col]]
+    )
+    qmat = qmat / np.maximum(np.sqrt((qmat * qmat).sum(axis=1)), 1e-12)[:, None]
+    # LUT[q, j, c] = <q_sub_j, centroid_{j,c}> — shape (n_queries, m, k)
+    luts = np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )
+    encoded = pq_encode(df, books, id_col, vec_col)
+    bcast = df.sparkSession.sparkContext.broadcast((qids, luts))
+    q_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(df.dtypes)[id_col]
+
+    def scan(batches):
+        ids_q, tables = bcast.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            vids = batch[id_col].to_numpy()
+            codes = np.stack([np.asarray(c) for c in batch["pq_code"]])
+            out_q, out_v, out_s = [], [], []
+            cols = np.arange(codes.shape[1])
+            for qi in range(len(ids_q)):
+                scores = tables[qi][cols[None, :], codes].sum(axis=1)
+                top = np.argsort(-scores, kind="stable")[: min(k, len(vids))]
+                out_q.extend([ids_q[qi]] * len(top))
+                out_v.extend(vids[top])
+                out_s.extend(np.round(scores[top], 6))
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_v, "approx_cosine": out_s}
+            )
+
+    candidates = encoded.mapInPandas(
+        scan,
+        schema=f"{query_id_col} {q_type}, {id_col} {id_type}, approx_cosine double",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_cosine", "rank")
     )
 
 

@@ -74,3 +74,40 @@ def paragraph_dedup(
             ),
         )
     )
+
+
+def dedup_paragraphs_within_doc(
+    df: DataFrame, column: str, out_col: str = "text_dedup", joiner: str = "\n\n"
+) -> DataFrame:
+    """INTRA-document paragraph dedup: each document keeps only the first
+    occurrence of every distinct (trimmed) paragraph — the
+    repetition-removal move for scraped pages whose template repeats the
+    same block (nav text, share buttons, quoted reply chains) many times
+    inside ONE document.  Complements :func:`paragraph_dedup`, which dedups
+    ACROSS documents.
+
+    Scale design (100 TB): a pure narrow projection — split, strip, and the
+    first-occurrence filter are all higher-order array expressions evaluated
+    per row inside whole-stage codegen.  ZERO shuffles, no state, trivially
+    parallel at any corpus size; the only cost is O(p²) equality checks per
+    document where p is its paragraph count (p is bounded by document
+    length, not corpus size).
+    """
+    # The split+strip chain is bound to a lambda variable via a single-
+    # element ``transform`` (the word_shingles trick) so it evaluates ONCE
+    # per row; referencing the raw expression inside the filter lambda makes
+    # Catalyst re-run the regex chain for every (element, slice) pair —
+    # measured ~4x slower on the bench corpus.
+    def first_occurrence(parts: Column) -> Column:
+        return F.filter(
+            parts,
+            # i is 0-based: slice(parts, 1, i) = the i elements BEFORE this
+            # one; array_position = 0 means "content not seen yet".  Blanks
+            # drop.
+            lambda x, i: (x != F.lit(""))
+            & (F.array_position(F.slice(parts, F.lit(1), i), x) == F.lit(0)),
+        )
+
+    raw = F.transform(F.split(F.col(column), "\n\n"), lambda x: strip(x))
+    deduped = F.get(F.transform(F.array(raw), first_occurrence), 0)
+    return df.withColumn(out_col, F.array_join(deduped, joiner))

@@ -71,3 +71,106 @@ def test_probe_is_broadcast_no_train_shuffle(spark):
 
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)  # excludes BroadcastExchange
     assert len(shuffles) <= 2, plan
+
+
+# --------------------------------------------------------------------------
+# Bloom-bitset decontamination (round 5)
+# --------------------------------------------------------------------------
+
+
+def test_bloom_superset_of_exact_and_no_misses(spark):
+    """Bloom contamination must contain EVERY exactly-contaminated doc (one-
+    sided error: false positives allowed, false negatives never)."""
+    train, bench = _corpora(spark)
+    exact = {r.doc_id for r in DC.contamination_report(train, bench, "text", "doc_id", ngram_size=8).collect()}
+    bloom = {r.doc_id for r in DC.bloom_contamination_report(train, bench, "text", "doc_id", ngram_size=8, m=1 << 20, k=4).collect()}
+    assert exact <= bloom
+    # at m=2^20 with a one-doc benchmark, false positives are ~impossible
+    assert bloom == exact
+
+
+def test_bloom_decontaminate_drops_contaminated(spark):
+    train, bench = _corpora(spark)
+    kept = DC.bloom_decontaminate(train, bench, "text", "doc_id", ngram_size=8, m=1 << 20, k=4)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3]
+    assert kept.columns == train.columns
+
+
+def test_bloom_empty_benchmark_keeps_everything(spark):
+    train, bench = _corpora(spark)
+    empty = bench.filter("doc_id < 0")
+    rep = DC.bloom_contamination_report(train, empty, "text", "doc_id", ngram_size=8)
+    assert rep.count() == 0
+
+
+def test_bloom_probe_is_narrow_no_joins(spark):
+    """The whole point of the bitset: the train probe plan has NO join and NO
+    shuffle — contamination is decided in-task against the broadcast bits."""
+    train, bench = _corpora(spark)
+    rep = DC.bloom_contamination_report(train, bench, "text", "doc_id", ngram_size=8)
+    plan = _plan(rep)
+    import re
+
+    assert not re.search(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert not re.search(r"\(\d+\) Exchange\b", plan)
+
+
+def test_bloom_undersized_bitset_yields_false_positives(spark):
+    """Force saturation (m tiny) to prove the operator really is a Bloom
+    filter: extra docs appear, but the exact set is still fully covered."""
+    train, bench = _corpora(spark)
+    exact = {r.doc_id for r in DC.contamination_report(train, bench, "text", "doc_id", ngram_size=8).collect()}
+    bloom = {r.doc_id for r in DC.bloom_contamination_report(train, bench, "text", "doc_id", ngram_size=8, m=16, k=2).collect()}
+    assert exact <= bloom
+    assert len(bloom) > len(exact)
+
+
+# --------------------------------------------------------------------------
+# Semantic (embedding) decontamination (round 5)
+# --------------------------------------------------------------------------
+
+
+def _vec_corpora(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    bench_vecs = rng.randn(3, 16)
+    rows_b = [(100 + i, [float(x) for x in v]) for i, v in enumerate(bench_vecs)]
+    rows_t = []
+    # id 1: near-paraphrase of bench vector 0 (tiny perturbation)
+    rows_t.append((1, [float(x) for x in bench_vecs[0] + 0.01 * rng.randn(16)]))
+    # id 2: orthogonal-ish random vector
+    rows_t.append((2, [float(x) for x in rng.randn(16)]))
+    # id 3: exact copy of bench vector 2
+    rows_t.append((3, [float(x) for x in bench_vecs[2]]))
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.createDataFrame(rows_t, schema),
+        spark.createDataFrame(rows_b, schema),
+    )
+
+
+def test_semantic_contamination_flags_paraphrase_and_copy(spark):
+    train, bench = _vec_corpora(spark)
+    rep = {
+        r.vec_id: r.max_bench_cosine
+        for r in DC.semantic_contamination_report(train, bench, threshold=0.9).collect()
+    }
+    assert set(rep) == {1, 3}
+    assert rep[3] == 1.0
+    assert rep[1] >= 0.99
+
+
+def test_semantic_decontaminate_keeps_clean_rows(spark):
+    train, bench = _vec_corpora(spark)
+    kept = DC.semantic_decontaminate(train, bench, threshold=0.9)
+    assert [r.vec_id for r in kept.collect()] == [2]
+    assert kept.columns == train.columns
+
+
+def test_semantic_bench_guard_raises(spark):
+    train, bench = _vec_corpora(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_bench_rows"):
+        DC.semantic_contamination_report(train, bench, max_bench_rows=2)

@@ -263,3 +263,51 @@ def test_semantic_dedup_partitioning_invariant(emb):
         r.vec_id for r in SIM.semantic_dedup(emb.repartition(13), 0.9, 8).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ADC top-k (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_recall(emb, queries, exact_topk):
+    rows = SIM.pq_topk(emb, queries, k=10, m=8, n_subcentroids=16).collect()
+    # 8x1-byte codes over dim-64 vectors: coarser than IVF's full-precision
+    # rerank, so the bar is lower — but far above the 10/500 random baseline
+    assert _recall(rows, exact_topk) >= 0.4
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_pq_deterministic_and_partition_invariant(emb, queries):
+    a = sorted(map(tuple, SIM.pq_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, SIM.pq_topk(emb.repartition(7), queries, k=5).collect()))
+    assert a == b
+
+
+def test_pq_codes_bounded_and_deterministic(emb):
+    import numpy as np
+
+    books = SIM.train_pq_codebooks(emb, "embedding", m=8, k=16, id_col="vec_id")
+    assert books.shape == (8, 16, 8)
+    codes = {r.vec_id: list(r.pq_code) for r in SIM.pq_encode(emb, books).collect()}
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes.values())
+    codes2 = {
+        r.vec_id: list(r.pq_code)
+        for r in SIM.pq_encode(emb.repartition(5), books).collect()
+    }
+    assert codes == codes2
+
+
+def test_pq_self_hit(emb, queries):
+    """A query vector that exists in the corpus shares its own PQ codes, so
+    its reconstruction error is minimal — it must appear in its own top-10."""
+    rows = SIM.pq_topk(emb, queries, k=10).collect()
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    self_hits = sum(1 for q, ids in got.items() if q in ids)
+    assert self_hits >= len(got) - 1  # PQ is lossy; allow one miss

@@ -47,3 +47,30 @@ def test_plan_uses_agg_join_not_paragraph_window(spark):
     # join — a Window over paragraph content would serialize hot keys
     assert "Window" not in plan
     assert re.search(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_within_doc_dedup_keeps_first_occurrence_order(spark):
+    rows = [
+        (1, "nav menu\n\nbody one\n\nnav menu\n\nbody two\n\nnav menu"),
+        (2, "only\n\n\n\nonly\n\n  only  \n\nlast"),  # blanks + trim dupes
+        (3, "unique a\n\nunique b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text_dedup
+        for r in SD.dedup_paragraphs_within_doc(df, "text").collect()
+    }
+    # repeated template block survives once, at its first position
+    assert got[1] == "nav menu\n\nbody one\n\nbody two"
+    # trimmed-equal paragraphs dedup; blank paragraphs drop
+    assert got[2] == "only\n\nlast"
+    # no-dup documents are reassembled unchanged
+    assert got[3] == "unique a\n\nunique b"
+
+
+def test_within_doc_dedup_is_narrow(spark):
+    df = spark.createDataFrame([(1, "a\n\nb")], "doc_id long, text string")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        SD.dedup_paragraphs_within_doc(df, "text").explain("formatted")
+    assert "Exchange" not in buf.getvalue()  # zero-shuffle projection
