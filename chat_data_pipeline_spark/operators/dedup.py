@@ -327,6 +327,49 @@ def minhash_dedup(
     return result.drop(_ID) if drop_id else result
 
 
+def minhash_bands(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    ngram_size: int = 5,
+    num_perm: int = 256,
+    threshold: float = 0.7,
+    min_ngram_size: int = 5,
+    seed: int = SEED,
+) -> DataFrame:
+    """``(id, band, sig)`` LSH band signatures — the fingerprint+banding
+    stage of :func:`minhash_dedup` exposed standalone so the incremental /
+    streaming dedup (streaming/pipeline.py) shares the exact same
+    signature math (same permutations, same optimal (B,R), same bytes)."""
+    B, R = optimal_param(threshold, num_perm)
+    hashranges = [(i * R, (i + 1) * R) for i in range(B)]
+    permutations = _permutations(num_perm, seed)
+
+    def fingerprint_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            sigs = [
+                minhash_signature(
+                    content if content is not None else "",
+                    num_perm,
+                    ngram_size,
+                    min_ngram_size,
+                    permutations,
+                    hashranges,
+                )
+                for content in batch[column]
+            ]
+            yield pd.DataFrame({"id": batch[id_col], "sigs": sigs})
+
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    fingerprints = repartition_for_compute(df.select(id_col, column)).mapInPandas(
+        fingerprint_batches, schema="id long, sigs array<binary>"
+    )
+    return fingerprints.select("id", F.posexplode("sigs").alias("band", "sig"))
+
+
 # --------------------------------------------------------------------------
 # Exact dedup (hash-groupBy; min-id survivor)
 # --------------------------------------------------------------------------

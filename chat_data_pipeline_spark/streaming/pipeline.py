@@ -19,7 +19,7 @@ continuous training-data pipeline needs:
 from __future__ import annotations
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -181,6 +181,107 @@ def streaming_decontaminate(
         return stream
     return stream.filter(
         ~F.arrays_overlap(doc_hashes, F.lit(bench_hashes))
+    )
+
+
+def incremental_minhash_dedup(
+    batch_df: DataFrame,
+    store_path: str,
+    column: str,
+    id_col: str,
+    ngram_size: int = 3,
+    num_perm: int = 64,
+    threshold: float = 0.7,
+    min_ngram_size: int = 3,
+) -> DataFrame:
+    """One GREEDY incremental near-dedup step against a persistent band-
+    signature store: a doc is dropped iff any of its MinHash band signatures
+    matches (a) any earlier-arriving doc recorded in ``store_path`` or
+    (b) a lower-id doc in this same batch; then ALL of this batch's
+    signatures append to the store.
+
+    Storing every arriving doc's signatures (kept AND dropped) makes the
+    greedy pass chain-transitive: if B was dropped against A, a later C
+    colliding only with B still drops.  The kept set is exactly what a
+    single-pass greedy scan over the whole corpus in arrival order
+    produces — order-DEPENDENT, unlike the batch operator's
+    connected-components min-id survivor; that is the inherent streaming
+    trade (every one-pass dedup makes it), and the differential test pins
+    it against a reference greedy scan.
+
+    Scale: signatures are B rows of (band int, 8·R-byte sig) per doc; the
+    store-probe is an inner equi-join where the BATCH side is micro-batch
+    sized, so AQE broadcasts it and the store is scanned map-side — no
+    shuffle of either side grows with history.  In production, bucket the
+    store by (band, sig) (sources/io.write_bucketed) to turn the probe
+    into a pruned bucket scan.
+    """
+    from chat_data_pipeline_spark.operators.dedup import minhash_bands
+
+    spark = batch_df.sparkSession
+    bands = minhash_bands(
+        batch_df,
+        column,
+        id_col,
+        ngram_size=ngram_size,
+        num_perm=num_perm,
+        threshold=threshold,
+        min_ngram_size=min_ngram_size,
+    ).localCheckpoint(eager=True)  # reused by probe, window, and append
+    w = Window.partitionBy("band", "sig")
+    # within-batch greedy: collision with ANY earlier (lower-id) doc in the
+    # bucket — i.e. this id is not the bucket min
+    dropped = (
+        bands.withColumn("__min__", F.min("id").over(w))
+        .filter(F.col("id") != F.col("__min__"))
+        .select("id")
+    )
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException:
+        store = None  # first batch: store not created yet
+    if store is not None:
+        hits = bands.join(store, ["band", "sig"]).select("id")
+        dropped = dropped.union(hits)
+    dropped = dropped.distinct().withColumnRenamed("id", id_col)
+    kept = batch_df.join(dropped, id_col, "left_anti")
+    bands.select("band", "sig").write.mode("append").parquet(store_path)
+    return kept
+
+
+def streaming_minhash_dedup(
+    stream: DataFrame,
+    sink_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    column: str,
+    id_col: str,
+    **minhash_kwargs,
+):
+    """Continuous near-dedup as a ``foreachBatch`` pipeline: each micro-batch
+    runs :func:`incremental_minhash_dedup` against the shared signature
+    store and appends survivors to ``sink_path``.
+
+    ``foreachBatch`` is the standard Spark pattern for stateful logic whose
+    state (here: every signature ever seen) must outlive watermark horizons
+    — ``dropDuplicatesWithinWatermark`` (streaming_exact_dedup) bounds its
+    state by event time, but near-dup detection against ALL history needs a
+    table, not operator state.  At-least-once caveat: a batch retried after
+    appending signatures but before the sink commit re-probes its own
+    signatures and drops itself; make the two appends idempotent (batch-id
+    partition + overwrite) where exactly-once matters.
+    """
+
+    def step(batch_df: DataFrame, _batch_id: int) -> None:
+        kept = incremental_minhash_dedup(
+            batch_df, store_path, column, id_col, **minhash_kwargs
+        )
+        kept.write.mode("append").parquet(sink_path)
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
     )
 
 

@@ -264,3 +264,122 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
         q.stop()
     assert stream_kept == batch_kept
     assert 0 < len(stream_kept) < train.count()
+
+
+# --------------------------------------------------------------------------
+# Incremental / streaming MinHash near-dedup (round 5)
+# --------------------------------------------------------------------------
+
+
+# params shared by the operator under test and the greedy reference — the
+# signature math must be IDENTICAL for the differential to mean anything
+_MH_KW = dict(ngram_size=3, num_perm=64, threshold=0.7, min_ngram_size=3)
+
+
+def _dup_corpus(spark):
+    """17 docs; ids 100-104 are exact clones of 0-4 (cross-batch dups when
+    split at id 12), id 11 clones id 10 (within-batch dup).  Docs 0-9 use
+    distinct word soups (seeded) so they do NOT near-dup each other."""
+    import random
+
+    rng = random.Random(3)
+    vocab = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray yankee zulu"
+    ).split()
+    base = [" ".join(rng.sample(vocab, 14)) for _ in range(10)]
+    rows = [(i, base[i]) for i in range(10)]
+    rows.append((10, "a completely different document about spark window aggregation semantics"))
+    rows.append((11, "a completely different document about spark window aggregation semantics"))
+    rows += [(100 + i, base[i]) for i in range(5)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _greedy_reference(spark, df, **kw):
+    """One-pass greedy scan in id order over collected band signatures —
+    the semantics incremental_minhash_dedup must reproduce exactly."""
+    from chat_data_pipeline_spark.operators.dedup import minhash_bands
+
+    rows = minhash_bands(df, "text", "doc_id", **(kw or _MH_KW)).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append((r.band, bytes(r.sig)))
+    seen: set = set()
+    kept = []
+    for i in sorted(by_id):
+        if any(bs in seen for bs in by_id[i]):
+            pass  # dropped — but its signatures still record (store-all)
+        else:
+            kept.append(i)
+        seen.update(by_id[i])
+    return kept
+
+
+def test_incremental_minhash_matches_greedy_reference(spark, tmp_path):
+    from chat_data_pipeline_spark.streaming.pipeline import incremental_minhash_dedup
+
+    df = _dup_corpus(spark)
+    store = str(tmp_path / "sig_store")
+    kept = []
+    for lo, hi in [(0, 12), (12, 1000)]:  # two arrival batches in id order
+        batch = df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        out = incremental_minhash_dedup(batch, store, "text", "doc_id")
+        kept += [r.doc_id for r in out.collect()]
+    expected = _greedy_reference(spark, df)
+    assert sorted(kept) == expected
+    # the dups actually dropped: clones 100-104 (cross-batch) and 11 (in-batch)
+    assert set(range(100, 105)).isdisjoint(kept)
+    assert 11 not in kept
+    assert set(range(10)) <= set(kept)
+
+
+def test_incremental_store_records_all_arrivals(spark, tmp_path):
+    from chat_data_pipeline_spark.operators.dedup import minhash_bands
+    from chat_data_pipeline_spark.streaming.pipeline import incremental_minhash_dedup
+
+    df = _dup_corpus(spark)
+    store = str(tmp_path / "sig_store")
+    incremental_minhash_dedup(df, store, "text", "doc_id")
+    n_bands = minhash_bands(df, "text", "doc_id", **_MH_KW).count()
+    assert spark.read.parquet(store).count() == n_bands  # kept AND dropped
+
+
+def test_streaming_minhash_dedup_end_to_end(spark, tmp_path):
+    from chat_data_pipeline_spark.streaming.pipeline import streaming_minhash_dedup
+
+    df = _dup_corpus(spark)
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    # two FILES -> two micro-batches (maxFilesPerTrigger=1; the file stream
+    # does not recurse into parquet output directories, so stage bare
+    # part-files); file order by name matches id order
+    import glob as g
+
+    for name, cond in [("a", "doc_id < 12"), ("b", "doc_id >= 12")]:
+        tmp = str(tmp_path / f"stage_{name}")
+        df.filter(cond).coalesce(1).write.parquet(tmp)
+        shutil.copy(g.glob(tmp + "/part-*.parquet")[0], src / f"{name}.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = streaming_minhash_dedup(
+        stream,
+        sink_path=str(tmp_path / "sink"),
+        store_path=str(tmp_path / "store"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        column="text",
+        id_col="doc_id",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    )
+    # same greedy result as the incremental steps — regardless of which file
+    # arrived in which micro-batch, because file order here matches id order
+    assert kept == _greedy_reference(spark, df)
