@@ -243,6 +243,17 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+def dedup_paragraphs(col: Column) -> Column:
+    """Intra-document paragraph dedup as a cleaner (training-data extension,
+    no reference twin): first occurrence of each trimmed paragraph survives,
+    blanks drop — template/boilerplate repetition removal that stacks with
+    the reference cleaners in any YAML pipeline.  Pure narrow expression;
+    see operators/span_dedup.dedup_paragraphs_col for the scale notes."""
+    from chat_data_pipeline_spark.operators.span_dedup import dedup_paragraphs_col
+
+    return dedup_paragraphs_col(col)
+
+
 CLEANERS: dict[str, object] = {
     "fix_utf8_encoding": fix_utf8_encoding,
     "normalize_whitespace": normalize_whitespace,
@@ -250,4 +261,5 @@ CLEANERS: dict[str, object] = {
     "remove_empty_lines": remove_empty_lines,
     "clean_new_lines": clean_new_lines,
     "redact_pii": redact_pii,
+    "dedup_paragraphs": dedup_paragraphs,
 }

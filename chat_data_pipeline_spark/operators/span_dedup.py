@@ -76,22 +76,17 @@ def paragraph_dedup(
     )
 
 
-def dedup_paragraphs_within_doc(
-    df: DataFrame, column: str, out_col: str = "text_dedup", joiner: str = "\n\n"
-) -> DataFrame:
-    """INTRA-document paragraph dedup: each document keeps only the first
-    occurrence of every distinct (trimmed) paragraph — the
-    repetition-removal move for scraped pages whose template repeats the
-    same block (nav text, share buttons, quoted reply chains) many times
-    inside ONE document.  Complements :func:`paragraph_dedup`, which dedups
-    ACROSS documents.
+def dedup_paragraphs_col(col: Column, joiner: str = "\n\n") -> Column:
+    """INTRA-document paragraph dedup as a pure Column expression: the first
+    occurrence of every distinct (trimmed) paragraph survives, blanks drop.
 
-    Scale design (100 TB): a pure narrow projection — split, strip, and the
-    first-occurrence filter are all higher-order array expressions evaluated
-    per row inside whole-stage codegen.  ZERO shuffles, no state, trivially
-    parallel at any corpus size; the only cost is O(p²) equality checks per
-    document where p is its paragraph count (p is bounded by document
-    length, not corpus size).
+    Zero shuffles — split, strip, and the first-occurrence filter are all
+    higher-order array expressions evaluated per row inside whole-stage
+    codegen; O(p²) equality checks per document where p is its paragraph
+    count (bounded by document length, not corpus size).  Exposed both as
+    the :func:`dedup_paragraphs_within_doc` operator and as the
+    ``dedup_paragraphs`` cleaner (functions/cleaners.py) so YAML pipelines
+    can stack it with the reference's cleaners.
     """
     # The split+strip chain is bound to a lambda variable via a single-
     # element ``transform`` (the word_shingles trick) so it evaluates ONCE
@@ -108,6 +103,19 @@ def dedup_paragraphs_within_doc(
             & (F.array_position(F.slice(parts, F.lit(1), i), x) == F.lit(0)),
         )
 
-    raw = F.transform(F.split(F.col(column), "\n\n"), lambda x: strip(x))
+    raw = F.transform(F.split(col, "\n\n"), lambda x: strip(x))
     deduped = F.get(F.transform(F.array(raw), first_occurrence), 0)
-    return df.withColumn(out_col, F.array_join(deduped, joiner))
+    return F.array_join(deduped, joiner)
+
+
+def dedup_paragraphs_within_doc(
+    df: DataFrame, column: str, out_col: str = "text_dedup", joiner: str = "\n\n"
+) -> DataFrame:
+    """INTRA-document paragraph dedup: each document keeps only the first
+    occurrence of every distinct (trimmed) paragraph — the
+    repetition-removal move for scraped pages whose template repeats the
+    same block (nav text, share buttons, quoted reply chains) many times
+    inside ONE document.  Complements :func:`paragraph_dedup`, which dedups
+    ACROSS documents.  See :func:`dedup_paragraphs_col` for the scale
+    notes (narrow, zero-shuffle)."""
+    return df.withColumn(out_col, dedup_paragraphs_col(F.col(column), joiner))

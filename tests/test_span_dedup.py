@@ -74,3 +74,23 @@ def test_within_doc_dedup_is_narrow(spark):
     with redirect_stdout(buf):
         SD.dedup_paragraphs_within_doc(df, "text").explain("formatted")
     assert "Exchange" not in buf.getvalue()  # zero-shuffle projection
+
+
+def test_dedup_paragraphs_registered_as_cleaner(spark):
+    """The intra-doc dedup is reachable from the YAML/registry surface and
+    stacks with reference cleaners inside one SparkPreprocessor run."""
+    from chat_data_pipeline_spark.plans.pipeline import SparkPreprocessor
+
+    # repeats are trim-equal (the cleaner trims before comparing);
+    # normalize_whitespace stacks ahead of the dedup in the same projection
+    df = spark.createDataFrame(
+        [(1, "nav menu\n\nbody\n\n  nav menu  ")], "doc_id long, text string"
+    )
+    pre = SparkPreprocessor(
+        column_name="text",
+        cleaners=["normalize_whitespace", "dedup_paragraphs"],
+        filters=[],
+        deduplication_config={},
+    )
+    out = pre.run(df).collect()
+    assert out[0].text == "nav menu\n\nbody"
