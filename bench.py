@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "decontaminate_bloom_report",
     "decontaminate_semantic",
     "ann_topk_pq",
+    "dedup_cluster_histogram",
+    "sample_weighted_chars",
+    "docs_script_mix",
 ]
 
 

@@ -198,3 +198,32 @@ def domain_blocklist_keep(col: Column, blocked: list[str]) -> Column:
     urls = extract_urls(col)
     folded = [d.lower() for d in blocked]
     return ~F.exists(urls, lambda u: url_domain(u).isin(folded))
+
+
+# --- script-mix ratios (round 5) -------------------------------------------
+
+_LATIN_CLASS = "[A-Za-z]"
+_CJK_CLASS = "[一-鿿]"
+_DIGIT_CLASS = "[0-9]"
+
+
+def script_ratio(col: Column, char_class: str) -> Column:
+    """Fraction of characters matching ``char_class`` (0.0 for empty text).
+    Native regexp_count — one codegen pass per class, no tokenizer."""
+    n = F.length(col)
+    return F.when(
+        n > 0, F.round(F.regexp_count(col, F.lit(char_class)) / n, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def script_mix(col: Column) -> list[Column]:
+    """(latin_ratio, cjk_ratio, digit_ratio) — the multilingual-curation
+    signal for routing docs to per-script pipelines and catching
+    mixed-script spam (e.g. latin text stuffed with CJK SEO tokens).
+    All-native; the three counts fuse into one whole-stage-codegen
+    projection."""
+    return [
+        script_ratio(col, _LATIN_CLASS).alias("latin_ratio"),
+        script_ratio(col, _CJK_CLASS).alias("cjk_ratio"),
+        script_ratio(col, _DIGIT_CLASS).alias("digit_ratio"),
+    ]

@@ -375,6 +375,22 @@ def minhash_bands(
 # --------------------------------------------------------------------------
 
 
+def cluster_size_histogram(df: DataFrame, column: str) -> DataFrame:
+    """(cluster_size, n_clusters) over EXACT-duplicate clusters of
+    ``column`` — the dedup observability report (how much of the corpus is
+    clones, and in what multiplicities) that drives cap/threshold tuning.
+
+    Clusters key on md5 so any engine reproduces them.  Scale: two
+    aggregations, both map-side combinable (first keyed by content hash,
+    second by the tiny cluster-size domain); no joins, no windows."""
+    clusters = df.groupBy(F.md5(F.coalesce(F.col(column), F.lit(""))).alias("__k__")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
 def exact_dedup(df: DataFrame, columns: list[str] | str, id_col: str) -> DataFrame:
     """Keep the minimum-id row per exact key.  Window-min instead of
     groupBy+join: one shuffle, no row explosion, AQE-skew-safe."""

@@ -170,6 +170,43 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def weighted_sample_topk(
+    df: DataFrame, weight_col: str, id_col: str, k: int = 100
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis A-Res
+    (2006, public methodology): each row draws u ∈ (0,1) and the k largest
+    ``u^(1/w)`` keys win — inclusion probability proportional to weight,
+    exactly one pass, no rejection loop.
+
+    Deterministic & engine-independent: u derives from md5(id) (the
+    module's hash-draw convention, shifted by +0.5/2³² so u is never 0),
+    and the key rounds to INTEGER NANOS (the bm25_scores convention) so a
+    last-ulp ``pow`` difference between engines can't reorder the top-k;
+    nano-ties break by id.  Rows with weight ≤ 0/NULL get key 0 — never
+    sampled.
+
+    Scale: a narrow key projection followed by ``orderBy(...).limit(k)``,
+    which Spark executes as TakeOrderedAndProject — per-partition heap of
+    size k + driver merge, never a global sort."""
+    hex8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    u = (F.conv(hex8, 16, 10).cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    # w > 0 guard does double duty: ANSI mode rejects 1/0 (try_divide keeps
+    # the expression total either way), and a NEGATIVE weight would yield
+    # u^(negative) > 1 — a zero/negative/null weight must never outrank a
+    # positive one, so those rows pin to key 0
+    key = F.when(
+        F.col(weight_col) > 0,
+        F.round(
+            F.pow(u, F.try_divide(F.lit(1.0), F.col(weight_col))) * F.lit(1e9)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     group_col: str,

@@ -3141,6 +3141,85 @@ def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_cluster_histogram",
+    """
+    WITH built AS (
+      SELECT CASE WHEN doc_id % 7 = 0
+                  THEN 'shared clone text ' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE text END AS doc
+      FROM documents
+    ), clusters AS (
+      SELECT md5(COALESCE(doc, '')) AS k, COUNT(*) AS cluster_size
+      FROM built GROUP BY 1
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters
+    FROM clusters GROUP BY cluster_size
+    """,
+    "exact-duplicate cluster-size histogram (dedup observability: how much "
+    "of the corpus is clones, at what multiplicity) over a corpus with "
+    "planted clone clusters (every 7th doc collapses to 3 shared texts — "
+    "the fixture alone is all-unique, which would make the check vacuous) "
+    "— two map-side-combinable aggregations, no joins or windows",
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    built = docs.select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("shared clone text "), (F.col("doc_id") % 3).cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("doc")
+    )
+    return D.cluster_size_histogram(built, "doc")
+
+
+@_register(
+    "sample_weighted_chars",
+    """
+    SELECT doc_id, n_chars,
+           CASE WHEN n_chars > 0 THEN CAST(ROUND(pow(
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              + 0.5) / 4294967296.0,
+             1.0 / n_chars) * 1e9) AS BIGINT) ELSE 0 END AS sample_key
+    FROM documents
+    ORDER BY sample_key DESC, doc_id ASC
+    LIMIT 100
+    """,
+    "Efraimidis-Spirakis A-Res weighted sampling (inclusion prob ~ n_chars, "
+    "no replacement): md5-derived u, key u^(1/w) in integer nanos so both "
+    "engines rank identically — TakeOrderedAndProject, never a global sort",
+)
+def sample_weighted_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return S.weighted_sample_topk(docs, "n_chars", "doc_id", k=100)
+
+
+@_register(
+    "docs_script_mix",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(text) > 0 THEN
+             round(len(regexp_extract_all(text, '[A-Za-z]')) / length(text), 6)
+           ELSE 0.0 END AS latin_ratio,
+           CASE WHEN length(text) > 0 THEN
+             round(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) / length(text), 6)
+           ELSE 0.0 END AS cjk_ratio,
+           CASE WHEN length(text) > 0 THEN
+             round(len(regexp_extract_all(text, '[0-9]')) / length(text), 6)
+           ELSE 0.0 END AS digit_ratio
+    FROM documents
+    """,
+    "per-doc script-mix ratios (latin/CJK/digit character fractions) — the "
+    "multilingual routing + mixed-script-spam signal; three regexp counts "
+    "fused into one narrow codegen projection",
+)
+def docs_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", *A.script_mix(F.col("text")))
+
+
+@_register(
     "dedup_semantic",
     None,  # k-means blocking is not SQL-expressible; differential pytest
     # coverage in tests/test_similarity.py (survivor-rule + blocking props)
@@ -3275,6 +3354,17 @@ _WINDOW_TAIL = [
     "dedup_exact",
     "filter_ethics",
     "ann_topk_pq",
+    # (round-5 third batch — admits dedup_cluster_histogram,
+    # sample_weighted_chars, docs_script_mix.  Rotated out:
+    # events_asof_view (hash-green in ALL FOUR rounds) plus
+    # conversation_pairs and multimodal_features (hash-green r3 AND r4),
+    # all byte-unchanged.  Family coverage stays in-window: temporal via
+    # events_moving_average + events_hourly_agg, P1/P2 conversation
+    # explode+derive executes inside conversation_chatml's pipeline, and
+    # multimodal keeps the frame_sample + resize rows):
+    "events_asof_view",
+    "conversation_pairs",
+    "multimodal_features",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:

@@ -119,3 +119,64 @@ def test_temperature_sample_partitioning_invariant(spark):
         for r in S.temperature_sample(df.repartition(7), "grp", "ids").collect()
     )
     assert a == b and len(a) > 0
+
+
+# --------------------------------------------------------------------------
+# A-Res weighted sampling / cluster histogram / script mix (round 5)
+# --------------------------------------------------------------------------
+
+
+def test_weighted_sample_invariants(spark):
+    from chat_data_pipeline_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, (i % 10) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample_topk(df, "w", "doc_id", k=50).collect()
+    assert len(out) == 50
+    keys = [r.sample_key for r in out]
+    assert keys == sorted(keys, reverse=True)
+    # determinism + partition invariance (md5 draw, not rand())
+    out2 = weighted_sample_topk(df.repartition(7), "w", "doc_id", k=50).collect()
+    assert [(r.doc_id, r.sample_key) for r in out] == [
+        (r.doc_id, r.sample_key) for r in out2
+    ]
+    # weight bias: average weight of the sample must beat the population's
+    pop_mean = sum(w for _, w in rows) / len(rows)
+    samp_mean = sum(r.w for r in out) / len(out)
+    assert samp_mean > pop_mean
+
+
+def test_weighted_sample_nonpositive_weight_never_wins(spark):
+    from chat_data_pipeline_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(1, 0), (2, None), (3, 5), (4, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample_topk(df, "w", "doc_id", k=2).collect()
+    assert sorted(r.doc_id for r in out) == [3, 4]
+
+
+def test_cluster_histogram_counts(spark):
+    from chat_data_pipeline_spark.operators.dedup import cluster_size_histogram
+
+    rows = [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c"), (7, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = {r.cluster_size: r.n_clusters for r in cluster_size_histogram(df, "text").collect()}
+    # None coalesces to "" -> its own singleton cluster
+    assert hist == {3: 1, 2: 1, 1: 2}
+    assert sum(s * n for s, n in hist.items()) == len(rows)
+
+
+def test_script_mix_ratios(spark):
+    from chat_data_pipeline_spark.functions.analysis import script_mix
+    from pyspark.sql import functions as F
+
+    rows = [(1, "abcd56"), (2, "一丁ab"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.latin_ratio, r.cjk_ratio, r.digit_ratio)
+        for r in df.select("doc_id", *script_mix(F.col("text"))).collect()
+    }
+    assert got[1] == (round(4 / 6, 6), 0.0, round(2 / 6, 6))
+    assert got[2] == (0.5, 0.5, 0.0)
+    assert got[3] == (0.0, 0.0, 0.0)
+    assert got[4] == (0.0, 0.0, 0.0)
