@@ -124,3 +124,38 @@ def test_round3_ops_survive_clone_blowup(big, spark):
     man = packed.groupBy("shard").agg(F.max("bin_id").alias("mx"), F.count("*").alias("c"))
     rows = man.collect()
     assert len(rows) == 32 and all(r.mx > 0 for r in rows)
+
+
+def test_round5_ops_survive_clone_blowup(big, spark):
+    """round-5 operators over the 20x corpus: the Bloom probe (narrow pass
+    against a saturating bitset), intra-doc paragraph dedup (O(p^2) per-row
+    arrays under replication), the weighted-sample top-k heap, and the
+    cluster histogram's double aggregation."""
+    from chat_data_pipeline_spark.operators import decontamination as DC
+    from chat_data_pipeline_spark.operators import dedup as D
+    from chat_data_pipeline_spark.operators import sampling as S
+    from chat_data_pipeline_spark.operators import span_dedup as SD
+
+    n = big.count()
+    bench = big.filter(F.col("doc_id") % 97 == 0)
+    train = big.filter(F.col("doc_id") % 97 != 0)
+
+    exact = {r.doc_id for r in DC.contamination_report(train, bench, "text", "doc_id", ngram_size=3).select("doc_id").collect()}
+    bloom = {r.doc_id for r in DC.bloom_contamination_report(train, bench, "text", "doc_id", ngram_size=3, m=1 << 22, k=4).select("doc_id").collect()}
+    assert exact <= bloom  # one-sided error even at 20x
+
+    built = big.select(
+        "doc_id",
+        F.concat_ws("\n\n", F.substring("text", 1, 60), F.lit("nav"), F.substring("text", 1, 60), F.lit("nav")).alias("doc"),
+    )
+    within = SD.dedup_paragraphs_within_doc(built, "doc")
+    # every doc's repeated block + nav collapse: exactly one 'nav' left
+    sample = within.select("text_dedup").limit(50).collect()
+    assert all(r.text_dedup.count("nav") == 1 for r in sample)
+
+    hist = {r.cluster_size: r.n_clusters for r in D.cluster_size_histogram(big, "text").collect()}
+    assert sum(s * c for s, c in hist.items()) == n
+    assert max(hist) >= 20  # replicated clone groups show up
+
+    top = S.weighted_sample_topk(big.withColumn("w", F.length("text")), "w", "doc_id", k=1000)
+    assert top.count() == 1000
