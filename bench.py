@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "dedup_cluster_histogram",
     "sample_weighted_chars",
     "docs_script_mix",
+    "ann_topk_ivfpq",
 ]
 
 

@@ -344,6 +344,14 @@ def train_pq_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
+    return _pq_train_mat(mat, m, k, iters, seed, dsub)
+
+
+def _pq_train_mat(
+    mat: np.ndarray, m: int, k: int, iters: int, seed: int, dsub: int
+) -> np.ndarray:
+    """Per-subspace seeded Lloyd over an in-memory sample matrix — shared by
+    the flat-PQ and IVF-PQ (residual) builds."""
     books = np.empty((m, k, dsub))
     rng = np.random.RandomState(seed)
     for j in range(m):
@@ -360,6 +368,22 @@ def train_pq_codebooks(
         if len(cent) < k:  # degenerate tiny sample: pad with the last centroid
             books[j, len(cent) :] = cent[-1]
     return books
+
+
+def _pq_codes_mat(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Nearest sub-centroid per subspace (stable ties) for an in-memory
+    matrix — shared by pq_encode and the IVF-PQ residual encoder."""
+    m, _, dsub = books.shape
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        d2 = (
+            (sub * sub).sum(axis=1)[:, None]
+            - 2.0 * (sub @ books[j].T)
+            + (books[j] * books[j]).sum(axis=1)[None, :]
+        )
+        codes[:, j] = np.argsort(d2, axis=1, kind="stable")[:, 0]
+    return codes
 
 
 def pq_encode(
@@ -388,16 +412,7 @@ def pq_encode(
                 [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
             )
             mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)[:, None]
-            codes = np.empty((len(mat), m), dtype=np.int64)
-            for j in range(m):
-                sub = mat[:, j * dsub : (j + 1) * dsub]
-                d2 = (
-                    (sub * sub).sum(axis=1)[:, None]
-                    - 2.0 * (sub @ books[j].T)
-                    + (books[j] * books[j]).sum(axis=1)[None, :]
-                )
-                # stable argmin (ties to lowest index) — deterministic codes
-                codes[:, j] = np.argsort(d2, axis=1, kind="stable")[:, 0]
+            codes = _pq_codes_mat(mat, books)
             yield pd.DataFrame(
                 {id_col: batch[id_col].to_numpy(), "pq_code": list(codes)}
             )
@@ -466,6 +481,158 @@ def pq_topk(
                 out_q.extend([ids_q[qi]] * len(top))
                 out_v.extend(vids[top])
                 out_s.extend(np.round(scores[top], 6))
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_v, "approx_cosine": out_s}
+            )
+
+    candidates = encoded.mapInPandas(
+        scan,
+        schema=f"{query_id_col} {q_type}, {id_col} {id_type}, approx_cosine double",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_cosine", "rank")
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_subcentroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+    sample_rows: int = 10_000,
+) -> DataFrame:
+    """FAISS-style IVF-PQ (Jégou et al. 2011): the coarse quantizer prunes
+    the scan to ``n_probe/n_centroids`` of the corpus AND the residual
+    ``v - c_list`` is PQ-compressed, so the probed fraction scores from
+    ``m``-byte codes — the two scale levers (probe pruning × 32×
+    compression) composed, vs ``ivf_topk`` (pruning only) and ``pq_topk``
+    (compression only).
+
+    Scoring is asymmetric inner product on L2-normalized vectors:
+    ``score(q, v) ≈ <q, c_list> + Σ_j LUT_j[code_j]`` with
+    ``LUT_j[c] = <q_sub_j, book_j[c]>`` — the base term is one lookup per
+    row, the residual term ``m`` lookups; no float reconstruction of any
+    corpus vector.  Training (coarse Lloyd + residual sub-Lloyd) runs on
+    the bounded md5-ordered driver sample like every index build here;
+    encoding is one narrow Arrow pass; the scan emits per-partition top-k
+    and one final window ranks ≤ partitions·k·|queries| candidate rows.
+    """
+    import pandas as pd
+
+    # --- driver-side training on the bounded deterministic sample ---------
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_rows)
+        .toPandas()
+    )
+    smat = np.asarray([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    smat = smat / np.maximum(np.sqrt((smat * smat).sum(axis=1)), 1e-12)[:, None]
+    dim = smat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    rng = np.random.RandomState(seed)
+    coarse = smat[
+        rng.choice(len(smat), size=min(n_centroids, len(smat)), replace=False)
+    ].copy()
+    for _ in range(10):
+        d2 = ((smat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(coarse)):
+            members = smat[assign == c]
+            if len(members):
+                coarse[c] = members.mean(axis=0)
+    d2 = ((smat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    residuals = smat - coarse[d2.argmin(axis=1)]
+    books = _pq_train_mat(residuals, m, n_subcentroids, 10, seed + 1, dim // m)
+
+    # --- corpus encode: (id, list, code) — one narrow Arrow pass ----------
+    id_type = dict(df.dtypes)[id_col]
+
+    def encode(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+            )
+            mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)[:, None]
+            dd = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ coarse.T)
+                + (coarse * coarse).sum(axis=1)[None, :]
+            )
+            lst = np.argsort(dd, axis=1, kind="stable")[:, 0]
+            codes = _pq_codes_mat(mat - coarse[lst], books)
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col].to_numpy(),
+                    "list": lst.astype(np.int32),
+                    "pq_code": list(codes),
+                }
+            )
+
+    encoded = df.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} {id_type}, list int, pq_code array<int>"
+    )
+
+    # --- query tables (driver-side, KB-scale) -----------------------------
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qids = qpdf[query_id_col].to_numpy()
+    qmat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in qpdf[query_vec_col]]
+    )
+    qmat = qmat / np.maximum(np.sqrt((qmat * qmat).sum(axis=1)), 1e-12)[:, None]
+    qd2 = (
+        (qmat * qmat).sum(axis=1)[:, None]
+        - 2.0 * (qmat @ coarse.T)
+        + (coarse * coarse).sum(axis=1)[None, :]
+    )
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
+    base = qmat @ coarse.T  # (nq, nlists): <q, c_list>
+    dsub = dim // m
+    luts = np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )  # (nq, m, ksub)
+    bcast = df.sparkSession.sparkContext.broadcast((qids, probes, base, luts))
+    q_type = dict(queries.dtypes)[query_id_col]
+
+    def scan(batches):
+        ids_q, prb, bs, tables = bcast.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            vids = batch[id_col].to_numpy()
+            lst = batch["list"].to_numpy()
+            codes = np.stack([np.asarray(c) for c in batch["pq_code"]])
+            cols = np.arange(codes.shape[1])
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(ids_q)):
+                mask = np.isin(lst, prb[qi])
+                if not mask.any():
+                    continue
+                sc = bs[qi][lst[mask]] + tables[qi][
+                    cols[None, :], codes[mask]
+                ].sum(axis=1)
+                top = np.argsort(-sc, kind="stable")[: min(k, int(mask.sum()))]
+                sel = np.nonzero(mask)[0][top]
+                out_q.extend([ids_q[qi]] * len(top))
+                out_v.extend(vids[sel])
+                out_s.extend(np.round(sc[top], 6))
             yield pd.DataFrame(
                 {query_id_col: out_q, id_col: out_v, "approx_cosine": out_s}
             )

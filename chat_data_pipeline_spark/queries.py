@@ -1577,6 +1577,23 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register(
+    "ann_topk_ivfpq",
+    None,  # approximate residual-compressed scores have no SQL twin —
+    # recall vs brute force + determinism asserted in pytest
+    "FAISS-style IVF-PQ top-10: coarse probe pruning (n_probe/n_centroids "
+    "of the corpus scanned) composed with residual PQ compression (m-byte "
+    "codes) — both ANN scale levers in one index",
+)
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SIM.ivf_pq_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================
@@ -3365,6 +3382,9 @@ _WINDOW_TAIL = [
     "events_asof_view",
     "conversation_pairs",
     "multimodal_features",
+    # ann_topk_ivfpq joins the rows-only tail group (residual-PQ approximate
+    # scores have no SQL twin; recall+determinism pytest):
+    "ann_topk_ivfpq",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:

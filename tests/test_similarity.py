@@ -311,3 +311,34 @@ def test_pq_self_hit(emb, queries):
         got.setdefault(r.query_id, set()).add(r.vec_id)
     self_hits = sum(1 for q, ids in got.items() if q in ids)
     assert self_hits >= len(got) - 1  # PQ is lossy; allow one miss
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (coarse probe pruning x residual compression, round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_recall(emb, queries, exact_topk):
+    rows = SIM.ivf_pq_topk(emb, queries, k=10, n_centroids=16, n_probe=4).collect()
+    # doubly-approximate (probe pruning AND residual quantization) — the bar
+    # sits below flat-PQ's but far above the 10/500 random baseline
+    assert _recall(rows, exact_topk) >= 0.3
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivfpq_recall_improves_with_probes(emb, queries, exact_topk):
+    """n_probe is the recall/throughput dial: probing every list must do at
+    least as well as probing a quarter of them."""
+    lo = SIM.ivf_pq_topk(emb, queries, k=10, n_centroids=16, n_probe=4).collect()
+    hi = SIM.ivf_pq_topk(emb, queries, k=10, n_centroids=16, n_probe=16).collect()
+    assert _recall(hi, exact_topk) >= _recall(lo, exact_topk)
+
+
+def test_ivfpq_deterministic_and_partition_invariant(emb, queries):
+    a = sorted(map(tuple, SIM.ivf_pq_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, SIM.ivf_pq_topk(emb.repartition(7), queries, k=5).collect()))
+    assert a == b
