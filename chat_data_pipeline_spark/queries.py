@@ -624,12 +624,18 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS DOUBLE)/100 AS totacctbal
     FROM customer c, avg_bal
     WHERE CAST(ROUND(c.c_acctbal*100) AS BIGINT) > avg_bal.a
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
     GROUP BY c.c_nationkey
     """,
-    "TPC-H Q22 shape: above-average-balance customers with no orders — "
-    "scalar-aggregate subquery broadcast as a 1-row cross join + left-anti "
-    "join on orders, grouped per nation; balances in exact cents",
+    "TPC-H Q22 shape: above-average-balance customers with no RECENT "
+    "(1998+) orders — scalar-aggregate subquery broadcast as a 1-row cross "
+    "join + left-anti join on filtered orders, grouped per nation; exact "
+    "cents.  The date bound replaces 'no orders ever': every fixture "
+    "customer has at least one order, which made the original check "
+    "vacuous (0 rows hash-green); recency-idleness is discriminating "
+    "(the anti-join drops real rows) and keeps the same physical shape",
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _read(spark, sf_dir, "customer").select(
@@ -642,7 +648,11 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg(F.avg("bal_cents").alias("a"))
     )
-    orders = _read(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
     rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("bal_cents") > F.col("a"))
     idle = rich.join(orders, rich["c_custkey"] == orders["o_custkey"], "left_anti")
     return idle.groupBy("c_nationkey").agg(
