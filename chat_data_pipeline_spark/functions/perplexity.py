@@ -75,15 +75,21 @@ def cc_net_normalize(
 
 class StubScorer:
     """Deterministic stand-in for KenLM: a smooth, content-sensitive pseudo
-    perplexity.  ppl = 1 + (crc32(normalized doc) % 10_000) — stable across
+    perplexity.  ppl = 1 + (md5_32(normalized doc) % 10_000) — stable across
     runs/executors, JVM-native, spans the reference's default keep window
-    [300, 3000] partially so filters actually drop rows in tests.
+    [300, 3000] partially so filters actually drop rows in tests.  md5 (not
+    crc32) so the duckdb oracle reproduces the score bit-for-bit — the
+    whole cc_net normalize → hash → keep-window path gets a cross-engine
+    value hash, not just a rowcount.
     """
 
     def score(self, col: Column) -> Column:
         normalized = cc_net_normalize(col)
         return (
-            F.crc32(F.encode(normalized, "UTF-8")) % F.lit(10_000)
+            F.pmod(
+                F.conv(F.substring(F.md5(normalized), 1, 8), 16, 10).cast("long"),
+                F.lit(10_000),
+            )
         ).cast("double") + F.lit(1.0)
 
 

@@ -1808,13 +1808,34 @@ def filter_char_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_CCNET_STRIPPED = _sql_strip("text")
+_SQL_CCNET_CHAIN = (
+    "regexp_replace("
+    + _sql_normalize_punct(
+        f"regexp_replace({_SQL_CCNET_STRIPPED}, '\\d', '0', 'g')"
+    )
+    + r", '[\x00-\x1f\x7f-\x9f]', '', 'g')"
+)
+_SQL_CCNET_NORM = (
+    f"CASE WHEN length({_SQL_CCNET_STRIPPED}) = 0 THEN {_SQL_CCNET_STRIPPED} "
+    f"ELSE {_SQL_CCNET_CHAIN} END"
+)
+_SQL_STUB_PPL = (
+    "1.0 + CAST(CAST('0x' || substr(md5(" + _SQL_CCNET_NORM + "), 1, 8) "
+    "AS BIGINT) % 10000 AS DOUBLE)"
+)
+
+
 @_register(
     "filter_perplexity",
-    None,  # stub scorer is crc32-based (no duckdb crc32) — rows-only; pytest
-    # covers determinism and the keep-window logic differentially
+    f"""
+    WITH p AS (SELECT doc_id, round({_SQL_STUB_PPL}, 6) AS ppl FROM documents)
+    SELECT doc_id, ppl FROM p WHERE ppl BETWEEN 300.0 AND 10000.0
+    """,
     "F2 check_perplexity (ref:filters.py:18-28, kenlm_model.py): cc_net "
-    "normalize → score; deterministic StubScorer stands in for KenLM "
-    "(heavyweight optional dep), keep window [300, 10000]",
+    "normalize → score; deterministic md5-based StubScorer stands in for "
+    "KenLM (heavyweight optional dep) so the full normalize→score→keep-"
+    "window path is oracle-hash-verified; keep window [300, 10000]",
 )
 def filter_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chat_data_pipeline_spark.functions import perplexity as PX
@@ -3281,11 +3302,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   every round by tests/test_oracle_parity.py, which runs the full registry).
 _WINDOW_TAIL = [
     # rows-only by design (no oracle):
+    # (filter_perplexity LEFT this group in round 5: the StubScorer now
+    # hashes with md5 instead of crc32, so the cc_net normalize→score→keep
+    # path has a duckdb twin and the query moved into the window as a
+    # never-hash-verified oracle-backed entry; shuffle_hash_sample rotated
+    # out below to make room)
     "dedup_minhash",
     "dedup_simhash",
     "embedding_neardup_lsh",
     "ann_topk_ivf",
-    "filter_perplexity",
     # oracle-backed, driver-verified green in rounds 1 AND 2, unchanged:
     "q6_revenue_forecast",
     "q18_large_orders",
@@ -3395,6 +3420,12 @@ _WINDOW_TAIL = [
     # ann_topk_ivfpq joins the rows-only tail group (residual-PQ approximate
     # scores have no SQL twin; recall+determinism pytest):
     "ann_topk_ivfpq",
+    # (round-5 fourth batch — admits the newly oracle-backed
+    # filter_perplexity, see the rows-only note at the top of this list.
+    # Rotated out: shuffle_hash_sample (hash-green r3 AND r4,
+    # byte-unchanged); the sampling family keeps five in-window rows —
+    # grouped, proportional, stratified, temperature, weighted):
+    "shuffle_hash_sample",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:
