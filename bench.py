@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "sample_weighted_chars",
     "docs_script_mix",
     "ann_topk_ivfpq",
+    "docs_length_deciles",
 ]
 
 

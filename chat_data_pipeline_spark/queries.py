@@ -23,7 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from chat_data_pipeline_spark.functions import analysis as A
@@ -3244,6 +3244,30 @@ def sample_weighted_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_length_deciles",
+    """
+    SELECT doc_id, lang,
+           CAST(NTILE(10) OVER (
+             PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC
+           ) AS INT) AS decile
+    FROM documents
+    """,
+    "per-language length-decile assignment (curriculum binning: train on "
+    "short docs first, or mix deciles to a target): NTILE over a "
+    "strata-bounded window — the sort is per-language, never global, and "
+    "the (n_chars, doc_id) order makes bin membership deterministic",
+)
+def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return docs.select(
+        "doc_id", "lang", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+
+
+@_register(
     "docs_script_mix",
     r"""
     SELECT doc_id,
@@ -3426,6 +3450,11 @@ _WINDOW_TAIL = [
     # byte-unchanged); the sampling family keeps five in-window rows —
     # grouped, proportional, stratified, temperature, weighted):
     "shuffle_hash_sample",
+    # (round-5 fifth batch — admits docs_length_deciles (NTILE curriculum
+    # binning).  Rotated out: q16_supplier_part_counts (hash-green r3 AND
+    # r4, byte-unchanged); grouped-distinct coverage also executes inside
+    # corpus_top_bigrams' vocabulary agg and the dedup family's keyed aggs):
+    "q16_supplier_part_counts",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:
