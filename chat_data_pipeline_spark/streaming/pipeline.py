@@ -193,12 +193,13 @@ def incremental_minhash_dedup(
     num_perm: int = 64,
     threshold: float = 0.7,
     min_ngram_size: int = 3,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One GREEDY incremental near-dedup step against a persistent band-
     signature store: a doc is dropped iff any of its MinHash band signatures
     matches (a) any earlier-arriving doc recorded in ``store_path`` or
     (b) a lower-id doc in this same batch; then ALL of this batch's
-    signatures append to the store.
+    signatures are recorded in the store.
 
     Storing every arriving doc's signatures (kept AND dropped) makes the
     greedy pass chain-transitive: if B was dropped against A, a later C
@@ -208,6 +209,14 @@ def incremental_minhash_dedup(
     connected-components min-id survivor; that is the inherent streaming
     trade (every one-pass dedup makes it), and the differential test pins
     it against a reference greedy scan.
+
+    ``batch_id``: with None, signatures append flat (simple, at-least-once
+    — a retried batch would re-probe its own signatures and drop itself).
+    With a batch id, the step is IDEMPOTENT: signatures land in a
+    ``batch=<id>`` partition via overwrite, and the probe excludes this
+    batch's own partition, so a retry reproduces the identical kept set
+    and leaves the store byte-identical.  Pick one mode per store — the
+    layouts don't mix.
 
     Scale: signatures are B rows of (band int, 8·R-byte sig) per doc; the
     store-probe is an inner equi-join where the BATCH side is micro-batch
@@ -241,11 +250,18 @@ def incremental_minhash_dedup(
     except AnalysisException:
         store = None  # first batch: store not created yet
     if store is not None:
+        if batch_id is not None and "batch" in store.columns:
+            # retry safety: never probe this batch's own (overwritten) partition
+            store = store.filter(F.col("batch") != batch_id)
         hits = bands.join(store, ["band", "sig"]).select("id")
         dropped = dropped.union(hits)
     dropped = dropped.distinct().withColumnRenamed("id", id_col)
     kept = batch_df.join(dropped, id_col, "left_anti")
-    bands.select("band", "sig").write.mode("append").parquet(store_path)
+    sigs = bands.select("band", "sig")
+    if batch_id is None:
+        sigs.write.mode("append").parquet(store_path)
+    else:
+        sigs.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
     return kept
 
 
@@ -260,23 +276,25 @@ def streaming_minhash_dedup(
 ):
     """Continuous near-dedup as a ``foreachBatch`` pipeline: each micro-batch
     runs :func:`incremental_minhash_dedup` against the shared signature
-    store and appends survivors to ``sink_path``.
+    store and writes survivors to ``sink_path``.
 
     ``foreachBatch`` is the standard Spark pattern for stateful logic whose
     state (here: every signature ever seen) must outlive watermark horizons
     — ``dropDuplicatesWithinWatermark`` (streaming_exact_dedup) bounds its
     state by event time, but near-dup detection against ALL history needs a
-    table, not operator state.  At-least-once caveat: a batch retried after
-    appending signatures but before the sink commit re-probes its own
-    signatures and drops itself; make the two appends idempotent (batch-id
-    partition + overwrite) where exactly-once matters.
+    table, not operator state.  Both writes are IDEMPOTENT per micro-batch:
+    signatures and survivors each land in a ``batch=<id>`` partition via
+    overwrite, and the store probe excludes the batch's own partition — a
+    batch replayed after a mid-commit crash reproduces byte-identical
+    output instead of double-appending or dropping itself against its own
+    signatures (effectively-once on top of the checkpoint's replay).
     """
 
-    def step(batch_df: DataFrame, _batch_id: int) -> None:
+    def step(batch_df: DataFrame, batch_id: int) -> None:
         kept = incremental_minhash_dedup(
-            batch_df, store_path, column, id_col, **minhash_kwargs
+            batch_df, store_path, column, id_col, batch_id=batch_id, **minhash_kwargs
         )
-        kept.write.mode("append").parquet(sink_path)
+        kept.write.mode("overwrite").parquet(f"{sink_path}/batch={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(step)

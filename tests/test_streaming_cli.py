@@ -383,3 +383,27 @@ def test_streaming_minhash_dedup_end_to_end(spark, tmp_path):
     # same greedy result as the incremental steps — regardless of which file
     # arrived in which micro-batch, because file order here matches id order
     assert kept == _greedy_reference(spark, df)
+
+
+def test_incremental_minhash_batch_retry_is_idempotent(spark, tmp_path):
+    """A batch replayed with the same batch_id (mid-commit crash recovery)
+    must reproduce the identical kept set and leave the store byte-identical
+    — the partition-overwrite mode's whole contract."""
+    from chat_data_pipeline_spark.streaming.pipeline import incremental_minhash_dedup
+
+    df = _dup_corpus(spark)
+    store = str(tmp_path / "sig_store")
+    b0 = df.filter("doc_id < 12")
+    b1 = df.filter("doc_id >= 12")
+
+    kept0 = sorted(r.doc_id for r in incremental_minhash_dedup(b0, store, "text", "doc_id", batch_id=0).collect())
+    kept1 = sorted(r.doc_id for r in incremental_minhash_dedup(b1, store, "text", "doc_id", batch_id=1).collect())
+    n_store = spark.read.parquet(store).count()
+
+    # replay batch 1: same kept set, store unchanged (own partition excluded
+    # from the probe, then overwritten with identical bytes)
+    kept1_retry = sorted(r.doc_id for r in incremental_minhash_dedup(b1, store, "text", "doc_id", batch_id=1).collect())
+    assert kept1_retry == kept1
+    assert spark.read.parquet(store).count() == n_store
+    # and the two-batch greedy result still matches the reference scan
+    assert sorted(kept0 + kept1) == _greedy_reference(spark, df)
