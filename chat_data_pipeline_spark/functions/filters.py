@@ -254,6 +254,11 @@ GENDERED_WORDS = ["he", "she", "him", "her", "girl", "boy"]
 def check_gender_keep(
     col: Column, splitter_token: str = "<|gender_splitter|>", **_: object
 ) -> Column:
+    """BUG-COMPAT: the reference IGNORES ``dry_run`` for this filter
+    (ref:filters.py:162 — no score branch; the boolean IS the score), so
+    ``check_gender_score`` aliases this keep predicate on purpose.  Do not
+    "fix" by adding a dry-run score path — it would break keep/drop parity
+    with the reference (see SURVEY §7.3)."""
     response, edited = _split2(col, splitter_token)
     rw = T.whitespace_tokens(F.lower(response))
     ew = T.whitespace_tokens(F.lower(edited))

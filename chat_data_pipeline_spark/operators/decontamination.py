@@ -230,8 +230,16 @@ def semantic_contamination_report(
             "shard the benchmark or raise the guard explicitly"
         )
     pdf = bench.select(vec_col).toPandas()
+    if not len(pdf):
+        raise ValueError(
+            "benchmark side is empty — semantic decontamination against an "
+            "empty benchmark would silently keep everything; pass a non-empty "
+            "bench or skip the decontamination step explicitly"
+        )
     bmat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    bnorms = np.sqrt((bmat * bmat).sum(axis=1))
+    # Floor norms so an all-zero vector scores cosine 0 instead of poisoning
+    # every row with NaN (NaN >= thr is False → false negatives corpus-wide).
+    bnorms = np.maximum(np.sqrt((bmat * bmat).sum(axis=1)), 1e-12)
     bcast = train.sparkSession.sparkContext.broadcast((bmat, bnorms))
     id_type = dict(train.dtypes)[id_col]
     thr = float(threshold)
@@ -249,7 +257,7 @@ def semantic_contamination_report(
             m1 = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
             )
-            n1 = np.sqrt((m1 * m1).sum(axis=1))
+            n1 = np.maximum(np.sqrt((m1 * m1).sum(axis=1)), 1e-12)
             sims = np.round((m1 @ mat.T) / np.outer(n1, norms), 6)
             mx = sims.max(axis=1)
             keep = mx >= thr

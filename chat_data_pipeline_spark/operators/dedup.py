@@ -275,8 +275,11 @@ def minhash_dedup(
 
     from chat_data_pipeline_spark.session import repartition_for_compute
 
+    # id type derives from the input (string doc ids are common) — a
+    # hardcoded bigint would miscast or fail at runtime.
+    id_type = dict(df.dtypes)[id_col]
     fingerprints = repartition_for_compute(df.select(id_col, column)).mapInPandas(
-        fingerprint_batches, schema="id long, sigs array<binary>"
+        fingerprint_batches, schema=f"id {id_type}, sigs array<binary>"
     )
     if verbose:
         # materialize the stage so the timer measures execution, not lazy
@@ -364,8 +367,9 @@ def minhash_bands(
 
     from chat_data_pipeline_spark.session import repartition_for_compute
 
+    id_type = dict(df.dtypes)[id_col]
     fingerprints = repartition_for_compute(df.select(id_col, column)).mapInPandas(
-        fingerprint_batches, schema="id long, sigs array<binary>"
+        fingerprint_batches, schema=f"id {id_type}, sigs array<binary>"
     )
     return fingerprints.select("id", F.posexplode("sigs").alias("band", "sig"))
 

@@ -41,6 +41,20 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _guard_query_rows(queries: DataFrame, max_query_rows: int, site: str) -> None:
+    """limit-probe guard (scans ≤ cap+1 narrow rows, never a full count) for
+    the driver-collected / broadcast probe side of the ANN scans: an
+    oversized probe set must fail with guidance, not silently OOM the
+    driver — the same posture as the exact all-pairs ``max_broadcast_rows``
+    guard in :func:`embedding_neardup_pairs`."""
+    if queries.limit(max_query_rows + 1).count() > max_query_rows:
+        raise ValueError(
+            f"{site}: probe set exceeds max_query_rows={max_query_rows}; "
+            "shard the query set (the corpus side scales out, the probe side "
+            "is driver-collected/broadcast) or raise the guard explicitly"
+        )
+
+
 def brute_force_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -269,6 +283,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows assign to their nearest coarse
     centroid (the inverted list — a one-off narrow pass, persistable at
@@ -278,6 +293,7 @@ def ivf_topk(
     the data distribution (centroids follow density)."""
     from pyspark.sql import Window
 
+    _guard_query_rows(queries, max_query_rows, "ivf_topk")
     centroids = _train_centroids(df, vec_col, n_centroids, seed=seed, id_col=id_col)
     corpus = _ivf_assign_expr(df.select(id_col, vec_col), vec_col, centroids, "__lists__", 1)
     corpus = corpus.select(
@@ -433,6 +449,7 @@ def pq_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Approximate cosine top-k by asymmetric-distance PQ scan.
 
@@ -446,6 +463,7 @@ def pq_topk(
     """
     import pandas as pd
 
+    _guard_query_rows(queries, max_query_rows, "pq_topk")
     books = train_pq_codebooks(
         df, vec_col, m=m, k=n_subcentroids, seed=seed, id_col=id_col
     )
@@ -476,11 +494,16 @@ def pq_topk(
             out_q, out_v, out_s = [], [], []
             cols = np.arange(codes.shape[1])
             for qi in range(len(ids_q)):
-                scores = tables[qi][cols[None, :], codes].sum(axis=1)
-                top = np.argsort(-scores, kind="stable")[: min(k, len(vids))]
+                # Round to 6 dp BEFORE the local cut and tie-break by id,
+                # mirroring the global window's (rounded desc, id asc) order
+                # — selecting on unrounded scores lets two docs equal at 6 dp
+                # be cut differently per partition, breaking the module's
+                # partition-invariance convention at rounding-tie boundaries.
+                scores = np.round(tables[qi][cols[None, :], codes].sum(axis=1), 6)
+                top = np.lexsort((vids, -scores))[: min(k, len(vids))]
                 out_q.extend([ids_q[qi]] * len(top))
                 out_v.extend(vids[top])
-                out_s.extend(np.round(scores[top], 6))
+                out_s.extend(scores[top])
             yield pd.DataFrame(
                 {query_id_col: out_q, id_col: out_v, "approx_cosine": out_s}
             )
@@ -513,6 +536,7 @@ def ivf_pq_topk(
     query_vec_col: str = "query_vec",
     seed: int = 42,
     sample_rows: int = 10_000,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """FAISS-style IVF-PQ (Jégou et al. 2011): the coarse quantizer prunes
     the scan to ``n_probe/n_centroids`` of the corpus AND the residual
@@ -532,6 +556,7 @@ def ivf_pq_topk(
     """
     import pandas as pd
 
+    _guard_query_rows(queries, max_query_rows, "ivf_pq_topk")
     # --- driver-side training on the bounded deterministic sample ---------
     sample = (
         df.select(id_col, vec_col)
@@ -625,14 +650,19 @@ def ivf_pq_topk(
                 mask = np.isin(lst, prb[qi])
                 if not mask.any():
                     continue
-                sc = bs[qi][lst[mask]] + tables[qi][
-                    cols[None, :], codes[mask]
-                ].sum(axis=1)
-                top = np.argsort(-sc, kind="stable")[: min(k, int(mask.sum()))]
-                sel = np.nonzero(mask)[0][top]
+                # Rounded-then-cut with id tie-break — see pq_topk's scan for
+                # why (partition-invariance at rounding-tie boundaries).
+                sc = np.round(
+                    bs[qi][lst[mask]]
+                    + tables[qi][cols[None, :], codes[mask]].sum(axis=1),
+                    6,
+                )
+                midx = np.nonzero(mask)[0]
+                top = np.lexsort((vids[midx], -sc))[: min(k, int(mask.sum()))]
+                sel = midx[top]
                 out_q.extend([ids_q[qi]] * len(top))
                 out_v.extend(vids[sel])
-                out_s.extend(np.round(sc[top], 6))
+                out_s.extend(sc[top])
             yield pd.DataFrame(
                 {query_id_col: out_q, id_col: out_v, "approx_cosine": out_s}
             )

@@ -174,3 +174,39 @@ def test_semantic_bench_guard_raises(spark):
 
     with pytest.raises(ValueError, match="max_bench_rows"):
         DC.semantic_contamination_report(train, bench, max_bench_rows=2)
+
+
+def test_semantic_zero_norm_bench_vector_scores_zero_not_nan(spark):
+    """One all-zero benchmark embedding must NOT poison the report: with a
+    raw cosine the zero norm makes a NaN column, sims.max(axis=1) turns NaN
+    for EVERY train row, and the report comes back empty — silent false
+    negatives in a decontamination operator. The norm floor pins the zero
+    vector's cosine to 0 so real leaks still surface."""
+    train, bench = _vec_corpora(spark)
+    zero = spark.createDataFrame([(999, [0.0] * 16)], "vec_id long, embedding array<double>")
+    rep = {
+        r.vec_id: r.max_bench_cosine
+        for r in DC.semantic_contamination_report(train, bench.union(zero), threshold=0.9).collect()
+    }
+    assert set(rep) == {1, 3}
+    assert rep[3] == 1.0
+
+
+def test_semantic_zero_norm_train_vector_is_kept_not_nan(spark):
+    """An all-zero TRAIN embedding scores cosine 0 against every benchmark
+    vector (not NaN) and survives decontamination."""
+    train, bench = _vec_corpora(spark)
+    zero = spark.createDataFrame([(999, [0.0] * 16)], "vec_id long, embedding array<double>")
+    kept = {r.vec_id for r in DC.semantic_decontaminate(train.union(zero), bench, threshold=0.9).collect()}
+    assert kept == {2, 999}
+
+
+def test_semantic_empty_bench_raises(spark):
+    """Empty benchmark previously crashed with AxisError deep in numpy; now
+    it's an explicit ValueError so the caller can't silently skip
+    decontamination."""
+    train, bench = _vec_corpora(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        DC.semantic_contamination_report(train, bench.filter("vec_id < 0"))

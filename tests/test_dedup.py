@@ -203,3 +203,25 @@ def test_minhash_telemetry_taxonomy(spark, corpus, caplog):
         "Total Time",
     ):
         assert marker in text, f"missing telemetry line: {marker}"
+
+
+def test_minhash_dedup_string_ids(spark, corpus):
+    """The fingerprint schema derives the id type from the input — string
+    doc ids (the common case for web corpora) must survive end-to-end and
+    keep the lexicographic-min survivor per cluster, matching the long-id
+    run on the same corpus under the doc%05d order-preserving encoding."""
+    df_long = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    expect = {
+        f"doc{r.doc_id:05d}"
+        for r in D.minhash_dedup(df_long, "text", id_col="doc_id").select("doc_id").collect()
+    }
+    df_str = spark.createDataFrame(
+        [(f"doc{i:05d}", t) for i, t in corpus.items()], "doc_id string, text string"
+    )
+    got = {
+        r.doc_id
+        for r in D.minhash_dedup(df_str, "text", id_col="doc_id").select("doc_id").collect()
+    }
+    assert got == expect
+    bands = D.minhash_bands(df_str, "text", "doc_id", num_perm=32)
+    assert dict(bands.dtypes)["id"] == "string"

@@ -342,3 +342,17 @@ def test_ivfpq_deterministic_and_partition_invariant(emb, queries):
     a = sorted(map(tuple, SIM.ivf_pq_topk(emb, queries, k=5).collect()))
     b = sorted(map(tuple, SIM.ivf_pq_topk(emb.repartition(7), queries, k=5).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Probe-side broadcast guards (round 6)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fn", ["pq_topk", "ivf_topk", "ivf_pq_topk"])
+def test_ann_query_side_guard_raises_on_oversized_probe_set(emb, queries, fn):
+    """The probe set is driver-collected (pq/ivf_pq LUT build) or broadcast
+    (ivf join): an oversized one must fail with guidance, not OOM the
+    driver — the same posture as the exact path's max_broadcast_rows."""
+    with pytest.raises(ValueError, match="max_query_rows"):
+        getattr(SIM, fn)(emb, queries, k=5, max_query_rows=2)
