@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "docs_normalize",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_minhash_md5",
     "dedup_ngram_jaccard",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",

@@ -214,6 +214,48 @@ def connected_components_min_label(edges: DataFrame, max_iterations: int = 50) -
 # --------------------------------------------------------------------------
 
 
+def _minhash_filter_from_fingerprints(
+    df: DataFrame,
+    fingerprints: DataFrame,
+    id_col: str,
+    timers: dict[str, float] | None = None,
+) -> DataFrame:
+    """Shared D5-D8 core over ``fingerprints(id, sigs array<binary>)``:
+    band posexplode → per-(band, sig) bucket window-min → distinct edges →
+    min-label connected components → keep-min anti-join.  Both the sha1/
+    seed-42 production path (:func:`minhash_dedup`) and the md5 cross-engine
+    twin (:func:`minhash_dedup_md5`) run THIS code, so the twin's DuckDB
+    oracle value-hashes the exact banding→edges→CC→filter pipeline the
+    production path uses (ref:minhash_deduplication.py:214-319)."""
+    # --- D5 LSH buckets → edges (no bucket materialization) ----------------
+    t0 = time.time()
+    bands = fingerprints.select(
+        "id", F.posexplode("sigs").alias("band", "sig")
+    )
+    bucket_window = Window.partitionBy("band", "sig")
+    edges = (
+        bands.withColumn("root", F.min("id").over(bucket_window))
+        .filter(F.col("root") != F.col("id"))
+        .select(F.col("id").alias("src"), F.col("root").alias("dst"))
+        .distinct()
+    )
+
+    # --- D6-D7 clustering (CC itself runs eager per-round actions) ---------
+    labels = connected_components_min_label(edges)
+    if timers is not None:
+        timers["clustering"] = time.time() - t0
+
+    # --- D8 keep-min filter ------------------------------------------------
+    t0 = time.time()
+    dropped = labels.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    result = df.join(dropped, on=id_col, how="left_anti")
+    if timers is not None:
+        timers["filtering"] = time.time() - t0
+    return result
+
+
 def minhash_dedup(
     df: DataFrame,
     column: str = "text",
@@ -288,30 +330,7 @@ def minhash_dedup(
         fingerprints = fingerprints.localCheckpoint(eager=True)
     timers["minhash"] = time.time() - t0
 
-    # --- D5 LSH buckets → edges (no bucket materialization) ----------------
-    t0 = time.time()
-    bands = fingerprints.select(
-        "id", F.posexplode("sigs").alias("band", "sig")
-    )
-    bucket_window = Window.partitionBy("band", "sig")
-    edges = (
-        bands.withColumn("root", F.min("id").over(bucket_window))
-        .filter(F.col("root") != F.col("id"))
-        .select(F.col("id").alias("src"), F.col("root").alias("dst"))
-        .distinct()
-    )
-
-    # --- D6-D7 clustering (CC itself runs eager per-round actions) ---------
-    labels = connected_components_min_label(edges)
-    timers["clustering"] = time.time() - t0
-
-    # --- D8 keep-min filter ------------------------------------------------
-    t0 = time.time()
-    dropped = labels.filter(F.col("label") != F.col("node")).select(
-        F.col("node").alias(id_col)
-    )
-    result = df.join(dropped, on=id_col, how="left_anti")
-    timers["filtering"] = time.time() - t0
+    result = _minhash_filter_from_fingerprints(df, fingerprints, id_col, timers)
 
     if verbose:  # D9 telemetry (ref:minhash_deduplication.py:305-317)
         data_size = df.count()
@@ -372,6 +391,121 @@ def minhash_bands(
         fingerprint_batches, schema=f"id {id_type}, sigs array<binary>"
     )
     return fingerprints.select("id", F.posexplode("sigs").alias("band", "sig"))
+
+
+def minhash_md5_fingerprints(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    ngram_size: int = 5,
+    num_perm: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """``(id, sigs array<binary>)`` MinHash fingerprints from a CROSS-ENGINE
+    md5 hash family: permutation ``p`` is 32-bit word ``p % 4`` of
+    ``md5(p//4 || 0x1f || shingle)`` (each md5 yields four independent
+    words), signature = per-permutation min over the doc's distinct word
+    ``ngram_size``-shingles (hex words: fixed-width lexicographic min equals
+    numeric min), band signature = '|'-joined minima of the band's
+    ``num_perm / num_bands`` rows.
+
+    Unlike the production sha1+seeded-permutation fingerprint (numpy in a
+    pandas UDF, not SQL-expressible), every step here is a DuckDB-computable
+    expression — so the FULL D5-D8 pipeline downstream of fingerprinting can
+    be value-hashed against an independent engine.  It is also entirely
+    native Column code (regexp tokenize → shingle slices → md5/conv folds):
+    zero Python in the hot path, whole-stage codegen end to end.
+
+    Docs with no shingles (fewer than ``ngram_size`` tokens) are excluded —
+    they can never collide, so they survive without ever being bucketed.
+    """
+    if num_perm % num_bands:
+        raise ValueError(f"num_perm={num_perm} not divisible by num_bands={num_bands}")
+    rows_per_band = num_perm // num_bands
+
+    def perm_hash(p: int, s):
+        # Permutation p is the 8-hex-char word p%4 of md5(p//4 || 0x1f || s)
+        # — one md5 yields FOUR independent 32-bit words, so 4× fewer md5
+        # invocations than one-md5-per-permutation.  The word stays a HEX
+        # STRING: for fixed-width lowercase hex, lexicographic min equals
+        # numeric min, and dropping the int conversion both simplifies the
+        # DuckDB twin (substr only) and roughly halves the generated
+        # whole-stage code (16 conv+cast expressions were the dominant
+        # first-run codegen-compile cost, not the md5s themselves).
+        j, w = divmod(p, 4)
+        return F.substring(F.md5(F.concat(F.lit(f"{j}\x1f"), s)), 1 + 8 * w, 8)
+
+    # Explode shingles FIRST, then hash each once per permutation, then
+    # groupBy-min.  The per-doc form (num_perm × array_min(transform(...)))
+    # reads nicer but Catalyst's projection collapse inlines the shingle
+    # build into every permutation's fold — tokenize+shingle ran 16× per row
+    # (measured 21 s vs 2 s at sf0.1).  Here the generator computes shingles
+    # once, each (shingle, perm) hash is computed once, and the min agg is
+    # map-side combinable: the shuffle carries ≤ one partial row per
+    # (partition, doc) — the same plan shape the DuckDB oracle uses and the
+    # right one at 100 TB (posting rows never ship raw text).
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    # single-file sources arrive as one split; the md5 fold below is the CPU
+    # hot spot, so spread rows first (no-op on well-partitioned sources)
+    posting = repartition_for_compute(df.select(id_col, column)).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(column), ngram_size)).alias("__s__"),
+    )
+    hashed = posting.select(
+        "id", *[perm_hash(j, F.col("__s__")).alias(f"__h{j}__") for j in range(num_perm)]
+    )
+    sig_rows = hashed.groupBy("id").agg(
+        *[F.min(f"__h{j}__").alias(f"__h{j}__") for j in range(num_perm)]
+    )
+    band_sigs = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"__h{b * rows_per_band + r}__")
+                    for r in range(rows_per_band)
+                ],
+            ).cast("binary")
+            for b in range(num_bands)
+        ]
+    )
+    return sig_rows.select("id", band_sigs.alias("sigs"))
+
+
+def minhash_dedup_md5(
+    df: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    ngram_size: int = 5,
+    num_perm: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH near-dedup with the md5 hash family — the ORACLE TWIN of
+    :func:`minhash_dedup`.
+
+    Same D5-D8 pipeline, same survivor rule (min id per connected
+    component), different fingerprint arithmetic: md5-derived permutations
+    instead of sha1+seed-42, so a DuckDB oracle can recompute the entire
+    banding → bucket-min edges → connected components → keep-min result and
+    value-hash it against this plan.  The production path stays sha1/seed-42
+    (reference parity, ref:minhash_deduplication.py:74-116) and keeps its
+    differential pytest; this twin is the cross-engine hard evidence for the
+    SHARED downstream code (:func:`_minhash_filter_from_fingerprints`).
+
+    Default (B, R) = (4, 4): collision threshold (1/B)^(1/R) ≈ 0.71, the
+    same neighborhood as the production default threshold=0.7.
+    """
+    fingerprints = minhash_md5_fingerprints(
+        df, column, id_col, ngram_size, num_perm, num_bands
+    )
+    # Materialize once: the CC loop and the final anti-join are separate
+    # actions, and without the checkpoint each would re-execute the whole
+    # tokenize→shingle→hash subtree (and re-compile its codegen into every
+    # downstream stage).  Output is one signature row per doc — tiny
+    # relative to the corpus at any scale (the S5 defragment pattern).
+    fingerprints = fingerprints.localCheckpoint(eager=True)
+    return _minhash_filter_from_fingerprints(df, fingerprints, id_col)
 
 
 # --------------------------------------------------------------------------

@@ -1481,6 +1481,57 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_minhash_md5",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)])
+                  ELSE [] END AS shingles
+      FROM toks
+    ), posting AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ), hashes AS (
+      SELECT doc_id, p,
+             MIN(substr(md5(CAST(p // 4 AS VARCHAR) || chr(31) || s),
+                        1 + 8 * (p % 4), 8)) AS h
+      FROM posting CROSS JOIN range(16) r(p)
+      GROUP BY doc_id, p
+    ), bandsig AS (
+      SELECT doc_id, p // 4 AS band,
+             string_agg(h, '|' ORDER BY p) AS sig
+      FROM hashes GROUP BY doc_id, p // 4
+    ), roots AS (
+      SELECT band, sig, MIN(doc_id) AS root FROM bandsig GROUP BY band, sig
+    ), e AS (
+      SELECT DISTINCT b.doc_id AS a, r.root AS b
+      FROM bandsig b JOIN roots r USING (band, sig)
+      WHERE b.doc_id <> r.root
+    ), und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    reach(node, r) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT DISTINCT node FROM reach WHERE r < node)
+    """,
+    "MinHash-LSH dedup ORACLE TWIN: md5 hash family (16 perms, 4 bands x 4 "
+    "rows) makes the fingerprints DuckDB-computable, so banding -> bucket-min "
+    "edges -> connected components -> keep-min — the SAME "
+    "_minhash_filter_from_fingerprints code the sha1/seed-42 production path "
+    "runs (D5-D8, ref:minhash_deduplication.py:214-319) — gets a full "
+    "cross-engine value hash instead of rows-only evidence",
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return D.minhash_dedup_md5(docs, "text", id_col="doc_id").select("doc_id")
+
+
+@_register(
     "dedup_simhash",
     None,  # 64-bit md5 simhash not expressible in duckdb SQL
     "SimHash near-dedup: banded hamming<=3 candidates, popcount verify",
@@ -3293,21 +3344,54 @@ def docs_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dedup_semantic",
-    None,  # k-means blocking is not SQL-expressible; differential pytest
-    # coverage in tests/test_similarity.py (survivor-rule + blocking props)
-    "SemDeDup-style semantic dedup: k-means cluster blocking, per-cluster "
-    "cosine components via applyInPandas, min-id survivors — quadratic work "
-    "bounded to cluster size",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END) AS sq
+      FROM embeddings
+    ), allrows AS (
+      SELECT vec_id, sq FROM base
+      UNION ALL SELECT vec_id + 1000000, sq FROM base WHERE vec_id % 5 = 0
+      UNION ALL SELECT vec_id + 2000000, sq FROM base WHERE vec_id % 7 = 0
+    )
+    SELECT MIN(vec_id) AS vec_id FROM allrows GROUP BY sq
+    """,
+    "SemDeDup-style semantic dedup (k-means blocking, per-cluster cosine "
+    "components, min-id survivors) with a REAL survivor-set oracle: inputs "
+    "are sign-quantized (every coord -> +/-1), so cosine >= 0.99 is "
+    "EQUIVALENT to exact vector equality (distinct dim-64 sign patterns cap "
+    "at 62/64 = 0.96875) and the survivor set — min id per identical-vector "
+    "group, clone rows planted at vec_id+1M/+2M — is SQL-precomputable while "
+    "the Spark side still runs the full k-means -> applyInPandas component "
+    "pipeline (identical vectors always share a cluster, so blocking can't "
+    "split a group).  The k-means internals stay out of the oracle; the raw "
+    "0.95-threshold path keeps its differential pytest coverage",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
+    sq = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.when(x >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        ).alias("embedding"),
+    )
+    allrows = sq.unionByName(
+        sq.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    ).unionByName(
+        sq.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+        )
+    )
     # n_clusters=None → derived as ceil(count/target_cluster_size): per the
     # module's own scale contract, a fixed cluster count would re-create the
     # O(N²) blowup at 100× corpus size (r4 verdict item 3)
     out = SIM.semantic_dedup(
-        emb, threshold=0.95, n_clusters=None, id_col="vec_id", vec_col="embedding"
+        allrows, threshold=0.99, n_clusters=None, id_col="vec_id", vec_col="embedding"
     )
-    return out.select("vec_id", "label")
+    return out.select("vec_id")
 
 
 # ===========================================================================
@@ -3429,7 +3513,8 @@ _WINDOW_TAIL = [
     "union_provenance",
     "dedup_exact",
     "filter_ethics",
-    "ann_topk_pq",
+    # (ann_topk_pq sat here rows-only from round 5; round 6 moved it INTO the
+    # window — see the round-6 note at the bottom of this list)
     # (round-5 third batch — admits dedup_cluster_histogram,
     # sample_weighted_chars, docs_script_mix.  Rotated out:
     # events_asof_view (hash-green in ALL FOUR rounds) plus
@@ -3441,9 +3526,7 @@ _WINDOW_TAIL = [
     "events_asof_view",
     "conversation_pairs",
     "multimodal_features",
-    # ann_topk_ivfpq joins the rows-only tail group (residual-PQ approximate
-    # scores have no SQL twin; recall+determinism pytest):
-    "ann_topk_ivfpq",
+    # (ann_topk_ivfpq likewise moved into the window in round 6)
     # (round-5 fourth batch — admits the newly oracle-backed
     # filter_perplexity, see the rows-only note at the top of this list.
     # Rotated out: shuffle_hash_sample (hash-green r3 AND r4,
@@ -3455,6 +3538,20 @@ _WINDOW_TAIL = [
     # r4, byte-unchanged); grouped-distinct coverage also executes inside
     # corpus_top_bigrams' vocabulary agg and the dedup family's keyed aggs):
     "q16_supplier_part_counts",
+    # (round-6 rotation — admits the NEW oracle-backed dedup_minhash_md5
+    # (the D5-D8 cross-engine value-hash twin, r5 verdict item 1) and moves
+    # ann_topk_pq + ann_topk_ivfpq from the rows-only tail into the window
+    # (the only two registered queries with zero driver evidence, r5 verdict
+    # item 2).  Rotated out: docs_fix_mojibake, edit_pairs_concat,
+    # filter_truncation — each hash-green in ALL FIVE driver rounds and
+    # byte-unchanged this round.  Family coverage stays in-window: C1's
+    # heuristic twin keeps its differential pytest + pipeline_lifecycle's
+    # cleaner chain, P5-P7 column ops execute inside pipeline_output_preset,
+    # and the filter family keeps completion/gender/char_repetition/nsfw/
+    # perplexity/repetition rows):
+    "docs_fix_mojibake",
+    "edit_pairs_concat",
+    "filter_truncation",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:

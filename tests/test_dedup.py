@@ -225,3 +225,39 @@ def test_minhash_dedup_string_ids(spark, corpus):
     assert got == expect
     bands = D.minhash_bands(df_str, "text", "doc_id", num_perm=32)
     assert dict(bands.dtypes)["id"] == "string"
+
+
+def test_minhash_md5_twin_properties(spark, corpus):
+    """The md5-family oracle twin runs the SAME D5-D8 core as the production
+    sha1 path: exact-duplicate groups never keep more than the min id, the
+    survivor set is deterministic and partition-invariant, and docs below the
+    shingle threshold always survive (they are never bucketed)."""
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    kept = {r.doc_id for r in D.minhash_dedup_md5(df, "text", "doc_id").select("doc_id").collect()}
+    assert kept <= set(corpus)
+    # exact duplicates: only the min id of each exact-dup group survives
+    by_text: dict[str, list[int]] = {}
+    for i, t in corpus.items():
+        by_text.setdefault(t, []).append(i)
+    for ids in by_text.values():
+        if len(ids) > 1:
+            survivors = kept & set(ids)
+            assert survivors <= {min(ids)}
+    # short docs (< ngram_size tokens) are never bucketed -> always kept
+    for i, t in corpus.items():
+        if len(t.split()) < 5:
+            assert i in kept
+    again = {
+        r.doc_id
+        for r in D.minhash_dedup_md5(df.repartition(7), "text", "doc_id").select("doc_id").collect()
+    }
+    assert kept == again
+
+
+def test_minhash_md5_twin_plan_is_native(spark, corpus):
+    """Fingerprinting in the md5 twin is pure Column code — the physical plan
+    must contain NO Python evaluation (the production path's pandas UDF is
+    exactly what makes it non-SQL-expressible)."""
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    plan = D.minhash_md5_fingerprints(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -58,22 +58,25 @@ def test_correctness_window_is_all_oracle_backed():
     from chat_data_pipeline_spark.queries import REGISTRY
 
     window = list(REGISTRY)[:50]
-    # dedup_semantic is the ONE sanctioned rows-only window entry: k-means
-    # blocking is not SQL-expressible, and the r4 verdict requires it to earn
-    # a driver row anyway (rows-only signal beats no signal)
-    rows_only_allowed = {"dedup_semantic"}
+    # the two sanctioned rows-only window entries (r5 verdict item 2): PQ /
+    # residual-PQ approximate scores have no SQL twin, but they were the only
+    # registered queries with zero driver evidence, so they hold window rows
+    # (rows-only signal beats no signal).  dedup_semantic LEFT this set in
+    # round 6: its sign-quantized planted-clone redesign gave it a real
+    # survivor-set oracle (r5 verdict item 5).
+    rows_only_allowed = {"ann_topk_pq", "ann_topk_ivfpq"}
     assert all(
         REGISTRY[n].oracle is not None or n in rows_only_allowed for n in window
     )
     # queries still awaiting their first driver hash-verification + the
-    # round-5 window moves (dedup_semantic new; events_hourly_agg rotated
-    # back in after its shared reader changed in r4);
-    # test_correctness_window_covers_unverified_queries derives the oracle
-    # invariant dynamically from the CORRECTNESS files
+    # round-6 window moves (dedup_minhash_md5 new; ann pq/ivfpq in from the
+    # tail); test_correctness_window_covers_unverified_queries derives the
+    # oracle invariant dynamically from the CORRECTNESS files
     must_be_windowed = {
         "docs_bm25_probe", "corpus_top_bigrams",
         "dedup_keep_best", "sample_temperature_lang",
         "pipeline_lifecycle", "dedup_semantic", "events_hourly_agg",
+        "dedup_minhash_md5", "ann_topk_pq", "ann_topk_ivfpq",
     }
     assert must_be_windowed <= set(window)
 
@@ -93,7 +96,7 @@ def test_correctness_window_covers_unverified_queries():
     oracles = E.oracle_sql()
     window = names[:50]
     assert all(
-        n in oracles or n == "dedup_semantic" for n in window
+        n in oracles or n in ("ann_topk_pq", "ann_topk_ivfpq") for n in window
     ), [n for n in window if n not in oracles]
 
     verified: set[str] = set()
