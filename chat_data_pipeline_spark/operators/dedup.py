@@ -626,64 +626,84 @@ def ngram_jaccard_edges(
     # when the scan already has enough splits).
     from chat_data_pipeline_spark.session import repartition_for_compute
 
-    postings = repartition_for_compute(df.select(id_col, column)).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(column), ngram_size)).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("shingle"))
-    postings = postings.localCheckpoint(eager=True)
-    # shingles are distinct per doc, so |set| = posting count per id;
-    # computed BEFORE the stop-shingle cap so the Jaccard denominator stays
-    # the true set size (the cap only prunes candidate generation).
-    # Materialized once: it feeds BOTH the id1 and id2 denominator joins, and
-    # without the checkpoint each side re-aggregates the full postings RDD
-    # (the r4 plan audit found the whole aggregation duplicated).  Output is
-    # one 12-byte row per doc — trivially checkpointable at any corpus size.
-    sizes = postings.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sizes = sizes.localCheckpoint(eager=True)
-    if max_shingle_freq is not None:
-        # Document-frequency cap as hot-list anti-join, NOT a per-shingle
-        # window count: the r4 window version required Exchange+Sort over the
-        # FULL postings on shingle, and because the self-join's build side
-        # goes through a BroadcastExchange the window subtree was computed
-        # TWICE (no exchange reuse) — the 2× cold regression flagged in the
-        # r4 verdict.  The aggregate ships only map-side-combined
-        # (shingle, count) partials — far smaller than the raw postings —
-        # and the hot list itself (shingles with df > cap, the head of the
-        # Zipf curve) is tiny, so AQE turns the anti-join into a broadcast
-        # with NO shuffle of postings at all.  No F.broadcast hint: at
-        # extreme corpus scale the hot list is theoretically unbounded
-        # (≤ |postings|/cap) and AQE picks broadcast-vs-shuffle from the
-        # runtime size instead of an optimistic hint OOMing the driver.
-        hot = (
-            postings.groupBy("shingle")
-            .agg(F.count("*").alias("__df__"))
-            .filter(F.col("__df__") > max_shingle_freq)
-            .select("shingle")
+    # Each posting row carries n_sh = |doc's distinct shingle set|, computed
+    # natively from the shingle array BEFORE the explode (and before the
+    # stop-shingle cap, so the Jaccard denominator stays the true set size —
+    # the cap only prunes candidate generation).  Carrying the size on the
+    # row replaces the r4 plan's separate sizes aggregate + checkpoint + two
+    # denominator joins with +4 bytes per posting, and it is what makes the
+    # size-bound prune below expressible inside the self-join condition.
+    postings = (
+        repartition_for_compute(df.select(id_col, column))
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(column), ngram_size).alias("__sh__"),
         )
-        # checkpoint the (tiny) hot list so the df-aggregation runs once;
-        # without it the self-join's broadcast build side re-runs the full
-        # postings aggregation a second time
-        hot = hot.localCheckpoint(eager=True)
-        postings = postings.join(hot, "shingle", "left_anti")
+        .select("id", F.size("__sh__").alias("n_sh"), F.explode("__sh__").alias("shingle"))
+        .select("id", "n_sh", F.xxhash64("shingle").alias("shingle"))
+    )
+    postings = postings.localCheckpoint(eager=True)
+    # Document-frequency band [2, max_shingle_freq] as a pairable-list
+    # semi-join (NOT a per-shingle window count: the r4 window version
+    # required Exchange+Sort over the FULL postings and was computed twice
+    # through the self-join's broadcast build side).  The lower bound is the
+    # bigger lever: a df=1 shingle — the overwhelming majority in any
+    # natural corpus (the Zipf tail) — can never produce a candidate pair,
+    # so dropping singletons shrinks BOTH self-join inputs to just the
+    # postings that can actually collide; the upper bound is the stop-
+    # shingle cap (giant postings lists produce quadratic candidate blowup
+    # with no discrimination).  Neither bound changes the result: the
+    # Jaccard denominators use the precomputed n_sh, and the exact filter
+    # below is authoritative.  The aggregate ships only map-side-combined
+    # (shingle, count) partials; no F.broadcast hint — the pairable list
+    # scales with duplicate-content volume, and AQE picks broadcast-vs-
+    # shuffle from the runtime size instead of an optimistic hint OOMing
+    # the driver.
+    freq_ok = F.col("__df__") >= 2
+    if max_shingle_freq is not None:
+        freq_ok = freq_ok & (F.col("__df__") <= max_shingle_freq)
+    pairable = (
+        postings.groupBy("shingle")
+        .agg(F.count("*").alias("__df__"))
+        .filter(freq_ok)
+        .select("shingle")
+    )
+    # checkpoint the pairable list so the df-aggregation runs once; without
+    # it the self-join's build side re-runs the full postings aggregation
+    pairable = pairable.localCheckpoint(eager=True)
+    postings = postings.join(pairable, "shingle", "left_semi")
     a = postings.alias("a")
     b = postings.alias("b")
+    # Size-bound (prefix-filter) prune INSIDE the join condition: the maximum
+    # achievable Jaccard for set sizes (n1, n2) is min/max (smaller ⊆ larger),
+    # so any pair with min/max < τ is dropped before it ever reaches the
+    # pair-count aggregation — the standard similarity-join length filter.
+    # The ratio form (not min >= τ·max) makes both engines round identically
+    # at the τ boundary; the exact jaccard filter below is still authoritative.
+    size_ok = (
+        F.least(F.col("a.n_sh"), F.col("b.n_sh")).cast("double")
+        / F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+        >= F.lit(float(threshold))
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & size_ok,
+        )
+        .groupBy(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
-    sb = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
-    sim = (
-        inter.join(sa, "id1")
-        .join(sb, "id2")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= F.lit(float(threshold)))
-    )
+    sim = inter.withColumn(
+        "jaccard",
+        F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")),
+    ).filter(F.col("jaccard") >= F.lit(float(threshold)))
     return sim.select(F.col("id1").alias("src"), F.col("id2").alias("dst"), "jaccard")
 
 
