@@ -811,14 +811,6 @@ def simhash_dedup(
     """SimHash near-dedup: band the 64-bit signature into ``n_bands`` chunks
     (pigeonhole: any pair within ``hamming_threshold`` < n_bands shares ≥1
     exact band), verify candidates with native popcount, min-id survivor."""
-    if hamming_threshold >= n_bands:
-        raise ValueError(
-            f"pigeonhole requires hamming_threshold ({hamming_threshold}) < "
-            f"n_bands ({n_bands}): pairs differing by one bit per band share "
-            "no band and would silently never become candidates"
-        )
-    if 64 % n_bands != 0:
-        raise ValueError(f"n_bands ({n_bands}) must divide 64")
     from chat_data_pipeline_spark.session import repartition_for_compute
 
     # materialized once: the banded self-join references sigs on BOTH sides,
@@ -828,6 +820,30 @@ def simhash_dedup(
         .select("id", simhash_signature_col(column).alias("sig"))
         .localCheckpoint(eager=True)
     )
+    return _simhash_dedup_from_sigs(df, all_sigs, id_col, hamming_threshold, n_bands)
+
+
+def _simhash_dedup_from_sigs(
+    df: DataFrame,
+    all_sigs: DataFrame,
+    id_col: str,
+    hamming_threshold: int,
+    n_bands: int,
+) -> DataFrame:
+    """Shared SimHash downstream over ``all_sigs(id, sig)``: hamming-0
+    collapse → banded pigeonhole candidates → popcount verify → min-label
+    CC → survivor expansion → anti-join.  Both the pandas-UDF production
+    signature (:func:`simhash_dedup`) and the native md5 twin
+    (:func:`simhash_dedup_md5`) run THIS code, so the twin's DuckDB oracle
+    value-hashes the banding/verify/CC pipeline end to end."""
+    if hamming_threshold >= n_bands:
+        raise ValueError(
+            f"pigeonhole requires hamming_threshold ({hamming_threshold}) < "
+            f"n_bands ({n_bands}): pairs differing by one bit per band share "
+            "no band and would silently never become candidates"
+        )
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands ({n_bands}) must divide 64")
     # hamming-0 groups (exact clones included) collapse to their min-id
     # representative before the banded self-join — identical signatures are
     # one component by definition, and clone groups otherwise contribute
@@ -884,3 +900,76 @@ def simhash_dedup(
         F.col("member").alias(id_col)
     )
     return df.join(dropped, on=id_col, how="left_anti")
+
+
+def simhash_md5_signatures(df: DataFrame, column: str, id_col: str) -> DataFrame:
+    """``(id, sig)`` 64-bit SimHash signatures as pure Column code — the
+    EXACT arithmetic of :func:`_simhash64` (md5-first-8-bytes token hashes,
+    per-bit majority vote) with the per-token tally as a map-side-combinable
+    64-sum aggregation instead of a pandas UDF.  Every step is DuckDB-
+    expressible, which is what buys the oracle twin; on ASCII text the
+    tokenizations agree, so the signatures equal the production UDF's
+    bit-for-bit (asserted in tests).
+
+    Token hash bit k of ``int.from_bytes(md5(tok)[:8], 'big')``: bits 0-31
+    live in hex chars 9-16 (lo word), bits 32-63 in chars 1-8 (hi word) —
+    the hex string IS the big-endian byte order.  Docs with no tokens get
+    sig 0 (the reference arithmetic's empty-input value).
+    """
+    from chat_data_pipeline_spark.functions import text as T
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    toks = repartition_for_compute(df.select(id_col, column)).select(
+        F.col(id_col).alias("id"),
+        F.explode(T.words(F.col(column))).alias("__t__"),
+    )
+    hashed = toks.select(
+        "id",
+        F.conv(F.substring(F.md5("__t__"), 1, 8), 16, 10).cast("long").alias("__hi__"),
+        F.conv(F.substring(F.md5("__t__"), 9, 8), 16, 10).cast("long").alias("__lo__"),
+    )
+
+    def bit(k: int) -> Column:
+        src, off = ("__lo__", k) if k < 32 else ("__hi__", k - 32)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
+    agg = hashed.groupBy("id").agg(
+        F.count("*").alias("__n__"),
+        *[F.sum(bit(k)).alias(f"__o{k}__") for k in range(64)],
+    )
+    # majority vote: counts[k] = 2*ones - n > 0  (ref arithmetic in
+    # _simhash64); pack the 64 vote bits back into one signed long — the
+    # k=63 shift wraps negative exactly like the production signature's
+    # to-signed conversion.
+    sig = F.lit(0).cast("long")
+    for k in range(64):
+        vote = (F.lit(2) * F.col(f"__o{k}__") > F.col("__n__")).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(vote, k))
+    sig_rows = agg.select("id", sig.alias("sig"))
+    # token-free docs never reach the aggregation; they carry sig 0
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(sig_rows, "id", "left")
+        .select("id", F.coalesce("sig", F.lit(0).cast("long")).alias("sig"))
+    )
+
+
+def simhash_dedup_md5(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    hamming_threshold: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dedup with natively-computed signatures — the ORACLE
+    TWIN of :func:`simhash_dedup`.
+
+    Same banding/verify/CC downstream (:func:`_simhash_dedup_from_sigs`),
+    same signature ARITHMETIC; the signature just runs as Column
+    expressions instead of a pandas UDF, so a DuckDB oracle can recompute
+    the full pipeline — per-bit majority votes, 16-bit band chunks,
+    pigeonhole candidates, popcount verify, connected components, min-id
+    survivors — and value-hash it cross-engine.
+    """
+    all_sigs = simhash_md5_signatures(df, column, id_col).localCheckpoint(eager=True)
+    return _simhash_dedup_from_sigs(df, all_sigs, id_col, hamming_threshold, n_bands)

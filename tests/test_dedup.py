@@ -261,3 +261,27 @@ def test_minhash_md5_twin_plan_is_native(spark, corpus):
     df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
     plan = D.minhash_md5_fingerprints(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_simhash_md5_signatures_match_production_udf(spark, corpus):
+    """The native Column signature implements the exact _simhash64 arithmetic
+    (md5-first-8-bytes token hashes, per-bit majority vote): on this corpus
+    the tokenizations agree, so signatures must be bit-identical to the
+    production pandas UDF — the bridge that lets the DuckDB oracle twin
+    stand in for the UDF path."""
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    native = {r.id: r.sig for r in D.simhash_md5_signatures(df, "text", "doc_id").collect()}
+    prod = {
+        r.doc_id: r.sig
+        for r in df.select("doc_id", D.simhash_signature_col("text").alias("sig")).collect()
+    }
+    assert native == prod
+
+
+def test_simhash_md5_dedup_equals_production(spark, corpus):
+    """Same signatures + shared _simhash_dedup_from_sigs downstream ==
+    identical survivor sets."""
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    a = sorted(r.doc_id for r in D.simhash_dedup(df, "text", "doc_id").select("doc_id").collect())
+    b = sorted(r.doc_id for r in D.simhash_dedup_md5(df, "text", "doc_id").select("doc_id").collect())
+    assert a == b

@@ -76,7 +76,7 @@ def test_correctness_window_is_all_oracle_backed():
         "docs_bm25_probe", "corpus_top_bigrams",
         "dedup_keep_best", "sample_temperature_lang",
         "pipeline_lifecycle", "dedup_semantic", "events_hourly_agg",
-        "dedup_minhash_md5", "ann_topk_pq", "ann_topk_ivfpq",
+        "dedup_minhash_md5", "dedup_simhash_md5", "ann_topk_pq", "ann_topk_ivfpq",
     }
     assert must_be_windowed <= set(window)
 
