@@ -696,11 +696,13 @@ def _score_candidate_pairs(
                 continue
             m1 = np.stack([np.asarray(v, dtype=np.float64) for v in batch["__v1__"]])
             m2 = np.stack([np.asarray(v, dtype=np.float64) for v in batch["__v2__"]])
-            cos = np.round(
-                np.einsum("ij,ij->i", m1, m2)
-                / (np.sqrt((m1 * m1).sum(axis=1)) * np.sqrt((m2 * m2).sum(axis=1))),
-                6,
-            )
+            # norm floor: a zero vector scores cosine 0, not NaN — NaN would
+            # silently drop the pair in threshold mode and, worse, SORT FIRST
+            # under Spark's NaN-is-greatest descending order in the top-k
+            # window (module convention, same as semantic_dedup/decontam).
+            n1 = np.maximum(np.sqrt((m1 * m1).sum(axis=1)), 1e-12)
+            n2 = np.maximum(np.sqrt((m2 * m2).sum(axis=1)), 1e-12)
+            cos = np.round(np.einsum("ij,ij->i", m1, m2) / (n1 * n2), 6)
             keep = cos >= threshold if threshold is not None else slice(None)
             yield pd.DataFrame(
                 {

@@ -356,3 +356,14 @@ def test_ann_query_side_guard_raises_on_oversized_probe_set(emb, queries, fn):
     driver — the same posture as the exact path's max_broadcast_rows."""
     with pytest.raises(ValueError, match="max_query_rows"):
         getattr(SIM, fn)(emb, queries, k=5, max_query_rows=2)
+
+
+def test_ivf_topk_zero_vector_scores_zero_not_nan(spark, emb, queries):
+    """A zero corpus vector must score cosine 0 (bottom of the ranking), not
+    NaN — Spark's descending sort treats NaN as GREATEST, so an unfloored
+    norm would put a garbage vector at rank 1 for every query."""
+    zero = spark.createDataFrame([(99999, [0.0] * 64)], "vec_id long, embedding array<float>")
+    corpus = emb.select("vec_id", "embedding").unionByName(zero)
+    rows = SIM.ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=8).collect()
+    assert all(r.vec_id != 99999 for r in rows)
+    assert all(not (r.cosine != r.cosine) for r in rows)  # no NaN survives
