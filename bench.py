@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "docs_script_mix",
     "ann_topk_ivfpq",
     "docs_length_deciles",
+    # round-6 additions
+    "filter_gopher_quality",
 ]
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from chat_data_pipeline_spark.functions import analysis as A
 from chat_data_pipeline_spark.functions import cleaners as C
 from chat_data_pipeline_spark.functions import filters as FL
+from chat_data_pipeline_spark.functions import gopher as GQ
 from chat_data_pipeline_spark.functions import text as T
 from chat_data_pipeline_spark.functions.wordlists import (
     HARSH_UNWANTED_PHRASES,
@@ -3466,6 +3467,103 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Published quality rulesets (round 6): Gopher A1.1
+# ===========================================================================
+
+_SQL_WORD_TOKEN = r"[\p{L}\p{N}_]+"
+_SQL_BULLET_PAT = "^[" + _SQL_WS_CLASS_INNER + "]*[•‣▸·*-]"
+_SQL_ELLIPSIS_PAT = r"(\.\.\.|…)[" + _SQL_WS_CLASS_INNER + "]*$"
+_SQL_STOP_LIST = "['the','be','to','of','and','that','have','with']"
+
+
+@_register(
+    "filter_gopher_quality",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '"""
+    + _SQL_WS_TOKEN
+    + """') AS tk,
+             list_filter(str_split(text, chr(10)), x -> trim(x) <> '') AS ln,
+             regexp_extract_all(lower(text), '"""
+    + _SQL_WORD_TOKEN
+    + """') AS wd,
+             text
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CASE WHEN len(tk) > 0 THEN
+               round(list_aggregate(list_transform(tk, w -> length(w)), 'sum')
+                     / len(tk), 6)
+             ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(tk) > 0 THEN
+               round(((length(text) - length(replace(text, '#', '')))
+                      + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                             AS BIGINT)) / len(tk), 6)
+             ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN len(ln) > 0 THEN
+               round(len(list_filter(ln, x -> regexp_matches(x, '"""
+    + _SQL_BULLET_PAT
+    + """'))) / len(ln), 6)
+             ELSE 0.0 END AS bullet_line_frac,
+             CASE WHEN len(ln) > 0 THEN
+               round(len(list_filter(ln, x -> regexp_matches(x, '"""
+    + _SQL_ELLIPSIS_PAT
+    + r"""'))) / len(ln), 6)
+             ELSE 0.0 END AS ellipsis_line_frac,
+             CASE WHEN len(tk) > 0 THEN
+               round(len(list_filter(tk, w -> regexp_matches(w, '\p{L}')))
+                     / len(tk), 6)
+             ELSE 0.0 END AS alpha_word_frac,
+             CAST(len(list_filter("""
+    + _SQL_STOP_LIST
+    + """, sw -> list_contains(wd, sw))) AS BIGINT) AS stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+           ellipsis_line_frac, alpha_word_frac, stop_hits,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND mean_word_len BETWEEN 3 AND 10
+                      AND symbol_ratio <= 0.1
+                      AND bullet_line_frac < 0.9
+                      AND ellipsis_line_frac < 0.3
+                      AND alpha_word_frac >= 0.8
+                      AND stop_hits >= 1
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM s
+    """,
+    "Gopher quality ruleset (Rae et al. 2021 A1.1): all seven published "
+    "rules — word-count bounds, mean word length, symbol-to-word ratio, "
+    "bullet/ellipsis line fractions, alpha-word fraction, required-stopword "
+    "hits — as ONE whole-stage-codegen projection; signals emitted per doc "
+    "plus the conjunction keep bit, every ratio 6-dp-rounded on both engines. "
+    "min_stop_hits is overridden 2→1 for this corpus (the synthetic docs "
+    "carry a median of ONE distinct required stopword, so the paper value "
+    "keeps zero rows — the override makes the keep bit discriminating while "
+    "the module default stays at the published threshold)",
+)
+def filter_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    sig = GQ.gopher_signals(F.col("text"))
+    out = docs.select("doc_id", sig.alias("s"))
+    return out.select(
+        "doc_id",
+        F.col("s.n_words").cast("long").alias("n_words"),
+        F.col("s.mean_word_len").alias("mean_word_len"),
+        F.col("s.symbol_ratio").alias("symbol_ratio"),
+        F.col("s.bullet_line_frac").alias("bullet_line_frac"),
+        F.col("s.ellipsis_line_frac").alias("ellipsis_line_frac"),
+        F.col("s.alpha_word_frac").alias("alpha_word_frac"),
+        F.col("s.stop_hits").cast("long").alias("stop_hits"),
+        F.when(GQ.gopher_quality_keep(F.col("s"), min_stop_hits=1), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+# ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
 
@@ -3630,6 +3728,14 @@ _WINDOW_TAIL = [
     # byte-unchanged; the F7 ratio-stat family keeps filter_gender +
     # filter_char_repetition in-window):
     "filter_completion",
+    # (round-6 third batch — admits filter_gopher_quality (the full Rae et
+    # al. 2021 A1.1 ruleset, new this round).  Rotated out:
+    # conversation_chatml, hash-green r3 AND r4 AND r5 and its module
+    # (operators/conversation.py) byte-unchanged this round; P1-P3
+    # conversation coverage stays in-window via conversation_dedup, and the
+    # chatml reassembly keeps its full-registry oracle sweep in
+    # tests/test_oracle_parity.py):
+    "conversation_chatml",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:
