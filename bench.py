@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "docs_length_deciles",
     # round-6 additions
     "filter_gopher_quality",
+    "docs_c4_clean",
 ]
 
 

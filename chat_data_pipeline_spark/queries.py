@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from chat_data_pipeline_spark.functions import analysis as A
 from chat_data_pipeline_spark.functions import cleaners as C
 from chat_data_pipeline_spark.functions import filters as FL
+from chat_data_pipeline_spark.functions import c4 as C4
 from chat_data_pipeline_spark.functions import gopher as GQ
 from chat_data_pipeline_spark.functions import text as T
 from chat_data_pipeline_spark.functions.wordlists import (
@@ -3564,6 +3565,112 @@ def filter_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Published quality rulesets (round 6): C4 §2.2
+# ===========================================================================
+
+
+# The corpus documents are single-line and punctuation-free, so the raw
+# table exercises NONE of the C4 rules; the query constructs multi-line
+# pages from doc_id so every rule fires (same synthetic-structure trick as
+# filter_truncation / filter_gender).  Line inventory per page:
+#   - one always-qualifying sentence per doc_id%2/%3 residue (1-3 total,
+#     ending . ! ? — drives the 3-sentence page rule both ways)
+#   - a <5-word line and an unterminated line (always dropped)
+#   - a javascript line on doc_id%5 (dropped by the js rule)
+#   - page poison: 'lorem ipsum' on doc_id%7, '{' on doc_id%11
+_C4_PAGE_SQL = """
+      substr(text, 1, 80) || ' end of part one.'
+      || CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || substr(text, 81, 80) || ' and so it goes!'
+              ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'Is this the final question for the page?'
+              ELSE '' END
+      || chr(10) || 'too few words.'
+      || chr(10) || substr(text, 161, 40)
+      || CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || 'This line mentions javascript framework today.'
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN chr(10) || 'lorem ipsum dolor sit amet placeholder text.'
+              ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+              THEN chr(10) || 'template { braces } leftover markup here.'
+              ELSE '' END
+"""
+
+
+def _c4_page_col() -> F.Column:
+    nl = F.lit("\n")
+    opt = lambda cond, content: F.when(  # noqa: E731
+        cond, F.concat(nl, content)
+    ).otherwise(F.lit(""))
+    d = F.col("doc_id")
+    return F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" end of part one."),
+        opt(d % 2 == 0, F.concat(F.substring("text", 81, 80), F.lit(" and so it goes!"))),
+        opt(d % 3 == 0, F.lit("Is this the final question for the page?")),
+        nl,
+        F.lit("too few words."),
+        nl,
+        F.substring("text", 161, 40),
+        opt(d % 5 == 0, F.lit("This line mentions javascript framework today.")),
+        opt(d % 7 == 0, F.lit("lorem ipsum dolor sit amet placeholder text.")),
+        opt(d % 11 == 0, F.lit("template { braces } leftover markup here.")),
+    )
+
+
+@_register(
+    "docs_c4_clean",
+    """
+    WITH pages AS (
+      SELECT doc_id, """
+    + _C4_PAGE_SQL
+    + """ AS page FROM documents
+    ), c AS (
+      SELECT doc_id, page,
+             COALESCE(array_to_string(list_filter(str_split(page, chr(10)),
+               x -> regexp_matches(x, '[.!?"]["""
+    + _SQL_WS_CLASS_INNER
+    + """]*$')
+                AND len(regexp_extract_all(x, '"""
+    + _SQL_WS_TOKEN
+    + """')) >= 5
+                AND NOT contains(lower(x), 'javascript')), chr(10)), '')
+               AS cleaned
+      FROM pages
+    )
+    SELECT doc_id, cleaned,
+           CAST(CASE WHEN NOT contains(lower(page), 'lorem ipsum')
+                      AND NOT contains(page, '{')
+                      AND len(regexp_extract_all(cleaned, '[.!?]+')) >= 3
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM c
+    """,
+    "C4 page cleaning (Raffel et al. 2020 §2.2) over constructed multi-line "
+    "pages: line-level terminal-punct/5-word/javascript rules produce the "
+    "cleaned text (value-hashed!), page-level lorem-ipsum/brace/3-sentence "
+    "rules produce the keep bit — one narrow codegen projection, no shuffle; "
+    "the paper's 3-sentence-span corpus dedup is the span_dedup operator "
+    "family",
+)
+def docs_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _c4_page_col().alias("page"))
+    cleaned = C4.c4_clean_lines(F.col("page"))
+    out = pages.select("doc_id", "page", cleaned.alias("cleaned"))
+    return out.select(
+        "doc_id",
+        "cleaned",
+        F.when(C4.c4_doc_keep(F.col("page"), F.col("cleaned")), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+# ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
 
@@ -3736,6 +3843,12 @@ _WINDOW_TAIL = [
     # chatml reassembly keeps its full-registry oracle sweep in
     # tests/test_oracle_parity.py):
     "conversation_chatml",
+    # (round-6 fourth batch — admits docs_c4_clean (Raffel et al. 2020 §2.2
+    # page cleaning over constructed multi-line pages, new this round).
+    # Rotated out: multimodal_frame_sample, hash-green r3 AND r4 AND r5 and
+    # its module (operators/multimodal.py) byte-unchanged this round; the
+    # multimodal family keeps multimodal_resize in-window):
+    "multimodal_frame_sample",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:
