@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     # round-6 additions
     "filter_gopher_quality",
     "docs_c4_clean",
+    "dsir_select_en",
 ]
 
 

@@ -41,6 +41,7 @@ from chat_data_pipeline_spark.operators import conversation as CV
 from chat_data_pipeline_spark.operators import dedup as D
 from chat_data_pipeline_spark.operators import retrieval as RT
 from chat_data_pipeline_spark.operators import sampling as S
+from chat_data_pipeline_spark.operators import selection as SEL
 from chat_data_pipeline_spark.operators import similarity as SIM
 from chat_data_pipeline_spark.operators import temporal as TP
 
@@ -3671,6 +3672,80 @@ def docs_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Data selection (round 6): DSIR importance resampling
+# ===========================================================================
+
+
+@_register(
+    "dsir_select_en",
+    """
+    WITH words AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang,
+             list_concat(w, list_transform(range(1, len(w)),
+                                           i -> w[i] || ' ' || w[i+1])) AS g
+      FROM words
+    ), feats AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(t.gg), 1, 8) AS BIGINT) % 256 AS b
+      FROM grams, unnest(grams.g) AS t(gg)
+    ), agg AS (
+      SELECT b, COUNT(*) AS cr,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+      FROM feats GROUP BY b
+    ), tot AS (
+      SELECT COALESCE(SUM(cr), 0) AS nr, COALESCE(SUM(ct), 0) AS nt FROM agg
+    ), llr AS (
+      SELECT rb.b AS b,
+             CAST(round((ln((COALESCE(a.ct, 0) + 1.0) / (tot.nt + 256.0))
+                       - ln((COALESCE(a.cr, 0) + 1.0) / (tot.nr + 256.0)))
+                        * 1e6) AS BIGINT) AS mic
+      FROM (SELECT unnest(range(0, 256)) AS b) rb
+      LEFT JOIN agg a ON rb.b = a.b
+      CROSS JOIN tot
+    ), wsum AS (
+      SELECT f.doc_id, SUM(l.mic) AS lw
+      FROM feats f JOIN llr l ON f.b = l.b GROUP BY f.doc_id
+    ), allw AS (
+      SELECT d.doc_id, COALESCE(w.lw, 0) AS lw,
+             COALESCE(w.lw, 0)
+             + CAST(round(-ln(-ln((CAST('0x' || substr(md5('dsir42' || chr(31)
+                     || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                     / 4294967296.0)) * 1e6) AS BIGINT) AS key
+      FROM documents d LEFT JOIN wsum w ON d.doc_id = w.doc_id
+    )
+    SELECT doc_id, CAST(lw AS DOUBLE) / 1e6 AS log_weight,
+           CAST(CASE WHEN rank() OVER (ORDER BY key DESC, doc_id) <= 100
+                THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM allw
+    """,
+    "DSIR importance resampling (Xie et al. 2023): hashed uni+bigram bucket "
+    "LLR weights (target = lang-en slice vs the full corpus, Laplace-1 "
+    "smoothing, 256 md5 buckets) + md5-seeded Gumbel top-100 — weights are "
+    "exact integer micro-nat sums on both engines, so the per-doc "
+    "log_weight AND the selected set are value-hashed.  Scale shape: one "
+    "m-bounded count agg -> collected LLR literal -> narrow per-doc fold "
+    "(zero shuffle) -> TakeOrdered; the window here is query-output "
+    "convenience only, dsir_select is the scale path",
+)
+def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    w = SEL.dsir_weights(docs, F.col("lang") == "en")
+    win = Window.orderBy(F.col("key_micros").desc(), F.col("doc_id"))
+    return w.select(
+        "doc_id",
+        (F.col("log_weight_micros").cast("double") / F.lit(1e6)).alias("log_weight"),
+        F.when(F.rank().over(win) <= 100, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("selected"),
+    )
+
+
+# ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
 
@@ -3849,6 +3924,13 @@ _WINDOW_TAIL = [
     # its module (operators/multimodal.py) byte-unchanged this round; the
     # multimodal family keeps multimodal_resize in-window):
     "multimodal_frame_sample",
+    # (round-6 fifth batch — admits dsir_select_en (DSIR importance
+    # resampling, new this round; per-doc micro-nat weights AND the Gumbel
+    # top-100 set both value-hashed).  Rotated out: docs_redact_pii,
+    # hash-green r3 AND r4 AND r5 and its module (functions/cleaners.py)
+    # byte-unchanged this round; the cleaner family keeps
+    # pipeline_lifecycle's C2/C3 chain and docs_c4_clean in-window):
+    "docs_redact_pii",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:
