@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "filter_gopher_quality",
     "docs_c4_clean",
     "dsir_select_en",
+    "dedup_simhash_md5",
+    "docs_bigram_lm",
+    "dedup_soft_weights",
 ]
 
 

@@ -542,6 +542,33 @@ def exact_dedup(df: DataFrame, columns: list[str] | str, id_col: str) -> DataFra
     )
 
 
+def exact_dedup_soft_weights(
+    df: DataFrame,
+    columns: list[str] | str,
+    id_col: str,
+) -> DataFrame:
+    """Soft dedup: KEEP every row but attach its exact-duplicate multiplicity
+    and the reweighting factor ``weight = 1 / dup_count``.
+
+    Down-weighting clones instead of dropping them preserves corpus
+    diversity while equalizing each distinct content's total sampling mass —
+    the approach several LLM corpus builds use when duplicates carry signal
+    (popular pages ARE quality evidence) but must not dominate training.
+    Pairs with the weighted samplers in ``operators/sampling.py``
+    (``weighted_sample_ares`` consumes the weight column directly).
+
+    Single window shuffle on the content key, AQE-skew-safe; adds columns
+    ``dup_count`` (int) and ``weight`` (double, 6 dp) without dropping or
+    reordering rows.
+    """
+    if isinstance(columns, str):
+        columns = [columns]
+    w = Window.partitionBy(*columns)
+    return df.withColumn(
+        "dup_count", F.count("*").over(w).cast("int")
+    ).withColumn("weight", F.round(F.lit(1.0) / F.col("dup_count"), 6))
+
+
 def exact_dedup_keep_best(
     df: DataFrame,
     columns: list[str] | str,

@@ -1,0 +1,133 @@
+"""Corpus-trained n-gram language-model scoring.
+
+The reference's perplexity filter (ref:filters.py:18-28,
+ref:kenlm_model.py:122-142) scores documents with a PRETRAINED native KenLM
+— a heavyweight dependency this environment cannot install, so that path is
+env-gated (``functions/perplexity.py``).  This module provides the same
+quality-signal family with zero native deps: train an add-k-smoothed bigram
+LM **on the corpus itself** (two map-side-combinable aggregations) and score
+every document with pure Column math.  Self-trained corpus LMs are the
+standard bootstrap when no external model is available (the cc_net paper
+itself trains its LMs on the target corpus distribution), and an in-corpus
+bigram score separates natural prose from gibberish/repetition exactly like
+a pretrained model does — fluent text is made of bigrams the corpus has seen
+often.
+
+Scale shape (100 TB posture):
+
+- Training is two ``groupBy().count()`` aggregations over the bigram
+  postings — partial (map-side) combine means the shuffle carries one row
+  per (partition, distinct bigram), never the raw postings.
+- The probability dictionary (distinct bigrams ⋈ context totals) is
+  aggregated data, orders of magnitude smaller than the corpus; the final
+  scoring join shuffles postings on (w1, w2), which AQE skew-splits for the
+  head of the Zipf curve ("of the" et al.).
+- No driver-side state: the vocabulary size enters the plan as a
+  broadcast one-row cross join, so the whole operator is ONE lazy plan an
+  external oracle can replay.
+
+Float determinism for the oracle (the BM25 convention,
+``operators/retrieval.py:25-28``): per-bigram ln-probabilities are rounded
+to integer NANOS and summed as longs, so cross-engine addition order cannot
+change any document's sum; the displayed average rounds to 6 decimals and
+the perplexity is derived FROM the rounded average.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.functions import text as T
+
+
+def bigram_postings(df: DataFrame, column: str, id_col: str) -> DataFrame:
+    """``(id, w1, w2)`` — one row per adjacent token pair per document.
+
+    Tokens are the engine's universal word tokenizer (lowercased ``\\w+``,
+    ``functions/text.py``); documents with fewer than two tokens contribute
+    no rows (they are re-attached with a left join by the scorer).
+    """
+    toks = df.select(F.col(id_col).alias("id"), T.words(F.col(column)).alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("t")),
+            lambda i: F.struct(
+                F.element_at(F.col("t"), i - 1).alias("w1"),
+                F.element_at(F.col("t"), i).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return toks.select("id", F.explode(bigrams).alias("b")).select(
+        "id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document average bigram log-probability under an add-``k``
+    corpus-trained LM, plus the derived perplexity.
+
+    P(w2 | w1) = (c(w1, w2) + k) / (c_ctx(w1) + k·V) where c_ctx(w1) is the
+    number of bigram tokens with context w1 (= Σ_w2 c(w1, w2)) and V is the
+    corpus vocabulary size — add-k (Lidstone) smoothing, the textbook
+    formulation (Jurafsky & Martin ch. 3; Chen & Goodman 1998).
+
+    Output: ``(id_col, n_bigrams int, avg_logprob double, ppl double)``.
+    ``avg_logprob`` is the mean natural-log probability over the document's
+    bigrams rounded to 6 decimals (higher = more fluent under the corpus);
+    ``ppl = exp(-avg_logprob)`` rounded to 4, computed FROM the rounded
+    average so both engines derive it from identical input.  Documents with
+    fewer than two tokens keep a row with ``n_bigrams = 0`` and null scores.
+    """
+    posting = bigram_postings(df, column, id_col)
+
+    # vocabulary size as a broadcast one-row cross join — the scalar enters
+    # the lazy plan instead of a driver-side collect (determinism convention;
+    # same pattern as queries.py's quota cross joins)
+    vocab = (
+        df.select(F.explode(T.words(F.col(column))).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+
+    pairs = posting.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
+    ctx = pairs.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
+    probs = (
+        pairs.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c_pair") + F.lit(float(k)))
+                    / (F.col("c_ctx") + F.lit(float(k)) * F.col("v"))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("lp_nanos"),
+        )
+    )
+
+    scored = (
+        posting.join(probs, ["w1", "w2"])
+        .groupBy("id")
+        .agg(F.sum("lp_nanos").alias("lp_sum"), F.count("*").alias("n_bigrams"))
+    )
+    avg_lp = F.round(F.col("lp_sum") / F.lit(1e9) / F.col("n_bigrams"), 6)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("int").alias("n_bigrams"),
+            avg_lp.alias("avg_logprob"),
+            F.round(F.exp(-avg_lp), 4).alias("ppl"),
+        )
+    )

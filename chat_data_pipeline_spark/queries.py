@@ -43,6 +43,7 @@ from chat_data_pipeline_spark.operators import retrieval as RT
 from chat_data_pipeline_spark.operators import sampling as S
 from chat_data_pipeline_spark.operators import selection as SEL
 from chat_data_pipeline_spark.operators import similarity as SIM
+from chat_data_pipeline_spark.operators import language_model as LMOD
 from chat_data_pipeline_spark.operators import temporal as TP
 
 
@@ -3745,6 +3746,81 @@ def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "docs_bigram_lm",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS w
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || chr(31) || w[i+1])) AS bgk
+      FROM toks
+    ), vocab AS (
+      SELECT COUNT(DISTINCT t.tok) AS v FROM toks, unnest(toks.w) AS t(tok)
+    ), pairs AS (
+      SELECT bgk, COUNT(*) AS c_pair FROM bg GROUP BY bgk
+    ), ctx AS (
+      SELECT split_part(bgk, chr(31), 1) AS w1, SUM(c_pair) AS c_ctx
+      FROM pairs GROUP BY 1
+    ), probs AS (
+      SELECT p.bgk,
+             CAST(round(ln((CAST(p.c_pair AS DOUBLE) + 0.5)
+                           / (CAST(c.c_ctx AS DOUBLE)
+                              + 0.5 * CAST(v.v AS DOUBLE))) * 1e9)
+                  AS BIGINT) AS lp_nanos
+      FROM pairs p
+      JOIN ctx c ON split_part(p.bgk, chr(31), 1) = c.w1
+      CROSS JOIN vocab v
+    ), scored AS (
+      SELECT b.doc_id, SUM(pr.lp_nanos) AS lp_sum, COUNT(*) AS n_bigrams
+      FROM bg b JOIN probs pr ON b.bgk = pr.bgk
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+           round(CAST(s.lp_sum AS DOUBLE) / 1e9 / s.n_bigrams, 6) AS avg_logprob,
+           round(exp(-round(CAST(s.lp_sum AS DOUBLE) / 1e9 / s.n_bigrams, 6)),
+                 4) AS ppl
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+    "corpus-trained add-0.5 bigram LM scoring (the KenLM-shaped F2 quality "
+    "signal with zero native deps): two map-side-combinable count aggs "
+    "train P(w2|w1), per-doc mean ln-prob + perplexity scored via a "
+    "postings join against the aggregated probability dictionary — "
+    "integer-nanos sums make every score value-hash across engines",
+)
+def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return LMOD.bigram_lm_scores(docs, "text", "doc_id", k=0.5)
+
+
+@_register(
+    "dedup_soft_weights",
+    r"""
+    SELECT doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY md5(COALESCE(text, '')))
+                AS INTEGER) AS dup_count,
+           round(CAST(1.0 AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY md5(COALESCE(text, ''))),
+                 6) AS weight
+    FROM documents
+    """,
+    "soft dedup: keep every row, down-weight exact clones by "
+    "weight = 1/dup_count (equal total sampling mass per distinct content "
+    "without the diversity loss of dropping); one md5-keyed window shuffle, "
+    "feeds weighted_sample_ares directly",
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("__k__")
+    )
+    return D.exact_dedup_soft_weights(docs, "__k__", "doc_id").select(
+        "doc_id", "dup_count", "weight"
+    )
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
@@ -3931,6 +4007,18 @@ _WINDOW_TAIL = [
     # byte-unchanged this round; the cleaner family keeps
     # pipeline_lifecycle's C2/C3 chain and docs_c4_clean in-window):
     "docs_redact_pii",
+    # (round-6 sixth batch — admits the NEW oracle-backed docs_bigram_lm
+    # (corpus-trained add-k bigram LM scoring: the KenLM-shaped F2 signal
+    # with a full cross-engine value hash) and dedup_soft_weights
+    # (1/dup_count clone down-weighting).  Rotated out: sample_grouped_users
+    # (G1, hash-green r3 AND r4 AND r5) and split_by_filter (G4, hash-green
+    # r3 AND r4 AND r5); their modules (operators/sampling.py,
+    # plans/pipeline.py) are byte-unchanged this round.  Family coverage
+    # stays in-window: sampling keeps proportional/stratified/temperature/
+    # weighted rows, and the pipeline split path executes inside
+    # pipeline_lifecycle + pipeline_output_preset):
+    "sample_grouped_users",
+    "split_by_filter",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:
