@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "dedup_simhash_md5",
     "docs_bigram_lm",
     "dedup_soft_weights",
+    "bpe_merges_corpus",
 ]
 
 

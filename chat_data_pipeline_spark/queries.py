@@ -3797,6 +3797,25 @@ def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bpe_merges_corpus",
+    None,  # iterative corpus-wide argmax per merge round — not SQL-
+    # expressible (a recursive CTE cannot re-aggregate per level);
+    # correctness is differential vs the pure-Python Sennrich reference
+    # in tests/test_bpe.py, the MinHash D1-D9 evidence model
+    "distributed BPE vocabulary learning (Sennrich et al. 2016): word-freq "
+    "table -> iterate [map-combined pair-count agg -> 1-row argmax collect "
+    "-> narrow array-fold merge apply]; driver holds only the O(num_merges) "
+    "merge list and per-iteration state is the checkpointed distinct-word "
+    "table, so cost scales with vocabulary, not corpus bytes",
+)
+def bpe_merges_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import bpe as B
+
+    docs = _read(spark, sf_dir, "documents")
+    return B.bpe_merge_table(docs, "text", num_merges=20)
+
+
+@_register(
     "dedup_soft_weights",
     r"""
     SELECT doc_id,
@@ -4019,6 +4038,14 @@ _WINDOW_TAIL = [
     # pipeline_lifecycle + pipeline_output_preset):
     "sample_grouped_users",
     "split_by_filter",
+    # (round-6 seventh batch — admits bpe_merges_corpus (distributed BPE
+    # vocabulary learning; rows-only by design: iterative per-round argmax
+    # has no SQL twin, differential pytest vs the pure-Python Sennrich
+    # reference carries correctness).  Rotated out: split_train_val_test
+    # (hash-green r3 AND r4 AND r5; operators/sampling.py byte-unchanged
+    # this round); the md5-uniform split family keeps
+    # sample_stratified_lang + the sampling rows in-window):
+    "split_train_val_test",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:

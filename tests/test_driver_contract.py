@@ -64,7 +64,11 @@ def test_correctness_window_is_all_oracle_backed():
     # (rows-only signal beats no signal).  dedup_semantic LEFT this set in
     # round 6: its sign-quantized planted-clone redesign gave it a real
     # survivor-set oracle (r5 verdict item 5).
-    rows_only_allowed = {"ann_topk_pq", "ann_topk_ivfpq"}
+    # round 6 adds bpe_merges_corpus to this set: iterative per-round argmax
+    # has no SQL twin (differential pytest vs the pure-Python Sennrich
+    # reference carries correctness), and a new operator deserves driver
+    # rows-level evidence over sitting unobserved in the tail.
+    rows_only_allowed = {"ann_topk_pq", "ann_topk_ivfpq", "bpe_merges_corpus"}
     assert all(
         REGISTRY[n].oracle is not None or n in rows_only_allowed for n in window
     )
@@ -96,7 +100,8 @@ def test_correctness_window_covers_unverified_queries():
     oracles = E.oracle_sql()
     window = names[:50]
     assert all(
-        n in oracles or n in ("ann_topk_pq", "ann_topk_ivfpq") for n in window
+        n in oracles or n in ("ann_topk_pq", "ann_topk_ivfpq", "bpe_merges_corpus")
+        for n in window
     ), [n for n in window if n not in oracles]
 
     verified: set[str] = set()
