@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "docs_bigram_lm",
     "dedup_soft_weights",
     "bpe_merges_corpus",
+    "docs_ccnet_buckets",
+    "embeddings_hard_negatives",
 ]
 
 

@@ -912,6 +912,94 @@ def embedding_neardup_dedup(
     return df.join(dropped, on=id_col, how="left_anti")
 
 
+def hard_negatives_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_broadcast_rows: int = 1_000_000,
+) -> DataFrame:
+    """Per-anchor top-``k`` most-cosine-similar vectors with a DIFFERENT
+    label — hard-negative mining for contrastive / metric training (the
+    closest impostors, not random negatives, are what tighten a margin).
+
+    Exact path: the corpus broadcasts as one dense float64 matrix
+    (limit-probe guarded like the near-dup exact path), each Arrow batch of
+    anchors scores against it with a single BLAS matmul and selects its
+    cross-label top-k locally — the local answer IS the global answer
+    because every anchor sees the full corpus within its own row pass, so
+    there is no shuffle and no window.  The anchor itself shares its own
+    label and is excluded by the label mask for free.
+
+    Determinism (module convention): scores round to 6 dp BEFORE selection,
+    ties break to the minimum negative id; norms floor at 1e-12 so zero
+    vectors score cosine 0, never NaN.
+
+    At corpus scale the same selection composes with the blocking paths the
+    way near-dup does: IVF/LSH-block first (`ivf_topk` / `lsh_topk`), then
+    apply the cross-label top-k inside each block.
+    """
+    import pandas as pd
+
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    id_type = dict(df.dtypes)[id_col]
+    label_type = dict(df.dtypes)[label_col]
+    over = df.select(id_col).limit(max_broadcast_rows + 1).count()
+    if over > max_broadcast_rows:
+        raise ValueError(
+            f"exact hard-negative mining would broadcast >{max_broadcast_rows} "
+            f"vectors (max_broadcast_rows={max_broadcast_rows}); block with "
+            "ivf_topk/lsh_topk first and apply the cross-label top-k per block"
+        )
+    pdf = df.select(id_col, vec_col, label_col).toPandas()
+    bids = pdf[id_col].to_numpy()
+    blabels = pdf[label_col].to_numpy()
+    bmat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    bnorms = np.maximum(np.sqrt((bmat * bmat).sum(axis=1)), 1e-12)
+    bcast = df.sparkSession.sparkContext.broadcast((bids, blabels, bmat, bnorms))
+    kk = int(k)
+
+    def mine(batches):
+        ids, labels, mat, norms = bcast.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            aid = batch[id_col].to_numpy()
+            alab = batch[label_col].to_numpy()
+            m1 = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+            )
+            n1 = np.maximum(np.sqrt((m1 * m1).sum(axis=1)), 1e-12)
+            sims = np.round((m1 @ mat.T) / np.outer(n1, norms), 6)
+            rows = {c: [] for c in ("anchor_id", "anchor_label", "neg_id",
+                                    "neg_label", "cosine", "rank")}
+            for i in range(len(aid)):
+                valid = labels != alab[i]
+                if not valid.any():
+                    continue
+                s, vid, vlab = sims[i][valid], ids[valid], labels[valid]
+                top = np.lexsort((vid, -s))[: min(kk, len(vid))]
+                rows["anchor_id"].extend([aid[i]] * len(top))
+                rows["anchor_label"].extend([alab[i]] * len(top))
+                rows["neg_id"].extend(vid[top])
+                rows["neg_label"].extend(vlab[top])
+                rows["cosine"].extend(s[top])
+                rows["rank"].extend(range(1, len(top) + 1))
+            if rows["anchor_id"]:
+                yield pd.DataFrame(rows)
+
+    src = repartition_for_compute(df.select(id_col, vec_col, label_col))
+    return src.mapInPandas(
+        mine,
+        schema=(
+            f"anchor_id {id_type}, anchor_label {label_type}, "
+            f"neg_id {id_type}, neg_label {label_type}, cosine double, rank int"
+        ),
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,

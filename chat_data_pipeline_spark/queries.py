@@ -3746,9 +3746,9 @@ def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "docs_bigram_lm",
-    r"""
+# Shared CTE chain for the corpus-trained bigram LM (docs_bigram_lm and
+# docs_ccnet_buckets build on the same training + scoring pipeline).
+_BIGRAM_LM_CTES = r"""
     WITH toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS w
       FROM documents
@@ -3778,6 +3778,13 @@ def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bg b JOIN probs pr ON b.bgk = pr.bgk
       GROUP BY 1
     )
+"""
+
+
+@_register(
+    "docs_bigram_lm",
+    _BIGRAM_LM_CTES
+    + r"""
     SELECT d.doc_id,
            CAST(COALESCE(s.n_bigrams, 0) AS INTEGER) AS n_bigrams,
            round(CAST(s.lp_sum AS DOUBLE) / 1e9 / s.n_bigrams, 6) AS avg_logprob,
@@ -3838,6 +3845,75 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_soft_weights(docs, "__k__", "doc_id").select(
         "doc_id", "dup_count", "weight"
     )
+
+
+@_register(
+    "docs_ccnet_buckets",
+    _BIGRAM_LM_CTES
+    + r"""
+    , ppl AS (
+      SELECT d.doc_id, d.lang,
+             round(exp(-round(CAST(s.lp_sum AS DOUBLE) / 1e9 / s.n_bigrams,
+                              6)), 4) AS ppl
+      FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+    ), ranked AS (
+      SELECT doc_id, lang, ppl,
+             NTILE(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS nt
+      FROM ppl
+    )
+    SELECT doc_id, lang, ppl,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+    "cc_net-style quality bucketing (Wenzek et al. 2020): per-language "
+    "head/middle/tail terciles by LM perplexity — using the corpus-trained "
+    "bigram LM instead of a pretrained KenLM; NTILE over the deterministic "
+    "(ppl, doc_id) order, one window shuffle on top of the LM pipeline",
+)
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    scores = LMOD.bigram_lm_scores(docs, "text", "doc_id", k=0.5)
+    scored = scores.filter(F.col("n_bigrams") > 0).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    nt = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(F.col("ppl").asc(), F.col("doc_id"))
+    )
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), nt
+    )
+    return scored.select("doc_id", "lang", "ppl", bucket.alias("bucket"))
+
+
+@_register(
+    "embeddings_hard_negatives",
+    f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS neg_id, b.label AS neg_label,
+             round({_COSINE_SQL}, 6) AS cosine
+      FROM e a JOIN e b ON a.label <> b.label
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine DESC, neg_id) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label, cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    "hard-negative mining for contrastive training: per-anchor top-5 "
+    "most-cosine-similar vectors with a DIFFERENT label; broadcast-matmul "
+    "exact path (guarded), local top-k with no shuffle/window — at scale "
+    "composes with the IVF/LSH blocking paths",
+)
+def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.hard_negatives_topk(emb, k=5)
 
 
 # ===========================================================================
@@ -4046,6 +4122,17 @@ _WINDOW_TAIL = [
     # this round); the md5-uniform split family keeps
     # sample_stratified_lang + the sampling rows in-window):
     "split_train_val_test",
+    # (round-6 eighth batch — admits the NEW oracle-backed docs_ccnet_buckets
+    # (cc_net head/middle/tail terciles driven by the corpus-trained bigram
+    # LM) and embeddings_hard_negatives (contrastive hard-negative mining,
+    # exact broadcast-matmul path).  Rotated out: domain_doc_counts
+    # (hash-green r3 AND r4 AND r5; functions/analysis.py byte-unchanged
+    # this round — URL-signal coverage stays via filter_domain_blocklist
+    # in-window) and events_moving_average (hash-green r3 AND r4 AND r5,
+    # its queries.py def byte-unchanged; window-frame coverage stays via
+    # docs_length_deciles' NTILE + the new ccnet terciles):
+    "domain_doc_counts",
+    "events_moving_average",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:

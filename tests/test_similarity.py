@@ -367,3 +367,45 @@ def test_ivf_topk_zero_vector_scores_zero_not_nan(spark, emb, queries):
     rows = SIM.ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=8).collect()
     assert all(r.vec_id != 99999 for r in rows)
     assert all(not (r.cosine != r.cosine) for r in rows)  # no NaN survives
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_match_numpy_oracle(emb):
+    import numpy as np
+
+    rows = SIM.hard_negatives_topk(emb, k=5).collect()
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+    sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+    want = set()
+    for i in range(len(ids)):
+        valid = labels != labels[i]
+        s, vid, vlab = sims[i][valid], ids[valid], labels[valid]
+        for rank, j in enumerate(np.lexsort((vid, -s))[:5], start=1):
+            want.add((ids[i], labels[i], vid[j], vlab[j], s[j], rank))
+    got = {
+        (r.anchor_id, r.anchor_label, r.neg_id, r.neg_label, r.cosine, r.rank)
+        for r in rows
+    }
+    assert got == want
+
+
+def test_hard_negatives_cross_label_and_partition_invariant(emb):
+    rows = SIM.hard_negatives_topk(emb, k=3).collect()
+    assert rows and all(r.anchor_label != r.neg_label for r in rows)
+    assert all(r.anchor_id != r.neg_id for r in rows)
+    a = sorted(map(tuple, rows))
+    b = sorted(map(tuple, SIM.hard_negatives_topk(emb.repartition(7), k=3).collect()))
+    assert a == b
+
+
+def test_hard_negatives_guard_raises(emb):
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        SIM.hard_negatives_topk(emb, k=3, max_broadcast_rows=10)
