@@ -150,6 +150,35 @@ def streaming_exact_dedup(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach a slowly-changing dimension
+    (user profile, domain reputation, per-source quality stats) to every
+    micro-batch.
+
+    The static side gets an explicit ``broadcast`` hint: a stream-static
+    join re-plans the static side EVERY micro-batch, so letting it default
+    to a shuffle join would re-shuffle the dimension per trigger; broadcast
+    makes each micro-batch a map-side hash join with zero stream shuffle —
+    the only sane shape for a continuous pipeline.  Spark re-reads the
+    static source per batch, so an updated dimension file is picked up
+    without restarting the query (the documented stream-static contract).
+
+    ``how`` is restricted to the stream-static-supported types (inner /
+    left_outer with the stream on the left).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"stream-static join supports inner/left with the stream on the "
+            f"left, got {how!r}"
+        )
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
 def streaming_decontaminate(
     stream: DataFrame,
     bench: DataFrame,

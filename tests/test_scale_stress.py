@@ -164,3 +164,25 @@ def test_round5_ops_survive_clone_blowup(big, spark):
 
     top = S.weighted_sample_topk(big.withColumn("w", F.length("text")), "w", "doc_id", k=1000)
     assert top.count() == 1000
+
+
+def test_lm_and_soft_weights_survive_clone_blowup(big):
+    """Round-6 family: the corpus-trained bigram LM (pair/ctx aggregations +
+    postings join) and soft dedup weights over the 20x corpus.  Guards that
+    the probability-dictionary join tolerates the Zipf-head skew a replicated
+    corpus maximizes, and that soft weights keep EVERY row."""
+    from chat_data_pipeline_spark.operators import dedup as D
+    from chat_data_pipeline_spark.operators import language_model as LMOD
+
+    n = big.count()
+    scores = LMOD.bigram_lm_scores(big, "text", "doc_id")
+    assert scores.count() == n  # every doc keeps a row
+    sample = scores.filter(F.col("n_bigrams") > 0).limit(5).collect()
+    assert sample and all(r.avg_logprob < 0 for r in sample)
+
+    keyed = big.select("doc_id", F.md5("text").alias("__k__"))
+    weights = D.exact_dedup_soft_weights(keyed, "__k__", "doc_id")
+    assert weights.count() == n
+    # 2/3 of docs are unsuffixed -> 20-way clone groups with weight 0.05
+    top = weights.agg(F.max("dup_count")).first()[0]
+    assert top >= 20

@@ -407,3 +407,63 @@ def test_incremental_minhash_batch_retry_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(store).count() == n_store
     # and the two-batch greedy result still matches the reference scan
     assert sorted(kept0 + kept1) == _greedy_reference(spark, df)
+
+
+def test_stream_static_enrich_equals_batch(spark, tmp_path, events_dir):
+    """Stream-static broadcast enrichment: per-user lifetime stats (computed
+    batch-side, the slowly-changing dim) joined onto the live stream must
+    produce exactly the batch join's rows; unmatched stream rows survive a
+    left join with nulls."""
+    from chat_data_pipeline_spark.queries import _read_events
+    from chat_data_pipeline_spark.streaming import (
+        read_events_stream,
+        stream_static_enrich,
+    )
+
+    batch = _read_events(spark, SF_DIR)
+    # dim misses some users on purpose (odd user_ids only) so the left-join
+    # null path is exercised
+    dim = (
+        batch.filter(F.col("user_id") % 2 == 1)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("lifetime_events"))
+    )
+
+    expected = {
+        (r.event_id, r.lifetime_events)
+        for r in batch.join(dim, "user_id", "left")
+        .select("event_id", "lifetime_events")
+        .collect()
+    }
+
+    stream = read_events_stream(spark, events_dir)
+    enriched = stream_static_enrich(stream, dim, on="user_id", how="left")
+    q = (
+        enriched.select("event_id", "lifetime_events")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_id, r.lifetime_events)
+            for r in spark.sql("select * from enriched").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+    assert any(le is None for _, le in got)  # unmatched users survive
+
+
+def test_stream_static_enrich_rejects_unsupported_join(spark, events_dir):
+    from chat_data_pipeline_spark.streaming import (
+        read_events_stream,
+        stream_static_enrich,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    with pytest.raises(ValueError, match="stream-static"):
+        stream_static_enrich(stream, stream.groupBy("user_id").count(), "user_id", how="full")
