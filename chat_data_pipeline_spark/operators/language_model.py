@@ -85,7 +85,12 @@ def bigram_lm_scores(
     average so both engines derive it from identical input.  Documents with
     fewer than two tokens keep a row with ``n_bigrams = 0`` and null scores.
     """
-    posting = bigram_postings(df, column, id_col)
+    # materialized once (the S5 defragment pattern, same as the
+    # ngram-jaccard postings): the posting feeds BOTH the pair-count
+    # training aggregation and the final scoring join, and without the
+    # checkpoint each consumer re-runs the tokenize→shingle→explode subtree
+    # over the full corpus text
+    posting = bigram_postings(df, column, id_col).localCheckpoint(eager=True)
 
     # vocabulary size as a broadcast one-row cross join — the scalar enters
     # the lazy plan instead of a driver-side collect (determinism convention;
