@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "bpe_merges_corpus",
     "docs_ccnet_buckets",
     "embeddings_hard_negatives",
+    "docs_strip_html",
 ]
 
 

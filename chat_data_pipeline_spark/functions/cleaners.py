@@ -254,6 +254,45 @@ def dedup_paragraphs(col: Column) -> Column:
     return dedup_paragraphs_col(col)
 
 
+# decoded LAST so '&amp;lt;' yields the literal '&lt;' (single-decode)
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(col: Column) -> Column:
+    """Web-scrape cleaner: drop ``<script>``/``<style>`` blocks and HTML
+    comments, strip the remaining tags, decode the common entities, collapse
+    whitespace runs, trim.
+
+    Deliberately regex-based (no parser dependency) and deliberately
+    backreference-free: the duckdb oracle runs RE2, which has no
+    backreferences, so script and style get their own patterns instead of
+    ``</\\1>``.  Tags strip BEFORE entities decode, so text like
+    ``&lt;b&gt;`` becomes a literal ``<b>`` in the output rather than being
+    re-stripped — the standard single-decode order.  Whitespace collapse
+    uses the explicit ``[ \\t\\n\\f\\r]`` class (Java ``\\s`` adds \\x0B,
+    RE2's does not — the explicit class is identical in both engines).
+    """
+    out = col
+    for pat in (
+        r"(?is)<script\b[^>]*>.*?</script\s*>",
+        r"(?is)<style\b[^>]*>.*?</style\s*>",
+        r"(?s)<!--.*?-->",
+        r"(?s)<[^>]*>",
+    ):
+        out = F.regexp_replace(out, pat, " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, "[ \\t\\n\\f\\r]+", " "))
+
+
 CLEANERS: dict[str, object] = {
     "fix_utf8_encoding": fix_utf8_encoding,
     "normalize_whitespace": normalize_whitespace,
@@ -262,4 +301,5 @@ CLEANERS: dict[str, object] = {
     "clean_new_lines": clean_new_lines,
     "redact_pii": redact_pii,
     "dedup_paragraphs": dedup_paragraphs,
+    "strip_html": strip_html,
 }

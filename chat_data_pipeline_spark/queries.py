@@ -3916,6 +3916,79 @@ def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negatives_topk(emb, k=5)
 
 
+# The corpus documents carry no markup, so the query constructs HTML pages
+# from doc_id residues (the docs_c4_clean synthetic-structure trick) to fire
+# every strip_html rule: style block with braces, conditional script block
+# with a '<' inside, conditional comment, entity-bearing paragraph.
+_HTML_PAGE_SQL = """
+      '<html><head><title>' || substr(text, 1, 20)
+      || '</title><style type="text/css">p { color: red; }</style></head>'
+      || '<body>' || chr(10) || '<h1>Heading</h1><p>' || substr(text, 1, 120)
+      || '</p>'
+      || CASE WHEN doc_id % 3 = 0
+              THEN '<script type="text/javascript">var x = 1 < 2; alert("hi");</script>'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN '<!-- hidden ' || chr(10) || ' comment -->'
+              ELSE '' END
+      || '<p>Tom &amp; Jerry say &quot;hi&quot; '
+      || '&lt;b&gt;&nbsp;now.</p></body></html>'
+"""
+
+
+def _html_page_col() -> F.Column:
+    d = F.col("doc_id")
+    opt = lambda cond, content: F.when(cond, F.lit(content)).otherwise(F.lit(""))  # noqa: E731
+    return F.concat(
+        F.lit("<html><head><title>"),
+        F.substring("text", 1, 20),
+        F.lit('</title><style type="text/css">p { color: red; }</style></head>'),
+        F.lit("<body>\n<h1>Heading</h1><p>"),
+        F.substring("text", 1, 120),
+        F.lit("</p>"),
+        opt(
+            d % 3 == 0,
+            '<script type="text/javascript">var x = 1 < 2; alert("hi");</script>',
+        ),
+        opt(d % 5 == 0, "<!-- hidden \n comment -->"),
+        F.lit('<p>Tom &amp; Jerry say &quot;hi&quot; &lt;b&gt;&nbsp;now.</p></body></html>'),
+    )
+
+
+@_register(
+    "docs_strip_html",
+    """
+    WITH pages AS (
+      SELECT doc_id, """
+    + _HTML_PAGE_SQL
+    + r""" AS page FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 page,
+                 '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                 '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&'),
+             '[ ' || chr(9) || chr(10) || chr(12) || chr(13) || ']+', ' ',
+             'g')) AS cleaned
+    FROM pages
+    """,
+    "HTML boilerplate stripping over constructed pages: script/style/comment "
+    "block removal, tag strip, single-decode entity unescape, whitespace "
+    "collapse — one narrow codegen projection, regex-only (backreference-"
+    "free so the RE2 oracle expresses the identical patterns)",
+)
+def docs_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _html_page_col().alias("page"))
+    return pages.select("doc_id", C.strip_html(F.col("page")).alias("cleaned"))
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
@@ -4133,6 +4206,13 @@ _WINDOW_TAIL = [
     # docs_length_deciles' NTILE + the new ccnet terciles):
     "domain_doc_counts",
     "events_moving_average",
+    # (round-6 ninth batch — admits the NEW oracle-backed docs_strip_html
+    # (web-scrape boilerplate cleaner over constructed HTML pages).  Rotated
+    # out: chunk_documents_windows (hash-green r3 AND r4 AND r5;
+    # operators/chunking.py byte-unchanged this round); sequence-prep
+    # coverage stays via pack_sequences_bins in-window and the chunker keeps
+    # its full-registry oracle sweep + differential property test):
+    "chunk_documents_windows",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:

@@ -417,3 +417,28 @@ def test_observed_stats_share_one_udf_instance(spark):
     nodes = re.findall(r"\(\d+\) (ArrowEvalPython|BatchEvalPython)", plan)
     assert len(nodes) == 1, plan
     assert "CollectMetrics" in plan
+
+
+def test_strip_html(spark):
+    """Block removal (script/style/comment, incl. multiline and '<' inside
+    script), tag strip, SINGLE-decode entity unescape, whitespace collapse."""
+    from chat_data_pipeline_spark.functions.cleaners import strip_html
+
+    page = (
+        '<html><style>p { x: 1 }</style><body>\n'
+        '<script>\nif (1 < 2) { alert("x"); }\n</script>'
+        "<!-- multi\nline\ncomment --><p>A &amp; B</p> "
+        "<P CLASS='x'>double-encoded: &amp;lt;tag&amp;gt;</P>"
+        "<br/>spaced&nbsp;out</body></html>"
+    )
+    df = spark.createDataFrame([(page,)], "text string")
+    got = df.select(strip_html(F.col("text")).alias("c")).first()["c"]
+    assert got == "A & B double-encoded: &lt;tag&gt; spaced out"
+
+
+def test_strip_html_registered_as_cleaner(spark):
+    from chat_data_pipeline_spark.plans.registry import get_cleaner
+
+    fn = get_cleaner("strip_html")
+    df = spark.createDataFrame([("<b>hi</b> there",)], "text string")
+    assert df.select(fn(F.col("text")).alias("c")).first()["c"] == "hi there"
