@@ -422,6 +422,25 @@ class FilterSpec:
         return self.keep_from_score(score_col, **{**self.defaults, **kwargs})
 
 
+def _gopher_keep_as_score(col: Column, **overrides: object) -> Column:
+    """Full Rae et al. 2021 A1.1 ruleset as a YAML-reachable filter; any
+    threshold overridable (``min_words=10`` etc., see gopher.DEFAULTS)."""
+    from chat_data_pipeline_spark.functions import gopher as _G
+
+    return _G.gopher_quality_keep(_G.gopher_signals(col), **overrides)
+
+
+def _c4_keep_as_score(col: Column, min_line_words: int = 5, min_sentences: int = 3, **_: object) -> Column:
+    """Raffel et al. 2020 §2.2 page-level verdict as a YAML-reachable
+    filter: line rules produce the cleaned view, the page keeps only if the
+    lorem-ipsum/brace/sentence-count rules pass on (raw, cleaned)."""
+    from chat_data_pipeline_spark.functions import c4 as _C4
+
+    return _C4.c4_doc_keep(
+        col, _C4.c4_clean_lines(col, min_line_words), min_sentences
+    )
+
+
 FILTERS: dict[str, FilterSpec] = {
     spec.name: spec
     for spec in [
@@ -497,6 +516,18 @@ FILTERS: dict[str, FilterSpec] = {
             check_domain_blocklist_score,
             check_domain_blocklist_keep,
             {"blocked_domains": []},
+        ),
+        # published rulesets as one-line YAML filters (round 6): the boolean
+        # IS the score, the gender/ethics precedent for verdict-style checks
+        FilterSpec(
+            "check_gopher_quality",
+            _gopher_keep_as_score,
+            _gopher_keep_as_score,
+        ),
+        FilterSpec(
+            "check_c4_quality",
+            _c4_keep_as_score,
+            _c4_keep_as_score,
         ),
     ]
 }

@@ -336,14 +336,17 @@ def minhash_dedup(
         data_size = df.count()
         final_size = result.count()
         dup_size = data_size - final_size
+        # an upstream filter chain can hand dedup an EMPTY frame; the
+        # percentage lines must not divide by zero
+        denom = data_size or 1
         pad = 32
         for key, value in timers.items():
             logger.info(f"{key:<{pad}}: {value:.2f} seconds")
         logger.info(f"{'Data Number (before)':<{pad}}: {data_size}")
         logger.info(
-            f"{'Data Number (after)':<{pad}}: {final_size} ({final_size / data_size:.2%})"
+            f"{'Data Number (after)':<{pad}}: {final_size} ({final_size / denom:.2%})"
         )
-        logger.info(f"{'Duplicate Number':<{pad}}: {dup_size} ({dup_size / data_size:.2%})")
+        logger.info(f"{'Duplicate Number':<{pad}}: {dup_size} ({dup_size / denom:.2%})")
         logger.info(f"{'Total Time':<{pad}}: {time.time() - start_time:.2f} seconds")
 
     return result.drop(_ID) if drop_id else result

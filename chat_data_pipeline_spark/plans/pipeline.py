@@ -88,7 +88,12 @@ class SparkPreprocessor:
     def run(self, df: DataFrame, dry_run: bool = False) -> DataFrame:
         df = self._clean(df)
         df = self._filter(df, dry_run=dry_run)
-        if self.deduplication_config is not None and not dry_run:
+        # do_deduplication=False skips dedup at the LIBRARY level too
+        # (ref:preprocessor.py:24,34-36) — previously only the CLI honored
+        # the flag, so direct API users passing the reference-shaped config
+        # got an unexpected dedup pass
+        cfg = self.deduplication_config
+        if cfg is not None and cfg.get("do_deduplication", True) and not dry_run:
             df = self._deduplicate(df)
         return df
 

@@ -266,3 +266,57 @@ def test_resize_raw_gray_nearest_neighbor(spark):
     # cross-check against numpy's own fancy indexing
     arr = np.frombuffer(img, dtype=np.uint8).reshape(4, 4)
     assert got[1] == arr[np.ix_([0, 2], [0, 2])].tobytes()
+
+
+def test_do_deduplication_false_skips_dedup_at_library_level(spark):
+    """ref:preprocessor.py:24,34-36 — the reference-shaped config
+    {'do_deduplication': False} must skip dedup for direct API users too,
+    not only through the CLI's gate."""
+    from chat_data_pipeline_spark.plans.pipeline import SparkPreprocessor
+
+    df = spark.createDataFrame(
+        [(i, "same text twice over") for i in range(6)], "doc_id long, text string"
+    )
+    out = SparkPreprocessor(
+        column_name="text",
+        deduplication_config={"do_deduplication": False},
+    ).run(df)
+    assert out.count() == 6  # exact clones survive: dedup skipped
+
+
+def test_verbose_dedup_of_empty_frame_does_not_crash(spark):
+    """An upstream filter chain can hand dedup an empty frame; the D9
+    telemetry percentages must not divide by zero."""
+    from chat_data_pipeline_spark.plans.pipeline import SparkPreprocessor
+
+    df = spark.createDataFrame(
+        [(1, "only one tiny row")], "doc_id long, text string"
+    )
+    out = SparkPreprocessor(
+        column_name="text",
+        filters=[("check_word_number", {"min_word_threshold": 10_000})],
+        deduplication_config={},
+        verbose=True,
+    ).run(df)
+    assert out.count() == 0
+
+
+def test_published_rulesets_reachable_as_named_filters(spark):
+    """check_gopher_quality / check_c4_quality run from the string registry
+    (YAML path) with threshold overrides."""
+    from chat_data_pipeline_spark.plans.pipeline import SparkPreprocessor
+
+    good = (
+        "This is a perfectly reasonable paragraph of english text that the "
+        "quality rules should accept. It has enough words and sentences. "
+        "And it even ends with terminal punctuation on every line."
+    )
+    df = spark.createDataFrame(
+        [(1, good), (2, "too short { and broken")], "doc_id long, text string"
+    )
+    out = SparkPreprocessor(
+        column_name="text",
+        filters=[("check_gopher_quality", {"min_words": 10}), "check_c4_quality"],
+        deduplication_config=None,
+    ).run(df)
+    assert [r.doc_id for r in out.collect()] == [1]
