@@ -92,3 +92,20 @@ def get_output_text_filters(
 def get_input_text_filters() -> list[FilterSpec]:
     # ref:utils.py:122-129: lowercase ratio 0.55.
     return [get_filter("check_lowercase_ratio", lowercase_threshold=0.55)]
+
+
+def get_web_page_cleaners() -> list[str]:
+    """Web-scrape preset (round 6, no reference twin): markup off first,
+    then the standard text normalization — the order matters because tag
+    stripping exposes whitespace runs the normalizer then collapses."""
+    return ["strip_html", "fix_utf8_encoding", "normalize_whitespace"]
+
+
+def get_web_page_filters(**gopher_overrides: object) -> list[FilterSpec]:
+    """Web-scrape quality preset: the two published page rulesets in the
+    order the papers apply them — C4's line/page rules (cheap, structural)
+    before Gopher's statistical signals."""
+    return [
+        get_filter("check_c4_quality"),
+        get_filter("check_gopher_quality", **gopher_overrides),
+    ]

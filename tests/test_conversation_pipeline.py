@@ -320,3 +320,36 @@ def test_published_rulesets_reachable_as_named_filters(spark):
         deduplication_config=None,
     ).run(df)
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_web_page_preset(spark):
+    """The round-6 web preset: strip_html -> normalize, then C4 + Gopher in
+    paper order, driven end-to-end through SparkPreprocessor."""
+    from chat_data_pipeline_spark.plans.pipeline import SparkPreprocessor
+    from chat_data_pipeline_spark.plans.registry import (
+        get_web_page_cleaners,
+        get_web_page_filters,
+    )
+
+    good_body = (
+        "This is a perfectly reasonable paragraph of english text that the "
+        "quality rules should accept with room to spare. "
+        "It has more than enough words for every bound. "
+        "And it ends with terminal punctuation on every line."
+    )
+    df = spark.createDataFrame(
+        [
+            (1, f"<html><body><p>{good_body}</p></body></html>"),
+            (2, "<script>var x = 1;</script><p>tiny.</p>"),
+        ],
+        "doc_id long, text string",
+    )
+    out = SparkPreprocessor(
+        column_name="text",
+        cleaners=get_web_page_cleaners(),
+        filters=get_web_page_filters(min_words=10),
+        deduplication_config=None,
+    ).run(df)
+    rows = out.collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert "<" not in rows[0].text and "html" not in rows[0].text
