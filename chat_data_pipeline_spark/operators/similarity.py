@@ -682,12 +682,17 @@ def ivf_pq_topk(
 
 
 def _score_candidate_pairs(
-    pairs: DataFrame, schema: str, threshold: float | None = None
+    pairs: DataFrame,
+    schema: str,
+    threshold: float | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score (id1, id2, __v1__, __v2__) candidate rows: cosine per pair as one
     numpy einsum per Arrow batch; ``threshold`` (if given) keeps only pairs
     at-or-above it.  Rounding (6 dp) matches the exact broadcast-matmul path
-    bit-for-bit."""
+    bit-for-bit.  ``extra_cols`` pass through unchanged (the caller includes
+    them in ``schema``) — cheaper than re-joining attributes onto the scored
+    output."""
     import pandas as pd
 
     def score(batches):
@@ -704,13 +709,14 @@ def _score_candidate_pairs(
             n2 = np.maximum(np.sqrt((m2 * m2).sum(axis=1)), 1e-12)
             cos = np.round(np.einsum("ij,ij->i", m1, m2) / (n1 * n2), 6)
             keep = cos >= threshold if threshold is not None else slice(None)
-            yield pd.DataFrame(
-                {
-                    "id1": batch["id1"].to_numpy()[keep],
-                    "id2": batch["id2"].to_numpy()[keep],
-                    "cosine": cos[keep],
-                }
-            )
+            out = {
+                "id1": batch["id1"].to_numpy()[keep],
+                "id2": batch["id2"].to_numpy()[keep],
+                "cosine": cos[keep],
+            }
+            for c in extra_cols:
+                out[c] = batch[c].to_numpy()[keep]
+            yield pd.DataFrame(out)
 
     return pairs.mapInPandas(score, schema=schema)
 
@@ -997,6 +1003,81 @@ def hard_negatives_topk(
             f"anchor_id {id_type}, anchor_label {label_type}, "
             f"neg_id {id_type}, neg_label {label_type}, cosine double, rank int"
         ),
+    )
+
+
+def hard_negatives_topk_ivf(
+    df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-blocked hard-negative mining — the SCALE path the exact miner's
+    docstring promises: every vector is simultaneously a corpus member (its
+    single nearest coarse list) and an anchor (probing its ``n_probe``
+    closest lists), so candidate pairs are generated per-list instead of
+    all-vs-all and the scan fraction is ≈ n_probe/n_centroids.
+
+    Same downstream contract as :func:`hard_negatives_topk` (cross-label
+    only, 6-dp rounding, min-neg-id tie-break, rank 1..k per anchor);
+    approximate by construction — a true nearest impostor in an unprobed
+    list is missed, recall vs the exact miner is asserted in tests.  A
+    (anchor, negative) pair is generated at most once because the corpus
+    side lives in exactly one list; no cross-probe dedup needed.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(id_col, vec_col, label_col)
+    centroids = _train_centroids(base, vec_col, n_centroids, seed=seed, id_col=id_col)
+    corpus = _ivf_assign_expr(base, vec_col, centroids, "__lists__", 1).select(
+        F.col(id_col).alias("__cid__"),
+        F.col(vec_col).alias("__v2__"),
+        F.col(label_col).alias("__clab__"),
+        F.element_at("__lists__", 1).alias("__list__"),
+    )
+    anchors = _ivf_assign_expr(base, vec_col, centroids, "__lists__", n_probe).select(
+        F.col(id_col).alias("__aid__"),
+        F.col(vec_col).alias("__v1__"),
+        F.col(label_col).alias("__alab__"),
+        F.explode("__lists__").alias("__list__"),
+    )
+    id_type = dict(df.dtypes)[id_col]
+    label_type = dict(df.dtypes)[label_col]
+    pairs = corpus.join(anchors, "__list__").filter(
+        (F.col("__clab__") != F.col("__alab__"))
+        & (F.col("__cid__") != F.col("__aid__"))
+    ).select(
+        F.col("__aid__").alias("id1"),
+        F.col("__cid__").alias("id2"),
+        "__v1__",
+        "__v2__",
+        F.col("__alab__").alias("anchor_label"),
+        F.col("__clab__").alias("neg_label"),
+    )
+    scored = _score_candidate_pairs(
+        pairs,
+        schema=(
+            f"id1 {id_type}, id2 {id_type}, cosine double, "
+            f"anchor_label {label_type}, neg_label {label_type}"
+        ),
+        extra_cols=("anchor_label", "neg_label"),
+    )
+    w = Window.partitionBy("id1").orderBy(F.col("cosine").desc(), F.col("id2").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id1").alias("anchor_id"),
+            "anchor_label",
+            F.col("id2").alias("neg_id"),
+            "neg_label",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
 
 

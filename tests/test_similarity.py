@@ -409,3 +409,26 @@ def test_hard_negatives_cross_label_and_partition_invariant(emb):
 def test_hard_negatives_guard_raises(emb):
     with pytest.raises(ValueError, match="max_broadcast_rows"):
         SIM.hard_negatives_topk(emb, k=3, max_broadcast_rows=10)
+
+
+def test_hard_negatives_ivf_recall_and_contract(emb):
+    """The IVF-blocked miner keeps the exact miner's contract (cross-label,
+    rank order, dedup-free candidates) and recalls most true impostors even
+    at a 3/16 scan fraction; full probing recovers the exact answer."""
+    exact = {
+        (r.anchor_id, r.neg_id)
+        for r in SIM.hard_negatives_topk(emb, k=5).collect()
+    }
+    approx_rows = SIM.hard_negatives_topk_ivf(emb, k=5, n_centroids=16, n_probe=3).collect()
+    approx = {(r.anchor_id, r.neg_id) for r in approx_rows}
+    assert all(r.anchor_label != r.neg_label for r in approx_rows)
+    # no duplicate (anchor, rank) — candidates were generated once
+    assert len({(r.anchor_id, r.rank) for r in approx_rows}) == len(approx_rows)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+    # probing every list = exact scan: identical pair set
+    full_rows = SIM.hard_negatives_topk_ivf(emb, k=5, n_centroids=8, n_probe=8).collect()
+    assert {(r.anchor_id, r.neg_id, r.cosine, r.rank) for r in full_rows} == {
+        (r.anchor_id, r.neg_id, r.cosine, r.rank)
+        for r in SIM.hard_negatives_topk(emb, k=5).collect()
+    }
