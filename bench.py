@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "docs_ccnet_buckets",
     "embeddings_hard_negatives",
     "docs_strip_html",
+    "corpus_diff_v2",
 ]
 
 

@@ -3989,6 +3989,53 @@ def docs_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select("doc_id", C.strip_html(F.col("page")).alias("cleaned"))
 
 
+@_register(
+    "corpus_diff_v2",
+    """
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' [recleaned]'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'fresh crawl page ' || doc_id AS text
+      FROM documents WHERE doc_id % 17 = 0
+    ), o AS (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents),
+    n AS (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM v2)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h = n.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+    "corpus snapshot diff (dataset versioning): v2 derived deterministically "
+    "from v1 (re-cleaned %7, dropped %13, fresh ids for %17) so every status "
+    "fires; content-hash full outer join, one shuffle, bucket-joinable when "
+    "snapshots are written bucketed by id",
+)
+def corpus_diff_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import versioning as V
+
+    docs = _read(spark, sf_dir, "documents")
+    v2_keep = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" [recleaned]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    v2_new = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("fresh crawl page "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    v2 = v2_keep.unionByName(v2_new)
+    return V.corpus_diff(docs, v2, "doc_id", "text")
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
@@ -4213,6 +4260,15 @@ _WINDOW_TAIL = [
     # coverage stays via pack_sequences_bins in-window and the chunker keeps
     # its full-registry oracle sweep + differential property test):
     "chunk_documents_windows",
+    # (round-6 tenth batch — admits the NEW oracle-backed corpus_diff_v2
+    # (snapshot versioning diff, full-outer content-hash join).  Rotated
+    # out: decontaminate_report (hash-green r3 AND r4 AND r5; its function
+    # region and query def byte-unchanged — this round touched
+    # decontamination.py only in the semantic path's zero-norm guard);
+    # decontamination coverage keeps THREE in-window rows:
+    # decontaminate_ngram, decontaminate_bloom_report,
+    # decontaminate_semantic):
+    "decontaminate_report",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:
