@@ -75,9 +75,15 @@ def gopher_signals(col: Column) -> Column:
     same discipline as ``repetition.line_repetition_stats``).  Ratios are
     rounded to 6 dp so the duckdb oracle hashes identically.
     """
-    toks = T.whitespace_tokens(col)
-    lines = F.filter(F.split(col, "\n"), lambda x: F.trim(x) != F.lit(""))
-    words = T.words(col)  # \w+ tokens for stopword containment ("the." hits)
+    # null text = empty signals (n_words 0), not the -1 that F.size(null)
+    # would propagate into every ratio
+    empty = F.array().cast("array<string>")
+    toks = F.coalesce(T.whitespace_tokens(col), empty)
+    lines = F.coalesce(
+        F.filter(F.split(col, "\n"), lambda x: F.trim(x) != F.lit("")), empty
+    )
+    # \w+ tokens for stopword containment ("the." hits)
+    words = F.coalesce(T.words(col), empty)
 
     def stats(s: Column) -> Column:
         tk = s["t"]

@@ -54,8 +54,11 @@ def hashed_ngram_buckets(col: Column, n_buckets: int = 256) -> Column:
 
     Word tokens are ``T.words`` (lowered ``\\w+``), bigrams join with a
     single space — the oracle spells the identical md5 input strings.
+    Null text featurizes to the EMPTY bucket array (weight 0), matching the
+    oracle's COALESCE(weight, 0) for feature-less docs — without the
+    coalesce a null text would null-poison the weight fold.
     """
-    w = T.words(col)
+    w = F.coalesce(T.words(col), F.array().cast("array<string>"))
 
     def mk(s: Column) -> Column:
         ws = s["w"]

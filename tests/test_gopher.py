@@ -97,3 +97,17 @@ def test_keep_overrides(spark):
     assert strict is False and loose is True
     with pytest.raises(ValueError, match="unknown gopher threshold"):
         GQ.gopher_quality_keep(sig, min_wordz=3)
+
+
+def test_gopher_signals_null_text(spark):
+    """Null text = empty signals (n_words 0, ratios 0), never F.size(null)'s
+    -1 poisoning the ratios; the keep verdict is False."""
+    from chat_data_pipeline_spark.functions import gopher as G
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = df.select(G.gopher_signals(F.col("text")).alias("s")).first()["s"]
+    assert r["n_words"] == 0 and r["mean_word_len"] == 0.0
+    keep = df.select(
+        G.gopher_quality_keep(G.gopher_signals(F.col("text"))).alias("k")
+    ).first()["k"]
+    assert keep is False or keep is None  # never True for null text

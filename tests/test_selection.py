@@ -102,3 +102,18 @@ def test_bucket_cap_guard(spark):
         SEL.dsir_weights(
             _df(spark), F.col("lang") == "en", n_buckets=SEL.MAX_BUCKETS + 1
         )
+
+
+def test_dsir_null_text_gets_zero_weight(spark):
+    """Null text featurizes to the empty bucket array -> weight 0 (matching
+    the oracle's COALESCE), not a null-poisoned fold."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators import selection as SEL
+
+    df = spark.createDataFrame(
+        [(1, "english text here"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in SEL.dsir_weights(df, F.lit(True)).collect()}
+    assert rows[2].log_weight_micros == 0
+    assert rows[2].key_micros is not None  # gumbel noise still attaches
