@@ -11,6 +11,7 @@ import re
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from chat_data_pipeline_spark.operators import bpe as B
 
@@ -114,3 +115,18 @@ def test_min_frequency_stops(spark):
     # every word is a single char: the only pairs are (char, </w>) each with
     # freq 1 < min_frequency=2 — no merges learned
     assert B.learn_bpe_merges(df, "text", num_merges=10, min_frequency=2) == []
+
+
+def test_partition_and_order_invariance(spark):
+    """Merges are a pure function of the corpus BAG: repartitioning or
+    reordering input rows must not change the learned table (the argmax is
+    a full aggregation with a total tie-break, never partition-local)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    base = B.learn_bpe_merges(df, "text", num_merges=12)
+    assert B.learn_bpe_merges(df.repartition(7), "text", num_merges=12) == base
+    assert (
+        B.learn_bpe_merges(df.orderBy(F.col("doc_id").desc()), "text", num_merges=12)
+        == base
+    )
