@@ -171,3 +171,88 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(
         run, schema="media_id long, frame_no int, frame binary"
     )
+
+
+def image_ahash64(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    src_width: int = 32,
+) -> DataFrame:
+    """``(id, sig)`` 64-bit perceptual average-hash over RAW GRAYSCALE
+    payloads: 8×8 block-mean downsample, then bit k = (cell k ≥ mean of the
+    64 cells), row-major, bit 0 = least significant.
+
+    This is the classic aHash — robust to small pixel noise and re-encoding
+    (the downsample+threshold survives what byte-exact hashing does not).
+    Real pixel math, no codec dependency: a production path would swap one
+    decode line (same contract as :func:`resize_raw_gray`).  Payloads
+    shorter than one ``src_width`` row are dropped (no pixels to hash).
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, sigs = [], []
+            for mid, payload in zip(batch["id"], batch[payload_col]):
+                payload = payload or b""
+                h = len(payload) // src_width
+                if h < 1:
+                    continue
+                arr = np.frombuffer(
+                    payload[: h * src_width], dtype=np.uint8
+                ).reshape(h, src_width)
+                # block-mean 8x8: split rows/cols into 8 contiguous bands
+                rb = (np.arange(9) * h) // 8
+                cb = (np.arange(9) * src_width) // 8
+                cells = np.empty((8, 8), dtype=np.float64)
+                for i in range(8):
+                    for j in range(8):
+                        block = arr[rb[i] : max(rb[i + 1], rb[i] + 1),
+                                    cb[j] : max(cb[j + 1], cb[j] + 1)]
+                        cells[i, j] = block.mean()
+                bits = (cells >= cells.mean()).ravel()
+                sig = 0
+                for k in range(64):
+                    if bits[k]:
+                        sig |= 1 << k
+                # to signed 64-bit (the dedup family's LongType signature)
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                ids.append(mid)
+                sigs.append(sig)
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    return repartition_for_compute(
+        df.select(F.col(id_col).alias("id"), F.col(payload_col).alias(payload_col))
+    ).mapInPandas(run, schema="id long, sig long")
+
+
+def image_neardup_dedup(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    src_width: int = 32,
+    hamming_threshold: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Perceptual image near-dedup: aHash signatures through the SAME banded
+    pigeonhole → popcount verify → connected components → min-id survivor
+    machinery as text SimHash (``dedup._simhash_dedup_from_sigs``) — the
+    banding downstream is modality-independent, so image dedup inherits the
+    text path's scale posture (no all-pairs, hamming-0 collapse, AQE-safe).
+
+    Payloads too short to hash carry no signature and survive untouched
+    (they can never collide — same contract as shingle-free docs in the
+    MinHash twin).
+    """
+    from chat_data_pipeline_spark.operators.dedup import _simhash_dedup_from_sigs
+
+    sigs = image_ahash64(df, id_col, payload_col, src_width).localCheckpoint(
+        eager=True
+    )
+    return _simhash_dedup_from_sigs(
+        df, sigs, id_col, hamming_threshold, n_bands
+    )

@@ -4036,6 +4036,29 @@ def corpus_diff_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.corpus_diff(docs, v2, "doc_id", "text")
 
 
+@_register(
+    "multimodal_image_dedup",
+    None,  # perceptual-hash block means + banded hamming CC — the pixel
+    # math lives in a pandas UDF with no SQL twin; differential pytest
+    # (noise-clone collapse, determinism, hamming bounds) carries
+    # correctness, tests/test_multimodal_dedup.py
+    "perceptual image near-dedup: 8x8 block-mean aHash over raw-gray "
+    "payloads -> the SAME banded pigeonhole/popcount/CC/min-id machinery as "
+    "text SimHash (modality-independent downstream); unhashable payloads "
+    "survive untouched",
+)
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators.multimodal import image_neardup_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    payloads = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = image_neardup_dedup(payloads, hamming_threshold=3, n_bands=4)
+    return out.select("media_id")
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
