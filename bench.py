@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "embeddings_hard_negatives",
     "docs_strip_html",
     "corpus_diff_v2",
+    "multimodal_image_dedup",
 ]
 
 
