@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "docs_strip_html",
     "corpus_diff_v2",
     "multimodal_image_dedup",
+    "embedding_neardup_lsh_md5",
 ]
 
 

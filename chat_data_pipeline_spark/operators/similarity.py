@@ -918,6 +918,101 @@ def embedding_neardup_dedup(
     return df.join(dropped, on=id_col, how="left_anti")
 
 
+def srp_md5_sign_planes(
+    dim: int, n_planes: int, n_tables: int, tag: str = "srp"
+) -> list[list[list[float]]]:
+    """Rademacher (±1) SRP hyperplanes derived from md5 — the CROSS-ENGINE
+    plane family: component j of plane p in table t is +1 iff the first hex
+    digit of md5('{tag}{t}_{p}_{j}') is odd.  Sign planes are a standard SRP
+    variant (the hash only needs the dot's sign, not gaussian geometry), and
+    ±1 components make every dot product an EXACT ordered sum of vector
+    elements — no rounding anywhere until the final cosine."""
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"{tag}{t}_{p}_{j}".encode()).hexdigest()[0], 16) % 2
+                else -1.0
+                for j in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def embedding_neardup_pairs_srp_md5(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """SRP-LSH near-dup pairs with the md5 plane family — the ORACLE TWIN of
+    the production LSH path (``embedding_neardup_pairs(n_planes=...)``),
+    playing the role ``minhash_dedup_md5`` plays for D5-D8: the ENTIRE
+    bucket → collision → cosine-verify pipeline is DuckDB-recomputable and
+    value-hashes across engines.
+
+    Bit-exactness argument: ``lsh_bucket_expr`` computes each plane dot as
+    an ordered left fold (``dot_expr``), DuckDB's ``list_reduce`` is the
+    same fold, and ±1 plane components make every partial sum an exact
+    combination of the input doubles — so the sign bits, buckets, and
+    candidate set are IDENTICAL (not merely close) in both engines; the
+    cosine verify then reuses the ordered-fold ``cosine_expr``.  The
+    production gaussian path keeps its recall pytest; this twin is the hard
+    evidence for the shared blocking semantics.
+
+    Plan shape (twin/gate scale): per-table bucket posting → self-join on
+    (table, bucket) → distinct pairs → vector re-fetch join → fold cosine.
+    The production path's applyInPandas matmul remains the 100 TB executor.
+    """
+    planes = srp_md5_sign_planes(dim, n_planes, n_tables)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    posting = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket_expr(F.col("v"), planes[t]).alias("b"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    a, b = posting.alias("a"), posting.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    v1 = base.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    v2 = base.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    cos = F.round(
+        dot_expr(F.col("v1"), F.col("v2"))
+        / (norm_expr(F.col("v1")) * norm_expr(F.col("v2"))),
+        6,
+    )
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .select("id1", "id2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
 def hard_negatives_topk(
     df: DataFrame,
     k: int = 5,

@@ -1654,6 +1654,51 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_neardup_lsh_md5",
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    posting AS (
+      SELECT vec_id, t.t AS t,
+             list_reduce(
+               list_transform(range(0, 3), p ->
+                 CASE WHEN list_reduce(
+                   list_transform(range(1, 65), j ->
+                     v[j] * (CASE WHEN CAST('0x' || substr(md5('srp'
+                               || CAST(t.t AS VARCHAR) || '_'
+                               || CAST(p AS VARCHAR) || '_'
+                               || CAST(j - 1 AS VARCHAR)), 1, 1) AS BIGINT)
+                               % 2 = 1
+                             THEN CAST(1.0 AS DOUBLE)
+                             ELSE CAST(-1.0 AS DOUBLE) END)),
+                   (x, y) -> x + y) >= 0 THEN 1 ELSE 0 END),
+               (acc, bit) -> acc * 2 + bit) AS b
+      FROM e, (SELECT unnest(range(0, 6)) AS t) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM posting a
+      JOIN posting b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
+    )
+    SELECT c.id1, c.id2, round({_COSINE_SQL}, 6) AS cosine
+    FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2
+    WHERE round({_COSINE_SQL}, 6) >= 0.45
+    """,
+    "SRP-LSH oracle twin (the minhash_md5 trick for the vector path): "
+    "md5-derived Rademacher sign planes make every plane dot an EXACT "
+    "ordered fold in both engines, so buckets, the collision set, AND the "
+    "fold-cosine verify all value-hash — hard evidence for the LSH blocking "
+    "semantics the gaussian production path shares",
+)
+def embedding_neardup_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.embedding_neardup_pairs_srp_md5(
+        emb, threshold=0.45, n_planes=3, n_tables=6
+    )
+
+
+@_register(
     "ann_topk_cosine",
     f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -4292,6 +4337,16 @@ _WINDOW_TAIL = [
     # decontaminate_ngram, decontaminate_bloom_report,
     # decontaminate_semantic):
     "decontaminate_report",
+    # (round-6 eleventh batch — admits the NEW oracle-backed
+    # embedding_neardup_lsh_md5 (SRP-LSH twin with md5 Rademacher planes:
+    # buckets, collision set, and fold-cosine verify all bit-exact across
+    # engines — the minhash_md5 trick applied to the vector path).  Rotated
+    # out: filter_gender, hash-green in ALL FIVE driver rounds; its
+    # function region is byte-unchanged this round (filters.py gained only
+    # the gopher/c4 FilterSpecs and the r5-verdict docstring).  The
+    # filter family keeps nsfw/char_repetition/perplexity/repetition
+    # in-window, and F8 keeps its bug-compat pytest):
+    "filter_gender",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:

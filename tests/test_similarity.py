@@ -432,3 +432,32 @@ def test_hard_negatives_ivf_recall_and_contract(emb):
         (r.anchor_id, r.neg_id, r.cosine, r.rank)
         for r in SIM.hard_negatives_topk(emb, k=5).collect()
     }
+
+
+def test_srp_md5_twin_subset_and_recall(emb):
+    """The md5-plane twin's pairs are a SUBSET of the exact >=0.45 set with
+    identical 6-dp cosines (LSH can miss, never invent), and 3 planes x 6
+    tables recall most of it (measured 14/14 on the sf0.01 gate corpus the
+    driver row runs at)."""
+    exact = {
+        (r.id1, r.id2): r.cosine
+        for r in SIM.embedding_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    twin = {
+        (r.id1, r.id2): r.cosine
+        for r in SIM.embedding_neardup_pairs_srp_md5(
+            emb, threshold=0.45, n_planes=3, n_tables=6
+        ).collect()
+    }
+    assert set(twin) <= set(exact)
+    assert all(twin[p] == exact[p] for p in twin)
+    assert len(twin) >= 0.7 * len(exact), (len(twin), len(exact))
+
+
+def test_srp_md5_planes_deterministic():
+    from chat_data_pipeline_spark.operators.similarity import srp_md5_sign_planes
+
+    a = srp_md5_sign_planes(8, 2, 2)
+    assert a == srp_md5_sign_planes(8, 2, 2)
+    assert all(v in (1.0, -1.0) for t in a for p in t for v in p)
+    assert a[0] != a[1]  # tables are independent plane sets
