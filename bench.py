@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "corpus_diff_v2",
     "multimodal_image_dedup",
     "embedding_neardup_lsh_md5",
+    "unigram_vocab_corpus",
 ]
 
 

@@ -4104,6 +4104,26 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id")
 
 
+@_register(
+    "unigram_vocab_corpus",
+    None,  # iterative Viterbi-EM (segment -> count -> prune per round) has
+    # no SQL twin; tests/test_unigram_lm.py diffs the distributed E-step
+    # against a local reference running the identical Viterbi/M-step code
+    "unigram-LM subword vocabulary training (Kudo 2018, simplified "
+    "Viterbi-EM): seed substrings of the frequent-word sample -> per round "
+    "[Arrow segmentation pass over the distinct-word table -> map-combined "
+    "piece counts -> driver M-step over the vocab-bounded model] -> "
+    "(piece, logprob) table; the BPE trainer's complement",
+)
+def unigram_vocab_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import unigram_lm as U
+
+    docs = _read(spark, sf_dir, "documents")
+    return U.unigram_vocab_table(
+        docs, vocab_size=128, seed_size=2048, em_iters=2
+    )
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================

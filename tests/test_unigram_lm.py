@@ -1,0 +1,85 @@
+"""Distributed unigram-LM training vs a local reference running the SAME
+Viterbi/seed/M-step code — the differential isolates the distributed E-step
+plumbing (Arrow segmentation pass + explode/groupBy counts), the BPE test
+model."""
+
+from __future__ import annotations
+
+import re
+
+from chat_data_pipeline_spark.operators import unigram_lm as U
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cats sat on the mats",
+    "that thin cat thinks about things",
+    "low lower lowest newer newest",
+    "low low low lower newest",
+    "hugging faces hug hugs hugged",
+    "internationalization international nation nations national",
+]
+
+
+def _word_freqs(texts):
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        for w in re.findall(r"\w+", (t or "").lower()):
+            c[w] += 1
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def _ref_train(texts, vocab_size=64, seed_size=512, em_iters=3, shrink=0.25):
+    words = _word_freqs(texts)
+    logp = U.seed_vocab(words, seed_size)
+    for _ in range(em_iters):
+        counts = U._em_counts_local(words, logp)
+        logp = U._m_step(counts, logp, vocab_size, shrink)
+    return logp
+
+
+def test_trained_vocab_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    got = U.train_unigram_lm(
+        df, vocab_size=64, seed_size=512, em_iters=3, shrink=0.25
+    )
+    want = _ref_train(CORPUS, vocab_size=64, seed_size=512, em_iters=3, shrink=0.25)
+    assert got == want  # pieces AND logprobs identical
+    assert any(len(p) > 1 for p in got)  # multi-char pieces learned
+
+
+def test_viterbi_prefers_known_long_pieces():
+    logp = {"i": -3.0, "n": -3.0, "g": -3.0, "ing": -1.0, "walk": -1.5, "w": -3.0,
+            "a": -3.0, "l": -3.0, "k": -3.0}
+    assert U.viterbi_segment("walking", logp) == ["walk", "ing"]
+    # unknown chars fall back to single-char pieces, never crash
+    assert U.viterbi_segment("wzz", logp) == ["w", "z", "z"]
+
+
+def test_encode_roundtrip_and_compression(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    logp = U.train_unigram_lm(df, vocab_size=64, seed_size=512, em_iters=3)
+    enc = {r.doc_id: r for r in U.unigram_encode_tokens(df, logp).collect()}
+    total_pieces = 0
+    total_chars = 0
+    for i, text in enumerate(CORPUS):
+        words = re.findall(r"\w+", text.lower())
+        assert "".join(enc[i].pieces) == "".join(words)
+        assert enc[i].n_pieces == len(enc[i].pieces)
+        total_pieces += enc[i].n_pieces
+        total_chars += sum(len(w) for w in words)
+    assert total_pieces < total_chars  # the vocab actually compresses
+
+
+def test_vocab_table_shape(spark):
+    df = spark.createDataFrame([(0, "aaa aab aaa aab")], "doc_id long, text string")
+    tbl = U.unigram_vocab_table(df, vocab_size=16, seed_size=64, em_iters=2).collect()
+    pieces = [r.piece for r in tbl]
+    assert pieces == sorted(pieces)
+    assert all(r.logprob < 0 for r in tbl)
