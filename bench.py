@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "multimodal_image_dedup",
     "embedding_neardup_lsh_md5",
     "unigram_vocab_corpus",
+    "corpus_datacard",
 ]
 
 

@@ -4124,6 +4124,43 @@ def unigram_vocab_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "corpus_datacard",
+    r"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')))
+                AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT md5(COALESCE(text, ''))) AS BIGINT)
+             AS n_distinct_texts,
+           round(CAST(COUNT(DISTINCT md5(COALESCE(text, ''))) AS DOUBLE)
+                 / COUNT(*), 6) AS distinct_ratio,
+           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+    FROM documents
+    """,
+    "one-row corpus datacard (the dataset-report artifact every release "
+    "ships): doc/token/lang/source counts, exact-dup distinct ratio, mean "
+    "length — a single map-side-combinable aggregation pass, no joins",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.word_count(F.col("text"))).alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct(h).alias("n_distinct_texts"),
+        F.round(
+            F.count_distinct(h).cast("double") / F.count("*"), 6
+        ).alias("distinct_ratio"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias(
+            "avg_chars"
+        ),
+    )
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
@@ -4149,6 +4186,11 @@ _WINDOW_TAIL = [
     "dedup_simhash",
     "embedding_neardup_lsh",
     "ann_topk_ivf",
+    # (round-6 rows-only additions: perceptual image dedup and the
+    # unigram-LM trainer — pixel math / iterative EM have no SQL twin;
+    # both carry differential pytest suites):
+    "multimodal_image_dedup",
+    "unigram_vocab_corpus",
     # oracle-backed, driver-verified green in rounds 1 AND 2, unchanged:
     "q6_revenue_forecast",
     "q18_large_orders",
@@ -4367,6 +4409,13 @@ _WINDOW_TAIL = [
     # filter family keeps nsfw/char_repetition/perplexity/repetition
     # in-window, and F8 keeps its bug-compat pytest):
     "filter_gender",
+    # (round-6 twelfth batch — admits the NEW oracle-backed corpus_datacard
+    # (one-row dataset report: doc/token/lang/source counts, exact-dup
+    # distinct ratio, mean length).  Rotated out: sample_proportional_mix
+    # (G2, hash-green r3 AND r4 AND r5; operators/sampling.py byte-unchanged
+    # this round); the sampling family keeps stratified/temperature/weighted
+    # rows in-window):
+    "sample_proportional_mix",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:
