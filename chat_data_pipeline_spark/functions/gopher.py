@@ -7,9 +7,12 @@ want when gating 100 TB before any expensive operator runs:
 
 1. ``50 <= n_words <= 100_000``        (whitespace words)
 2. ``3 <= mean_word_len <= 10``
-3. ``symbol_ratio <= 0.1``             (# and ... occurrences per word)
-4. ``bullet_line_frac < 0.9``          (lines starting with a bullet glyph)
-5. ``ellipsis_line_frac < 0.3``        (lines ending with ... or …)
+3. ``hash_ratio <= 0.1`` AND ``ellipsis_ratio <= 0.1`` — the paper applies
+   the symbol-to-word threshold to EACH symbol ('#'; '...' or '…'), not to
+   their sum
+4. ``bullet_line_frac <= 0.9``         (drop only when MORE than 90% of
+                                        lines start with a bullet glyph)
+5. ``ellipsis_line_frac <= 0.3``       (likewise: drop only above 30%)
 6. ``alpha_word_frac >= 0.8``          (words containing >=1 letter)
 7. ``stop_hits >= 2``                  (distinct members of the 8-word
                                         required-stopword list present)
@@ -49,7 +52,8 @@ DEFAULTS = dict(
     max_words=100_000,
     min_mean_word_len=3.0,
     max_mean_word_len=10.0,
-    max_symbol_ratio=0.1,
+    max_hash_ratio=0.1,
+    max_ellipsis_ratio=0.1,
     max_bullet_line_frac=0.9,
     max_ellipsis_line_frac=0.3,
     min_alpha_word_frac=0.8,
@@ -59,7 +63,8 @@ DEFAULTS = dict(
 SIGNAL_FIELDS = [
     "n_words",
     "mean_word_len",
-    "symbol_ratio",
+    "hash_ratio",
+    "ellipsis_ratio",
     "bullet_line_frac",
     "ellipsis_line_frac",
     "alpha_word_frac",
@@ -102,8 +107,13 @@ def gopher_signals(col: Column) -> Column:
                 6,
             ),
         ).otherwise(F.lit(0.0))
-        symbols = T.substring_count(s["x"], "#") + T.substring_count(s["x"], "...")
-        symbol_ratio = F.when(n > 0, F.round(symbols / nd, 6)).otherwise(F.lit(0.0))
+        # per-symbol ratios (A1.1 thresholds apply to EACH symbol, not the
+        # sum); '…' counts as an ellipsis alongside '...', matching the
+        # module's own ellipsis-line rule
+        hashes = T.substring_count(s["x"], "#")
+        ellipses = T.substring_count(s["x"], "...") + T.substring_count(s["x"], "…")
+        hash_ratio = F.when(n > 0, F.round(hashes / nd, 6)).otherwise(F.lit(0.0))
+        ellipsis_ratio = F.when(n > 0, F.round(ellipses / nd, 6)).otherwise(F.lit(0.0))
         line_frac = lambda pat: F.when(  # noqa: E731
             n_lines > 0,
             F.round(
@@ -131,7 +141,8 @@ def gopher_signals(col: Column) -> Column:
         return F.struct(
             n.alias("n_words"),
             mean_len.alias("mean_word_len"),
-            symbol_ratio.alias("symbol_ratio"),
+            hash_ratio.alias("hash_ratio"),
+            ellipsis_ratio.alias("ellipsis_ratio"),
             line_frac(BULLET_LINE_PATTERN).alias("bullet_line_frac"),
             line_frac(ELLIPSIS_LINE_PATTERN).alias("ellipsis_line_frac"),
             alpha_frac.alias("alpha_word_frac"),
@@ -157,9 +168,11 @@ def gopher_quality_keep(signals: Column, **overrides) -> Column:
         & signals["mean_word_len"].between(
             p["min_mean_word_len"], p["max_mean_word_len"]
         )
-        & (signals["symbol_ratio"] <= p["max_symbol_ratio"])
-        & (signals["bullet_line_frac"] < p["max_bullet_line_frac"])
-        & (signals["ellipsis_line_frac"] < p["max_ellipsis_line_frac"])
+        & (signals["hash_ratio"] <= p["max_hash_ratio"])
+        & (signals["ellipsis_ratio"] <= p["max_ellipsis_ratio"])
+        # paper drops only when MORE than the threshold fraction: keep on <=
+        & (signals["bullet_line_frac"] <= p["max_bullet_line_frac"])
+        & (signals["ellipsis_line_frac"] <= p["max_ellipsis_line_frac"])
         & (signals["alpha_word_frac"] >= p["min_alpha_word_frac"])
         & (signals["stop_hits"] >= p["min_stop_hits"])
     )

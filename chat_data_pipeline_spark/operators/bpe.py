@@ -190,7 +190,6 @@ def bpe_encode_tokens(
     closure as a broadcast-sized literal; encoding is a narrow Arrow-batched
     pandas pass — zero shuffle, scales with the scan.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     ranks = {pair: i for i, pair in enumerate(merges)}

@@ -831,6 +831,20 @@ def simhash_signature_col(col_name: str) -> Column:
     return pandas_udf(batch, "long")(F.col(col_name))
 
 
+def _validate_simhash_params(hamming_threshold: int, n_bands: int) -> None:
+    """Raise BEFORE any computation: callers validate first so a bad
+    parameter fails instantly instead of after the full-corpus signature
+    job (an eager localCheckpoint) has already run."""
+    if hamming_threshold >= n_bands:
+        raise ValueError(
+            f"pigeonhole requires hamming_threshold ({hamming_threshold}) < "
+            f"n_bands ({n_bands}): pairs differing by one bit per band share "
+            "no band and would silently never become candidates"
+        )
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands ({n_bands}) must divide 64")
+
+
 def simhash_dedup(
     df: DataFrame,
     column: str,
@@ -841,6 +855,7 @@ def simhash_dedup(
     """SimHash near-dedup: band the 64-bit signature into ``n_bands`` chunks
     (pigeonhole: any pair within ``hamming_threshold`` < n_bands shares ≥1
     exact band), verify candidates with native popcount, min-id survivor."""
+    _validate_simhash_params(hamming_threshold, n_bands)
     from chat_data_pipeline_spark.session import repartition_for_compute
 
     # materialized once: the banded self-join references sigs on BOTH sides,
@@ -866,14 +881,7 @@ def _simhash_dedup_from_sigs(
     signature (:func:`simhash_dedup`) and the native md5 twin
     (:func:`simhash_dedup_md5`) run THIS code, so the twin's DuckDB oracle
     value-hashes the banding/verify/CC pipeline end to end."""
-    if hamming_threshold >= n_bands:
-        raise ValueError(
-            f"pigeonhole requires hamming_threshold ({hamming_threshold}) < "
-            f"n_bands ({n_bands}): pairs differing by one bit per band share "
-            "no band and would silently never become candidates"
-        )
-    if 64 % n_bands != 0:
-        raise ValueError(f"n_bands ({n_bands}) must divide 64")
+    _validate_simhash_params(hamming_threshold, n_bands)
     # hamming-0 groups (exact clones included) collapse to their min-id
     # representative before the banded self-join — identical signatures are
     # one component by definition, and clone groups otherwise contribute
@@ -1001,5 +1009,6 @@ def simhash_dedup_md5(
     pigeonhole candidates, popcount verify, connected components, min-id
     survivors — and value-hash it cross-engine.
     """
+    _validate_simhash_params(hamming_threshold, n_bands)
     all_sigs = simhash_md5_signatures(df, column, id_col).localCheckpoint(eager=True)
     return _simhash_dedup_from_sigs(df, all_sigs, id_col, hamming_threshold, n_bands)

@@ -191,6 +191,11 @@ def image_ahash64(
     """
     import numpy as np
 
+    # id type derives from the input (string media ids are common for web
+    # image corpora) — a hardcoded bigint would miscast or fail at runtime,
+    # the bug class the minhash fingerprint schema fix addressed
+    id_type = dict(df.dtypes)[id_col]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             ids, sigs = [], []
@@ -227,7 +232,7 @@ def image_ahash64(
 
     return repartition_for_compute(
         df.select(F.col(id_col).alias("id"), F.col(payload_col).alias(payload_col))
-    ).mapInPandas(run, schema="id long, sig long")
+    ).mapInPandas(run, schema=f"id {id_type}, sig long")
 
 
 def image_neardup_dedup(
@@ -248,8 +253,12 @@ def image_neardup_dedup(
     (they can never collide — same contract as shingle-free docs in the
     MinHash twin).
     """
-    from chat_data_pipeline_spark.operators.dedup import _simhash_dedup_from_sigs
+    from chat_data_pipeline_spark.operators.dedup import (
+        _simhash_dedup_from_sigs,
+        _validate_simhash_params,
+    )
 
+    _validate_simhash_params(hamming_threshold, n_bands)  # before the sig job
     sigs = image_ahash64(df, id_col, payload_col, src_width).localCheckpoint(
         eager=True
     )

@@ -144,7 +144,10 @@ def train_unigram_lm(
     centroid-training posture).  Each EM round segments the FULL word table
     in parallel and aggregates piece counts map-side.
     """
-    wf = word_frequencies(df, column)
+    # checkpoint FIRST: the seed collect and every EM round read the word
+    # table, and an un-checkpointed plan would re-run the full corpus
+    # tokenize/groupBy once for the seed and again for the checkpoint
+    wf = word_frequencies(df, column).localCheckpoint(eager=True)
     seed_rows = [
         (r["word"], r["freq"])
         for r in wf.orderBy(F.col("freq").desc(), F.col("word"))
@@ -153,20 +156,17 @@ def train_unigram_lm(
     ]
     logp = seed_vocab(seed_rows, seed_size)
 
-    wf = wf.localCheckpoint(eager=True)
-    spark = df.sparkSession
     for _ in range(em_iters):
-        counts = _em_counts_spark(spark, wf, logp)
+        counts = _em_counts_spark(wf, logp)
         logp = _m_step(counts, logp, vocab_size, shrink)
     return logp
 
 
-def _em_counts_spark(spark, wf: DataFrame, logp: dict[str, float]) -> Counter:
+def _em_counts_spark(wf: DataFrame, logp: dict[str, float]) -> Counter:
     """Distributed E-step: Viterbi-segment every distinct word (Arrow
     batches, model in the UDF closure), explode the used pieces, and
     map-side-combine the counts; the collected result is vocabulary-bounded
     (≤ |model| rows)."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     model = dict(logp)
@@ -210,7 +210,6 @@ def unigram_encode_tokens(
     """``(id_col, pieces array<string>, n_pieces int)`` — Viterbi-encode
     every document's words with a trained model (narrow Arrow pass, zero
     shuffle; the model rides in the closure)."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     model = dict(logp)

@@ -3546,10 +3546,15 @@ _SQL_STOP_LIST = "['the','be','to','of','and','that','have','with']"
                      / len(tk), 6)
              ELSE 0.0 END AS mean_word_len,
              CASE WHEN len(tk) > 0 THEN
-               round(((length(text) - length(replace(text, '#', '')))
-                      + CAST((length(text) - length(replace(text, '...', ''))) / 3
-                             AS BIGINT)) / len(tk), 6)
-             ELSE 0.0 END AS symbol_ratio,
+               round((length(text) - length(replace(text, '#', '')))
+                     / len(tk), 6)
+             ELSE 0.0 END AS hash_ratio,
+             CASE WHEN len(tk) > 0 THEN
+               round((CAST((length(text) - length(replace(text, '...', ''))) / 3
+                           AS BIGINT)
+                      + (length(text) - length(replace(text, '…', ''))))
+                     / len(tk), 6)
+             ELSE 0.0 END AS ellipsis_ratio,
              CASE WHEN len(ln) > 0 THEN
                round(len(list_filter(ln, x -> regexp_matches(x, '"""
     + _SQL_BULLET_PAT
@@ -3569,20 +3574,22 @@ _SQL_STOP_LIST = "['the','be','to','of','and','that','have','with']"
     + """, sw -> list_contains(wd, sw))) AS BIGINT) AS stop_hits
       FROM t
     )
-    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
-           ellipsis_line_frac, alpha_word_frac, stop_hits,
+    SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
            CAST(CASE WHEN n_words BETWEEN 50 AND 100000
                       AND mean_word_len BETWEEN 3 AND 10
-                      AND symbol_ratio <= 0.1
-                      AND bullet_line_frac < 0.9
-                      AND ellipsis_line_frac < 0.3
+                      AND hash_ratio <= 0.1
+                      AND ellipsis_ratio <= 0.1
+                      AND bullet_line_frac <= 0.9
+                      AND ellipsis_line_frac <= 0.3
                       AND alpha_word_frac >= 0.8
                       AND stop_hits >= 1
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM s
     """,
     "Gopher quality ruleset (Rae et al. 2021 A1.1): all seven published "
-    "rules — word-count bounds, mean word length, symbol-to-word ratio, "
+    "rules — word-count bounds, mean word length, per-symbol #/ellipsis "
+    "ratios, "
     "bullet/ellipsis line fractions, alpha-word fraction, required-stopword "
     "hits — as ONE whole-stage-codegen projection; signals emitted per doc "
     "plus the conjunction keep bit, every ratio 6-dp-rounded on both engines. "
@@ -3599,7 +3606,8 @@ def filter_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("s.n_words").cast("long").alias("n_words"),
         F.col("s.mean_word_len").alias("mean_word_len"),
-        F.col("s.symbol_ratio").alias("symbol_ratio"),
+        F.col("s.hash_ratio").alias("hash_ratio"),
+        F.col("s.ellipsis_ratio").alias("ellipsis_ratio"),
         F.col("s.bullet_line_frac").alias("bullet_line_frac"),
         F.col("s.ellipsis_line_frac").alias("ellipsis_line_frac"),
         F.col("s.alpha_word_frac").alias("alpha_word_frac"),

@@ -28,16 +28,20 @@ def test_signal_values_hand_computed(spark):
     (s,) = _signals(spark, ["ab cde f"])
     assert s["n_words"] == 3
     assert s["mean_word_len"] == pytest.approx((2 + 3 + 1) / 3, abs=1e-6)
-    assert s["symbol_ratio"] == 0.0
+    assert s["hash_ratio"] == 0.0 and s["ellipsis_ratio"] == 0.0
     assert s["alpha_word_frac"] == 1.0
     assert s["stop_hits"] == 0
 
 
-def test_symbol_ratio_counts_hash_and_ellipsis(spark):
+def test_symbol_ratios_count_hash_and_ellipsis_separately(spark):
     # 4 words, one '#' and one non-overlapping '...' (4 dots = one match)
     (s,) = _signals(spark, ["alpha # beta gamma...."])
     assert s["n_words"] == 4
-    assert s["symbol_ratio"] == pytest.approx(2 / 4, abs=1e-6)
+    assert s["hash_ratio"] == pytest.approx(1 / 4, abs=1e-6)
+    assert s["ellipsis_ratio"] == pytest.approx(1 / 4, abs=1e-6)
+    # '…' counts as an ellipsis too; thresholds apply per symbol (A1.1)
+    (s2,) = _signals(spark, ["alpha beta gamma delta…"])
+    assert s2["ellipsis_ratio"] == pytest.approx(1 / 4, abs=1e-6)
 
 
 def test_line_fractions(spark):
