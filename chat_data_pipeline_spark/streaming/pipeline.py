@@ -179,6 +179,33 @@ def stream_static_enrich(
     return stream.join(F.broadcast(dim), on=on, how=how)
 
 
+def streaming_datacard(
+    stream: DataFrame,
+    text_col: str = "props",
+) -> DataFrame:
+    """Continuously-updated one-row corpus datacard over an ingest stream —
+    the live twin of the batch ``corpus_datacard`` query: row count, token
+    count, mean length, and an APPROXIMATE distinct-content count.
+
+    Exactness boundary, stated explicitly: a streaming COUNT(DISTINCT) needs
+    unbounded state, so the distinct-texts figure uses
+    ``approx_count_distinct`` (HLL, bounded sketch state, ~2% rsd default) —
+    the standard trade; every other figure is exact.  Run with output mode
+    ``complete`` (single always-updated row, trivially small state).
+    """
+    from chat_data_pipeline_spark.functions import text as T
+
+    col = F.col(text_col)
+    return stream.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(T.word_count(col)).alias("n_tokens"),
+        F.round(F.avg(F.length(col)), 6).alias("avg_chars"),
+        F.approx_count_distinct(F.md5(F.coalesce(col, F.lit("")))).alias(
+            "approx_distinct_texts"
+        ),
+    )
+
+
 def streaming_decontaminate(
     stream: DataFrame,
     bench: DataFrame,

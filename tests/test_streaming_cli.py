@@ -467,3 +467,38 @@ def test_stream_static_enrich_rejects_unsupported_join(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     with pytest.raises(ValueError, match="stream-static"):
         stream_static_enrich(stream, stream.groupBy("user_id").count(), "user_id", how="full")
+
+
+def test_streaming_datacard_equals_batch(spark, tmp_path, events_dir):
+    """The live datacard's exact figures equal the batch aggregation over
+    the same data; the distinct figure is the documented HLL approximation
+    (bounded state), asserted within its error envelope."""
+    from chat_data_pipeline_spark.queries import _read_events
+    from chat_data_pipeline_spark.streaming import (
+        read_events_stream,
+        streaming_datacard,
+    )
+
+    batch = _read_events(spark, SF_DIR)
+    want = streaming_datacard(batch).first()  # same agg runs on batch frames
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        streaming_datacard(stream)
+        .writeStream.format("memory")
+        .queryName("datacard")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_card"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from datacard").first()
+    finally:
+        q.stop()
+    assert (got.n_rows, got.n_tokens, got.avg_chars) == (
+        want.n_rows,
+        want.n_tokens,
+        want.avg_chars,
+    )
+    assert got.approx_distinct_texts == want.approx_distinct_texts  # same HLL
