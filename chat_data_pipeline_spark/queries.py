@@ -1659,10 +1659,18 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
+    np AS (
+      -- plane count scales with corpus size by the SAME rule the Spark
+      -- side applies (the dedup_semantic n_clusters precedent): 3 planes
+      -- at the 500-vector gate, +1 per corpus doubling
+      SELECT 3 + GREATEST(0, CAST(FLOOR(log2(COUNT(*) / 500.0)) AS INT))
+        AS n_pl
+      FROM embeddings
+    ),
     posting AS (
       SELECT vec_id, t.t AS t,
              list_reduce(
-               list_transform(range(0, 3), p ->
+               list_transform(range(0, np.n_pl), p ->
                  CASE WHEN list_reduce(
                    list_transform(range(1, 65), j ->
                      v[j] * (CASE WHEN CAST('0x' || substr(md5('srp'
@@ -1674,7 +1682,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE CAST(-1.0 AS DOUBLE) END)),
                    (x, y) -> x + y) >= 0 THEN 1 ELSE 0 END),
                (acc, bit) -> acc * 2 + bit) AS b
-      FROM e, (SELECT unnest(range(0, 6)) AS t) t
+      FROM e, (SELECT unnest(range(0, 6)) AS t) t, np
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
@@ -1692,9 +1700,17 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantics the gaussian production path shares",
 )
 def embedding_neardup_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     emb = _read(spark, sf_dir, "embeddings")
+    # plane count scales with corpus size (3 at the 500-vector gate, +1 per
+    # doubling) so bucket occupancy — and with it the candidate-pair count —
+    # stays roughly constant as the corpus grows; the oracle computes the
+    # SAME rule from COUNT(*), the dedup_semantic n_clusters precedent
+    n = emb.count()
+    n_planes = 3 + max(0, int(math.floor(math.log2(max(n, 1) / 500.0))))
     return SIM.embedding_neardup_pairs_srp_md5(
-        emb, threshold=0.45, n_planes=3, n_tables=6
+        emb, threshold=0.45, n_planes=n_planes, n_tables=6
     )
 
 
