@@ -188,6 +188,8 @@ class SparkPreprocessor:
             return D.exact_dedup(df, self.column_name, cfg.pop("id_col"))
         if method == "ngram_jaccard":
             return D.ngram_jaccard_dedup(df, self.column_name, cfg.pop("id_col"), **cfg)
+        if method == "simhash":
+            return D.simhash_dedup(df, self.column_name, cfg.pop("id_col"), **cfg)
         if method != "minhash":
             raise ValueError(f"unknown dedup method {method!r}")
         return D.minhash_dedup(df, self.column_name, verbose=self.verbose, **cfg)

@@ -353,3 +353,22 @@ def test_web_page_preset(spark):
     rows = out.collect()
     assert [r.doc_id for r in rows] == [1]
     assert "<" not in rows[0].text and "html" not in rows[0].text
+
+
+def test_simhash_method_reachable_from_config(spark):
+    """The dedup method dispatch covers the full family: 'simhash' routes to
+    the banded-hamming path (exact clones collapse, near-identical texts
+    merge)."""
+    from chat_data_pipeline_spark.plans.pipeline import SparkPreprocessor
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different content here")],
+        "doc_id long, text string",
+    )
+    out = SparkPreprocessor(
+        column_name="text",
+        deduplication_config={"method": "simhash", "id_col": "doc_id"},
+    ).run(df)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert 1 in kept and 2 not in kept and 3 in kept
