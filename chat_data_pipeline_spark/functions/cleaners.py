@@ -282,8 +282,10 @@ def strip_html(col: Column) -> Column:
     """
     out = col
     for pat in (
-        r"(?is)<script\b[^>]*>.*?</script\s*>",
-        r"(?is)<style\b[^>]*>.*?</style\s*>",
+        # explicit class, not \s: Java \s includes \x0B, RE2's does not —
+        # the same rule the whitespace-collapse below already follows
+        r"(?is)<script\b[^>]*>.*?</script[ \t\n\f\r]*>",
+        r"(?is)<style\b[^>]*>.*?</style[ \t\n\f\r]*>",
         r"(?s)<!--.*?-->",
         r"(?s)<[^>]*>",
     ):

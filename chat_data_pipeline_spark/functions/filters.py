@@ -430,10 +430,17 @@ def _gopher_keep_as_score(col: Column, **overrides: object) -> Column:
     return _G.gopher_quality_keep(_G.gopher_signals(col), **overrides)
 
 
-def _c4_keep_as_score(col: Column, min_line_words: int = 5, min_sentences: int = 3, **_: object) -> Column:
+def _c4_keep_as_score(
+    col: Column, min_line_words: int = 5, min_sentences: int = 3, **unknown: object
+) -> Column:
     """Raffel et al. 2020 §2.2 page-level verdict as a YAML-reachable
     filter: line rules produce the cleaned view, the page keeps only if the
-    lorem-ipsum/brace/sentence-count rules pass on (raw, cleaned)."""
+    lorem-ipsum/brace/sentence-count rules pass on (raw, cleaned).  Unknown
+    overrides raise (the gopher sibling's posture) — a silently-swallowed
+    threshold typo would run the filter at defaults while the config claims
+    otherwise."""
+    if unknown:
+        raise ValueError(f"unknown c4 threshold(s): {sorted(unknown)}")
     from chat_data_pipeline_spark.functions import c4 as _C4
 
     return _C4.c4_doc_keep(

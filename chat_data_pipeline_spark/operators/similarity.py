@@ -987,7 +987,6 @@ def embedding_neardup_pairs_srp_md5(
     # interpreted Column-HOF lambda per element (the fold-expression form
     # measured ~30 folds/row = 3.6 s at sf0.1; this path is milliseconds).
     sign_mats = [np.asarray(planes[t], dtype=np.float64) for t in range(n_tables)]
-    weights = [1 << (n_planes - 1 - p) for p in range(n_planes)]
 
     def bucket_batch(vs):
         mat = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
@@ -1008,9 +1007,15 @@ def embedding_neardup_pairs_srp_md5(
     from pyspark.sql.functions import pandas_udf
 
     buckets = pandas_udf(bucket_batch, "array<long>")
+    # materialized once (the simhash_dedup discipline): the self-join below
+    # references the posting on BOTH sides and the v1/v2 re-fetch reads the
+    # base twice — without the checkpoints the bucket UDF and the source
+    # scan each execute twice per query (verified: 2 ArrowEvalPython + 4
+    # FileScans in the un-checkpointed plan)
+    base = base.localCheckpoint(eager=True)
     posting = base.select(
         "id", F.posexplode(buckets(F.col("v"))).alias("t", "b")
-    )
+    ).localCheckpoint(eager=True)
     a, b = posting.alias("a"), posting.alias("b")
     cand = (
         a.join(

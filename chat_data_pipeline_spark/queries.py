@@ -1663,7 +1663,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- plane count scales with corpus size by the SAME rule the Spark
       -- side applies (the dedup_semantic n_clusters precedent): 3 planes
       -- at the 500-vector gate, +1 per corpus doubling
-      SELECT 3 + GREATEST(0, CAST(FLOOR(log2(COUNT(*) / 500.0)) AS INT))
+      SELECT 3 + GREATEST(0, CAST(FLOOR(log2(GREATEST(COUNT(*), 1) / 500.0)) AS INT))
         AS n_pl
       FROM embeddings
     ),
@@ -4037,8 +4037,8 @@ def _html_page_col() -> F.Column:
              replace(replace(replace(replace(replace(replace(replace(
                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                  page,
-                 '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
-                 '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                 '(?is)<script\b[^>]*>.*?</script[ \t\n\f\r]*>', ' ', 'g'),
+                 '(?is)<style\b[^>]*>.*?</style[ \t\n\f\r]*>', ' ', 'g'),
                  '(?s)<!--.*?-->', ' ', 'g'),
                  '(?s)<[^>]*>', ' ', 'g'),
                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
