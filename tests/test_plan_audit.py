@@ -1,0 +1,69 @@
+"""Plan-shape assertions via plans/audit.py — locks the scale-critical plan
+facts (shuffle counts, scan pruning, Python boundaries) so refactors that
+silently degrade a plan fail here, not at 100 TB."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.plans.audit import plan_report
+
+SF_DIR = os.environ.get("CDP_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_cleaner_chain_is_one_scan_zero_shuffles(docs):
+    """The C2+C3 normalize chain must stay a single codegen projection:
+    one pruned scan, no exchange, no Python."""
+    from chat_data_pipeline_spark.functions import cleaners as C
+
+    df = docs.select(
+        "doc_id", C.normalize_punctuation(C.normalize_whitespace(F.col("text"))).alias("t")
+    )
+    r = plan_report(df)
+    assert r.n_scans == 1 and r.n_exchanges == 0 and r.n_python_stages == 0
+    assert r.scans_are_pruned
+    assert "doc_id" in r.read_schemas[0] and "lang" not in r.read_schemas[0]
+
+
+def test_filter_pushdown_reaches_parquet(docs):
+    """A native predicate on a scanned column must appear in PushedFilters."""
+    df = docs.filter(F.col("n_chars") > 250).select("doc_id")
+    r = plan_report(df)
+    assert any("n_chars" in p for p in r.pushed_filters), r.pushed_filters
+
+
+def test_exact_dedup_is_single_shuffle(docs):
+    """exact_dedup's window-min shape: exactly one exchange, no Python."""
+    from chat_data_pipeline_spark.operators import dedup as D
+
+    out = D.exact_dedup(docs.select("doc_id", "text"), "text", "doc_id")
+    r = plan_report(out)
+    assert r.n_exchanges == 1 and r.n_python_stages == 0
+
+
+def test_broadcast_join_for_small_dim(spark, docs):
+    """A join against a tiny aggregated dim must broadcast, not shuffle the
+    fact side on the join key (one exchange max, for the dim's agg)."""
+    dim = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    out = docs.join(F.broadcast(dim), "lang").select("doc_id", "n")
+    r = plan_report(out)
+    assert r.n_broadcasts == 1
+
+
+def test_bigram_lm_plan_shape(docs):
+    """The LM scorer: map-side-combinable aggs (partial+final pairs), the
+    one-row vocab broadcast, and zero Python anywhere."""
+    from chat_data_pipeline_spark.operators import language_model as LMOD
+
+    out = LMOD.bigram_lm_scores(docs, "text", "doc_id")
+    r = plan_report(out)
+    assert r.n_python_stages == 0
+    assert r.n_aggregates >= 4  # partial+final for pairs/ctx at minimum
