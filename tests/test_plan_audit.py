@@ -67,3 +67,26 @@ def test_bigram_lm_plan_shape(docs):
     r = plan_report(out)
     assert r.n_python_stages == 0
     assert r.n_aggregates >= 4  # partial+final for pairs/ctx at minimum
+
+
+def test_gopher_ruleset_is_pure_projection(docs):
+    """All eight Gopher signals + the keep bit: zero shuffles, zero Python —
+    the 'gate 100 TB before anything expensive' property."""
+    from chat_data_pipeline_spark.functions import gopher as G
+
+    sig = G.gopher_signals(F.col("text"))
+    out = docs.select("doc_id", sig.alias("s")).select(
+        "doc_id", F.col("s.n_words"), G.gopher_quality_keep(F.col("s")).alias("k")
+    )
+    r = plan_report(out)
+    assert r.n_exchanges == 0 and r.n_python_stages == 0 and r.n_scans == 1
+
+
+def test_minhash_fingerprints_single_python_stage(docs):
+    """The D1-D3 fingerprint stage is exactly ONE Arrow boundary (the pandas
+    UDF); banding stays JVM-side after it."""
+    from chat_data_pipeline_spark.operators import dedup as D
+
+    bands = D.minhash_bands(docs.limit(50), "text", id_col="doc_id")
+    r = plan_report(bands)
+    assert r.n_python_stages == 1
