@@ -148,20 +148,66 @@ def minhash_signature(
 # --------------------------------------------------------------------------
 
 
-def connected_components_min_label(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
-    """Distributed replacement for the driver-side UnionFind
+def connected_components_min_label(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    driver_max_edges: int = 1_000_000,
+) -> DataFrame:
+    """Connected components with "min id wins" labels — the distributed
+    replacement for the reference's driver-side UnionFind
     (ref:minhash_deduplication.py:179-193,273-280).
 
     Input: ``edges(src, dst)`` undirected-intent pairs.  Output: ``(node,
     label)`` where label is the minimum id of the node's connected component —
     exactly the reference's "min id wins" union rule.
 
-    Min-label propagation: label(u) ← min(label(u), min over neighbours of
-    label(v)); converges in O(component diameter) rounds.  LSH edge sets are
-    star-shaped per bucket so diameters stay tiny.  Each round is one shuffle
-    join + one aggregate; ``localCheckpoint`` truncates lineage so round N's
-    plan doesn't replay rounds 1..N-1.
+    Hybrid execution: the edge set is OUTPUT-sized (one row per near-dup
+    pair that survived banding), not corpus-sized, so on most corpora it
+    fits the driver comfortably — and the per-round fixed job cost of the
+    distributed loop (join + agg + checkpoint, ~0.5 s each in local mode)
+    then dwarfs the actual work (275 edges measured 2.7 s distributed vs
+    ~0.4 s collected).  A single ``limit(driver_max_edges+1).collect()``
+    probe-collects the edges; within the guard they union-find on the
+    driver (min-root merge ⇒ root = component min, same labels) and the
+    result broadcasts back.  Past the guard — a 100 TB corpus with a high
+    dup rate can emit billions of pairs — the min-label propagation loop
+    below runs fully distributed: label(u) ← min(label(u), min over
+    neighbours of label(v)); converges in O(component diameter) rounds
+    (LSH edge sets are star-shaped per bucket so diameters stay tiny),
+    one shuffle join + aggregate per round, ``localCheckpoint`` truncating
+    lineage so round N doesn't replay rounds 1..N-1.
     """
+    probe = edges.select("src", "dst").limit(driver_max_edges + 1).collect()
+    if len(probe) <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in probe:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {r[0] for r in probe} | {r[1] for r in probe}
+        node_type = edges.schema["src"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        return edges.sparkSession.createDataFrame(
+            [(n, find(n)) for n in sorted(nodes)],
+            StructType(
+                [
+                    StructField("node", node_type, False),
+                    StructField("label", node_type, False),
+                ]
+            ),
+        )
+
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -859,11 +905,14 @@ def simhash_dedup(
     from chat_data_pipeline_spark.session import repartition_for_compute
 
     # materialized once: the banded self-join references sigs on BOTH sides,
-    # which would otherwise run the signature UDF twice over the corpus
+    # which would otherwise run the signature UDF twice over the corpus.
+    # Lazy (eager=False): the first downstream action both computes and
+    # stores the blocks, saving the dedicated materialization job an eager
+    # checkpoint schedules (~0.4 s of fixed cost at sf0.1).
     all_sigs = (
         repartition_for_compute(df.select(F.col(id_col).alias("id"), F.col(column)))
         .select("id", simhash_signature_col(column).alias("sig"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return _simhash_dedup_from_sigs(df, all_sigs, id_col, hamming_threshold, n_bands)
 
@@ -885,8 +934,15 @@ def _simhash_dedup_from_sigs(
     # hamming-0 groups (exact clones included) collapse to their min-id
     # representative before the banded self-join — identical signatures are
     # one component by definition, and clone groups otherwise contribute
-    # O(group²) candidate pairs
-    sigs = all_sigs.groupBy("sig").agg(F.min("id").alias("id")).select("id", "sig")
+    # O(group²) candidate pairs.  Lazily checkpointed: the edge probe and
+    # the survivor-expansion join both read it; without the checkpoint the
+    # collapse groupBy re-runs in the second action.
+    sigs = (
+        all_sigs.groupBy("sig")
+        .agg(F.min("id").alias("id"))
+        .select("id", "sig")
+        .localCheckpoint(eager=False)
+    )
     width = 64 // n_bands
     bands = sigs.select(
         "id",
@@ -907,20 +963,21 @@ def _simhash_dedup_from_sigs(
     ).select("id", "sig", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("src"),
-            F.col("b.id").alias("dst"),
-            F.col("a.sig").alias("sig1"),
-            F.col("b.sig").alias("sig2"),
-        )
-        .distinct()
+    # no .distinct() on the candidates: a pair colliding in several bands is
+    # emitted once per band, and both CC executions are idempotent to
+    # duplicate edges (driver union-find no-ops a repeated union; the
+    # distributed loop min-aggregates) — the dedup exchange cost more than
+    # the duplicate rows it removed (measured ~0.3 s at sf0.1)
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("src"),
+        F.col("b.id").alias("dst"),
+        F.col("a.sig").alias("sig1"),
+        F.col("b.sig").alias("sig2"),
     )
     edges = cand.filter(
         F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2"))) <= hamming_threshold
@@ -953,6 +1010,19 @@ def simhash_md5_signatures(df: DataFrame, column: str, id_col: str) -> DataFrame
     live in hex chars 9-16 (lo word), bits 32-63 in chars 1-8 (hi word) —
     the hex string IS the big-endian byte order.  Docs with no tokens get
     sig 0 (the reference arithmetic's empty-input value).
+
+    Lane packing: the per-bit tally is NOT 64 separate ``sum`` aggregates
+    (65 agg buffers measured 4.8 s at sf0.1 — the agg fan-out, not the
+    shuffle, was the cost).  Each token packs 4 vote bits into one long at
+    15-bit lane offsets (0/15/30/45), so the groupBy carries 16 packed sums
+    + the count — 17 buffers — and the per-bit ones-counts are recovered
+    afterwards with unsigned shifts.  Lanes never carry into each other
+    while every lane sum < 2^15, hence the 32767-token/doc guard (shorter
+    than any real document; the pandas-UDF production path has no such
+    bound); 15-bit lanes also keep the packed sum < 2^61, clear of ANSI
+    long-overflow (16-bit lanes would let the top lane reach bit 63).
+    Integer sums are exact, so the signatures — and the DuckDB oracle,
+    which tallies per-bit its own way — are unchanged bit-for-bit.
     """
     from chat_data_pipeline_spark.functions import text as T
     from chat_data_pipeline_spark.session import repartition_for_compute
@@ -961,29 +1031,67 @@ def simhash_md5_signatures(df: DataFrame, column: str, id_col: str) -> DataFrame
         F.col(id_col).alias("id"),
         F.explode(T.words(F.col(column))).alias("__t__"),
     )
-    hashed = toks.select(
+    # nibble-spread packing: hex char c (1-based) of the md5 string holds
+    # hash bits 64-4c .. 64-4c+3, so long p's four bits (4p..4p+3) are
+    # exactly hex char 16-p.  One 1-char conv + one 16-entry literal-array
+    # lookup per packed long replaces the 64 shift/and bit extractions
+    # (verified bit-identical; ~15% cheaper per row).
+    spread = F.array(
+        *[
+            F.lit(
+                (n & 1)
+                | ((n >> 1) & 1) << 15
+                | ((n >> 2) & 1) << 30
+                | ((n >> 3) & 1) << 45
+            )
+            for n in range(16)
+        ]
+    )
+    md5c = F.md5("__t__")
+    packed_rows = toks.select(
         "id",
-        F.conv(F.substring(F.md5("__t__"), 1, 8), 16, 10).cast("long").alias("__hi__"),
-        F.conv(F.substring(F.md5("__t__"), 9, 8), 16, 10).cast("long").alias("__lo__"),
+        *[
+            F.element_at(
+                spread, F.conv(F.substring(md5c, 16 - p, 1), 16, 10).cast("int") + 1
+            ).alias(f"__q{p}__")
+            for p in range(16)
+        ],
     )
-
-    def bit(k: int) -> Column:
-        src, off = ("__lo__", k) if k < 32 else ("__hi__", k - 32)
-        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
-
-    agg = hashed.groupBy("id").agg(
+    agg = packed_rows.groupBy("id").agg(
         F.count("*").alias("__n__"),
-        *[F.sum(bit(k)).alias(f"__o{k}__") for k in range(64)],
+        *[F.sum(f"__q{p}__").alias(f"__p{p}__") for p in range(16)],
     )
+
+    def ones(k: int) -> Column:
+        return F.shiftrightunsigned(F.col(f"__p{k // 4}__"), 15 * (k % 4)).bitwiseAND(
+            F.lit(0x7FFF)
+        )
+
     # majority vote: counts[k] = 2*ones - n > 0  (ref arithmetic in
     # _simhash64); pack the 64 vote bits back into one signed long — the
     # k=63 shift wraps negative exactly like the production signature's
     # to-signed conversion.
     sig = F.lit(0).cast("long")
     for k in range(64):
-        vote = (F.lit(2) * F.col(f"__o{k}__") > F.col("__n__")).cast("long")
+        vote = (F.lit(2) * ones(k) > F.col("__n__")).cast("long")
         sig = sig.bitwiseOR(F.shiftleft(vote, k))
-    sig_rows = agg.select("id", sig.alias("sig"))
+    sig_rows = agg.select(
+        "id",
+        F.when(F.col("__n__") < F.lit(1 << 15), sig)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "simhash_md5_signatures: document exceeds the 32767-token "
+                        "lane-packing bound (id="
+                    ),
+                    F.col("id").cast("string"),
+                    F.lit("); use the pandas-UDF path (simhash_dedup) for it"),
+                )
+            ).cast("long")
+        )
+        .alias("sig"),
+    )
     # token-free docs never reach the aggregation; they carry sig 0
     return (
         df.select(F.col(id_col).alias("id"))
@@ -1010,5 +1118,7 @@ def simhash_dedup_md5(
     survivors — and value-hash it cross-engine.
     """
     _validate_simhash_params(hamming_threshold, n_bands)
-    all_sigs = simhash_md5_signatures(df, column, id_col).localCheckpoint(eager=True)
+    # lazy checkpoint: the edge-probe action materializes the signatures as a
+    # side effect; the survivor-expansion joins then reuse the stored blocks
+    all_sigs = simhash_md5_signatures(df, column, id_col).localCheckpoint(eager=False)
     return _simhash_dedup_from_sigs(df, all_sigs, id_col, hamming_threshold, n_bands)

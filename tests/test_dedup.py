@@ -94,13 +94,22 @@ def test_exact_dedup_min_id(spark):
 
 def test_connected_components_chain(spark):
     """Chain a-b-c-d must collapse to min label even though no single bucket
-    contains all members (transitivity — what a 1-round approach would miss)."""
+    contains all members (transitivity — what a 1-round approach would miss).
+    Asserted on BOTH executions: the guarded driver union-find (the common
+    output-sized-edges case) and the distributed min-label loop (forced via
+    driver_max_edges=0 — the past-the-guard scale path)."""
     edges = spark.createDataFrame(
         [(5, 3), (3, 1), (7, 5), (9, 7), (20, 18)], "src long, dst long"
     )
-    labels = {r.node: r.label for r in D.connected_components_min_label(edges).collect()}
-    assert labels[9] == labels[7] == labels[5] == labels[3] == labels[1] == 1
-    assert labels[20] == 18
+    for cap in (1_000_000, 0):
+        labels = {
+            r.node: r.label
+            for r in D.connected_components_min_label(
+                edges, driver_max_edges=cap
+            ).collect()
+        }
+        assert labels[9] == labels[7] == labels[5] == labels[3] == labels[1] == 1
+        assert labels[20] == 18
 
 
 def test_ngram_jaccard_dedup(spark, corpus):
