@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "embedding_neardup_lsh_md5",
     "unigram_vocab_corpus",
     "corpus_datacard",
+    # round-7 additions
+    "ann_topk_pq_md5",
+    "ann_topk_ivfpq_md5",
 ]
 
 

@@ -1063,6 +1063,273 @@ def embedding_neardup_pairs_srp_md5(
     )
 
 
+def pq_md5_sign_codebooks(
+    m: int, k: int, dsub: int, tag: str = "pq"
+) -> list[list[list[float]]]:
+    """Rademacher (±1) PQ codebooks ``(m, k, dsub)`` derived from md5 — the
+    CROSS-ENGINE codebook family (the :func:`srp_md5_sign_planes` trick
+    applied to product quantization): component t of codeword c in subspace
+    j is +1 iff the first hex digit of md5('{tag}{j}_{c}_{t}') is odd.
+
+    Two properties buy the oracle twin: ±1 components make every
+    sub-inner-product an EXACT ordered ±sum of vector elements (no rounding
+    until the final score), and every codeword has the same norm ``dsub``,
+    so nearest-codeword-by-L2 reduces to argmax inner product — a pure
+    comparison of identically-computed doubles in both engines."""
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"{tag}{j}_{c}_{t}".encode()).hexdigest()[0], 16) % 2
+                else -1.0
+                for t in range(dsub)
+            ]
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
+
+
+def _fold_norm_rows(mat: np.ndarray) -> np.ndarray:
+    """Row norms as columnwise fold accumulation (per-row ordered IEEE sums,
+    the srp_md5 discipline) with the module's 1e-12 zero-vector floor."""
+    acc = np.zeros(len(mat))
+    for i in range(mat.shape[1]):
+        acc = acc + mat[:, i] * mat[:, i]
+    return np.maximum(np.sqrt(acc), 1e-12)
+
+
+def _fold_subspace_dots(mat: np.ndarray, signs: np.ndarray, offset: int) -> np.ndarray:
+    """``(n_rows, k)`` inner products of ``mat[:, offset:offset+dsub]``
+    against ``k`` ±1 codewords, accumulated column-by-column so every scalar
+    sees the exact left-to-right fold DuckDB's generated ±-term chain
+    computes."""
+    k, dsub = signs.shape
+    dots = np.zeros((len(mat), k))
+    for t in range(dsub):
+        dots = dots + mat[:, offset + t, None] * signs[None, :, t]
+    return dots
+
+
+def pq_topk_md5(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codewords: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    tag: str = "pq",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k with md5 ±1 codebooks — the ORACLE TWIN
+    of :func:`pq_topk`, closing the ann_topk_pq evidence gap the way
+    ``embedding_neardup_pairs_srp_md5`` closed the LSH one: FIXED literal
+    codebooks (no k-means training) make encode (argmax sub-inner-product,
+    first-max tie) and the ADC lookup-sum pure arithmetic both engines
+    evaluate bit-for-bit.  The production path keeps its trained codebooks
+    and recall pytest; this twin is the hard evidence for the shared
+    encode→LUT→scan→rank semantics.
+
+    Plan shape (and the 100 TB posture it inherits from ``pq_topk``): ONE
+    fused Arrow pass over the corpus — normalize → encode → LUT-score →
+    per-partition top-k — then a global window over ≤ partitions·k·|queries|
+    candidate rows.  Codebooks and query LUTs ship in the closure
+    (KB-scale); the corpus is never shuffled at full width.
+    """
+    import pandas as pd
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    _guard_query_rows(queries, max_query_rows, "pq_topk_md5")
+    books = np.asarray(pq_md5_sign_codebooks(m, n_codewords, dsub, tag))
+
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qids = qpdf[query_id_col].to_numpy()
+    qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf[query_vec_col]])
+    if len(qmat) and qmat.shape[1] != dim:
+        raise ValueError(f"query dim {qmat.shape[1]} != configured dim {dim}")
+    qn = qmat / _fold_norm_rows(qmat)[:, None] if len(qmat) else qmat
+    # LUT[q, j, c] = <q_sub_j, book_{j,c}> — same columnwise fold as encode
+    luts = (
+        np.stack(
+            [_fold_subspace_dots(qn, books[j], j * dsub) for j in range(m)], axis=1
+        )
+        if len(qn)
+        else np.zeros((0, m, n_codewords))
+    )
+    bcast = df.sparkSession.sparkContext.broadcast((qids, luts))
+    q_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(df.dtypes)[id_col]
+    kk = int(k)
+
+    def scan(batches):
+        ids_q, tables = bcast.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            vids = batch[id_col].to_numpy()
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            # fail loudly on a corpus dim change instead of corrupting codes
+            # (the srp_md5 advice applied here from day one)
+            if mat.shape[1] != dim:
+                raise ValueError(f"corpus dim {mat.shape[1]} != configured dim {dim}")
+            normed = mat / _fold_norm_rows(mat)[:, None]
+            codes = np.stack(
+                [
+                    np.argmax(_fold_subspace_dots(normed, books[j], j * dsub), axis=1)
+                    for j in range(m)
+                ],
+                axis=1,
+            )
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(ids_q)):
+                acc = np.zeros(len(vids))
+                for j in range(m):
+                    acc = acc + tables[qi][j][codes[:, j]]
+                scores = np.round(acc, 6)
+                top = np.lexsort((vids, -scores))[: min(kk, len(vids))]
+                out_q.extend([ids_q[qi]] * len(top))
+                out_v.extend(vids[top])
+                out_s.extend(scores[top])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_v, "approx_cosine": out_s}
+            )
+
+    candidates = df.select(id_col, vec_col).mapInPandas(
+        scan,
+        schema=f"{query_id_col} {q_type}, {id_col} {id_type}, approx_cosine double",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_cosine", "rank")
+    )
+
+
+def ivf_pq_topk_md5(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codewords: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """IVF-PQ top-k with md5 ±1 coarse centroids AND residual codebooks —
+    the ORACLE TWIN of :func:`ivf_pq_topk`, sharing literal artifacts with
+    :func:`pq_topk_md5` the way the dedup twins share their downstreams.
+
+    Every stage is exact ±-fold arithmetic: coarse assignment is argmax of
+    16 constant-norm inner products (first-max tie), the residual
+    ``v_norm - coarse[list]`` subtracts ±1 exactly, residual codes repeat
+    the PQ argmax, and the score folds ``<q, c_list>`` (the base term) plus
+    the m residual LUT lookups left-to-right.  Probe pruning is real: only
+    corpus rows whose list is among the query's ``n_probe`` closest
+    (by the same argmax order) are scored — the n_probe/n_centroids scan
+    fraction that makes IVF the at-scale path.
+    """
+    import pandas as pd
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    _guard_query_rows(queries, max_query_rows, "ivf_pq_topk_md5")
+    coarse = np.asarray(
+        pq_md5_sign_codebooks(1, n_centroids, dim, "ivfpq_coarse")[0]
+    )  # (n_centroids, dim)
+    books = np.asarray(pq_md5_sign_codebooks(m, n_codewords, dsub, "ivfpq_book"))
+
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qids = qpdf[query_id_col].to_numpy()
+    qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf[query_vec_col]])
+    if len(qmat) and qmat.shape[1] != dim:
+        raise ValueError(f"query dim {qmat.shape[1]} != configured dim {dim}")
+    qn = qmat / _fold_norm_rows(qmat)[:, None] if len(qmat) else qmat
+    qdots = _fold_subspace_dots(qn, coarse, 0) if len(qn) else np.zeros((0, n_centroids))
+    # n_probe closest lists: score desc, index asc on ties — np.lexsort with
+    # the negated (exact) dots mirrors the oracle's ROW_NUMBER order
+    probes = np.stack(
+        [np.lexsort((np.arange(n_centroids), -qdots[i]))[:n_probe] for i in range(len(qn))]
+    ) if len(qn) else np.zeros((0, n_probe), dtype=np.int64)
+    luts = (
+        np.stack(
+            [_fold_subspace_dots(qn, books[j], j * dsub) for j in range(m)], axis=1
+        )
+        if len(qn)
+        else np.zeros((0, m, n_codewords))
+    )
+    bcast = df.sparkSession.sparkContext.broadcast((qids, probes, qdots, luts))
+    q_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(df.dtypes)[id_col]
+    kk = int(k)
+
+    def scan(batches):
+        ids_q, prb, base, tables = bcast.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            vids = batch[id_col].to_numpy()
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            if mat.shape[1] != dim:
+                raise ValueError(f"corpus dim {mat.shape[1]} != configured dim {dim}")
+            normed = mat / _fold_norm_rows(mat)[:, None]
+            lists = np.argmax(_fold_subspace_dots(normed, coarse, 0), axis=1)
+            resid = normed - coarse[lists]
+            codes = np.stack(
+                [
+                    np.argmax(_fold_subspace_dots(resid, books[j], j * dsub), axis=1)
+                    for j in range(m)
+                ],
+                axis=1,
+            )
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(ids_q)):
+                mask = np.isin(lists, prb[qi])
+                if not mask.any():
+                    continue
+                midx = np.nonzero(mask)[0]
+                acc = base[qi][lists[midx]].copy()
+                for j in range(m):
+                    acc = acc + tables[qi][j][codes[midx, j]]
+                scores = np.round(acc, 6)
+                top = np.lexsort((vids[midx], -scores))[: min(kk, len(midx))]
+                out_q.extend([ids_q[qi]] * len(top))
+                out_v.extend(vids[midx[top]])
+                out_s.extend(scores[top])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_v, "approx_cosine": out_s}
+            )
+
+    candidates = df.select(id_col, vec_col).mapInPandas(
+        scan,
+        schema=f"{query_id_col} {q_type}, {id_col} {id_type}, approx_cosine double",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_cosine", "rank")
+    )
+
+
 def hard_negatives_topk(
     df: DataFrame,
     k: int = 5,

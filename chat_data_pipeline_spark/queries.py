@@ -1791,6 +1791,163 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# --- PQ oracle twins: md5 ±1 codebooks make encode + ADC SQL-expressible ---
+#
+# Every sub-inner-product against a ±1 codeword is an exact ordered ±sum of
+# vector elements, generated below as an explicit "0.0 + v[i] - v[j] ..."
+# chain (left-associative, the same IEEE additions the Spark twins'
+# columnwise folds perform).  Codebooks come from the SAME
+# pq_md5_sign_codebooks call the Spark twins use, so the literal signs in
+# this SQL and the closure-shipped numpy arrays cannot drift apart.
+
+
+def _pm_chain(vexpr: str, signs: list[float], offset: int) -> str:
+    """``0.0 ± vexpr[i] ...`` exact-fold chain for one ±1 codeword dot."""
+    parts = ["0.0"]
+    for t, s in enumerate(signs):
+        parts.append(("+" if s > 0 else "-") + f" {vexpr}[{offset + t + 1}]")
+    return " ".join(parts)
+
+
+def _pm_dot_lists(vexpr: str, books: list) -> list[str]:
+    """Per-subspace ``[dot_c0, ..., dot_ck]`` SQL list literals."""
+    m = len(books)
+    dsub = len(books[0][0])
+    return [
+        "["
+        + ", ".join(_pm_chain(vexpr, books[j][c], j * dsub) for c in range(len(books[j])))
+        + "]"
+        for j in range(m)
+    ]
+
+
+_NORMALIZE_SQL = (
+    "list_transform(v, x -> x / GREATEST(sqrt(list_reduce("
+    "list_transform(v, y -> y*y), (a,b) -> a+b)), 1e-12))"
+)
+
+_PQ_BOOKS = SIM.pq_md5_sign_codebooks(8, 16, 8, "pq")
+_PQ_D = _pm_dot_lists("v", _PQ_BOOKS)
+_PQ_MD5_ORACLE = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nv AS (SELECT vec_id, {_NORMALIZE_SQL} AS v FROM e),
+    dots AS (SELECT vec_id, {", ".join(f"{_PQ_D[j]} AS d{j}" for j in range(8))} FROM nv),
+    codes AS (SELECT vec_id,
+      [{", ".join(f"list_position(d{j}, list_max(d{j})) - 1" for j in range(8))}] AS code
+      FROM dots),
+    q AS (SELECT vec_id AS query_id,
+          {", ".join(f"{_PQ_D[j]} AS l{j}" for j in range(8))}
+          FROM nv WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(0.0 {" ".join(f"+ q.l{j}[c.code[{j + 1}] + 1]" for j in range(8))}, 6)
+               AS approx_cosine
+      FROM codes c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, approx_cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY approx_cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, approx_cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@_register(
+    "ann_topk_pq_md5",
+    _PQ_MD5_ORACLE,
+    "PQ ADC top-10 ORACLE TWIN (the srp_md5 trick for product quantization): "
+    "fixed md5 ±1 codebooks make normalize -> argmax-encode -> LUT-sum -> "
+    "rank pure exact-fold arithmetic in both engines, giving the PQ scan "
+    "semantics a full cross-engine value hash; the k-means-trained "
+    "production path (ann_topk_pq) keeps its recall pytest",
+)
+def ann_topk_pq_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SIM.pq_topk_md5(emb, queries, k=10, m=8, n_codewords=16, dim=64)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_IVFPQ_COARSE = SIM.pq_md5_sign_codebooks(1, 16, 64, "ivfpq_coarse")[0]
+_IVFPQ_BOOKS = SIM.pq_md5_sign_codebooks(8, 16, 8, "ivfpq_book")
+_IVFPQ_CD = (
+    "[" + ", ".join(_pm_chain("v", _IVFPQ_COARSE[c], 0) for c in range(16)) + "]"
+)
+_IVFPQ_CB_CASE = (
+    "CASE list "
+    + " ".join(
+        f"WHEN {c} THEN CAST([{', '.join(str(x) for x in _IVFPQ_COARSE[c])}] AS DOUBLE[])"
+        for c in range(16)
+    )
+    + " END"
+)
+_IVFPQ_RD = _pm_dot_lists("r", _IVFPQ_BOOKS)
+_IVFPQ_QD = _pm_dot_lists("v", _IVFPQ_BOOKS)
+_IVFPQ_MD5_ORACLE = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nv AS (SELECT vec_id, {_NORMALIZE_SQL} AS v FROM e),
+    cdots AS (SELECT vec_id, v, {_IVFPQ_CD} AS cd FROM nv),
+    assigned AS (SELECT vec_id, v, list_position(cd, list_max(cd)) - 1 AS list
+                 FROM cdots),
+    withcb AS (SELECT vec_id, v, list, {_IVFPQ_CB_CASE} AS cb FROM assigned),
+    resid AS (SELECT vec_id, list,
+              list_transform(range(1, 65), i -> v[i] - cb[i]) AS r FROM withcb),
+    rdots AS (SELECT vec_id, list,
+              {", ".join(f"{_IVFPQ_RD[j]} AS d{j}" for j in range(8))} FROM resid),
+    codes AS (SELECT vec_id, list,
+      [{", ".join(f"list_position(d{j}, list_max(d{j})) - 1" for j in range(8))}] AS code
+      FROM rdots),
+    qd AS (SELECT vec_id AS query_id, cd,
+           {", ".join(f"{_IVFPQ_QD[j]} AS l{j}" for j in range(8))}
+           FROM cdots WHERE vec_id < 8),
+    probes AS (
+      SELECT query_id, idx - 1 AS list, cd[idx] AS base,
+             {", ".join(f"l{j}" for j in range(8))},
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cd[idx] DESC, idx ASC) AS pr
+      FROM qd CROSS JOIN (SELECT unnest(range(1, 17)) AS idx) t
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             round(p.base {" ".join(f"+ p.l{j}[c.code[{j + 1}] + 1]" for j in range(8))}, 6)
+               AS approx_cosine
+      FROM codes c JOIN (SELECT * FROM probes WHERE pr <= 4) p ON p.list = c.list
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, approx_cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY approx_cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, approx_cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@_register(
+    "ann_topk_ivfpq_md5",
+    _IVFPQ_MD5_ORACLE,
+    "IVF-PQ top-10 ORACLE TWIN: md5 ±1 coarse centroids AND residual "
+    "codebooks — coarse argmax assignment, exact ±1 residual subtraction, "
+    "residual PQ codes, probe pruning (top-4 lists per query) and the "
+    "base+LUT score all replay in DuckDB bit-for-bit; hard evidence for "
+    "the probe-pruning x compression semantics of the trained "
+    "ann_topk_ivfpq path",
+)
+def ann_topk_ivfpq_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SIM.ivf_pq_topk_md5(emb, queries, k=10, n_centroids=16, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================
@@ -4440,6 +4597,20 @@ _WINDOW_TAIL = [
     # this round); the sampling family keeps stratified/temperature/weighted
     # rows in-window):
     "sample_proportional_mix",
+    # (round-7 rotation — admits the NEW oracle-backed ann_topk_pq_md5 +
+    # ann_topk_ivfpq_md5 (literal md5 ±1 codebooks make PQ encode + ADC and
+    # the IVF-PQ probe/residual pipeline fully DuckDB-expressible — the r6
+    # verdict's top-next item, killing 2 of the 3 no_oracle window rows).
+    # Rotated out: lang_id_counts (hash-green in ALL SIX driver rounds) and
+    # q22_idle_rich_customers (hash-green r3 AND r4 AND r5 AND r6); both
+    # defs byte-unchanged this round.  Family coverage stays in-window:
+    # lang-ID executes inside sample_stratified_lang + sample_temperature_
+    # lang's strata and the datacard's lang counts, and anti-join/TPC-H
+    # coverage keeps q13 + the dedup anti-joins.  This restores
+    # corpus_diff_v2 + corpus_datacard (r6-new, one green round each) to
+    # the window the twins would otherwise push them out of):
+    "lang_id_counts",
+    "q22_idle_rich_customers",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:

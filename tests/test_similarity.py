@@ -345,6 +345,64 @@ def test_ivfpq_deterministic_and_partition_invariant(emb, queries):
 
 
 # ---------------------------------------------------------------------------
+# PQ oracle twins (round 7): md5 ±1 codebooks — cross-engine value-hash
+# parity itself is asserted by the registry sweep in test_oracle_parity.py;
+# these lock the twin-local contracts.
+# ---------------------------------------------------------------------------
+
+
+def test_pq_md5_recall_and_rank_contract(emb, queries, exact_topk):
+    rows = SIM.pq_topk_md5(emb, queries, k=10).collect()
+    # ±1 codebooks are a crude quantizer; the twin exists for cross-engine
+    # exactness, but it must still behave like a PQ (better than random:
+    # 10 random picks of 500 would land ~0.02 recall)
+    assert _recall(rows, exact_topk) >= 0.2
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+@pytest.mark.parametrize("fn", ["pq_topk_md5", "ivf_pq_topk_md5"])
+def test_pq_md5_partition_invariant(emb, queries, fn):
+    a = sorted(map(tuple, getattr(SIM, fn)(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, getattr(SIM, fn)(emb.repartition(7), queries, k=5).collect()))
+    assert a == b
+
+
+@pytest.mark.parametrize("fn", ["pq_topk_md5", "ivf_pq_topk_md5"])
+def test_pq_md5_dim_mismatch_fails_loudly(spark, queries, fn):
+    """A corpus whose vectors disagree with the configured dim must raise in
+    the scan, not silently encode garbage (the srp_md5 ADVICE applied)."""
+    bad = spark.createDataFrame(
+        [(1, [1.0] * 32), (2, [0.5] * 32)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        getattr(SIM, fn)(bad, queries, k=5).collect()
+
+
+def test_ivf_pq_md5_probe_pruning_is_real(emb, queries):
+    """Raising n_probe must never shrink any query's candidate pool — with
+    all 16 lists probed the twin scores the full corpus (scan fraction 1)."""
+    lo = SIM.ivf_pq_topk_md5(emb, queries, k=10, n_probe=4).collect()
+    hi = SIM.ivf_pq_topk_md5(emb, queries, k=10, n_probe=16).collect()
+    lo_scores = sorted(r.approx_cosine for r in lo)
+    hi_scores = sorted(r.approx_cosine for r in hi)
+    assert len(hi) >= len(lo)
+    # the full-probe run dominates: its worst kept score per query is >= the
+    # pruned run's (a superset candidate pool can only improve the top-k)
+    def worst(rows):
+        per_q: dict[int, float] = {}
+        for r in rows:
+            per_q[r.query_id] = min(per_q.get(r.query_id, 1e9), r.approx_cosine)
+        return per_q
+
+    wl, wh = worst(lo), worst(hi)
+    assert all(wh[q] >= wl[q] for q in wl)
+
+
+# ---------------------------------------------------------------------------
 # Probe-side broadcast guards (round 6)
 # ---------------------------------------------------------------------------
 
