@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     # round-7 additions
     "ann_topk_pq_md5",
     "ann_topk_ivfpq_md5",
+    "bpe_encode_corpus",
 ]
 
 

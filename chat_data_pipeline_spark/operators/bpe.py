@@ -177,6 +177,71 @@ def bpe_segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def bpe_encode_fold(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    column: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id_col, bpe_text, n_bpe_tokens)`` — encode the corpus by applying
+    ``merges`` IN RANK ORDER as chained greedy left-to-right array folds
+    (:func:`_apply_merge`), the Sennrich apply-in-learned-order encode.
+
+    This is the ORACLE-TWIN encode path: every fold is a pure Column
+    ``aggregate`` a DuckDB ``list_reduce`` chain replays symbol-for-symbol,
+    so with a FIXED merge table the full corpus encoding value-hashes
+    cross-engine (the trainer's iterative argmax has no such twin — this
+    closes the BPE family's driver-evidence gap).  ``bpe_encode_tokens``
+    remains the production encoder (lowest-rank-first loop in an Arrow
+    batch, equivalent output for merge tables learned by
+    :func:`learn_bpe_merges` on its training corpus).
+
+    Scale shape: the fold chain runs once per DISTINCT word (the
+    Zipf-bounded vocab, exactly the trainer's state), not per occurrence;
+    occurrences re-join the encoded vocab (AQE broadcasts it while it fits)
+    and per-doc reassembly is one groupBy ordered by word position.
+    """
+    words_pos = df.select(
+        id_col, F.posexplode(T.words(F.col(column))).alias("__pos__", "word")
+    )
+    syms: Column = _initial_symbols(F.col("word"))
+    for left, right in merges:
+        syms = _apply_merge(syms, left, right)
+    encoded = (
+        words_pos.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.concat_ws(" ", syms).alias("__enc__"),
+            F.size(syms).alias("__n__"),
+        )
+    )
+    per_doc = (
+        words_pos.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos__", "__enc__"))),
+                    lambda x: x["__enc__"],
+                ),
+            ).alias("bpe_text"),
+            F.sum("__n__").alias("n_bpe_tokens"),
+        )
+    )
+    # word-free docs never reach the aggregation; they carry ('', 0)
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("bpe_text", F.lit("")).alias("bpe_text"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def bpe_encode_tokens(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -4048,6 +4048,67 @@ def bpe_merges_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_merge_table(docs, "text", num_merges=20)
 
 
+# Fixed merge table for the oracle-twin encode: the deterministic output of
+# learn_bpe_merges(sf0.001 documents, num_merges=16, min_frequency=2),
+# inlined as a literal artifact exactly like the md5 codebooks — a FIXED
+# table is what makes the encode replayable in SQL (a corpus-learned one
+# couldn't appear in a static oracle string).  The trainer itself keeps its
+# rows-only registry row + the differential pytest vs the pure-Python
+# Sennrich reference.
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"),
+    ("t", "</w>"), ("er", "</w>"), ("o", "w"), ("ow", "</w>"),
+    ("l", "u"), ("i", "n"), ("y", "</w>"), ("a", "r"),
+    ("p", "ar"), ("g", "</w>"), ("a", "s"), ("h", "</w>"),
+]
+
+
+def _bpe_fold_sql(merges: list[tuple[str, str]]) -> str:
+    """The per-word encode as a chained ``list_reduce`` fold — each level
+    replays one greedy left-to-right merge pass, symbol-for-symbol the
+    arithmetic of operators/bpe._apply_merge."""
+    expr = "list_append(list_transform(range(1, len(w)+1), i -> w[i]), '</w>')"
+    for left, right in merges:
+        expr = (
+            f"list_reduce(list_transform({expr}, s -> [s]), "
+            f"(acc, s) -> CASE WHEN acc[-1] = '{left}' AND s[1] = '{right}' "
+            f"THEN list_concat(acc[:len(acc)-1], ['{left + right}']) "
+            f"ELSE list_concat(acc, s) END)"
+        )
+    return expr
+
+
+@_register(
+    "bpe_encode_corpus",
+    f"""
+    WITH sel AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[\\p{{L}}\\p{{N}}_]+') AS ws
+      FROM documents
+    ), enc AS (
+      SELECT doc_id,
+             flatten(list_transform(ws, w -> {_bpe_fold_sql(_BPE_FIXED_MERGES)})) AS toks
+      FROM sel
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(toks, ' '), '') AS bpe_text,
+           CAST(len(toks) AS BIGINT) AS n_bpe_tokens
+    FROM enc
+    """,
+    "BPE ENCODE oracle twin: applying the fixed 16-merge table in rank "
+    "order is 16 chained greedy left-to-right folds, replayed in DuckDB as "
+    "nested list_reduce — the full corpus encoding (bpe_text + token "
+    "count) value-hashes cross-engine, giving the BPE family hard driver "
+    "evidence beyond the trainer's rows-only row; Spark side encodes the "
+    "distinct-word vocab once (Zipf-bounded) and re-joins occurrences",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import bpe as B
+
+    docs = _read(spark, sf_dir, "documents")
+    return B.bpe_encode_fold(docs, _BPE_FIXED_MERGES)
+
+
 @_register(
     "dedup_soft_weights",
     r"""
@@ -4611,6 +4672,14 @@ _WINDOW_TAIL = [
     # the window the twins would otherwise push them out of):
     "lang_id_counts",
     "q22_idle_rich_customers",
+    # (round-7 second batch — admits the NEW oracle-backed bpe_encode_corpus
+    # (fixed-merge-table fold encode, the r6 verdict's item 2: the trainer
+    # stays rows-only, the ENCODE value-hashes).  Rotated out:
+    # substring_dedup_docs, hash-green r3 AND r4 AND r5 AND r6 and its
+    # module (operators/substring_dedup.py) byte-unchanged this round; the
+    # window-hash dedup family keeps paragraph_dedup + paragraph_dedup_
+    # within + the minhash/simhash rows in-window):
+    "substring_dedup_docs",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:

@@ -130,3 +130,53 @@ def test_partition_and_order_invariance(spark):
         B.learn_bpe_merges(df.orderBy(F.col("doc_id").desc()), "text", num_merges=12)
         == base
     )
+
+
+def _ref_encode_in_order(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply merges in rank order, each as one greedy left-to-right pass —
+    the Sennrich apply-learned-order encode the fold path implements."""
+    out: list[str] = []
+    for w in re.findall(r"\w+", (text or "").lower()):
+        syms = list(w) + [B.END_OF_WORD]
+        for a, b in merges:
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        out.extend(syms)
+    return out
+
+
+def test_encode_fold_matches_reference(spark):
+    """The oracle-twin fold encoder vs the pure-Python apply-in-order
+    reference — per doc, text and count."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)] + [(99, "")],
+        "doc_id long, text string",
+    )
+    merges = _ref_learn(CORPUS, 12)
+    got = {
+        r["doc_id"]: (r["bpe_text"], r["n_bpe_tokens"])
+        for r in B.bpe_encode_fold(df, merges, "text", "doc_id").collect()
+    }
+    for i, text in enumerate(CORPUS):
+        want = _ref_encode_in_order(text, merges)
+        assert got[i] == (" ".join(want), len(want)), f"doc {i}"
+    # word-free docs carry ('', 0), and every input doc gets a row
+    assert got[99] == ("", 0)
+    assert len(got) == len(CORPUS) + 1
+
+
+def test_encode_fold_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = _ref_learn(CORPUS, 8)
+    a = sorted(map(tuple, B.bpe_encode_fold(df, merges).collect()))
+    b = sorted(map(tuple, B.bpe_encode_fold(df.repartition(5), merges).collect()))
+    assert a == b
