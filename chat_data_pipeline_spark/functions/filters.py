@@ -100,6 +100,10 @@ def _nsfw_ratio_batch(batch: pd.Series) -> pd.Series:
     phrases = NSFW_PHRASES
 
     def ratio(doc: str | None) -> float:
+        # bug-compat sentinel: the reference's row-wise apply stringifies a
+        # missing doc to the literal "none" (word count 1, ratio 0) rather
+        # than the ""/coalesce the sibling filters use; the DuckDB oracle
+        # encodes the same choice, so changing it would break value parity
         doc = str(doc).lower() if doc is not None else "none"
         num_words = len(_WORD_RE.findall(doc))
         if num_words == 0:

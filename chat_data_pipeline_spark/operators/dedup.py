@@ -609,6 +609,11 @@ def exact_dedup_soft_weights(
     Single window shuffle on the content key, AQE-skew-safe; adds columns
     ``dup_count`` (int) and ``weight`` (double, 6 dp) without dropping or
     reordering rows.
+
+    ``id_col`` exists only for API symmetry with the other dedup operators
+    (every family member takes ``(df, columns, id_col)``); soft weighting
+    keeps all rows, so no per-id survivor choice is ever made and the
+    column is not read.
     """
     if isinstance(columns, str):
         columns = [columns]

@@ -993,6 +993,15 @@ def embedding_neardup_pairs_srp_md5(
         out = []
         if len(mat):
             d = mat.shape[1]
+            # fail loudly on a corpus dim change: the sign planes (and the
+            # DuckDB oracle's range(1, dim+1) twin) are built for ``dim`` —
+            # a wider vector would IndexError below, but a NARROWER one
+            # would silently fold NULL-truncated dots and corrupt buckets
+            if d != dim:
+                raise ValueError(
+                    f"embedding dim {d} != configured dim {dim}; regenerate "
+                    "the md5 plane family (and oracle) for the new width"
+                )
             tbl = np.zeros((len(mat), n_tables), dtype=np.int64)
             for t in range(n_tables):
                 for p in range(n_planes):

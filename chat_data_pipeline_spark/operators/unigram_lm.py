@@ -136,7 +136,17 @@ def train_unigram_lm(
     max_seed_words: int = 250_000,
 ) -> dict[str, float]:
     """Learn a unigram subword vocabulary from the corpus; returns
-    ``{piece: logprob}`` of final size ≈ ``vocab_size``.
+    ``{piece: logprob}``.
+
+    The final size is an UPPER-BOUNDED approximation of ``vocab_size``,
+    not an exact target: each EM round prunes at most the ``shrink``
+    fraction of multi-char pieces (plus zero-Viterbi-count drops), so with
+    few ``em_iters`` the vocab can settle above ``vocab_size`` — from a
+    seed of S multi-char pieces, the floor after N rounds is
+    ``max(vocab_size, S·(1-shrink)^N)`` before count-zero pruning.  Raise
+    ``em_iters`` (or ``shrink``) when the exact budget matters; the
+    SentencePiece trainer makes the same trade (prune fraction per round,
+    final size approximate until the last rounds).
 
     The word table stays distributed; the seed statistics come from the
     ``max_seed_words`` most frequent words (deterministic order: count

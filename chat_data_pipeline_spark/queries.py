@@ -4156,7 +4156,10 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cc_net-style quality bucketing (Wenzek et al. 2020): per-language "
     "head/middle/tail terciles by LM perplexity — using the corpus-trained "
     "bigram LM instead of a pretrained KenLM; NTILE over the deterministic "
-    "(ppl, doc_id) order, one window shuffle on top of the LM pipeline",
+    "(ppl, doc_id) order, one window shuffle on top of the LM pipeline.  "
+    "Docs with fewer than 2 tokens have no bigrams, hence no perplexity — "
+    "they are EXCLUDED from the output (no bucket row), mirroring cc_net's "
+    "unscorable-page behavior",
 )
 def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
