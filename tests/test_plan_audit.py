@@ -90,3 +90,80 @@ def test_minhash_fingerprints_single_python_stage(docs):
     bands = D.minhash_bands(docs.limit(50), "text", id_col="doc_id")
     r = plan_report(bands)
     assert r.n_python_stages == 1
+
+
+def test_dsir_weights_is_pure_projection_over_features(docs):
+    """DSIR weights: the LLR table is a driver-collected literal, so the
+    weight/key computation must be a zero-shuffle, zero-Python projection
+    over the (checkpointed) feature pass."""
+    from chat_data_pipeline_spark.operators import selection as SEL
+
+    out = SEL.dsir_weights(docs, F.col("lang") == "en")
+    r = plan_report(out)
+    assert r.n_exchanges == 0 and r.n_python_stages == 0
+
+
+def test_corpus_diff_is_one_hash_join(docs):
+    """Snapshot diff: two pruned scans into one full-outer join on the
+    content hash — at most 2 exchanges (both join sides), never Python."""
+    from chat_data_pipeline_spark.operators import versioning as V
+
+    new = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    r = plan_report(V.corpus_diff(docs, new))
+    assert r.n_exchanges <= 2 and r.n_python_stages == 0
+    assert r.scans_are_pruned
+    assert all(s == "struct<doc_id:bigint,text:string>" for s in r.read_schemas)
+
+
+def test_hard_negatives_exact_is_single_arrow_pass(spark):
+    """Exact hard-negative mining: the corpus broadcasts in the closure, so
+    the plan is ONE Arrow boundary over one pruned scan — the only
+    exchange allowed is the compute repartition ahead of the UDF (no
+    shuffle of scores, no window)."""
+    from chat_data_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    r = plan_report(SIM.hard_negatives_topk(emb, k=5))
+    assert r.n_python_stages == 1 and r.n_exchanges <= 1
+    assert r.scans_are_pruned
+
+
+def test_ccnet_buckets_plan_budget(docs):
+    """cc_net terciles ride the bigram-LM pipeline: everything stays
+    JVM-side (zero Python) and the shuffle budget is bounded — LM training
+    aggs + the scoring join + ONE ntile window sort."""
+    from chat_data_pipeline_spark.operators import language_model as LMOD
+    from pyspark.sql import Window
+
+    scores = LMOD.bigram_lm_scores(docs, "text", "doc_id", k=0.5)
+    scored = scores.filter(F.col("n_bigrams") > 0).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    nt = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(F.col("ppl").asc(), F.col("doc_id"))
+    )
+    out = scored.select("doc_id", "lang", "ppl", nt.alias("nt"))
+    r = plan_report(out)
+    assert r.n_python_stages == 0
+    assert r.n_exchanges <= 7 and r.n_sorts <= 1
+
+
+def test_pq_md5_twin_is_single_fused_arrow_pass(spark):
+    """The PQ oracle twin: normalize+encode+LUT-score+local-topk fuse into
+    ONE Arrow boundary over one pruned scan; the only exchange is the
+    global rank window over the per-partition candidates."""
+    from chat_data_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    r = plan_report(SIM.pq_topk_md5(emb, queries, k=10))
+    assert r.n_python_stages == 1 and r.n_exchanges == 1
+    assert r.scans_are_pruned
+    assert r.read_schemas == ["struct<vec_id:bigint,embedding:array<float>>"]
