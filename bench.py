@@ -106,6 +106,125 @@ BENCH_QUERIES = [
 ]
 
 
+# Scale-probe subset: the operators whose 100 TB posture rests on
+# banded/bounded designs — measured at 1x and 10x to confirm near-linear
+# wall-clock (see README "Empirical scaling probe").
+SCALE_PROBE_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash_md5",
+    "embedding_neardup_lsh",
+    "dsir_select_en",
+    "docs_bigram_lm",
+    "bpe_encode_corpus",
+    "filter_gopher_quality",
+]
+
+
+def _build_scale_corpus(spark, src_dir: str, out_dir: str, factor: int) -> None:
+    """Replicate documents/embeddings ``factor``x with fresh ids and a
+    per-replica token/element transform that PRESERVES the within-replica
+    duplicate profile while sharing no shingles/bigrams/buckets across
+    replicas — so a 10x corpus has 10x the docs, 10x the vocab, and 10x
+    the near-dup clusters (the honest scale-up, not a 90%-redundant blob):
+
+    - documents: every word in replica i>0 is prefixed ``r{i}`` (token
+      stats, lengths, and internal near-dup structure identical per
+      replica; zero cross-replica shingle overlap);
+    - embeddings: replica i circularly shifts the vector by i positions
+      (norms and pairwise-within-replica cosines preserved; cross-replica
+      cosines decorrelate).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    n_docs = docs.count()
+    parts = []
+    for i in range(factor):
+        rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+        if i:
+            rep = rep.withColumn(
+                "text", F.regexp_replace("text", r"(\w+)", f"r{i}$1")
+            )
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    n_vec = emb.count()
+    dim = len(emb.select("embedding").head()[0])
+    parts = []
+    for i in range(factor):
+        rep = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_vec))
+        if i:
+            shift = i % dim
+            rep = rep.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", shift + 1, dim - shift),
+                    F.slice("embedding", 1, shift),
+                ),
+            )
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def scale_probe(factor: int = 10) -> None:
+    """Time the scale-critical operators at 1x ($SPARK_GRAFT_SF_DIR) and at
+    ``factor``x (replicated corpus in a temp dir); print one JSON line with
+    per-query t1/tN, the ratio, and the scaling exponent
+    log(tN/t1)/log(factor) — 1.0 = perfectly linear, <1 = sublinear
+    (fixed job overhead amortizing), >1 = superlinear (a scale smell)."""
+    import gc
+    import math
+
+    from chat_data_pipeline_spark import get_spark
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    spark = get_spark(
+        app_name="cdp-scale-probe",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64")),
+    )
+    big_dir = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/cdp-scale-probe")
+    _build_scale_corpus(spark, SF_DIR, big_dir, factor)
+
+    results: dict[str, dict[str, float]] = {}
+    for name in SCALE_PROBE_QUERIES:
+        q = REGISTRY[name]
+        t = {}
+        for label, d in (("t1", SF_DIR), (f"t{factor}", big_dir)):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                q.fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+                gc.collect()
+            t[label] = round(best, 3)
+        ratio = t[f"t{factor}"] / t["t1"] if t["t1"] else float("nan")
+        results[name] = {
+            **t,
+            "ratio": round(ratio, 2),
+            "exponent": round(math.log(ratio) / math.log(factor), 3),
+        }
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+    print(
+        json.dumps(
+            {"metric": "scale_probe", "factor": factor, "sf": SF_DIR, "queries": results}
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     from chat_data_pipeline_spark import get_spark
     from chat_data_pipeline_spark.queries import REGISTRY
@@ -196,4 +315,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--scale-probe" in sys.argv:
+        scale_probe()
+    else:
+        main()
