@@ -3955,20 +3955,35 @@ def docs_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact integer micro-nat sums on both engines, so the per-doc "
     "log_weight AND the selected set are value-hashed.  Scale shape: one "
     "m-bounded count agg -> collected LLR literal -> narrow per-doc fold "
-    "(zero shuffle) -> TakeOrdered; the window here is query-output "
-    "convenience only, dsir_select is the scale path",
+    "(zero shuffle) -> TakeOrdered boundary + broadcast threshold compare "
+    "(NO global window: an unpartitioned rank() sorts the whole corpus on "
+    "one task — the boundary row is all the sort ever needed)",
 )
 def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     w = SEL.dsir_weights(docs, F.col("lang") == "en")
-    win = Window.orderBy(F.col("key_micros").desc(), F.col("doc_id"))
+    # top-100 membership via the 100th boundary row: orderBy().limit() is
+    # distributed TakeOrdered (per-partition top-100, driver merge), and
+    # (key_micros desc, doc_id asc) is a STRICT total order (ids unique),
+    # so "selected" = ordered-before-or-equal-to-the-boundary — identical
+    # to the oracle's rank() <= 100 without single-partitioning the corpus
+    top = (
+        w.select("key_micros", "doc_id")
+        .orderBy(F.col("key_micros").desc(), F.col("doc_id"))
+        .limit(100)
+        .collect()
+    )
+    if top:
+        k_thr, id_thr = top[-1]["key_micros"], top[-1]["doc_id"]
+        sel = (F.col("key_micros") > F.lit(k_thr)) | (
+            (F.col("key_micros") == F.lit(k_thr)) & (F.col("doc_id") <= F.lit(id_thr))
+        )
+    else:
+        sel = F.lit(False)
     return w.select(
         "doc_id",
         (F.col("log_weight_micros").cast("double") / F.lit(1e6)).alias("log_weight"),
-        F.when(F.rank().over(win) <= 100, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("selected"),
+        F.when(sel, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("selected"),
     )
 
 
