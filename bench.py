@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "ann_topk_pq_md5",
     "ann_topk_ivfpq_md5",
     "bpe_encode_corpus",
+    "unigram_encode_corpus",
 ]
 
 

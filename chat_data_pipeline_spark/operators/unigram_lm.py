@@ -243,3 +243,112 @@ def unigram_encode_tokens(
     return df.select(id_col, enc(F.col(column)).alias("pieces")).withColumn(
         "n_pieces", F.size("pieces")
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-micro-nat Viterbi encode — the ORACLE-TWIN encode path
+# ---------------------------------------------------------------------------
+
+UNKNOWN_MICRO = -100_000_000  # the -100.0-nat unknown-single-char fallback
+
+
+def viterbi_segment_micro(word: str, vocab_micro: dict[str, int]) -> list[str]:
+    """:func:`viterbi_segment` with INTEGER micro-nat piece scores — the
+    same DP (left-to-right, candidates ``word[j:i]`` for
+    ``i-MAX_PIECE_LEN <= j < i``, ties to the longest last piece via strict
+    ``>`` over ascending j, unknown single chars at ``UNKNOWN_MICRO``), but
+    every score is an exact integer sum, so any engine replays it
+    bit-for-bit — what buys the DuckDB oracle for the encode
+    (float log-probs would make tie boundaries engine-dependent)."""
+    n = len(word)
+    best: list[int | None] = [0] + [None] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - MAX_PIECE_LEN), i):
+            piece = word[j:i]
+            lp = vocab_micro.get(piece)
+            if lp is None:
+                if i - j == 1:
+                    lp = UNKNOWN_MICRO
+                else:
+                    continue
+            score = best[j] + lp  # type: ignore[operator]
+            if best[i] is None or score > best[i]:
+                best[i] = score
+                back[i] = j
+    out: list[str] = []
+    i = n
+    while i > 0:
+        out.append(word[back[i] : i])
+        i = back[i]
+    return out[::-1]
+
+
+def unigram_encode_micro(
+    df: DataFrame,
+    vocab_micro: dict[str, int],
+    column: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id_col, unigram_text, n_pieces)`` — Viterbi-encode the corpus
+    under a FIXED integer-micro-nat vocabulary (the oracle-twin encode,
+    closing the unigram family's driver-evidence gap the way
+    ``bpe_encode_fold`` closed BPE's; the float-model production encoder is
+    :func:`unigram_encode_tokens`).
+
+    Scale shape (shared with the BPE fold encoder): the DP runs once per
+    DISTINCT word (Zipf-bounded vocab table, model in the closure),
+    occurrences re-join the encoded table (AQE broadcasts it while it
+    fits), per-doc reassembly is one groupBy ordered by word position.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from chat_data_pipeline_spark.functions import text as T
+
+    model = dict(vocab_micro)
+
+    def seg_batch(words):
+        return words.map(
+            lambda w: " ".join(viterbi_segment_micro(w, model)) if w else ""
+        )
+
+    def cnt_batch(words):
+        return words.map(
+            lambda w: len(viterbi_segment_micro(w, model)) if w else 0
+        )
+
+    seg = pandas_udf(seg_batch, "string")
+    words_pos = df.select(
+        id_col, F.posexplode(T.words(F.col(column))).alias("__pos__", "word")
+    )
+    encoded = (
+        words_pos.select("word")
+        .distinct()
+        .select("word", seg(F.col("word")).alias("__enc__"))
+        .withColumn(
+            "__n__", F.size(F.split("__enc__", " "))
+        )
+    )
+    per_doc = (
+        words_pos.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos__", "__enc__"))),
+                    lambda x: x["__enc__"],
+                ),
+            ).alias("unigram_text"),
+            F.sum("__n__").alias("n_pieces"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("unigram_text", F.lit("")).alias("unigram_text"),
+            F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces"),
+        )
+    )

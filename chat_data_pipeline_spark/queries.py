@@ -4384,6 +4384,146 @@ def unigram_vocab_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed integer-micro-nat vocabulary for the unigram ENCODE oracle twin:
+# seed_vocab(top-1000 words of sf0.001, 160) capped to the 96 highest-prob
+# pieces, log-probs in exact integer micro-nats — a literal artifact like
+# _BPE_FIXED_MERGES / the md5 codebooks, because only a FIXED model can
+# appear in a static oracle string, and only INTEGER scores make the DP's
+# tie boundaries engine-independent.  The trainer keeps its rows-only row
+# + the Viterbi-EM differential pytest.
+_UNIGRAM_VOCAB_MICRO: list[tuple[str, int]] = [
+    ("a", -3070010), ("ag", -5679169), ("agg", -5679169), ("al", -5016925),
+    ("alu", -5682322), ("alue", -5682322), ("an", -5647158), ("ar", -5003488),
+    ("art", -5668731), ("as", -5023440), ("at", -5039915), ("b", -4636667),
+    ("c", -4085170), ("ca", -5647158), ("can", -5647158), ("co", -5653275),
+    ("col", -5653275), ("colu", -5653275), ("colum", -5653275), ("column", -5653275),
+    ("d", -4574629), ("de", -5656347), ("der", -5656347), ("do", -5655322),
+    ("dow", -5655322), ("e", -3138733), ("er", -4094162), ("f", -5026713),
+    ("g", -4090941), ("gg", -5679169), ("h", -4331928), ("i", -4090941),
+    ("in", -4580907), ("ind", -5655322), ("indo", -5655322), ("indow", -5655322),
+    ("k", -5013144), ("l", -3628064), ("lu", -4974546), ("lue", -5682322),
+    ("lum", -5653275), ("lumn", -5653275), ("m", -4100851), ("me", -5029997),
+    ("mer", -5029997), ("mn", -5653275), ("n", -4058255), ("nd", -5655322),
+    ("ndo", -5655322), ("ndow", -5655322), ("o", -3392449), ("ol", -5653275),
+    ("olu", -5653275), ("olum", -5653275), ("olumn", -5653275), ("or", -4573239),
+    ("ord", -5656347), ("orde", -5656347), ("order", -5656347), ("ort", -5657373),
+    ("ow", -4614712), ("p", -4588634), ("pa", -5003488), ("par", -5003488),
+    ("part", -5668731), ("r", -3136007), ("rd", -5656347), ("rde", -5656347),
+    ("rder", -5656347), ("ro", -5043242), ("rt", -4969889), ("s", -3511045),
+    ("sc", -5647158), ("sca", -5647158), ("scan", -5647158), ("so", -5657373),
+    ("sor", -5657373), ("sort", -5657373), ("st", -4630030), ("t", -3316021),
+    ("ta", -5043798), ("to", -5032192), ("u", -4080492), ("ue", -4997632),
+    ("um", -5653275), ("umn", -5653275), ("up", -5668731), ("v", -4999225),
+    ("va", -5682322), ("w", -4312211), ("wi", -5655322), ("win", -5655322),
+    ("wind", -5655322), ("windo", -5655322), ("window", -5655322), ("y", -5000289),
+]
+
+
+def _unigram_oracle_sql(
+    vocab: list[tuple[str, int]], maxp: int = 8, unk: int = -100_000_000
+) -> str:
+    """The corpus Viterbi encode as a FULLY SCALAR recursive-CTE DP,
+    replaying operators/unigram_lm.viterbi_segment_micro exactly:
+    candidates ``word[j:i]`` for ``i-maxp <= j < i``, ties to the longest
+    last piece (the CASE scans d=maxp..1, so the largest piece length =
+    smallest j wins equal scores — Python's strict-``>``-over-ascending-j
+    rule), unknown single chars at ``unk`` micro-nats.
+
+    Formulation note (duckdb 1.0.0): MAX_PIECE_LEN bounds the DP
+    dependency window, so the state is FINITE — the last ``maxp`` best
+    scores and best-path texts ride as plain BIGINT/VARCHAR columns
+    (s1..s8 / t1..t8, s8 = best[i]), shifting one slot per recursion step;
+    candidate log-probs arrive via a relational pivot (words x i x j grid
+    + vocab join, lp1..lp8/p1..p8 per position).  No list lambdas anywhere:
+    both the nested-fold and list-carrying recursive formulations hit a
+    1.0.0 vectorizer bug where a column captured in a nested lambda reads
+    another row's value ('customer' got 'spark''s encoding, 'order' grew a
+    'windo' piece).  Words are capped at 64 chars (the candidate grid
+    bound); longer \\w+ tokens do not occur in this corpus."""
+    cands = [f"(d.s{maxp + 1 - d} + c.lp{d})" for d in range(1, maxp + 1)]
+    m_expr = "GREATEST(" + ", ".join(cands) + ")"
+    text_cases = " ".join(
+        f"WHEN {cands[d - 1]} IS NOT NULL AND {cands[d - 1]} = m.m THEN "
+        f"(CASE WHEN d.t{maxp + 1 - d} = '' THEN c.p{d} ELSE d.t{maxp + 1 - d} || ' ' || c.p{d} END)"
+        for d in range(maxp, 0, -1)
+    )
+    lp_pivot = ", ".join(
+        f"MAX(CASE WHEN i - j = {d} THEN lp END) AS lp{d}, "
+        f"MAX(CASE WHEN i - j = {d} THEN piece END) AS p{d}"
+        for d in range(1, maxp + 1)
+    )
+    shift_s = ", ".join(f"d.s{k + 1}" for k in range(1, maxp))
+    shift_t = ", ".join(f"d.t{k + 1}" for k in range(1, maxp))
+    null_s = ", ".join(["CAST(NULL AS BIGINT)"] * (maxp - 1))
+    null_t = ", ".join(["CAST(NULL AS VARCHAR)"] * (maxp - 1))
+    s_cols = ", ".join(f"s{k}" for k in range(1, maxp + 1))
+    t_cols = ", ".join(f"t{k}" for k in range(1, maxp + 1))
+    vocab_values = ", ".join(f"('{p}', CAST({v} AS BIGINT))" for p, v in vocab)
+    return rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[\p{{L}}\p{{N}}_]+') AS ws
+      FROM documents
+    ), docw AS (
+      SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos, unnest(ws) AS w FROM toks
+    ), words AS (
+      SELECT DISTINCT w FROM docw
+    ), vocab AS (
+      SELECT * FROM (VALUES {vocab_values}) v(piece, lp)
+    ), cand AS (
+      SELECT wd.w, i.range AS i, j.range AS j,
+             substr(wd.w, CAST(j.range + 1 AS INT), CAST(i.range - j.range AS INT)) AS piece
+      FROM words wd, range(1, 65) i, range(0, 64) j
+      WHERE i.range <= len(wd.w)
+        AND j.range >= GREATEST(0, i.range - {maxp}) AND j.range < i.range
+    ), candlp AS (
+      SELECT c.w, c.i, c.j, c.piece,
+             COALESCE(v.lp, CASE WHEN c.i - c.j = 1 THEN CAST({unk} AS BIGINT) END) AS lp
+      FROM cand c LEFT JOIN vocab v ON v.piece = c.piece
+    ), candd AS (
+      SELECT w, i, {lp_pivot} FROM candlp WHERE lp IS NOT NULL GROUP BY w, i
+    ),
+    dp(w, i, {s_cols}, {t_cols}) AS (
+      SELECT w, 0, {null_s}, CAST(0 AS BIGINT), {null_t}, ''
+      FROM words
+      UNION ALL
+      SELECT d.w, d.i + 1, {shift_s}, m.m, {shift_t}, CASE {text_cases} END
+      FROM dp d
+      JOIN candd c ON c.w = d.w AND c.i = d.i + 1
+      CROSS JOIN LATERAL (SELECT {m_expr} AS m) m
+      WHERE d.i < len(d.w)
+    ), encn AS (
+      SELECT w, t{maxp} AS e, CAST(len(string_split(t{maxp}, ' ')) AS BIGINT) AS np
+      FROM dp WHERE i = len(w)
+    ), perdoc AS (
+      SELECT d.doc_id, string_agg(en.e, ' ' ORDER BY d.pos) AS unigram_text,
+             SUM(en.np) AS n_pieces
+      FROM docw d JOIN encn en ON en.w = d.w GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id,
+           COALESCE(p.unigram_text, '') AS unigram_text,
+           CAST(COALESCE(p.n_pieces, 0) AS BIGINT) AS n_pieces
+    FROM documents doc LEFT JOIN perdoc p ON p.doc_id = doc.doc_id
+    """
+
+
+@_register(
+    "unigram_encode_corpus",
+    _unigram_oracle_sql(_UNIGRAM_VOCAB_MICRO),
+    "unigram-LM Viterbi ENCODE oracle twin (Kudo 2018 encode under a fixed "
+    "vocab): the per-word DP (bounded piece length 8) and its backtrack "
+    "replay in DuckDB as a recursive CTE over exact integer micro-nat "
+    "scores, so the full corpus segmentation (text + piece count) "
+    "value-hashes cross-engine; Spark side encodes the distinct-word table "
+    "once and re-joins occurrences (the BPE-fold shape)",
+)
+def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import unigram_lm as U
+
+    docs = _read(spark, sf_dir, "documents")
+    return U.unigram_encode_micro(docs, dict(_UNIGRAM_VOCAB_MICRO))
+
+
 @_register(
     "corpus_datacard",
     r"""
@@ -4698,6 +4838,13 @@ _WINDOW_TAIL = [
     # window-hash dedup family keeps paragraph_dedup + paragraph_dedup_
     # within + the minhash/simhash rows in-window):
     "substring_dedup_docs",
+    # (round-7 third batch — admits the NEW oracle-backed
+    # unigram_encode_corpus (fixed integer-micro-nat vocab Viterbi encode;
+    # the trainer stays rows-only with its Viterbi-EM differential pytest).
+    # Rotated out: paragraph_dedup, hash-green r3 AND r4 AND r5 AND r6 and
+    # its module (operators/span_dedup.py) byte-unchanged this round; the
+    # span family keeps paragraph_dedup_within in-window):
+    "paragraph_dedup",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:

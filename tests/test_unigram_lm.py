@@ -83,3 +83,58 @@ def test_vocab_table_shape(spark):
     pieces = [r.piece for r in tbl]
     assert pieces == sorted(pieces)
     assert all(r.logprob < 0 for r in tbl)
+
+
+# ---------------------------------------------------------------------------
+# Integer-micro-nat encode (the oracle-twin path, round 7)
+# ---------------------------------------------------------------------------
+
+_MICRO_VOCAB = {
+    "ing": -1_000_000, "walk": -1_500_000, "w": -3_000_000, "a": -3_000_000,
+    "l": -3_000_000, "k": -3_000_000, "i": -3_000_000, "n": -3_000_000,
+    "g": -3_000_000, "al": -2_000_000, "king": -2_000_000,
+}
+
+
+def test_viterbi_micro_matches_float_semantics():
+    """Same DP rules as the float path: best segmentation, longest-last-
+    piece tie-break, unknown single-char fallback."""
+    assert U.viterbi_segment_micro("walking", _MICRO_VOCAB) == ["walk", "ing"]
+    assert U.viterbi_segment_micro("wzz", _MICRO_VOCAB) == ["w", "z", "z"]
+    assert U.viterbi_segment_micro("", _MICRO_VOCAB) == []
+
+
+def test_viterbi_micro_tie_prefers_longest_last_piece():
+    # "ab": 'ab' (one piece) vs 'a'+'b' — equal total score; the whole-word
+    # (smallest j) candidate must win, exactly the float path's rule
+    vocab = {"a": -1_000_000, "b": -1_000_000, "ab": -2_000_000}
+    assert U.viterbi_segment_micro("ab", vocab) == ["ab"]
+
+
+def test_unigram_encode_micro_matches_local_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)] + [(99, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.unigram_text, r.n_pieces)
+        for r in U.unigram_encode_micro(df, _MICRO_VOCAB).collect()
+    }
+    for i, text in enumerate(CORPUS):
+        pieces: list[str] = []
+        for w in re.findall(r"\w+", text.lower()):
+            pieces.extend(U.viterbi_segment_micro(w, _MICRO_VOCAB))
+        assert got[i] == (" ".join(pieces), len(pieces)), f"doc {i}"
+    assert got[99] == ("", 0)
+    assert len(got) == len(CORPUS) + 1
+
+
+def test_unigram_encode_micro_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, U.unigram_encode_micro(df, _MICRO_VOCAB).collect()))
+    b = sorted(
+        map(tuple, U.unigram_encode_micro(df.repartition(5), _MICRO_VOCAB).collect())
+    )
+    assert a == b
