@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "ann_topk_ivfpq_md5",
     "bpe_encode_corpus",
     "unigram_encode_corpus",
+    "ann_topk_ivf_md5",
 ]
 
 

@@ -1225,6 +1225,95 @@ def pq_topk_md5(
     )
 
 
+def ivf_topk_md5(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """IVF top-k with md5 ±1 coarse centroids and FULL-PRECISION fold-cosine
+    scoring — the ORACLE TWIN of :func:`ivf_topk` (which keeps its k-means
+    quantizer + recall pytest): coarse assignment is argmax of constant-norm
+    inner products (exact ±sums, first-max tie), each query probes its
+    ``n_probe`` closest lists, and candidates score by the module's ordered
+    fold cosine — every stage DuckDB-replayable, so the probe-pruning
+    semantics value-hash without PQ compression in the way.
+
+    Plan shape: one fused Arrow pass (assign + probe-mask + score +
+    per-partition top-k) then the global rank window — the corpus is never
+    shuffled at full width, scan fraction ≈ n_probe/n_centroids."""
+    import pandas as pd
+
+    _guard_query_rows(queries, max_query_rows, "ivf_topk_md5")
+    coarse = np.asarray(pq_md5_sign_codebooks(1, n_centroids, dim, "ivfpq_coarse")[0])
+
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+    qids = qpdf[query_id_col].to_numpy()
+    qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf[query_vec_col]])
+    if len(qmat) and qmat.shape[1] != dim:
+        raise ValueError(f"query dim {qmat.shape[1]} != configured dim {dim}")
+    qn = qmat / _fold_norm_rows(qmat)[:, None] if len(qmat) else qmat
+    qdots = _fold_subspace_dots(qn, coarse, 0) if len(qn) else np.zeros((0, n_centroids))
+    probes = np.stack(
+        [np.lexsort((np.arange(n_centroids), -qdots[i]))[:n_probe] for i in range(len(qn))]
+    ) if len(qn) else np.zeros((0, n_probe), dtype=np.int64)
+    bcast = df.sparkSession.sparkContext.broadcast((qids, probes, qn))
+    q_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(df.dtypes)[id_col]
+    kk = int(k)
+
+    def scan(batches):
+        ids_q, prb, qnorm = bcast.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            vids = batch[id_col].to_numpy()
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            if mat.shape[1] != dim:
+                raise ValueError(f"corpus dim {mat.shape[1]} != configured dim {dim}")
+            normed = mat / _fold_norm_rows(mat)[:, None]
+            lists = np.argmax(_fold_subspace_dots(normed, coarse, 0), axis=1)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(ids_q)):
+                mask = np.isin(lists, prb[qi])
+                if not mask.any():
+                    continue
+                midx = np.nonzero(mask)[0]
+                # ordered fold cosine against the (normalized) query — same
+                # columnwise-fold arithmetic as the SRP twin's verify
+                acc = np.zeros(len(midx))
+                sub = normed[midx]
+                for t in range(dim):
+                    acc = acc + sub[:, t] * qnorm[qi][t]
+                scores = np.round(acc, 6)
+                top = np.lexsort((vids[midx], -scores))[: min(kk, len(midx))]
+                out_q.extend([ids_q[qi]] * len(top))
+                out_v.extend(vids[midx[top]])
+                out_s.extend(scores[top])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_v, "cosine": out_s}
+            )
+
+    candidates = df.select(id_col, vec_col).mapInPandas(
+        scan, schema=f"{query_id_col} {q_type}, {id_col} {id_type}, cosine double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def ivf_pq_topk_md5(
     df: DataFrame,
     queries: DataFrame,

@@ -1948,6 +1948,59 @@ def ann_topk_ivfpq_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# seeded fold: prepend 0.0 so the first IEEE addition matches the numpy
+# columnwise fold's zero-initialized accumulator (list_reduce otherwise
+# seeds with the first product — equal except at signed-zero edge cases)
+_NORMED_DOT_SQL = (
+    "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(range(1, 65), t -> c.v[t] * p.v[t])), (x, y) -> x + y)"
+)
+
+
+@_register(
+    "ann_topk_ivf_md5",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nv AS (SELECT vec_id, {_NORMALIZE_SQL} AS v FROM e),
+    cdots AS (SELECT vec_id, v, {_IVFPQ_CD} AS cd FROM nv),
+    assigned AS (SELECT vec_id, v, list_position(cd, list_max(cd)) - 1 AS list
+                 FROM cdots),
+    qd AS (SELECT vec_id AS query_id, v, cd FROM cdots WHERE vec_id < 8),
+    probes AS (
+      SELECT query_id, v, idx - 1 AS list,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cd[idx] DESC, idx ASC) AS pr
+      FROM qd CROSS JOIN (SELECT unnest(range(1, 17)) AS idx) t
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id, round({_NORMED_DOT_SQL}, 6) AS cosine
+      FROM assigned c JOIN (SELECT * FROM probes WHERE pr <= 4) p ON p.list = c.list
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    "IVF top-10 ORACLE TWIN: md5 ±1 coarse centroids (shared with the "
+    "ivfpq twin) + full-precision ordered-fold cosine — coarse argmax "
+    "assignment, top-4 probe pruning, and scoring all replay in DuckDB "
+    "bit-for-bit, value-hashing the inverted-list semantics the k-means "
+    "production path (ann_topk_ivf) shares; that path keeps its recall "
+    "pytest",
+)
+def ann_topk_ivf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SIM.ivf_topk_md5(emb, queries, k=10, n_centroids=16, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================
@@ -4845,6 +4898,15 @@ _WINDOW_TAIL = [
     # its module (operators/span_dedup.py) byte-unchanged this round; the
     # span family keeps paragraph_dedup_within in-window):
     "paragraph_dedup",
+    # (round-7 fourth batch — admits the NEW oracle-backed ann_topk_ivf_md5
+    # (±1 coarse centroids + full-precision fold cosine: the inverted-list
+    # probe-pruning semantics value-hashed without PQ in the way; the
+    # k-means production ann_topk_ivf stays in the rows-only tail with its
+    # recall pytest).  Rotated out: docs_repetition_signals, hash-green r3
+    # AND r4 AND r5 AND r6 and its module (functions/repetition.py)
+    # byte-unchanged this round; the repetition family keeps
+    # filter_repetition in-window):
+    "docs_repetition_signals",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:

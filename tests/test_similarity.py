@@ -519,3 +519,14 @@ def test_srp_md5_planes_deterministic():
     assert a == srp_md5_sign_planes(8, 2, 2)
     assert all(v in (1.0, -1.0) for t in a for p in t for v in p)
     assert a[0] != a[1]  # tables are independent plane sets
+
+
+def test_ivf_md5_recall_and_partition_invariance(emb, queries, exact_topk):
+    """The IVF twin scores full-precision cosine inside probed lists, so its
+    recall should be solid (only probe misses cost hits), and the fused
+    Arrow scan must be partition-invariant."""
+    rows = SIM.ivf_topk_md5(emb, queries, k=10, n_probe=4).collect()
+    assert _recall(rows, exact_topk) >= 0.4
+    a = sorted(map(tuple, rows))
+    b = sorted(map(tuple, SIM.ivf_topk_md5(emb.repartition(7), queries, k=10, n_probe=4).collect()))
+    assert a == b
