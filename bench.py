@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "bpe_encode_corpus",
     "unigram_encode_corpus",
     "ann_topk_ivf_md5",
+    "corpus_cms_heavy_hitters",
 ]
 
 

@@ -1,0 +1,143 @@
+"""Count-Min sketch over token streams (Cormode & Muthukrishnan 2005).
+
+Training-data extension (SURVEY.md §2 lists no sketch ops): a fixed-size
+frequency summary for heavy-hitter / frequency queries over corpora whose
+distinct-key space is too large (or too skewed) to groupBy comfortably.
+
+Scale shape (the whole point at 100 TB):
+
+- The sketch is ``depth × width`` counters TOTAL, whatever the corpus size —
+  built with one map-side-combinable aggregation (each executor combines its
+  partials; the shuffle carries at most depth·width rows per partition).
+- Sketches MERGE by cell-wise addition, so per-partition / per-day / per-
+  stream-trigger sketches compose without rescanning — the property the
+  streaming twin leans on.
+- Estimation: ``est(x) = min over d of cell[d][h_d(x)]`` — an overestimate,
+  never under (ε = e/width of total mass at δ = e^-depth confidence).
+
+Cross-engine exactness: the hash family is md5-derived (row d hashes
+``'{tag}{d}' 0x1f token`` and keeps the first 8 hex chars mod width), so
+cells, estimates, and the heavy-hitter set are integer-exact in any engine —
+the oracle-twin discipline, with no float anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.functions import text as T
+
+SEP = "\x1f"
+
+
+def cms_bucket(col: Column, d: int, width: int, tag: str = "cms") -> Column:
+    """Row-``d`` bucket of ``col``: first 8 md5 hex chars (a uniform 32-bit
+    draw) mod width — engine-replayable, always in [0, width)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{tag}{d}"), F.lit(SEP), col)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_table(
+    df: DataFrame,
+    column: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    tag: str = "cms",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """``(d, bucket, c)`` — the sketch as rows, one map-combined aggregation
+    over the tokenized corpus (``\\w+`` lowercase, the engine's universal
+    tokenizer).  ``weight_col`` (optional, on the input rows) weights each
+    document's tokens — integer weights keep the twin exact."""
+    toks = df.select(
+        F.explode(T.words(F.col(column))).alias("tok"),
+        *( [F.col(weight_col).alias("__w__")] if weight_col else [] ),
+    )
+    rows = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_bucket(F.col("tok"), d, width, tag).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+        *( [F.col("__w__")] if weight_col else [] ),
+    )
+    agg = (F.sum("__w__") if weight_col else F.count("*")).alias("c")
+    return rows.groupBy(
+        F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket")
+    ).agg(agg)
+
+
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Cell-wise sum of same-shape sketches — the compositionality that lets
+    per-shard / per-trigger sketches combine without rescanning anything."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str = "tok",
+    depth: int = 4,
+    width: int = 1024,
+    tag: str = "cms",
+) -> DataFrame:
+    """``(key_col, est_count)`` — min-over-rows point estimates for ``keys``.
+
+    The sketch is ≤ depth·width rows (KB-scale) and broadcasts; the key set
+    fans out ``depth`` probe rows each, so the cost is O(|keys|·depth) with
+    no corpus rescan.  Estimates NEVER undercount (CMS guarantee)."""
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_bucket(F.col(key_col), d, width, tag).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+    ).select(key_col, F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["d", "bucket"], "left").select(
+        key_col, F.coalesce("c", F.lit(0)).alias("c")
+    )
+    return joined.groupBy(key_col).agg(F.min("c").alias("est_count"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    column: str = "text",
+    min_count: int = 100,
+    depth: int = 4,
+    width: int = 1024,
+    tag: str = "cms",
+) -> DataFrame:
+    """``(tok, est_count)`` — tokens whose CMS estimate reaches ``min_count``.
+
+    End-to-end: build the sketch (one map-combined agg), probe it with the
+    distinct-token table (Zipf-bounded), keep the heavy ones.  Because CMS
+    never undercounts, every TRUE heavy hitter survives (no false
+    negatives); collisions can only add false positives, bounded by
+    ε·total-mass."""
+    sketch = cms_table(df, column, depth, width, tag)
+    cands = df.select(F.explode(T.words(F.col(column))).alias("tok")).distinct()
+    est = cms_estimate(sketch, cands, "tok", depth, width, tag)
+    return est.filter(F.col("est_count") >= min_count)

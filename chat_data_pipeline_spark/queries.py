@@ -4614,6 +4614,49 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_BUCKET_SQL = (
+    "CAST('0x' || substr(md5('cms' || CAST(d.range AS VARCHAR) || chr(31) || tok),"
+    " 1, 8) AS BIGINT) % 1024"
+)
+
+
+@_register(
+    "corpus_cms_heavy_hitters",
+    rf"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}_]+')) AS tok
+      FROM documents
+    ), cells AS (
+      SELECT d.range AS d, {_CMS_BUCKET_SQL} AS bucket, COUNT(*) AS c
+      FROM toks, range(0, 4) d
+      GROUP BY 1, 2
+    ), cands AS (
+      SELECT DISTINCT tok FROM toks
+    ), probes AS (
+      SELECT tok, d.range AS d, {_CMS_BUCKET_SQL} AS bucket
+      FROM cands, range(0, 4) d
+    ), est AS (
+      SELECT p.tok, MIN(COALESCE(c.c, 0)) AS est_count
+      FROM probes p LEFT JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+      GROUP BY p.tok
+    )
+    SELECT tok, est_count FROM est WHERE est_count >= 100
+    """,
+    "Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005): a "
+    "4x1024 md5-hashed counter table built in ONE map-combined agg "
+    "(fixed size at any corpus scale, cell-wise mergeable across shards/"
+    "stream triggers), probed by the distinct-token table for min-over-rows "
+    "estimates — integer-exact in both engines, so the sketch cells, "
+    "estimates, AND the heavy-hitter set value-hash; estimates never "
+    "undercount, so no true heavy hitter is lost",
+)
+def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    docs = _read(spark, sf_dir, "documents")
+    return SK.cms_heavy_hitters(docs, "text", min_count=100, depth=4, width=1024)
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
@@ -4907,6 +4950,14 @@ _WINDOW_TAIL = [
     # byte-unchanged this round; the repetition family keeps
     # filter_repetition in-window):
     "docs_repetition_signals",
+    # (round-7 fifth batch — admits the NEW oracle-backed
+    # corpus_cms_heavy_hitters (Count-Min sketch: md5 hash family makes the
+    # cells, estimates, and heavy-hitter set integer-exact cross-engine; the
+    # live streaming twin is pytest stream≡batch).  Rotated out:
+    # decontaminate_ngram, hash-green r3 AND r4 AND r5 AND r6 and its module
+    # (operators/decontamination.py) byte-unchanged this round; the
+    # decontamination family keeps bloom_report + semantic in-window):
+    "decontaminate_ngram",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:

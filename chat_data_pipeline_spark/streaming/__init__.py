@@ -2,6 +2,7 @@ from chat_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
     read_events_stream,
     sessionize,
     stream_static_enrich,
+    streaming_cms_table,
     streaming_datacard,
     streaming_clean_filter,
     streaming_decontaminate,

@@ -206,6 +206,23 @@ def streaming_datacard(
     )
 
 
+def streaming_cms_table(stream: DataFrame, text_col: str = "props") -> DataFrame:
+    """Continuously-maintained Count-Min sketch over an ingest stream — the
+    live twin of the batch ``cms_table`` (operators/sketches.py).
+
+    The aggregation state is the sketch itself: depth × width counters,
+    BOUNDED whatever the stream's key cardinality — exactly why CMS (not a
+    per-token count) is the streaming frequency summary.  Identical md5
+    hash family to the batch builder, so a stream sketch and a batch sketch
+    over the same rows are cell-for-cell EQUAL (asserted in tests), and
+    cell-wise mergeable with historical batch sketches via ``cms_merge``.
+    Run with output mode ``complete``.
+    """
+    from chat_data_pipeline_spark.operators.sketches import cms_table
+
+    return cms_table(stream, text_col)
+
+
 def streaming_decontaminate(
     stream: DataFrame,
     bench: DataFrame,

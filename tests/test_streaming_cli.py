@@ -502,3 +502,37 @@ def test_streaming_datacard_equals_batch(spark, tmp_path, events_dir):
         want.avg_chars,
     )
     assert got.approx_distinct_texts == want.approx_distinct_texts  # same HLL
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path, events_dir):
+    """The live Count-Min sketch is cell-for-cell EQUAL to the batch sketch
+    over the same rows (same md5 hash family, integer counters) — and its
+    state is bounded at depth x width whatever the stream's cardinality."""
+    from chat_data_pipeline_spark.operators.sketches import cms_table
+    from chat_data_pipeline_spark.queries import _read_events
+    from chat_data_pipeline_spark.streaming import (
+        read_events_stream,
+        streaming_cms_table,
+    )
+
+    batch = _read_events(spark, SF_DIR)
+    want = {(r.d, r.bucket): r.c for r in cms_table(batch, "props").collect()}
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        streaming_cms_table(stream, "props")
+        .writeStream.format("memory")
+        .queryName("cms_live")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.d, r.bucket): r.c
+            for r in spark.sql("select * from cms_live").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
