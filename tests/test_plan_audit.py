@@ -167,3 +167,38 @@ def test_pq_md5_twin_is_single_fused_arrow_pass(spark):
     assert r.n_python_stages == 1 and r.n_exchanges == 1
     assert r.scans_are_pruned
     assert r.read_schemas == ["struct<vec_id:bigint,embedding:array<float>>"]
+
+
+def test_bpe_encode_fold_is_pure_column(docs):
+    """The fixed-merge fold encoder: ZERO Python stages (16 chained
+    aggregate folds are Column expressions), the encoded vocab re-joins
+    occurrences via broadcast, and every scan is pruned."""
+    from chat_data_pipeline_spark.operators import bpe as B
+    from chat_data_pipeline_spark.queries import _BPE_FIXED_MERGES
+
+    r = plan_report(B.bpe_encode_fold(docs, _BPE_FIXED_MERGES))
+    assert r.n_python_stages == 0
+    assert r.n_broadcasts >= 1  # encoded vocab joins broadcast while small
+    assert r.n_exchanges <= 2 and r.scans_are_pruned
+
+
+def test_cms_heavy_hitters_plan_budget(docs):
+    """CMS end-to-end: sketch agg + distinct-candidates agg are the only
+    exchanges; the KB-scale sketch probes via broadcast; zero Python."""
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    r = plan_report(SK.cms_heavy_hitters(docs, "text", min_count=100))
+    assert r.n_python_stages == 0
+    assert r.n_exchanges <= 2 and r.n_broadcasts >= 1
+    assert all(s == "struct<text:string>" for s in r.read_schemas)
+
+
+def test_unigram_encode_micro_single_python_stage(docs):
+    """The integer-Viterbi encoder: exactly ONE Arrow boundary (the per-
+    distinct-word segmentation UDF); reassembly stays JVM-side."""
+    from chat_data_pipeline_spark.operators import unigram_lm as U
+    from chat_data_pipeline_spark.queries import _UNIGRAM_VOCAB_MICRO
+
+    r = plan_report(U.unigram_encode_micro(docs, dict(_UNIGRAM_VOCAB_MICRO)))
+    assert r.n_python_stages == 1
+    assert r.n_exchanges <= 3 and r.scans_are_pruned
