@@ -84,7 +84,7 @@ def learn_bpe_merges(
     column: str = "text",
     num_merges: int = 50,
     min_frequency: int = 2,
-    checkpoint_interval: int = 4,
+    checkpoint_interval: int = 8,
 ) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` BPE merges from the corpus; returns the
     ordered merge list ``[(left, right), ...]``.
@@ -99,7 +99,9 @@ def learn_bpe_merges(
     mode) dominated the actual pair counting.  Between checkpoints the
     argmax job just recomputes ≤N narrow array folds over the word table,
     which is cheaper than N materializations; lineage stays O(N), not
-    O(num_merges).
+    O(num_merges).  Measured at sf0.1/20 merges: interval 8 ≈ interval 20 <
+    interval 4 — the recompute is cheap at these fold depths, so fewer
+    checkpoints win.
     """
     words = word_frequencies(df, column).select(
         _initial_symbols(F.col("word")).alias("syms"), "freq"
