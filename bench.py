@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "unigram_encode_corpus",
     "ann_topk_ivf_md5",
     "corpus_cms_heavy_hitters",
+    "dedup_cross_corpus_md5",
 ]
 
 

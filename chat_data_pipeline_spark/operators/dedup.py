@@ -557,6 +557,83 @@ def minhash_dedup_md5(
     return _minhash_filter_from_fingerprints(df, fingerprints, id_col)
 
 
+def _cross_corpus_filter_from_bands(
+    new_df: DataFrame,
+    new_bands: DataFrame,
+    ref_bands: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Shared cross-corpus downstream over exploded ``(id, band, sig)``
+    postings: a NEW document drops iff ANY of its band signatures collides
+    with the reference corpus — corpus onboarding's near-dup subtraction
+    (no connected components needed: the reference side never changes, so
+    collision alone decides).  Two shuffles total: the reference posting
+    dedup and the (band, sig) semi-join — both co-partitionable on the
+    posting key at any scale; raw text never ships."""
+    ref_keys = ref_bands.select("band", "sig").distinct()
+    hits = (
+        new_bands.join(ref_keys, ["band", "sig"], "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(hits, id_col, "left_anti")
+
+
+def cross_corpus_minhash_filter(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    ngram_size: int = 5,
+    num_perm: int = 256,
+    threshold: float = 0.7,
+    min_ngram_size: int = 5,
+    seed: int = SEED,
+) -> DataFrame:
+    """Drop NEW documents that are MinHash-LSH near-duplicates of ANY
+    reference-corpus document — onboarding a fresh crawl against an already
+    curated corpus (the cross-corpus complement of :func:`minhash_dedup`,
+    and the near-dup analogue of the exact dataset-subtraction G3 op).
+
+    Same sha1/seed-42 fingerprint family and (B, R) banding as the
+    within-corpus path, so "near-duplicate" means the same thing in both;
+    the md5 twin (:func:`cross_corpus_minhash_filter_md5`) shares THIS
+    downstream for its cross-engine value hash."""
+    nb = minhash_bands(
+        new_df, column, id_col, ngram_size, num_perm, threshold, min_ngram_size, seed
+    )
+    rb = minhash_bands(
+        ref_df, column, id_col, ngram_size, num_perm, threshold, min_ngram_size, seed
+    )
+    return _cross_corpus_filter_from_bands(new_df, nb, rb, id_col)
+
+
+def cross_corpus_minhash_filter_md5(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    ngram_size: int = 5,
+    num_perm: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """ORACLE TWIN of :func:`cross_corpus_minhash_filter`: md5-family
+    fingerprints (every step DuckDB-expressible) through the SAME
+    band-collision subtraction, so the surviving-new-document set
+    value-hashes cross-engine.  Shingle-less new docs (< ngram_size tokens)
+    have no posting rows and always survive — both engines encode that."""
+
+    def bands(df: DataFrame) -> DataFrame:
+        fp = minhash_md5_fingerprints(
+            df, column, id_col, ngram_size, num_perm, num_bands
+        )
+        return fp.select("id", F.posexplode("sigs").alias("band", "sig"))
+
+    return _cross_corpus_filter_from_bands(
+        new_df, bands(new_df), bands(ref_df), id_col
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact dedup (hash-groupBy; min-id survivor)
 # --------------------------------------------------------------------------

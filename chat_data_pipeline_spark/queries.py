@@ -1536,6 +1536,55 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_cross_corpus_md5",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)])
+                  ELSE [] END AS shingles
+      FROM toks
+    ), posting AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ), hashes AS (
+      SELECT doc_id, p,
+             MIN(substr(md5(CAST(p // 4 AS VARCHAR) || chr(31) || s),
+                        1 + 8 * (p % 4), 8)) AS h
+      FROM posting CROSS JOIN range(16) r(p)
+      GROUP BY doc_id, p
+    ), bandsig AS (
+      SELECT doc_id, p // 4 AS band,
+             string_agg(h, '|' ORDER BY p) AS sig
+      FROM hashes GROUP BY doc_id, p // 4
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 3 <> 0
+      AND d.doc_id NOT IN (
+        SELECT DISTINCT n.doc_id
+        FROM bandsig n JOIN bandsig r ON r.band = n.band AND r.sig = n.sig
+        WHERE n.doc_id % 3 <> 0 AND r.doc_id % 3 = 0)
+    """,
+    "cross-corpus near-dedup (corpus onboarding): NEW docs (doc_id % 3 != 0) "
+    "that MinHash-band-collide with ANY reference doc (doc_id % 3 == 0) are "
+    "subtracted — the near-dup analogue of exact dataset subtraction, no CC "
+    "needed (the reference side is fixed, collision alone decides).  md5 "
+    "fingerprint family makes the whole pipeline DuckDB-recomputable; the "
+    "sha1/seed-42 production path (cross_corpus_minhash_filter) shares the "
+    "same _cross_corpus_filter_from_bands downstream",
+)
+def dedup_cross_corpus_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    return D.cross_corpus_minhash_filter_md5(new, ref, "text", "doc_id").select(
+        "doc_id"
+    )
+
+
+@_register(
     "dedup_simhash_md5",
     r"""
     WITH RECURSIVE toks AS (
@@ -4958,6 +5007,16 @@ _WINDOW_TAIL = [
     # (operators/decontamination.py) byte-unchanged this round; the
     # decontamination family keeps bloom_report + semantic in-window):
     "decontaminate_ngram",
+    # (round-7 sixth batch — admits the NEW oracle-backed
+    # dedup_cross_corpus_md5 (corpus-onboarding near-dup subtraction:
+    # band-collision against a fixed reference corpus, md5 family; the
+    # sha1 production path shares the downstream and keeps its planted-
+    # near-dup pytest).  Rotated out: filter_char_repetition, hash-green
+    # r3 AND r4 AND r5 AND r6; its function region is byte-unchanged this
+    # round (filters.py gained only the F3 null-sentinel bug-compat
+    # comment).  The ratio-filter family keeps nsfw/perplexity/repetition
+    # in-window):
+    "filter_char_repetition",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:

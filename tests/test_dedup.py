@@ -294,3 +294,51 @@ def test_simhash_md5_dedup_equals_production(spark, corpus):
     a = sorted(r.doc_id for r in D.simhash_dedup(df, "text", "doc_id").select("doc_id").collect())
     b = sorted(r.doc_id for r in D.simhash_dedup_md5(df, "text", "doc_id").select("doc_id").collect())
     assert a == b
+
+
+def test_cross_corpus_minhash_subtracts_planted_near_dups(spark):
+    """Corpus onboarding: new docs near-duplicating a reference doc drop;
+    genuinely new content and shingle-less shorts survive.  Exercised on
+    BOTH fingerprint families (production sha1 + md5 twin)."""
+    # 40-word base with ONE word changed -> Jaccard ~0.9, safely above the
+    # 0.7 banding threshold's S-curve midpoint for the sha1 path
+    base = [WORDS[i % len(WORDS)] for i in range(40)]
+    ref_text = " ".join(base)
+    near = " ".join(base[:-1] + ["changedword"])
+    fresh = "completely different words entirely unrelated to anything else here now"
+    short = "tiny"
+    ref = spark.createDataFrame([(100, ref_text)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, ref_text), (2, near), (3, fresh), (4, short)],
+        "doc_id long, text string",
+    )
+    for fn in (D.cross_corpus_minhash_filter, D.cross_corpus_minhash_filter_md5):
+        kept = {r.doc_id for r in fn(new, ref, "text", "doc_id").collect()}
+        assert 1 not in kept, fn.__name__       # exact clone of a ref doc
+        assert 2 not in kept, fn.__name__       # near-dup of a ref doc
+        assert {3, 4} <= kept, fn.__name__      # fresh + shingle-less survive
+
+
+def test_cross_corpus_filter_is_stable_under_ref_growth(spark):
+    """Monotonicity: growing the reference corpus can only drop MORE new
+    docs, never resurrect one (collision with any ref doc decides)."""
+    texts = [
+        (i, f"document number {i} about topic {i % 3} with shared filler words here")
+        for i in range(20)
+    ]
+    new = spark.createDataFrame(texts, "doc_id long, text string")
+    ref_small = spark.createDataFrame(
+        [(100 + i, t) for i, t in [texts[0][:2]]], "doc_id long, text string"
+    )
+    ref_big = spark.createDataFrame(
+        [(100 + i, t) for i, (_, t) in enumerate(texts[:10])],
+        "doc_id long, text string",
+    )
+    kept_small = {
+        r.doc_id
+        for r in D.cross_corpus_minhash_filter_md5(new, ref_small).collect()
+    }
+    kept_big = {
+        r.doc_id for r in D.cross_corpus_minhash_filter_md5(new, ref_big).collect()
+    }
+    assert kept_big <= kept_small
