@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "ann_topk_ivf_md5",
     "corpus_cms_heavy_hitters",
     "dedup_cross_corpus_md5",
+    "sample_token_budget_lang",
 ]
 
 

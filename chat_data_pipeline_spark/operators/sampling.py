@@ -277,3 +277,44 @@ def temperature_sample(
         .filter(F.col("__rn__") <= F.col("__q__"))
         .drop("__rn__", "__q__")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    priority_col: str,
+    id_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Greedy token-budget selection: walk each group's rows in
+    ``(priority desc, id asc)`` order and keep the maximal PREFIX whose
+    cumulative ``token_col`` stays within ``budget`` — how a training-set
+    builder fills per-language (or per-source) token quotas with the
+    best-first documents.
+
+    Prefix semantics, stated precisely: the running sum is over ALL higher-
+    priority rows, so the first row that would overflow the budget cuts the
+    selection there — a later, smaller document does NOT back-fill the gap
+    (back-filling would make membership depend on non-local knapsack
+    choices; the prefix rule is deterministic, monotone in budget, and what
+    per-language quota builds actually use).  Adds ``cum_tokens`` (the
+    inclusive running sum) to the selected rows.
+
+    Scale: one window per group — fine while a group's rows fit a sort task
+    (languages/sources at 100 TB can exceed that; the refinement is a
+    two-phase cutoff: aggregate a coarse priority histogram per group, pick
+    the bucket where the budget lands, then run this exact window only on
+    that boundary bucket's rows — same answer, bounded sort).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(*([group_col] if group_col else []))
+        .orderBy(F.col(priority_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(F.col(token_col)).over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )

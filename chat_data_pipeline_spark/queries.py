@@ -3690,6 +3690,44 @@ def sample_weighted_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sample_token_budget_lang",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 4000
+    """,
+    "per-language token-budget selection: walk (n_chars desc, doc_id) and "
+    "keep the maximal prefix whose cumulative token count fits the 4000-"
+    "token quota — how training-set builds fill per-language budgets with "
+    "best-first documents; deterministic prefix rule, monotone in budget",
+)
+def sample_token_budget_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", T.word_count(F.col("text")).alias("n_tokens")
+    )
+    out = S.token_budget_select(
+        docs, budget=4000, token_col="n_tokens", priority_col="n_chars",
+        id_col="doc_id", group_col="lang",
+    )
+    return out.select(
+        "doc_id", "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+@_register(
     "docs_length_deciles",
     """
     SELECT doc_id, lang,
@@ -5017,6 +5055,14 @@ _WINDOW_TAIL = [
     # comment).  The ratio-filter family keeps nsfw/perplexity/repetition
     # in-window):
     "filter_char_repetition",
+    # (round-7 seventh batch — admits the NEW oracle-backed
+    # sample_token_budget_lang (per-language greedy token-budget prefix
+    # selection).  Rotated out: sample_stratified_lang, hash-green r3 AND
+    # r4 AND r5 AND r6 and its module (operators/sampling.py) changed this
+    # round ONLY by the appended token_budget_select function (the
+    # stratified_sample region is byte-identical); the sampling family
+    # keeps temperature/weighted + the new budget row in-window):
+    "sample_stratified_lang",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
 for _name in _WINDOW_TAIL:

@@ -81,3 +81,47 @@ def test_stratified_and_split_determinism(spark):
 
     with _pytest.raises(ValueError):
         hash_split(df, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_prefix_semantics(spark):
+    """Exactly the maximal (priority desc, id asc) prefix whose cumulative
+    tokens fit; the first overflowing row cuts the selection (no
+    back-fill), and a bigger budget only ever ADDS rows."""
+    from chat_data_pipeline_spark.operators.sampling import token_budget_select
+
+    rows = [  # (id, grp, tokens, priority)
+        (1, "en", 50, 10),
+        (2, "en", 40, 9),
+        (3, "en", 30, 8),   # cum 120 > 100 -> cut here
+        (4, "en", 5, 7),    # would fit, but prefix rule excludes it
+        (5, "de", 80, 5),
+        (6, "de", 30, 4),   # cum 110 > 100
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, tok long, prio long")
+    got = {
+        r.id: r.cum_tokens
+        for r in token_budget_select(
+            df, 100, "tok", "prio", "id", group_col="grp"
+        ).collect()
+    }
+    assert got == {1: 50, 2: 90, 5: 80}
+    bigger = {
+        r.id
+        for r in token_budget_select(
+            df, 150, "tok", "prio", "id", group_col="grp"
+        ).collect()
+    }
+    assert set(got) <= bigger
+
+
+def test_token_budget_rejects_nonpositive_budget(spark):
+    from chat_data_pipeline_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame([(1, 5, 1)], "id long, tok long, prio long")
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_select(df, 0, "tok", "prio", "id")
