@@ -147,10 +147,12 @@ def _build_scale_corpus(spark, src_dir: str, out_dir: str, factor: int) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     docs = spark.read.parquet(f"{src_dir}/documents.parquet")
-    n_docs = docs.count()
+    # stride by max(id)+1, NOT count: sparse id spaces (max >= count) would
+    # otherwise overlap replica ranges and silently corrupt the dedup probes
+    stride = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
     parts = []
     for i in range(factor):
-        rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+        rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * stride))
         if i:
             rep = rep.withColumn(
                 "text", F.regexp_replace("text", r"(\w+)", f"r{i}$1")
@@ -162,11 +164,11 @@ def _build_scale_corpus(spark, src_dir: str, out_dir: str, factor: int) -> None:
     out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
-    n_vec = emb.count()
+    vstride = (emb.agg(F.max("vec_id")).first()[0] or 0) + 1
     dim = len(emb.select("embedding").head()[0])
     parts = []
     for i in range(factor):
-        rep = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_vec))
+        rep = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vstride))
         if i:
             shift = i % dim
             rep = rep.withColumn(

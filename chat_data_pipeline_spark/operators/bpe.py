@@ -179,6 +179,50 @@ def bpe_segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def encode_vocab_and_reassemble(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    out_col: str,
+    count_col: str,
+    encode_vocab,
+) -> DataFrame:
+    """The shared distinct-word encode shape (BPE fold encode and the
+    unigram micro-Viterbi encode both run THIS code): tokenize with the
+    universal ``\\w+`` tokenizer, encode each DISTINCT word once via
+    ``encode_vocab(vocab_df) -> (word, __enc__ string, __n__ int)`` (the
+    Zipf-bounded table; AQE broadcasts the re-join while it fits), then
+    reassemble per document in word order — ``(id_col, out_col,
+    count_col)`` with word-free docs carrying ('', 0)."""
+    words_pos = df.select(
+        id_col, F.posexplode(T.words(F.col(column))).alias("__pos__", "word")
+    )
+    encoded = encode_vocab(words_pos.select("word").distinct())
+    per_doc = (
+        words_pos.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos__", "__enc__"))),
+                    lambda x: x["__enc__"],
+                ),
+            ).alias(out_col),
+            F.sum("__n__").alias(count_col),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(out_col, F.lit("")).alias(out_col),
+            F.coalesce(count_col, F.lit(0)).cast("long").alias(count_col),
+        )
+    )
+
+
 def bpe_encode_fold(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -199,48 +243,22 @@ def bpe_encode_fold(
     :func:`learn_bpe_merges` on its training corpus).
 
     Scale shape: the fold chain runs once per DISTINCT word (the
-    Zipf-bounded vocab, exactly the trainer's state), not per occurrence;
-    occurrences re-join the encoded vocab (AQE broadcasts it while it fits)
-    and per-doc reassembly is one groupBy ordered by word position.
+    Zipf-bounded vocab, exactly the trainer's state), not per occurrence —
+    the shared :func:`encode_vocab_and_reassemble` pipeline.
     """
-    words_pos = df.select(
-        id_col, F.posexplode(T.words(F.col(column))).alias("__pos__", "word")
-    )
     syms: Column = _initial_symbols(F.col("word"))
     for left, right in merges:
         syms = _apply_merge(syms, left, right)
-    encoded = (
-        words_pos.select("word")
-        .distinct()
-        .select(
+
+    def encode_vocab(vocab: DataFrame) -> DataFrame:
+        return vocab.select(
             "word",
             F.concat_ws(" ", syms).alias("__enc__"),
             F.size(syms).alias("__n__"),
         )
-    )
-    per_doc = (
-        words_pos.join(encoded, "word")
-        .groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__pos__", "__enc__"))),
-                    lambda x: x["__enc__"],
-                ),
-            ).alias("bpe_text"),
-            F.sum("__n__").alias("n_bpe_tokens"),
-        )
-    )
-    # word-free docs never reach the aggregation; they carry ('', 0)
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("bpe_text", F.lit("")).alias("bpe_text"),
-            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
-        )
+
+    return encode_vocab_and_reassemble(
+        df, column, id_col, "bpe_text", "n_bpe_tokens", encode_vocab
     )
 
 

@@ -169,7 +169,11 @@ def connected_components_min_label(
     ~0.4 s collected).  A single ``limit(driver_max_edges+1).collect()``
     probe-collects the edges; within the guard they union-find on the
     driver (min-root merge ⇒ root = component min, same labels) and the
-    result broadcasts back.  Past the guard — a 100 TB corpus with a high
+    result broadcasts back.  The probe is deliberately collect-first: a
+    count-then-collect pair would execute the (expensive) edge-producing
+    upstream twice in the COMMON small case, whereas the oversized case
+    merely discards one bounded transient (≤ cap+1 two-column rows,
+    ~150 MB at the default cap) before falling through.  Past the guard — a 100 TB corpus with a high
     dup rate can emit billions of pairs — the min-label propagation loop
     below runs fully distributed: label(u) ← min(label(u), min over
     neighbours of label(v)); converges in O(component diameter) rounds
@@ -598,14 +602,30 @@ def cross_corpus_minhash_filter(
     Same sha1/seed-42 fingerprint family and (B, R) banding as the
     within-corpus path, so "near-duplicate" means the same thing in both;
     the md5 twin (:func:`cross_corpus_minhash_filter_md5`) shares THIS
-    downstream for its cross-engine value hash."""
+    downstream for its cross-engine value hash.
+
+    Shingle-less docs (< min_ngram_size tokens): ``minhash_signature``
+    leaves them at the all-MAX_HASH sentinel, so ONE short doc in the
+    reference would band-collide with EVERY short new doc and silently
+    subtract them all — content-free deletions.  The sentinel band
+    signatures (a pure function of the parameters) are therefore excluded
+    from both postings: shingle-less new docs always survive, matching the
+    md5 twin's contract (whose fingerprint build skips them entirely)."""
     nb = minhash_bands(
         new_df, column, id_col, ngram_size, num_perm, threshold, min_ngram_size, seed
     )
     rb = minhash_bands(
         ref_df, column, id_col, ngram_size, num_perm, threshold, min_ngram_size, seed
     )
-    return _cross_corpus_filter_from_bands(new_df, nb, rb, id_col)
+    B, R = optimal_param(threshold, num_perm)
+    hashranges = [(i * R, (i + 1) * R) for i in range(B)]
+    sentinel = minhash_signature(
+        "", num_perm, ngram_size, min_ngram_size, _permutations(num_perm, seed), hashranges
+    )
+    not_sentinel = ~F.col("sig").isin([bytes(s) for s in sentinel])
+    return _cross_corpus_filter_from_bands(
+        new_df, nb.filter(not_sentinel), rb.filter(not_sentinel), id_col
+    )
 
 
 def cross_corpus_minhash_filter_md5(
@@ -1095,16 +1115,18 @@ def simhash_md5_signatures(df: DataFrame, column: str, id_col: str) -> DataFrame
 
     Lane packing: the per-bit tally is NOT 64 separate ``sum`` aggregates
     (65 agg buffers measured 4.8 s at sf0.1 — the agg fan-out, not the
-    shuffle, was the cost).  Each token packs 4 vote bits into one long at
-    15-bit lane offsets (0/15/30/45), so the groupBy carries 16 packed sums
-    + the count — 17 buffers — and the per-bit ones-counts are recovered
-    afterwards with unsigned shifts.  Lanes never carry into each other
-    while every lane sum < 2^15, hence the 32767-token/doc guard (shorter
-    than any real document; the pandas-UDF production path has no such
-    bound); 15-bit lanes also keep the packed sum < 2^61, clear of ANSI
-    long-overflow (16-bit lanes would let the top lane reach bit 63).
-    Integer sums are exact, so the signatures — and the DuckDB oracle,
-    which tallies per-bit its own way — are unchanged bit-for-bit.
+    shuffle, was the cost).  Each token packs 2 vote bits into each of 32
+    longs at 31-bit lane offsets (0/31), so the groupBy carries 32 packed
+    sums + the count — 33 buffers — and the per-bit ones-counts are
+    recovered afterwards with unsigned shifts.  Lanes never carry into
+    each other while every lane sum < 2^31 — i.e. at ANY realistic
+    document length, with no guard needed (an earlier 4×15-bit packing
+    capped docs at 32767 tokens and hard-aborted past it — a regression a
+    book-length document would hit; the 2×31 layout costs ~10% more agg
+    CPU and removes the bound).  Top lane peaks below bit 62, clear of
+    ANSI long-overflow.  Integer sums are exact, so the signatures — and
+    the DuckDB oracle, which tallies per-bit its own way — are unchanged
+    bit-for-bit.
     """
     from chat_data_pipeline_spark.functions import text as T
     from chat_data_pipeline_spark.session import repartition_for_compute
@@ -1114,39 +1136,38 @@ def simhash_md5_signatures(df: DataFrame, column: str, id_col: str) -> DataFrame
         F.explode(T.words(F.col(column))).alias("__t__"),
     )
     # nibble-spread packing: hex char c (1-based) of the md5 string holds
-    # hash bits 64-4c .. 64-4c+3, so long p's four bits (4p..4p+3) are
-    # exactly hex char 16-p.  One 1-char conv + one 16-entry literal-array
-    # lookup per packed long replaces the 64 shift/and bit extractions
+    # hash bits 64-4c .. 64-4c+3, so nibble 16-p carries bits 4p..4p+3 —
+    # spread across two longs (low pair at offsets 0/31, high pair
+    # likewise) via 16-entry literal-array lookups.  One 1-char conv + two
+    # lookups per nibble replaces the 64 shift/and bit extractions
     # (verified bit-identical; ~15% cheaper per row).
-    spread = F.array(
-        *[
-            F.lit(
-                (n & 1)
-                | ((n >> 1) & 1) << 15
-                | ((n >> 2) & 1) << 30
-                | ((n >> 3) & 1) << 45
-            )
-            for n in range(16)
-        ]
+    spread_lo = F.array(
+        *[F.lit((n & 1) | ((n >> 1) & 1) << 31) for n in range(16)]
+    )
+    spread_hi = F.array(
+        *[F.lit(((n >> 2) & 1) | ((n >> 3) & 1) << 31) for n in range(16)]
     )
     md5c = F.md5("__t__")
+
+    def nib(p: int) -> Column:
+        return F.conv(F.substring(md5c, 16 - p, 1), 16, 10).cast("int") + 1
+
     packed_rows = toks.select(
         "id",
-        *[
-            F.element_at(
-                spread, F.conv(F.substring(md5c, 16 - p, 1), 16, 10).cast("int") + 1
-            ).alias(f"__q{p}__")
-            for p in range(16)
-        ],
+        *[F.element_at(spread_lo, nib(p)).alias(f"__a{p}__") for p in range(16)],
+        *[F.element_at(spread_hi, nib(p)).alias(f"__b{p}__") for p in range(16)],
     )
     agg = packed_rows.groupBy("id").agg(
         F.count("*").alias("__n__"),
-        *[F.sum(f"__q{p}__").alias(f"__p{p}__") for p in range(16)],
+        *[F.sum(f"__a{p}__").alias(f"__pa{p}__") for p in range(16)],
+        *[F.sum(f"__b{p}__").alias(f"__pb{p}__") for p in range(16)],
     )
 
     def ones(k: int) -> Column:
-        return F.shiftrightunsigned(F.col(f"__p{k // 4}__"), 15 * (k % 4)).bitwiseAND(
-            F.lit(0x7FFF)
+        p, j = divmod(k, 4)
+        col = f"__pa{p}__" if j < 2 else f"__pb{p}__"
+        return F.shiftrightunsigned(F.col(col), 31 * (j % 2)).bitwiseAND(
+            F.lit(0x7FFFFFFF)
         )
 
     # majority vote: counts[k] = 2*ones - n > 0  (ref arithmetic in
@@ -1157,23 +1178,7 @@ def simhash_md5_signatures(df: DataFrame, column: str, id_col: str) -> DataFrame
     for k in range(64):
         vote = (F.lit(2) * ones(k) > F.col("__n__")).cast("long")
         sig = sig.bitwiseOR(F.shiftleft(vote, k))
-    sig_rows = agg.select(
-        "id",
-        F.when(F.col("__n__") < F.lit(1 << 15), sig)
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "simhash_md5_signatures: document exceeds the 32767-token "
-                        "lane-packing bound (id="
-                    ),
-                    F.col("id").cast("string"),
-                    F.lit("); use the pandas-UDF path (simhash_dedup) for it"),
-                )
-            ).cast("long")
-        )
-        .alias("sig"),
-    )
+    sig_rows = agg.select("id", sig.alias("sig"))
     # token-free docs never reach the aggregation; they carry sig 0
     return (
         df.select(F.col(id_col).alias("id"))

@@ -296,14 +296,14 @@ def unigram_encode_micro(
     ``bpe_encode_fold`` closed BPE's; the float-model production encoder is
     :func:`unigram_encode_tokens`).
 
-    Scale shape (shared with the BPE fold encoder): the DP runs once per
-    DISTINCT word (Zipf-bounded vocab table, model in the closure),
-    occurrences re-join the encoded table (AQE broadcasts it while it
-    fits), per-doc reassembly is one groupBy ordered by word position.
+    Scale shape: the DP runs once per DISTINCT word (Zipf-bounded vocab
+    table, model in the closure) via the shared
+    :func:`~chat_data_pipeline_spark.operators.bpe.encode_vocab_and_reassemble`
+    pipeline (the BPE-fold shape).
     """
     from pyspark.sql.functions import pandas_udf
 
-    from chat_data_pipeline_spark.functions import text as T
+    from chat_data_pipeline_spark.operators.bpe import encode_vocab_and_reassemble
 
     model = dict(vocab_micro)
 
@@ -312,43 +312,13 @@ def unigram_encode_micro(
             lambda w: " ".join(viterbi_segment_micro(w, model)) if w else ""
         )
 
-    def cnt_batch(words):
-        return words.map(
-            lambda w: len(viterbi_segment_micro(w, model)) if w else 0
-        )
-
     seg = pandas_udf(seg_batch, "string")
-    words_pos = df.select(
-        id_col, F.posexplode(T.words(F.col(column))).alias("__pos__", "word")
-    )
-    encoded = (
-        words_pos.select("word")
-        .distinct()
-        .select("word", seg(F.col("word")).alias("__enc__"))
-        .withColumn(
+
+    def encode_vocab(vocab: DataFrame) -> DataFrame:
+        return vocab.select("word", seg(F.col("word")).alias("__enc__")).withColumn(
             "__n__", F.size(F.split("__enc__", " "))
         )
-    )
-    per_doc = (
-        words_pos.join(encoded, "word")
-        .groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__pos__", "__enc__"))),
-                    lambda x: x["__enc__"],
-                ),
-            ).alias("unigram_text"),
-            F.sum("__n__").alias("n_pieces"),
-        )
-    )
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("unigram_text", F.lit("")).alias("unigram_text"),
-            F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces"),
-        )
+
+    return encode_vocab_and_reassemble(
+        df, column, id_col, "unigram_text", "n_pieces", encode_vocab
     )

@@ -342,3 +342,31 @@ def test_cross_corpus_filter_is_stable_under_ref_growth(spark):
         r.doc_id for r in D.cross_corpus_minhash_filter_md5(new, ref_big).collect()
     }
     assert kept_big <= kept_small
+
+
+def test_simhash_md5_signatures_handle_book_length_docs(spark):
+    """The 2x31-bit lane packing has no practical token bound — a 40k-token
+    document (which the earlier 4x15-bit packing hard-aborted on) produces
+    the exact production-UDF signature."""
+    long_doc = " ".join(WORDS[i % len(WORDS)] + str(i % 97) for i in range(40_000))
+    df = spark.createDataFrame([(1, long_doc), (2, "short words here")],
+                               "doc_id long, text string")
+    native = {r.id: r.sig for r in D.simhash_md5_signatures(df, "text", "doc_id").collect()}
+    assert native[1] == D._simhash64_vectorized(long_doc)
+    assert native[2] == D._simhash64_vectorized("short words here")
+
+
+def test_cross_corpus_short_ref_doc_never_subtracts_short_new_docs(spark):
+    """Regression (review finding): shingle-less docs share the all-MAX_HASH
+    sentinel signature, so one short REFERENCE doc used to band-collide with
+    every short NEW doc and silently delete them; the sentinel bands are now
+    excluded from both postings — matching the md5 twin's contract."""
+    long_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    ref = spark.createDataFrame(
+        [(100, "tiny ref"), (101, long_text)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "short new"), (2, ""), (3, long_text)], "doc_id long, text string"
+    )
+    kept = {r.doc_id for r in D.cross_corpus_minhash_filter(new, ref).collect()}
+    assert kept == {1, 2}  # shorties survive; the clone of ref 101 drops
