@@ -169,20 +169,43 @@ def connected_components_min_label(
     ~0.4 s collected).  A single ``limit(driver_max_edges+1).collect()``
     probe-collects the edges; within the guard they union-find on the
     driver (min-root merge ⇒ root = component min, same labels) and the
-    result broadcasts back.  The probe is deliberately collect-first: a
-    count-then-collect pair would execute the (expensive) edge-producing
-    upstream twice in the COMMON small case, whereas the oversized case
-    merely discards one bounded transient (≤ cap+1 two-column rows,
-    ~150 MB at the default cap) before falling through.  Past the guard — a 100 TB corpus with a high
-    dup rate can emit billions of pairs — the min-label propagation loop
-    below runs fully distributed: label(u) ← min(label(u), min over
-    neighbours of label(v)); converges in O(component diameter) rounds
-    (LSH edge sets are star-shaped per bucket so diameters stay tiny),
-    one shuffle join + aggregate per round, ``localCheckpoint`` truncating
-    lineage so round N doesn't replay rounds 1..N-1.
+    result broadcasts back.  The probe is deliberately collect-first AND
+    uncheckpointed: in the COMMON small case the probe is the ONLY
+    execution the driver path needs, so a count-then-collect pair would run
+    the (expensive) edge upstream twice, and a pre-probe ``localCheckpoint``
+    would force full materialization of every edge partition just to read a
+    capped sample (measured +0.4-0.5 s on ``dedup_ngram_jaccard`` at sf0.1
+    in both eager and lazy flavors — the lazy checkpoint still schedules a
+    fill-in job for the partitions the limit didn't touch).  If the probe
+    collect is rejected (``spark.driver.maxResultSize`` — cap+1 two-column
+    Rows cost several hundred MB of Python object overhead, well beyond the
+    ~32 MB of raw long pairs), the failure is caught and execution falls
+    through to the distributed path: deployments with a small driver get
+    the distributed loop, not an error.  Past the guard — a 100 TB corpus
+    with a high dup rate can emit billions of pairs — the min-label
+    propagation loop below runs fully distributed: the edges are
+    ``localCheckpoint``-ed ONCE there (so the loop never replays the
+    upstream; the probe's partial execution is the price of the common-case
+    win), then label(u) ← min(label(u), min over neighbours of label(v));
+    converges in O(component diameter) rounds (LSH edge sets are
+    star-shaped per bucket so diameters stay tiny), one shuffle join +
+    aggregate per round, ``localCheckpoint`` truncating lineage so round N
+    doesn't replay rounds 1..N-1.
+
+    EAGER by design: constructing the returned DataFrame executes the edge
+    plan (the probe).  Callers composing plans lazily should defer calling
+    this (and the dedup entry points that route through it) until they
+    intend the upstream to run.
     """
-    probe = edges.select("src", "dst").limit(driver_max_edges + 1).collect()
-    if len(probe) <= driver_max_edges:
+    try:
+        probe = edges.select("src", "dst").limit(driver_max_edges + 1).collect()
+    except Exception as exc:  # oversized collect (driver.maxResultSize, OOM)
+        logger.warning(
+            "CC probe collect rejected (%s); using distributed min-label path",
+            type(exc).__name__,
+        )
+        probe = None
+    if probe is not None and len(probe) <= driver_max_edges:
         parent: dict = {}
 
         def find(x):
@@ -212,10 +235,15 @@ def connected_components_min_label(
             ),
         )
 
-    und = edges.select("src", "dst").union(
+    # distributed path: checkpoint the edge set HERE (not before the probe —
+    # see docstring) so the per-round join reads cached blocks instead of
+    # replaying the edge-producing upstream every iteration.  The reversed
+    # union over the cached blocks is near-free per round; checkpointing
+    # `und` instead would double the cached footprint for no replay savings.
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    und = und.localCheckpoint(eager=True)
     labels = (
         und.groupBy("src")
         .agg(F.min("dst").alias("label"))
@@ -323,6 +351,10 @@ def minhash_dedup(
     cluster survives (ref:minhash_deduplication.py:193,297-302).  When
     ``id_col`` is None a ``monotonically_increasing_id`` stands in for the
     reference's row-order ids (unique + ordered per partition — SURVEY.md §4.3).
+
+    EAGER: constructing the result executes the fingerprint/banding pipeline
+    (the component search probe-collects its edge set — see
+    ``connected_components_min_label``).
     """
     start_time = time.time()
     timers: dict[str, float] = {}
@@ -901,6 +933,11 @@ def ngram_jaccard_dedup(
     group to zero (a 20×-replicated corpus OOMed the pairwise aggregation
     without this).  The representative's component label is the global min id
     of the merged group, so the survivor choice is unchanged.
+
+    EAGER: calling this executes the shingle self-join (the component search
+    probe-collects its edge set — see
+    ``connected_components_min_label``); don't construct it before you mean
+    to run it.
     """
     key = F.xxhash64(F.coalesce(F.col(column), F.lit("")))
     members = df.select(F.col(id_col).alias("node"), key.alias("__k__"))
@@ -1002,7 +1039,11 @@ def simhash_dedup(
 ) -> DataFrame:
     """SimHash near-dedup: band the 64-bit signature into ``n_bands`` chunks
     (pigeonhole: any pair within ``hamming_threshold`` < n_bands shares ≥1
-    exact band), verify candidates with native popcount, min-id survivor."""
+    exact band), verify candidates with native popcount, min-id survivor.
+
+    EAGER: constructing the result executes the signature/banding pipeline
+    (the component search probe-collects its edge set — see
+    ``connected_components_min_label``)."""
     _validate_simhash_params(hamming_threshold, n_bands)
     from chat_data_pipeline_spark.session import repartition_for_compute
 

@@ -907,7 +907,11 @@ def embedding_neardup_dedup(
     **kwargs: object,
 ) -> DataFrame:
     """Embedding-cosine near-dedup: min-id survivor per cosine-≥-threshold
-    component (same survivor rule as the MinHash path)."""
+    component (same survivor rule as the MinHash path).
+
+    EAGER: constructing the result executes the pair search (the component
+    search probe-collects its edge set — see
+    ``connected_components_min_label``)."""
     edges = embedding_neardup_pairs(df, threshold, id_col, vec_col, **kwargs).select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")
     )

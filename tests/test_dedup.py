@@ -370,3 +370,33 @@ def test_cross_corpus_short_ref_doc_never_subtracts_short_new_docs(spark):
     )
     kept = {r.doc_id for r in D.cross_corpus_minhash_filter(new, ref).collect()}
     assert kept == {1, 2}  # shorties survive; the clone of ref 101 drops
+
+
+def test_connected_components_probe_collect_failure_falls_through(spark, monkeypatch):
+    """A rejected probe collect (driver.maxResultSize on a small-driver
+    deployment) must fall through to the distributed min-label path, not
+    raise — same labels either way."""
+    from pyspark.sql.classic.dataframe import DataFrame  # the concrete class
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 1), (7, 5), (20, 18)], "src long, dst long"
+    )
+    orig = DataFrame.collect
+    state = {"raised": False}
+
+    def failing_first_collect(self):
+        if not state["raised"]:
+            state["raised"] = True
+            raise RuntimeError(
+                "Total size of serialized results is bigger than "
+                "spark.driver.maxResultSize"
+            )
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", failing_first_collect)
+    labels_df = D.connected_components_min_label(edges)
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert state["raised"], "probe collect was never attempted"
+    labels = {r.node: r.label for r in labels_df.collect()}
+    assert labels[7] == labels[5] == labels[3] == labels[1] == 1
+    assert labels[20] == 18

@@ -202,3 +202,17 @@ def test_unigram_encode_micro_single_python_stage(docs):
     r = plan_report(U.unigram_encode_micro(docs, dict(_UNIGRAM_VOCAB_MICRO)))
     assert r.n_python_stages == 1
     assert r.n_exchanges <= 3 and r.scans_are_pruned
+
+
+def test_ngram_jaccard_edges_plan_budget(docs):
+    """The exact-Jaccard edge subtree (the input to the component search):
+    postings + pairable list are pre-checkpointed, so the edge plan itself
+    is the hash self-join over cached blocks + one pair-count aggregate —
+    zero Python, and no more than the self-join's own exchanges.  Locks the
+    shape the r8 CC probe reads exactly once."""
+    from chat_data_pipeline_spark.operators import dedup as D
+
+    edges = D.ngram_jaccard_edges(docs.select("doc_id", "text"), "text", "doc_id")
+    r = plan_report(edges)
+    assert r.n_python_stages == 0
+    assert r.n_exchanges <= 3, r.n_exchanges
