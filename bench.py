@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "corpus_cms_heavy_hitters",
     "dedup_cross_corpus_md5",
     "sample_token_budget_lang",
+    "sample_token_budget_scalable",
 ]
 
 

@@ -226,9 +226,16 @@ def temperature_sample(
     and rank ≤ quota survives.
 
     Scale: one count aggregation (group-cardinality-sized, broadcast back)
-    plus one window shuffle on group_col; no driver-side loops.  Skewed
-    groups are exactly the ones the quota cuts hardest, so the window sort
-    shrinks where it would have been biggest.
+    plus one window shuffle on group_col; no driver-side loops.  Like
+    ``token_budget_select``, the rank window sorts a whole group in one
+    task; the same two-phase decomposition in
+    ``token_budget_select_scalable`` applies with row COUNTS in place of
+    token sums (global rank = earlier-bucket row count + within-bucket
+    rank) — and here the order key is an md5 hash, so buckets can be its
+    leading hex digits: uniform by construction, no quantile pass needed.
+    Unwired until a corpus needs it: the quota targets FRACTIONS, so the
+    sorted set is the input itself and the exact window is fine at any
+    group size that fits a shuffle partition range.
     """
     if alpha <= 0:
         raise ValueError("alpha must be positive")
@@ -301,11 +308,10 @@ def token_budget_select(
     per-language quota builds actually use).  Adds ``cum_tokens`` (the
     inclusive running sum) to the selected rows.
 
-    Scale: one window per group — fine while a group's rows fit a sort task
-    (languages/sources at 100 TB can exceed that; the refinement is a
-    two-phase cutoff: aggregate a coarse priority histogram per group, pick
-    the bucket where the budget lands, then run this exact window only on
-    that boundary bucket's rows — same answer, bounded sort).
+    Scale: one window per group — fine while a group's rows fit a sort task.
+    Past that (a dominant language at 100 TB), use
+    ``token_budget_select_scalable``: same answer bit-for-bit, but the sort
+    is quantile-bucketed so no task ever sorts a whole group.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
@@ -317,4 +323,97 @@ def token_budget_select(
     return (
         df.withColumn("cum_tokens", F.sum(F.col(token_col)).over(w))
         .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def token_budget_select_scalable(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    priority_col: str,
+    id_col: str,
+    group_col: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """``token_budget_select`` with the two-phase quantile-cutoff execution —
+    identical output (same rows, same inclusive ``cum_tokens``), but no sort
+    task ever holds a whole group.
+
+    Why the exact form doesn't scale: its window sorts EVERY row of a group
+    in ONE task, so a dominant group (English at 100 TB) funnels into a
+    single executor.  Here the group's sort decomposes into ``n_buckets``
+    independent bucket sorts plus a bucket-level prefix sum over a
+    groups×buckets aggregate:
+
+    1. per-group approximate priority quantiles (``percentile_approx`` —
+       one agg, model-sized result, broadcast back).  Approximation error
+       only skews bucket BALANCE, never the answer;
+    2. bucket id = how many quantile boundaries the row's priority clears,
+       flipped so bucket 0 holds the highest priorities.  Equal priorities
+       always share a bucket, and every priority in bucket b strictly
+       exceeds every priority in bucket b+1 — so the global
+       ``(priority desc, id asc)`` order is exactly "bucket order, then
+       within-bucket order", and running sums COMPOSE: global prefix sum =
+       (sum of all earlier buckets) + (within-bucket prefix sum);
+    3. buckets whose cumulative offset already exceeds the budget are
+       pruned wholesale (their first row would overflow); survivors get the
+       exact window partitioned by ``(group, bucket)`` — each sort task
+       holds ~1/n_buckets of the group.
+
+    Assumes non-negative ``token_col`` (true of any token count; the bucket
+    prune needs cumulative sums monotone).  Ties: rows sharing one priority
+    value can't be split across buckets, so a group dominated by a SINGLE
+    priority value still concentrates (irrelevant for continuous scores
+    like quality/ppl; an id-tiebreak sub-bucketing would restore balance if
+    a discrete-priority corpus ever needs it).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    gcols = [group_col] if group_col else []
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.groupBy(*gcols).agg(
+        F.percentile_approx(F.col(priority_col), fracs).alias("__bounds__")
+    )
+    joined = (
+        df.join(F.broadcast(bounds), on=gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    cleared = F.aggregate(
+        "__bounds__",
+        F.lit(0),
+        lambda acc, x: acc + F.when(x <= F.col(priority_col), 1).otherwise(0),
+    )
+    # NULL priority (never clears a boundary, sorts last under desc) maps to
+    # the last bucket, where desc_nulls_last keeps it after every real value.
+    bucket = F.coalesce(F.lit(n_buckets - 1) - cleared, F.lit(n_buckets - 1))
+    rows = joined.withColumn("__bkt__", bucket).drop("__bounds__")
+    # bucket-level exclusive prefix sums: the window below sorts a
+    # groups×n_buckets aggregate (model-sized), never the corpus
+    bw = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("__bkt__").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        rows.groupBy(*gcols, "__bkt__")
+        .agg(F.sum(F.col(token_col)).alias("__bsum__"))
+        .withColumn("__off__", F.coalesce(F.sum("__bsum__").over(bw), F.lit(0)))
+        .drop("__bsum__")
+        .filter(F.col("__off__") <= budget)
+    )
+    w = (
+        Window.partitionBy(*(gcols + ["__bkt__"]))
+        .orderBy(F.col(priority_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rows.join(F.broadcast(offsets), on=gcols + ["__bkt__"])
+        .withColumn(
+            "cum_tokens", F.col("__off__") + F.sum(F.col(token_col)).over(w)
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("__bkt__", "__off__")
     )

@@ -3728,6 +3728,44 @@ def sample_token_budget_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sample_token_budget_scalable",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 4000
+    """,
+    "the r8 two-phase quantile-cutoff execution of the token-budget prefix "
+    "(no sort task ever holds a whole group — the 100 TB path) verified "
+    "against the SAME single-window oracle as sample_token_budget_lang: the "
+    "driver hash proves the bucketed decomposition equals the exact window",
+)
+def sample_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", T.word_count(F.col("text")).alias("n_tokens")
+    )
+    out = S.token_budget_select_scalable(
+        docs, budget=4000, token_col="n_tokens", priority_col="n_chars",
+        id_col="doc_id", group_col="lang", n_buckets=64,
+    )
+    return out.select(
+        "doc_id", "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+@_register(
     "docs_length_deciles",
     """
     SELECT doc_id, lang,
@@ -3743,6 +3781,12 @@ def sample_token_budget_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
+    # Per-group NTILE sorts a whole language in one task.  Past a sort task
+    # (dominant language at 100 TB) the token_budget_select_scalable
+    # decomposition applies verbatim with row COUNTS: quantile-bucket on
+    # (n_chars, doc_id), global rank = earlier-bucket count + within-bucket
+    # rank, then decile from rank and the group total — unwired here because
+    # the oracle pins exact NTILE tie-splitting and sf-scale groups are tiny.
     w = Window.partitionBy("lang").orderBy(
         F.col("n_chars").asc(), F.col("doc_id").asc()
     )

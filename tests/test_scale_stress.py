@@ -186,3 +186,36 @@ def test_lm_and_soft_weights_survive_clone_blowup(big):
     # 2/3 of docs are unsuffixed -> 20-way clone groups with weight 0.05
     top = weights.agg(F.max("dup_count")).first()[0]
     assert top >= 20
+
+
+def test_token_budget_scalable_dominant_group(spark):
+    """The r8 scale fix: a single dominant group (~200k rows — the 'English
+    at 100 TB' shape, where the exact form funnels everything into ONE sort
+    task) through the quantile-bucketed execution; output must equal the
+    exact window bit-for-bit (checked distributed via exceptAll, both
+    directions)."""
+    from chat_data_pipeline_spark.operators.sampling import (
+        token_budget_select,
+        token_budget_select_scalable,
+    )
+
+    n = 200_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 50 == 0, F.lit("rare")).otherwise("en").alias("grp"),
+            (F.xxhash64("id") % 37 + 37).alias("tok"),
+            (F.xxhash64("id", F.lit("p")) % 100_000).cast("double").alias("prio"),
+        )
+        .repartition(16)
+    )
+    budget = 1_000_000
+    cols = ["id", "grp", "tok", "prio", "cum_tokens"]
+    exact = token_budget_select(df, budget, "tok", "prio", "id", group_col="grp")
+    scal = token_budget_select_scalable(
+        df, budget, "tok", "prio", "id", group_col="grp", n_buckets=64
+    )
+    assert exact.select(cols).exceptAll(scal.select(cols)).count() == 0
+    assert scal.select(cols).exceptAll(exact.select(cols)).count() == 0
+    assert scal.count() > 0

@@ -125,3 +125,73 @@ def test_token_budget_rejects_nonpositive_budget(spark):
     df = spark.createDataFrame([(1, 5, 1)], "id long, tok long, prio long")
     with pytest.raises(ValueError, match="budget"):
         token_budget_select(df, 0, "tok", "prio", "id")
+
+
+def _tb_rows(df):
+    cols = ["id", "grp", "tok", "prio", "cum_tokens"]
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_token_budget_scalable_matches_exact(spark):
+    """The quantile-bucketed two-phase execution is bit-identical to the
+    single-window exact form — including inclusive cum_tokens — across
+    bucket counts, heavy priority ties (values that SIT on quantile
+    boundaries), zero-token rows, and null priorities."""
+    import random
+
+    from chat_data_pipeline_spark.operators.sampling import (
+        token_budget_select,
+        token_budget_select_scalable,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        prio = rng.choice([1.0, 2.0, 2.0, 2.0, 3.0, 5.0, 8.0, None])
+        rows.append((i, "ab"[i % 2], rng.randint(0, 30), prio))
+    df = spark.createDataFrame(rows, "id long, grp string, tok long, prio double")
+    for nb in (2, 4, 64, 512):  # more buckets than distinct priorities too
+        exact = token_budget_select(df, 300, "tok", "prio", "id", group_col="grp")
+        scal = token_budget_select_scalable(
+            df, 300, "tok", "prio", "id", group_col="grp", n_buckets=nb
+        )
+        assert _tb_rows(exact) == _tb_rows(scal), f"n_buckets={nb}"
+
+
+def test_token_budget_scalable_boundary_bucket_ties(spark):
+    """The budget cut lands INSIDE a run of equal-priority rows: the id
+    tiebreak decides membership identically in both executions, and
+    ungrouped mode (one global budget) agrees too."""
+    from chat_data_pipeline_spark.operators.sampling import (
+        token_budget_select,
+        token_budget_select_scalable,
+    )
+
+    rows = [(i, "g", 10, 5.0 if i < 30 else 1.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, grp string, tok long, prio double")
+    # budget 155 cuts at the 16th of 30 tied prio-5.0 rows (id asc order)
+    exact = token_budget_select(df, 155, "tok", "prio", "id", group_col="grp")
+    scal = token_budget_select_scalable(
+        df, 155, "tok", "prio", "id", group_col="grp", n_buckets=8
+    )
+    assert _tb_rows(exact) == _tb_rows(scal)
+    assert {r.id for r in scal.collect()} == set(range(15))
+    # ungrouped
+    exact_u = token_budget_select(df.drop("grp"), 155, "tok", "prio", "id")
+    scal_u = token_budget_select_scalable(
+        df.drop("grp"), 155, "tok", "prio", "id", n_buckets=8
+    )
+    key = lambda d: sorted((r.id, r.cum_tokens) for r in d.collect())
+    assert key(exact_u) == key(scal_u)
+
+
+def test_token_budget_scalable_rejects_bad_params(spark):
+    from chat_data_pipeline_spark.operators.sampling import (
+        token_budget_select_scalable,
+    )
+
+    df = spark.createDataFrame([(1, 5, 1)], "id long, tok long, prio long")
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_select_scalable(df, 0, "tok", "prio", "id")
+    with pytest.raises(ValueError, match="n_buckets"):
+        token_budget_select_scalable(df, 10, "tok", "prio", "id", n_buckets=1)
