@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "dedup_cross_corpus_md5",
     "sample_token_budget_lang",
     "sample_token_budget_scalable",
+    "bpe_first_merge",
 ]
 
 

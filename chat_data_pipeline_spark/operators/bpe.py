@@ -79,6 +79,50 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _adjacent_pairs(syms: Column) -> Column:
+    """``array<struct<left,right>>`` of adjacent symbol pairs — the pair
+    candidates one trainer round counts.  Guard: Spark's ``sequence(2, n)``
+    DESCENDS for n < 2, so fully-merged single-symbol words need the
+    explicit empty-array branch."""
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(syms)),
+            lambda i: F.struct(
+                F.element_at(syms, i - 1).alias("left"),
+                F.element_at(syms, i).alias("right"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+
+
+def bpe_first_merge(df: DataFrame, column: str = "text") -> DataFrame:
+    """The trainer's ROUND-1 argmax as a one-shot declarative plan:
+    ``(left_sym, right_sym, pair_freq)`` — the pair ``learn_bpe_merges``
+    would merge first, with the same (freq desc, left asc, right asc) tie
+    rule.
+
+    This is the SQL-expressible slice of the iterative trainer (merge #1
+    sees only the initial character symbols, no prior merges), so it gives
+    the loop a cross-engine value-hash oracle: the word-frequency table,
+    symbol construction, pair explosion, weighting, and tie-breaking are the
+    exact code paths round 1 executes (shared ``word_frequencies`` /
+    ``_initial_symbols`` / ``_adjacent_pairs``); rounds 2+ differ only by
+    ``_apply_merge`` folds, which are differentially pytest-verified."""
+    words = word_frequencies(df, column).select(
+        _initial_symbols(F.col("word")).alias("syms"), "freq"
+    )
+    pairs = words.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "freq")
+    return (
+        pairs.groupBy(
+            F.col("p.left").alias("left_sym"), F.col("p.right").alias("right_sym")
+        )
+        .agg(F.sum("freq").alias("pair_freq"))
+        .orderBy(F.col("pair_freq").desc(), "left_sym", "right_sym")
+        .limit(1)
+    )
+
+
 def learn_bpe_merges(
     df: DataFrame,
     column: str = "text",
@@ -111,19 +155,9 @@ def learn_bpe_merges(
     merges: list[tuple[str, str]] = []
     since_checkpoint = 0
     for _ in range(num_merges):
-        # guard: Spark's sequence(2, n) DESCENDS for n < 2, so fully-merged
-        # single-symbol words need the explicit empty-array branch
-        adjacent = F.when(
-            F.size("syms") >= 2,
-            F.transform(
-                F.sequence(F.lit(2), F.size("syms")),
-                lambda i: F.struct(
-                    F.element_at(F.col("syms"), i - 1).alias("left"),
-                    F.element_at(F.col("syms"), i).alias("right"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
-        pairs = words.select(F.explode(adjacent).alias("p"), "freq")
+        pairs = words.select(
+            F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "freq"
+        )
         best = (
             pairs.groupBy("p.left", "p.right")
             .agg(F.sum("freq").alias("pf"))

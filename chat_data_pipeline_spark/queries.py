@@ -4247,6 +4247,42 @@ def bpe_merges_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_merge_table(docs, "text", num_merges=20)
 
 
+@_register(
+    "bpe_first_merge",
+    r"""
+    WITH w AS (
+      SELECT t.w AS word, COUNT(*) AS freq
+      FROM documents,
+           UNNEST(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS t(w)
+      GROUP BY 1
+    ), pairs AS (
+      -- symbols are [chars..., '</w>']; adjacent pair i of word with n
+      -- chars: (char_i, char_{i+1}) for i < n, (char_n, '</w>') at i = n
+      SELECT substr(word, r.i, 1) AS left_sym,
+             CASE WHEN r.i = len(word) THEN '</w>'
+                  ELSE substr(word, r.i + 1, 1) END AS right_sym,
+             freq
+      FROM w, UNNEST(generate_series(1, len(word))) AS r(i)
+    )
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_freq
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY pair_freq DESC, left_sym ASC, right_sym ASC
+    LIMIT 1
+    """,
+    "the BPE trainer's ROUND-1 argmax (the one SQL-expressible slice of the "
+    "iterative loop): word-freq-weighted adjacent-pair counts over the "
+    "initial char+'</w>' symbols with the (freq desc, left, right) tie rule "
+    "— a cross-engine value hash of the exact code paths merge #1 executes; "
+    "rounds 2+ differ only by the pytest-verified merge-apply fold",
+)
+def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import bpe as B
+
+    docs = _read(spark, sf_dir, "documents")
+    return B.bpe_first_merge(docs, "text")
+
+
 # Fixed merge table for the oracle-twin encode: the deterministic output of
 # learn_bpe_merges(sf0.001 documents, num_merges=16, min_frequency=2),
 # inlined as a literal artifact exactly like the md5 codebooks — a FIXED
@@ -4813,6 +4849,18 @@ _WINDOW_TAIL = [
     "dedup_simhash",
     "embedding_neardup_lsh",
     "ann_topk_ivf",
+    # (round-8 rotation: ann_topk_pq / ann_topk_ivfpq are rows-only BY
+    # DESIGN — trained-codebook ANN has no SQL twin — and their semantics
+    # are hash-verified every round via the green literal-codebook twins
+    # ann_topk_pq_md5 / ann_topk_ivfpq_md5, so their window slots go to the
+    # two NEW never-verified oracle-backed r8 queries
+    # (sample_token_budget_scalable, bpe_first_merge) per the standing rule
+    # that never-verified entries outrank re-verification.  Both keep their
+    # recall pytest + full-registry parity coverage; the only remaining
+    # no_oracle row in the window is the BPE trainer, whose round-1 argmax
+    # is now itself hash-verified by bpe_first_merge):
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
     # (round-6 rows-only additions: perceptual image dedup and the
     # unigram-LM trainer — pixel math / iterative EM have no SQL twin;
     # both carry differential pytest suites):

@@ -180,3 +180,31 @@ def test_encode_fold_partition_invariant(spark):
     a = sorted(map(tuple, B.bpe_encode_fold(df, merges).collect()))
     b = sorted(map(tuple, B.bpe_encode_fold(df.repartition(5), merges).collect()))
     assert a == b
+
+
+def test_first_merge_query_matches_trainer_round_one(spark):
+    """The r8 oracle slice: bpe_first_merge's single row IS the first entry
+    of learn_bpe_merges on the same corpus (same tokenizer, symbols, pair
+    weighting, and tie rule), and its pair_freq matches the pure-Python
+    reference count."""
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wider wide widest wider",
+        "low new wide lower",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    row = B.bpe_first_merge(df, "text").collect()[0]
+    merges = B.learn_bpe_merges(df, "text", num_merges=1, min_frequency=1)
+    assert (row.left_sym, row.right_sym) == merges[0]
+    vocab = Counter()
+    for t in texts:
+        for w in re.findall(r"\w+", t.lower()):
+            vocab[tuple(list(w) + [B.END_OF_WORD])] += 1
+    pairs = Counter()
+    for syms, freq in vocab.items():
+        for a, b in zip(syms, syms[1:]):
+            pairs[(a, b)] += freq
+    best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (row.left_sym, row.right_sym) == best[0]
+    assert row.pair_freq == best[1]
