@@ -132,12 +132,45 @@ def cms_heavy_hitters(
 ) -> DataFrame:
     """``(tok, est_count)`` — tokens whose CMS estimate reaches ``min_count``.
 
-    End-to-end: build the sketch (one map-combined agg), probe it with the
-    distinct-token table (Zipf-bounded), keep the heavy ones.  Because CMS
-    never undercounts, every TRUE heavy hitter survives (no false
-    negatives); collisions can only add false positives, bounded by
+    ONE corpus scan (r8): a single ``(tok)``-keyed map-combined aggregation
+    feeds BOTH halves — the sketch builds from the Zipf-bounded
+    ``(tok, cnt)`` table via ``weight_col`` (cell sums commute, so the
+    cells are identical to a raw-token build), and the candidate set is
+    that table's keys.  The r7 shape scanned and tokenized the corpus twice
+    (sketch build + distinct-candidates) — at 100 TB the scan IS the cost.
+    Because CMS never undercounts, every TRUE heavy hitter survives (no
+    false negatives); collisions can only add false positives, bounded by
     ε·total-mass."""
-    sketch = cms_table(df, column, depth, width, tag)
-    cands = df.select(F.explode(T.words(F.col(column))).alias("tok")).distinct()
-    est = cms_estimate(sketch, cands, "tok", depth, width, tag)
+    # Materialized once: tok_counts is vocab-sized (Zipf-bounded) state, and
+    # WITHOUT the checkpoint each consumer re-runs the corpus scan+tokenize
+    # (exchange reuse can't save it: the candidate branch prunes __cnt__
+    # out of its aggregate, so the two subtrees never canonicalize equal —
+    # verified against Spark 4.1's ReuseExchange).  At 100 TB the scan IS
+    # the cost, so one cached vocab table beats two corpus passes.
+    tok_counts = (
+        df.select(F.explode(T.words(F.col(column))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("__cnt__"))
+        .localCheckpoint(eager=True)
+    )
+    # The sketch builds INLINE over tok_counts (not via cms_table, which
+    # would re-tokenize and rename); cell values equal a raw-token
+    # cms_table build because cell sums commute with pre-counting.
+    db = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    cms_bucket(F.col("tok"), d, width, tag).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("db")
+    sketch = (
+        tok_counts.select(db, "__cnt__")
+        .groupBy(F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+        .agg(F.sum("__cnt__").alias("c"))
+    )
+    est = cms_estimate(sketch, tok_counts.select("tok"), "tok", depth, width, tag)
     return est.filter(F.col("est_count") >= min_count)
