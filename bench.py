@@ -156,8 +156,11 @@ def _build_scale_corpus(spark, src_dir: str, out_dir: str, factor: int) -> None:
     for i in range(factor):
         rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * stride))
         if i:
+            # the pipeline tokenizer's unicode word class, NOT \w (Java \w
+            # is ASCII-only — non-ASCII words would keep their shingles and
+            # break the zero-cross-replica-overlap premise)
             rep = rep.withColumn(
-                "text", F.regexp_replace("text", r"(\w+)", f"r{i}$1")
+                "text", F.regexp_replace("text", r"([\p{L}\p{N}_]+)", f"r{i}$1")
             )
         parts.append(rep)
     out = parts[0]

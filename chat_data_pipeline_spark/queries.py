@@ -4658,8 +4658,12 @@ def _unigram_oracle_sql(
     both the nested-fold and list-carrying recursive formulations hit a
     1.0.0 vectorizer bug where a column captured in a nested lambda reads
     another row's value ('customer' got 'spark''s encoding, 'order' grew a
-    'windo' piece).  Words are capped at 64 chars (the candidate grid
-    bound); longer \\w+ tokens do not occur in this corpus."""
+    'windo' piece).  The candidate grid caps words at 64 chars; a longer
+    \\w+ token would get no DP completion row and the ``docw JOIN encn``
+    would silently drop all its occurrences while Spark encodes it — so the
+    ``gridguard`` CTE ERRORs loudly on any word past the grid bound (the
+    guard must be referenced in a WHERE: an unreferenced cross-joined
+    column gets pruned before its error() can fire — verified on 1.0.0)."""
     cands = [f"(d.s{maxp + 1 - d} + c.lp{d})" for d in range(1, maxp + 1)]
     m_expr = "GREATEST(" + ", ".join(cands) + ")"
     text_cases = " ".join(
@@ -4690,12 +4694,19 @@ def _unigram_oracle_sql(
       SELECT DISTINCT w FROM docw
     ), vocab AS (
       SELECT * FROM (VALUES {vocab_values}) v(piece, lp)
+    ), gridguard AS (
+      SELECT CASE WHEN MAX(len(w)) > 64 THEN error(
+               'unigram oracle: word exceeds the 64-char candidate grid — '
+               || 'the DP would silently drop it; widen the grid')
+             ELSE 1 END AS ok
+      FROM words
     ), cand AS (
       SELECT wd.w, i.range AS i, j.range AS j,
              substr(wd.w, CAST(j.range + 1 AS INT), CAST(i.range - j.range AS INT)) AS piece
-      FROM words wd, range(1, 65) i, range(0, 64) j
+      FROM words wd, range(1, 65) i, range(0, 64) j, gridguard g
       WHERE i.range <= len(wd.w)
         AND j.range >= GREATEST(0, i.range - {maxp}) AND j.range < i.range
+        AND g.ok = 1
     ), candlp AS (
       SELECT c.w, c.i, c.j, c.piece,
              COALESCE(v.lp, CASE WHEN c.i - c.j = 1 THEN CAST({unk} AS BIGINT) END) AS lp

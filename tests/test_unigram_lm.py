@@ -138,3 +138,28 @@ def test_unigram_encode_micro_partition_invariant(spark):
         map(tuple, U.unigram_encode_micro(df.repartition(5), _MICRO_VOCAB).collect())
     )
     assert a == b
+
+
+def test_unigram_oracle_errors_loudly_past_grid_bound():
+    """ADVICE r7: a word longer than the oracle's 64-char candidate grid
+    must make the oracle SQL FAIL, not silently drop the word's occurrences
+    while Spark encodes them."""
+    import duckdb
+    import pytest as _pytest
+
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    sql = REGISTRY["unigram_encode_corpus"].oracle
+    con = duckdb.connect()
+    long_word = "x" * 65
+    con.execute(
+        f"CREATE VIEW documents AS SELECT 1 AS doc_id, '{long_word}' AS text"
+    )
+    with _pytest.raises(Exception, match="64-char candidate grid"):
+        con.execute(sql).fetchall()
+    con.close()
+    # and the guard is inert on in-bound words
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 1 AS doc_id, 'scan a' AS text")
+    assert con.execute(sql).fetchall()
+    con.close()
