@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "sample_token_budget_lang",
     "sample_token_budget_scalable",
     "bpe_first_merge",
+    "corpus_source_similarity",
+    "bpe_fertility_by_lang",
 ]
 
 
@@ -125,10 +127,27 @@ SCALE_PROBE_QUERIES = [
     "docs_bigram_lm",
     "bpe_encode_corpus",
     "filter_gopher_quality",
+    # round-8 additions
+    "dedup_cross_corpus_md5",
+    "corpus_cms_heavy_hitters",
+    "dedup_ngram_jaccard",
 ]
 
+# The two operators whose r7 exponents (0.57 / 0.48) stood out get a second
+# 10x measurement on an UNPREFIXED replica corpus (fixed vocab — their
+# stages don't depend on the duplicate structure that prefixing preserves).
+# The r8 experiment REFUTED the vocab-growth hypothesis (fixed-vocab
+# exponents barely moved), which localized the real linear term: for the
+# bigram LM it was a corpus-width sort-merge scoring join (fixed — the
+# model table now broadcasts, exponent 0.54 -> ~0.19); for the BPE encode
+# it is the per-document output reassembly (inherent output-proportional
+# work, and embarrassingly parallel).
+FIXED_VOCAB_QUERIES = ["docs_bigram_lm", "bpe_encode_corpus"]
 
-def _build_scale_corpus(spark, src_dir: str, out_dir: str, factor: int) -> None:
+
+def _build_scale_corpus(
+    spark, src_dir: str, out_dir: str, factor: int, prefix_replicas: bool = True
+) -> None:
     """Replicate documents/embeddings ``factor``x with fresh ids and a
     per-replica token/element transform that PRESERVES the within-replica
     duplicate profile while sharing no shingles/bigrams/buckets across
@@ -155,7 +174,7 @@ def _build_scale_corpus(spark, src_dir: str, out_dir: str, factor: int) -> None:
     parts = []
     for i in range(factor):
         rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * stride))
-        if i:
+        if i and prefix_replicas:
             # the pipeline tokenizer's unicode word class, NOT \w (Java \w
             # is ASCII-only — non-ASCII words would keep their shingles and
             # break the zero-cross-replica-overlap premise)
@@ -209,25 +228,40 @@ def scale_probe(factor: int = 10) -> None:
     )
     big_dir = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/cdp-scale-probe")
     _build_scale_corpus(spark, SF_DIR, big_dir, factor)
+    # fixed-vocab twin corpus (unprefixed replicas) for the vocab-bounded
+    # operators — isolates "10x the bytes" from "10x the vocabulary"
+    fv_dir = big_dir + "-fixed-vocab"
+    _build_scale_corpus(spark, SF_DIR, fv_dir, factor, prefix_replicas=False)
+
+    def _best_of(fn, d: str, reps: int = 3) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            gc.collect()
+        return round(best, 3)
 
     results: dict[str, dict[str, float]] = {}
     for name in SCALE_PROBE_QUERIES:
         q = REGISTRY[name]
-        t = {}
-        for label, d in (("t1", SF_DIR), (f"t{factor}", big_dir)):
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.time()
-                q.fn(spark, d).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-                gc.collect()
-            t[label] = round(best, 3)
+        t = {
+            "t1": _best_of(q.fn, SF_DIR),
+            f"t{factor}": _best_of(q.fn, big_dir),
+        }
         ratio = t[f"t{factor}"] / t["t1"] if t["t1"] else float("nan")
         results[name] = {
             **t,
             "ratio": round(ratio, 2),
             "exponent": round(math.log(ratio) / math.log(factor), 3),
         }
+        if name in FIXED_VOCAB_QUERIES:
+            tfv = _best_of(q.fn, fv_dir)
+            rfv = tfv / t["t1"] if t["t1"] else float("nan")
+            results[name][f"t{factor}_fixed_vocab"] = tfv
+            results[name]["exponent_fixed_vocab"] = round(
+                math.log(rfv) / math.log(factor), 3
+            )
         print(f"# {name}: {results[name]}", file=sys.stderr)
     print(
         json.dumps(

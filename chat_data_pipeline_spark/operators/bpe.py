@@ -296,6 +296,54 @@ def bpe_encode_fold(
     )
 
 
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    column: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer-fertility audit: ``(group_col, n_words, n_bpe_tokens,
+    fertility)`` — pieces-per-word under ``merges``, per language/source.
+
+    Fertility (tokens emitted per word) is the standard check that a subword
+    vocabulary serves every language fairly: a merge table learned on
+    English-heavy text over-fragments other scripts, inflating their
+    training cost per unit of content.  Integer-exact sums + one IEEE
+    division keep it oracle-hashable.
+
+    Scale: the fold chain runs once per DISTINCT word (Zipf-bounded vocab),
+    piece counts re-join occurrences via broadcast, and the final aggregate
+    is group-cardinality-sized — no stage touches corpus-width data twice.
+    """
+    from chat_data_pipeline_spark.functions import text as T
+
+    syms: Column = _initial_symbols(F.col("word"))
+    for left, right in merges:
+        syms = _apply_merge(syms, left, right)
+    toks = df.select(
+        F.col(group_col), F.explode(T.words(F.col(column))).alias("word")
+    )
+    vocab = toks.select("word").distinct().select(
+        "word", F.size(syms).alias("__np__")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("__np__").alias("n_bpe_tokens"),
+        )
+        .select(
+            group_col,
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias(
+                "fertility"
+            ),
+        )
+    )
+
+
 def bpe_encode_tokens(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -478,6 +478,19 @@ def minhash_bands(
     return fingerprints.select("id", F.posexplode("sigs").alias("band", "sig"))
 
 
+def md5_perm_hash(p: int, s: Column) -> Column:
+    """MinHash permutation ``p`` of string ``s``: the 8-hex-char word p%4 of
+    md5(p//4 || 0x1f || s) — one md5 yields FOUR independent 32-bit words,
+    so 4x fewer md5 invocations than one-md5-per-permutation.  The word
+    stays a HEX STRING: for fixed-width lowercase hex, lexicographic min
+    equals numeric min, and dropping the int conversion both simplifies the
+    DuckDB twin (substr only) and roughly halves the generated whole-stage
+    code (16 conv+cast expressions were the dominant first-run
+    codegen-compile cost, not the md5s themselves)."""
+    j, w = divmod(p, 4)
+    return F.substring(F.md5(F.concat(F.lit(f"{j}\x1f"), s)), 1 + 8 * w, 8)
+
+
 def minhash_md5_fingerprints(
     df: DataFrame,
     column: str,
@@ -508,18 +521,6 @@ def minhash_md5_fingerprints(
         raise ValueError(f"num_perm={num_perm} not divisible by num_bands={num_bands}")
     rows_per_band = num_perm // num_bands
 
-    def perm_hash(p: int, s):
-        # Permutation p is the 8-hex-char word p%4 of md5(p//4 || 0x1f || s)
-        # — one md5 yields FOUR independent 32-bit words, so 4× fewer md5
-        # invocations than one-md5-per-permutation.  The word stays a HEX
-        # STRING: for fixed-width lowercase hex, lexicographic min equals
-        # numeric min, and dropping the int conversion both simplifies the
-        # DuckDB twin (substr only) and roughly halves the generated
-        # whole-stage code (16 conv+cast expressions were the dominant
-        # first-run codegen-compile cost, not the md5s themselves).
-        j, w = divmod(p, 4)
-        return F.substring(F.md5(F.concat(F.lit(f"{j}\x1f"), s)), 1 + 8 * w, 8)
-
     # Explode shingles FIRST, then hash each once per permutation, then
     # groupBy-min.  The per-doc form (num_perm × array_min(transform(...)))
     # reads nicer but Catalyst's projection collapse inlines the shingle
@@ -538,7 +539,7 @@ def minhash_md5_fingerprints(
         F.explode(word_shingles(F.col(column), ngram_size)).alias("__s__"),
     )
     hashed = posting.select(
-        "id", *[perm_hash(j, F.col("__s__")).alias(f"__h{j}__") for j in range(num_perm)]
+        "id", *[md5_perm_hash(j, F.col("__s__")).alias(f"__h{j}__") for j in range(num_perm)]
     )
     sig_rows = hashed.groupBy("id").agg(
         *[F.min(f"__h{j}__").alias(f"__h{j}__") for j in range(num_perm)]
@@ -591,6 +592,63 @@ def minhash_dedup_md5(
     # relative to the corpus at any scale (the S5 defragment pattern).
     fingerprints = fingerprints.localCheckpoint(eager=True)
     return _minhash_filter_from_fingerprints(df, fingerprints, id_col)
+
+
+def source_similarity_matrix(
+    df: DataFrame,
+    column: str = "text",
+    group_col: str = "source",
+    ngram_size: int = 5,
+    num_perm: int = 32,
+) -> DataFrame:
+    """Corpus-level redundancy audit: estimated shingle-set Jaccard between
+    every pair of groups (sources/datasets/snapshots), via per-group MinHash
+    signatures — ``(source_a, source_b, n_match, est_jaccard)``.
+
+    Why it works: a group's signature component p is the min of
+    ``md5_perm_hash(p, shingle)`` over the UNION of its documents' shingle
+    sets (min commutes with union), so component equality between two groups
+    estimates J(shingles_a, shingles_b) with the standard MinHash unbiased
+    match rate — the dataset-overlap matrix a training-data builder checks
+    before mixing corpora ("is dataset B mostly a re-crawl of A?").
+
+    Scale: the corpus collapses to ``#groups × num_perm`` mins in ONE
+    map-side-combinable aggregation (shuffle carries at most one partial row
+    per partition per group); the pairwise comparison then runs on a
+    group-cardinality-sized table — quadratic only in the number of
+    DATASETS, never in documents.  Zero Python; same md5 hash family as
+    ``minhash_dedup_md5``, so a DuckDB oracle value-hashes the whole matrix.
+
+    Groups with no shingles (every doc shorter than ``ngram_size`` tokens)
+    have no signature and are absent from the matrix.
+    """
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    posting = repartition_for_compute(df.select(group_col, column)).select(
+        F.col(group_col).alias("__g__"),
+        F.explode(word_shingles(F.col(column), ngram_size)).alias("__s__"),
+    )
+    hashed = posting.select(
+        "__g__",
+        *[md5_perm_hash(j, F.col("__s__")).alias(f"__h{j}__") for j in range(num_perm)],
+    )
+    sigs = hashed.groupBy("__g__").agg(
+        *[F.min(f"__h{j}__").alias(f"__h{j}__") for j in range(num_perm)]
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    n_match = sum(
+        F.when(F.col(f"a.__h{j}__") == F.col(f"b.__h{j}__"), 1).otherwise(0)
+        for j in range(num_perm)
+    ).cast("long")
+    return (
+        a.join(b, F.col("a.__g__") < F.col("b.__g__"))
+        .select(
+            F.col("a.__g__").alias("source_a"),
+            F.col("b.__g__").alias("source_b"),
+            n_match.alias("n_match"),
+            (n_match.cast("double") / F.lit(float(num_perm))).alias("est_jaccard"),
+        )
+    )
 
 
 def _cross_corpus_filter_from_bands(

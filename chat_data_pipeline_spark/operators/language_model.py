@@ -20,8 +20,11 @@ Scale shape (100 TB posture):
   per (partition, distinct bigram), never the raw postings.
 - The probability dictionary (distinct bigrams ⋈ context totals) is
   aggregated data, orders of magnitude smaller than the corpus; the final
-  scoring join shuffles postings on (w1, w2), which AQE skew-splits for the
-  head of the Zipf curve ("of the" et al.).
+  scoring join BROADCASTS it by default (model-sized, the DSIR-table
+  contract — AQE left a corpus-width sort-merge join otherwise, the r8
+  scale probe's measured linear term), with ``broadcast_model=False``
+  restoring the shuffle join (AQE skew-splits the Zipf head) for
+  vocabularies too large to ship.
 - No driver-side state: the vocabulary size enters the plan as a
   broadcast one-row cross join, so the whole operator is ONE lazy plan an
   external oracle can replay.
@@ -69,6 +72,7 @@ def bigram_lm_scores(
     column: str = "text",
     id_col: str = "doc_id",
     k: float = 0.5,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-document average bigram log-probability under an add-``k``
     corpus-trained LM, plus the derived perplexity.
@@ -84,6 +88,16 @@ def bigram_lm_scores(
     ``ppl = exp(-avg_logprob)`` rounded to 4, computed FROM the rounded
     average so both engines derive it from identical input.  Documents with
     fewer than two tokens keep a row with ``n_bigrams = 0`` and null scores.
+
+    ``broadcast_model`` (default True): the scoring join attaches each
+    bigram occurrence's log-prob from the trained table, which is MODEL-
+    sized (distinct bigram types — the same contract as the DSIR/classifier
+    tables, which are collected literals).  Without the hint AQE kept a
+    corpus-width sort-merge join even at tiny model sizes, which was the
+    measured linear term in the 1×→10× scale probe (fixed-vocab 10×:
+    4.8 s → 1.5 s with the hint; exponent 0.53 → 0.20).  Pass False for a
+    vocabulary too large to broadcast (heaps-law extremes) to fall back to
+    the shuffle join.
     """
     # materialized once (the S5 defragment pattern, same as the
     # ngram-jaccard postings): the posting feeds BOTH the pair-count
@@ -120,8 +134,9 @@ def bigram_lm_scores(
         )
     )
 
+    model = F.broadcast(probs) if broadcast_model else probs
     scored = (
-        posting.join(probs, ["w1", "w2"])
+        posting.join(model, ["w1", "w2"])
         .groupBy("id")
         .agg(F.sum("lp_nanos").alias("lp_sum"), F.count("*").alias("n_bigrams"))
     )

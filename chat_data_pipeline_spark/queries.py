@@ -1585,6 +1585,48 @@ def dedup_cross_corpus_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_source_similarity",
+    r"""
+    WITH toks AS (
+      SELECT source, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT source,
+             CASE WHEN len(t) >= 5
+                  THEN list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)])
+                  ELSE [] END AS shingles
+      FROM toks
+    ), posting AS (
+      SELECT source, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ), hashes AS (
+      SELECT source, p,
+             MIN(substr(md5(CAST(p // 4 AS VARCHAR) || chr(31) || s),
+                        1 + 8 * (p % 4), 8)) AS h
+      FROM posting CROSS JOIN range(32) r(p)
+      GROUP BY source, p
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS m
+      FROM hashes a JOIN hashes b ON a.p = b.p AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(m AS BIGINT) AS n_match,
+           CAST(m AS DOUBLE) / 32 AS est_jaccard
+    FROM pairs
+    """,
+    "corpus-level redundancy matrix (r8): per-source MinHash signatures "
+    "(min commutes with union, so one map-combined agg collapses the corpus "
+    "to #sources x 32 mins) compared pairwise — the estimated shingle-set "
+    "Jaccard between every dataset pair, the 'is B a re-crawl of A?' audit "
+    "run before mixing corpora; quadratic only in #datasets, never in docs; "
+    "same md5 hash family as dedup_minhash_md5, full cross-engine value hash",
+)
+def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return D.source_similarity_matrix(docs, "text", "source", 5, 32)
+
+
+@_register(
     "dedup_simhash_md5",
     r"""
     WITH RECURSIVE toks AS (
@@ -4345,6 +4387,42 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bpe_fertility_by_lang",
+    f"""
+    WITH docw AS (
+      SELECT lang,
+             unnest(regexp_extract_all(lower(coalesce(text, '')), '[\\p{{L}}\\p{{N}}_]+')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT DISTINCT w FROM docw
+    ), encn AS (
+      SELECT w, CAST(len({_bpe_fold_sql(_BPE_FIXED_MERGES)}) AS BIGINT) AS np
+      FROM vocab
+    ), agg AS (
+      SELECT d.lang, COUNT(*) AS n_words, SUM(e.np) AS n_bpe_tokens
+      FROM docw d JOIN encn e ON e.w = d.w
+      GROUP BY 1
+    )
+    SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+           CAST(n_bpe_tokens AS DOUBLE) / n_words AS fertility
+    FROM agg
+    """,
+    "tokenizer-fertility audit (r8): pieces-per-word by language under the "
+    "fixed 16-merge BPE table — the fairness check that a subword vocab "
+    "doesn't over-fragment non-dominant scripts (inflating their per-"
+    "content training cost); fold-encode runs once per DISTINCT word, "
+    "occurrence re-join broadcasts, integer-exact sums + one IEEE division "
+    "value-hash cross-engine",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import bpe as B
+
+    docs = _read(spark, sf_dir, "documents")
+    return B.bpe_fertility(docs, _BPE_FIXED_MERGES, "text", "lang")
+
+
+@_register(
     "dedup_soft_weights",
     r"""
     SELECT doc_id,
@@ -4872,6 +4950,17 @@ _WINDOW_TAIL = [
     # is now itself hash-verified by bpe_first_merge):
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    # (round-8 second batch — admits the NEW oracle-backed
+    # corpus_source_similarity (per-source MinHash overlap matrix) and
+    # bpe_fertility_by_lang (tokenizer-fertility audit).  Rotated out:
+    # filter_nsfw_score and ann_topk_cosine, each hash-green SEVEN
+    # consecutive rounds (r1-r7); the nsfw filter function region and the
+    # brute-force cosine top-k region are byte-unchanged this round, and
+    # both stay covered every round by the full-registry parity sweep.
+    # The ratio-filter family keeps perplexity/char-repetition in-window;
+    # the ANN family keeps all three md5 twins in-window):
+    "filter_nsfw_score",
+    "ann_topk_cosine",
     # (round-6 rows-only additions: perceptual image dedup and the
     # unigram-LM trainer — pixel math / iterative EM have no SQL twin;
     # both carry differential pytest suites):

@@ -208,3 +208,21 @@ def test_first_merge_query_matches_trainer_round_one(spark):
     best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
     assert (row.left_sym, row.right_sym) == best[0]
     assert row.pair_freq == best[1]
+
+
+def test_bpe_fertility_hand_computed(spark):
+    """Fertility equals hand-derived pieces/words per group under a tiny
+    merge table, and groups never mix."""
+    merges = [("l", "o"), ("lo", "w"), ("low", "</w>")]
+    rows = [
+        (1, "en", "low low lower"),
+        (2, "de", "low"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.lang: r for r in B.bpe_fertility(df, merges, "text", "lang").collect()}
+    # 'low' -> ['low</w>'] = 1 piece; 'lower' -> l o w e r </w> with merges:
+    # low + e r </w> = 4 pieces
+    assert got["en"].n_words == 3 and got["en"].n_bpe_tokens == 1 + 1 + 4
+    assert got["en"].fertility == 6 / 3
+    assert got["de"].n_words == 1 and got["de"].n_bpe_tokens == 1
+    assert got["de"].fertility == 1.0

@@ -400,3 +400,32 @@ def test_connected_components_probe_collect_failure_falls_through(spark, monkeyp
     labels = {r.node: r.label for r in labels_df.collect()}
     assert labels[7] == labels[5] == labels[3] == labels[1] == 1
     assert labels[20] == 18
+
+
+def test_source_similarity_matrix_planted(spark):
+    """Identical corpora estimate J=1 (all 32 components match), disjoint
+    corpora estimate 0, and a half-overlapping pair lands in between —
+    the min-commutes-with-union property that makes per-source signatures
+    estimate UNION-set Jaccard."""
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+    ]
+    other = ["completely different words entirely unrelated to anything else"]
+    rows = (
+        [(i, "a", t) for i, t in enumerate(base)]
+        + [(10 + i, "b", t) for i, t in enumerate(base)]          # clone of a
+        + [(20 + i, "c", t) for i, t in enumerate(other)]          # disjoint
+        + [(30 + i, "d", t) for i, t in enumerate(base[:1] + other)]  # half
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    m = {
+        (r.source_a, r.source_b): (r.n_match, r.est_jaccard)
+        for r in D.source_similarity_matrix(df, "text", "source").collect()
+    }
+    assert m[("a", "b")] == (32, 1.0)
+    assert m[("a", "c")][0] == 0
+    assert 0 < m[("a", "d")][0] < 32
+    assert m[("b", "c")][0] == 0
+    # symmetric closure is implicit: only a<b pairs, all 6 present
+    assert set(m) == {("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d")}

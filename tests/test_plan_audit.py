@@ -60,13 +60,15 @@ def test_broadcast_join_for_small_dim(spark, docs):
 
 def test_bigram_lm_plan_shape(docs):
     """The LM scorer: map-side-combinable aggs (partial+final pairs), the
-    one-row vocab broadcast, and zero Python anywhere."""
+    one-row vocab broadcast PLUS the model-table broadcast (the r8 fix —
+    AQE kept a corpus-width sort-merge join without it), zero Python."""
     from chat_data_pipeline_spark.operators import language_model as LMOD
 
     out = LMOD.bigram_lm_scores(docs, "text", "doc_id")
     r = plan_report(out)
     assert r.n_python_stages == 0
     assert r.n_aggregates >= 4  # partial+final for pairs/ctx at minimum
+    assert r.n_broadcasts >= 2  # vocab scalar + the scoring model table
 
 
 def test_gopher_ruleset_is_pure_projection(docs):
