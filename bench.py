@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "bpe_first_merge",
     "corpus_source_similarity",
     "bpe_fertility_by_lang",
+    "corpus_hll_distinct",
 ]
 
 

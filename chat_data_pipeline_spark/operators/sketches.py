@@ -122,6 +122,120 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(F.min("c").alias("est_count"))
 
 
+HLL_M = 512  # 2^9 registers
+_HLL_RHO_BITS = 52  # 13 hex chars of rank material
+# alpha_m for m = 512 (Flajolet et al. 2007 §4) — computed ONCE here and
+# inlined into the oracle as the identical 17-significant-digit literal, so
+# both engines parse the same double.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll_rho(hex13: Column) -> Column:
+    """Rank of the first 1-bit in a 13-hex-char (52-bit) string, 1-based:
+    4·(leading zero hex chars) + (zero bits inside the first non-zero hex
+    digit) + 1; all-zero material saturates at 53.  Pure string/CASE ops so
+    DuckDB replays it character-for-character — no engine-specific
+    leading-zero intrinsic."""
+    lz = F.length(F.regexp_extract(hex13, "^0*", 0))
+    d = F.substring(F.concat(hex13, F.lit("f")), lz + 1, 1)  # pad: all-zero case
+    extra = (
+        F.when(d == "1", 3)
+        .when(d.isin("2", "3"), 2)
+        .when(d.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return F.when(lz >= 13, F.lit(_HLL_RHO_BITS + 1)).otherwise(
+        lz * 4 + extra + 1
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    column: str = "text",
+    tag: str = "hll",
+    ngram_size: int | None = None,
+) -> DataFrame:
+    """One-row deterministic HyperLogLog over the tokenized corpus:
+    ``(m, n_zero_registers, harmonic_numerator, est_distinct, n_exact,
+    rel_error)`` — the RAW HLL estimator (Flajolet et al. 2007), md5-hashed
+    so registers, the harmonic sum, and the estimate are identical in any
+    engine (the CMS twin discipline applied to cardinality).
+
+    Exactness across engines, term by term: bucket and rho derive from md5
+    hex substrings (integer/string ops only); the harmonic sum is carried as
+    the INTEGER ``sum(2^(53-rho))`` — each term a power of two ≤ 2^53, 512
+    terms < 2^62, so BIGINT-exact where a float sum of 2^-rho would round —
+    and the estimate divides the inlined alpha·m²·2^53 double literal by
+    that integer once (IEEE division, deterministic).  Deliberately RAW: the
+    small/large-range corrections need ln(), whose last-bit rounding differs
+    across engines; raw HLL keeps the twin exact and is accurate away from
+    the tiny-cardinality regime (n_exact rides along to show the error).
+
+    Scale: fixed 512-register state however large the corpus, map-side
+    combinable (max per register), mergeable by register-wise max — the
+    same 100 TB shape as the CMS.  ``n_exact`` is the one corpus-sized
+    aggregate (COUNT DISTINCT); drop it at true scale and keep the sketch.
+
+    ``ngram_size``: count distinct word-``n``-gram shingles instead of
+    single tokens — shingle cardinality is what sizes dedup/decontamination
+    state, and on small test corpora it is also the regime where raw HLL is
+    accurate (vocab alone sits in the tiny-cardinality zone raw HLL
+    overestimates).
+    """
+    if ngram_size:
+        from chat_data_pipeline_spark.operators.dedup import word_shingles
+
+        toks = df.select(
+            F.explode(word_shingles(F.col(column), ngram_size)).alias("tok")
+        )
+    else:
+        toks = df.select(F.explode(T.words(F.col(column))).alias("tok"))
+    h = F.md5(F.concat(F.lit(f"{tag}"), F.lit(SEP), F.col("tok")))
+    hashed = toks.select(
+        "tok",
+        (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % HLL_M
+        ).alias("bucket"),
+        _hll_rho(F.substring(h, 9, 13)).alias("rho"),
+    )
+    regs = hashed.groupBy("bucket").agg(F.max("rho").alias("r"))
+    pow_term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_BITS + 1} - r)")
+    agg = regs.agg(
+        F.count("*").alias("present"),
+        F.sum(pow_term).alias("sumpow"),
+    )
+    exact = toks.agg(F.count_distinct("tok").alias("n_exact"))
+    full = F.lit(1 << (_HLL_RHO_BITS + 1)).cast("long")
+    numerator = (F.col("sumpow") + (F.lit(HLL_M) - F.col("present")) * full).alias(
+        "harmonic_numerator"
+    )
+    est = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << (_HLL_RHO_BITS + 1)))
+        / F.col("harmonic_numerator").cast("double")
+    ).alias("est_distinct")
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(HLL_M).cast("long").alias("m"),
+            (F.lit(HLL_M) - F.col("present")).cast("long").alias("n_zero_registers"),
+            numerator,
+            F.col("n_exact").cast("long").alias("n_exact"),
+        )
+        .withColumn("est_distinct", est)
+        .select(
+            "m",
+            "n_zero_registers",
+            "harmonic_numerator",
+            "est_distinct",
+            "n_exact",
+            (
+                (F.col("est_distinct") - F.col("n_exact"))
+                / F.col("n_exact").cast("double")
+            ).alias("rel_error"),
+        )
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     column: str = "text",

@@ -4913,6 +4913,82 @@ def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.cms_heavy_hitters(docs, "text", min_count=100, depth=4, width=1024)
 
 
+def _hll_oracle_sql() -> str:
+    """Deterministic raw-HLL twin over 5-gram shingles: bucket/rho from md5
+    hex substrings (pure string ops), the harmonic sum as the exact INTEGER
+    sum(2^(53-rho)), and ONE double division by the alpha*m^2*2^53 literal —
+    the Python repr round-trips to the identical double in both engines."""
+    from chat_data_pipeline_spark.operators.sketches import HLL_ALPHA, HLL_M
+
+    num = repr(HLL_ALPHA * HLL_M * HLL_M * float(1 << 53))
+    return (
+        r"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS t
+      FROM documents
+    ), shl AS (
+      SELECT CASE WHEN len(t) >= 5
+                  THEN list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)])
+                  ELSE [] END AS shingles
+      FROM toks
+    ), tok AS (
+      SELECT unnest(shingles) AS s FROM shl WHERE len(shingles) > 0
+    ), hashed AS (
+      SELECT s,
+             CAST('0x' || substr(md5('hll' || chr(31) || s), 1, 8) AS BIGINT) % 512 AS bucket,
+             substr(md5('hll' || chr(31) || s), 9, 13) AS hx
+      FROM tok
+    ), rho AS (
+      SELECT bucket,
+             CASE WHEN length(regexp_extract(hx, '^0*')) >= 13 THEN 53
+                  ELSE 4 * length(regexp_extract(hx, '^0*'))
+                       + CASE substr(hx || 'f', length(regexp_extract(hx, '^0*')) + 1, 1)
+                           WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                           WHEN '7' THEN 1 ELSE 0 END
+                       + 1 END AS rho
+      FROM hashed
+    ), regs AS (
+      SELECT bucket, MAX(rho) AS r FROM rho GROUP BY bucket
+    ), agg AS (
+      SELECT COUNT(*) AS present,
+             SUM(CAST(1 AS BIGINT) << (53 - r)) AS sumpow
+      FROM regs
+    ), stats AS (
+      SELECT CAST(512 AS BIGINT) AS m,
+             CAST(512 - present AS BIGINT) AS n_zero_registers,
+             CAST(sumpow + (512 - present) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+               AS harmonic_numerator,
+             (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) FROM tok) AS n_exact
+      FROM agg
+    ), est AS (
+      SELECT *, __NUM__ / CAST(harmonic_numerator AS DOUBLE) AS est_distinct
+      FROM stats
+    )
+    SELECT m, n_zero_registers, harmonic_numerator, est_distinct, n_exact,
+           (est_distinct - n_exact) / CAST(n_exact AS DOUBLE) AS rel_error
+    FROM est
+    """
+    ).replace("__NUM__", num)
+
+
+@_register(
+    "corpus_hll_distinct",
+    _hll_oracle_sql(),
+    "deterministic raw HyperLogLog (Flajolet et al. 2007) over 5-gram "
+    "shingles — the cardinality that sizes dedup/decontamination state: "
+    "md5-derived bucket+rho (pure string ops), harmonic sum carried as the "
+    "EXACT integer sum(2^(53-rho)) so 512 registers, the sum, the estimate, "
+    "and the rel-error vs exact COUNT DISTINCT all value-hash cross-engine; "
+    "fixed 512-register mergeable state at any corpus size (the CMS shape)",
+)
+def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    docs = _read(spark, sf_dir, "documents")
+    return SK.hll_distinct(docs, "text", ngram_size=5)
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
@@ -4961,6 +5037,13 @@ _WINDOW_TAIL = [
     # the ANN family keeps all three md5 twins in-window):
     "filter_nsfw_score",
     "ann_topk_cosine",
+    # (round-8 third batch — admits the NEW oracle-backed
+    # corpus_hll_distinct (deterministic raw-HLL cardinality sketch).
+    # Rotated out: embedding_neardup_pairs, hash-green SEVEN consecutive
+    # rounds (r1-r7), its exact-pair function region byte-unchanged this
+    # round; the embedding family keeps the SRP-LSH md5 twin and the
+    # semantic-dedup row in-window):
+    "embedding_neardup_pairs",
     # (round-6 rows-only additions: perceptual image dedup and the
     # unigram-LM trainer — pixel math / iterative EM have no SQL twin;
     # both carry differential pytest suites):

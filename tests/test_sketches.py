@@ -106,3 +106,41 @@ def test_cms_heavy_hitters_no_false_negatives(docs):
     hh = {r.tok for r in SK.cms_heavy_hitters(docs, "text", min_count=100).collect()}
     truly_heavy = {t for t, c in exact.items() if c >= 100}
     assert truly_heavy <= hh
+
+
+def test_hll_distinct_accuracy_and_partition_invariance(spark):
+    """Raw HLL at ~24k distinct shingles (well past the small-range zone)
+    lands within the theoretical ±3σ (σ = 1.04/sqrt(512) ≈ 4.6%), and the
+    sketch is a pure function of the DATA — identical registers/estimate
+    under any partitioning."""
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    r = SK.hll_distinct(docs, "text", ngram_size=5).collect()[0]
+    assert r.n_exact > 2.5 * r.m  # out of the small-range correction zone
+    assert abs(r.rel_error) < 3 * 1.04 / (512 ** 0.5)
+    r2 = SK.hll_distinct(docs.repartition(13), "text", ngram_size=5).collect()[0]
+    assert r.asDict() == r2.asDict()
+
+
+def test_hll_rho_edge_cases(spark):
+    """rho arithmetic: leading-zero hex chars count 4 bits each, the first
+    non-zero digit contributes its own leading zeros, all-zero material
+    saturates at 53."""
+    from chat_data_pipeline_spark.operators.sketches import _hll_rho
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("f000000000000", 1),   # 1111... -> first bit set
+        ("8000000000000", 1),
+        ("7000000000000", 2),   # 0111
+        ("1000000000000", 4),   # 0001
+        ("0800000000000", 5),   # next hex digit
+        ("0010000000000", 12),
+        ("0000000000001", 52),
+        ("0000000000000", 53),  # saturation
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "hx string")
+    got = {r.hx: r.rho for r in df.select("hx", _hll_rho(F.col("hx")).alias("rho")).collect()}
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)
