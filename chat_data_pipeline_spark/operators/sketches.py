@@ -149,6 +149,49 @@ def _hll_rho(hex13: Column) -> Column:
     )
 
 
+def _hll_tokens(
+    df: DataFrame, column: str, ngram_size: int | None
+) -> DataFrame:
+    if ngram_size:
+        from chat_data_pipeline_spark.operators.dedup import word_shingles
+
+        return df.select(
+            F.explode(word_shingles(F.col(column), ngram_size)).alias("tok")
+        )
+    return df.select(F.explode(T.words(F.col(column))).alias("tok"))
+
+
+def hll_registers(
+    df: DataFrame,
+    column: str = "text",
+    tag: str = "hll",
+    ngram_size: int | None = None,
+) -> DataFrame:
+    """``(bucket, r)`` — the 512 HLL registers (max rho per md5 bucket).
+    ONE streaming-compatible aggregation (max is map-side combinable and
+    monotone), so the same code maintains a LIVE register table in complete
+    mode (``streaming/pipeline.streaming_hll_registers``); register tables
+    merge by bucket-wise max."""
+    toks = _hll_tokens(df, column, ngram_size)
+    h = F.md5(F.concat(F.lit(f"{tag}"), F.lit(SEP), F.col("tok")))
+    hashed = toks.select(
+        (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % HLL_M
+        ).alias("bucket"),
+        _hll_rho(F.substring(h, 9, 13)).alias("rho"),
+    )
+    return hashed.groupBy("bucket").agg(F.max("rho").alias("r"))
+
+
+def hll_merge(registers: list[DataFrame]) -> DataFrame:
+    """Bucket-wise max of register tables — per-shard / per-trigger HLLs
+    compose without rescanning (max is idempotent and commutative)."""
+    out = registers[0]
+    for s in registers[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("r").alias("r"))
+
+
 def hll_distinct(
     df: DataFrame,
     column: str = "text",
@@ -182,23 +225,8 @@ def hll_distinct(
     accurate (vocab alone sits in the tiny-cardinality zone raw HLL
     overestimates).
     """
-    if ngram_size:
-        from chat_data_pipeline_spark.operators.dedup import word_shingles
-
-        toks = df.select(
-            F.explode(word_shingles(F.col(column), ngram_size)).alias("tok")
-        )
-    else:
-        toks = df.select(F.explode(T.words(F.col(column))).alias("tok"))
-    h = F.md5(F.concat(F.lit(f"{tag}"), F.lit(SEP), F.col("tok")))
-    hashed = toks.select(
-        "tok",
-        (
-            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % HLL_M
-        ).alias("bucket"),
-        _hll_rho(F.substring(h, 9, 13)).alias("rho"),
-    )
-    regs = hashed.groupBy("bucket").agg(F.max("rho").alias("r"))
+    toks = _hll_tokens(df, column, ngram_size)
+    regs = hll_registers(df, column, tag, ngram_size)
     pow_term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_BITS + 1} - r)")
     agg = regs.agg(
         F.count("*").alias("present"),

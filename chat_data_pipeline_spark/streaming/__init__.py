@@ -4,6 +4,7 @@ from chat_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
     stream_static_enrich,
     streaming_cms_table,
     streaming_datacard,
+    streaming_hll_registers,
     streaming_clean_filter,
     streaming_decontaminate,
     streaming_exact_dedup,

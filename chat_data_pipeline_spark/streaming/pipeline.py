@@ -223,6 +223,23 @@ def streaming_cms_table(stream: DataFrame, text_col: str = "props") -> DataFrame
     return cms_table(stream, text_col)
 
 
+def streaming_hll_registers(
+    stream: DataFrame, text_col: str = "props", ngram_size: int | None = None
+) -> DataFrame:
+    """Continuously-maintained HyperLogLog register table — the live twin of
+    the batch ``hll_registers`` (operators/sketches.py).
+
+    State is the 512 ``(bucket, max rho)`` registers, BOUNDED whatever the
+    stream's cardinality (max is monotone and map-side combinable, so
+    ``complete`` mode re-emits the exact batch-equal table every trigger);
+    merge with historical batch registers via ``hll_merge``.  Same md5
+    derivation as batch, so a stream register table and a batch one over
+    the same rows are bucket-for-bucket EQUAL (asserted in tests)."""
+    from chat_data_pipeline_spark.operators.sketches import hll_registers
+
+    return hll_registers(stream, text_col, ngram_size=ngram_size)
+
+
 def streaming_decontaminate(
     stream: DataFrame,
     bench: DataFrame,

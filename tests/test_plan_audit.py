@@ -220,3 +220,23 @@ def test_ngram_jaccard_edges_plan_budget(docs):
     r = plan_report(edges)
     assert r.n_python_stages == 0
     assert r.n_exchanges <= 3, r.n_exchanges
+
+
+def test_token_budget_scalable_plan_budget(docs):
+    """The two-phase token-budget execution: zero Python, the quantile
+    bounds and bucket offsets join back as broadcasts (2+), and the only
+    sorts are the bucket-partitioned windows — never one whole-group sort
+    feeding the output."""
+    from chat_data_pipeline_spark.operators import sampling as S
+    from chat_data_pipeline_spark.functions import text as T
+
+    d = docs.select(
+        "doc_id", "lang", "n_chars", T.word_count(F.col("text")).alias("n_tokens")
+    )
+    out = S.token_budget_select_scalable(
+        d, 4000, "n_tokens", "n_chars", "doc_id", "lang", n_buckets=64
+    )
+    r = plan_report(out)
+    assert r.n_python_stages == 0
+    assert r.n_broadcasts >= 2  # quantile bounds + bucket offsets
+    assert r.n_sorts <= 2  # offsets window (tiny) + the bucketed data window

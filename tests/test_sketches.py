@@ -144,3 +144,22 @@ def test_hll_rho_edge_cases(spark):
     got = {r.hx: r.rho for r in df.select("hx", _hll_rho(F.col("hx")).alias("rho")).collect()}
     for h, want in cases:
         assert got[h] == want, (h, got[h], want)
+
+
+def test_hll_merge_equals_whole(spark):
+    """Register tables merge by bucket-wise max: sketching two halves and
+    merging equals sketching the union (the shard/trigger composition)."""
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    merged = {
+        r.bucket: r.r
+        for r in SK.hll_merge(
+            [SK.hll_registers(a, "text", ngram_size=5),
+             SK.hll_registers(b, "text", ngram_size=5)]
+        ).collect()
+    }
+    whole = {r.bucket: r.r for r in SK.hll_registers(docs, "text", ngram_size=5).collect()}
+    assert merged == whole

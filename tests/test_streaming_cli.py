@@ -536,3 +536,37 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path, events_dir):
     finally:
         q.stop()
     assert got == want
+
+
+def test_streaming_hll_equals_batch_registers(spark, tmp_path, events_dir):
+    """The live HLL register table is bucket-for-bucket EQUAL to the batch
+    registers over the same rows (same md5 bucket/rho derivation) — and its
+    state is 512 rows whatever the stream's cardinality."""
+    from chat_data_pipeline_spark.operators.sketches import hll_registers
+    from chat_data_pipeline_spark.queries import _read_events
+    from chat_data_pipeline_spark.streaming import (
+        read_events_stream,
+        streaming_hll_registers,
+    )
+
+    batch = _read_events(spark, SF_DIR)
+    want = {r.bucket: r.r for r in hll_registers(batch, "props").collect()}
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        streaming_hll_registers(stream, "props")
+        .writeStream.format("memory")
+        .queryName("hll_live")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.bucket: r.r for r in spark.sql("select * from hll_live").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
+    assert len(got) <= 512
