@@ -68,19 +68,27 @@ def test_correctness_window_is_all_oracle_backed():
     # has no SQL twin (differential pytest vs the pure-Python Sennrich
     # reference carries correctness), and a new operator deserves driver
     # rows-level evidence over sitting unobserved in the tail.
-    rows_only_allowed = {"ann_topk_pq", "ann_topk_ivfpq", "bpe_merges_corpus"}
+    # Round 8 (r7 verdict item 3) removes ann_topk_pq/ann_topk_ivfpq: their
+    # semantics are hash-verified every round by the green literal-codebook
+    # md5 twins, so they rotated to the tail and the trainer is the ONE
+    # sanctioned no-oracle window row (its round-1 argmax now has its own
+    # green twin, bpe_first_merge).
+    rows_only_allowed = {"bpe_merges_corpus"}
     assert all(
         REGISTRY[n].oracle is not None or n in rows_only_allowed for n in window
     )
-    # queries still awaiting their first driver hash-verification + the
-    # round-6 window moves (dedup_minhash_md5 new; ann pq/ivfpq in from the
-    # tail); test_correctness_window_covers_unverified_queries derives the
-    # oracle invariant dynamically from the CORRECTNESS files
+    # queries still awaiting their first driver hash-verification + standing
+    # window residents; test_correctness_window_covers_unverified_queries
+    # derives the oracle invariant dynamically from the CORRECTNESS files
     must_be_windowed = {
         "docs_bm25_probe", "corpus_top_bigrams",
         "dedup_keep_best", "sample_temperature_lang",
         "pipeline_lifecycle", "dedup_semantic", "events_hourly_agg",
-        "dedup_minhash_md5", "dedup_simhash_md5", "ann_topk_pq", "ann_topk_ivfpq",
+        "dedup_minhash_md5", "dedup_simhash_md5",
+        # round-8 never-driver-verified additions
+        "sample_token_budget_scalable", "bpe_first_merge",
+        "corpus_source_similarity", "bpe_fertility_by_lang",
+        "corpus_hll_distinct",
     }
     assert must_be_windowed <= set(window)
 
@@ -100,8 +108,7 @@ def test_correctness_window_covers_unverified_queries():
     oracles = E.oracle_sql()
     window = names[:50]
     assert all(
-        n in oracles or n in ("ann_topk_pq", "ann_topk_ivfpq", "bpe_merges_corpus")
-        for n in window
+        n in oracles or n == "bpe_merges_corpus" for n in window
     ), [n for n in window if n not in oracles]
 
     verified: set[str] = set()
