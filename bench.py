@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q9_product_profit",
     "orders_rollup",
     "events_hourly_agg",
     "events_top_users",

@@ -249,6 +249,104 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * CAST(ROUND((1-l.l_discount)*100) AS BIGINT)) AS DOUBLE)/10000 AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    "TPC-H Q7 shape (volume shipping): bilateral trade between two nations "
+    "by year — lineitem joins supplier AND the order's customer, each side "
+    "resolved through a broadcast nation dim aliased twice; integer-cents "
+    "revenue discipline keeps the sums engine-exact",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = _read(spark, sf_dir, "orders")
+    nations = _read(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        _read(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    rev = _cents(F.col("l_extendedprice")) * _cents(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg((F.sum(rev).cast("double") / 10_000).alias("revenue"))
+    )
+
+
+@_register(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * CAST(ROUND((1-l.l_discount)*100) AS BIGINT)) AS DOUBLE)/10000
+             - CAST(SUM(CAST(ROUND(p.p_retailprice*100) AS BIGINT) * CAST(ROUND(l.l_quantity) AS BIGINT)) AS DOUBLE)/100 AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    "TPC-H Q9 shape (product-type profit; this schema has no partsupp, so "
+    "cost = p_retailprice x quantity): widget-line profit by supplier "
+    "nation and order year — a 5-table join where part/supplier/nation "
+    "broadcast and the two integer-cents sums combine in double only at "
+    "the end, keeping the value hash exact",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders")
+    nation = _read(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice")) * _cents(F.lit(1) - F.col("l_discount"))
+    cost = _cents(F.col("p_retailprice")) * F.round(F.col("l_quantity")).cast("long")
+    sn = supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(rev).cast("double") / 10_000
+                - F.sum(cost).cast("double") / 100
+            ).alias("profit")
+        )
+    )
+
+
+@_register(
     "q6_revenue_forecast",
     """
     SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)/10000 AS revenue,
@@ -5044,6 +5142,14 @@ _WINDOW_TAIL = [
     # round; the embedding family keeps the SRP-LSH md5 twin and the
     # semantic-dedup row in-window):
     "embedding_neardup_pairs",
+    # (round-8 fourth batch — admits the NEW oracle-backed q7_nation_volume
+    # and q9_product_profit relational shapes.  Rotated out:
+    # filter_repetition and quality_classifier_scores, each hash-green FIVE
+    # consecutive rounds (r3-r7) with byte-unchanged function regions this
+    # round; the ratio-filter family keeps perplexity in-window and the
+    # quality family keeps gopher/c4/dsir/ccnet in-window):
+    "filter_repetition",
+    "quality_classifier_scores",
     # (round-6 rows-only additions: perceptual image dedup and the
     # unigram-LM trainer — pixel math / iterative EM have no SQL twin;
     # both carry differential pytest suites):
