@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "events_top_users",
     "events_sessionize_batch",
     "events_asof_view",
+    "events_funnel",
     "events_error_context",
     "conversation_pairs",
     "conversation_chatml",

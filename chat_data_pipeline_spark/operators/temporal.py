@@ -208,3 +208,50 @@ def sessionize_batch(
             "total_value"
         ),
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest chain of
+    ``steps`` where each step strictly follows the previous one —
+    ``(user_col, t_<step>..., funnel_depth)``, users with no step-1 event
+    excluded.
+
+    Semantics (deterministic, the standard product-analytics funnel):
+    t_1 = min ts of step 1; t_k = min ts of step k with ts > t_{k-1} — the
+    EARLIEST completion, not any-order co-occurrence, so a purchase before
+    the first view does not convert.  Later steps are null-chained (t_k
+    null forces t_{k+1} null by construction).
+
+    Scale: ONE hash exchange on ``user_col`` — the per-step minima are
+    unordered-frame window aggregates over the same partitioning (no
+    per-window re-shuffle), and the final per-user collapse reuses it too
+    (groupBy on the partitioning key adds no exchange).  No joins, no
+    corpus-sized state.
+    """
+    w = Window.partitionBy(user_col)
+    df = events
+    prev: str | None = None
+    tcols: list[str] = []
+    for s in steps:
+        cname = f"t_{s}"
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        df = df.withColumn(cname, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = cname
+        tcols.append(cname)
+    depth = sum(
+        F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in tcols
+    ).cast("int")
+    return (
+        df.groupBy(user_col)
+        .agg(*[F.min(c).alias(c) for c in tcols])  # constant per user
+        .filter(F.col(tcols[0]).isNotNull())
+        .withColumn("funnel_depth", depth)
+    )

@@ -854,6 +854,52 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_funnel",
+    """
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS t_view
+      FROM events GROUP BY 1
+    ), t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.t_view
+      GROUP BY 1
+    ), t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+      GROUP BY 1
+    )
+    SELECT t1.user_id,
+           CAST(epoch_us(t_view) // 1000000 AS BIGINT) AS t_view_epoch,
+           CAST(epoch_us(t_click) // 1000000 AS BIGINT) AS t_click_epoch,
+           CAST(epoch_us(t_purchase) // 1000000 AS BIGINT) AS t_purchase_epoch,
+           CAST(1 + CAST(t_click IS NOT NULL AS INT)
+                  + CAST(t_purchase IS NOT NULL AS INT) AS INT) AS funnel_depth
+    FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+    WHERE t_view IS NOT NULL
+    """,
+    "ordered-funnel analysis (r8): per user, the EARLIEST "
+    "view -> click -> purchase chain where each step strictly follows the "
+    "previous (a purchase before the first view never converts) — one hash "
+    "exchange on user_id, per-step minima as unordered-frame windows over "
+    "the same partitioning, final collapse reuses it; no joins in the "
+    "Spark plan (the oracle's correlated three-CTE form is the semantics "
+    "spec, not the execution shape)",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    out = TP.funnel_steps(ev, ("view", "click", "purchase"))
+    return out.select(
+        "user_id",
+        F.unix_timestamp("t_view").alias("t_view_epoch"),
+        F.unix_timestamp("t_click").alias("t_click_epoch"),
+        F.unix_timestamp("t_purchase").alias("t_purchase_epoch"),
+        "funnel_depth",
+    )
+
+
+@_register(
     "events_asof_view",
     """
     SELECT c.event_id AS click_id, c.user_id,
@@ -5150,6 +5196,12 @@ _WINDOW_TAIL = [
     # quality family keeps gopher/c4/dsir/ccnet in-window):
     "filter_repetition",
     "quality_classifier_scores",
+    # (round-8 fifth batch — admits the NEW oracle-backed events_funnel
+    # (ordered-funnel analysis).  Rotated out: filter_domain_blocklist,
+    # hash-green FIVE consecutive rounds (r3-r7), its function region
+    # byte-unchanged this round; URL/domain signals stay pytest-covered and
+    # in the full-registry parity sweep):
+    "filter_domain_blocklist",
     # (round-6 rows-only additions: perceptual image dedup and the
     # unigram-LM trainer — pixel math / iterative EM have no SQL twin;
     # both carry differential pytest suites):

@@ -240,3 +240,15 @@ def test_token_budget_scalable_plan_budget(docs):
     assert r.n_python_stages == 0
     assert r.n_broadcasts >= 2  # quantile bounds + bucket offsets
     assert r.n_sorts <= 2  # offsets window (tiny) + the bucketed data window
+
+
+def test_funnel_single_exchange(spark):
+    """The ordered funnel: ONE hash exchange on user_id — per-step minima
+    are unordered-frame windows over the same partitioning and the final
+    per-user collapse reuses it; zero Python, no joins."""
+    from chat_data_pipeline_spark.operators import temporal as TP
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    r = plan_report(TP.funnel_steps(ev))
+    assert r.n_python_stages == 0
+    assert r.n_exchanges == 1, r.n_exchanges

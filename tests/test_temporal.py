@@ -138,3 +138,42 @@ def test_sessionize_batch_gap_semantics(spark):
         for r in out.collect()
     }
     assert got == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (1, 8.0)}
+
+
+def test_funnel_steps_ordering_semantics(spark):
+    """The funnel is ORDERED: a purchase before the first view never
+    converts; each step's timestamp is the earliest strictly after the
+    previous step; users without the first step are excluded."""
+    from chat_data_pipeline_spark.operators import temporal as TP
+
+    rows = [
+        # u1: clean chain view(10) -> click(20) -> purchase(30)
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: purchase BEFORE view -> depth 2 only (view 10, click 15)
+        (2, 5, "purchase"), (2, 10, "view"), (2, 15, "click"),
+        # u3: click before view -> depth 1
+        (3, 9, "click"), (3, 10, "view"),
+        # u4: no view at all -> excluded
+        (4, 1, "click"), (4, 2, "purchase"),
+        # u5: earliest chain picked (views 10,12; clicks 11,13 -> click 11)
+        (5, 10, "view"), (5, 12, "view"), (5, 11, "click"), (5, 13, "click"),
+        (5, 11, "purchase"), (5, 14, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), ty) for u, t, ty in rows],
+        "user_id long, tsec double, event_type string",
+    ).select("user_id", F.timestamp_seconds("tsec").alias("ts"), "event_type")
+    got = {
+        r.user_id: (
+            r.t_view and r.t_view.timestamp(),
+            r.t_click and r.t_click.timestamp(),
+            r.t_purchase and r.t_purchase.timestamp(),
+            r.funnel_depth,
+        )
+        for r in TP.funnel_steps(df).collect()
+    }
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1] == (10.0, 20.0, 30.0, 3)
+    assert got[2] == (10.0, 15.0, None, 2)
+    assert got[3] == (10.0, None, None, 1)
+    assert got[5] == (10.0, 11.0, 14.0, 3)  # purchase@11 not AFTER click@11
