@@ -172,7 +172,10 @@ def hll_registers(
     monotone), so the same code maintains a LIVE register table in complete
     mode (``streaming/pipeline.streaming_hll_registers``); register tables
     merge by bucket-wise max."""
-    toks = _hll_tokens(df, column, ngram_size)
+    return _registers_from_tokens(_hll_tokens(df, column, ngram_size), tag)
+
+
+def _registers_from_tokens(toks: DataFrame, tag: str) -> DataFrame:
     h = F.md5(F.concat(F.lit(f"{tag}"), F.lit(SEP), F.col("tok")))
     hashed = toks.select(
         (
@@ -225,14 +228,19 @@ def hll_distinct(
     accurate (vocab alone sits in the tiny-cardinality zone raw HLL
     overestimates).
     """
-    toks = _hll_tokens(df, column, ngram_size)
-    regs = hll_registers(df, column, tag, ngram_size)
+    # ONE corpus scan (the CMS r8 pattern): registers and the exact count
+    # both derive from the DISTINCT token set (duplicates change neither a
+    # max-rho register nor COUNT DISTINCT), so the vocab-sized distinct
+    # table checkpoints once and feeds both consumers — without it each
+    # branch re-ran the corpus explode.
+    toks = _hll_tokens(df, column, ngram_size).distinct().localCheckpoint(eager=True)
+    regs = _registers_from_tokens(toks, tag)
     pow_term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_BITS + 1} - r)")
     agg = regs.agg(
         F.count("*").alias("present"),
         F.sum(pow_term).alias("sumpow"),
     )
-    exact = toks.agg(F.count_distinct("tok").alias("n_exact"))
+    exact = toks.agg(F.count("tok").alias("n_exact"))
     full = F.lit(1 << (_HLL_RHO_BITS + 1)).cast("long")
     numerator = (F.col("sumpow") + (F.lit(HLL_M) - F.col("present")) * full).alias(
         "harmonic_numerator"
