@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "events_sessionize_batch",
     "events_asof_view",
     "events_funnel",
+    "events_value_hist_quantiles",
     "events_error_context",
     "conversation_pairs",
     "conversation_chatml",

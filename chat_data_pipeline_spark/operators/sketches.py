@@ -324,3 +324,89 @@ def cms_heavy_hitters(
     )
     est = cms_estimate(sketch, tok_counts.select("tok"), "tok", depth, width, tag)
     return est.filter(F.col("est_count") >= min_count)
+
+
+# --------------------------------------------------------------------------
+# Log-histogram quantile sketch (HdrHistogram-style, integer-exact)
+# --------------------------------------------------------------------------
+
+
+def value_histogram_sketch(
+    df: DataFrame,
+    value_col: str = "value",
+    quantiles: tuple[tuple[int, int], ...] = ((50, 100), (90, 100), (99, 100)),
+) -> DataFrame:
+    """One-row quantile sketch over a positive money-like column:
+    ``(n, n_bins, p<q>_est ...)`` — an HdrHistogram-style log-bucketed
+    histogram (3 significant bits: ≤12.5% bin width) with rank lookup and
+    in-bin linear interpolation done ENTIRELY in integer arithmetic, so the
+    whole sketch — bins, counts, and every estimate — value-hashes
+    cross-engine (the third sketch next to CMS/HLL: frequency, cardinality,
+    quantiles).
+
+    Binning: v → cents c = round(100·v); bucket = the top 4 bits of c
+    (leading bit + 3 sub-bits), i.e. ``[top4 << s, (top4+1) << s)`` where
+    ``s = bitlen(c) - 4`` (c ≤ 7 gets exact unit bins).  ``bitlen`` is the
+    length of the minimal binary string — an integer-exact formulation both
+    engines share, avoiding float ``log2`` edge cases at powers of two.
+
+    Quantile q = num/den: rank = ⌈q·n⌉ by integer ceiling division; the
+    cumulative bin walk finds the bin holding that rank and interpolates
+    ``lo + (width·(k-1)) // count`` — no IEEE op anywhere until the final
+    cents→unit division.
+
+    Scale: the histogram is ≤ ~8·64 bins at ANY corpus size, built by one
+    map-side-combinable aggregation; bins merge by count addition (shards/
+    stream triggers compose); the rank walk is a window over the bin table
+    (hundreds of rows).  Non-positive cents are excluded (log bins need
+    c ≥ 1) — extend with a sign flip if a signed variant is ever needed.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    d = df.select(cents.alias("c")).filter(F.col("c") >= 1)
+    d = d.withColumn("hb", F.length(F.bin(F.col("c"))).cast("int"))
+    d = d.select(
+        "c",
+        F.when(F.col("hb") <= 3, F.col("c"))
+        .otherwise(F.expr("shiftleft(shiftrightunsigned(c, hb - 4), hb - 4)"))
+        .alias("lo"),
+        F.when(F.col("hb") <= 3, F.col("c") + 1)
+        .otherwise(
+            F.expr(
+                "shiftleft(shiftrightunsigned(c, hb - 4) + 1, hb - 4)"
+            )
+        )
+        .alias("hi"),
+    )
+    hist = d.groupBy("lo", "hi").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("lo").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn("cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0)))
+    # rank needs n, which is itself an aggregate — a one-row total joins
+    # back onto the (hundreds-of-rows) bin table; still one corpus scan
+    totals = hist.agg(F.sum("cnt").alias("__n__"))
+    hist = hist.crossJoin(F.broadcast(totals))
+    out_aggs = [
+        F.max("__n__").alias("n"),
+        F.count("*").cast("long").alias("n_bins"),
+    ]
+    for num, den in quantiles:
+        # integer ceil(q*n); exactly one bin has cum_before < rank <= cum
+        rank_expr = F.floor((F.col("__n__") * num + den - 1) / den)
+        sel = (
+            (F.col("cum_before") < rank_expr)
+            & (rank_expr <= F.col("cum_before") + F.col("cnt"))
+        )
+        est_cents = F.min(
+            F.when(
+                sel,
+                F.col("lo")
+                + F.floor(
+                    (F.col("hi") - F.col("lo"))
+                    * (rank_expr - F.col("cum_before") - 1)
+                    / F.col("cnt")
+                ),
+            )
+        )
+        out_aggs.append((est_cents.cast("double") / 100).alias(f"p{num}_est"))
+    return hist.agg(*out_aggs)

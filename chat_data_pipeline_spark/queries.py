@@ -900,6 +900,58 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_value_hist_quantiles",
+    r"""
+    WITH cents AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+    ), pos AS (
+      SELECT c, CAST(length(bin(c)) AS INT) AS hb FROM cents WHERE c >= 1
+    ), binned AS (
+      SELECT CASE WHEN hb <= 3 THEN c
+                  ELSE (c >> (hb - 4)) << (hb - 4) END AS lo,
+             CASE WHEN hb <= 3 THEN c + 1
+                  ELSE ((c >> (hb - 4)) + 1) << (hb - 4) END AS hi
+      FROM pos
+    ), hist AS (
+      SELECT lo, hi, COUNT(*) AS cnt FROM binned GROUP BY 1, 2
+    ), cum AS (
+      SELECT lo, hi, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY lo
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+             (SELECT SUM(cnt) FROM hist) AS n
+      FROM hist
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(MIN(CASE WHEN cum_before < floor((n * 50 + 99) / 100)
+                          AND floor((n * 50 + 99) / 100) <= cum_before + cnt
+                    THEN lo + floor((hi - lo) * (floor((n * 50 + 99) / 100) - cum_before - 1) / cnt)
+                    END) AS DOUBLE) / 100 AS p50_est,
+           CAST(MIN(CASE WHEN cum_before < floor((n * 90 + 99) / 100)
+                          AND floor((n * 90 + 99) / 100) <= cum_before + cnt
+                    THEN lo + floor((hi - lo) * (floor((n * 90 + 99) / 100) - cum_before - 1) / cnt)
+                    END) AS DOUBLE) / 100 AS p90_est,
+           CAST(MIN(CASE WHEN cum_before < floor((n * 99 + 99) / 100)
+                          AND floor((n * 99 + 99) / 100) <= cum_before + cnt
+                    THEN lo + floor((hi - lo) * (floor((n * 99 + 99) / 100) - cum_before - 1) / cnt)
+                    END) AS DOUBLE) / 100 AS p99_est
+    FROM cum
+    """,
+    "HdrHistogram-style log-bucketed quantile sketch (r8, the third sketch "
+    "next to CMS/HLL): cents bucket by top-4-bits via minimal-binary-string "
+    "length (integer-exact, no float log2), rank = integer ceil(q*n), "
+    "in-bin linear interpolation in pure integer arithmetic — bins, counts, "
+    "p50/p90/p99 all value-hash cross-engine; <=~8*64 bins at ANY corpus "
+    "size, count-additive merge, one map-combined agg",
+)
+def events_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    ev = _read_events(spark, sf_dir)
+    return SK.value_histogram_sketch(ev, "value")
+
+
+@_register(
     "events_asof_view",
     """
     SELECT c.event_id AS click_id, c.user_id,
@@ -5202,6 +5254,12 @@ _WINDOW_TAIL = [
     # byte-unchanged this round; URL/domain signals stay pytest-covered and
     # in the full-registry parity sweep):
     "filter_domain_blocklist",
+    # (round-8 sixth batch — admits the NEW oracle-backed
+    # events_value_hist_quantiles (log-histogram quantile sketch).  Rotated
+    # out: decontaminate_bloom_report, hash-green THREE consecutive rounds
+    # (r5-r7), its function region byte-unchanged this round; the
+    # decontamination family keeps decontaminate_semantic in-window):
+    "decontaminate_bloom_report",
     # (round-6 rows-only additions: perceptual image dedup and the
     # unigram-LM trainer — pixel math / iterative EM have no SQL twin;
     # both carry differential pytest suites):

@@ -163,3 +163,28 @@ def test_hll_merge_equals_whole(spark):
     }
     whole = {r.bucket: r.r for r in SK.hll_registers(docs, "text", ngram_size=5).collect()}
     assert merged == whole
+
+
+def test_value_histogram_sketch_accuracy_and_edges(spark):
+    """Each quantile estimate lands within its bin (<=12.5% relative by
+    construction; in practice ~1%) of the true percentile; non-positive
+    cents are excluded; n/n_bins are exact."""
+    import numpy as np
+
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    r = SK.value_histogram_sketch(ev, "value").collect()[0]
+    vals = np.array([x.value for x in ev.select("value").collect()])
+    vals = vals[np.round(vals * 100) >= 1]
+    assert r.n == len(vals)
+    for q, est in ((50, r.p50_est), (90, r.p90_est), (99, r.p99_est)):
+        true = float(np.percentile(vals, q))
+        assert abs(est - true) / true < 0.125, (q, est, true)
+    # planted: zero/negative excluded, exact small-bin behavior
+    df = spark.createDataFrame(
+        [(0.0,), (-5.0,), (0.01,), (0.02,), (0.03,), (0.04,)], "value double"
+    )
+    r2 = SK.value_histogram_sketch(df, "value").collect()[0]
+    assert r2.n == 4 and r2.n_bins == 4  # cents 1..4, unit bins
+    assert r2.p50_est == 0.02  # rank ceil(0.5*4)=2 -> second unit bin
