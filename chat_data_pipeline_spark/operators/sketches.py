@@ -331,6 +331,31 @@ def cms_heavy_hitters(
 # --------------------------------------------------------------------------
 
 
+def value_histogram(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """``(lo, hi, cnt)`` — the log-bucketed cents histogram underlying
+    :func:`value_histogram_sketch`.  ONE streaming-compatible aggregation
+    (count is map-side combinable), so the same code maintains a LIVE
+    histogram in complete mode (``streaming_value_histogram``); histograms
+    merge by (lo, hi)-keyed count addition."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    d = df.select(cents.alias("c")).filter(F.col("c") >= 1)
+    d = d.withColumn("hb", F.length(F.bin(F.col("c"))).cast("int"))
+    d = d.select(
+        "c",
+        F.when(F.col("hb") <= 3, F.col("c"))
+        .otherwise(F.expr("shiftleft(shiftrightunsigned(c, hb - 4), hb - 4)"))
+        .alias("lo"),
+        F.when(F.col("hb") <= 3, F.col("c") + 1)
+        .otherwise(
+            F.expr(
+                "shiftleft(shiftrightunsigned(c, hb - 4) + 1, hb - 4)"
+            )
+        )
+        .alias("hi"),
+    )
+    return d.groupBy("lo", "hi").agg(F.count("*").alias("cnt"))
+
+
 def value_histogram_sketch(
     df: DataFrame,
     value_col: str = "value",
@@ -361,23 +386,7 @@ def value_histogram_sketch(
     (hundreds of rows).  Non-positive cents are excluded (log bins need
     c ≥ 1) — extend with a sign flip if a signed variant is ever needed.
     """
-    cents = F.round(F.col(value_col) * 100).cast("long")
-    d = df.select(cents.alias("c")).filter(F.col("c") >= 1)
-    d = d.withColumn("hb", F.length(F.bin(F.col("c"))).cast("int"))
-    d = d.select(
-        "c",
-        F.when(F.col("hb") <= 3, F.col("c"))
-        .otherwise(F.expr("shiftleft(shiftrightunsigned(c, hb - 4), hb - 4)"))
-        .alias("lo"),
-        F.when(F.col("hb") <= 3, F.col("c") + 1)
-        .otherwise(
-            F.expr(
-                "shiftleft(shiftrightunsigned(c, hb - 4) + 1, hb - 4)"
-            )
-        )
-        .alias("hi"),
-    )
-    hist = d.groupBy("lo", "hi").agg(F.count("*").alias("cnt"))
+    hist = value_histogram(df, value_col)
     from pyspark.sql import Window
 
     wcum = Window.orderBy("lo").rowsBetween(Window.unboundedPreceding, -1)

@@ -481,3 +481,17 @@ def sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_value_histogram(stream: DataFrame, value_col: str = "value") -> DataFrame:
+    """Continuously-maintained log-bucketed value histogram — the live twin
+    of the batch ``value_histogram`` (operators/sketches.py).
+
+    State is the ≤ ~8·64 ``(lo, hi, cnt)`` bins, BOUNDED whatever the
+    stream's value range (count is map-side combinable; ``complete`` mode
+    re-emits the exact batch-equal table every trigger); merge with
+    historical batch histograms by (lo, hi)-keyed count addition.  Feed the
+    emitted table to the batch rank walk for live p50/p90/p99."""
+    from chat_data_pipeline_spark.operators.sketches import value_histogram
+
+    return value_histogram(stream, value_col)

@@ -570,3 +570,36 @@ def test_streaming_hll_equals_batch_registers(spark, tmp_path, events_dir):
         q.stop()
     assert got == want
     assert len(got) <= 512
+
+
+def test_streaming_value_histogram_equals_batch(spark, tmp_path, events_dir):
+    """The live value histogram is bin-for-bin EQUAL to the batch histogram
+    over the same rows, with bounded (<= ~8*64 bins) state."""
+    from chat_data_pipeline_spark.operators.sketches import value_histogram
+    from chat_data_pipeline_spark.queries import _read_events
+    from chat_data_pipeline_spark.streaming import (
+        read_events_stream,
+        streaming_value_histogram,
+    )
+
+    batch = _read_events(spark, SF_DIR)
+    want = {(r.lo, r.hi): r.cnt for r in value_histogram(batch, "value").collect()}
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        streaming_value_histogram(stream, "value")
+        .writeStream.format("memory")
+        .queryName("hist_live")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hist"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.lo, r.hi): r.cnt
+            for r in spark.sql("select * from hist_live").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
