@@ -9,5 +9,6 @@ from chat_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
     streaming_clean_filter,
     streaming_decontaminate,
     streaming_exact_dedup,
+    streaming_funnel,
     windowed_event_aggregates,
 )

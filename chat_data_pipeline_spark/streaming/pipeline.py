@@ -495,3 +495,82 @@ def streaming_value_histogram(stream: DataFrame, value_col: str = "value") -> Da
     from chat_data_pipeline_spark.operators.sketches import value_histogram
 
     return value_histogram(stream, value_col)
+
+
+FUNNEL_SCHEMA = (
+    "user_id long, t_view_epoch long, t_click_epoch long, "
+    "t_purchase_epoch long, funnel_depth int"
+)
+_FUNNEL_STATE = "tv long, tc long, tp long"
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Continuous ordered-funnel tracking via ``applyInPandasWithState`` —
+    the live counterpart of the batch ``operators/temporal.funnel_steps``.
+
+    State per user is ONE tuple of step timestamps (epoch seconds, -1 =
+    unreached); each micro-batch replays its events in event-time order and
+    greedily advances the chain (step k fires on the first event strictly
+    after step k-1).  A progress row is emitted whenever a user's chain
+    ADVANCES (append mode — consumers keep the deepest row per user).
+
+    Exactness boundary, stated explicitly: the one-pass greedy is exact
+    when events arrive in event-time order across batches (the differential
+    test feeds ordered batches and asserts equality with the batch
+    operator).  A LATE first-step event — one that precedes an
+    already-bound step-1 timestamp — cannot retroactively re-open discarded
+    step-2 candidates with finite per-user state; the batch operator over
+    the landed data remains the reconciliation path, exactly the
+    incremental-minhash trade.  State is 3 longs per user, horizontal with
+    executors.
+    """
+    if len(steps) != 3:
+        raise ValueError("streaming_funnel tracks a 3-step chain")
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s1, s2, s3 = steps
+
+    def update(key, pdf_iter, state: GroupState):
+        user_id = key[0]
+        tv, tc, tp = state.get if state.exists else (-1, -1, -1)
+        before = (tv, tc, tp)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                t = int(ts.timestamp())
+                if etype == s1 and tv < 0:
+                    tv = t
+                elif etype == s2 and tv >= 0 and t > tv and tc < 0:
+                    tc = t
+                elif etype == s3 and tc >= 0 and t > tc and tp < 0:
+                    tp = t
+        if (tv, tc, tp) != before:
+            state.update((tv, tc, tp))
+            depth = (tv >= 0) + (tc >= 0) + (tp >= 0)
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "t_view_epoch": [tv if tv >= 0 else None],
+                    "t_click_epoch": [tc if tc >= 0 else None],
+                    "t_purchase_epoch": [tp if tp >= 0 else None],
+                    "funnel_depth": [depth],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -603,3 +603,49 @@ def test_streaming_value_histogram_equals_batch(spark, tmp_path, events_dir):
     finally:
         q.stop()
     assert got == want
+
+
+def test_streaming_funnel_matches_batch_on_ordered_stream(spark, tmp_path, events_dir):
+    """Fed in event-time order (single source file), the live funnel's
+    deepest row per user equals the batch funnel_steps result exactly —
+    the documented exactness regime of the one-pass greedy."""
+    from chat_data_pipeline_spark.operators import temporal as TP
+    from chat_data_pipeline_spark.queries import _read_events
+    from chat_data_pipeline_spark.streaming import (
+        read_events_stream,
+        streaming_funnel,
+    )
+
+    batch = _read_events(spark, SF_DIR)
+    want = {
+        r.user_id: (
+            r.t_view and int(r.t_view.timestamp()),
+            r.t_click and int(r.t_click.timestamp()),
+            r.t_purchase and int(r.t_purchase.timestamp()),
+            r.funnel_depth,
+        )
+        for r in TP.funnel_steps(batch).collect()
+    }
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_live")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from funnel_live").collect()
+    finally:
+        q.stop()
+    got = {}
+    for r in rows:  # keep the deepest progress row per user
+        cur = got.get(r.user_id)
+        if cur is None or r.funnel_depth > cur[3]:
+            got[r.user_id] = (
+                r.t_view_epoch, r.t_click_epoch, r.t_purchase_epoch, r.funnel_depth
+            )
+    assert got == want
