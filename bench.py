@@ -144,7 +144,8 @@ SCALE_PROBE_QUERIES = [
 # The r8 experiment REFUTED the vocab-growth hypothesis (fixed-vocab
 # exponents barely moved), which localized the real linear term: for the
 # bigram LM it was a corpus-width sort-merge scoring join (fixed — the
-# model table now broadcasts, exponent 0.54 -> ~0.19); for the BPE encode
+# model table now broadcasts, exponent 0.54 -> 0.26-0.30 in the r8 probe
+# of record, as low as 0.19 in interim same-session A/Bs); for the BPE encode
 # it is the per-document output reassembly (inherent output-proportional
 # work, and embarrassingly parallel).
 FIXED_VOCAB_QUERIES = ["docs_bigram_lm", "bpe_encode_corpus"]
@@ -276,6 +277,34 @@ def scale_probe(factor: int = 10) -> None:
     spark.stop()
 
 
+def time_queries(names: list[str], reps: int = 3) -> None:
+    """Ad-hoc A/B timing of specific registry queries (same session/warmup
+    discipline as the full bench): ``python bench.py --queries a,b [reps]``
+    prints one JSON line {name: best_of_reps_sec}."""
+    import gc
+
+    from chat_data_pipeline_spark import get_spark
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    spark = get_spark(
+        app_name="cdp-bench-adhoc",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32")),
+    )
+    out = {}
+    for name in names:
+        q = REGISTRY[name]
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            gc.collect()
+        out[name] = round(best, 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main() -> None:
     from chat_data_pipeline_spark import get_spark
     from chat_data_pipeline_spark.queries import REGISTRY
@@ -366,7 +395,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--scale-probe" in sys.argv:
+    if "--queries" in sys.argv:
+        i = sys.argv.index("--queries")
+        names = sys.argv[i + 1].split(",")
+        reps = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 3
+        time_queries(names, reps)
+    elif "--scale-probe" in sys.argv:
         scale_probe()
     else:
         main()

@@ -199,7 +199,22 @@ def connected_components_min_label(
     """
     try:
         probe = edges.select("src", "dst").limit(driver_max_edges + 1).collect()
-    except Exception as exc:  # oversized collect (driver.maxResultSize, OOM)
+    except Exception as exc:
+        # fall through ONLY on result-size rejections — any other failure
+        # (analysis error, deterministic task failure) would just re-fail
+        # after re-executing the expensive edge upstream on the distributed
+        # path, so re-raise it here with its real traceback
+        msg = str(exc)
+        if not any(
+            p in msg
+            for p in (
+                "maxResultSize",
+                "Total size of serialized results",
+                "OutOfMemory",
+                "exceeds max allowed",
+            )
+        ):
+            raise
         logger.warning(
             "CC probe collect rejected (%s); using distributed min-label path",
             type(exc).__name__,

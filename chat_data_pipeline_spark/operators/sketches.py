@@ -227,6 +227,10 @@ def hll_distinct(
     state, and on small test corpora it is also the regime where raw HLL is
     accurate (vocab alone sits in the tiny-cardinality zone raw HLL
     overestimates).
+
+    EAGER: constructing the result executes the corpus scan (the distinct
+    token table checkpoints at construction) — defer calling until you
+    mean to run it.
     """
     # ONE corpus scan (the CMS r8 pattern): registers and the exact count
     # both derive from the DISTINCT token set (duplicates change neither a
@@ -290,7 +294,11 @@ def cms_heavy_hitters(
     (sketch build + distinct-candidates) — at 100 TB the scan IS the cost.
     Because CMS never undercounts, every TRUE heavy hitter survives (no
     false negatives); collisions can only add false positives, bounded by
-    ε·total-mass."""
+    ε·total-mass.
+
+    EAGER: constructing the result executes the corpus scan (the token
+    table checkpoints at construction) — defer calling until you mean to
+    run it."""
     # Materialized once: tok_counts is vocab-sized (Zipf-bounded) state, and
     # WITHOUT the checkpoint each consumer re-runs the corpus scan+tokenize
     # (exchange reuse can't save it: the candidate branch prunes __cnt__
@@ -378,7 +386,10 @@ def value_histogram_sketch(
     Quantile q = num/den: rank = ⌈q·n⌉ by integer ceiling division; the
     cumulative bin walk finds the bin holding that rank and interpolates
     ``lo + (width·(k-1)) // count`` — no IEEE op anywhere until the final
-    cents→unit division.
+    cents→unit division (``div``/``//`` on longs in BOTH engines: a float
+    ``floor(a/b)`` would round its numerator past 2^53).  Bounds: cents
+    must stay below ~2^59 (the interpolation product below 2^63) — beyond
+    any money-like column; a larger-unit variant would rescale first.
 
     Scale: the histogram is ≤ ~8·64 bins at ANY corpus size, built by one
     map-side-combinable aggregation; bins merge by count addition (shards/
@@ -400,8 +411,11 @@ def value_histogram_sketch(
         F.count("*").cast("long").alias("n_bins"),
     ]
     for num, den in quantiles:
-        # integer ceil(q*n); exactly one bin has cum_before < rank <= cum
-        rank_expr = F.floor((F.col("__n__") * num + den - 1) / den)
+        # integer ceil(q*n) via `div` (NOT floor(a/b): the double division
+        # rounds its numerator past 2^53, where long div stays exact — the
+        # 'pure integer arithmetic' contract at any corpus size); exactly
+        # one bin has cum_before < rank <= cum
+        rank_expr = F.expr(f"(__n__ * {num} + {den} - 1) div {den}")
         sel = (
             (F.col("cum_before") < rank_expr)
             & (rank_expr <= F.col("cum_before") + F.col("cnt"))
@@ -410,10 +424,9 @@ def value_histogram_sketch(
             F.when(
                 sel,
                 F.col("lo")
-                + F.floor(
-                    (F.col("hi") - F.col("lo"))
-                    * (rank_expr - F.col("cum_before") - 1)
-                    / F.col("cnt")
+                + F.expr(
+                    f"((hi - lo) * ((__n__ * {num} + {den} - 1) div {den}"
+                    f" - cum_before - 1)) div cnt"
                 ),
             )
         )

@@ -921,19 +921,22 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT SUM(cnt) FROM hist) AS n
       FROM hist
     )
+    -- `//` (integer division) throughout, mirroring Spark's `div`: a float
+    -- floor(a/b) rounds its numerator past 2^53, where the BIGINT path
+    -- stays exact — the cross-engine hash must hold at any corpus size
     SELECT CAST(MAX(n) AS BIGINT) AS n,
            CAST(COUNT(*) AS BIGINT) AS n_bins,
-           CAST(MIN(CASE WHEN cum_before < floor((n * 50 + 99) / 100)
-                          AND floor((n * 50 + 99) / 100) <= cum_before + cnt
-                    THEN lo + floor((hi - lo) * (floor((n * 50 + 99) / 100) - cum_before - 1) / cnt)
+           CAST(MIN(CASE WHEN cum_before < (n * 50 + 99) // 100
+                          AND (n * 50 + 99) // 100 <= cum_before + cnt
+                    THEN lo + ((hi - lo) * ((n * 50 + 99) // 100 - cum_before - 1)) // cnt
                     END) AS DOUBLE) / 100 AS p50_est,
-           CAST(MIN(CASE WHEN cum_before < floor((n * 90 + 99) / 100)
-                          AND floor((n * 90 + 99) / 100) <= cum_before + cnt
-                    THEN lo + floor((hi - lo) * (floor((n * 90 + 99) / 100) - cum_before - 1) / cnt)
+           CAST(MIN(CASE WHEN cum_before < (n * 90 + 99) // 100
+                          AND (n * 90 + 99) // 100 <= cum_before + cnt
+                    THEN lo + ((hi - lo) * ((n * 90 + 99) // 100 - cum_before - 1)) // cnt
                     END) AS DOUBLE) / 100 AS p90_est,
-           CAST(MIN(CASE WHEN cum_before < floor((n * 99 + 99) / 100)
-                          AND floor((n * 99 + 99) / 100) <= cum_before + cnt
-                    THEN lo + floor((hi - lo) * (floor((n * 99 + 99) / 100) - cum_before - 1) / cnt)
+           CAST(MIN(CASE WHEN cum_before < (n * 99 + 99) // 100
+                          AND (n * 99 + 99) // 100 <= cum_before + cnt
+                    THEN lo + ((hi - lo) * ((n * 99 + 99) // 100 - cum_before - 1)) // cnt
                     END) AS DOUBLE) / 100 AS p99_est
     FROM cum
     """,

@@ -512,11 +512,14 @@ def streaming_funnel(
     """Continuous ordered-funnel tracking via ``applyInPandasWithState`` —
     the live counterpart of the batch ``operators/temporal.funnel_steps``.
 
-    State per user is ONE tuple of step timestamps (epoch seconds, -1 =
-    unreached); each micro-batch replays its events in event-time order and
-    greedily advances the chain (step k fires on the first event strictly
-    after step k-1).  A progress row is emitted whenever a user's chain
-    ADVANCES (append mode — consumers keep the deepest row per user).
+    State per user is ONE tuple of step timestamps (epoch MICROSECONDS so
+    the strict ordering comparisons see full event precision; -1 =
+    unreached — emitted rows round down to epoch seconds, matching the
+    batch query's unix_timestamp convention); each micro-batch replays its
+    events in event-time order and greedily advances the chain (step k
+    fires on the first event strictly after step k-1).  A progress row is
+    emitted whenever a user's chain ADVANCES (append mode — consumers keep
+    the deepest row per user).
 
     Exactness boundary, stated explicitly: the one-pass greedy is exact
     when events arrive in event-time order across batches (the differential
@@ -538,12 +541,19 @@ def streaming_funnel(
 
     def update(key, pdf_iter, state: GroupState):
         user_id = key[0]
+        # state carries MICROSECONDS: the strict t > prev comparisons must
+        # see full event precision — second-truncated state silently missed
+        # same-second chains the batch operator converts (self-review r8)
         tv, tc, tp = state.get if state.exists else (-1, -1, -1)
         before = (tv, tc, tp)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts")
+        # one concatenated sort: chunks of pdf_iter arrive in arbitrary
+        # order, so sorting each independently replays a >maxRecordsPerBatch
+        # user out of event-time order (self-review r8)
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts")
             for ts, etype in zip(pdf["ts"], pdf["event_type"]):
-                t = int(ts.timestamp())
+                t = int(ts.value // 1_000)  # ns -> us
                 if etype == s1 and tv < 0:
                     tv = t
                 elif etype == s2 and tv >= 0 and t > tv and tc < 0:
@@ -556,9 +566,9 @@ def streaming_funnel(
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "t_view_epoch": [tv if tv >= 0 else None],
-                    "t_click_epoch": [tc if tc >= 0 else None],
-                    "t_purchase_epoch": [tp if tp >= 0 else None],
+                    "t_view_epoch": [tv // 1_000_000 if tv >= 0 else None],
+                    "t_click_epoch": [tc // 1_000_000 if tc >= 0 else None],
+                    "t_purchase_epoch": [tp // 1_000_000 if tp >= 0 else None],
                     "funnel_depth": [depth],
                 }
             )
