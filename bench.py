@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "corpus_source_similarity",
     "bpe_fertility_by_lang",
     "corpus_hll_distinct",
+    "corpus_mix_manifest",
 ]
 
 

@@ -417,3 +417,80 @@ def token_budget_select_scalable(
         .filter(F.col("cum_tokens") <= budget)
         .drop("__bkt__", "__off__")
     )
+
+
+def mix_manifest(
+    df: DataFrame,
+    total_token_budget: int,
+    token_col: str,
+    priority_col: str,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Training-mix manifest — the artifact a corpus-mixing run publishes:
+    per group (language/source), its corpus stats, its temperature weight,
+    the integer token-budget share that weight buys, and what actually fits
+    when the share is filled best-first.
+
+    Composition of two existing disciplines: α-temperature weighting
+    (``temperature_sample``'s integer-nanos ``count^α`` convention — α < 1
+    flattens the distribution toward rare groups) splits
+    ``total_token_budget`` into per-group shares by INTEGER division
+    (``(budget · w) div Σw`` — exact at any magnitude below 2^63, no float
+    rounding), and each share is then filled with the group's
+    ``(priority desc, id asc)`` prefix (``token_budget_select``'s rule).
+    Output: ``(group_col, n_docs, n_tokens, weight_nanos, token_budget,
+    n_selected, n_tokens_selected)`` — groups whose share is smaller than
+    their best document report 0 selected (the honest manifest signal that
+    the budget or α needs revisiting).
+
+    Scale: one count aggregate (group-cardinality-sized, broadcast back),
+    one prefix-sum window per group (see ``token_budget_select_scalable``
+    for the bucketed decomposition when a group outgrows a sort task), one
+    group-sized re-aggregate.
+    """
+    if total_token_budget <= 0:
+        raise ValueError("total_token_budget must be positive")
+    counts = (
+        df.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col(token_col)).alias("n_tokens"),
+        )
+        .withColumn(
+            "weight_nanos",
+            F.round(F.pow("n_docs", F.lit(float(alpha))) * F.lit(1e9)).cast("long"),
+        )
+    )
+    tot = counts.agg(F.sum("weight_nanos").alias("__z__"))
+    shares = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "token_budget",
+        F.expr(
+            f"(CAST({int(total_token_budget)} AS BIGINT) * weight_nanos) div __z__"
+        ),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(priority_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = df.withColumn("__cum__", F.sum(F.col(token_col)).over(w))
+    sel = ranked.join(
+        F.broadcast(shares.select(group_col, "token_budget")), group_col
+    ).filter(F.col("__cum__") <= F.col("token_budget"))
+    sel_agg = sel.groupBy(group_col).agg(
+        F.count("*").alias("n_selected"),
+        F.sum(F.col(token_col)).alias("n_tokens_selected"),
+    )
+    return shares.join(sel_agg, group_col, "left").select(
+        group_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "weight_nanos",
+        F.col("token_budget").cast("long").alias("token_budget"),
+        F.coalesce(F.col("n_selected"), F.lit(0)).cast("long").alias("n_selected"),
+        F.coalesce(F.col("n_tokens_selected"), F.lit(0))
+        .cast("long")
+        .alias("n_tokens_selected"),
+    )

@@ -4007,6 +4007,53 @@ def sample_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_mix_manifest",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens_total,
+             CAST(ROUND(pow(COUNT(*), 0.3) * 1e9) AS BIGINT) AS weight_nanos
+      FROM t GROUP BY 1
+    ), tot AS (
+      SELECT SUM(weight_nanos) AS z FROM c
+    ), b AS (
+      SELECT c.*, (20000 * weight_nanos) // tot.z AS token_budget FROM c, tot
+    ), r AS (
+      SELECT lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ), s AS (
+      SELECT r.lang, COUNT(*) AS n_selected, SUM(r.n_tokens) AS n_tokens_selected
+      FROM r JOIN b USING (lang) WHERE r.cum <= b.token_budget GROUP BY 1
+    )
+    SELECT b.lang, CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(b.n_tokens_total AS BIGINT) AS n_tokens,
+           b.weight_nanos, CAST(b.token_budget AS BIGINT) AS token_budget,
+           CAST(COALESCE(s.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(s.n_tokens_selected, 0) AS BIGINT) AS n_tokens_selected
+    FROM b LEFT JOIN s USING (lang)
+    """,
+    "training-mix manifest (r8 capstone composition): per-language corpus "
+    "stats + alpha=0.3 temperature weight (integer-nanos count^alpha) + the "
+    "integer-division share of a 20k global token budget + what actually "
+    "fits best-first under that share — the artifact a corpus-mixing run "
+    "publishes before training; weights/shares/prefixes all value-hash",
+)
+def corpus_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", T.word_count(F.col("text")).alias("n_tokens")
+    )
+    return S.mix_manifest(
+        docs, 20_000, "n_tokens", "n_chars", "doc_id", "lang", alpha=0.3
+    )
+
+
+@_register(
     "docs_length_deciles",
     """
     SELECT doc_id, lang,
@@ -5263,6 +5310,13 @@ _WINDOW_TAIL = [
     # (r5-r7), its function region byte-unchanged this round; the
     # decontamination family keeps decontaminate_semantic in-window):
     "decontaminate_bloom_report",
+    # (round-8 seventh batch — admits the NEW oracle-backed
+    # corpus_mix_manifest (temperature-weight + budget-share + prefix-fill
+    # composition).  Rotated out: docs_bm25_probe, hash-green FOUR
+    # consecutive rounds (r4-r7), its function region byte-unchanged this
+    # round; retrieval stays covered by embeddings_hard_negatives in-window
+    # and the full-registry parity sweep):
+    "docs_bm25_probe",
     # (round-6 rows-only additions: perceptual image dedup and the
     # unigram-LM trainer — pixel math / iterative EM have no SQL twin;
     # both carry differential pytest suites):

@@ -81,14 +81,16 @@ def test_correctness_window_is_all_oracle_backed():
     # window residents; test_correctness_window_covers_unverified_queries
     # derives the oracle invariant dynamically from the CORRECTNESS files
     must_be_windowed = {
-        "docs_bm25_probe", "corpus_top_bigrams",
+        "corpus_top_bigrams",
         "dedup_keep_best", "sample_temperature_lang",
         "pipeline_lifecycle", "dedup_semantic", "events_hourly_agg",
         "dedup_minhash_md5", "dedup_simhash_md5",
-        # round-8 never-driver-verified additions
+        # round-8 never-driver-verified additions (docs_bm25_probe rotated
+        # to the tail after four green rounds to make room for one of them)
         "sample_token_budget_scalable", "bpe_first_merge",
         "corpus_source_similarity", "bpe_fertility_by_lang",
-        "corpus_hll_distinct",
+        "corpus_hll_distinct", "q7_nation_volume", "q9_product_profit",
+        "events_funnel", "events_value_hist_quantiles", "corpus_mix_manifest",
     }
     assert must_be_windowed <= set(window)
 

@@ -195,3 +195,36 @@ def test_token_budget_scalable_rejects_bad_params(spark):
         token_budget_select_scalable(df, 0, "tok", "prio", "id")
     with pytest.raises(ValueError, match="n_buckets"):
         token_budget_select_scalable(df, 10, "tok", "prio", "id", n_buckets=1)
+
+
+def test_mix_manifest_invariants(spark):
+    """Shares sum to <= total budget (integer division), each group's
+    selection fits its share, zero-fit groups report honestly, and the
+    prefix matches token_budget_select under the same per-group budget."""
+    from chat_data_pipeline_spark.operators.sampling import (
+        mix_manifest,
+        token_budget_select,
+    )
+
+    rows = []
+    rid = 0
+    for g, n, tok in (("en", 40, 50), ("de", 10, 50), ("xx", 2, 10_000)):
+        for i in range(n):
+            rows.append((rid, g, tok, n - i))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, g string, tok long, prio long")
+    total = 1500
+    man = {r.g: r for r in mix_manifest(df, total, "tok", "prio", "id", "g").collect()}
+    assert set(man) == {"en", "de", "xx"}
+    assert sum(r.token_budget for r in man.values()) <= total
+    for g, r in man.items():
+        assert r.n_tokens_selected <= r.token_budget
+        sel = token_budget_select(
+            df.filter(F.col("g") == g), max(int(r.token_budget), 1),
+            "tok", "prio", "id",
+        )
+        assert sel.count() == r.n_selected
+    # xx's cheapest doc (10k tokens) can never fit a ~500-token share
+    assert man["xx"].n_selected == 0 and man["xx"].n_tokens_selected == 0
+    with pytest.raises(ValueError, match="budget"):
+        mix_manifest(df, 0, "tok", "prio", "id", "g")
