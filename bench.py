@@ -137,6 +137,8 @@ SCALE_PROBE_QUERIES = [
     "dedup_cross_corpus_md5",
     "corpus_cms_heavy_hitters",
     "dedup_ngram_jaccard",
+    "corpus_hll_distinct",
+    "corpus_source_similarity",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second
@@ -145,8 +147,8 @@ SCALE_PROBE_QUERIES = [
 # The r8 experiment REFUTED the vocab-growth hypothesis (fixed-vocab
 # exponents barely moved), which localized the real linear term: for the
 # bigram LM it was a corpus-width sort-merge scoring join (fixed — the
-# model table now broadcasts, exponent 0.54 -> 0.26-0.30 in the r8 probe
-# of record, as low as 0.19 in interim same-session A/Bs); for the BPE encode
+# model table now broadcasts, exponent 0.54 -> the 0.19-0.30 band across
+# r8 probe runs — local noise spans it); for the BPE encode
 # it is the per-document output reassembly (inherent output-proportional
 # work, and embarrassingly parallel).
 FIXED_VOCAB_QUERIES = ["docs_bigram_lm", "bpe_encode_corpus"]

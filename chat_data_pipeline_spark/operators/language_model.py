@@ -95,9 +95,8 @@ def bigram_lm_scores(
     tables, which are collected literals).  Without the hint AQE kept a
     corpus-width sort-merge join even at tiny model sizes, which was the
     measured linear term in the 1×→10× scale probe (fixed-vocab 10×:
-    4.8 s → 1.5-2.0 s with the hint; exponent 0.54 → 0.26-0.30 in the r8
-    probe of record, 0.19-0.20 in interim same-session A/Bs — local noise
-    spans that band).  Pass False for a
+    4.8 s → 1.5-2.0 s with the hint; exponent 0.54 → the 0.19-0.30 band
+    across r8 probe runs — local noise spans it).  Pass False for a
     vocabulary too large to broadcast (heaps-law extremes) to fall back to
     the shuffle join.
     """
