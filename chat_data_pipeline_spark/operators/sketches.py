@@ -152,13 +152,16 @@ def _hll_rho(hex13: Column) -> Column:
 def _hll_tokens(
     df: DataFrame, column: str, ngram_size: int | None
 ) -> DataFrame:
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    src = repartition_for_compute(df.select(column))
     if ngram_size:
         from chat_data_pipeline_spark.operators.dedup import word_shingles
 
-        return df.select(
+        return src.select(
             F.explode(word_shingles(F.col(column), ngram_size)).alias("tok")
         )
-    return df.select(F.explode(T.words(F.col(column))).alias("tok"))
+    return src.select(F.explode(T.words(F.col(column))).alias("tok"))
 
 
 def hll_registers(

@@ -84,6 +84,10 @@ def repartition_for_compute(df, partitions: int | None = None):
     no-op — no shuffle is added at scale; when it doesn't, shuffling a few MB
     to unlock every core is always the right trade.
     """
+    if df.isStreaming:
+        # a streaming frame has no rdd to probe; micro-batch parallelism is
+        # the source's concern (maxFilesPerTrigger etc.), so pass through
+        return df
     sc = df.sparkSession.sparkContext
     target = partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
