@@ -636,6 +636,10 @@ def source_similarity_matrix(
 
     Groups with no shingles (every doc shorter than ``ngram_size`` tokens)
     have no signature and are absent from the matrix.
+
+    EAGER: constructing the result executes the corpus scan (the signature
+    table checkpoints before the pairwise self-join so the shingle+hash
+    aggregation runs once, not once per join side).
     """
     from chat_data_pipeline_spark.session import repartition_for_compute
 
@@ -647,9 +651,14 @@ def source_similarity_matrix(
         "__g__",
         *[md5_perm_hash(j, F.col("__s__")).alias(f"__h{j}__") for j in range(num_perm)],
     )
+    # materialized once: the pairwise comparison references sigs on BOTH
+    # sides, and without the checkpoint each side re-runs the full corpus
+    # shingle+hash aggregation (measured: 2 scans, 4 sorts).  The table is
+    # #groups x num_perm — trivially small at any corpus size.  EAGER by
+    # construction, like the other checkpointing entry points.
     sigs = hashed.groupBy("__g__").agg(
         *[F.min(f"__h{j}__").alias(f"__h{j}__") for j in range(num_perm)]
-    )
+    ).localCheckpoint(eager=True)
     a, b = sigs.alias("a"), sigs.alias("b")
     n_match = sum(
         F.when(F.col(f"a.__h{j}__") == F.col(f"b.__h{j}__"), 1).otherwise(0)

@@ -252,3 +252,25 @@ def test_funnel_single_exchange(spark):
     r = plan_report(TP.funnel_steps(ev))
     assert r.n_python_stages == 0
     assert r.n_exchanges == 1, r.n_exchanges
+
+
+def test_q7_q9_star_joins_single_exchange(spark):
+    """The r8 relational shapes: every dim broadcasts, so the only exchange
+    is the lineitem-orders fact join; zero sorts, pruned scans."""
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    for name in ("q7_nation_volume", "q9_product_profit"):
+        r = plan_report(REGISTRY[name].fn(spark, SF_DIR))
+        assert r.n_exchanges == 1, (name, r.n_exchanges)
+        assert r.n_broadcasts >= 3 and r.n_sorts == 0 and r.scans_are_pruned
+
+
+def test_source_similarity_single_corpus_scan(docs):
+    """The per-source signature table checkpoints before the pairwise
+    self-join, so the corpus shingle+hash aggregation runs ONCE (the final
+    plan reads only cached signature blocks — no parquet scans at all)."""
+    from chat_data_pipeline_spark.operators import dedup as D
+
+    r = plan_report(D.source_similarity_matrix(docs, "text", "source"))
+    assert r.n_python_stages == 0
+    assert r.read_schemas == [], r.read_schemas
