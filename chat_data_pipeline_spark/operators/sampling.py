@@ -452,6 +452,13 @@ def mix_manifest(
     """
     if total_token_budget <= 0:
         raise ValueError("total_token_budget must be positive")
+    # materialized once (S5 pattern): the count aggregate and the prefix
+    # window are separate consumers, and the input projection often embeds
+    # an expensive tokenize (word_count) that would otherwise run twice.
+    # EAGER by construction, like the other checkpointing entry points.
+    df = df.select(group_col, id_col, token_col, priority_col).localCheckpoint(
+        eager=True
+    )
     counts = (
         df.groupBy(group_col)
         .agg(
