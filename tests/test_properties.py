@@ -201,3 +201,39 @@ def test_chunking_matches_python_replay(spark, tokens, chunk, overlap):
         if i > 0:
             assert s + overlap < len(toks)  # contributes new tokens
     assert covered == set(range(len(toks)))
+
+
+@given(st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=60))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_value_histogram_matches_python_replay(spark, cents):
+    """The log-histogram quantile sketch equals a pure-Python replay of its
+    own integer contract (top-4-bit bins, ceil-rank, integer interpolation)
+    on arbitrary positive cents multisets."""
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    bins: dict = {}
+    for c in cents:
+        hb = c.bit_length()
+        if hb <= 3:
+            lo, hi = c, c + 1
+        else:
+            s = hb - 4
+            top4 = c >> s
+            lo, hi = top4 << s, (top4 + 1) << s
+        bins[(lo, hi)] = bins.get((lo, hi), 0) + 1
+    n = len(cents)
+    expected = {}
+    for num in (50, 90, 99):
+        rank = -(-n * num // 100)  # ceil
+        cum = 0
+        for (lo, hi), cnt in sorted(bins.items()):
+            if cum < rank <= cum + cnt:
+                expected[num] = (lo + ((hi - lo) * (rank - cum - 1)) // cnt) / 100
+                break
+            cum += cnt
+    df = spark.createDataFrame([(c / 100,) for c in cents], "value double")
+    r = SK.value_histogram_sketch(df, "value").collect()[0]
+    assert r.n == n and r.n_bins == len(bins)
+    assert (r.p50_est, r.p90_est, r.p99_est) == (
+        expected[50], expected[90], expected[99],
+    )
