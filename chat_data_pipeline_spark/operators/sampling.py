@@ -207,6 +207,19 @@ def weighted_sample_topk(
     )
 
 
+def _alpha_weight_nanos(count_col: str, alpha: float):
+    """The shared temperature-weight convention: ``count^alpha`` as INTEGER
+    NANOS (the bm25_scores discipline) — a float SUM's addition order
+    differs between engines/partitionings, so a quota/share landing exactly
+    on a floor boundary could flip a kept set; rounding each contribution
+    to int64 first makes every downstream sum exact and order-independent,
+    and the pow itself is one deterministic IEEE expression both engines
+    evaluate identically.  Used by ``temperature_sample`` AND
+    ``mix_manifest``; the DuckDB oracles inline the same
+    ``ROUND(pow(c, alpha) * 1e9)`` literal."""
+    return F.round(F.pow(count_col, F.lit(float(alpha))) * F.lit(1e9)).cast("long")
+
+
 def temperature_sample(
     df: DataFrame,
     group_col: str,
@@ -239,13 +252,7 @@ def temperature_sample(
     """
     if alpha <= 0:
         raise ValueError("alpha must be positive")
-    # per-group weight c^alpha as INTEGER NANOS (the bm25_scores convention):
-    # a float SUM's addition order differs between engines/partitionings, so
-    # a quota landing exactly on a floor boundary could flip the kept set;
-    # rounding each contribution to int64 first makes Z an exact integer sum
-    # (order-independent), and every remaining op is a deterministic IEEE
-    # double expression both engines evaluate identically.
-    p_nanos = F.round(F.pow("__c__", F.lit(float(alpha))) * F.lit(1e9)).cast("long")
+    p_nanos = _alpha_weight_nanos("__c__", alpha)
     counts = df.groupBy(group_col).agg(F.count("*").alias("__c__"))
     counts = counts.withColumn("__p__", p_nanos)
     tot = counts.agg(
@@ -434,16 +441,20 @@ def mix_manifest(
     when the share is filled best-first.
 
     Composition of two existing disciplines: α-temperature weighting
-    (``temperature_sample``'s integer-nanos ``count^α`` convention — α < 1
+    (``_alpha_weight_nanos``, shared with ``temperature_sample`` — α < 1
     flattens the distribution toward rare groups) splits
-    ``total_token_budget`` into per-group shares by INTEGER division
-    (``(budget · w) div Σw`` — exact at any magnitude below 2^63, no float
-    rounding), and each share is then filled with the group's
-    ``(priority desc, id asc)`` prefix (``token_budget_select``'s rule).
-    Output: ``(group_col, n_docs, n_tokens, weight_nanos, token_budget,
-    n_selected, n_tokens_selected)`` — groups whose share is smaller than
-    their best document report 0 selected (the honest manifest signal that
-    the budget or α needs revisiting).
+    ``total_token_budget`` into per-group shares by EXACT floor division in
+    DECIMAL(38,0) (the budget·weight product passes 2^63 at real
+    magnitudes — a trillion-token budget × 1e10-nano weights ≈ 1e22 — and
+    subtracting the remainder before dividing keeps the decimal division
+    integral, immune to result-scale rounding), and each share is then
+    filled with the group's ``(priority desc, id asc)`` prefix
+    (``token_budget_select``'s rule).  Rows with a NULL group are excluded
+    (they would silently drop from the joins and report a false zero-fit
+    row — label unknowns first).  Output: ``(group_col, n_docs, n_tokens,
+    weight_nanos, token_budget, n_selected, n_tokens_selected)`` — groups
+    whose share is smaller than their best document report 0 selected (the
+    honest manifest signal that the budget or α needs revisiting).
 
     Scale: one count aggregate (group-cardinality-sized, broadcast back),
     one prefix-sum window per group (see ``token_budget_select_scalable``
@@ -452,12 +463,17 @@ def mix_manifest(
     """
     if total_token_budget <= 0:
         raise ValueError("total_token_budget must be positive")
-    # materialized once (S5 pattern): the count aggregate and the prefix
-    # window are separate consumers, and the input projection often embeds
-    # an expensive tokenize (word_count) that would otherwise run twice.
-    # EAGER by construction, like the other checkpointing entry points.
-    df = df.select(group_col, id_col, token_col, priority_col).localCheckpoint(
-        eager=True
+    # NULL groups are excluded up front: a NULL key silently drops out of
+    # the equi-joins below (both engines agree), so it would get a budget
+    # row claiming nothing fits — a false manifest signal.  Label your
+    # unknowns (or coalesce to a sentinel) before calling.
+    # Note the input is consumed TWICE (the count aggregate and the prefix
+    # window); if the projection embeds an expensive derivation (a
+    # word_count tokenize), compute and persist it upstream — a corpus-row
+    # checkpoint here would be unbounded state, unlike the group/vocab-
+    # bounded checkpoints the other entry points make.
+    df = df.select(group_col, id_col, token_col, priority_col).filter(
+        F.col(group_col).isNotNull()
     )
     counts = (
         df.groupBy(group_col)
@@ -465,16 +481,20 @@ def mix_manifest(
             F.count("*").alias("n_docs"),
             F.sum(F.col(token_col)).alias("n_tokens"),
         )
-        .withColumn(
-            "weight_nanos",
-            F.round(F.pow("n_docs", F.lit(float(alpha))) * F.lit(1e9)).cast("long"),
-        )
+        .withColumn("weight_nanos", _alpha_weight_nanos("n_docs", alpha))
     )
     tot = counts.agg(F.sum("weight_nanos").alias("__z__"))
+    # budget * weight overflows int64 at real magnitudes (a trillion-token
+    # budget x 1e10-nano weights ~ 1e22), so the product runs in
+    # DECIMAL(38,0) and the floor division is expressed exactly as
+    # (p - p % z) / z — subtracting the remainder first makes the decimal
+    # division integral, so no result-scale rounding can perturb it.
     shares = counts.crossJoin(F.broadcast(tot)).withColumn(
         "token_budget",
         F.expr(
-            f"(CAST({int(total_token_budget)} AS BIGINT) * weight_nanos) div __z__"
+            f"CAST((CAST({int(total_token_budget)} AS DECIMAL(38,0)) * weight_nanos"
+            f" - (CAST({int(total_token_budget)} AS DECIMAL(38,0)) * weight_nanos) % __z__)"
+            f" / __z__ AS BIGINT)"
         ),
     )
     w = (

@@ -4013,6 +4013,7 @@ def sample_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, n_chars,
              len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS n_tokens
       FROM documents
+      WHERE lang IS NOT NULL  -- the operator excludes NULL groups up front
     ), c AS (
       SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens_total,
              CAST(ROUND(pow(COUNT(*), 0.3) * 1e9) AS BIGINT) AS weight_nanos

@@ -228,3 +228,30 @@ def test_mix_manifest_invariants(spark):
     assert man["xx"].n_selected == 0 and man["xx"].n_tokens_selected == 0
     with pytest.raises(ValueError, match="budget"):
         mix_manifest(df, 0, "tok", "prio", "id", "g")
+
+
+def test_mix_manifest_huge_budget_no_overflow(spark):
+    """A trillion-token budget with 1e10-nano weights must not overflow the
+    share arithmetic (DECIMAL path), and shares still sum <= budget."""
+    from chat_data_pipeline_spark.operators.sampling import mix_manifest
+
+    rows = [(i, "en" if i % 5 else "de", 100, i) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "id long, g string, tok long, prio long")
+    total = 1_000_000_000_000
+    man = {r.g: r for r in mix_manifest(df, total, "tok", "prio", "id", "g").collect()}
+    assert sum(r.token_budget for r in man.values()) <= total
+    assert all(r.token_budget > 0 for r in man.values())
+    # budget dwarfs the corpus: everything is selected
+    assert all(r.n_selected == r.n_docs for r in man.values())
+
+
+def test_mix_manifest_null_group_excluded(spark):
+    """NULL-group rows are excluded up front instead of receiving a share
+    they can never claim through the NULL-dropping equi-joins."""
+    from chat_data_pipeline_spark.operators.sampling import mix_manifest
+
+    rows = [(1, "en", 10, 5), (2, "en", 10, 4), (3, None, 10, 5), (4, None, 10, 4)]
+    df = spark.createDataFrame(rows, "id long, g string, tok long, prio long")
+    man = mix_manifest(df, 100, "tok", "prio", "id", "g").collect()
+    assert {r.g for r in man} == {"en"}
+    assert man[0].token_budget == 100  # the whole budget, not a wasted half
