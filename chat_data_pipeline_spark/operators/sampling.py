@@ -383,11 +383,16 @@ def token_budget_select_scalable(
     bounds = df.groupBy(*gcols).agg(
         F.percentile_approx(F.col(priority_col), fracs).alias("__bounds__")
     )
-    joined = (
-        df.join(F.broadcast(bounds), on=gcols)
-        if gcols
-        else df.crossJoin(F.broadcast(bounds))
-    )
+    # null-SAFE group join: a plain equi-join would silently drop NULL-group
+    # rows that the exact window keeps (partitionBy groups nulls together) —
+    # the decomposition must be row-identical to the exact form
+    if gcols:
+        b = F.broadcast(bounds.withColumnRenamed(group_col, "__g__"))
+        joined = df.join(
+            b, F.col(group_col).eqNullSafe(F.col("__g__"))
+        ).drop("__g__")
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
     cleared = F.aggregate(
         "__bounds__",
         F.lit(0),
@@ -416,9 +421,21 @@ def token_budget_select_scalable(
         .orderBy(F.col(priority_col).desc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if gcols:
+        off = F.broadcast(
+            offsets.withColumnRenamed(group_col, "__g__").withColumnRenamed(
+                "__bkt__", "__obkt__"
+            )
+        )
+        matched = rows.join(
+            off,
+            F.col(group_col).eqNullSafe(F.col("__g__"))
+            & (F.col("__bkt__") == F.col("__obkt__")),
+        ).drop("__g__", "__obkt__")
+    else:
+        matched = rows.join(F.broadcast(offsets), on=["__bkt__"])
     return (
-        rows.join(F.broadcast(offsets), on=gcols + ["__bkt__"])
-        .withColumn(
+        matched.withColumn(
             "cum_tokens", F.col("__off__") + F.sum(F.col(token_col)).over(w)
         )
         .filter(F.col("cum_tokens") <= budget)

@@ -148,7 +148,8 @@ def test_token_budget_scalable_matches_exact(spark):
     rows = []
     for i in range(400):
         prio = rng.choice([1.0, 2.0, 2.0, 2.0, 3.0, 5.0, 8.0, None])
-        rows.append((i, "ab"[i % 2], rng.randint(0, 30), prio))
+        grp = rng.choice(["a", "b", None])  # NULL group must behave like any other
+        rows.append((i, grp, rng.randint(0, 30), prio))
     df = spark.createDataFrame(rows, "id long, grp string, tok long, prio double")
     for nb in (2, 4, 64, 512):  # more buckets than distinct priorities too
         exact = token_budget_select(df, 300, "tok", "prio", "id", group_col="grp")
