@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "bpe_fertility_by_lang",
     "corpus_hll_distinct",
     "corpus_mix_manifest",
+    "split_leakage_audit",
 ]
 
 

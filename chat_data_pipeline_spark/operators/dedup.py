@@ -609,6 +609,62 @@ def minhash_dedup_md5(
     return _minhash_filter_from_fingerprints(df, fingerprints, id_col)
 
 
+def split_leakage_audit(
+    df: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    ngram_size: int = 5,
+    num_perm: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Cross-split contamination audit: ``(split_a, split_b, n_pairs)`` —
+    how many near-duplicate pairs STRADDLE split boundaries.  A val/test
+    member whose near-twin sits in train inflates eval scores exactly like
+    benchmark contamination; this is the check a leakage-safe split
+    pipeline runs before publishing (hash-range splits prevent id-level
+    leakage, but near-dup leakage needs the similarity machinery).
+
+    Same md5 banding as ``minhash_dedup_md5`` (so a DuckDB oracle
+    value-hashes the whole audit); pairs colliding in several bands count
+    once.  Scale: the banding self-join enumerates candidate pairs, which
+    is quadratic in a bucket's size — near-dup clusters ARE the buckets, so
+    on a pathological corpus cap cluster blowup upstream (run exact-dedup
+    first, the ``ngram_jaccard_dedup`` clone-collapse trick) before
+    auditing.
+
+    EAGER: constructing the result executes the fingerprint pass (the
+    band table checkpoints before the self-join).
+    """
+    fp = (
+        minhash_md5_fingerprints(df, column, id_col, ngram_size, num_perm, num_bands)
+        .select("id", F.posexplode("sigs").alias("band", "sig"))
+        .localCheckpoint(eager=True)
+    )
+    splits = df.select(F.col(id_col).alias("id"), F.col(split_col).alias("__s__"))
+    tagged = fp.join(splits, "id")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(F.col("a.__s__") != F.col("b.__s__"))
+        .select(
+            F.least("a.__s__", "b.__s__").alias("split_a"),
+            F.greatest("a.__s__", "b.__s__").alias("split_b"),
+            F.col("a.id").alias("__i1__"),
+            F.col("b.id").alias("__i2__"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("split_a", "split_b").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
 def source_similarity_matrix(
     df: DataFrame,
     column: str = "text",

@@ -3276,6 +3276,65 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "split_leakage_audit",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)])
+                  ELSE [] END AS shingles
+      FROM toks
+    ), posting AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ), hashes AS (
+      SELECT doc_id, p,
+             MIN(substr(md5(CAST(p // 4 AS VARCHAR) || chr(31) || s),
+                        1 + 8 * (p % 4), 8)) AS h
+      FROM posting CROSS JOIN range(16) r(p)
+      GROUP BY doc_id, p
+    ), bandsig AS (
+      SELECT doc_id, p // 4 AS band,
+             string_agg(h, '|' ORDER BY p) AS sig
+      FROM hashes GROUP BY doc_id, p // 4
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN {_SQL_MD5_U} < 0.8 THEN 'train'
+                  WHEN {_SQL_MD5_U} < 0.9 THEN 'val'
+                  ELSE 'test' END AS s
+      FROM documents
+    ), pairs AS (
+      SELECT DISTINCT LEAST(s1.s, s2.s) AS split_a,
+             GREATEST(s1.s, s2.s) AS split_b,
+             b1.doc_id AS i1, b2.doc_id AS i2
+      FROM bandsig b1
+      JOIN bandsig b2 ON b1.band = b2.band AND b1.sig = b2.sig
+                     AND b1.doc_id < b2.doc_id
+      JOIN sp s1 ON s1.doc_id = b1.doc_id
+      JOIN sp s2 ON s2.doc_id = b2.doc_id
+      WHERE s1.s <> s2.s
+    )
+    SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1, 2
+    """,
+    "cross-split near-dup contamination audit (r8): near-duplicate pairs "
+    "STRADDLING the md5-range train/val/test boundaries — a val/test "
+    "member whose near-twin sits in train inflates eval like benchmark "
+    "contamination; hash splits stop id-level leakage, this catches the "
+    "near-dup kind.  Same md5 banding as dedup_minhash_md5, multi-band "
+    "collisions deduplicated per pair, full cross-engine value hash",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    with_split = S.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return D.split_leakage_audit(with_split, "text", "doc_id", "split")
+
+
+@_register(
     "events_moving_average",
     """
     SELECT event_id, user_id,
@@ -5318,6 +5377,11 @@ _WINDOW_TAIL = [
     # round; retrieval stays covered by embeddings_hard_negatives in-window
     # and the full-registry parity sweep):
     "docs_bm25_probe",
+    # (round-8 eighth batch — admits the NEW oracle-backed
+    # split_leakage_audit (cross-split near-dup contamination).  Rotated
+    # out: paragraph_dedup_within, hash-green THREE consecutive rounds
+    # (r5-r7), its span_dedup module byte-unchanged this round):
+    "paragraph_dedup_within",
     # (round-6 rows-only additions: perceptual image dedup and the
     # unigram-LM trainer — pixel math / iterative EM have no SQL twin;
     # both carry differential pytest suites):

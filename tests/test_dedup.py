@@ -429,3 +429,21 @@ def test_source_similarity_matrix_planted(spark):
     assert m[("b", "c")][0] == 0
     # symmetric closure is implicit: only a<b pairs, all 6 present
     assert set(m) == {("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d")}
+
+
+def test_split_leakage_audit_planted(spark):
+    """Planted near-twins across splits are reported; within-split twins and
+    non-duplicates are not; multi-band collisions count once per pair."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, a, "train"), (2, a, "val"),      # cross-split exact twins
+        (3, b, "train"), (4, b, "train"),    # within-split twins: excluded
+        (5, "totally different text with many unique words here now", "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = {
+        (r.split_a, r.split_b): r.n_pairs
+        for r in D.split_leakage_audit(df, "text", "doc_id", "split").collect()
+    }
+    assert got == {("train", "val"): 1}

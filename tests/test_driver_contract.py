@@ -91,6 +91,7 @@ def test_correctness_window_is_all_oracle_backed():
         "corpus_source_similarity", "bpe_fertility_by_lang",
         "corpus_hll_distinct", "q7_nation_volume", "q9_product_profit",
         "events_funnel", "events_value_hist_quantiles", "corpus_mix_manifest",
+        "split_leakage_audit",
     }
     assert must_be_windowed <= set(window)
 
