@@ -627,11 +627,16 @@ def split_leakage_audit(
 
     Same md5 banding as ``minhash_dedup_md5`` (so a DuckDB oracle
     value-hashes the whole audit); pairs colliding in several bands count
-    once.  Scale: the banding self-join enumerates candidate pairs, which
-    is quadratic in a bucket's size — near-dup clusters ARE the buckets, so
-    on a pathological corpus cap cluster blowup upstream (run exact-dedup
-    first, the ``ngram_jaccard_dedup`` clone-collapse trick) before
-    auditing.
+    once.  Blind spot, stated explicitly: documents shorter than
+    ``ngram_size`` tokens produce no shingles and therefore no fingerprint
+    — a cross-split twin of such a SHORT doc is invisible here.  For
+    short-text corpora (titles, queries, one-liners) pair this with an
+    exact cross-split check (hash the text, group, count splits per hash) —
+    near-dup banding only ever audits what it can fingerprint.  Scale: the
+    banding self-join enumerates candidate pairs, which is quadratic in a
+    bucket's size — near-dup clusters ARE the buckets, so on a pathological
+    corpus cap cluster blowup upstream (run exact-dedup first, the
+    ``ngram_jaccard_dedup`` clone-collapse trick) before auditing.
 
     EAGER: constructing the result executes the fingerprint pass (the
     band table checkpoints before the self-join).
