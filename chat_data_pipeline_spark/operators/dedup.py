@@ -670,6 +670,42 @@ def split_leakage_audit(
     )
 
 
+def split_leakage_audit_exact(
+    df: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Exact-duplicate companion of :func:`split_leakage_audit`:
+    ``(split_a, split_b, n_pairs)`` counting IDENTICAL texts straddling
+    split boundaries — no shingle-length blind spot (a 3-word twin counts),
+    and no pair enumeration: per (text-hash, split) counts combine IN-ROW
+    (cross-split pairs per hash = Σ c_i·c_j over its sorted split-count
+    list, ≤ #splits entries), so the whole audit is two map-combinable
+    aggregations and a narrow explode — nothing quadratic anywhere."""
+    h = F.md5(F.coalesce(F.col(column), F.lit("")))
+    per = (
+        df.select(h.alias("__h__"), F.col(split_col).alias("__s__"))
+        .groupBy("__h__", "__s__")
+        .agg(F.count("*").alias("c"))
+    )
+    byh = (
+        per.groupBy("__h__")
+        .agg(F.array_sort(F.collect_list(F.struct("__s__", "c"))).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    combs = F.expr(
+        "flatten(transform(sequence(1, size(m) - 1), i -> "
+        "transform(sequence(i + 1, size(m)), j -> struct("
+        "element_at(m, i).__s__ AS sa, element_at(m, j).__s__ AS sb, "
+        "element_at(m, i).c * element_at(m, j).c AS np))))"
+    )
+    pairs = byh.select(F.explode(combs).alias("p")).select("p.sa", "p.sb", "p.np")
+    return pairs.groupBy(
+        F.col("sa").alias("split_a"), F.col("sb").alias("split_b")
+    ).agg(F.sum("np").cast("long").alias("n_pairs"))
+
+
 def source_similarity_matrix(
     df: DataFrame,
     column: str = "text",

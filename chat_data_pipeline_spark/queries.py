@@ -3315,23 +3315,40 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sp s1 ON s1.doc_id = b1.doc_id
       JOIN sp s2 ON s2.doc_id = b2.doc_id
       WHERE s1.s <> s2.s
+    ), xh AS (
+      SELECT md5(COALESCE(d.text, '')) AS h, sp.s, COUNT(*) AS c
+      FROM documents d JOIN sp ON sp.doc_id = d.doc_id
+      GROUP BY 1, 2
+    ), xp AS (
+      SELECT a.s AS split_a, b.s AS split_b, SUM(a.c * b.c) AS np
+      FROM xh a JOIN xh b ON a.h = b.h AND a.s < b.s
+      GROUP BY 1, 2
     )
-    SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
-    FROM pairs GROUP BY 1, 2
+    SELECT 'near_dup' AS kind, split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 2, 3
+    UNION ALL
+    SELECT 'exact' AS kind, split_a, split_b, CAST(np AS BIGINT) AS n_pairs
+    FROM xp
     """,
-    "cross-split near-dup contamination audit (r8): near-duplicate pairs "
-    "STRADDLING the md5-range train/val/test boundaries — a val/test "
-    "member whose near-twin sits in train inflates eval like benchmark "
-    "contamination; hash splits stop id-level leakage, this catches the "
-    "near-dup kind.  Same md5 banding as dedup_minhash_md5, multi-band "
-    "collisions deduplicated per pair, full cross-engine value hash",
+    "cross-split contamination audit (r8), BOTH lenses in one artifact: "
+    "near-duplicate pairs straddling the md5-range train/val/test "
+    "boundaries (dedup_minhash_md5's banding, multi-band collisions "
+    "deduplicated per pair) plus exact-text pairs (no shingle-length blind "
+    "spot, counted combinatorially per hash — nothing quadratic); hash "
+    "splits stop id-level leakage, this catches what slips through; full "
+    "cross-engine value hash",
 )
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     with_split = S.hash_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
-    return D.split_leakage_audit(with_split, "text", "doc_id", "split")
+    near = D.split_leakage_audit(with_split, "text", "doc_id", "split")
+    exact = D.split_leakage_audit_exact(with_split, "text", "doc_id", "split")
+    return near.withColumn("kind", F.lit("near_dup")).unionByName(
+        exact.withColumn("kind", F.lit("exact"))
+    ).select("kind", "split_a", "split_b", "n_pairs")
 
 
 @_register(

@@ -447,3 +447,25 @@ def test_split_leakage_audit_planted(spark):
         for r in D.split_leakage_audit(df, "text", "doc_id", "split").collect()
     }
     assert got == {("train", "val"): 1}
+
+
+def test_split_leakage_audit_exact_covers_short_docs(spark):
+    """The exact lens catches what the banding lens cannot: cross-split
+    twins SHORTER than the shingle window, and combinatorial counts
+    (2 train copies x 1 val copy = 2 pairs) without pair enumeration."""
+    rows = [
+        (1, "hi there", "train"), (2, "hi there", "train"),
+        (3, "hi there", "val"),                  # 2x1 cross-split pairs
+        (4, "bye now", "test"), (5, "bye now", "test"),  # within-split only
+        (6, "unique text", "train"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    exact = {
+        (r.split_a, r.split_b): r.n_pairs
+        for r in D.split_leakage_audit_exact(df, "text", "doc_id", "split").collect()
+    }
+    assert exact == {("train", "val"): 2}
+    # the banding lens is blind here (both texts < 5 tokens) — the audit
+    # query unions both lenses precisely for this reason
+    near = D.split_leakage_audit(df, "text", "doc_id", "split").collect()
+    assert near == []
