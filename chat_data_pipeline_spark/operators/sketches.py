@@ -435,3 +435,36 @@ def value_histogram_sketch(
         )
         out_aggs.append((est_cents.cast("double") / 100).alias(f"p{num}_est"))
     return hist.agg(*out_aggs)
+
+
+# --------------------------------------------------------------------------
+# Persistent sketch stores — append per-batch sketches, merge on read
+# --------------------------------------------------------------------------
+
+
+def update_sketch_store(sketch: DataFrame, store_path: str, batch_id: int | None = None) -> None:
+    """Append one batch's sketch rows (CMS cells, HLL registers, or
+    histogram bins — anything whose merge is a keyed aggregate) to a
+    parquet store.  With ``batch_id`` the write is IDEMPOTENT: rows land in
+    a ``batch=<id>`` partition via overwrite, so a replayed micro-batch
+    (foreachBatch retry semantics) leaves the store byte-identical instead
+    of double-appending — the incremental-minhash store discipline."""
+    if batch_id is None:
+        sketch.write.mode("append").parquet(store_path)
+    else:
+        sketch.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+
+def read_merged_sketch(
+    spark, store_path: str, keys: list[str], value_col: str, how: str = "sum"
+) -> DataFrame:
+    """Merge-on-read over a sketch store: ``sum`` for CMS cells / histogram
+    bins (count-additive), ``max`` for HLL registers (rank-monotone).  The
+    scan is store-sized — per-batch sketches are KB each, so years of
+    batches stay trivially readable; compact by rewriting the merged frame
+    whenever the batch count grows annoying."""
+    if how not in ("sum", "max"):
+        raise ValueError("how must be 'sum' or 'max'")
+    agg = (F.sum if how == "sum" else F.max)(value_col).alias(value_col)
+    df = spark.read.parquet(store_path)
+    return df.groupBy(*keys).agg(agg)

@@ -188,3 +188,39 @@ def test_value_histogram_sketch_accuracy_and_edges(spark):
     r2 = SK.value_histogram_sketch(df, "value").collect()[0]
     assert r2.n == 4 and r2.n_bins == 4  # cents 1..4, unit bins
     assert r2.p50_est == 0.02  # rank ceil(0.5*4)=2 -> second unit bin
+
+
+def test_sketch_store_roundtrip_and_idempotent_retry(spark, tmp_path):
+    """Batched sketches through the store merge back to the whole-corpus
+    sketch (CMS sum-merge AND HLL max-merge), and a replayed batch with a
+    batch_id leaves the merged result unchanged."""
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+
+    cms_store = str(tmp_path / "cms")
+    for i, part in enumerate((a, b)):
+        SK.update_sketch_store(SK.cms_table(part, "text"), cms_store, batch_id=i)
+    SK.update_sketch_store(SK.cms_table(b, "text"), cms_store, batch_id=1)  # retry
+    merged = {
+        (r.d, r.bucket): r.c
+        for r in SK.read_merged_sketch(spark, cms_store, ["d", "bucket"], "c").collect()
+    }
+    whole = {(r.d, r.bucket): r.c for r in SK.cms_table(docs, "text").collect()}
+    assert merged == whole
+
+    hll_store = str(tmp_path / "hll")
+    for i, part in enumerate((a, b)):
+        SK.update_sketch_store(
+            SK.hll_registers(part, "text", ngram_size=5), hll_store, batch_id=i
+        )
+    merged_r = {
+        r.bucket: r.r
+        for r in SK.read_merged_sketch(
+            spark, hll_store, ["bucket"], "r", how="max"
+        ).collect()
+    }
+    whole_r = {r.bucket: r.r for r in SK.hll_registers(docs, "text", ngram_size=5).collect()}
+    assert merged_r == whole_r
