@@ -291,10 +291,14 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
     rev = _cents(F.col("l_extendedprice")) * _cents(F.lit(1) - F.col("l_discount"))
+    # only the fixed-cardinality nation dim carries a forced broadcast (above);
+    # supp/cust grow with sf — at sf100 the customer⋈nation subset is a real
+    # fraction of a huge table, so AQE decides those join strategies from
+    # runtime sizes instead of a hint it can't refuse (r8 verdict item 3)
     return (
-        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
         .agg((F.sum(rev).cast("double") / 10_000).alias("revenue"))
@@ -317,8 +321,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "TPC-H Q9 shape (product-type profit; this schema has no partsupp, so "
     "cost = p_retailprice x quantity): widget-line profit by supplier "
-    "nation and order year — a 5-table join where part/supplier/nation "
-    "broadcast and the two integer-cents sums combine in double only at "
+    "nation and order year — a 5-table join where only the fixed-size "
+    "nation dim is hint-broadcast (AQE sizes the sf-proportional sides) "
+    "and the two integer-cents sums combine in double only at "
     "the end, keeping the value hash exact",
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,9 +337,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]).select(
         "s_suppkey", F.col("n_name").alias("nation")
     )
+    # nation is the only forced broadcast: part's %widget% subset and the
+    # supplier⋈nation side both scale with sf, so their join strategy is
+    # AQE's call from runtime sizes (r8 verdict item 3)
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
