@@ -4608,10 +4608,13 @@ def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # correctness is differential vs the pure-Python Sennrich reference
     # in tests/test_bpe.py, the MinHash D1-D9 evidence model
     "distributed BPE vocabulary learning (Sennrich et al. 2016): word-freq "
-    "table -> iterate [map-combined pair-count agg -> 1-row argmax collect "
-    "-> narrow array-fold merge apply]; driver holds only the O(num_merges) "
-    "merge list and per-iteration state is the checkpointed distinct-word "
-    "table, so cost scales with vocabulary, not corpus bytes",
+    "table -> iterate [map-combined pair-count agg -> O(K)-row top-pool "
+    "collect -> up to K symbol-disjoint merges accepted per round -> narrow "
+    "array-fold merge applies]; batched rounds (batch_k=8) cut driver "
+    "round-trips K-fold vs one-argmax-per-merge while staying exact w.r.t. "
+    "round-start pair counts (disjoint merges commute); driver holds only "
+    "the O(num_merges) merge list and per-round state is the checkpointed "
+    "distinct-word table, so cost scales with vocabulary, not corpus bytes",
 )
 def bpe_merges_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chat_data_pipeline_spark.operators import bpe as B

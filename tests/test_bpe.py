@@ -64,11 +64,97 @@ CORPUS = [
 
 
 def test_merges_match_reference(spark):
+    """batch_k=1 is EXACTLY classic sequential BPE (one argmax per round)."""
     df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
-    got = B.learn_bpe_merges(df, "text", num_merges=25)
+    got = B.learn_bpe_merges(df, "text", num_merges=25, batch_k=1)
     want = _ref_learn(CORPUS, 25)
     assert got == want
     assert len(got) > 5  # the corpus genuinely supports many merges
+
+
+# --- pure-Python reference for the BATCHED regime ---------------------------
+
+
+def _ref_learn_batched(
+    texts: list[str], num_merges: int, min_frequency: int = 2, batch_k: int = 8
+):
+    """Mirror of learn_bpe_merges' batched round semantics: per round, rank
+    all pairs by (freq desc, pair asc), truncate to the candidate pool
+    (4K+4), greedily accept up to K pairs whose symbols — including the
+    concatenated merged symbol — are disjoint from every pair accepted
+    earlier in the round, then apply all accepted merges."""
+    vocab = Counter()
+    for t in texts:
+        for w in re.findall(r"\w+", (t or "").lower()):
+            vocab[tuple(list(w) + [B.END_OF_WORD])] += 1
+    merges = []
+    while len(merges) < num_merges:
+        k = min(batch_k, num_merges - len(merges))
+        pairs = Counter()
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        ranked = ranked[: 4 * k + 4]
+        if not ranked or ranked[0][1] < min_frequency:
+            break
+        accepted, used = [], set()
+        for (a, b), freq in ranked:
+            if len(accepted) >= k or freq < min_frequency:
+                break
+            if a in used or b in used:
+                continue
+            accepted.append((a, b))
+            used.update((a, b, a + b))
+        for a, b in accepted:
+            merges.append((a, b))
+            new_vocab = Counter()
+            for syms, freq in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] += freq
+            vocab = new_vocab
+    return merges
+
+
+@pytest.mark.parametrize("k", [2, 4, 8])
+def test_batched_merges_match_batched_reference(spark, k):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    got = B.learn_bpe_merges(df, "text", num_merges=25, batch_k=k)
+    want = _ref_learn_batched(CORPUS, 25, batch_k=k)
+    assert got == want
+    assert len(got) > 5
+
+
+def test_batched_k1_equals_default_path(spark):
+    """The batched code path with K=1 reduces to the sequential trainer —
+    same loop, pool of size 8, one acceptance per round."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    assert B.learn_bpe_merges(df, "text", num_merges=12, batch_k=1) == _ref_learn(
+        CORPUS, 12
+    )
+
+
+def test_batched_round1_prefix_matches_sequential(spark):
+    """Within the FIRST round, accepted merges are the true sequential
+    argmaxes restricted to symbol-disjoint pairs — in particular the very
+    first merge is always the global argmax, whatever batch_k is."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    seq = _ref_learn(CORPUS, 25)
+    batched = B.learn_bpe_merges(df, "text", num_merges=25, batch_k=8)
+    assert batched[0] == seq[0]
 
 
 def test_merge_table_shape(spark):
@@ -83,7 +169,7 @@ def test_greedy_overlap_semantics(spark):
     # 'xxxx' with merge (x, x) must become 'xx xx', not 'xxx x' — the
     # non-overlapping left-to-right rule both implementations share
     df = spark.createDataFrame([(0, "xxxx xxxx xxxx")], "doc_id long, text string")
-    got = B.learn_bpe_merges(df, "text", num_merges=3)
+    got = B.learn_bpe_merges(df, "text", num_merges=3, batch_k=1)
     want = _ref_learn(["xxxx xxxx xxxx"], 3)
     assert got == want
     # first merge: 'xxxx' has pair (x,x) ×3 per word under the
