@@ -508,6 +508,7 @@ def streaming_funnel(
     events: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     watermark: str = "2 hours",
+    state_ttl_seconds: int = 86400,
 ) -> DataFrame:
     """Continuous ordered-funnel tracking via ``applyInPandasWithState`` —
     the live counterpart of the batch ``operators/temporal.funnel_steps``.
@@ -530,6 +531,15 @@ def streaming_funnel(
     the landed data remains the reconciliation path, exactly the
     incremental-minhash trade.  State is 3 longs per user, horizontal with
     executors.
+
+    State EVICTION (the 100 TB posture): per-user state is bounded in
+    count, not just size — an ``EventTimeTimeout`` tied to the stream's
+    watermark drops users idle for ``state_ttl_seconds`` of EVENT time
+    (watermark past last-event + TTL).  Without it, state grows
+    monotonically with lifetime user cardinality — a state-store
+    scale-killer.  An evicted user's late re-appearance restarts the chain
+    from scratch; the batch operator over landed data reconciles, the same
+    documented trade as late first-step events.
     """
     if len(steps) != 3:
         raise ValueError("streaming_funnel tracks a 3-step chain")
@@ -541,6 +551,12 @@ def streaming_funnel(
 
     def update(key, pdf_iter, state: GroupState):
         user_id = key[0]
+        if state.hasTimedOut:
+            # watermark passed last-event + TTL: every progress row for
+            # this user was already emitted when the chain advanced, so
+            # eviction is silent
+            state.remove()
+            return
         # state carries MICROSECONDS: the strict t > prev comparisons must
         # see full event precision — second-truncated state silently missed
         # same-second chains the batch operator converts (self-review r8)
@@ -550,10 +566,12 @@ def streaming_funnel(
         # order, so sorting each independently replays a >maxRecordsPerBatch
         # user out of event-time order (self-review r8)
         chunks = [pdf for pdf in pdf_iter]
+        last_us = -1
         if chunks:
             pdf = pd.concat(chunks).sort_values("ts")
             for ts, etype in zip(pdf["ts"], pdf["event_type"]):
                 t = int(ts.value // 1_000)  # ns -> us
+                last_us = max(last_us, t)
                 if etype == s1 and tv < 0:
                     tv = t
                 elif etype == s2 and tv >= 0 and t > tv and tc < 0:
@@ -572,6 +590,14 @@ def streaming_funnel(
                     "funnel_depth": [depth],
                 }
             )
+        if state.exists:
+            # refresh eviction deadline on activity; must stay strictly
+            # ahead of the current watermark or Spark rejects it
+            fire_at = max(
+                (last_us // 1_000) + state_ttl_seconds * 1_000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(fire_at)
 
     return (
         events.withWatermark("ts", watermark)
@@ -581,6 +607,6 @@ def streaming_funnel(
             outputStructType=FUNNEL_SCHEMA,
             stateStructType=_FUNNEL_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

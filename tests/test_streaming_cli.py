@@ -649,3 +649,63 @@ def test_streaming_funnel_matches_batch_on_ordered_stream(spark, tmp_path, event
                 r.t_view_epoch, r.t_click_epoch, r.t_purchase_epoch, r.funnel_depth
             )
     assert got == want
+
+
+def test_streaming_funnel_state_eviction(spark, tmp_path):
+    """The EventTimeTimeout actually evicts: once the watermark passes a
+    user's last event + state_ttl_seconds, their state row is dropped from
+    the store (observed via the state-operator numRowsTotal metric).
+    Without eviction, per-user state grows monotonically with lifetime
+    user cardinality — the 100 TB scale-killer this guards against."""
+    import datetime as dt
+
+    from chat_data_pipeline_spark.streaming import (
+        read_events_stream,
+        streaming_funnel,
+    )
+
+    d = tmp_path / "funnel_in"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(i, ts, uid, et, 1.0, "") for i, (ts, uid, et) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.parquet(str(d / name))
+
+    # batch 1: users 1 and 2 both open a chain at t0
+    write_batch("b1", [(t0, 1, "view"), (t0, 2, "view")])
+    stream = read_events_stream(spark, str(d) + "/*")
+    q = (
+        streaming_funnel(stream, watermark="10 seconds", state_ttl_seconds=600)
+        .writeStream.format("memory")
+        .queryName("funnel_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_evict"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows_after_b1 = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        # batch 2: only user 2 stays active, 700 s later (> TTL 600 s);
+        # this batch ADVANCES the watermark past user 1's deadline
+        write_batch("b2", [(t0 + dt.timedelta(seconds=700), 2, "click")])
+        q.processAllAvailable()
+        # batch 3: one more event so a micro-batch runs AFTER the advanced
+        # watermark — timeouts are evaluated per batch
+        write_batch("b3", [(t0 + dt.timedelta(seconds=800), 2, "purchase")])
+        q.processAllAvailable()
+        rows_after_b3 = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        emitted = spark.sql("select * from funnel_evict").collect()
+    finally:
+        q.stop()
+
+    assert rows_after_b1 == 2
+    assert rows_after_b3 == 1  # user 1 evicted, user 2 live
+    # eviction is silent: user 1's only rows are real progress rows
+    u1 = [r for r in emitted if r.user_id == 1]
+    assert len(u1) == 1 and u1[0].funnel_depth == 1
+    # user 2's chain still advanced to depth 3 across batches
+    assert max(r.funnel_depth for r in emitted if r.user_id == 2) == 3
