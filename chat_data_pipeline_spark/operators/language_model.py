@@ -20,11 +20,13 @@ Scale shape (100 TB posture):
   per (partition, distinct bigram), never the raw postings.
 - The probability dictionary (distinct bigrams ⋈ context totals) is
   aggregated data, orders of magnitude smaller than the corpus; the final
-  scoring join BROADCASTS it by default (model-sized, the DSIR-table
+  scoring join BROADCASTS it when it fits (model-sized, the DSIR-table
   contract — AQE left a corpus-width sort-merge join otherwise, the r8
-  scale probe's measured linear term), with ``broadcast_model=False``
-  restoring the shuffle join (AQE skew-splits the Zipf head) for
-  vocabularies too large to ship.
+  scale probe's measured linear term).  Bigram types grow ~heaps-law with
+  corpus size, so the broadcast is SIZE-GUARDED: above
+  ``max_broadcast_bigrams`` distinct types the scorer falls back to the
+  shuffle join (AQE skew-splits the Zipf head) instead of OOMing the
+  driver/executors on the shipped model.
 - No driver-side state: the vocabulary size enters the plan as a
   broadcast one-row cross join, so the whole operator is ONE lazy plan an
   external oracle can replay.
@@ -72,7 +74,8 @@ def bigram_lm_scores(
     column: str = "text",
     id_col: str = "doc_id",
     k: float = 0.5,
-    broadcast_model: bool = True,
+    broadcast_model: bool | None = None,
+    max_broadcast_bigrams: int = 10_000_000,
 ) -> DataFrame:
     """Per-document average bigram log-probability under an add-``k``
     corpus-trained LM, plus the derived perplexity.
@@ -89,16 +92,22 @@ def bigram_lm_scores(
     average so both engines derive it from identical input.  Documents with
     fewer than two tokens keep a row with ``n_bigrams = 0`` and null scores.
 
-    ``broadcast_model`` (default True): the scoring join attaches each
-    bigram occurrence's log-prob from the trained table, which is MODEL-
-    sized (distinct bigram types — the same contract as the DSIR/classifier
-    tables, which are collected literals).  Without the hint AQE kept a
-    corpus-width sort-merge join even at tiny model sizes, which was the
-    measured linear term in the 1×→10× scale probe (fixed-vocab 10×:
-    4.8 s → 1.5-2.0 s with the hint; exponent 0.54 → the 0.19-0.30 band
-    across r8 probe runs — local noise spans it).  Pass False for a
-    vocabulary too large to broadcast (heaps-law extremes) to fall back to
-    the shuffle join.
+    ``broadcast_model`` (default None = auto): the scoring join attaches
+    each bigram occurrence's log-prob from the trained table, which is
+    MODEL-sized (distinct bigram types — the same contract as the
+    DSIR/classifier tables, which are collected literals).  Without the
+    hint AQE kept a corpus-width sort-merge join even at tiny model sizes,
+    which was the measured linear term in the 1×→10× scale probe
+    (fixed-vocab 10×: 4.8 s → 1.5-2.0 s with the hint; exponent 0.54 → the
+    0.19-0.30 band across r8 probe runs — local noise spans it).  BUT
+    bigram types grow ~heaps-law with corpus size, so an unconditional
+    broadcast becomes a driver/executor OOM exactly where the shuffle join
+    survives.  Auto mode counts the trained table (one count over the
+    already-checkpointed pair aggregation) and broadcasts only when it has
+    ≤ ``max_broadcast_bigrams`` types (default 10M ≈ 0.5-1 GB serialized —
+    comfortably under Spark's 8 GB broadcast ceiling with headroom for the
+    Zipf-long string tails); larger models take the shuffle join, where
+    AQE skew-splits the Zipf head.  Pass True/False to force either plan.
     """
     # materialized once (the S5 defragment pattern, same as the
     # ngram-jaccard postings): the posting feeds BOTH the pair-count
@@ -116,6 +125,13 @@ def bigram_lm_scores(
     )
 
     pairs = posting.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
+    if broadcast_model is None:
+        # size guard: materialize the trained table once (it feeds ctx,
+        # probs AND this count — the shuffle would be reused anyway, the
+        # checkpoint just makes the triple consumption explicit) and ship
+        # it broadcast only when it actually fits
+        pairs = pairs.localCheckpoint(eager=True)
+        broadcast_model = pairs.count() <= max_broadcast_bigrams
     ctx = pairs.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
     probs = (
         pairs.join(ctx, "w1")

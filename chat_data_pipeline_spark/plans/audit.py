@@ -42,6 +42,57 @@ class PlanReport:
         return all(s and s != "struct<>" for s in self.read_schemas)
 
 
+def _tree_depth(line: str) -> int:
+    """Indentation depth of a Spark plan-tree line (chars before the node
+    name: spaces and the ':  +- |' connector glyphs)."""
+    return len(re.match(r"^[\s:+\-|]*", line).group(0))
+
+
+def _subtree(lines: list[str], i: int) -> str:
+    """The child subtree text of the node at ``lines[i]``."""
+    d = _tree_depth(lines[i])
+    sub = []
+    for j in range(i + 1, len(lines)):
+        if _tree_depth(lines[j]) <= d:
+            break
+        sub.append(lines[j])
+    return "\n".join(sub)
+
+
+def forced_broadcast_subtrees(df: DataFrame) -> list[str]:
+    """The analyzed-plan subtree under each EXPLICIT broadcast hint
+    (``F.broadcast``/``/*+ BROADCAST */``) — one string per hint.
+
+    Distinguishes FORCED broadcasts (a hint the planner cannot refuse —
+    wrong on any input that grows with data size, since at 100× scale the
+    shipped side OOMs where a shuffle join survives) from planner-chosen
+    ones (sized from stats/AQE, free to change with scale).  Tests assert
+    on the subtree text: a hint is scale-safe only when the subtree reads
+    a fixed-cardinality input (a dim like ``nation``, a collected model
+    literal), never an sf-proportional table subset."""
+    text = df._jdf.queryExecution().analyzed().toString()
+    lines = text.splitlines()
+    return [
+        _subtree(lines, i)
+        for i, l in enumerate(lines)
+        if "ResolvedHint" in l and "broadcast" in l.lower()
+    ]
+
+
+def node_subtrees(df: DataFrame, node_name: str, plan: str = "optimized") -> list[str]:
+    """Child-subtree text of every ``node_name`` node in the logical plan
+    (``plan``: 'analyzed' or 'optimized') — for nesting asserts like 'the
+    Window's input is an Aggregate output, not corpus rows'."""
+    qe = df._jdf.queryExecution()
+    text = (qe.analyzed() if plan == "analyzed" else qe.optimizedPlan()).toString()
+    lines = text.splitlines()
+    return [
+        _subtree(lines, i)
+        for i, l in enumerate(lines)
+        if re.match(rf"^[\s:+\-|]*{node_name}\b", l)
+    ]
+
+
 def plan_report(df: DataFrame) -> PlanReport:
     """Audit the EXECUTED-plan description of ``df`` (final AQE plan when
     the query has run; the initial physical plan otherwise)."""
