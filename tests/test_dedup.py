@@ -402,6 +402,52 @@ def test_connected_components_probe_collect_failure_falls_through(spark, monkeyp
     assert labels[20] == 18
 
 
+def test_connected_components_probe_reraises_non_result_size_failures(
+    spark, monkeypatch
+):
+    """The fall-through is CLASSIFIED, not catch-all: a genuine executor
+    OutOfMemoryError (or any failure that is not a driver result-size
+    rejection) re-raises with its real traceback instead of silently
+    re-running the same expensive upstream on the distributed path."""
+    from pyspark.sql.classic.dataframe import DataFrame  # the concrete class
+
+    edges = spark.createDataFrame([(5, 3), (3, 1)], "src long, dst long")
+    orig = DataFrame.collect
+
+    def oom_collect(self):
+        raise RuntimeError(
+            "Job aborted due to stage failure: java.lang.OutOfMemoryError: "
+            "Java heap space"
+        )
+
+    monkeypatch.setattr(DataFrame, "collect", oom_collect)
+    with pytest.raises(RuntimeError, match="OutOfMemoryError"):
+        D.connected_components_min_label(edges)
+    monkeypatch.setattr(DataFrame, "collect", orig)
+
+
+def test_result_size_rejection_classifier():
+    """The classifier's contract directly: error-condition tagging wins,
+    the abort's signature phrases match in any wording that names them,
+    and bare OOM text never falls through."""
+
+    class CondExc(Exception):
+        def getCondition(self):
+            return "COLLECT_RESULT_SIZE_EXCEEDED"
+
+    assert D._is_result_size_rejection(CondExc("anything at all"))
+    assert D._is_result_size_rejection(
+        RuntimeError("result bigger than spark.driver.maxResultSize (1024.0 MiB)")
+    )
+    assert D._is_result_size_rejection(
+        RuntimeError("Total size of serialized results of 3 tasks ...")
+    )
+    assert not D._is_result_size_rejection(
+        RuntimeError("java.lang.OutOfMemoryError: Java heap space")
+    )
+    assert not D._is_result_size_rejection(RuntimeError("AnalysisException: boom"))
+
+
 def test_source_similarity_matrix_planted(spark):
     """Identical corpora estimate J=1 (all 32 components match), disjoint
     corpora estimate 0, and a half-overlapping pair lands in between —

@@ -224,3 +224,36 @@ def test_sketch_store_roundtrip_and_idempotent_retry(spark, tmp_path):
     }
     whole_r = {r.bucket: r.r for r in SK.hll_registers(docs, "text", ngram_size=5).collect()}
     assert merged_r == whole_r
+
+
+def test_sketch_store_mixed_write_modes_read_back_cleanly(spark, tmp_path):
+    """Interleaving batch_id and ad-hoc (batch_id=None) writes must leave a
+    uniformly hive-partitioned store every reader can list: the old
+    root-level append next to batch= dirs produced a mixed tree Spark's
+    partition discovery rejects (r9 ADVICE)."""
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+
+    store = str(tmp_path / "mixed")
+    SK.update_sketch_store(SK.cms_table(a, "text"), store, batch_id=0)
+    SK.update_sketch_store(SK.cms_table(b, "text"), store)  # ad-hoc
+    SK.update_sketch_store(SK.cms_table(b, "text"), store, batch_id=1)
+
+    merged = {
+        (r.d, r.bucket): r.c
+        for r in SK.read_merged_sketch(spark, store, ["d", "bucket"], "c").collect()
+    }
+    # the ad-hoc write double-counts b by design (no idempotency key);
+    # the layout question is that the read WORKS and sums all three parts
+    two_b = {(r.d, r.bucket): r.c for r in SK.cms_table(b, "text").collect()}
+    whole = {(r.d, r.bucket): r.c for r in SK.cms_table(docs, "text").collect()}
+    for cell, c in merged.items():
+        assert c == whole.get(cell, 0) + two_b.get(cell, 0)
+    # every write landed under a batch= partition dir — uniform hive layout
+    import os
+
+    entries = [e for e in os.listdir(store) if not e.startswith(("_", "."))]
+    assert entries and all(e.startswith("batch=") for e in entries)
