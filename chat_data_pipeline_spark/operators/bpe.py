@@ -355,6 +355,14 @@ def bpe_fertility(
     training cost per unit of content.  Integer-exact sums + one IEEE
     division keep it oracle-hashable.
 
+    Piece-count convention (r9 verdict item, settled): a DANGLING terminal
+    ``</w>`` — one no merge fused into a real piece — is a boundary
+    artifact, not an emitted token, and is NOT counted (standard
+    pieces-per-word, so a fully-unmerged 3-char word has fertility 3, not
+    4); a ``</w>`` merged into its last piece (e.g. ``low</w>``) counts
+    inside that piece as usual.  ``bpe_encode_corpus`` deliberately keeps
+    the raw symbol count — its output IS the symbol sequence.
+
     Scale: the fold chain runs once per DISTINCT word (Zipf-bounded vocab),
     piece counts re-join occurrences via broadcast, and the final aggregate
     is group-cardinality-sized — no stage touches corpus-width data twice.
@@ -367,8 +375,11 @@ def bpe_fertility(
     toks = df.select(
         F.col(group_col), F.explode(T.words(F.col(column))).alias("word")
     )
+    n_pieces = F.size(syms) - F.when(
+        F.element_at(syms, -1) == F.lit(END_OF_WORD), 1
+    ).otherwise(0)
     vocab = toks.select("word").distinct().select(
-        "word", F.size(syms).alias("__np__")
+        "word", n_pieces.alias("__np__")
     )
     return (
         toks.join(F.broadcast(vocab), "word")

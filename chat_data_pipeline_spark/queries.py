@@ -4729,9 +4729,15 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), vocab AS (
       SELECT DISTINCT w FROM docw
-    ), encn AS (
-      SELECT w, CAST(len({_bpe_fold_sql(_BPE_FIXED_MERGES)}) AS BIGINT) AS np
+    ), encl AS (
+      SELECT w, {_bpe_fold_sql(_BPE_FIXED_MERGES)} AS toks
       FROM vocab
+    ), encn AS (
+      -- a dangling unmerged '</w>' is a boundary artifact, not a piece
+      SELECT w, CAST(len(toks)
+                     - CASE WHEN toks[-1] = '</w>' THEN 1 ELSE 0 END
+                     AS BIGINT) AS np
+      FROM encl
     ), agg AS (
       SELECT d.lang, COUNT(*) AS n_words, SUM(e.np) AS n_bpe_tokens
       FROM docw d JOIN encn e ON e.w = d.w
@@ -4745,7 +4751,9 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokenizer-fertility audit (r8): pieces-per-word by language under the "
     "fixed 16-merge BPE table — the fairness check that a subword vocab "
     "doesn't over-fragment non-dominant scripts (inflating their per-"
-    "content training cost); fold-encode runs once per DISTINCT word, "
+    "content training cost); standard piece convention (a dangling "
+    "unmerged '</w>' is not a piece; one merged into its last piece "
+    "counts inside it); fold-encode runs once per DISTINCT word, "
     "occurrence re-join broadcasts, integer-exact sums + one IEEE division "
     "value-hash cross-engine",
 )

@@ -298,7 +298,10 @@ def test_first_merge_query_matches_trainer_round_one(spark):
 
 def test_bpe_fertility_hand_computed(spark):
     """Fertility equals hand-derived pieces/words per group under a tiny
-    merge table, and groups never mix."""
+    merge table, and groups never mix.  Piece convention (r9, settled):
+    a DANGLING unmerged '</w>' is a boundary artifact, not a piece — so
+    'lower' -> [low, e, r, </w>] is 3 pieces; a '</w>' merged into its
+    last piece ('low</w>') counts inside that piece."""
     merges = [("l", "o"), ("lo", "w"), ("low", "</w>")]
     rows = [
         (1, "en", "low low lower"),
@@ -306,9 +309,9 @@ def test_bpe_fertility_hand_computed(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     got = {r.lang: r for r in B.bpe_fertility(df, merges, "text", "lang").collect()}
-    # 'low' -> ['low</w>'] = 1 piece; 'lower' -> l o w e r </w> with merges:
-    # low + e r </w> = 4 pieces
-    assert got["en"].n_words == 3 and got["en"].n_bpe_tokens == 1 + 1 + 4
-    assert got["en"].fertility == 6 / 3
+    # 'low' -> ['low</w>'] = 1 piece; 'lower' -> [low, e, r, </w>] = 3
+    # pieces (the dangling marker subtracted)
+    assert got["en"].n_words == 3 and got["en"].n_bpe_tokens == 1 + 1 + 3
+    assert got["en"].fertility == 5 / 3
     assert got["de"].n_words == 1 and got["de"].n_bpe_tokens == 1
     assert got["de"].fertility == 1.0
