@@ -748,12 +748,22 @@ def source_similarity_matrix(
     match rate — the dataset-overlap matrix a training-data builder checks
     before mixing corpora ("is dataset B mostly a re-crawl of A?").
 
-    Scale: the corpus collapses to ``#groups × num_perm`` mins in ONE
-    map-side-combinable aggregation (shuffle carries at most one partial row
-    per partition per group); the pairwise comparison then runs on a
-    group-cardinality-sized table — quadratic only in the number of
-    DATASETS, never in documents.  Zero Python; same md5 hash family as
-    ``minhash_dedup_md5``, so a DuckDB oracle value-hashes the whole matrix.
+    Scale: the md5 permutation family (num_perm hashes per input) runs on
+    the DISTINCT ``(group, shingle)`` table — min-over-set is duplicate-
+    invariant, so the Zipf-duplicated occurrence mass is collapsed by a
+    map-side partial dedup BEFORE paying num_perm md5s per row, then the
+    mins combine map-side to ``#groups × num_perm`` rows.  The trade,
+    stated: the dedup adds one vocabulary-bounded exchange where the
+    per-occurrence form shuffled almost nothing (its mins combined in
+    place) but burned num_perm× the hash CPU on duplicates; same-session
+    A/B at sf0.1 measures the two within noise (0.9-1.0 s at 1×, ~3.0 s at
+    16× clones, exponent ≈0.4 both ways — the explode itself is the
+    dominant term), so the distinct form wins exactly where it matters:
+    signature widths beyond 32 and CPU-bound clusters.  The pairwise
+    comparison then runs on a group-cardinality-sized table — quadratic
+    only in the number of DATASETS, never in documents.  Zero Python; same
+    md5 hash family as ``minhash_dedup_md5``, so a DuckDB oracle
+    value-hashes the whole matrix.
 
     Groups with no shingles (every doc shorter than ``ngram_size`` tokens)
     have no signature and are absent from the matrix.
@@ -768,7 +778,14 @@ def source_similarity_matrix(
         F.col(group_col).alias("__g__"),
         F.explode(word_shingles(F.col(column), ngram_size)).alias("__s__"),
     )
-    hashed = posting.select(
+    # the md5 permutation family runs on the DISTINCT (group, shingle)
+    # table, not per occurrence: min-over-set is duplicate-invariant, so
+    # the ``distinct`` (map-side partial dedup, then one shuffle of the
+    # Zipf-collapsed pair table) trades a narrow exchange for num_perm×
+    # fewer md5 evaluations on the duplicated mass — the r9 probe's
+    # measured CPU term.  Oracle twin unaffected: same hash on the same
+    # set of inputs.
+    hashed = posting.distinct().select(
         "__g__",
         *[md5_perm_hash(j, F.col("__s__")).alias(f"__h{j}__") for j in range(num_perm)],
     )

@@ -5712,8 +5712,55 @@ _WINDOW_TAIL = [
     # stratified_sample region is byte-identical); the sampling family
     # keeps temperature/weighted + the new budget row in-window):
     "sample_stratified_lang",
+    # (round-10 staleness rotation — the r9 verdict's item 8: 31 queries
+    # were last driver-hash-verified in round 2, so the 12 LONGEST-stale
+    # (the whole C/F cleaner+filter family among them, plus the most-basic
+    # relational shapes) rotate back INTO the window via the removals
+    # below.  Rotated OUT to make room: the 12 names here — every one
+    # hash-green in CORRECTNESS_r09 AND its implementing module
+    # byte-unchanged in round 10 (sampling.py, multimodal.py,
+    # decontamination.py, similarity.py, chunking, analysis, cleaners'
+    # strip_html region, diff/datacard/unigram query defs — round 10
+    # touched bpe.py, dedup.py, language_model.py, sketches.py,
+    # streaming/pipeline.py, whose queries all STAY in-window to re-earn
+    # hashes on the changed code).  Family coverage stays in-window:
+    # sampling keeps temperature + token_budget_scalable, multimodal keeps
+    # image_dedup's pytest + full-registry parity, decontamination keeps
+    # split_leakage_audit's near-dup lens, retrieval/embedding keeps the
+    # LSH md5 twin + semantic dedup):
+    "multimodal_resize",
+    "decontaminate_semantic",
+    "pack_sequences_bins",
+    "corpus_top_bigrams",
+    "sample_weighted_chars",
+    "sample_token_budget_lang",
+    "corpus_mix_manifest",
+    "docs_length_deciles",
+    "docs_script_mix",
+    "embeddings_hard_negatives",
+    "docs_strip_html",
+    "corpus_diff_v2",
 ]
 _WINDOW_TAIL.remove("events_hourly_agg")
+# round-10 staleness rotation, the re-admissions: these 12 sat in the tail
+# hash-green-since-r2 (the window-rotation histogram's stale mass); removing
+# them from the tail list restores their ORIGINAL early registration
+# positions, which sit inside the first-50 driver window.
+for _name in (
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    "q18_large_orders",
+    "users_intersect",
+    "orders_running_total",
+    "events_pivot_types",
+    "docs_normalize",
+    "docs_clean_new_lines",
+    "filter_lowercase_ratio",
+    "filter_ethics_harsh",
+    "filter_empty",
+    "filter_word_count",
+):
+    _WINDOW_TAIL.remove(_name)
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

@@ -81,7 +81,6 @@ def test_correctness_window_is_all_oracle_backed():
     # window residents; test_correctness_window_covers_unverified_queries
     # derives the oracle invariant dynamically from the CORRECTNESS files
     must_be_windowed = {
-        "corpus_top_bigrams",
         "dedup_keep_best", "sample_temperature_lang",
         "pipeline_lifecycle", "dedup_semantic", "events_hourly_agg",
         "dedup_minhash_md5", "dedup_simhash_md5",
@@ -90,8 +89,22 @@ def test_correctness_window_is_all_oracle_backed():
         "sample_token_budget_scalable", "bpe_first_merge",
         "corpus_source_similarity", "bpe_fertility_by_lang",
         "corpus_hll_distinct", "q7_nation_volume", "q9_product_profit",
-        "events_funnel", "events_value_hist_quantiles", "corpus_mix_manifest",
+        "events_funnel", "events_value_hist_quantiles",
         "split_leakage_audit",
+        # round-10 staleness rotation (r9 verdict item 8): the 12
+        # longest-stale queries (hash-green since round 2, whole C/F
+        # cleaner+filter family among them) re-earn driver hashes;
+        # corpus_top_bigrams / corpus_mix_manifest left this set in the
+        # same rotation (r9-green, modules byte-unchanged in r10)
+        "q1_pricing_summary", "q6_revenue_forecast", "q18_large_orders",
+        "users_intersect", "orders_running_total", "events_pivot_types",
+        "docs_normalize", "docs_clean_new_lines", "filter_lowercase_ratio",
+        "filter_ethics_harsh", "filter_empty", "filter_word_count",
+        # round-10 changed-module queries that must stay in-window to
+        # re-earn hashes on the changed code (bpe.py / dedup.py /
+        # language_model.py / queries.py oracle edits)
+        "bpe_encode_corpus", "docs_bigram_lm", "docs_ccnet_buckets",
+        "dedup_ngram_jaccard", "dedup_cross_corpus_md5", "conversation_dedup",
     }
     assert must_be_windowed <= set(window)
 
