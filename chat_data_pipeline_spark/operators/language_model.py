@@ -126,12 +126,33 @@ def bigram_lm_scores(
 
     pairs = posting.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
     if broadcast_model is None:
-        # size guard: materialize the trained table once (it feeds ctx,
-        # probs AND this count — the shuffle would be reused anyway, the
-        # checkpoint just makes the triple consumption explicit) and ship
-        # it broadcast only when it actually fits
-        pairs = pairs.localCheckpoint(eager=True)
-        broadcast_model = pairs.count() <= max_broadcast_bigrams
+        # two-tier size guard.  Tier 1 is FREE (driver-side logical-plan
+        # stats, no job): bigram types cannot exceed bigram occurrences,
+        # which cannot exceed the input's decompressed characters / ~6 per
+        # word — so an input whose scan stats sit under
+        # max_broadcast_bigrams/4 BYTES cannot produce an oversized model
+        # even at a pathological 10× parquet compression ratio (2.5 MB →
+        # ≤ 25 MB text → ≤ ~4M types at the 10M default).  Tier 2, for
+        # inputs past that bound, counts the trained table exactly — the
+        # count rides the checkpoint's own materialization job as an
+        # observed metric (the CC-loop trick; a separate count() re-ran a
+        # whole job, measured +0.9 s at sf0.1), and the materialized table
+        # then feeds ctx and probs.
+        try:
+            stats_bytes = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # non-classic DataFrame / connect: no stats surface
+            stats_bytes = -1
+        if 0 <= stats_bytes <= max_broadcast_bigrams // 4:
+            broadcast_model = True
+        else:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            pairs = pairs.observe(obs, F.count(F.lit(1)).alias("n_types"))
+            pairs = pairs.localCheckpoint(eager=True)
+            broadcast_model = int(obs.get["n_types"] or 0) <= max_broadcast_bigrams
     ctx = pairs.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
     probs = (
         pairs.join(ctx, "w1")
