@@ -23,10 +23,14 @@ the oracle-twin discipline, with no float anywhere.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from chat_data_pipeline_spark.functions import text as T
+
+logger = logging.getLogger(__name__)
 
 SEP = "\x1f"
 
@@ -442,6 +446,39 @@ def value_histogram_sketch(
 # --------------------------------------------------------------------------
 
 
+def _absorb_legacy_root_files(spark, store_path: str) -> None:
+    """One-time self-migration for stores written by the pre-r10 ad-hoc
+    path, which appended bare parquet files at the store ROOT.  Mixing
+    those with ``batch=`` partition dirs produces a tree Spark's partition
+    discovery rejects ('conflicting directory structures'), so any bare
+    root data file is MOVED into a ``batch=legacy-adhoc`` partition dir
+    (FileSystem.rename — a metadata op on HDFS-like stores) before the
+    store is written or read.  Marker files (``_SUCCESS``, dotfiles) stay
+    where they are; partition discovery ignores them.  Idempotent and a
+    no-op on uniform stores."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return
+    legacy = [
+        st.getPath()
+        for st in fs.listStatus(hpath)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+    ]
+    if not legacy:
+        return
+    dest = jvm.org.apache.hadoop.fs.Path(hpath, "batch=legacy-adhoc")
+    fs.mkdirs(dest)
+    for p in legacy:
+        fs.rename(p, jvm.org.apache.hadoop.fs.Path(dest, p.getName()))
+    logger.warning(
+        "sketch store %s: moved %d legacy root-level files into batch=legacy-adhoc",
+        store_path,
+        len(legacy),
+    )
+
+
 def update_sketch_store(sketch: DataFrame, store_path: str, batch_id: int | None = None) -> None:
     """Append one batch's sketch rows (CMS cells, HLL registers, or
     histogram bins — anything whose merge is a keyed aggregate) to a
@@ -456,7 +493,11 @@ def update_sketch_store(sketch: DataFrame, store_path: str, batch_id: int | None
     list back (partition discovery rejects the mixed tree), silently
     bricking the store for every future reader (r9 verdict ADVICE).  Every
     write path therefore produces the same uniform hive layout, and both
-    modes interleave freely."""
+    modes interleave freely.  Stores written by the pre-r10 root-append
+    path are absorbed first (see :func:`_absorb_legacy_root_files`), so an
+    old store is migrated — not bricked — by its first post-upgrade
+    write."""
+    _absorb_legacy_root_files(sketch.sparkSession, store_path)
     if batch_id is None:
         import uuid
 
@@ -476,6 +517,7 @@ def read_merged_sketch(
     whenever the batch count grows annoying."""
     if how not in ("sum", "max"):
         raise ValueError("how must be 'sum' or 'max'")
+    _absorb_legacy_root_files(spark, store_path)  # heal mixed pre-r10 trees
     agg = (F.sum if how == "sum" else F.max)(value_col).alias(value_col)
     df = spark.read.parquet(store_path)
     return df.groupBy(*keys).agg(agg)

@@ -501,7 +501,7 @@ FUNNEL_SCHEMA = (
     "user_id long, t_view_epoch long, t_click_epoch long, "
     "t_purchase_epoch long, funnel_depth int"
 )
-_FUNNEL_STATE = "tv long, tc long, tp long"
+_FUNNEL_STATE = "tv long, tc long, tp long, la long"  # la: last-activity μs
 
 
 def streaming_funnel(
@@ -529,8 +529,8 @@ def streaming_funnel(
     already-bound step-1 timestamp — cannot retroactively re-open discarded
     step-2 candidates with finite per-user state; the batch operator over
     the landed data remains the reconciliation path, exactly the
-    incremental-minhash trade.  State is 3 longs per user, horizontal with
-    executors.
+    incremental-minhash trade.  State is 4 longs per user (step
+    timestamps + last-activity), horizontal with executors.
 
     State EVICTION (the 100 TB posture): per-user state is bounded in
     count, not just size — an ``EventTimeTimeout`` tied to the stream's
@@ -559,8 +559,12 @@ def streaming_funnel(
             return
         # state carries MICROSECONDS: the strict t > prev comparisons must
         # see full event precision — second-truncated state silently missed
-        # same-second chains the batch operator converts (self-review r8)
-        tv, tc, tp = state.get if state.exists else (-1, -1, -1)
+        # same-second chains the batch operator converts (self-review r8).
+        # la = max event time this user has EVER shown, persisted so the
+        # eviction deadline is monotone: a batch of only LATE (older)
+        # events can never move it backward and evict early (review
+        # finding r10)
+        tv, tc, tp, la = state.get if state.exists else (-1, -1, -1, -1)
         before = (tv, tc, tp)
         # one concatenated sort: chunks of pdf_iter arrive in arbitrary
         # order, so sorting each independently replays a >maxRecordsPerBatch
@@ -578,8 +582,9 @@ def streaming_funnel(
                     tc = t
                 elif etype == s3 and tc >= 0 and t > tc and tp < 0:
                     tp = t
-        if (tv, tc, tp) != before:
-            state.update((tv, tc, tp))
+        advanced = (tv, tc, tp) != before
+        la = max(la, last_us)
+        if advanced:
             depth = (tv >= 0) + (tc >= 0) + (tp >= 0)
             yield pd.DataFrame(
                 {
@@ -590,11 +595,15 @@ def streaming_funnel(
                     "funnel_depth": [depth],
                 }
             )
-        if state.exists:
-            # refresh eviction deadline on activity; must stay strictly
-            # ahead of the current watermark or Spark rejects it
+        if advanced or state.exists:
+            # persist even without an advance so non-advancing activity
+            # still extends la; state is only CREATED once a chain opens
+            state.update((tv, tc, tp, la))
+            # refresh the eviction deadline from the monotone la; must
+            # stay strictly ahead of the current watermark or Spark
+            # rejects it
             fire_at = max(
-                (last_us // 1_000) + state_ttl_seconds * 1_000,
+                (la // 1_000) + state_ttl_seconds * 1_000,
                 state.getCurrentWatermarkMs() + 1,
             )
             state.setTimeoutTimestamp(fire_at)

@@ -257,3 +257,38 @@ def test_sketch_store_mixed_write_modes_read_back_cleanly(spark, tmp_path):
 
     entries = [e for e in os.listdir(store) if not e.startswith(("_", "."))]
     assert entries and all(e.startswith("batch=") for e in entries)
+
+
+def test_sketch_store_absorbs_pre_r10_root_layout(spark, tmp_path):
+    """A store written by the OLD ad-hoc path (bare parquet files at the
+    store root) must be migrated — not bricked — by the first post-upgrade
+    write: legacy files move into batch=legacy-adhoc and the merged read
+    sums all parts (review finding r10)."""
+    import os
+
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+
+    store = str(tmp_path / "legacy")
+    # simulate the pre-r10 layout: root-level append, bare part files
+    SK.cms_table(a, "text").write.mode("append").parquet(store)
+    assert any(
+        e.endswith(".parquet") or e.startswith("part-")
+        for e in os.listdir(store)
+        if not e.startswith(("_", "."))
+    )
+    # first post-upgrade write absorbs the legacy files, then lands its own
+    SK.update_sketch_store(SK.cms_table(b, "text"), store, batch_id=7)
+    entries = [e for e in os.listdir(store) if not e.startswith(("_", "."))]
+    assert entries and all(e.startswith("batch=") for e in entries)
+    assert "batch=legacy-adhoc" in entries
+
+    merged = {
+        (r.d, r.bucket): r.c
+        for r in SK.read_merged_sketch(spark, store, ["d", "bucket"], "c").collect()
+    }
+    whole = {(r.d, r.bucket): r.c for r in SK.cms_table(docs, "text").collect()}
+    assert merged == whole

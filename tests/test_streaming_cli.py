@@ -709,3 +709,71 @@ def test_streaming_funnel_state_eviction(spark, tmp_path):
     assert len(u1) == 1 and u1[0].funnel_depth == 1
     # user 2's chain still advanced to depth 3 across batches
     assert max(r.funnel_depth for r in emitted if r.user_id == 2) == 3
+
+
+def test_streaming_funnel_late_events_never_shrink_ttl(spark, tmp_path):
+    """Review finding (r10): a micro-batch containing only LATE (older)
+    events for a user must not move the eviction deadline backward.  The
+    deadline derives from the persisted monotone last-activity timestamp,
+    so user 1 (active at t0+500) survives a watermark of ~t0+990 even
+    though a later batch replayed an old t0+100 event — and is still
+    evicted once the watermark passes last-activity + TTL."""
+    import datetime as dt
+
+    from chat_data_pipeline_spark.streaming import (
+        read_events_stream,
+        streaming_funnel,
+    )
+
+    d = tmp_path / "funnel_late_in"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(i, ts, uid, et, 1.0, "") for i, (ts, uid, et) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.parquet(str(d / name))
+
+    s = dt.timedelta
+    write_batch("b1", [(t0, 1, "view"), (t0, 2, "view")])
+    q = (
+        streaming_funnel(
+            read_events_stream(spark, str(d) + "/*"),
+            watermark="10 seconds",
+            state_ttl_seconds=600,
+        )
+        .writeStream.format("memory")
+        .queryName("funnel_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # u1 advances at t0+500 (la=500); u2 keeps the watermark moving
+        write_batch("b2", [(t0 + s(seconds=500), 1, "click"),
+                           (t0 + s(seconds=550), 2, "click")])
+        q.processAllAvailable()
+        # the LATE batch: u1's stale t0+100 event (no advance, la stays 500)
+        write_batch("b3", [(t0 + s(seconds=100), 1, "view"),
+                           (t0 + s(seconds=650), 2, "purchase")])
+        q.processAllAvailable()
+        # advance the watermark to ~t0+990: past 100+600, NOT past 500+600
+        write_batch("b4", [(t0 + s(seconds=1000), 2, "purchase")])
+        q.processAllAvailable()
+        write_batch("b5", [(t0 + s(seconds=1050), 2, "purchase")])
+        q.processAllAvailable()
+        alive_mid = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        # now push the watermark past u1's true deadline t0+1100
+        write_batch("b6", [(t0 + s(seconds=1300), 2, "purchase")])
+        q.processAllAvailable()
+        write_batch("b7", [(t0 + s(seconds=1350), 2, "purchase")])
+        q.processAllAvailable()
+        alive_end = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+
+    assert alive_mid == 2, "late replay shrank the TTL and evicted early"
+    assert alive_end == 1, "eviction from last-activity + TTL must still fire"
