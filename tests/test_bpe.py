@@ -341,3 +341,31 @@ def test_batched_trainer_driver_roundtrips_scale_with_k(spark, monkeypatch):
     # 16 merges at K=8 with conflict-limited acceptance: a handful of
     # rounds, never one per merge
     assert calls["n"] <= 6, calls["n"]
+
+
+def test_batched_matches_reference_on_random_corpora(spark):
+    """Property check over randomized corpora: the Spark batched trainer
+    and the pure-Python mirror agree on every (corpus, K) — exercises
+    tie-breaks, pool exhaustion, and symbol-conflict rejection paths a
+    single fixed corpus can miss.  Deterministic seed; a handful of cases
+    (each is a full Spark loop, so examples are few and tiny)."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcde"
+    for case in range(4):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(4, 10))
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(3, 12)))
+            for _ in range(rng.randint(2, 5))
+        ]
+        k = rng.choice([2, 3, 8])
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = B.learn_bpe_merges(df, "text", num_merges=12, batch_k=k)
+        want = _ref_learn_batched(texts, 12, batch_k=k)
+        assert got == want, (case, k, texts)
