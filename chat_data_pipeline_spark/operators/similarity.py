@@ -30,10 +30,18 @@ def dot_expr(a: Column, b: Column) -> Column:
 
 
 def norm_expr(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-        )
+    """L2 norm floored at 1e-12 (module convention: a zero vector scores
+    cosine 0, never NaN — under Spark 4's ANSI default a raw 0.0/0.0 is a
+    DIVIDE_BY_ZERO job failure, and with ANSI off the NaN would sort FIRST
+    in a descending top-k window).  The duckdb oracle mirrors the floor
+    (``greatest(sqrt(...), 1e-12)``), so both engines agree exactly."""
+    return F.greatest(
+        F.sqrt(
+            F.aggregate(
+                a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+            )
+        ),
+        F.lit(1e-12),
     )
 
 
@@ -63,6 +71,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact top-k neighbours per query by cosine.
 
@@ -72,8 +81,7 @@ def brute_force_topk(
     huge corpus' pattern — no shuffle of the corpus, only of (n_queries × n)
     score rows, which AQE coalesces.
     """
-    from pyspark.sql import Window
-
+    _guard_query_rows(queries, max_query_rows, "brute_force_topk")
     corpus = df.withColumn("__norm__", norm_expr(F.col(vec_col)))
     probes = queries.withColumn("__qnorm__", norm_expr(F.col(query_vec_col)))
     scored = corpus.crossJoin(F.broadcast(probes)).select(
@@ -160,14 +168,14 @@ def lsh_topk(
     query_vec_col: str = "query_vec",
     dim: int = 64,
     seed: int = 42,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k: OR-amplified SRP — the corpus is bucketed once per
     table (a one-off narrow projection, persistable at ingest) and each query
     probes its bucket in every table; candidates are the union of collisions,
     deduped before scoring.  Recall = 1-(1-p^planes)^tables, measured against
     brute force in tests."""
-    from pyspark.sql import Window
-
+    _guard_query_rows(queries, max_query_rows, "lsh_topk")
     buckets = df.select(
         F.col(id_col),
         F.explode(
@@ -210,20 +218,18 @@ def lsh_topk(
     )
 
 
-def _train_centroids(
+def _sample_mat(
     df: DataFrame,
     vec_col: str,
-    n_centroids: int,
-    sample_rows: int = 10_000,
-    iters: int = 10,
-    seed: int = 42,
+    sample_rows: int,
     id_col: str | None = None,
+    normalize: bool = False,
 ) -> np.ndarray:
-    """Coarse quantizer for the IVF index: seeded Lloyd iterations on a
-    bounded driver-side sample (sample size is fixed regardless of corpus
-    size, like every IVF build).  Deterministic: hash-of-id sample order (a
-    bare ``limit`` is partition-layout-dependent), seeded init, argmin ties
-    to the lowest centroid id."""
+    """Bounded deterministic driver-side sample as a float64 matrix:
+    md5-of-id order when an id is available (a bare ``limit`` is
+    partition-layout-dependent), optional L2 normalization with the module's
+    1e-12 zero-vector floor.  Shared by every index build here (IVF coarse
+    quantizer, PQ codebooks, IVF-PQ residual training)."""
     if id_col is not None:
         sample = (
             df.select(id_col, vec_col)
@@ -234,16 +240,82 @@ def _train_centroids(
     else:
         sample = df.select(vec_col).limit(sample_rows).toPandas()
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    if normalize and len(mat):
+        mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)[:, None]
+    return mat
+
+
+def _assign_nearest(
+    mat: np.ndarray, centroids: np.ndarray, row_budget: int = 1 << 25
+) -> np.ndarray:
+    """``argmin_c |x - c|²`` per row.  Subtract-form (exact FP parity with
+    the historical trainer — the |x|²-2xc+|c|² identity differs in rounding
+    and could flip argmin ties), chunked over rows so the temporary
+    (chunk × centroids × dim) array stays ≤ ``row_budget`` doubles instead
+    of sample×centroids×dim (51 GB at 10k×10k×64)."""
+    n_cent, dim = centroids.shape
+    chunk = max(1, row_budget // max(1, n_cent * dim))
+    out = np.empty(len(mat), dtype=np.int64)
+    for s in range(0, len(mat), chunk):
+        d2 = ((mat[s : s + chunk, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        out[s : s + chunk] = d2.argmin(axis=1)
+    return out
+
+
+def _lloyd(mat: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd iterations over an in-memory sample: seeded init (fancy
+    indexing copies), argmin ties to the lowest centroid id, empty clusters
+    keep their previous centroid.  Shared by the IVF builds and
+    ``semantic_dedup``'s blocking trainer."""
     rng = np.random.RandomState(seed)
-    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    centroids = mat[
+        rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)
+    ]
     for _ in range(iters):
-        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        assign = _assign_nearest(mat, centroids)
         for c in range(len(centroids)):
             members = mat[assign == c]
             if len(members):
                 centroids[c] = members.mean(axis=0)
     return centroids
+
+
+# Above this many centroids a driver-side Lloyd train (O(iters·8·C²·dim)
+# flops at the scaled sample) stops being viable — fail with guidance
+# rather than silently undertrain; SemDeDup's own LAION-440M run used 50k.
+MAX_DRIVER_CENTROIDS = 65_536
+
+
+def _train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    sample_rows: int | None = None,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str | None = None,
+    normalize: bool = False,
+) -> np.ndarray:
+    """Coarse quantizer for the IVF index: seeded Lloyd on a bounded
+    driver-side sample.  ``sample_rows=None`` (default) scales the sample
+    with the request — ``max(10_000, 8·n_centroids)`` — because a FIXED
+    sample silently caps the trained centroid count at the sample size
+    (Lloyd can't produce more distinct centroids than points), which would
+    let ``semantic_dedup``'s derived ``n_clusters`` degrade to ever-larger
+    clusters on ever-larger corpora without a word.  Requests beyond
+    :data:`MAX_DRIVER_CENTROIDS` fail with guidance (module posture: loud,
+    not silent)."""
+    if n_centroids > MAX_DRIVER_CENTROIDS:
+        raise ValueError(
+            f"n_centroids={n_centroids} exceeds MAX_DRIVER_CENTROIDS="
+            f"{MAX_DRIVER_CENTROIDS} for the driver-side Lloyd trainer; "
+            "partition the corpus (e.g. by source) and index each partition, "
+            "or raise target_cluster_size / pass an explicit n_clusters"
+        )
+    if sample_rows is None:
+        sample_rows = max(10_000, 8 * n_centroids)
+    mat = _sample_mat(df, vec_col, sample_rows, id_col, normalize)
+    return _lloyd(mat, n_centroids, iters, seed)
 
 
 def _ivf_assign_expr(df: DataFrame, vec_col: str, centroids: np.ndarray, out: str, n_lists: int = 1) -> DataFrame:
@@ -256,6 +328,8 @@ def _ivf_assign_expr(df: DataFrame, vec_col: str, centroids: np.ndarray, out: st
 
     def assign(batches):
         for batch in batches:
+            if not len(batch):  # empty Arrow batch: (0,)-shaped mat breaks axis=1
+                continue
             mat = np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
             # squared L2 to each centroid: |x|^2 - 2x.c + |c|^2
             d2 = (
@@ -291,8 +365,6 @@ def ivf_topk(
     those lists' members.  Scan fraction ≈ n_probe/n_centroids; recall is
     measured against brute force in tests.  Unlike SRP-LSH this adapts to
     the data distribution (centroids follow density)."""
-    from pyspark.sql import Window
-
     _guard_query_rows(queries, max_query_rows, "ivf_topk")
     centroids = _train_centroids(df, vec_col, n_centroids, seed=seed, id_col=id_col)
     corpus = _ivf_assign_expr(df.select(id_col, vec_col), vec_col, centroids, "__lists__", 1)
@@ -345,17 +417,7 @@ def train_pq_codebooks(
     L2-NORMALIZED before training/encoding so asymmetric inner-product
     lookups approximate cosine — the similarity this module's ANN family
     ranks by."""
-    if id_col is not None:
-        sample = (
-            df.select(id_col, vec_col)
-            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-            .limit(sample_rows)
-            .toPandas()
-        )
-    else:
-        sample = df.select(vec_col).limit(sample_rows).toPandas()
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
-    mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)[:, None]
+    mat = _sample_mat(df, vec_col, sample_rows, id_col=id_col, normalize=True)
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -427,6 +489,13 @@ def pq_encode(
             mat = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
             )
+            # fail loudly on a corpus/codebook dim mismatch instead of
+            # silently reading a prefix of each vector (numpy slicing
+            # would not raise) — the md5 twins' guard, applied here
+            if mat.shape[1] != m * dsub:
+                raise ValueError(
+                    f"corpus dim {mat.shape[1]} != codebook dim {m * dsub}"
+                )
             mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)[:, None]
             codes = _pq_codes_mat(mat, books)
             yield pd.DataFrame(
@@ -473,6 +542,10 @@ def pq_topk(
     qmat = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in qpdf[query_vec_col]]
     )
+    # a wider query matrix would silently score from a prefix of each query
+    # (the LUT slices below never read past m*dsub); guard like the md5 twin
+    if len(qmat) and qmat.shape[1] != m * dsub:
+        raise ValueError(f"query dim {qmat.shape[1]} != codebook dim {m * dsub}")
     qmat = qmat / np.maximum(np.sqrt((qmat * qmat).sum(axis=1)), 1e-12)[:, None]
     # LUT[q, j, c] = <q_sub_j, centroid_{j,c}> — shape (n_queries, m, k)
     luts = np.stack(
@@ -558,30 +631,15 @@ def ivf_pq_topk(
 
     _guard_query_rows(queries, max_query_rows, "ivf_pq_topk")
     # --- driver-side training on the bounded deterministic sample ---------
-    sample = (
-        df.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(sample_rows)
-        .toPandas()
-    )
-    smat = np.asarray([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
-    smat = smat / np.maximum(np.sqrt((smat * smat).sum(axis=1)), 1e-12)[:, None]
+    # (shared sample/Lloyd/assign helpers — the coarse train is exactly
+    # _train_centroids on the L2-normalized sample; residuals then feed the
+    # per-subspace PQ train)
+    smat = _sample_mat(df, vec_col, sample_rows, id_col=id_col, normalize=True)
     dim = smat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    rng = np.random.RandomState(seed)
-    coarse = smat[
-        rng.choice(len(smat), size=min(n_centroids, len(smat)), replace=False)
-    ].copy()
-    for _ in range(10):
-        d2 = ((smat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(len(coarse)):
-            members = smat[assign == c]
-            if len(members):
-                coarse[c] = members.mean(axis=0)
-    d2 = ((smat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
-    residuals = smat - coarse[d2.argmin(axis=1)]
+    coarse = _lloyd(smat, n_centroids, 10, seed)
+    residuals = smat - coarse[_assign_nearest(smat, coarse)]
     books = _pq_train_mat(residuals, m, n_subcentroids, 10, seed + 1, dim // m)
 
     # --- corpus encode: (id, list, code) — one narrow Arrow pass ----------
@@ -806,7 +864,11 @@ def embedding_neardup_pairs(
             # numpy — measured ~1.6× faster than per-group applyInPandas,
             # whose per-bucket pandas frames dominate at thousands of small
             # buckets.  Partition memory = one shuffle partition (sized by
-            # spark.sql.shuffle.partitions, AQE-split on skew).
+            # spark.sql.shuffle.partitions).  NB AQE never splits a
+            # user-specified hash repartition on skew (skew-splitting applies
+            # to joins/rebalance only) — that is load-bearing: a split bucket
+            # would score two partial all-pairs matrices and permanently miss
+            # the cross-fragment pairs.
             chunks = [b for b in batches if len(b)]
             if not chunks:
                 return
@@ -827,7 +889,9 @@ def embedding_neardup_pairs(
                     continue
                 ids = ids_all[s:e]
                 mat = np.stack(vecs[s:e])
-                norms = np.sqrt((mat * mat).sum(axis=1))
+                # 1e-12 norm floor (module convention): a zero vector scores
+                # cosine 0 — a NaN row would silently drop its pairs
+                norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
                 sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
                 keep = (sims >= thr) & (ids[:, None] < ids[None, :])
                 # suppress pairs that already collided in an earlier table —
@@ -877,7 +941,8 @@ def embedding_neardup_pairs(
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    norms = np.sqrt((mat * mat).sum(axis=1))
+    # 1e-12 norm floor (module convention): zero vectors score cosine 0
+    norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
     bcast = df.sparkSession.sparkContext.broadcast((ids, mat, norms))
     thr = float(threshold)
 
@@ -886,7 +951,7 @@ def embedding_neardup_pairs(
         for batch in batches:
             ids1 = batch[id_col].to_numpy()
             m1 = np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
-            n1 = np.sqrt((m1 * m1).sum(axis=1))
+            n1 = np.maximum(np.sqrt((m1 * m1).sum(axis=1)), 1e-12)
             sims = np.round((m1 @ bmat.T) / np.outer(n1, bnorms), 6)
             ii, jj = np.nonzero((sims >= thr) & (ids1[:, None] < bids[None, :]))
             yield pd.DataFrame(
@@ -1061,7 +1126,11 @@ def embedding_neardup_pairs_srp_md5(
                 dot = dot + m1[:, j] * m2[:, j]
                 n1 = n1 + m1[:, j] * m1[:, j]
                 n2 = n2 + m2[:, j] * m2[:, j]
-            cos = np.round(dot / (np.sqrt(n1) * np.sqrt(n2)), 6)
+            # same 1e-12 floor as the oracle's greatest(sqrt(...), 1e-12)
+            cos = np.round(
+                dot / (np.maximum(np.sqrt(n1), 1e-12) * np.maximum(np.sqrt(n2), 1e-12)),
+                6,
+            )
             keep = cos >= thr
             yield pd.DataFrame(
                 {
@@ -1543,8 +1612,6 @@ def hard_negatives_topk_ivf(
     (anchor, negative) pair is generated at most once because the corpus
     side lives in exactly one list; no cross-probe dedup needed.
     """
-    from pyspark.sql import Window
-
     base = df.select(id_col, vec_col, label_col)
     centroids = _train_centroids(base, vec_col, n_centroids, seed=seed, id_col=id_col)
     corpus = _ivf_assign_expr(base, vec_col, centroids, "__lists__", 1).select(
@@ -1629,6 +1696,11 @@ def semantic_dedup(
 
     if n_clusters is None:
         n_clusters = max(4, math.ceil(df.count() / target_cluster_size))
+    # sample_rows auto-scales with n_clusters inside _train_centroids
+    # (max(10k, 8·n_clusters)) — a fixed sample would silently cap the
+    # trained centroid count and let per-cluster size grow with the corpus,
+    # defeating the ~target² bound this docstring promises; beyond
+    # MAX_DRIVER_CENTROIDS the trainer fails with guidance instead.
     centroids = _train_centroids(df, vec_col, n_clusters, seed=seed, id_col=id_col)
     assigned = _ivf_assign_expr(
         df.select(id_col, vec_col), vec_col, centroids, "__lists__", 1

@@ -1918,10 +1918,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding similarity
 # ===========================================================================
 
+# norms floored at 1e-12, mirroring the engine's module-wide zero-vector
+# convention (similarity.norm_expr / the numpy scorers): a zero vector
+# scores cosine 0 in BOTH engines instead of NaN/divide-by-zero.
 _COSINE_SQL = """
     list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]), (x,y) -> x+y)
-    / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y))
-     * sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y)))
+    / (greatest(sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y)), 1e-12)
+     * greatest(sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y)), 1e-12))
 """
 
 

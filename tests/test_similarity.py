@@ -530,3 +530,98 @@ def test_ivf_md5_recall_and_partition_invariance(emb, queries, exact_topk):
     a = sorted(map(tuple, rows))
     b = sorted(map(tuple, SIM.ivf_topk_md5(emb.repartition(7), queries, k=10, n_probe=4).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Round-10 review hardening: zero-norm floors everywhere, guard parity,
+# trainer sample scaling, dim guards
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fn", ["brute_force_topk", "lsh_topk"])
+def test_topk_zero_vector_scores_zero_not_nan(spark, emb, queries, fn):
+    """brute_force_topk / lsh_topk divide by norm_expr: a zero corpus vector
+    must score cosine 0 (floored norm), never DIVIDE_BY_ZERO under Spark's
+    ANSI default or a NaN that sorts rank-1 — the convention already pinned
+    for ivf_topk."""
+    zero = spark.createDataFrame(
+        [(99999, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(zero)
+    rows = getattr(SIM, fn)(corpus, queries, k=5).collect()
+    assert rows
+    assert all(r.vec_id != 99999 for r in rows)
+    assert all(not (r.cosine != r.cosine) for r in rows)  # no NaN survives
+
+
+def test_neardup_exact_zero_vector_pairs_not_dropped_by_nan(spark):
+    """The exact all-pairs scorer floors norms: with threshold <= 0 a zero
+    vector pairs with everything at cosine 0.0 instead of vanishing as NaN."""
+    rows = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = SIM.embedding_neardup_pairs(rows, threshold=-1.0).collect()
+    pairs = {(r.id1, r.id2): r.cosine for r in got}
+    assert pairs[(1, 2)] == 0.0 and pairs[(1, 3)] == 0.0
+    assert all(c == c for c in pairs.values())  # no NaN anywhere
+
+
+@pytest.mark.parametrize("fn", ["brute_force_topk", "lsh_topk"])
+def test_topk_query_side_guard_raises_on_oversized_probe_set(emb, queries, fn):
+    """The two oldest ANN entry points broadcast the probe side like the
+    rest of the family — same oversized-probe guard, same guidance."""
+    with pytest.raises(ValueError, match="max_query_rows"):
+        getattr(SIM, fn)(emb, queries, k=5, max_query_rows=2)
+
+
+def test_pq_topk_query_dim_mismatch_fails_loudly(spark, emb):
+    """A wider query matrix must raise, not silently score from a prefix of
+    each query vector (the md5 twin's guard, now on the production path)."""
+    wide = spark.createDataFrame(
+        [(0, [0.5] * 128)], "query_id long, query_vec array<float>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        SIM.pq_topk(emb, wide, k=3).count()
+
+
+def test_pq_encode_corpus_dim_mismatch_fails_loudly(spark, emb):
+    import numpy as np
+
+    books = SIM.train_pq_codebooks(emb, "embedding", m=8, k=4)
+    bad = spark.createDataFrame(
+        [(0, [0.5] * 32)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        SIM.pq_encode(bad, books).collect()
+
+
+def test_train_centroids_sample_scales_with_request(spark, emb):
+    """A fixed 10k sample silently caps the trained centroid count at 10k;
+    the default now scales (max(10k, 8*n)) so the derived-cluster contract
+    in semantic_dedup holds, and an untrainable request fails with
+    guidance."""
+    with pytest.raises(ValueError, match="MAX_DRIVER_CENTROIDS"):
+        SIM._train_centroids(emb, "embedding", SIM.MAX_DRIVER_CENTROIDS + 1)
+
+
+def test_assign_nearest_chunked_matches_unchunked():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(503, 16)
+    cent = rng.randn(11, 16)
+    full = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    # row_budget forcing ~3-row chunks must give bit-identical assignments
+    chunked = SIM._assign_nearest(mat, cent, row_budget=600)
+    assert (full == chunked).all()
+
+
+def test_ivf_assign_expr_empty_batch_safe(spark, emb):
+    """An empty Arrow batch reaching the IVF assigner must be skipped, not
+    AxisError — pipelined upstream stages can emit empty frames."""
+    import numpy as np
+
+    cent = SIM._train_centroids(emb.limit(50), "embedding", 4)
+    empty = emb.filter(F.col("vec_id") < 0)  # 0 rows, real schema
+    assert SIM._ivf_assign_expr(empty, "embedding", cent, "__lists__", 1).count() == 0
