@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,6 +63,12 @@ def sample_proportional(
 ) -> DataFrame:
     """G2 ``sample_datasets`` (ref:utils.py:205-215): cap the target by each
     source's capacity/proportion, sample each source to its share, union."""
+    if len(frames) != len(proportions):
+        raise ValueError(
+            f"{len(frames)} frames but {len(proportions)} proportions — a "
+            "silent zip would drop the trailing sources from both the "
+            "capacity computation and the output"
+        )
     # ONE Spark action for every source's count (a per-frame count() loop is
     # one job per source — noisy at many sources): tag each frame, union the
     # tags only, aggregate.  Projecting to just the literal tag keeps the
@@ -117,9 +123,26 @@ def dropped_sample(
 # --------------------------------------------------------------------------
 
 
-def _md5_uniform(id_col: Column | str) -> Column:
-    hex8 = F.substring(F.md5(F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string")), 1, 8)
-    return F.conv(hex8, 16, 10).cast("double") / F.lit(4294967296.0)
+# NULL ids hash as this sentinel so the draw is TOTAL: hash_split's
+# leakage-safe "assignment is total" claim and sample_stratified's
+# fraction-1.0 keep-everything contract must hold for unkeyed rows too
+# (an un-coalesced md5(NULL) is NULL, which silently fell through every
+# range test — all NULL-id rows polluted the LAST split and were dropped
+# from any stratum).  All NULL ids share one draw — NULL is one key value.
+_NULL_ID_SENTINEL = "\x1f<null>"
+
+
+def _md5_uniform(id_col: Column | str, shift: float = 0.0) -> Column:
+    """u(id) ∈ [0,1): first 8 md5 hex chars / 2³² — the module's hash-draw
+    convention (engine-independent, repartition-stable).  ``shift`` adds a
+    half-step before the divide (A-Res needs u > 0 strictly)."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    hex8 = F.substring(
+        F.md5(F.coalesce(col.cast("string"), F.lit(_NULL_ID_SENTINEL))), 1, 8
+    )
+    return (F.conv(hex8, 16, 10).cast("double") + F.lit(float(shift))) / F.lit(
+        4294967296.0
+    )
 
 
 def sample_stratified(
@@ -182,26 +205,34 @@ def weighted_sample_topk(
     module's hash-draw convention, shifted by +0.5/2³² so u is never 0),
     and the key rounds to INTEGER NANOS (the bm25_scores convention) so a
     last-ulp ``pow`` difference between engines can't reorder the top-k;
-    nano-ties break by id.  Rows with weight ≤ 0/NULL get key 0 — never
-    sampled.
+    nano-ties break by id.  Rows with weight ≤ 0/NULL are EXCLUDED before
+    ranking (A-Res gives them inclusion probability 0; leaving them in
+    with a pinned key would let them back-fill when fewer than k rows have
+    positive weight).
+
+    The exponent is MAX-NORMALIZED — key = u^(max_w/w), the same selection
+    law (log-divide both sides of the A-Res comparison by max_w > 0: order
+    is untouched in exact arithmetic) — because the raw ``u^(1/w)`` key
+    collapses into nanos-rounding ties as weights grow (at w~1e9, token
+    counts of real shards, ~39% of the corpus rounds to key 1e9 exactly
+    and the id tie-break — not weight — decides the sample).  Normalized,
+    the heaviest row's exponent is 1 and keys spread over the full (0,1)
+    nanos range at ANY weight magnitude.  Costs one map-combinable MAX
+    aggregate broadcast back.
 
     Scale: a narrow key projection followed by ``orderBy(...).limit(k)``,
     which Spark executes as TakeOrderedAndProject — per-partition heap of
     size k + driver merge, never a global sort."""
-    hex8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
-    u = (F.conv(hex8, 16, 10).cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
-    # w > 0 guard does double duty: ANSI mode rejects 1/0 (try_divide keeps
-    # the expression total either way), and a NEGATIVE weight would yield
-    # u^(negative) > 1 — a zero/negative/null weight must never outrank a
-    # positive one, so those rows pin to key 0
-    key = F.when(
-        F.col(weight_col) > 0,
-        F.round(
-            F.pow(u, F.try_divide(F.lit(1.0), F.col(weight_col))) * F.lit(1e9)
-        ).cast("long"),
-    ).otherwise(F.lit(0))
+    u = _md5_uniform(id_col, shift=0.5)
+    pos = df.filter(F.col(weight_col) > 0)
+    mx = pos.agg(F.max(F.col(weight_col)).cast("double").alias("__mx__"))
+    key = F.round(
+        F.pow(u, F.try_divide(F.col("__mx__"), F.col(weight_col))) * F.lit(1e9)
+    ).cast("long")
     return (
-        df.withColumn("sample_key", key)
+        pos.crossJoin(F.broadcast(mx))
+        .withColumn("sample_key", key)
+        .drop("__mx__")
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -286,10 +317,16 @@ def temperature_sample(
     )
     w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col).asc())
     ranked = df.withColumn("__rn__", F.row_number().over(w))
+    # null-SAFE group join (the token_budget_select_scalable rule): the
+    # groupBy above COUNTS a NULL group into N and Z and gives it a quota
+    # row, so a plain equi-join here would delete every NULL-group row
+    # outright (not downsample them) while still skewing the real groups'
+    # quotas by the phantom contribution.
+    q = F.broadcast(quota.withColumnRenamed(group_col, "__g__"))
     return (
-        ranked.join(F.broadcast(quota), group_col)
+        ranked.join(q, F.col(group_col).eqNullSafe(F.col("__g__")))
         .filter(F.col("__rn__") <= F.col("__q__"))
-        .drop("__rn__", "__q__")
+        .drop("__rn__", "__q__", "__g__")
     )
 
 

@@ -3241,8 +3241,12 @@ def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Stratified sampling / hash splits / moving averages (round-3 extensions)
 # ===========================================================================
 
+# COALESCE sentinel mirrors sampling._NULL_ID_SENTINEL (chr(31) || '<null>'):
+# the draw is total — NULL ids get one shared deterministic u instead of a
+# NULL that falls through every range/fraction test.
 _SQL_MD5_U = (
-    "(try_cast('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    "(try_cast('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),"
+    " chr(31) || '<null>')), 1, 8) AS BIGINT)"
     " / 4294967296.0)"
 )
 _STRATA_FRACS = {"en": 0.25, "de": 0.5, "es": 0.75, "fr": 1.0, "zh": 0.1}
@@ -3941,15 +3945,19 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                              AS BIGINT)) AS q
       FROM c, tot
     ), r AS (
+      -- concat_ws (both engines skip NULL args) + IS NOT DISTINCT FROM:
+      -- NULL-group rows rank and join like any other group instead of
+      -- being silently deleted by a NULL-propagating || and equi-join
       SELECT doc_id, lang,
              ROW_NUMBER() OVER (
                PARTITION BY lang
-               ORDER BY md5(lang || chr(31) || CAST(doc_id AS VARCHAR)) ASC,
+               ORDER BY md5(concat_ws(chr(31), lang, CAST(doc_id AS VARCHAR))) ASC,
                         doc_id ASC
              ) AS rn
       FROM documents
     )
-    SELECT r.doc_id, r.lang FROM r JOIN q ON q.lang = r.lang WHERE r.rn <= q.q
+    SELECT r.doc_id, r.lang FROM r
+    JOIN q ON q.lang IS NOT DISTINCT FROM r.lang WHERE r.rn <= q.q
     """,
     "temperature (alpha=0.3) language rebalancing toward p_l with counts^alpha "
     "— XLM-R-style corpus mixing; quotas from one broadcast count table, "
@@ -3999,18 +4007,24 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "sample_weighted_chars",
     """
+    WITH mx AS (SELECT CAST(MAX(n_chars) AS DOUBLE) AS m
+                FROM documents WHERE n_chars > 0)
     SELECT doc_id, n_chars,
-           CASE WHEN n_chars > 0 THEN CAST(ROUND(pow(
-             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           CAST(ROUND(pow(
+             (CAST('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+                chr(31) || '<null>')), 1, 8) AS BIGINT)
               + 0.5) / 4294967296.0,
-             1.0 / n_chars) * 1e9) AS BIGINT) ELSE 0 END AS sample_key
-    FROM documents
+             mx.m / n_chars) * 1e9) AS BIGINT) AS sample_key
+    FROM documents, mx
+    WHERE n_chars > 0
     ORDER BY sample_key DESC, doc_id ASC
     LIMIT 100
     """,
     "Efraimidis-Spirakis A-Res weighted sampling (inclusion prob ~ n_chars, "
-    "no replacement): md5-derived u, key u^(1/w) in integer nanos so both "
-    "engines rank identically — TakeOrderedAndProject, never a global sort",
+    "no replacement): md5-derived u, key u^(max_w/w) in integer nanos — "
+    "max-normalizing the exponent is the same selection law but keeps nanos "
+    "resolution at token-count weight magnitudes; both engines rank "
+    "identically — TakeOrderedAndProject, never a global sort",
 )
 def sample_weighted_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")

@@ -180,3 +180,82 @@ def test_script_mix_ratios(spark):
     assert got[2] == (0.5, 0.5, 0.0)
     assert got[3] == (0.0, 0.0, 0.0)
     assert got[4] == (0.0, 0.0, 0.0)
+
+
+# --------------------------------------------------------------------------
+# Round-10 review hardening: NULL keys are first-class, A-Res resolution
+# --------------------------------------------------------------------------
+
+
+def test_temperature_sample_null_group_downsampled_not_deleted(spark):
+    """A NULL group is counted into N/Z and gets a quota row, so the join
+    back must be null-safe: its rows are DOWNSAMPLED like any group, not
+    silently deleted (which also skewed every real group's quota)."""
+    import chat_data_pipeline_spark.operators.sampling as S
+
+    rows = [(i, "en" if i % 2 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "ids long, grp string")
+    out = S.temperature_sample(df, "grp", "ids", alpha=0.3, target_frac=0.5)
+    got = out.groupBy("grp").count().collect()
+    by = {r.grp: r["count"] for r in got}
+    assert by.get(None, 0) > 0  # NULL group survives
+    assert abs(by[None] - by["en"]) <= 1  # equal-sized groups, equal quotas
+
+
+def test_hash_split_null_ids_follow_the_hash_not_the_last_split(spark):
+    """The md5 draw coalesces NULL ids to a sentinel, so NULL-id rows land
+    in the split the sentinel's hash selects (deterministically, together)
+    — not systematically in the LAST split via NULL fall-through."""
+    import chat_data_pipeline_spark.operators.sampling as S
+
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",)], "doc_id string"
+    )
+    out = {r.doc_id: r.split for r in S.hash_split(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()}
+    # sentinel chr(31)+'<null>' hashes to u ~ 0.888 -> 'val', not 'test'
+    assert out[None] == "val"
+
+
+def test_sample_stratified_fraction_one_keeps_null_ids(spark):
+    import chat_data_pipeline_spark.operators.sampling as S
+
+    df = spark.createDataFrame(
+        [(None, "en"), ("a", "en"), ("b", "zh")], "doc_id string, lang string"
+    )
+    kept = S.sample_stratified(df, "lang", {"en": 1.0}, "doc_id").collect()
+    assert sorted((r.doc_id for r in kept if r.lang == "en"), key=str) == [None, "a"]
+
+
+def test_weighted_sample_large_weights_stay_weight_proportional(spark):
+    """Regression for the nanos-resolution collapse: at token-count weight
+    magnitudes (~1e9) the raw u^(1/w) key rounded to 1e9 for ~39% of rows
+    and the id tie-break chose the sample.  The max-normalized exponent
+    keeps heavy rows decisively ahead of light ones at any magnitude."""
+    import chat_data_pipeline_spark.operators.sampling as S
+
+    # light rows get the SMALL ids: under key-collapse the id tie-break
+    # would hand them the whole sample
+    rows = [(i, 10) for i in range(100)] + [(100 + i, 10**9) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = S.weighted_sample_topk(df, "w", "doc_id", k=50).collect()
+    heavy = sum(1 for r in out if r.w == 10**9)
+    assert heavy == 50  # exponent ratio 1e8: every heavy key dwarfs light ones
+
+
+def test_weighted_sample_all_nonpositive_is_empty(spark):
+    import chat_data_pipeline_spark.operators.sampling as S
+
+    df = spark.createDataFrame([(1, 0), (2, None)], "doc_id long, w long")
+    assert S.weighted_sample_topk(df, "w", "doc_id", k=5).count() == 0
+
+
+def test_sample_proportional_length_mismatch_raises(spark):
+    import pytest as _pytest
+
+    import chat_data_pipeline_spark.operators.sampling as S
+
+    df = spark.createDataFrame([(1, "a")], "ids long, grp string")
+    with _pytest.raises(ValueError, match="proportions"):
+        S.sample_proportional([df, df, df], [0.5, 0.5], 10, "grp", "ids")
