@@ -48,6 +48,23 @@ def cms_bucket(col: Column, d: int, width: int, tag: str = "cms") -> Column:
     )
 
 
+def _depth_probes(col: Column, depth: int, width: int, tag: str) -> Column:
+    """``explode``-ready array of (d, bucket) probe structs — THE hash-probe
+    shape, shared by the sketch builders and the estimator so a change to
+    the probe derivation can never desynchronize build and lookup cells."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    cms_bucket(col, d, width, tag).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+
+
 def cms_table(
     df: DataFrame,
     column: str = "text",
@@ -60,22 +77,17 @@ def cms_table(
     over the tokenized corpus (``\\w+`` lowercase, the engine's universal
     tokenizer).  ``weight_col`` (optional, on the input rows) weights each
     document's tokens — integer weights keep the twin exact."""
-    toks = df.select(
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    src = repartition_for_compute(
+        df.select(column, *([weight_col] if weight_col else []))
+    )
+    toks = src.select(
         F.explode(T.words(F.col(column))).alias("tok"),
         *( [F.col(weight_col).alias("__w__")] if weight_col else [] ),
     )
     rows = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        cms_bucket(F.col("tok"), d, width, tag).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("db"),
+        _depth_probes(F.col("tok"), depth, width, tag).alias("db"),
         *( [F.col("__w__")] if weight_col else [] ),
     )
     agg = (F.sum("__w__") if weight_col else F.count("*")).alias("c")
@@ -87,6 +99,8 @@ def cms_table(
 def cms_merge(sketches: list[DataFrame]) -> DataFrame:
     """Cell-wise sum of same-shape sketches — the compositionality that lets
     per-shard / per-trigger sketches combine without rescanning anything."""
+    if not sketches:
+        raise ValueError("cms_merge: no sketches to merge (empty list)")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -108,17 +122,7 @@ def cms_estimate(
     no corpus rescan.  Estimates NEVER undercount (CMS guarantee)."""
     probes = keys.select(
         key_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        cms_bucket(F.col(key_col), d, width, tag).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("db"),
+        _depth_probes(F.col(key_col), depth, width, tag).alias("db"),
     ).select(key_col, F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
     joined = probes.join(F.broadcast(sketch), ["d", "bucket"], "left").select(
         key_col, F.coalesce("c", F.lit(0)).alias("c")
@@ -196,6 +200,8 @@ def _registers_from_tokens(toks: DataFrame, tag: str) -> DataFrame:
 def hll_merge(registers: list[DataFrame]) -> DataFrame:
     """Bucket-wise max of register tables — per-shard / per-trigger HLLs
     compose without rescanning (max is idempotent and commutative)."""
+    if not registers:
+        raise ValueError("hll_merge: no register tables to merge (empty list)")
     out = registers[0]
     for s in registers[1:]:
         out = out.unionByName(s)
@@ -249,7 +255,10 @@ def hll_distinct(
     pow_term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_BITS + 1} - r)")
     agg = regs.agg(
         F.count("*").alias("present"),
-        F.sum(pow_term).alias("sumpow"),
+        # coalesce: an EMPTY corpus has zero register rows, where a bare sum
+        # is NULL and would poison the numerator — all-zero registers define
+        # numerator = m·2^53 (raw HLL's deterministic empty-set estimate)
+        F.coalesce(F.sum(pow_term), F.lit(0).cast("long")).alias("sumpow"),
     )
     exact = toks.agg(F.count("tok").alias("n_exact"))
     full = F.lit(1 << (_HLL_RHO_BITS + 1)).cast("long")
@@ -275,9 +284,11 @@ def hll_distinct(
             "harmonic_numerator",
             "est_distinct",
             "n_exact",
-            (
-                (F.col("est_distinct") - F.col("n_exact"))
-                / F.col("n_exact").cast("double")
+            # try_divide: rel_error is undefined (NULL) on an empty corpus
+            # (n_exact = 0) — a bare divide is an ANSI DIVIDE_BY_ZERO there
+            F.try_divide(
+                F.col("est_distinct") - F.col("n_exact"),
+                F.col("n_exact").cast("double"),
             ).alias("rel_error"),
         )
     )
@@ -321,19 +332,8 @@ def cms_heavy_hitters(
     # The sketch builds INLINE over tok_counts (not via cms_table, which
     # would re-tokenize and rename); cell values equal a raw-token
     # cms_table build because cell sums commute with pre-counting.
-    db = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    cms_bucket(F.col("tok"), d, width, tag).alias("bucket"),
-                )
-                for d in range(depth)
-            ]
-        )
-    ).alias("db")
     sketch = (
-        tok_counts.select(db, "__cnt__")
+        tok_counts.select(_depth_probes(F.col("tok"), depth, width, tag).alias("db"), "__cnt__")
         .groupBy(F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
         .agg(F.sum("__cnt__").alias("c"))
     )
@@ -393,10 +393,12 @@ def value_histogram_sketch(
     Quantile q = num/den: rank = ⌈q·n⌉ by integer ceiling division; the
     cumulative bin walk finds the bin holding that rank and interpolates
     ``lo + (width·(k-1)) // count`` — no IEEE op anywhere until the final
-    cents→unit division (``div``/``//`` on longs in BOTH engines: a float
-    ``floor(a/b)`` would round its numerator past 2^53).  Bounds: cents
-    must stay below ~2^59 (the interpolation product below 2^63) — beyond
-    any money-like column; a larger-unit variant would rescale first.
+    cents→unit division (integer division in BOTH engines: a float
+    ``floor(a/b)`` would round its numerator past 2^53).  The interpolation
+    product runs in DECIMAL(38,0) / HUGEINT (it is bounded by
+    bin_width·bin_count, which passes 2^63 at scale); cents themselves must
+    stay below ~2^59 — beyond any money-like column; a larger-unit variant
+    would rescale first.
 
     Scale: the histogram is ≤ ~8·64 bins at ANY corpus size, built by one
     map-side-combinable aggregation; bins merge by count addition (shards/
@@ -414,7 +416,9 @@ def value_histogram_sketch(
     totals = hist.agg(F.sum("cnt").alias("__n__"))
     hist = hist.crossJoin(F.broadcast(totals))
     out_aggs = [
-        F.max("__n__").alias("n"),
+        # coalesce: zero positive-cent rows → zero bins → max over an empty
+        # table is NULL, but n is contractually an EXACT count — report 0
+        F.coalesce(F.max("__n__"), F.lit(0)).cast("long").alias("n"),
         F.count("*").cast("long").alias("n_bins"),
     ]
     for num, den in quantiles:
@@ -427,14 +431,21 @@ def value_histogram_sketch(
             (F.col("cum_before") < rank_expr)
             & (rank_expr <= F.col("cum_before") + F.col("cnt"))
         )
+        # The interpolation product (hi-lo)·(in-bin offset) is bounded by
+        # bin_width·cnt — BOTH factors grow with scale, so it passes 2^63
+        # well inside the documented cents < 2^59 regime once a bin holds
+        # ~2^8+ rows.  It therefore runs in DECIMAL(38,0) (bound 2^108 at
+        # the cents cap — inside 38 digits) with the exact floor-division
+        # trick from mix_manifest: subtracting the remainder first keeps
+        # the decimal division integral, immune to result-scale rounding.
+        # The duckdb twin mirrors with a HUGEINT product — exact in both.
+        rank_sql = f"(__n__ * {num} + {den} - 1) div {den}"
+        prod = f"(CAST(hi - lo AS DECIMAL(38,0)) * ({rank_sql} - cum_before - 1))"
         est_cents = F.min(
             F.when(
                 sel,
                 F.col("lo")
-                + F.expr(
-                    f"((hi - lo) * ((__n__ * {num} + {den} - 1) div {den}"
-                    f" - cum_before - 1)) div cnt"
-                ),
+                + F.expr(f"CAST(({prod} - {prod} % cnt) / cnt AS BIGINT)"),
             )
         )
         out_aggs.append((est_cents.cast("double") / 100).alias(f"p{num}_est"))
@@ -471,7 +482,17 @@ def _absorb_legacy_root_files(spark, store_path: str) -> None:
     dest = jvm.org.apache.hadoop.fs.Path(hpath, "batch=legacy-adhoc")
     fs.mkdirs(dest)
     for p in legacy:
-        fs.rename(p, jvm.org.apache.hadoop.fs.Path(dest, p.getName()))
+        # FileSystem.rename signals failure by RETURNING FALSE (destination
+        # exists, cross-filesystem move, ...) — not by raising.  A silently
+        # skipped move leaves the mixed root+partition layout this function
+        # exists to heal, bricking every later read; fail loudly instead.
+        if not fs.rename(p, jvm.org.apache.hadoop.fs.Path(dest, p.getName())):
+            raise RuntimeError(
+                f"sketch store {store_path}: could not move legacy root file "
+                f"{p.getName()} into batch=legacy-adhoc (rename returned "
+                "false — destination exists or the move failed); resolve the "
+                "conflict manually before writing to this store"
+            )
     logger.warning(
         "sketch store %s: moved %d legacy root-level files into batch=legacy-adhoc",
         store_path,

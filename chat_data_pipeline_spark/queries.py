@@ -930,21 +930,23 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hist
     )
     -- `//` (integer division) throughout, mirroring Spark's `div`: a float
-    -- floor(a/b) rounds its numerator past 2^53, where the BIGINT path
-    -- stays exact — the cross-engine hash must hold at any corpus size
-    SELECT CAST(MAX(n) AS BIGINT) AS n,
+    -- floor(a/b) rounds its numerator past 2^53, where the integer path
+    -- stays exact — the cross-engine hash must hold at any corpus size.
+    -- The interpolation product runs in HUGEINT (Spark: DECIMAL(38,0)):
+    -- bin_width * in-bin-offset passes 2^63 at scale.
+    SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n,
            CAST(COUNT(*) AS BIGINT) AS n_bins,
            CAST(MIN(CASE WHEN cum_before < (n * 50 + 99) // 100
                           AND (n * 50 + 99) // 100 <= cum_before + cnt
-                    THEN lo + ((hi - lo) * ((n * 50 + 99) // 100 - cum_before - 1)) // cnt
+                    THEN lo + CAST((CAST(hi - lo AS HUGEINT) * ((n * 50 + 99) // 100 - cum_before - 1)) // cnt AS BIGINT)
                     END) AS DOUBLE) / 100 AS p50_est,
            CAST(MIN(CASE WHEN cum_before < (n * 90 + 99) // 100
                           AND (n * 90 + 99) // 100 <= cum_before + cnt
-                    THEN lo + ((hi - lo) * ((n * 90 + 99) // 100 - cum_before - 1)) // cnt
+                    THEN lo + CAST((CAST(hi - lo AS HUGEINT) * ((n * 90 + 99) // 100 - cum_before - 1)) // cnt AS BIGINT)
                     END) AS DOUBLE) / 100 AS p90_est,
            CAST(MIN(CASE WHEN cum_before < (n * 99 + 99) // 100
                           AND (n * 99 + 99) // 100 <= cum_before + cnt
-                    THEN lo + ((hi - lo) * ((n * 99 + 99) // 100 - cum_before - 1)) // cnt
+                    THEN lo + CAST((CAST(hi - lo AS HUGEINT) * ((n * 99 + 99) // 100 - cum_before - 1)) // cnt AS BIGINT)
                     END) AS DOUBLE) / 100 AS p99_est
     FROM cum
     """,
@@ -5310,8 +5312,10 @@ def _hll_oracle_sql() -> str:
     ), regs AS (
       SELECT bucket, MAX(rho) AS r FROM rho GROUP BY bucket
     ), agg AS (
+      -- COALESCE mirrors the engine: an empty corpus has zero register
+      -- rows; all-zero registers define numerator = m*2^53, not NULL
       SELECT COUNT(*) AS present,
-             SUM(CAST(1 AS BIGINT) << (53 - r)) AS sumpow
+             COALESCE(SUM(CAST(1 AS BIGINT) << (53 - r)), 0) AS sumpow
       FROM regs
     ), stats AS (
       SELECT CAST(512 AS BIGINT) AS m,

@@ -292,3 +292,85 @@ def test_sketch_store_absorbs_pre_r10_root_layout(spark, tmp_path):
     }
     whole = {(r.d, r.bucket): r.c for r in SK.cms_table(docs, "text").collect()}
     assert merged == whole
+
+
+# --------------------------------------------------------------------------
+# Round-10 review hardening: empty-input totality, overflow-safe
+# interpolation, loud migration failure
+# --------------------------------------------------------------------------
+
+
+def test_hll_distinct_empty_corpus_deterministic_not_null(spark):
+    """Zero register rows must yield the raw-HLL empty-set estimate
+    (numerator = m*2^53, est ~ alpha*m), not NULL-poisoned columns."""
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    empty = spark.createDataFrame([], "text string")
+    row = SK.hll_distinct(empty, "text").collect()[0]
+    assert row.n_zero_registers == SK.HLL_M
+    assert row.harmonic_numerator == SK.HLL_M * (1 << 53)
+    assert row.est_distinct is not None and row.est_distinct > 0
+    assert row.n_exact == 0
+    assert row.rel_error is None  # undefined against an exact count of 0
+
+
+def test_value_histogram_sketch_empty_reports_zero_n(spark):
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    empty = spark.createDataFrame([], "value double")
+    row = SK.value_histogram_sketch(empty, "value").collect()[0]
+    assert row.n == 0 and row.n_bins == 0
+
+
+def test_merge_empty_lists_raise_cleanly():
+    import pytest as _pytest
+
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    with _pytest.raises(ValueError, match="no sketches"):
+        SK.cms_merge([])
+    with _pytest.raises(ValueError, match="no register tables"):
+        SK.hll_merge([])
+
+
+def test_quantile_interpolation_survives_int64_overflow_regime(spark):
+    """bin_width * in-bin-offset passes 2^63 once a wide bin holds a few
+    hundred rows of ~2^59-cent values; the DECIMAL(38,0) product must keep
+    the estimate exact where the old BIGINT product raised (ANSI) or
+    wrapped negative."""
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    v = float(1 << 59) / 100.0  # cents ~ 2^59 -> bin width ~ 2^55
+    rows = [(v * (1.0 + 0.07 * (i % 2)),) for i in range(600)]
+    out = SK.value_histogram_sketch(
+        spark.createDataFrame(rows, "value double"), "value"
+    ).collect()[0]
+    assert out.n == 600
+    for p in (out.p50_est, out.p90_est, out.p99_est):
+        assert p is not None and v * 0.8 <= p <= v * 1.3  # sane, in-range
+
+
+def test_legacy_absorb_raises_on_rename_conflict(spark, tmp_path):
+    """If a legacy root file cannot be moved (destination already exists —
+    FileSystem.rename returns FALSE, it does not raise), the migration must
+    fail loudly instead of logging success over a still-mixed store."""
+    import os
+
+    import pytest as _pytest
+
+    from chat_data_pipeline_spark.operators import sketches as SK
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    store = str(tmp_path / "conflict")
+    SK.cms_table(docs, "text").write.mode("append").parquet(store)
+    legacy_name = next(
+        e for e in os.listdir(store)
+        if not e.startswith(("_", ".")) and e.endswith(".parquet")
+    )
+    # plant a same-named file at the rename destination
+    dest = os.path.join(store, "batch=legacy-adhoc")
+    os.makedirs(dest)
+    with open(os.path.join(dest, legacy_name), "w") as fh:
+        fh.write("occupied")
+    with _pytest.raises(RuntimeError, match="legacy root file"):
+        SK.update_sketch_store(SK.cms_table(docs, "text"), store, batch_id=1)
