@@ -53,14 +53,26 @@ def check_word_number_score(col: Column, **_: object) -> Column:
     return T.word_count(col).cast("long")
 
 
+def _word_number_pred(
+    s: Column,
+    min_word_threshold: int = 5,
+    max_word_threshold: int = 512,
+    **_: object,
+) -> Column:
+    return (s >= F.lit(min_word_threshold)) & (s <= F.lit(max_word_threshold))
+
+
 def check_word_number_keep(
     col: Column,
     min_word_threshold: int = 5,
     max_word_threshold: int = 512,
     **_: object,
 ) -> Column:
-    wc = T.word_count(col)
-    return (wc >= F.lit(min_word_threshold)) & (wc <= F.lit(max_word_threshold))
+    return _word_number_pred(
+        T.word_count(col),
+        min_word_threshold=min_word_threshold,
+        max_word_threshold=max_word_threshold,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -74,6 +86,17 @@ def check_perplexity_score(col: Column, model: object | None = None, **_: object
     return perplexity.perplexity_score(col, model)
 
 
+def _perplexity_pred(
+    s: Column,
+    min_perplexity_threshold: float = 300,
+    max_perplexity_threshold: float = 3_000,
+    **_: object,
+) -> Column:
+    return (s >= F.lit(float(min_perplexity_threshold))) & (
+        s <= F.lit(float(max_perplexity_threshold))
+    )
+
+
 def check_perplexity_keep(
     col: Column,
     model: object | None = None,
@@ -81,9 +104,10 @@ def check_perplexity_keep(
     max_perplexity_threshold: float = 3_000,
     **_: object,
 ) -> Column:
-    ppl = check_perplexity_score(col, model=model)
-    return (ppl >= F.lit(float(min_perplexity_threshold))) & (
-        ppl <= F.lit(float(max_perplexity_threshold))
+    return _perplexity_pred(
+        check_perplexity_score(col, model=model),
+        min_perplexity_threshold=min_perplexity_threshold,
+        max_perplexity_threshold=max_perplexity_threshold,
     )
 
 
@@ -117,10 +141,18 @@ def check_nsfw_words_score(col: Column, **_: object) -> Column:
     return pandas_udf(_nsfw_ratio_batch, "double")(col)
 
 
+def _nsfw_words_pred(
+    s: Column, flagged_words_threshold: float = 0.025, **_: object
+) -> Column:
+    return s <= F.lit(float(flagged_words_threshold))
+
+
 def check_nsfw_words_keep(
     col: Column, flagged_words_threshold: float = 0.025, **_: object
 ) -> Column:
-    return check_nsfw_words_score(col) <= F.lit(float(flagged_words_threshold))
+    return _nsfw_words_pred(
+        check_nsfw_words_score(col), flagged_words_threshold=flagged_words_threshold
+    )
 
 
 def nsfw_ratio_native(col: Column, phrases: list[str] | None = None) -> Column:
@@ -131,6 +163,8 @@ def nsfw_ratio_native(col: Column, phrases: list[str] | None = None) -> Column:
     the production path (SURVEY.md §2.4 F3).
     """
     phrases = NSFW_PHRASES if phrases is None else phrases
+    if not phrases:  # empty list: zero hits by definition, not a None deref
+        return F.lit(0.0)
     lowered = F.lower(col)
     total = None
     for p in phrases:
@@ -152,10 +186,18 @@ def check_lowercase_ratio_score(col: Column, **_: object) -> Column:
     return F.when(n > 0, lower_count.cast("double") / n).otherwise(F.lit(0.0))
 
 
+def _lowercase_ratio_pred(
+    s: Column, lowercase_threshold: float = 0.75, **_: object
+) -> Column:
+    return s >= F.lit(float(lowercase_threshold))
+
+
 def check_lowercase_ratio_keep(
     col: Column, lowercase_threshold: float = 0.75, **_: object
 ) -> Column:
-    return check_lowercase_ratio_score(col) >= F.lit(float(lowercase_threshold))
+    return _lowercase_ratio_pred(
+        check_lowercase_ratio_score(col), lowercase_threshold=lowercase_threshold
+    )
 
 
 # --------------------------------------------------------------------------
@@ -191,14 +233,22 @@ def check_char_repetition_score(
     return pandas_udf(batch_ratio, "double")(col)
 
 
+def _char_repetition_pred(
+    s: Column, char_repetition_threshold: float = 0.2, **_: object
+) -> Column:
+    return s <= F.lit(float(char_repetition_threshold))
+
+
 def check_char_repetition_keep(
     col: Column,
     char_repetition_len: int = 10,
     char_repetition_threshold: float = 0.2,
     **_: object,
 ) -> Column:
-    score = check_char_repetition_score(col, char_repetition_len)
-    return score <= F.lit(float(char_repetition_threshold))
+    return _char_repetition_pred(
+        check_char_repetition_score(col, char_repetition_len),
+        char_repetition_threshold=char_repetition_threshold,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -208,16 +258,25 @@ def check_char_repetition_keep(
 # --------------------------------------------------------------------------
 
 
-def _split2(col: Column, token: str) -> tuple[Column, Column]:
-    parts = F.split(col, re.escape(token), 2)
-    return F.element_at(parts, 1), F.element_at(parts, 2)
+def _split2(col: Column, token: str) -> tuple[Column, Column, Column]:
+    """(ok, part1, part2) for a doc expected to contain the splitter token
+    exactly once.  ``ok`` is False for 0 or ≥2 occurrences — the reference's
+    2-tuple unpack RAISES there (ref:filters.py:133,163); this engine maps
+    malformed docs to a NULL keep instead (dropped by the executor's filter
+    and by split_dataset_by_filter's coalesce), the declarative-plan
+    equivalent of refusing the row.  ``try_element_at`` keeps the lookups
+    total: a bare ``element_at(parts, 2)`` on a token-less doc is a
+    job-killing INVALID_ARRAY_INDEX under Spark 4's ANSI default."""
+    parts = F.split(col, re.escape(token), -1)
+    ok = F.size(parts) == 2
+    return ok, F.try_element_at(parts, F.lit(1)), F.try_element_at(parts, F.lit(2))
 
 
 def check_truncation_keep(
     col: Column, splitter_token: str = "<|truncation_splitter|>", **_: object
 ) -> Column:
-    model_response, edited_response = _split2(col, splitter_token)
-    return ~F.contains(model_response, edited_response)
+    ok, model_response, edited_response = _split2(col, splitter_token)
+    return F.when(ok, ~F.contains(model_response, edited_response))
 
 
 def check_truncation_score(
@@ -263,7 +322,7 @@ def check_gender_keep(
     ``check_gender_score`` aliases this keep predicate on purpose.  Do not
     "fix" by adding a dry-run score path — it would break keep/drop parity
     with the reference (see SURVEY §7.3)."""
-    response, edited = _split2(col, splitter_token)
+    ok, response, edited = _split2(col, splitter_token)
     rw = T.whitespace_tokens(F.lower(response))
     ew = T.whitespace_tokens(F.lower(edited))
     pair_hit = F.zip_with(
@@ -271,7 +330,7 @@ def check_gender_keep(
         ew,
         lambda x, y: x.isin(GENDERED_WORDS) & y.isin(GENDERED_WORDS) & (x != y),
     )
-    return F.coalesce(F.exists(pair_hit, lambda b: b), F.lit(False))
+    return F.when(ok, F.coalesce(F.exists(pair_hit, lambda b: b), F.lit(False)))
 
 
 # dry_run is ignored by the reference: score IS the boolean.
@@ -341,7 +400,6 @@ def check_repetition_score(col: Column, **_: object) -> Column:
     the widest dynamic range on real corpora) — computed alone, one Counter
     pass per doc."""
     from chat_data_pipeline_spark.functions import repetition as RP
-    from chat_data_pipeline_spark.functions import text as T
 
     return RP.ngram_repetition_profile(T.words(col), top_ns=(2,), dup_ns=())[
         "top_2gram_char_frac"
@@ -355,7 +413,6 @@ def check_repetition_keep(
     **_: object,
 ) -> Column:
     from chat_data_pipeline_spark.functions import repetition as RP
-    from chat_data_pipeline_spark.functions import text as T
 
     names = (
         list(signals)
@@ -370,12 +427,31 @@ def check_repetition_keep(
         if (top_ns or dup_ns)
         else F.lit(None)
     )
-    return RP.repetition_keep(
-        RP.line_repetition_stats(col),
-        profile,
-        thresholds=thresholds,
-        signals=names,
+    # NULL guard: a NULL doc tokenizes to an empty array whose all-zero
+    # fractions pass every <= threshold, so this was the ONE filter in the
+    # module where NULL rows uniquely SURVIVED.  NULL keep = dropped, the
+    # module convention.
+    return F.when(
+        col.isNotNull(),
+        RP.repetition_keep(
+            RP.line_repetition_stats(col),
+            profile,
+            thresholds=thresholds,
+            signals=names,
+        ),
     )
+
+
+def _check_domain_list(blocked_domains: object) -> list:
+    # a YAML scalar ('blocked_domains: example.com') would otherwise pass
+    # the truthiness check and list() it into single CHARACTERS — a silent
+    # no-op blocklist; the c4 filter's posture: config mistakes must raise
+    if isinstance(blocked_domains, (str, bytes)):
+        raise TypeError(
+            "blocked_domains must be a list of domains, got a bare string "
+            f"({blocked_domains!r}) — wrap it in a list"
+        )
+    return list(blocked_domains or [])
 
 
 def check_domain_blocklist_keep(
@@ -383,16 +459,31 @@ def check_domain_blocklist_keep(
 ) -> Column:
     from chat_data_pipeline_spark.functions import analysis as A
 
-    if not blocked_domains:
+    blocked = _check_domain_list(blocked_domains)
+    if not blocked:
         return F.lit(True)
-    return A.domain_blocklist_keep(col, list(blocked_domains))
+    return A.domain_blocklist_keep(col, blocked)
 
 
-def check_domain_blocklist_score(col: Column, **_: object) -> Column:
-    """Dry-run scalar: number of http(s) links in the doc."""
+def check_domain_blocklist_score(
+    col: Column, blocked_domains: list | None = None, **_: object
+) -> Column:
+    """Dry-run scalar: number of links to BLOCKED domains (0 with an empty
+    blocklist) — faithful to the keep predicate (keep ≡ score == 0), so a
+    dry-run sweep actually predicts what the filter will drop.  (The old
+    score counted ALL http(s) links, which ranked docs inversely to the
+    keep signal whenever allowed-link-heavy docs outnumbered blocked
+    ones.)"""
     from chat_data_pipeline_spark.functions import analysis as A
 
-    return F.size(A.extract_urls(col)).cast("double")
+    blocked = _check_domain_list(blocked_domains)
+    if not blocked:
+        return F.lit(0.0)
+    folded = [d.lower() for d in blocked]
+    urls = A.extract_urls(col)
+    return F.size(
+        F.filter(urls, lambda u: A.url_domain(u).isin(folded))
+    ).cast("double")
 
 
 # --------------------------------------------------------------------------
@@ -460,46 +551,35 @@ FILTERS: dict[str, FilterSpec] = {
             check_word_number_score,
             check_word_number_keep,
             {"min_word_threshold": 5, "max_word_threshold": 512},
-            keep_from_score=lambda s, min_word_threshold=5, max_word_threshold=512, **_: (
-                (s >= F.lit(min_word_threshold)) & (s <= F.lit(max_word_threshold))
-            ),
+            keep_from_score=_word_number_pred,
         ),
         FilterSpec(
             "check_perplexity",
             check_perplexity_score,
             check_perplexity_keep,
             {"min_perplexity_threshold": 300, "max_perplexity_threshold": 3_000},
-            keep_from_score=lambda s, min_perplexity_threshold=300, max_perplexity_threshold=3_000, **_: (
-                (s >= F.lit(float(min_perplexity_threshold)))
-                & (s <= F.lit(float(max_perplexity_threshold)))
-            ),
+            keep_from_score=_perplexity_pred,
         ),
         FilterSpec(
             "check_nsfw_words",
             check_nsfw_words_score,
             check_nsfw_words_keep,
             {"flagged_words_threshold": 0.025},
-            keep_from_score=lambda s, flagged_words_threshold=0.025, **_: (
-                s <= F.lit(float(flagged_words_threshold))
-            ),
+            keep_from_score=_nsfw_words_pred,
         ),
         FilterSpec(
             "check_lowercase_ratio",
             check_lowercase_ratio_score,
             check_lowercase_ratio_keep,
             {"lowercase_threshold": 0.75},
-            keep_from_score=lambda s, lowercase_threshold=0.75, **_: (
-                s >= F.lit(float(lowercase_threshold))
-            ),
+            keep_from_score=_lowercase_ratio_pred,
         ),
         FilterSpec(
             "check_char_repetition",
             check_char_repetition_score,
             check_char_repetition_keep,
             {"char_repetition_len": 10, "char_repetition_threshold": 0.2},
-            keep_from_score=lambda s, char_repetition_threshold=0.2, **_: (
-                s <= F.lit(float(char_repetition_threshold))
-            ),
+            keep_from_score=_char_repetition_pred,
         ),
         FilterSpec(
             "check_truncation",
@@ -527,6 +607,10 @@ FILTERS: dict[str, FilterSpec] = {
             check_domain_blocklist_score,
             check_domain_blocklist_keep,
             {"blocked_domains": []},
+            # keep == "no blocked links" == score 0 (the score now counts
+            # BLOCKED links only), so the executor can materialize the
+            # score once and derive both metrics and predicate from it
+            keep_from_score=lambda s, **_: s == F.lit(0.0),
         ),
         # published rulesets as one-line YAML filters (round 6): the boolean
         # IS the score, the gender/ethics precedent for verdict-style checks

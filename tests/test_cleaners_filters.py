@@ -442,3 +442,105 @@ def test_strip_html_registered_as_cleaner(spark):
     fn = get_cleaner("strip_html")
     df = spark.createDataFrame([("<b>hi</b> there",)], "text string")
     assert df.select(fn(F.col("text")).alias("c")).first()["c"] == "hi there"
+
+
+# --------------------------------------------------------------------------
+# Round-10 review hardening: splitter totality, NULL-doc convention,
+# blocklist config safety
+# --------------------------------------------------------------------------
+
+
+def test_truncation_and_gender_tokenless_doc_drops_not_crashes(spark):
+    """A doc without the splitter token must yield a NULL keep (dropped) —
+    the reference's 2-tuple unpack raises there; a bare element_at(_, 2) is
+    an ANSI INVALID_ARRAY_INDEX job kill.  Multi-token docs (>=2 splitters)
+    are equally malformed and equally NULL."""
+    df = spark.createDataFrame(
+        [
+            (1, "no token here"),
+            (2, "a<|truncation_splitter|>b<|truncation_splitter|>c"),
+            (3, "model resp<|truncation_splitter|>NOVEL EDIT"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.k
+        for r in df.select(
+            "doc_id", FL.check_truncation_keep(F.col("text")).alias("k")
+        ).collect()
+    }
+    assert rows[1] is None and rows[2] is None and rows[4] is None
+    assert rows[3] is True
+    kept = df.filter(FL.check_truncation_keep(F.col("text"))).collect()
+    assert [r.doc_id for r in kept] == [3]
+
+    g = spark.createDataFrame(
+        [(1, "he went<|gender_splitter|>she went"), (2, "tokenless")],
+        "doc_id long, text string",
+    )
+    gres = {
+        r.doc_id: r.k
+        for r in g.select(
+            "doc_id", FL.check_gender_keep(F.col("text")).alias("k")
+        ).collect()
+    }
+    assert gres[1] is True and gres[2] is None
+
+
+def test_repetition_null_doc_is_dropped(spark):
+    """NULL docs must not uniquely survive check_repetition (all-zero
+    fractions pass every <= gate) — NULL keep, the module convention."""
+    # long and all-distinct: short docs have inherently high top-n-gram
+    # fractions (a unique 4-gram still holds 4/n of the chars)
+    clean = " ".join(f"word{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, clean), (2, None)], "doc_id long, text string"
+    )
+    kept = df.filter(FL.check_repetition_keep(F.col("text"))).collect()
+    assert [r.doc_id for r in kept] == [1]
+
+
+def test_nsfw_native_empty_phrases_is_zero(spark):
+    df = spark.createDataFrame([("anything",)], "text string")
+    row = df.select(FL.nsfw_ratio_native(F.col("text"), phrases=[]).alias("r")).collect()
+    assert row[0].r == 0.0
+
+
+def test_domain_blocklist_rejects_bare_string_config():
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="bare string"):
+        FL.check_domain_blocklist_keep(F.col("text"), blocked_domains="example.com")
+    with _pytest.raises(TypeError, match="bare string"):
+        FL.check_domain_blocklist_score(F.col("text"), blocked_domains="example.com")
+
+
+def test_domain_blocklist_score_counts_blocked_links_only(spark):
+    """The dry-run score must predict the keep signal: blocked-link count,
+    not total link count (keep == score 0)."""
+    df = spark.createDataFrame(
+        [
+            (1, "see http://ok.org/x and http://ok.org/y"),
+            (2, "see http://bad.example/z and http://ok.org/w"),
+            (3, "no links"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.s, r.k)
+        for r in df.select(
+            "doc_id",
+            FL.check_domain_blocklist_score(
+                F.col("text"), blocked_domains=["bad.example"]
+            ).alias("s"),
+            FL.check_domain_blocklist_keep(
+                F.col("text"), blocked_domains=["bad.example"]
+            ).alias("k"),
+        ).collect()
+    }
+    assert out[1] == (0.0, True)
+    assert out[2] == (1.0, False)
+    assert out[3] == (0.0, True)
+    # duality: keep == (score == 0) row-by-row
+    assert all((s == 0.0) == k for s, k in out.values())
