@@ -5762,7 +5762,39 @@ _WINDOW_TAIL = [
     "docs_strip_html",
     "corpus_diff_v2",
 ]
-_WINDOW_TAIL.remove("events_hourly_agg")
+# round-10 SECOND rotation: the staleness-rotation note above was accurate
+# when written but PREDATES this round's later review commits, which touched
+# sampling.py (null-safe quota joins, max-normalized A-Res key — the
+# selection law itself moved, oracle updated in lockstep), similarity.py
+# (zero-norm floor, cluster-scaled kmeans training sample, hard-negative
+# probe guards) and filters.py (total splitter predicates under ANSI,
+# NULL-doc repetition convention).  Five queries whose implementing code
+# changed AFTER their r9 driver hashes therefore rotate back IN (the
+# removals in the second loop below): sample_weighted_chars,
+# embeddings_hard_negatives, filter_truncation, filter_gender,
+# filter_repetition.  Rotated OUT to make room — each hash-green in
+# CORRECTNESS_r09 with its implementing expressions byte-unchanged across
+# ALL of round 10: events_hourly_agg (it stays in the tail by dropping the
+# prior re-admission) + events_funnel (plain temporal expressions),
+# filter_gopher_quality (functions/quality.py untouched), docs_c4_clean
+# (C4 line rules untouched), corpus_datacard (text-stats agg untouched).
+# Family coverage stays in-window: events keeps pivot_types +
+# value_hist_quantiles + sessionize via pipeline rows, quality keeps
+# dsir/ccnet/perplexity + both preset pipelines.
+_WINDOW_TAIL += [
+    "events_funnel",
+    "filter_gopher_quality",
+    "docs_c4_clean",
+    "corpus_datacard",
+]
+for _name in (
+    "sample_weighted_chars",
+    "embeddings_hard_negatives",
+    "filter_truncation",
+    "filter_gender",
+    "filter_repetition",
+):
+    _WINDOW_TAIL.remove(_name)
 # round-10 staleness rotation, the re-admissions: these 12 sat in the tail
 # hash-green-since-r2 (the window-rotation histogram's stale mass); removing
 # them from the tail list restores their ORIGINAL early registration

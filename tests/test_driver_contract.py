@@ -82,14 +82,14 @@ def test_correctness_window_is_all_oracle_backed():
     # derives the oracle invariant dynamically from the CORRECTNESS files
     must_be_windowed = {
         "dedup_keep_best", "sample_temperature_lang",
-        "pipeline_lifecycle", "dedup_semantic", "events_hourly_agg",
+        "pipeline_lifecycle", "dedup_semantic",
         "dedup_minhash_md5", "dedup_simhash_md5",
         # round-8 never-driver-verified additions (docs_bm25_probe rotated
         # to the tail after four green rounds to make room for one of them)
         "sample_token_budget_scalable", "bpe_first_merge",
         "corpus_source_similarity", "bpe_fertility_by_lang",
         "corpus_hll_distinct", "q7_nation_volume", "q9_product_profit",
-        "events_funnel", "events_value_hist_quantiles",
+        "events_value_hist_quantiles",
         "split_leakage_audit",
         # round-10 staleness rotation (r9 verdict item 8): the 12
         # longest-stale queries (hash-green since round 2, whole C/F
@@ -105,6 +105,15 @@ def test_correctness_window_is_all_oracle_backed():
         # language_model.py / queries.py oracle edits)
         "bpe_encode_corpus", "docs_bigram_lm", "docs_ccnet_buckets",
         "dedup_ngram_jaccard", "dedup_cross_corpus_md5", "conversation_dedup",
+        # round-10 SECOND rotation: queries whose implementing code changed
+        # in the post-review commits (sampling A-Res law, similarity
+        # zero-norm/kmeans-sample, filters splitter totality) AFTER their r9
+        # hashes — rotated back in to re-earn evidence on the changed code;
+        # events_hourly_agg / events_funnel / filter_gopher_quality /
+        # docs_c4_clean / corpus_datacard (r9-green, modules byte-unchanged
+        # all round) rotated out to make room
+        "sample_weighted_chars", "embeddings_hard_negatives",
+        "filter_truncation", "filter_gender", "filter_repetition",
     }
     assert must_be_windowed <= set(window)
 
