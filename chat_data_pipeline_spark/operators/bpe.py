@@ -79,6 +79,59 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _fold_syms(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """The encode-side merge chain: ``_initial_symbols`` folded through
+    ``merges`` in rank order, with inapplicable merges PRUNED per word by a
+    substring test before any fold runs.
+
+    The prune is exact, not heuristic: symbols always partition
+    ``word + '</w>'`` contiguously in order, so two symbols can only sit
+    adjacent if their concatenation is a contiguous substring of that raw
+    string — ``contains(raw, left+right)`` is a necessary condition for the
+    merge to ever fire, and dropping a merge that fails it is the identity
+    its fold would have computed.  (``\\w+`` words can't contain
+    ``<``/``/``/``>``, so the marker can't false-match inside a word.)
+
+    Construction: the merge list ships as ONE literal array of structs,
+    ``filter`` keeps each word's applicable merges (rank order preserved —
+    filter is order-stable), and a single nested ``aggregate`` replays
+    :func:`_apply_merge`'s greedy pass once per SURVIVING merge.  Two
+    reasons this shape and not a per-merge ``when(contains, fold, syms)``
+    chain: (1) that chain embeds the running symbols subtree in BOTH
+    branches, doubling the expression tree per merge — exponential
+    analysis/codegen blowup, a planner hang long before vocab size matters;
+    (2) higher-order folds are interpreted per element while ``contains``
+    is a cheap scan, and on Zipf vocab most (word, merge) combinations
+    miss — the fold count drops to the few applicable merges.  The
+    expression here is CONSTANT-size in #merges (the table is one literal),
+    so a 32k-merge production table plans as fast as a 20-merge demo."""
+    raw = F.concat(word, F.lit(END_OF_WORD))
+    table = F.array(
+        *[
+            F.struct(F.lit(l).alias("l"), F.lit(r).alias("r"))
+            for l, r in merges
+        ]
+    ).cast("array<struct<l:string,r:string>>")
+    applicable = F.filter(table, lambda m: F.contains(raw, F.concat(m["l"], m["r"])))
+    return F.aggregate(
+        applicable,
+        _initial_symbols(word),
+        lambda acc, m: F.aggregate(
+            acc,
+            F.array().cast("array<string>"),
+            lambda a, s: F.when(
+                (F.size(a) > 0)
+                & (F.element_at(a, -1) == m["l"])
+                & (s == m["r"]),
+                F.concat(
+                    F.slice(a, 1, F.size(a) - 1),
+                    F.array(F.concat(m["l"], m["r"])),
+                ),
+            ).otherwise(F.concat(a, F.array(s))),
+        ),
+    )
+
+
 def _adjacent_pairs(syms: Column) -> Column:
     """``array<struct<left,right>>`` of adjacent symbol pairs — the pair
     candidates one trainer round counts.  Guard: Spark's ``sequence(2, n)``
@@ -322,11 +375,11 @@ def bpe_encode_fold(
 
     Scale shape: the fold chain runs once per DISTINCT word (the
     Zipf-bounded vocab, exactly the trainer's state), not per occurrence —
-    the shared :func:`encode_vocab_and_reassemble` pipeline.
+    the shared :func:`encode_vocab_and_reassemble` pipeline — and each fold
+    is substring-gated (:func:`_fold_syms`) so inapplicable merges cost a
+    codegen'd scan, not an interpreted array fold.
     """
-    syms: Column = _initial_symbols(F.col("word"))
-    for left, right in merges:
-        syms = _apply_merge(syms, left, right)
+    syms: Column = _fold_syms(F.col("word"), merges)
 
     def encode_vocab(vocab: DataFrame) -> DataFrame:
         return vocab.select(
@@ -369,9 +422,7 @@ def bpe_fertility(
     """
     from chat_data_pipeline_spark.functions import text as T
 
-    syms: Column = _initial_symbols(F.col("word"))
-    for left, right in merges:
-        syms = _apply_merge(syms, left, right)
+    syms: Column = _fold_syms(F.col("word"), merges)
     toks = df.select(
         F.col(group_col), F.explode(T.words(F.col(column))).alias("word")
     )

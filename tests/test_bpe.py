@@ -369,3 +369,44 @@ def test_batched_matches_reference_on_random_corpora(spark):
         got = B.learn_bpe_merges(df, "text", num_merges=12, batch_k=k)
         want = _ref_learn_batched(texts, 12, batch_k=k)
         assert got == want, (case, k, texts)
+
+
+def test_fold_syms_gate_is_exact_and_constant_size(spark):
+    """_fold_syms prunes merges per word via the substring-necessity gate;
+    it must equal the ungated sequential _apply_merge chain on adversarial
+    words (marker merges, chained merges, repeats), and the expression must
+    stay CONSTANT-size in the merge count — a 400-merge table has to plan
+    and run in seconds (the per-merge when(contains, fold, syms) chain this
+    replaced doubled the tree per merge and hung the planner around merge
+    ~25)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    words = ["low", "lower", "newer", "ababab", "xxxx", "mississippi", "a", ""]
+    merges = [
+        ("l", "o"), ("lo", "w"), ("e", "r"), ("er", "</w>"), ("n", "e"),
+        ("w", "er</w>"), ("a", "b"), ("ab", "ab"), ("x", "x"), ("low", "</w>"),
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    ref = B._initial_symbols(F.col("word"))
+    for left, right in merges:
+        ref = B._apply_merge(ref, left, right)
+    rows = df.select(
+        "word",
+        ref.alias("ref"),
+        B._fold_syms(F.col("word"), merges).alias("got"),
+    ).collect()
+    assert all(r["ref"] == r["got"] for r in rows), [
+        (r["word"], r["ref"], r["got"]) for r in rows if r["ref"] != r["got"]
+    ]
+
+    big_table = merges + [(f"q{i}", f"z{i}") for i in range(400)]
+    t0 = time.time()
+    big = df.select(
+        "word", B._fold_syms(F.col("word"), big_table).alias("got")
+    ).collect()
+    assert time.time() - t0 < 30, "400-merge fold should plan+run in seconds"
+    # the 390 inapplicable merges are identity: output equals the 10-merge run
+    want = {r["word"]: r["got"] for r in rows}
+    assert all(r["got"] == want[r["word"]] for r in big)
