@@ -186,8 +186,10 @@ def url_domain(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, _DOMAIN_PATTERN, 1))
 
 
-def domain_blocklist_keep(col: Column, blocked: list[str]) -> Column:
-    """Keep predicate: the text links to NO blocked domain.
+def blocked_urls(col: Column, blocked: list[str]) -> Column:
+    """The doc's links whose domain is on the blocklist, as an array —
+    the ONE expression both the keep predicate and the dry-run score
+    derive from, so ``keep ≡ (score == 0)`` holds by construction.
 
     The blocklist compiles to an InSet probe over the extracted domains —
     native, no join; for blocklists too big for a literal set, join the
@@ -195,9 +197,14 @@ def domain_blocklist_keep(col: Column, blocked: list[str]) -> Column:
     domains are lowercased, so the blocklist is case-folded to match (a
     mixed-case entry would otherwise never fire).
     """
-    urls = extract_urls(col)
     folded = [d.lower() for d in blocked]
-    return ~F.exists(urls, lambda u: url_domain(u).isin(folded))
+    return F.filter(extract_urls(col), lambda u: url_domain(u).isin(folded))
+
+
+def domain_blocklist_keep(col: Column, blocked: list[str]) -> Column:
+    """Keep predicate: the text links to NO blocked domain (see
+    :func:`blocked_urls` for the shared-expression rationale)."""
+    return F.size(blocked_urls(col, blocked)) == 0
 
 
 # --- script-mix ratios (round 5) -------------------------------------------

@@ -479,11 +479,7 @@ def check_domain_blocklist_score(
     blocked = _check_domain_list(blocked_domains)
     if not blocked:
         return F.lit(0.0)
-    folded = [d.lower() for d in blocked]
-    urls = A.extract_urls(col)
-    return F.size(
-        F.filter(urls, lambda u: A.url_domain(u).isin(folded))
-    ).cast("double")
+    return F.size(A.blocked_urls(col, blocked)).cast("double")
 
 
 # --------------------------------------------------------------------------

@@ -59,22 +59,29 @@ def _initial_symbols(word: Column) -> Column:
     return F.concat(chars, F.array(F.lit(END_OF_WORD)))
 
 
-def _apply_merge(syms: Column, left: str, right: str) -> Column:
+def _apply_merge(syms: Column, left: str | Column, right: str | Column) -> Column:
     """Greedy left-to-right non-overlapping merge of adjacent (left, right)
     — one array fold, no shuffle.  No re-merge flag is needed: the merged
     symbol is strictly longer than ``left``, so it can never match ``left``
     again within the same pass (e.g. 'x x x' → 'xx x', matching the
-    reference regex-replace semantics)."""
+    reference regex-replace semantics).  ``left``/``right`` are usually
+    Python strings (the trainer's literals) but may be Columns — the
+    encode path folds the merge table as data (:func:`_fold_syms`), and
+    sharing THIS body is what keeps train and encode semantics from
+    diverging."""
+    if isinstance(left, str):
+        left = F.lit(left)
+    if isinstance(right, str):
+        right = F.lit(right)
+    merged = F.concat(left, right)
     return F.aggregate(
         syms,
         F.array().cast("array<string>"),
         lambda acc, s: F.when(
             (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (s == F.lit(right)),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
-            ),
+            & (F.element_at(acc, -1) == left)
+            & (s == right),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
         ).otherwise(F.concat(acc, F.array(s))),
     )
 
@@ -116,19 +123,7 @@ def _fold_syms(word: Column, merges: list[tuple[str, str]]) -> Column:
     return F.aggregate(
         applicable,
         _initial_symbols(word),
-        lambda acc, m: F.aggregate(
-            acc,
-            F.array().cast("array<string>"),
-            lambda a, s: F.when(
-                (F.size(a) > 0)
-                & (F.element_at(a, -1) == m["l"])
-                & (s == m["r"]),
-                F.concat(
-                    F.slice(a, 1, F.size(a) - 1),
-                    F.array(F.concat(m["l"], m["r"])),
-                ),
-            ).otherwise(F.concat(a, F.array(s))),
-        ),
+        lambda acc, m: _apply_merge(acc, m["l"], m["r"]),
     )
 
 
@@ -420,8 +415,6 @@ def bpe_fertility(
     piece counts re-join occurrences via broadcast, and the final aggregate
     is group-cardinality-sized — no stage touches corpus-width data twice.
     """
-    from chat_data_pipeline_spark.functions import text as T
-
     syms: Column = _fold_syms(F.col("word"), merges)
     toks = df.select(
         F.col(group_col), F.explode(T.words(F.col(column))).alias("word")

@@ -406,7 +406,12 @@ def test_fold_syms_gate_is_exact_and_constant_size(spark):
     big = df.select(
         "word", B._fold_syms(F.col("word"), big_table).alias("got")
     ).collect()
-    assert time.time() - t0 < 30, "400-merge fold should plan+run in seconds"
+    # loose bound: the regression guarded against (per-merge branch
+    # duplication) is an exponential planner hang — minutes at ~25 merges,
+    # astronomically past any timeout at 410 — while the healthy plan runs
+    # in low seconds; 180 s keeps the guard without flaking under the
+    # documented ±50% machine-load noise
+    assert time.time() - t0 < 180, "410-merge fold must plan+run in seconds"
     # the 390 inapplicable merges are identity: output equals the 10-merge run
     want = {r["word"]: r["got"] for r in rows}
     assert all(r["got"] == want[r["word"]] for r in big)
