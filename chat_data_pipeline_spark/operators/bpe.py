@@ -22,10 +22,12 @@ Scale shape (100 TB posture):
   the word table is ``localCheckpoint``-ed each iteration so lineage stays
   O(1) instead of accumulating ``num_merges`` chained transforms.
 
-Iterative argmax-per-round is not SQL-expressible, so the registered query
-is rows-only; correctness is covered differentially against a pure-Python
-reference implementation (tests/test_bpe.py), mirroring the MinHash D1-D9
-test strategy.
+Correctness evidence is three-way: a pure-Python reference implementation
+(tests/test_bpe.py, mirroring the MinHash D1-D9 strategy), and — since
+round 10 — a full DuckDB value-hash oracle that unrolls the batched loop
+into per-round CTEs (queries._bpe_trainer_sql; a recursive CTE cannot
+re-aggregate per level, but a fixed-num_merges unroll needs no such
+recursion).
 
 Unicode note: symbols come from ``substring`` (UTF-16 code units in the
 JVM), so astral-plane characters would split into surrogate halves; the

@@ -4620,12 +4620,130 @@ def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LMOD.bigram_lm_scores(docs, "text", "doc_id", k=0.5)
 
 
+def _bpe_trainer_sql(num_merges: int = 20, batch_k: int = 8, min_freq: int = 2) -> str:
+    """The BATCHED BPE trainer (operators/bpe.learn_bpe_merges) as one
+    DuckDB query — the loop unrolled into ``num_merges`` round-CTEs (a safe
+    upper bound: every continuing round accepts >= 1 merge).
+
+    Round replay, mirroring the Spark driver loop exactly:
+
+    - symbols live as a delimited string ``US s1 US US s2 US ... US`` (US =
+      chr(31), impossible inside ``\\w+``-derived symbols), so one greedy
+      left-to-right merge pass IS ``replace(s, US l US US r US, US lr US)``
+      — SQL ``replace`` substitutes non-overlapping occurrences left to
+      right, and the doubled delimiter keeps back-to-back matches (``a b a
+      b``) intact where a single delimiter would swallow the shared
+      separator;
+    - the candidate pool is the top ``4k+4`` pairs by (freq DESC, l, r)
+      with ``pf >= min_freq`` (filtering first == scanning the ordered pool
+      and breaking at the first low-frequency row, since the order is
+      pf-descending);
+    - the in-round symbol-disjoint greedy scan is a small recursive CTE
+      over the <= 4k+4 pool rows carrying (accept count, used-symbol set as
+      a US-wrapped membership string) — the ONLY recursion, and it never
+      aggregates over itself (DuckDB's recursive-CTE restriction);
+    - accepted merges apply to the word table via ``list_reduce`` over
+      VARCHAR-encoded (pattern RS replacement) entries — the lambda touches
+      only its own arguments, steering clear of the DuckDB 1.0 captured-
+      column vectorizer bug;
+    - every non-recursive CTE is MATERIALIZED: each round references the
+      previous round's CTEs 2-3 times, and DuckDB's default inlining would
+      copy the subtree per reference — exponential plan growth by round 20.
+    """
+    US = "chr(31)"
+    RS = "chr(30)"
+    parts = [
+        f"""
+w0 AS MATERIALIZED (
+  SELECT {US} || array_to_string(
+           list_append(list_transform(range(1, len(word)+1), i -> word[i]), '</w>'),
+           {US}||{US}) || {US} AS s,
+         freq
+  FROM (
+    SELECT t.w AS word, COUNT(*) AS freq
+    FROM documents, UNNEST(regexp_extract_all(lower(coalesce(text, '')), '[\\p{{L}}\\p{{N}}_]+')) AS t(w)
+    GROUP BY t.w
+  )
+),
+n1 AS MATERIALIZED (SELECT 0 AS nb)"""
+    ]
+    for r in range(1, num_merges + 1):
+        p = r - 1
+        cond = (
+            f"(g.na < (SELECT k FROM k{r}) "
+            f"AND strpos(g.used, {US}||c.l||{US}) = 0 "
+            f"AND strpos(g.used, {US}||c.r||{US}) = 0)"
+        )
+        parts.append(
+            f"""
+p{r} AS MATERIALIZED (
+  SELECT split_part(pr, {RS}, 1) AS l, split_part(pr, {RS}, 2) AS r, SUM(freq) AS pf
+  FROM (
+    SELECT freq, UNNEST(list_transform(range(1, len(sy)), i -> sy[i] || {RS} || sy[i+1])) AS pr
+    FROM (SELECT freq, string_split(trim(s, {US}), {US}||{US}) AS sy FROM w{p})
+  )
+  GROUP BY 1, 2
+),
+k{r} AS MATERIALIZED (SELECT least({batch_k}, {num_merges} - nb) AS k,
+                4*least({batch_k}, {num_merges} - nb) + 4 AS pool FROM n{r}),
+c{r} AS MATERIALIZED (
+  SELECT rn, l, r FROM (
+    SELECT row_number() OVER (ORDER BY pf DESC, l, r) AS rn, l, r,
+           (SELECT pool FROM k{r}) AS pool
+    FROM p{r} WHERE pf >= {min_freq}
+  ) WHERE rn <= pool
+),
+g{r} AS (
+  SELECT 0 AS rn, 0 AS na, '' AS used,
+         CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r, FALSE AS acc
+  UNION ALL
+  SELECT c.rn,
+         g.na + CASE WHEN {cond} THEN 1 ELSE 0 END,
+         CASE WHEN {cond}
+              THEN g.used || {US}||c.l||{US} || {US}||c.r||{US} || {US}||c.l||c.r||{US}
+              ELSE g.used END,
+         c.l, c.r, {cond}
+  FROM g{r} g JOIN c{r} c ON c.rn = g.rn + 1
+),
+a{r} AS MATERIALIZED (SELECT row_number() OVER (ORDER BY rn) AS i, l, r FROM g{r} WHERE acc),
+n{r + 1} AS MATERIALIZED (SELECT (SELECT nb FROM n{r}) + (SELECT COUNT(*) FROM a{r}) AS nb),
+m{r} AS MATERIALIZED (SELECT list({US}||l||{US}||{US}||r||{US} || {RS} || {US}||l||r||{US} ORDER BY i) AS ms
+         FROM a{r}),
+w{r} AS MATERIALIZED (
+  SELECT CASE WHEN ms IS NULL OR len(ms) = 0 THEN s
+              ELSE list_reduce(list_prepend(s, ms),
+                     (acc, x) -> replace(acc, split_part(x, {RS}, 1), split_part(x, {RS}, 2)))
+         END AS s,
+         freq
+  FROM w{p}, m{r}
+)"""
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT (SELECT nb FROM n{r}) + i AS rk, l, r FROM a{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",".join(parts)
+        + f"""
+SELECT CAST(rk AS INTEGER) AS rank, l AS "left", r AS "right", l || r AS merged
+FROM (
+    {unions}
+)
+ORDER BY rank"""
+    )
+
+
+
 @_register(
     "bpe_merges_corpus",
-    None,  # iterative corpus-wide argmax per merge round — not SQL-
-    # expressible (a recursive CTE cannot re-aggregate per level);
-    # correctness is differential vs the pure-Python Sennrich reference
-    # in tests/test_bpe.py, the MinHash D1-D9 evidence model
+    # round 10: the trainer GAINS a full value-hash oracle — the batched
+    # loop unrolls into 20 round-CTEs (see _bpe_trainer_sql; a recursive
+    # CTE cannot re-aggregate per level, but a fixed-num_merges unroll
+    # needs no recursion beyond the tiny in-round disjoint scan).  This was
+    # the registry's last no-oracle-by-design row; the differential pytest
+    # vs the pure-Python Sennrich reference remains as the third leg.
+    _bpe_trainer_sql(num_merges=20, batch_k=8, min_freq=2),
     "distributed BPE vocabulary learning (Sennrich et al. 2016): word-freq "
     "table -> iterate [map-combined pair-count agg -> O(K)-row top-pool "
     "collect -> up to K symbol-disjoint merges accepted per round -> narrow "
@@ -4682,9 +4800,9 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # learn_bpe_merges(sf0.001 documents, num_merges=16, min_frequency=2),
 # inlined as a literal artifact exactly like the md5 codebooks — a FIXED
 # table is what makes the encode replayable in SQL (a corpus-learned one
-# couldn't appear in a static oracle string).  The trainer itself keeps its
-# rows-only registry row + the differential pytest vs the pure-Python
-# Sennrich reference.
+# couldn't appear in a static oracle string).  The trainer itself learns
+# from the corpus inside its own oracle since r10 (_bpe_trainer_sql), with
+# the pure-Python Sennrich differential as the third leg.
 _BPE_FIXED_MERGES: list[tuple[str, str]] = [
     ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"),
     ("t", "</w>"), ("er", "</w>"), ("o", "w"), ("ow", "</w>"),
@@ -4729,7 +4847,7 @@ def _bpe_fold_sql(merges: list[tuple[str, str]]) -> str:
     "order is 16 chained greedy left-to-right folds, replayed in DuckDB as "
     "nested list_reduce — the full corpus encoding (bpe_text + token "
     "count) value-hashes cross-engine, giving the BPE family hard driver "
-    "evidence beyond the trainer's rows-only row; Spark side encodes the "
+    "evidence independent of the trainer loop; Spark side encodes the "
     "distinct-word vocab once (Zipf-bounded) and re-joins occurrences",
 )
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5618,9 +5736,10 @@ _WINDOW_TAIL = [
     "sample_grouped_users",
     "split_by_filter",
     # (round-6 seventh batch — admits bpe_merges_corpus (distributed BPE
-    # vocabulary learning; rows-only by design: iterative per-round argmax
-    # has no SQL twin, differential pytest vs the pure-Python Sennrich
-    # reference carries correctness).  Rotated out: split_train_val_test
+    # vocabulary learning; rows-only at the time: iterative per-round
+    # argmax had no SQL twin, differential pytest vs the pure-Python
+    # Sennrich reference carried correctness — in r10 it GAINED a full
+    # unrolled-CTE oracle, _bpe_trainer_sql).  Rotated out: split_train_val_test
     # (hash-green r3 AND r4 AND r5; operators/sampling.py byte-unchanged
     # this round); the md5-uniform split family keeps
     # sample_stratified_lang + the sampling rows in-window):

@@ -1,8 +1,9 @@
 """Distributed BPE learning vs a pure-Python Sennrich reference.
 
-The registered query is rows-only (iterative argmax is not SQL-expressible),
-so the correctness evidence is this differential suite — same model as the
-MinHash D1-D9 family.
+This differential suite (same model as the MinHash D1-D9 family) is one leg
+of the trainer's evidence; since round 10 the registered query also carries
+a full DuckDB value-hash oracle (queries._bpe_trainer_sql, the batched loop
+unrolled into per-round CTEs), three-way-checked here on randomized corpora.
 """
 
 from __future__ import annotations
@@ -415,3 +416,45 @@ def test_fold_syms_gate_is_exact_and_constant_size(spark):
     # the 390 inapplicable merges are identity: output equals the 10-merge run
     want = {r["word"]: r["got"] for r in rows}
     assert all(r["got"] == want[r["word"]] for r in big)
+
+
+def test_trainer_oracle_sql_matches_trainer_on_random_corpora(spark):
+    """The unrolled-CTE DuckDB twin of the batched trainer
+    (queries._bpe_trainer_sql) vs the Spark loop vs the pure-Python mirror —
+    three-way, randomized (corpus, num_merges, K), deterministic seed.
+    Exercises the oracle's early-stop (pf < min_freq), partial-round, and
+    in-round conflict-rejection paths beyond the fixed driver corpora."""
+    import random
+
+    import duckdb
+
+    from chat_data_pipeline_spark.queries import _bpe_trainer_sql
+
+    rng = random.Random(7)
+    alphabet = "abcd"
+    for case in range(3):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(4, 9))
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(3, 12)))
+            for _ in range(rng.randint(2, 5))
+        ]
+        n, k = rng.choice([(12, 8), (20, 8), (10, 3)])
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = B.learn_bpe_merges(df, "text", num_merges=n, batch_k=k)
+        want = _ref_learn_batched(texts, n, batch_k=k)
+        assert got == want, (case, n, k)
+
+        con = duckdb.connect()
+        con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        for i, t in enumerate(texts):
+            con.sql("INSERT INTO documents VALUES (?, ?)", params=[i, t])
+        sql_rows = con.sql(
+            _bpe_trainer_sql(num_merges=n, batch_k=k, min_freq=2)
+        ).fetchall()
+        assert [(l, r) for _, l, r, _ in sql_rows] == want, (case, n, k)
+        assert [rk for rk, *_ in sql_rows] == list(range(1, len(want) + 1))

@@ -64,16 +64,13 @@ def test_correctness_window_is_all_oracle_backed():
     # (rows-only signal beats no signal).  dedup_semantic LEFT this set in
     # round 6: its sign-quantized planted-clone redesign gave it a real
     # survivor-set oracle (r5 verdict item 5).
-    # round 6 adds bpe_merges_corpus to this set: iterative per-round argmax
-    # has no SQL twin (differential pytest vs the pure-Python Sennrich
-    # reference carries correctness), and a new operator deserves driver
-    # rows-level evidence over sitting unobserved in the tail.
-    # Round 8 (r7 verdict item 3) removes ann_topk_pq/ann_topk_ivfpq: their
-    # semantics are hash-verified every round by the green literal-codebook
-    # md5 twins, so they rotated to the tail and the trainer is the ONE
-    # sanctioned no-oracle window row (its round-1 argmax now has its own
-    # green twin, bpe_first_merge).
-    rows_only_allowed = {"bpe_merges_corpus"}
+    # round 6 added bpe_merges_corpus to this set (iterative per-round
+    # argmax, then oracle-less); round 8 removed ann_topk_pq/ann_topk_ivfpq
+    # (hash-verified by their literal-codebook md5 twins).  Round 10 closes
+    # the set ENTIRELY: the batched trainer gained a full unrolled-CTE
+    # DuckDB oracle (_bpe_trainer_sql), so every window row — and in fact
+    # every registry row the driver can reach — is now value-hash-checked.
+    rows_only_allowed: set[str] = set()
     assert all(
         REGISTRY[n].oracle is not None or n in rows_only_allowed for n in window
     )
@@ -132,9 +129,9 @@ def test_correctness_window_covers_unverified_queries():
     names = list(E.queries())
     oracles = E.oracle_sql()
     window = names[:50]
-    assert all(
-        n in oracles or n == "bpe_merges_corpus" for n in window
-    ), [n for n in window if n not in oracles]
+    assert all(n in oracles for n in window), [
+        n for n in window if n not in oracles
+    ]
 
     verified: set[str] = set()
     for fname in sorted(os.listdir("/root/repo")):
