@@ -140,6 +140,10 @@ SCALE_PROBE_QUERIES = [
     "dedup_ngram_jaccard",
     "corpus_hll_distinct",
     "corpus_source_similarity",
+    # round-10 addition: the batched BPE trainer — its iteration state is
+    # the distinct-word table, so the probe's 10x-vocab corpus measures
+    # exactly the claimed "cost scales with vocabulary" posture
+    "bpe_merges_corpus",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second
