@@ -458,3 +458,55 @@ def test_trainer_oracle_sql_matches_trainer_on_random_corpora(spark):
         ).fetchall()
         assert [(l, r) for _, l, r, _ in sql_rows] == want, (case, n, k)
         assert [rk for rk, *_ in sql_rows] == list(range(1, len(want) + 1))
+
+
+def test_fold_syms_matches_python_on_random_words_and_tables(spark):
+    """Seeded-random differential for the gated fold encoder: arbitrary
+    words × arbitrary (valid) merge tables — including merges that never
+    apply, marker-absorbing merges, chained merges, and repeat runs —
+    against a pure-Python apply-in-order greedy reference.  One Spark job
+    per table (words batched in a single DataFrame)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    def py_apply(word, merges):
+        syms = list(word) + [B.END_OF_WORD]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    rng = random.Random(99)
+    alphabet = "abcxyz0_é"  # BMP unicode incl. a non-ASCII letter
+    for case in range(3):
+        words = list(
+            {
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+                for _ in range(60)
+            }
+        ) + ["aaaa", "ababab", "xxxx"]
+        # grow a merge table the way training would: later merges may
+        # reference symbols produced by earlier ones
+        symbols = list(alphabet) + [B.END_OF_WORD]
+        merges = []
+        for _ in range(rng.randint(5, 14)):
+            a, b = rng.choice(symbols), rng.choice(symbols)
+            merges.append((a, b))
+            symbols.append(a + b)
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        got = {
+            r["word"]: r["got"]
+            for r in df.select(
+                "word", B._fold_syms(F.col("word"), merges).alias("got")
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == py_apply(w, merges), (case, w, merges)
