@@ -188,7 +188,19 @@ def image_ahash64(
     Real pixel math, no codec dependency: a production path would swap one
     decode line (same contract as :func:`resize_raw_gray`).  Payloads
     shorter than one ``src_width`` row are dropped (no pixels to hash).
+
+    The threshold compare is EXACT-INTEGER rational arithmetic, not float:
+    bit k holds iff S_k/m_k >= (1/64)·Σ_j S_j/m_j (S = block pixel sum,
+    m = block pixel count), evaluated as 64·S_k·(L/m_k) >= Σ_j S_j·(L/m_j)
+    with L = lcm of the distinct block sizes — Python ints, no overflow,
+    no rounding.  A float mean-of-means would hang the bit on summation
+    ORDER at ties (numpy's pairwise sum vs any other order), which is
+    exactly what a cross-engine oracle can't tolerate; the r10 DuckDB twin
+    (queries.py: multimodal_image_dedup) replays this arithmetic in
+    HUGEINT and value-hashes against it.
     """
+    import math
+
     import numpy as np
 
     # id type derives from the input (string media ids are common for web
@@ -206,20 +218,24 @@ def image_ahash64(
                     continue
                 arr = np.frombuffer(
                     payload[: h * src_width], dtype=np.uint8
-                ).reshape(h, src_width)
-                # block-mean 8x8: split rows/cols into 8 contiguous bands
+                ).reshape(h, src_width).astype(np.int64)
+                # block 8x8: split rows/cols into 8 contiguous bands
                 rb = (np.arange(9) * h) // 8
                 cb = (np.arange(9) * src_width) // 8
-                cells = np.empty((8, 8), dtype=np.float64)
+                sums: list[int] = []
+                counts: list[int] = []
                 for i in range(8):
                     for j in range(8):
                         block = arr[rb[i] : max(rb[i + 1], rb[i] + 1),
                                     cb[j] : max(cb[j + 1], cb[j] + 1)]
-                        cells[i, j] = block.mean()
-                bits = (cells >= cells.mean()).ravel()
+                        sums.append(int(block.sum()))
+                        counts.append(int(block.size))
+                lcm = math.lcm(*set(counts))
+                # bit k: S_k/m_k >= mean of the 64 block means, exactly
+                rhs = sum(s * (lcm // m) for s, m in zip(sums, counts))
                 sig = 0
                 for k in range(64):
-                    if bits[k]:
+                    if 64 * sums[k] * (lcm // counts[k]) >= rhs:
                         sig |= 1 << k
                 # to signed 64-bit (the dedup family's LongType signature)
                 if sig >= 1 << 63:

@@ -111,6 +111,11 @@ def test_correctness_window_is_all_oracle_backed():
         # all round) rotated out to make room
         "sample_weighted_chars", "embeddings_hard_negatives",
         "filter_truncation", "filter_gender", "filter_repetition",
+        # round-10 third swap: the image-dedup aHash twin landed (exact-
+        # integer bit rule), so the query enters as never-driver-verified
+        # oracle-backed; filter_perplexity (r9-green, perplexity.py
+        # untouched) rotated out to make room
+        "multimodal_image_dedup",
     }
     assert must_be_windowed <= set(window)
 
