@@ -1835,9 +1835,11 @@ def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.source_similarity_matrix(docs, "text", "source", 5, 32)
 
 
-@_register(
-    "dedup_simhash_md5",
-    r"""
+# Shared by the dedup_simhash_md5 twin AND (since r10) the production
+# dedup_simhash row: the pandas-UDF signature path computes the SAME
+# md5-token majority-vote arithmetic as the native Column code (bit
+# layout asserted identical in pytest), so one oracle value-hashes both.
+_SIMHASH_ORACLE_SQL = r"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS t
       FROM documents
@@ -1892,7 +1894,12 @@ def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id FROM repmap
     WHERE doc_id = rep AND rep NOT IN (SELECT DISTINCT node FROM reach WHERE r < node)
-    """,
+    """
+
+
+@_register(
+    "dedup_simhash_md5",
+    _SIMHASH_ORACLE_SQL,
     "SimHash dedup ORACLE TWIN: the signature's md5-token majority-vote "
     "arithmetic runs as native Column code (bit-identical to the production "
     "pandas UDF on this corpus — asserted in pytest), so the whole pipeline "
@@ -1907,9 +1914,13 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dedup_simhash",
-    None,  # the pandas-UDF signature path itself; the arithmetic is value-
-    # hashed cross-engine via the dedup_simhash_md5 twin (same downstream)
-    "SimHash near-dedup: banded hamming<=3 candidates, popcount verify",
+    # r10: the production pandas-UDF path carries the twin's oracle
+    # directly — its signature arithmetic is the same md5-token majority
+    # vote (bit layout asserted identical in pytest), so the one SQL
+    # value-hashes both the native and the UDF implementations
+    _SIMHASH_ORACLE_SQL,
+    "SimHash near-dedup (production pandas-UDF signature path): banded "
+    "hamming<=3 candidates, popcount verify; same oracle as the md5 twin",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
@@ -5583,7 +5594,11 @@ _WINDOW_TAIL = [
     # never-hash-verified oracle-backed entry; shuffle_hash_sample rotated
     # out below to make room)
     "dedup_minhash",
-    "dedup_simhash",
+    # dedup_simhash LEFT this group in round 10: the production pandas-UDF
+    # path computes the same md5 majority-vote arithmetic as the native
+    # twin, so it now carries _SIMHASH_ORACLE_SQL itself and moves into the
+    # window as a never-driver-verified oracle-backed query (displacing
+    # unigram_encode_corpus below)
     "embedding_neardup_lsh",
     "ann_topk_ivf",
     # (round-8 rotation: ann_topk_pq / ann_topk_ivfpq are rows-only BY
@@ -6007,6 +6022,12 @@ _WINDOW_TAIL += [
     # registry plumbing, semantics covered in-window by the preset
     # pipelines and the rotated-in filter family)
     "filter_perplexity",
+    # round-10 fourth swap: dedup_simhash now carries the twin's oracle
+    # (see its registration) and enters as never-driver-verified;
+    # unigram_encode_corpus makes room — r9 hash-green, and its code
+    # regions (encode_vocab_and_reassemble + the unigram DP) are
+    # byte-unchanged by the round's bpe.py trainer/fold work
+    "unigram_encode_corpus",
 ]
 for _name in (
     "sample_weighted_chars",

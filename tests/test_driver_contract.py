@@ -111,11 +111,13 @@ def test_correctness_window_is_all_oracle_backed():
         # all round) rotated out to make room
         "sample_weighted_chars", "embeddings_hard_negatives",
         "filter_truncation", "filter_gender", "filter_repetition",
-        # round-10 third swap: the image-dedup aHash twin landed (exact-
-        # integer bit rule), so the query enters as never-driver-verified
-        # oracle-backed; filter_perplexity (r9-green, perplexity.py
-        # untouched) rotated out to make room
-        "multimodal_image_dedup",
+        # round-10 third/fourth swaps: the image-dedup aHash twin landed
+        # (exact-integer bit rule) and the production simhash UDF path now
+        # carries the md5 twin's oracle, so both enter as
+        # never-driver-verified oracle-backed; filter_perplexity and
+        # unigram_encode_corpus (both r9-green, their modules untouched by
+        # the round's changes) rotated out to make room
+        "multimodal_image_dedup", "dedup_simhash",
     }
     assert must_be_windowed <= set(window)
 
