@@ -12,10 +12,16 @@ row count, schema and order-insensitive value hash.  Rules applied throughout:
 - remaining doubles are rounded to 6 decimals on both sides;
 - timestamps leave the query as epoch seconds (BIGINT).
 
-Queries whose semantics are not SQL-expressible (MinHash/SimHash signatures,
-seeded rand shuffle) have ``oracle=None`` → the driver records a rows-only
-check, and pytest covers them differentially against pure-Python reference
-reimplementations.
+Queries whose arithmetic cannot be replayed cross-engine have
+``oracle=None`` → the driver records a rows-only check, and pytest covers
+them differentially against pure-Python reference reimplementations.
+Since round 10 that set is down to six production variants: sha1-MinHash
+(DuckDB has no sha1), float-SRP LSH and the three trained-float ANN paths
+(BLAS summation-order ULPs), and the float-EM unigram trainer — each
+hash-carried by a green md5/literal-codebook twin or differential suite.
+Everything else, including the iterative BPE trainer (unrolled-CTE twin),
+the exact-integer aHash image dedup, and the production SimHash UDF path
+(shares the md5 twin's oracle), is full value-hash verified.
 """
 
 from __future__ import annotations
