@@ -1841,6 +1841,52 @@ def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.source_similarity_matrix(docs, "text", "source", 5, 32)
 
 
+def _banded_cc_survivors_sql(id_col: str, extra_survivors: str = "") -> str:
+    """The shared SimHash-banding downstream as SQL, appended after a
+    ``sigrow({id}, c0..c3)`` CTE: exact-duplicate collapse to reps,
+    16-bit band pigeonhole candidates, popcount verify (hamming <= 3),
+    recursive-CTE connected components, min-id survivors.  ONE copy,
+    parameterized by id column — the dedup_simhash/_md5 oracles and the
+    multimodal_image_dedup twin all append THIS text, so the banding/CC
+    logic cannot drift between them."""
+    return f""",
+    reps AS MATERIALIZED (
+      SELECT MIN({id_col}) AS {id_col}, c0, c1, c2, c3
+      FROM sigrow GROUP BY c0, c1, c2, c3
+    ),
+    bandrows AS MATERIALIZED (
+      SELECT {id_col}, 0 AS band, c0 AS chunk FROM reps
+      UNION ALL SELECT {id_col}, 1, c1 FROM reps
+      UNION ALL SELECT {id_col}, 2, c2 FROM reps
+      UNION ALL SELECT {id_col}, 3, c3 FROM reps
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.{id_col} AS id1, b.{id_col} AS id2
+      FROM bandrows a JOIN bandrows b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.{id_col} < b.{id_col}
+    ),
+    e AS MATERIALIZED (
+      SELECT id1 AS a, id2 AS b FROM cand
+      JOIN reps r1 ON r1.{id_col} = id1 JOIN reps r2 ON r2.{id_col} = id2
+      WHERE bit_count(xor(r1.c0, r2.c0)) + bit_count(xor(r1.c1, r2.c1))
+          + bit_count(xor(r1.c2, r2.c2)) + bit_count(xor(r1.c3, r2.c3)) <= 3
+    ),
+    und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    reach(node, r) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+    ),
+    repmap AS MATERIALIZED (
+      SELECT s.{id_col}, r.{id_col} AS rep
+      FROM sigrow s JOIN reps r
+        ON r.c0 = s.c0 AND r.c1 = s.c1 AND r.c2 = s.c2 AND r.c3 = s.c3
+    )
+    SELECT {id_col} FROM repmap
+    WHERE {id_col} = rep AND rep NOT IN (SELECT DISTINCT node FROM reach WHERE r < node)
+    {extra_survivors}"""
+
+
 # Shared by the dedup_simhash_md5 twin AND (since r10) the production
 # dedup_simhash row: the pandas-UDF signature path computes the SAME
 # md5-token majority-vote arithmetic as the native Column code (bit
@@ -1872,35 +1918,8 @@ _SIMHASH_ORACLE_SQL = r"""
              COALESCE(MAX(CASE WHEN band = 3 THEN chunk END), 0) AS c3
       FROM documents d LEFT JOIN chunks ch ON ch.doc_id = d.doc_id
       GROUP BY d.doc_id
-    ), reps AS (
-      SELECT MIN(doc_id) AS doc_id, c0, c1, c2, c3 FROM sigrow GROUP BY c0, c1, c2, c3
-    ), bandrows AS (
-      SELECT doc_id, 0 AS band, c0 AS chunk FROM reps
-      UNION ALL SELECT doc_id, 1, c1 FROM reps
-      UNION ALL SELECT doc_id, 2, c2 FROM reps
-      UNION ALL SELECT doc_id, 3, c3 FROM reps
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      FROM bandrows a JOIN bandrows b
-        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-    ), e AS (
-      SELECT id1 AS a, id2 AS b FROM cand
-      JOIN reps r1 ON r1.doc_id = id1 JOIN reps r2 ON r2.doc_id = id2
-      WHERE bit_count(xor(r1.c0, r2.c0)) + bit_count(xor(r1.c1, r2.c1))
-          + bit_count(xor(r1.c2, r2.c2)) + bit_count(xor(r1.c3, r2.c3)) <= 3
-    ), und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-    reach(node, r) AS (
-      SELECT a, b FROM und
-      UNION
-      SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
-    ), repmap AS (
-      SELECT s.doc_id, r.doc_id AS rep
-      FROM sigrow s JOIN reps r
-        ON r.c0 = s.c0 AND r.c1 = s.c1 AND r.c2 = s.c2 AND r.c3 = s.c3
     )
-    SELECT doc_id FROM repmap
-    WHERE doc_id = rep AND rep NOT IN (SELECT DISTINCT node FROM reach WHERE r < node)
-    """
+    """ + _banded_cc_survivors_sql("doc_id")
 
 
 @_register(
@@ -5150,7 +5169,12 @@ def corpus_diff_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # third leg, tests/test_multimodal_dedup.py.
     r"""
     WITH RECURSIVE p AS MATERIALIZED (
-      SELECT doc_id AS media_id, text, length(text) // 32 AS h FROM documents
+      -- coalesce keeps the oracle TOTAL on NULL text: h would otherwise be
+      -- NULL and the row would fail BOTH the h >= 1 signature branch and
+      -- the h < 1 survivor branch, while the Spark path (NULL -> b'' ->
+      -- unhashable) keeps it
+      SELECT doc_id AS media_id, text, coalesce(length(text), 0) // 32 AS h
+      FROM documents
     ),
     geo AS MATERIALIZED (
       SELECT media_id, text, h, k,
@@ -5194,44 +5218,9 @@ def corpus_diff_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(MAX(CASE WHEN band = 2 THEN chunk END), 0) AS c2,
              COALESCE(MAX(CASE WHEN band = 3 THEN chunk END), 0) AS c3
       FROM chunks GROUP BY media_id
-    ),
-    reps AS MATERIALIZED (
-      SELECT MIN(media_id) AS media_id, c0, c1, c2, c3
-      FROM sigrow GROUP BY c0, c1, c2, c3
-    ),
-    bandrows AS MATERIALIZED (
-      SELECT media_id, 0 AS band, c0 AS chunk FROM reps
-      UNION ALL SELECT media_id, 1, c1 FROM reps
-      UNION ALL SELECT media_id, 2, c2 FROM reps
-      UNION ALL SELECT media_id, 3, c3 FROM reps
-    ),
-    cand AS MATERIALIZED (
-      SELECT DISTINCT a.media_id AS id1, b.media_id AS id2
-      FROM bandrows a JOIN bandrows b
-        ON a.band = b.band AND a.chunk = b.chunk AND a.media_id < b.media_id
-    ),
-    e AS MATERIALIZED (
-      SELECT id1 AS a, id2 AS b FROM cand
-      JOIN reps r1 ON r1.media_id = id1 JOIN reps r2 ON r2.media_id = id2
-      WHERE bit_count(xor(r1.c0, r2.c0)) + bit_count(xor(r1.c1, r2.c1))
-          + bit_count(xor(r1.c2, r2.c2)) + bit_count(xor(r1.c3, r2.c3)) <= 3
-    ),
-    und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-    reach(node, r) AS (
-      SELECT a, b FROM und
-      UNION
-      SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
-    ),
-    repmap AS MATERIALIZED (
-      SELECT s.media_id, r.media_id AS rep
-      FROM sigrow s JOIN reps r
-        ON r.c0 = s.c0 AND r.c1 = s.c1 AND r.c2 = s.c2 AND r.c3 = s.c3
     )
-    SELECT media_id FROM repmap
-    WHERE media_id = rep AND rep NOT IN (SELECT DISTINCT node FROM reach WHERE r < node)
-    UNION ALL
-    SELECT media_id FROM p WHERE h < 1
-    """,
+    """ + _banded_cc_survivors_sql("media_id", """UNION ALL
+    SELECT media_id FROM p WHERE h < 1"""),
     "perceptual image near-dedup: 8x8 block-mean aHash over raw-gray "
     "payloads -> the SAME banded pigeonhole/popcount/CC/min-id machinery as "
     "text SimHash (modality-independent downstream); unhashable payloads "
