@@ -69,7 +69,7 @@ def check_word_number_keep(
     **_: object,
 ) -> Column:
     return _word_number_pred(
-        T.word_count(col),
+        check_word_number_score(col),
         min_word_threshold=min_word_threshold,
         max_word_threshold=max_word_threshold,
     )
