@@ -319,34 +319,44 @@ def encode_vocab_and_reassemble(
     unigram micro-Viterbi encode both run THIS code): tokenize with the
     universal ``\\w+`` tokenizer, encode each DISTINCT word once via
     ``encode_vocab(vocab_df) -> (word, __enc__ string, __n__ int)`` (the
-    Zipf-bounded table; AQE broadcasts the re-join while it fits), then
-    reassemble per document in word order — ``(id_col, out_col,
-    count_col)`` with word-free docs carrying ('', 0)."""
+    Zipf-bounded table; AQE broadcasts the re-join while it fits and falls
+    back to a shuffle join above the threshold — deliberately unhinted so a
+    100 TB \\w+ vocabulary cannot OOM the driver), then reassemble per
+    document in word order — ``(id_col, out_col, count_col)`` with
+    word-free docs carrying ('', 0).
+
+    Reassembly shape (r11): ``posexplode_outer`` keeps word-free docs as a
+    (NULL, NULL) row riding the SAME groupBy, so the output needs no
+    restore-missing-docs left join — the previous plan broadcast the whole
+    per-doc output table (output-sized, NOT model-sized: the one broadcast
+    in this operator that could not survive 100x) back onto ``df``.
+    Measured same-session at sf0.1: 1x 1.28 s -> 1.14 s, 10x 4.65 s ->
+    1.42 s; scale-probe exponent 0.63 -> ~0.09."""
     words_pos = df.select(
-        id_col, F.posexplode(T.words(F.col(column))).alias("__pos__", "word")
+        id_col, F.posexplode_outer(T.words(F.col(column))).alias("__pos__", "word")
     )
-    encoded = encode_vocab(words_pos.select("word").distinct())
-    per_doc = (
-        words_pos.join(encoded, "word")
+    encoded = encode_vocab(
+        words_pos.select("word").where(F.col("word").isNotNull()).distinct()
+    )
+    return (
+        words_pos.join(encoded, "word", "left")
         .groupBy(id_col)
         .agg(
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("__pos__", "__enc__"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("word").isNotNull(),
+                                F.struct("__pos__", "__enc__"),
+                            )
+                        )
+                    ),
                     lambda x: x["__enc__"],
                 ),
             ).alias(out_col),
-            F.sum("__n__").alias(count_col),
-        )
-    )
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(out_col, F.lit("")).alias(out_col),
-            F.coalesce(count_col, F.lit(0)).cast("long").alias(count_col),
+            F.coalesce(F.sum("__n__"), F.lit(0)).cast("long").alias(count_col),
         )
     )
 

@@ -6112,6 +6112,16 @@ _WINDOW_TAIL += [
     "ann_topk_pq_md5",
     "ann_topk_ivfpq_md5",
 ]
+# round-11 second swap (rotation rule 2): the shared
+# encode_vocab_and_reassemble reassembly moved to the posexplode_outer
+# no-restore-join shape this round, which changes unigram_encode_corpus's
+# implementing code after its r9 driver hash — it rotates back IN;
+# dedup_cluster_histogram makes room (r10 hash-green, operators/dedup.py's
+# histogram region byte-unchanged this round; the dedup family keeps
+# cross_corpus_md5 / simhash_md5 / simhash / keep_best / semantic /
+# soft_weights / split_leakage_audit in-window).
+_WINDOW_TAIL.remove("unigram_encode_corpus")
+_WINDOW_TAIL.append("dedup_cluster_histogram")
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name
