@@ -278,10 +278,14 @@ def bpe_merge_table(
     column: str = "text",
     num_merges: int = 50,
     min_frequency: int = 2,
+    checkpoint_interval: int = 8,
+    batch_k: int = 8,
 ) -> DataFrame:
     """The learned merges as a DataFrame ``(rank int, left, right, merged)``
     — the artifact a tokenizer consumes, and the registered-query surface."""
-    merges = learn_bpe_merges(spark_df, column, num_merges, min_frequency)
+    merges = learn_bpe_merges(
+        spark_df, column, num_merges, min_frequency, checkpoint_interval, batch_k
+    )
     spark = spark_df.sparkSession
     return spark.createDataFrame(
         [(i + 1, l, r, l + r) for i, (l, r) in enumerate(merges)],

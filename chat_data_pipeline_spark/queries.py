@@ -4779,21 +4779,30 @@ ORDER BY rank"""
     # needs no recursion beyond the tiny in-round disjoint scan).  This was
     # the registry's last no-oracle-by-design row; the differential pytest
     # vs the pure-Python Sennrich reference remains as the third leg.
-    _bpe_trainer_sql(num_merges=20, batch_k=8, min_freq=2),
+    _bpe_trainer_sql(num_merges=20, batch_k=12, min_freq=2),
     "distributed BPE vocabulary learning (Sennrich et al. 2016): word-freq "
     "table -> iterate [map-combined pair-count agg -> O(K)-row top-pool "
     "collect -> up to K symbol-disjoint merges accepted per round -> narrow "
-    "array-fold merge applies]; batched rounds (batch_k=8) cut driver "
-    "round-trips K-fold vs one-argmax-per-merge while staying exact w.r.t. "
-    "round-start pair counts (disjoint merges commute); driver holds only "
-    "the O(num_merges) merge list and per-round state is the checkpointed "
+    "array-fold merge applies]; batched rounds (batch_k=12; r11 same-session "
+    "sweep over K in {8,12,16,20} x checkpoint cadence: 1.75 s -> 1.41 s "
+    "best-of-3 at sf0.1/20 merges, K=12 the argmin) cut driver round-trips "
+    "K-fold vs one-argmax-per-merge while staying exact w.r.t. round-start "
+    "pair counts (disjoint merges commute); driver holds only the "
+    "O(num_merges) merge list and per-round state is the checkpointed "
     "distinct-word table, so cost scales with vocabulary, not corpus bytes",
 )
 def bpe_merges_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chat_data_pipeline_spark.operators import bpe as B
 
     docs = _read(spark, sf_dir, "documents")
-    return B.bpe_merge_table(docs, "text", num_merges=20)
+    # checkpoint_interval=20: at 20 merges the word table never
+    # re-materializes mid-run — the recompute of <=20 narrow folds is
+    # cheaper than an eager-checkpoint job (the bpe.py docstring's own
+    # interval measurement, re-confirmed in the r11 sweep: 8 -> 20 saved
+    # ~0.13 s same-session)
+    return B.bpe_merge_table(
+        docs, "text", num_merges=20, checkpoint_interval=20, batch_k=12
+    )
 
 
 @_register(
