@@ -317,6 +317,40 @@ def test_q7_q9_no_forced_broadcast_on_sf_proportional_inputs(spark):
             assert not any(c in s for c in sf_growing_cols), (name, s)
 
 
+def test_q7_q9_degrade_to_shuffle_joins_above_broadcast_threshold(spark):
+    """The r10-verdict follow-through: the planner-behavior caveat in
+    test_q7_q9_star_joins_single_exchange, converted into a tested
+    invariant.  With autoBroadcastJoinThreshold=-1 (every input 'too big
+    to broadcast' — the 100× regime simulated at test scale), the ONLY
+    broadcasts left must be the explicit fixed-cardinality nation hints;
+    every sf-growing join side degrades to a shuffle join (exchanges on
+    both sides) instead of a forced ship — i.e. nothing in the query code
+    pins a broadcast that could not survive scale."""
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, n_nation_hints in (
+            ("q7_nation_volume", 2),
+            ("q9_product_profit", 1),
+        ):
+            df = REGISTRY[name].fn(spark, SF_DIR)
+            r = plan_report(df)
+            # only the hinted nation dims still broadcast
+            assert r.n_broadcasts == n_nation_hints, (name, r.n_broadcasts)
+            # the dims that broadcast under the default threshold now ride
+            # key exchanges: well above the single fact-join exchange
+            assert r.n_exchanges > 2, (name, r.n_exchanges)
+            # and the degradation is to real shuffle joins, not nested loops
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert r.scans_are_pruned, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_value_histogram_sketch_window_rides_bounded_bin_table(spark):
     """The sketch's unpartitioned cumulative window is scale-safe because
     its input is the post-aggregation BIN table — bitlen-bounded at ≤ ~512
