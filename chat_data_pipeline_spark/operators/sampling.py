@@ -220,10 +220,27 @@ def weighted_sample_topk(
     nanos range at ANY weight magnitude.  Costs one map-combinable MAX
     aggregate broadcast back.
 
+    NULL ids (r11, ADVICE fix): a bare sentinel draw gave EVERY NULL-id row
+    the same u — identical keys at equal weights, and the id tie-break then
+    compared NULL to NULL, so which NULL-id rows entered the top-k was
+    partition-order-dependent.  The NULL-id draw now mixes the WEIGHT into
+    the sentinel (distinct weights => distinct draws), and the ordering
+    carries a weight tie-break after the id, so selection is deterministic
+    for any rows the operator can tell apart.  Two rows with NULL ids AND
+    equal weights are indistinguishable by this operator's inputs — they
+    are interchangeable by construction, and which one surfaces is
+    unspecified (give rows real ids if that distinction matters).
+
     Scale: a narrow key projection followed by ``orderBy(...).limit(k)``,
     which Spark executes as TakeOrderedAndProject — per-partition heap of
     size k + driver merge, never a global sort."""
-    u = _md5_uniform(id_col, shift=0.5)
+    u = _md5_uniform(
+        F.coalesce(
+            F.col(id_col).cast("string"),
+            F.concat(F.lit(_NULL_ID_SENTINEL), F.col(weight_col).cast("string")),
+        ),
+        shift=0.5,
+    )
     pos = df.filter(F.col(weight_col) > 0)
     mx = pos.agg(F.max(F.col(weight_col)).cast("double").alias("__mx__"))
     key = F.round(
@@ -233,7 +250,11 @@ def weighted_sample_topk(
         pos.crossJoin(F.broadcast(mx))
         .withColumn("sample_key", key)
         .drop("__mx__")
-        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .orderBy(
+            F.col("sample_key").desc(),
+            F.col(id_col).asc(),
+            F.col(weight_col).desc(),
+        )
         .limit(k)
     )
 

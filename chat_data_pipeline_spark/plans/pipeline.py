@@ -223,6 +223,10 @@ def _observe_score(df: DataFrame, score: Column):
     df = df.observe(
         obs,
         F.count(F.lit(1)).alias("rows_before"),
+        # non-NULL score count: NULL criteria mark rows the filter REFUSES
+        # (e.g. a splitter filter on a doc without exactly one splitter
+        # token) — the count feeds the malformed-fraction warning below
+        F.count(score).alias("count"),
         F.avg(score).alias("mean"),
         F.stddev(score).alias("std"),
         F.min(score).alias("min"),
@@ -253,6 +257,11 @@ def _describe(df: DataFrame, column: str) -> dict[str, float]:
     return stats
 
 
+# filters already warned about this run — the malformed-fraction warning
+# fires once per filter name, not once per micro-report
+_WARNED_NULL_CRITERIA: set[str] = set()
+
+
 def _log_reduction(report: FilterReport) -> None:
     """ref:preprocessor.py:81-91 log contract."""
     before, after = report.rows_before, report.rows_after
@@ -266,6 +275,28 @@ def _log_reduction(report: FilterReport) -> None:
         report.filter_name,
         after,
     )
+    # Diagnosability of silent NULL-keep drops (r11 ADVICE): the reference
+    # RAISES on a malformed splitter doc where this engine maps it to a NULL
+    # keep and drops it declaratively — correct for stray bad rows, but a
+    # WRONG splitter_token turns the whole corpus malformed and would read
+    # as a 100%-drop filter with no error.  Warn once per filter when most
+    # criteria are NULL.
+    scored = (report.score_summary or {}).get("count")
+    if (
+        scored is not None
+        and scored < before * 0.5
+        and report.filter_name not in _WARNED_NULL_CRITERIA
+    ):
+        _WARNED_NULL_CRITERIA.add(report.filter_name)
+        logger.warning(
+            "%s produced NULL criteria for %.1f%% of %d rows — NULL-keep "
+            "rows are DROPPED. For splitter-based filters "
+            "(check_truncation/check_gender) this usually means a wrong "
+            "splitter_token (the doc must contain it exactly once).",
+            report.filter_name,
+            100.0 * (before - scored) / before,
+            before,
+        )
 
 
 def split_dataset_by_filter(

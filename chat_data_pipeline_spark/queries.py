@@ -4048,14 +4048,17 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mx AS (SELECT CAST(MAX(n_chars) AS DOUBLE) AS m
                 FROM documents WHERE n_chars > 0)
     SELECT doc_id, n_chars,
+           -- NULL-id draws mix the weight into the sentinel (r11 ADVICE
+           -- fix, mirrored from sampling.weighted_sample_topk); no-op on
+           -- this table's non-NULL ids
            CAST(ROUND(pow(
              (CAST('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
-                chr(31) || '<null>')), 1, 8) AS BIGINT)
+                chr(31) || '<null>' || CAST(n_chars AS VARCHAR))), 1, 8) AS BIGINT)
               + 0.5) / 4294967296.0,
              mx.m / n_chars) * 1e9) AS BIGINT) AS sample_key
     FROM documents, mx
     WHERE n_chars > 0
-    ORDER BY sample_key DESC, doc_id ASC
+    ORDER BY sample_key DESC, doc_id ASC, n_chars DESC
     LIMIT 100
     """,
     "Efraimidis-Spirakis A-Res weighted sampling (inclusion prob ~ n_chars, "

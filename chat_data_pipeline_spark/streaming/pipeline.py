@@ -532,6 +532,15 @@ def streaming_funnel(
     incremental-minhash trade.  State is 4 longs per user (step
     timestamps + last-activity), horizontal with executors.
 
+    OPERATIONAL BREAKING CHANGE (r10): eviction widened the state tuple
+    from 3 to 4 longs (``la`` last-activity joined ``_FUNNEL_STATE``).
+    Spark's state store pins the state schema at first checkpoint, so
+    RESTARTING an existing streaming_funnel query against a pre-r10
+    checkpoint fails the state-schema compatibility check — state cannot
+    be migrated across the change.  Upgrading requires a FRESH checkpoint
+    location (and, if continuity matters, a batch ``funnel_steps`` run
+    over the landed data to re-derive progress before cutting over).
+
     State EVICTION (the 100 TB posture): per-user state is bounded in
     count, not just size — an ``EventTimeTimeout`` tied to the stream's
     watermark drops users idle for ``state_ttl_seconds`` of EVENT time

@@ -115,6 +115,42 @@ def test_pipeline_filters_and_reports(spark):
     assert report.score_summary["count"] == 2
 
 
+def test_wrong_splitter_token_warns_instead_of_silent_total_drop(spark, caplog):
+    """r11 ADVICE fix: a wrong splitter_token makes EVERY doc malformed —
+    the reference raises, this engine drops via NULL keep.  The drop must
+    be diagnosable: a log-once warning fires when most criteria are NULL,
+    naming the NULL-keep drop and the splitter_token suspicion."""
+    import logging
+
+    from chat_data_pipeline_spark.plans import pipeline as P
+
+    P._WARNED_NULL_CRITERIA.discard("check_truncation")
+    df = spark.createDataFrame(
+        [(i, f"plain doc {i} with no splitter token at all") for i in range(6)],
+        "id long, text string",
+    )
+    pre = SparkPreprocessor(
+        column_name="text",
+        filters=[("check_truncation", {"splitter_token": "<|typo_splitter|>"})],
+        verbose=True,
+    )
+    with caplog.at_level(logging.WARNING, logger="chat_data_pipeline_spark"):
+        out = pre.run(df)
+        assert out.count() == 0  # every doc malformed -> all dropped
+    warns = [r for r in caplog.records if "NULL criteria" in r.getMessage()]
+    assert len(warns) == 1
+    assert "splitter_token" in warns[0].getMessage()
+    # log-once: a second run with the same filter name stays quiet
+    with caplog.at_level(logging.WARNING, logger="chat_data_pipeline_spark"):
+        SparkPreprocessor(
+            column_name="text",
+            filters=[("check_truncation", {"splitter_token": "<|typo_splitter|>"})],
+            verbose=True,
+        ).run(df).count()
+    warns = [r for r in caplog.records if "NULL criteria" in r.getMessage()]
+    assert len(warns) == 1
+
+
 def test_split_dataset_by_filter(spark):
     df = spark.createDataFrame(
         [(1, "one two three four five six."), (2, "x")], "id long, text string"

@@ -155,6 +155,30 @@ def test_weighted_sample_nonpositive_weight_never_wins(spark):
     assert sorted(r.doc_id for r in out) == [3, 4]
 
 
+def test_weighted_sample_null_ids_distinct_weights_deterministic(spark):
+    """r11 ADVICE fix: NULL-id rows with DISTINCT weights draw distinct
+    md5(sentinel||weight) keys, so the selected (weight, key) multiset is
+    deterministic and partition-invariant — the old shared-sentinel draw
+    made the top-k cut among NULL-id rows partition-order-dependent."""
+    from chat_data_pipeline_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(None, w) for w in range(1, 21)] + [(100 + i, 3) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample_topk(df, "w", "doc_id", k=8)
+    got = sorted((r.w, r.sample_key, r.doc_id) for r in out.collect())
+    # distinct weights => distinct draws => distinct keys among NULL ids
+    null_keys = [k for (w, k, d) in got if d is None]
+    assert len(set(null_keys)) == len(null_keys)
+    for n_parts in (1, 3, 13):
+        again = sorted(
+            (r.w, r.sample_key, r.doc_id)
+            for r in weighted_sample_topk(
+                df.repartition(n_parts), "w", "doc_id", k=8
+            ).collect()
+        )
+        assert again == got, n_parts
+
+
 def test_cluster_histogram_counts(spark):
     from chat_data_pipeline_spark.operators.dedup import cluster_size_histogram
 
