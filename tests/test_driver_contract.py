@@ -79,45 +79,41 @@ def test_correctness_window_is_all_oracle_backed():
     # derives the oracle invariant dynamically from the CORRECTNESS files
     must_be_windowed = {
         "dedup_keep_best", "sample_temperature_lang",
-        "pipeline_lifecycle", "dedup_semantic",
-        "dedup_minhash_md5", "dedup_simhash_md5",
-        # round-8 never-driver-verified additions (docs_bm25_probe rotated
-        # to the tail after four green rounds to make room for one of them)
+        "pipeline_lifecycle", "dedup_semantic", "dedup_simhash_md5",
         "sample_token_budget_scalable", "bpe_first_merge",
         "corpus_source_similarity", "bpe_fertility_by_lang",
-        "corpus_hll_distinct", "q7_nation_volume", "q9_product_profit",
-        "events_value_hist_quantiles",
-        "split_leakage_audit",
-        # round-10 staleness rotation (r9 verdict item 8): the 12
-        # longest-stale queries (hash-green since round 2, whole C/F
-        # cleaner+filter family among them) re-earn driver hashes;
-        # corpus_top_bigrams / corpus_mix_manifest left this set in the
-        # same rotation (r9-green, modules byte-unchanged in r10)
-        "q1_pricing_summary", "q6_revenue_forecast", "q18_large_orders",
-        "users_intersect", "orders_running_total", "events_pivot_types",
-        "docs_normalize", "docs_clean_new_lines", "filter_lowercase_ratio",
-        "filter_ethics_harsh", "filter_empty", "filter_word_count",
-        # round-10 changed-module queries that must stay in-window to
-        # re-earn hashes on the changed code (bpe.py / dedup.py /
-        # language_model.py / queries.py oracle edits)
-        "bpe_encode_corpus", "docs_bigram_lm", "docs_ccnet_buckets",
-        "dedup_ngram_jaccard", "dedup_cross_corpus_md5", "conversation_dedup",
-        # round-10 SECOND rotation: queries whose implementing code changed
-        # in the post-review commits (sampling A-Res law, similarity
-        # zero-norm/kmeans-sample, filters splitter totality) AFTER their r9
-        # hashes — rotated back in to re-earn evidence on the changed code;
-        # events_hourly_agg / events_funnel / filter_gopher_quality /
-        # docs_c4_clean / corpus_datacard (r9-green, modules byte-unchanged
-        # all round) rotated out to make room
-        "sample_weighted_chars", "embeddings_hard_negatives",
-        "filter_truncation", "filter_gender", "filter_repetition",
-        # round-10 third/fourth swaps: the image-dedup aHash twin landed
-        # (exact-integer bit rule) and the production simhash UDF path now
-        # carries the md5 twin's oracle, so both enter as
-        # never-driver-verified oracle-backed; filter_perplexity and
-        # unigram_encode_corpus (both r9-green, their modules untouched by
-        # the round's changes) rotated out to make room
+        "corpus_hll_distinct", "q9_product_profit",
+        "events_value_hist_quantiles", "split_leakage_audit",
+        "docs_bigram_lm", "docs_ccnet_buckets", "dedup_cross_corpus_md5",
+        "embeddings_hard_negatives", "filter_repetition",
         "multimodal_image_dedup", "dedup_simhash",
+        # round-11 staleness rotation (the r10 verdict's top item, the
+        # standing README queue executed): the 19 tail entries last
+        # hash-verified in rounds 2-3 re-earn driver hashes.  Rotated out to
+        # make room (each r10-green, implementing region untouched in r11):
+        # q1/q7/q6/q18, users_intersect, orders_running_total,
+        # events_pivot_types, docs_normalize, docs_clean_new_lines,
+        # filter_word_count/lowercase/empty/ethics_harsh,
+        # dedup_ngram_jaccard, dedup_minhash_md5, conversation_dedup,
+        # embedding_neardup_lsh_md5, ann_topk_pq_md5, ann_topk_ivfpq_md5
+        "lineitem_unpivot_measures", "events_json_extract",
+        "q3_shipping_priority", "orders_rollup", "events_top_users",
+        "q10_returned_revenue", "events_type_cube", "events_value_quantiles",
+        "events_sessionize_batch", "customers_without_orders", "token_counts",
+        "quality_scores", "q5_local_supplier_volume", "events_error_context",
+        "q4_order_priority", "q2_min_cost_supplier", "docs_remove_empty_lines",
+        "events_grouping_sets", "doc_fingerprints",
+        # round-11 changed-code queries (rotation rule 2): the encode
+        # reassembly moved to the posexplode_outer shape (bpe.py — carries
+        # bpe_encode_corpus AND the shared-path unigram_encode_corpus, which
+        # re-entered displacing dedup_cluster_histogram), the trainer
+        # re-batched to K=12 (bpe_merges_corpus + its oracle), the A-Res
+        # NULL-id draw gained the weight mix (sample_weighted_chars + its
+        # oracle), and the splitter filters' _split2 region gained the
+        # malformed-fraction warning plumbing (filter_truncation,
+        # filter_gender)
+        "bpe_encode_corpus", "bpe_merges_corpus", "unigram_encode_corpus",
+        "sample_weighted_chars", "filter_truncation", "filter_gender",
     }
     assert must_be_windowed <= set(window)
 
