@@ -348,11 +348,14 @@ def test_batched_matches_reference_on_random_corpora(spark):
     """Property check over randomized corpora: the Spark batched trainer
     and the pure-Python mirror agree on every (corpus, K) — exercises
     tie-breaks, pool exhaustion, and symbol-conflict rejection paths a
-    single fixed corpus can miss.  Deterministic seed; a handful of cases
-    (each is a full Spark loop, so examples are few and tiny)."""
+    single fixed corpus can miss.  Round-rotating seed (deterministic
+    within a round); a handful of cases (each is a full Spark loop, so
+    examples are few and tiny)."""
     import random
 
-    rng = random.Random(42)
+    from tests.test_round_seeded_differentials import round_seed
+
+    rng = random.Random(round_seed("bpe-batched"))
     alphabet = "abcde"
     for case in range(4):
         words = [
@@ -430,7 +433,9 @@ def test_trainer_oracle_sql_matches_trainer_on_random_corpora(spark):
 
     from chat_data_pipeline_spark.queries import _bpe_trainer_sql
 
-    rng = random.Random(7)
+    from tests.test_round_seeded_differentials import round_seed
+
+    rng = random.Random(round_seed("bpe-trainer-oracle"))
     alphabet = "abcd"
     for case in range(3):
         words = [
@@ -465,10 +470,15 @@ def test_fold_syms_matches_python_on_random_words_and_tables(spark):
     words × arbitrary (valid) merge tables — including merges that never
     apply, marker-absorbing merges, chained merges, and repeat runs —
     against a pure-Python apply-in-order greedy reference.  One Spark job
-    per table (words batched in a single DataFrame)."""
+    per table (words batched in a single DataFrame).  r11: the seed rotates
+    per round (the test_round_seeded_differentials convention), so the
+    word/table space re-randomizes every round instead of pinning to one
+    fixture."""
     import random
 
     from pyspark.sql import functions as F
+
+    from tests.test_round_seeded_differentials import round_seed
 
     def py_apply(word, merges):
         syms = list(word) + [B.END_OF_WORD]
@@ -484,7 +494,7 @@ def test_fold_syms_matches_python_on_random_words_and_tables(spark):
             syms = out
         return syms
 
-    rng = random.Random(99)
+    rng = random.Random(round_seed("fold-syms"))
     alphabet = "abcxyz0_é"  # BMP unicode incl. a non-ASCII letter
     for case in range(3):
         words = list(
