@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "corpus_hll_distinct",
     "corpus_mix_manifest",
     "split_leakage_audit",
+    # round-11 additions
+    "events_key_skew",
 ]
 
 

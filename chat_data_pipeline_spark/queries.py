@@ -5579,6 +5579,43 @@ def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_distinct(docs, "text", ngram_size=5)
 
 
+@_register(
+    "events_key_skew",
+    """
+    WITH c AS (
+      SELECT COALESCE(CAST(user_id AS VARCHAR), chr(31) || '<null>') AS key,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), t AS (SELECT SUM(n) AS total, COUNT(*) AS nkeys FROM c),
+    top AS (
+      SELECT key, n,
+             CAST(ROUND(1e9 * n / total) AS BIGINT) AS share_nanos,
+             CAST(ROUND(1e9 * (CAST(n AS DOUBLE) * CAST(nkeys AS DOUBLE)
+                               / CAST(total AS DOUBLE))) AS BIGINT)
+               AS x_avg_nanos
+      FROM c, t
+      ORDER BY n DESC, key ASC
+      LIMIT 25
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS BIGINT)
+             AS rank,
+           key, CAST(n AS BIGINT) AS n, share_nanos, x_avg_nanos
+    FROM top
+    """,
+    "hot-key skew profile (r11, new operator): top-25 user_id values with "
+    "corpus share and multiple-of-mean-key load in integer nanos — the "
+    "pre-shuffle measurement that decides salt/broadcast/pre-collapse "
+    "strategy at 100 TB; one map-side-combined count agg (the profile "
+    "itself cannot skew), key-cardinality totals broadcast back, "
+    "TakeOrdered top-N, rank window over <=25 rows",
+)
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators.diagnostics import key_skew_report
+
+    ev = _read(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", top_n=25)
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
@@ -6124,6 +6161,13 @@ _WINDOW_TAIL += [
     "ann_topk_pq_md5",
     "ann_topk_ivfpq_md5",
 ]
+# round-11 third swap (rotation rule 1): events_key_skew is NEW this round
+# (never-driver-verified, oracle-backed) and enters the window immediately;
+# events_value_hist_quantiles makes room — r10 hash-green, its
+# value-histogram region in sketches.py byte-unchanged this round, the
+# sketch family keeps corpus_cms_heavy_hitters + corpus_hll_distinct
+# in-window and the events family keeps the 9 re-admitted rows.
+_WINDOW_TAIL.append("events_value_hist_quantiles")
 # round-11 second swap (rotation rule 2): the shared
 # encode_vocab_and_reassemble reassembly moved to the posexplode_outer
 # no-restore-join shape this round, which changes unigram_encode_corpus's

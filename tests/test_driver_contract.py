@@ -82,8 +82,11 @@ def test_correctness_window_is_all_oracle_backed():
         "pipeline_lifecycle", "dedup_semantic", "dedup_simhash_md5",
         "sample_token_budget_scalable", "bpe_first_merge",
         "corpus_source_similarity", "bpe_fertility_by_lang",
-        "corpus_hll_distinct", "q9_product_profit",
-        "events_value_hist_quantiles", "split_leakage_audit",
+        "corpus_hll_distinct", "q9_product_profit", "split_leakage_audit",
+        # round-11 rule-1 entry: the NEW events_key_skew hot-key profile
+        # (never-driver-verified, oracle-backed) displaces
+        # events_value_hist_quantiles (r10-green, sketch region untouched)
+        "events_key_skew",
         "docs_bigram_lm", "docs_ccnet_buckets", "dedup_cross_corpus_md5",
         "embeddings_hard_negatives", "filter_repetition",
         "multimodal_image_dedup", "dedup_simhash",

@@ -378,3 +378,17 @@ def test_source_similarity_single_corpus_scan(docs):
     r = plan_report(D.source_similarity_matrix(docs, "text", "source"))
     assert r.n_python_stages == 0
     assert r.read_schemas == [], r.read_schemas
+
+
+def test_key_skew_report_is_one_corpus_exchange(spark):
+    """The skew profile's only corpus-width stage is the map-side-combined
+    key count; totals broadcast back (no second corpus pass) and the top-N
+    runs as TakeOrdered, so the plan carries exactly the count exchange plus
+    the bounded single-partition rank window's — and zero Python."""
+    from chat_data_pipeline_spark.operators.diagnostics import key_skew_report
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    r = plan_report(key_skew_report(ev, "user_id", top_n=10))
+    assert r.n_python_stages == 0
+    assert r.n_broadcasts == 1  # the totals row
+    assert r.n_exchanges <= 3, r.n_exchanges  # count agg + totals agg + rank window
