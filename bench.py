@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "split_leakage_audit",
     # round-11 additions
     "events_key_skew",
+    "dedup_banding_calibration",
 ]
 
 

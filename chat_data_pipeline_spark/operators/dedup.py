@@ -694,6 +694,100 @@ def split_leakage_audit(
     )
 
 
+def banding_calibration(
+    df: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    ngram_size: int = 5,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Banding quality audit (r11): ``(bucket, n_pairs, sum_band_matches)``
+    — the TRUE shingle-set Jaccard histogram of the banding's CANDIDATE
+    pairs, the measurement that calibrates (B, R) against a real corpus.
+
+    The S-curve says what the banding SHOULD do; this measures what it DID:
+    each candidate pair (any band collision) lands in bucket
+    ``floor(n_buckets · |A∩B| / |A∪B|)`` of its exact Jaccard — bucket 0
+    collects pure false positives (banded together, nearly-disjoint
+    shingle sets), bucket ``n_buckets`` is the exact-duplicate bucket
+    (J = 1).  ``sum_band_matches`` carries the integer total of colliding
+    bands per bucket, so avg-bands-per-candidate is recoverable without a
+    float column — everything integer-exact, hence the DuckDB value-hash
+    oracle.  Run it before trusting a (num_perm, num_bands) choice on a
+    new corpus: a heavy bucket 0-2 population means the bands are too
+    permissive (CC will chain unrelated docs); an empty 7-9 range with a
+    fat 10 means the threshold is so high only exact clones collide and
+    near-dup recall is an illusion.
+
+    Scale shape: fingerprints checkpoint once (the split_leakage pattern);
+    candidate pairs come from the banding self-join (output-sized — the
+    same candidates dedup would verify anyway); the exact-Jaccard
+    verification joins postings by pair member (two key-partitionable
+    joins, raw text never ships) and a zero-intersection candidate is kept
+    via the left join (i = 0) rather than dropped — losing bucket 0 would
+    hide exactly the false positives the audit exists to count.
+
+    EAGER: constructing the result executes the fingerprint pass.
+    """
+    from chat_data_pipeline_spark.session import repartition_for_compute
+
+    bands = (
+        minhash_md5_fingerprints(df, column, id_col, ngram_size, num_perm, num_bands)
+        .select("id", F.posexplode("sigs").alias("band", "sig"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("nbm"))
+        .localCheckpoint(eager=False)
+    )
+    posting = repartition_for_compute(df.select(id_col, column)).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(column), ngram_size)).alias("s"),
+    )
+    sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(posting.alias("pa"), F.col("src") == F.col("pa.id"))
+        .join(
+            posting.alias("pb"),
+            (F.col("dst") == F.col("pb.id")) & (F.col("pa.s") == F.col("pb.s")),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    enriched = (
+        pairs.join(inter, ["src", "dst"], "left")
+        .join(sizes.alias("s1"), F.col("src") == F.col("s1.id"))
+        .join(sizes.alias("s2"), F.col("dst") == F.col("s2.id"))
+        .select(
+            "nbm",
+            F.coalesce("i", F.lit(0)).cast("long").alias("i"),
+            (F.col("s1.n") + F.col("s2.n") - F.coalesce("i", F.lit(0)))
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    return (
+        enriched.groupBy(
+            F.expr(f"({n_buckets} * i) div u").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("nbm").cast("long").alias("sum_band_matches"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def split_leakage_audit_exact(
     df: DataFrame,
     column: str = "text",

@@ -5580,6 +5580,69 @@ def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_banding_calibration",
+    r"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS t
+      FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)])
+                  ELSE [] END AS shingles
+      FROM toks
+    ), posting AS MATERIALIZED (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ), hashes AS MATERIALIZED (
+      SELECT doc_id, p,
+             MIN(substr(md5(CAST(p // 4 AS VARCHAR) || chr(31) || s),
+                        1 + 8 * (p % 4), 8)) AS h
+      FROM posting CROSS JOIN range(16) r(p)
+      GROUP BY doc_id, p
+    ), bandsig AS MATERIALIZED (
+      SELECT doc_id, p // 4 AS band,
+             string_agg(h, '|' ORDER BY p) AS sig
+      FROM hashes GROUP BY doc_id, p // 4
+    ), pairs AS MATERIALIZED (
+      SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS nbm
+      FROM bandsig a
+      JOIN bandsig b ON a.band = b.band AND a.sig = b.sig
+                    AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS MATERIALIZED (
+      SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0
+    ), inter AS MATERIALIZED (
+      SELECT p.src, p.dst, COUNT(*) AS i
+      FROM pairs p
+      JOIN posting x ON x.doc_id = p.src
+      JOIN posting y ON y.doc_id = p.dst AND y.s = x.s
+      GROUP BY 1, 2
+    ), enr AS (
+      SELECT p.nbm, COALESCE(i.i, 0) AS i,
+             s1.n + s2.n - COALESCE(i.i, 0) AS u
+      FROM pairs p
+      LEFT JOIN inter i ON i.src = p.src AND i.dst = p.dst
+      JOIN sizes s1 ON s1.doc_id = p.src
+      JOIN sizes s2 ON s2.doc_id = p.dst
+    )
+    SELECT CAST((10 * i) // u AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(nbm) AS BIGINT) AS sum_band_matches
+    FROM enr GROUP BY 1 ORDER BY 1
+    """,
+    "banding quality audit (r11, new operator): true shingle-Jaccard decile "
+    "histogram of the md5 banding's candidate pairs + integer colliding-band "
+    "totals — measures the (B,R) S-curve's realized false-positive/recall "
+    "trade on the actual corpus (bucket 0 = banded-but-disjoint FPs, bucket "
+    "10 = exact clones); integer floor-div buckets make the whole audit "
+    "cross-engine value-hashable",
+)
+def dedup_banding_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return D.banding_calibration(docs, "text", "doc_id")
+
+
+@_register(
     "events_key_skew",
     """
     WITH c AS (
@@ -6168,6 +6231,14 @@ _WINDOW_TAIL += [
 # sketch family keeps corpus_cms_heavy_hitters + corpus_hll_distinct
 # in-window and the events family keeps the 9 re-admitted rows.
 _WINDOW_TAIL.append("events_value_hist_quantiles")
+# round-11 fourth swap (rotation rule 1): dedup_banding_calibration is the
+# round's second NEW oracle-backed operator and likewise enters immediately;
+# dedup_keep_best makes room — r10 hash-green, its keep-best region in
+# dedup.py byte-unchanged this round (r11 only APPENDED banding_calibration
+# to the module), and the dedup family keeps cross_corpus_md5 / simhash_md5
+# / simhash / semantic / soft_weights / split_leakage_audit + the new
+# calibration row in-window.
+_WINDOW_TAIL.append("dedup_keep_best")
 # round-11 second swap (rotation rule 2): the shared
 # encode_vocab_and_reassemble reassembly moved to the posexplode_outer
 # no-restore-join shape this round, which changes unigram_encode_corpus's

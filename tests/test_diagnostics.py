@@ -48,3 +48,71 @@ def test_key_skew_detects_planted_hot_key(spark):
     assert top.share_nanos == 800_000_000
     # 800 rows vs mean 1000/21 ~ 47.6 -> ~16.8x the average key
     assert top.x_avg_nanos == round(1e9 * 800 * 21 / 1000)
+
+
+# --- dedup banding calibration (operators/dedup.py) -------------------------
+
+
+def _calib(spark, rows, **kw):
+    from chat_data_pipeline_spark.operators.dedup import banding_calibration
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r.bucket: (r.n_pairs, r.sum_band_matches)
+        for r in banding_calibration(df, "text", "doc_id", **kw).collect()
+    }
+
+
+def test_banding_calibration_exact_clones_fill_the_top_bucket(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"x{i}" for i in range(30))
+    rows = [(1, base), (2, base), (3, base), (4, other)]
+    got = _calib(spark, rows)
+    # 3 clones -> 3 pairs at J=1 (bucket 10), each colliding in ALL 4 bands;
+    # the disjoint doc collides with nobody
+    assert got == {10: (3, 12)}
+
+
+def test_banding_calibration_near_dup_lands_in_its_exact_bucket(spark):
+    # change word 20 of 40: a MIDDLE word rides 5 of the 36 shingles, so
+    # i = 31, u = 41, true J = 31/41 ~ 0.756 -> bucket floor(310/41) = 7
+    words = [f"w{i}" for i in range(40)]
+    near = list(words)
+    near[20] = "changed"
+    rows = [(1, " ".join(words)), (2, " ".join(near))]
+    got = _calib(spark, rows)
+    if not got:  # the pair may miss every band at J~0.76 — then no candidates
+        return
+    (bucket,) = got
+    assert bucket == 7
+    assert got[bucket][0] == 1
+
+
+def test_banding_calibration_last_word_change_is_bucket_nine(spark):
+    # the LAST word rides exactly ONE shingle: i = 35, u = 37 -> bucket 9;
+    # J ~ 0.946 collides in some band with near-certainty at (4, 4)
+    words = [f"w{i}" for i in range(40)]
+    rows = [(1, " ".join(words)), (2, " ".join(words[:-1] + ["changed"]))]
+    got = _calib(spark, rows)
+    assert got == {9: (1, got[9][1])}
+    assert 1 <= got[9][1] <= 4
+
+
+def test_banding_calibration_partition_invariant(spark):
+    from chat_data_pipeline_spark.operators.dedup import banding_calibration
+
+    base = " ".join(f"w{i}" for i in range(25))
+    rows = [(i, base) for i in range(6)] + [
+        (100 + i, " ".join(f"u{100 + i}x{j}" for j in range(20))) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        tuple(r) for r in banding_calibration(df, "text", "doc_id").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in banding_calibration(df.repartition(7), "text", "doc_id").collect()
+    )
+    assert got == want
+    # 6 clones -> C(6,2)=15 exact pairs in bucket 10
+    assert (10, 15, 60) in want

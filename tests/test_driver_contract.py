@@ -78,15 +78,16 @@ def test_correctness_window_is_all_oracle_backed():
     # window residents; test_correctness_window_covers_unverified_queries
     # derives the oracle invariant dynamically from the CORRECTNESS files
     must_be_windowed = {
-        "dedup_keep_best", "sample_temperature_lang",
+        "sample_temperature_lang",
         "pipeline_lifecycle", "dedup_semantic", "dedup_simhash_md5",
         "sample_token_budget_scalable", "bpe_first_merge",
         "corpus_source_similarity", "bpe_fertility_by_lang",
         "corpus_hll_distinct", "q9_product_profit", "split_leakage_audit",
-        # round-11 rule-1 entry: the NEW events_key_skew hot-key profile
-        # (never-driver-verified, oracle-backed) displaces
-        # events_value_hist_quantiles (r10-green, sketch region untouched)
-        "events_key_skew",
+        # round-11 rule-1 entries: the NEW events_key_skew hot-key profile
+        # displaces events_value_hist_quantiles (r10-green, sketch region
+        # untouched) and the NEW dedup_banding_calibration audit displaces
+        # dedup_keep_best (r10-green, keep-best region untouched)
+        "events_key_skew", "dedup_banding_calibration",
         "docs_bigram_lm", "docs_ccnet_buckets", "dedup_cross_corpus_md5",
         "embeddings_hard_negatives", "filter_repetition",
         "multimodal_image_dedup", "dedup_simhash",
