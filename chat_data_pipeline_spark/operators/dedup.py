@@ -721,20 +721,45 @@ def banding_calibration(
     fat 10 means the threshold is so high only exact clones collide and
     near-dup recall is an illusion.
 
-    Scale shape: fingerprints checkpoint once (the split_leakage pattern);
-    candidate pairs come from the banding self-join (output-sized — the
-    same candidates dedup would verify anyway); the exact-Jaccard
-    verification joins postings by pair member (two key-partitionable
-    joins, raw text never ships) and a zero-intersection candidate is kept
-    via the left join (i = 0) rather than dropped — losing bucket 0 would
-    hide exactly the false positives the audit exists to count.
+    Scale shape — CLONE-LINEAR by construction: exact-duplicate texts
+    collapse to a min-id representative carrying a multiplicity ``m``
+    BEFORE fingerprinting (the ``ngram_jaccard_dedup`` collapse applied to
+    the audit), because identical texts have identical signatures and
+    identical Jaccard against everything — so a member-level pair count
+    reconstructs EXACTLY as products: a rep pair (A, B) stands for
+    ``m_A·m_B`` member pairs in the same bucket with the same colliding-
+    band count, and each clone group adds ``C(m, 2)`` exact pairs (bucket
+    ``n_buckets``, all ``num_bands`` bands colliding).  Without the
+    collapse the banding self-join is quadratic in clone-group size — a
+    viral 1M-clone group would enumerate ~5·10^11 candidate rows where
+    this plan touches the group once.  The DuckDB oracle deliberately
+    replays the MEMBER-LEVEL definition (the naive self-join), so the
+    value-hash parity test independently proves the collapse is exact.
+
+    Remaining candidate volume is the rep-level banding self-join —
+    output-sized, the same candidates dedup would verify anyway; the
+    exact-Jaccard verification joins rep postings by pair member (two
+    key-partitionable joins, raw text never ships) and a
+    zero-intersection candidate is kept via the left join (i = 0) rather
+    than dropped — losing bucket 0 would hide exactly the false positives
+    the audit exists to count.
 
     EAGER: constructing the result executes the fingerprint pass.
     """
     from chat_data_pipeline_spark.session import repartition_for_compute
 
+    reps = (
+        df.groupBy(F.col(column).alias("__text__"))
+        .agg(
+            F.min(F.col(id_col)).alias("id"),
+            F.count(F.lit(1)).alias("__m__"),
+        )
+        .localCheckpoint(eager=True)
+    )
     bands = (
-        minhash_md5_fingerprints(df, column, id_col, ngram_size, num_perm, num_bands)
+        minhash_md5_fingerprints(
+            reps.select("id", "__text__"), "__text__", "id", ngram_size, num_perm, num_bands
+        )
         .select("id", F.posexplode("sigs").alias("band", "sig"))
         .localCheckpoint(eager=True)
     )
@@ -750,9 +775,8 @@ def banding_calibration(
         .agg(F.count(F.lit(1)).alias("nbm"))
         .localCheckpoint(eager=False)
     )
-    posting = repartition_for_compute(df.select(id_col, column)).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(column), ngram_size)).alias("s"),
+    posting = repartition_for_compute(reps.select("id", "__text__")).select(
+        "id", F.explode(word_shingles(F.col("__text__"), ngram_size)).alias("s")
     )
     sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
@@ -764,25 +788,51 @@ def banding_calibration(
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    mults = reps.select("id", "__m__")
     enriched = (
         pairs.join(inter, ["src", "dst"], "left")
         .join(sizes.alias("s1"), F.col("src") == F.col("s1.id"))
         .join(sizes.alias("s2"), F.col("dst") == F.col("s2.id"))
+        .join(mults.alias("m1"), F.col("src") == F.col("m1.id"))
+        .join(mults.alias("m2"), F.col("dst") == F.col("m2.id"))
         .select(
-            "nbm",
             F.coalesce("i", F.lit(0)).cast("long").alias("i"),
             (F.col("s1.n") + F.col("s2.n") - F.coalesce("i", F.lit(0)))
             .cast("long")
             .alias("u"),
+            (F.col("m1.__m__") * F.col("m2.__m__")).cast("long").alias("w"),
+            (F.col("nbm") * F.col("m1.__m__") * F.col("m2.__m__"))
+            .cast("long")
+            .alias("wb"),
+        )
+        .select(
+            F.expr(f"({n_buckets} * i) div u").cast("long").alias("bucket"),
+            "w",
+            "wb",
+        )
+    )
+    # each clone group of a SHINGLED rep contributes C(m, 2) exact pairs
+    # (J = 1, all bands colliding); shingle-less clones are never banded
+    # and stay invisible to the audit, like every other shingle-less doc
+    clone_rows = (
+        reps.join(sizes.select("id"), "id", "left_semi")
+        .filter(F.col("__m__") >= 2)
+        .select(
+            F.lit(n_buckets).cast("long").alias("bucket"),
+            (F.col("__m__") * (F.col("__m__") - 1) / 2).cast("long").alias("w"),
+            (
+                F.lit(num_bands) * F.col("__m__") * (F.col("__m__") - 1) / 2
+            )
+            .cast("long")
+            .alias("wb"),
         )
     )
     return (
-        enriched.groupBy(
-            F.expr(f"({n_buckets} * i) div u").cast("long").alias("bucket")
-        )
+        enriched.unionByName(clone_rows)
+        .groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.sum("nbm").cast("long").alias("sum_band_matches"),
+            F.sum("w").cast("long").alias("n_pairs"),
+            F.sum("wb").cast("long").alias("sum_band_matches"),
         )
         .orderBy("bucket")
     )

@@ -116,3 +116,26 @@ def test_banding_calibration_partition_invariant(spark):
     assert got == want
     # 6 clones -> C(6,2)=15 exact pairs in bucket 10
     assert (10, 15, 60) in want
+
+
+def test_banding_calibration_clone_blowup_is_combinatorial_not_enumerated(spark):
+    """A 200-member clone group yields C(200,2) = 19900 exact pairs computed
+    FROM THE MULTIPLICITY (one rep row), not by enumerating a quadratic
+    banding self-join — plus one rep-level near-dup pair weighted by the
+    group size."""
+    from chat_data_pipeline_spark.operators.dedup import banding_calibration
+
+    words = [f"w{i}" for i in range(40)]
+    near = list(words)
+    near[20] = "changed"
+    rows = [(i, " ".join(words)) for i in range(200)] + [(500, " ".join(near))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.bucket: (r.n_pairs, r.sum_band_matches)
+        for r in banding_calibration(df, "text", "doc_id").collect()
+    }
+    assert got[10] == (19900, 79600)  # C(200,2), x4 bands
+    if 7 in got:  # the J=31/41 rep pair, weighted by the clone multiplicity
+        n, sb = got[7]
+        assert n == 200 and 200 <= sb <= 800
+    assert set(got) <= {7, 10}
