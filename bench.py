@@ -147,6 +147,13 @@ SCALE_PROBE_QUERIES = [
     # the distinct-word table, so the probe's 10x-vocab corpus measures
     # exactly the claimed "cost scales with vocabulary" posture
     "bpe_merges_corpus",
+    # round-11 addition: the clone-linear banding audit (the probe corpus
+    # preserves within-replica clone structure, so this measures the rep
+    # collapse directly).  events_key_skew is deliberately NOT probed: the
+    # probe corpus carries no events table, and the profile is one
+    # map-side-combined count agg whose plan shape is already locked by
+    # test_key_skew_report_is_one_corpus_exchange.
+    "dedup_banding_calibration",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second
