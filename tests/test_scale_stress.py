@@ -219,3 +219,25 @@ def test_token_budget_scalable_dominant_group(spark):
     assert exact.select(cols).exceptAll(scal.select(cols)).count() == 0
     assert scal.select(cols).exceptAll(exact.select(cols)).count() == 0
     assert scal.count() > 0
+
+
+def test_banding_calibration_survives_clone_blowup(big):
+    """r11: the calibration audit over the 20x clone corpus — the rep
+    collapse keeps the banding self-join at rep cardinality, so the audit
+    finishes in seconds where member-level enumeration would square the
+    ~2/3 of the corpus that is 20-way exact clones.  The exact bucket must
+    carry at least C(20,2) pairs per surviving 20-way group."""
+    from chat_data_pipeline_spark.operators import dedup as D
+
+    hist = {
+        r.bucket: r.n_pairs
+        for r in D.banding_calibration(big, "text", "doc_id").collect()
+    }
+    assert hist, "clone corpus must produce candidates"
+    n_exact_groups = (
+        big.groupBy("text").count().filter(F.col("count") >= 2).count()
+    )
+    # every multi-member clone group contributes its C(m,2) to bucket 10
+    assert hist.get(10, 0) >= n_exact_groups * 1
+    # and clone mass dominates: the exact bucket is the heaviest
+    assert hist[10] == max(hist.values())
