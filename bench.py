@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     # round-11 additions
     "events_key_skew",
     "dedup_banding_calibration",
+    "docs_quality_gate",
 ]
 
 

@@ -5643,6 +5643,62 @@ def dedup_banding_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_quality_gate",
+    """
+    WITH per AS (
+      SELECT COUNT(*) AS n,
+        SUM(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS v_id,
+        SUM(CASE WHEN lang IS NOT NULL THEN 0 ELSE 1 END) AS v_lang,
+        SUM(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS v_text,
+        SUM(CASE WHEN COALESCE(len(text) > 0, FALSE) THEN 0 ELSE 1 END) AS v_ne,
+        SUM(CASE WHEN COALESCE(n_chars = len(text), FALSE) THEN 0 ELSE 1 END)
+          AS v_nc
+      FROM documents
+    ), uniq AS (
+      SELECT COALESCE(SUM(c), 0) AS n,
+             COALESCE(SUM(CASE WHEN c > 1 OR k IS NULL THEN c ELSE 0 END), 0)
+               AS v
+      FROM (SELECT doc_id AS k, COUNT(*) AS c FROM documents GROUP BY doc_id)
+    ), rows_ AS (
+      SELECT 'doc_id_not_null' AS rule, n, v_id AS v FROM per
+      UNION ALL SELECT 'lang_not_null', n, v_lang FROM per
+      UNION ALL SELECT 'text_not_null', n, v_text FROM per
+      UNION ALL SELECT 'text_nonempty', n, v_ne FROM per
+      UNION ALL SELECT 'n_chars_matches_text', n, v_nc FROM per
+      UNION ALL SELECT 'doc_id_unique', n, v FROM uniq
+    )
+    SELECT rule, CAST(n AS BIGINT) AS n_rows, CAST(v AS BIGINT) AS n_violations,
+           COALESCE(CAST(ROUND(1e9 * v / n) AS BIGINT), 0) AS violation_nanos
+    FROM rows_ ORDER BY rule
+    """,
+    "expectations-style ingest gate (r11, new operator): per-rule violation "
+    "counts + integer-nano rates over the raw drop — null/emptiness/metadata-"
+    "consistency rules ALL evaluated in one map-side-combined scan, plus the "
+    "doc_id primary-key check from one groupBy-count; the validation a "
+    "pipeline runs before burning compute on a malformed 100 TB delivery",
+)
+def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators.diagnostics import (
+        data_quality_report,
+        uniqueness_report,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    rules = {
+        "doc_id_not_null": F.col("doc_id").isNotNull(),
+        "lang_not_null": F.col("lang").isNotNull(),
+        "text_not_null": F.col("text").isNotNull(),
+        "text_nonempty": F.length("text") > 0,
+        "n_chars_matches_text": F.col("n_chars") == F.length("text"),
+    }
+    return (
+        data_quality_report(docs, rules)
+        .unionByName(uniqueness_report(docs, "doc_id"))
+        .orderBy("rule")
+    )
+
+
+@_register(
     "events_key_skew",
     """
     WITH c AS (
@@ -6239,6 +6295,13 @@ _WINDOW_TAIL.append("events_value_hist_quantiles")
 # / simhash / semantic / soft_weights / split_leakage_audit + the new
 # calibration row in-window.
 _WINDOW_TAIL.append("dedup_keep_best")
+# round-11 fifth swap (rotation rule 1): docs_quality_gate is the round's
+# third NEW oracle-backed operator; sample_temperature_lang makes room —
+# r10 hash-green, and round 11's sampling.py change touched only the
+# weighted_sample_topk region (the temperature path is byte-unchanged);
+# the sampling family keeps sample_weighted_chars +
+# sample_token_budget_scalable in-window.
+_WINDOW_TAIL.append("sample_temperature_lang")
 # round-11 second swap (rotation rule 2): the shared
 # encode_vocab_and_reassemble reassembly moved to the posexplode_outer
 # no-restore-join shape this round, which changes unigram_encode_corpus's

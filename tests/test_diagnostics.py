@@ -139,3 +139,78 @@ def test_banding_calibration_clone_blowup_is_combinatorial_not_enumerated(spark)
         n, sb = got[7]
         assert n == 200 and 200 <= sb <= 800
     assert set(got) <= {7, 10}
+
+
+# --- ingest gate (data_quality_report / uniqueness_report) ------------------
+
+
+def test_quality_gate_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators.diagnostics import (
+        data_quality_report,
+        uniqueness_report,
+    )
+
+    rows = [
+        (1, "hello", 5),
+        (1, "world", 5),      # duplicate id
+        (None, "x", 1),       # null id
+        (4, None, 0),         # null text
+        (5, "", 0),           # empty text
+        (6, "abc", 99),       # n_chars inconsistent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    rules = {
+        "doc_id_not_null": F.col("doc_id").isNotNull(),
+        "text_nonempty": F.length("text") > 0,
+        "n_chars_matches_text": F.col("n_chars") == F.length("text"),
+    }
+    got = {
+        r.rule: (r.n_rows, r.n_violations, r.violation_nanos)
+        for r in data_quality_report(df, rules).collect()
+    }
+    assert got["doc_id_not_null"] == (6, 1, round(1e9 / 6))
+    # NULL text rows violate BOTH text rules (NULL predicate = violation)
+    assert got["text_nonempty"] == (6, 2, round(2e9 / 6))
+    assert got["n_chars_matches_text"] == (6, 2, round(2e9 / 6))
+    u = uniqueness_report(df, "doc_id").collect()[0]
+    # violations: the two id=1 rows + the NULL-id row
+    assert (u.rule, u.n_rows, u.n_violations) == ("doc_id_unique", 6, 3)
+    assert u.violation_nanos == 500_000_000
+
+
+def test_quality_gate_empty_corpus_total(spark):
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators.diagnostics import (
+        data_quality_report,
+        uniqueness_report,
+    )
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = data_quality_report(df, {"t": F.col("text").isNotNull()}).collect()
+    assert [(r.n_rows, r.n_violations, r.violation_nanos) for r in out] == [(0, 0, 0)]
+    u = uniqueness_report(df, "doc_id").collect()[0]
+    assert (u.n_rows, u.n_violations, u.violation_nanos) == (0, 0, 0)
+
+
+def test_quality_gate_single_scan(spark):
+    """All per-row rules ride ONE aggregate over one pruned scan."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators.diagnostics import data_quality_report
+    from chat_data_pipeline_spark.plans.audit import plan_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = data_quality_report(
+        docs,
+        {
+            "id": F.col("doc_id").isNotNull(),
+            "txt": F.length("text") > 0,
+            "nc": F.col("n_chars") == F.length("text"),
+        },
+    )
+    r = plan_report(out)
+    assert r.n_scans == 1 and r.n_python_stages == 0
+    assert r.n_exchanges <= 2  # the one-row final agg (+AQE coalesce at most)

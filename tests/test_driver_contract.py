@@ -78,7 +78,6 @@ def test_correctness_window_is_all_oracle_backed():
     # window residents; test_correctness_window_covers_unverified_queries
     # derives the oracle invariant dynamically from the CORRECTNESS files
     must_be_windowed = {
-        "sample_temperature_lang",
         "pipeline_lifecycle", "dedup_semantic", "dedup_simhash_md5",
         "sample_token_budget_scalable", "bpe_first_merge",
         "corpus_source_similarity", "bpe_fertility_by_lang",
@@ -88,6 +87,10 @@ def test_correctness_window_is_all_oracle_backed():
         # untouched) and the NEW dedup_banding_calibration audit displaces
         # dedup_keep_best (r10-green, keep-best region untouched)
         "events_key_skew", "dedup_banding_calibration",
+        # ...and the NEW docs_quality_gate ingest-gate displaces
+        # sample_temperature_lang (r10-green, temperature region untouched
+        # by the round's weighted_sample_topk-only sampling.py change)
+        "docs_quality_gate",
         "docs_bigram_lm", "docs_ccnet_buckets", "dedup_cross_corpus_md5",
         "embeddings_hard_negatives", "filter_repetition",
         "multimodal_image_dedup", "dedup_simhash",
