@@ -163,6 +163,58 @@ def _build_preprocessor(column: str, cfg: dict, forbid_cleaners: bool = False):
     )
 
 
+def _apply_quality_gate(df: DataFrame, gate_cfg: dict) -> None:
+    """Optional config-driven ingest gate (r11, engine extension beyond the
+    reference): run the expectations report BEFORE spending compute on the
+    pipeline, log every rule, and fail fast when a rule's violation rate
+    exceeds ``max_violation_nanos`` (integer nanos; omit for report-only).
+
+    YAML shape::
+
+        quality_gate:
+          max_violation_nanos: 100000000    # fail above 10%; optional
+          key: id                           # optional uniqueness check
+          rules:
+            response_not_null: "response IS NOT NULL"
+            response_nonempty: "length(response) > 0"
+
+    This is deliberately an EAGER action (one extra map-side-combined scan):
+    a gate that doesn't look before the pipeline leaps is a log line, not a
+    gate."""
+    from chat_data_pipeline_spark.operators.diagnostics import (
+        data_quality_report,
+        uniqueness_report,
+    )
+
+    rules = {name: F.expr(str(sql)) for name, sql in (gate_cfg.get("rules") or {}).items()}
+    parts = []
+    if rules:
+        parts.append(data_quality_report(df, rules))
+    if gate_cfg.get("key"):
+        parts.append(uniqueness_report(df, str(gate_cfg["key"])))
+    if not parts:
+        return
+    report = parts[0]
+    for p in parts[1:]:
+        report = report.unionByName(p)
+    limit = gate_cfg.get("max_violation_nanos")
+    failed = []
+    for row in report.collect():
+        logger.info(
+            "quality_gate %-28s rows=%d violations=%d rate_nanos=%d",
+            row.rule,
+            row.n_rows,
+            row.n_violations,
+            row.violation_nanos,
+        )
+        if limit is not None and row.violation_nanos > int(limit):
+            failed.append((row.rule, row.violation_nanos))
+    if failed:
+        raise ValueError(
+            f"quality_gate failed: {failed} exceed max_violation_nanos={limit}"
+        )
+
+
 def run_config(spark: SparkSession, config: dict) -> DataFrame:
     """ref:main.py lifecycle A (SURVEY.md §3.1), lazily composed."""
     from chat_data_pipeline_spark.operators import conversation as CV
@@ -173,6 +225,10 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
     df = combine_sources(spark, paths)
 
     df = CV.add_content_columns(CV.explode_conversations(df))
+
+    gate_cfg = config.get("quality_gate")
+    if gate_cfg:
+        _apply_quality_gate(df, gate_cfg)
 
     response_cfg = config.get("response") or {}
     pre = _build_preprocessor("response", response_cfg)

@@ -193,6 +193,66 @@ def test_cli_lifecycle(spark, tmp_path):
         assert r.conversation[-1].do_train is True
 
 
+GATED_CONFIG = """
+datasets:
+  - path: {conv_path}
+seed: 42
+quality_gate:
+  max_violation_nanos: {limit}
+  key: id
+  rules:
+    response_not_null: "response IS NOT NULL"
+    response_nonempty: "length(response) > 0"
+response:
+  cleaners: []
+  filters: []
+  deduplication:
+    do_deduplication: false
+instruction:
+  cleaners: []
+  filters: []
+  deduplication:
+    do_deduplication: false
+"""
+
+
+def test_cli_quality_gate_passes_and_fails(spark, tmp_path, caplog):
+    """r11: the config-driven ingest gate — report-only logging when under
+    the threshold, a loud ValueError naming the failing rules when over."""
+    import logging
+
+    import pytest as _pytest
+
+    from chat_data_pipeline_spark.cli import load_yaml, run_config
+
+    conv_path = str(tmp_path / "conv.parquet")
+    rows = [
+        (i, "src", [("hello", False, "User"), (f"reply {i}" if i % 4 else "", True, "Assistant")])
+        for i in range(8)
+    ]
+    spark.createDataFrame(
+        rows,
+        "id long, source string, conversation array<struct<content string, do_train boolean, role string>>",
+    ).write.parquet(conv_path)
+
+    # 2 of 8 responses are empty -> response_nonempty rate = 250M nanos.
+    # Threshold above it: the gate logs and the lifecycle completes.
+    cfg = tmp_path / "ok.yaml"
+    cfg.write_text(GATED_CONFIG.format(conv_path=conv_path, limit=300_000_000))
+    with caplog.at_level(logging.INFO, logger="chat_data_pipeline_spark"):
+        out = run_config(spark, load_yaml(str(cfg)))
+        assert out.count() == 8
+    gate_lines = [r.getMessage() for r in caplog.records if "quality_gate" in r.getMessage()]
+    assert any("response_nonempty" in m and "250000000" in m for m in gate_lines)
+    assert any("id_unique" in m for m in gate_lines)
+
+    # Threshold below it: the gate fails fast and names the rule.
+    cfg = tmp_path / "bad.yaml"
+    cfg.write_text(GATED_CONFIG.format(conv_path=conv_path, limit=100_000_000))
+    with _pytest.raises(ValueError, match="response_nonempty"):
+        run_config(spark, load_yaml(str(cfg)))
+
+
 def test_combine_sources_mixed_formats(spark, tmp_path):
     """S1 format dispatch + S3/S4 provenance union across parquet/json/csv."""
     from chat_data_pipeline_spark.sources.io import combine_sources
