@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "events_key_skew",
     "dedup_banding_calibration",
     "docs_quality_gate",
+    "conversation_structure",
 ]
 
 

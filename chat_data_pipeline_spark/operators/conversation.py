@@ -118,3 +118,56 @@ def dedup_key_expr(conversation_col: Column) -> Column:
 
 def prepare_conversation_dedup(df: DataFrame, conversation_col: str = "conversation") -> DataFrame:
     return df.withColumn("text", dedup_key_expr(F.col(conversation_col)))
+
+
+def conversation_structure_report(
+    df: DataFrame, conversation_col: str = "conversation"
+) -> DataFrame:
+    """Chat-corpus structural QA (r11, engine extension): ONE row —
+    ``(n_convs, n_turns, n_empty_turns, n_role_repeats,
+    n_convs_without_trainable)`` — the soundness check a conversation
+    corpus gets before training: empty message bodies, adjacent same-role
+    turns (broken alternation), and conversations that contribute no
+    trainable target at all (they cost tokens and teach nothing).
+
+    All five counts are higher-order-function folds inside ONE map-side-
+    combined aggregate over one scan of the conversation table — no
+    explode, no shuffle of message bodies — and all integers, so the
+    report value-hashes cross-engine.  ``sequence(2, n)`` DESCENDS for
+    n < 2 (Spark semantics), so the adjacency fold is guarded by an
+    explicit size check.
+    """
+    conv = F.col(conversation_col)
+    # plain space-trim (NOT the module's unicode T.strip): the emptiness
+    # rule must be replayable by DuckDB's trim(), which strips 0x20 only —
+    # same arithmetic both engines, and adequate for "blank body" QA
+    empty_turns = F.size(
+        F.filter(
+            conv,
+            lambda m: F.coalesce(F.trim(m.getField("content")), F.lit(""))
+            == F.lit(""),
+        )
+    )
+    role_repeats = F.when(
+        F.size(conv) >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(2), F.size(conv)),
+                lambda i: F.element_at(conv, i).getField("role").eqNullSafe(
+                    F.element_at(conv, i - 1).getField("role")
+                ),
+            )
+        ),
+    ).otherwise(0)
+    no_trainable = (
+        ~F.exists(conv, lambda m: F.coalesce(m.getField("do_train"), F.lit(False)))
+    ).cast("int")
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.coalesce(F.sum(F.size(conv)), F.lit(0)).cast("long").alias("n_turns"),
+        F.coalesce(F.sum(empty_turns), F.lit(0)).cast("long").alias("n_empty_turns"),
+        F.coalesce(F.sum(role_repeats), F.lit(0)).cast("long").alias("n_role_repeats"),
+        F.coalesce(F.sum(no_trainable), F.lit(0))
+        .cast("long")
+        .alias("n_convs_without_trainable"),
+    )

@@ -5643,6 +5643,48 @@ def dedup_banding_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "conversation_structure",
+    f"""
+    WITH {_SQL_CONV_CTE}, expl AS (
+      SELECT user_id, generate_subscripts(conversation, 1) AS pos,
+             unnest(conversation) AS msg, conversation
+      FROM conv
+    ), turn AS (
+      -- relational per-turn form, deliberately lambda-free: the adjacency
+      -- test indexes conversation[pos-1] as a plain column expression
+      SELECT user_id,
+             CASE WHEN COALESCE(trim(msg.content), '') = '' THEN 1 ELSE 0 END
+               AS is_empty,
+             CASE WHEN pos > 1 AND msg.role IS NOT DISTINCT FROM
+                    conversation[pos-1].role THEN 1 ELSE 0 END AS is_repeat,
+             CASE WHEN COALESCE(msg.do_train, FALSE) THEN 1 ELSE 0 END
+               AS is_train
+      FROM expl
+    ), perconv AS (
+      SELECT user_id, COUNT(*) AS nt, SUM(is_empty) AS et,
+             SUM(is_repeat) AS rr, MAX(is_train) AS has_train
+      FROM turn GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_convs,
+           CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_turns,
+           CAST(COALESCE(SUM(et), 0) AS BIGINT) AS n_empty_turns,
+           CAST(COALESCE(SUM(rr), 0) AS BIGINT) AS n_role_repeats,
+           CAST(COALESCE(SUM(1 - has_train), 0) AS BIGINT)
+             AS n_convs_without_trainable
+    FROM perconv
+    """,
+    "chat-corpus structural QA (r11, new operator): one-row soundness "
+    "report over the conversation table — empty message bodies, adjacent "
+    "same-role turns (broken alternation), and conversations contributing "
+    "no trainable target; all counts fold inside ONE map-side-combined "
+    "aggregate over one scan (no explode, message bodies never shuffle)",
+)
+def conversation_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conv = _events_conversations(spark, sf_dir)
+    return CV.conversation_structure_report(conv)
+
+
+@_register(
     "docs_quality_gate",
     """
     WITH per AS (
@@ -6302,6 +6344,13 @@ _WINDOW_TAIL.append("dedup_keep_best")
 # the sampling family keeps sample_weighted_chars +
 # sample_token_budget_scalable in-window.
 _WINDOW_TAIL.append("sample_temperature_lang")
+# round-11 sixth swap (rotation rule 1): conversation_structure is the
+# round's fourth NEW oracle-backed operator; docs_ccnet_buckets makes room
+# — r10 hash-green, operators/language_model.py byte-unchanged this round,
+# and the quality family keeps dsir_select_en + docs_bigram_lm + both
+# preset pipelines in-window (the conversation family gains a second
+# in-window row beside the P1-P3 coverage riding pipeline_lifecycle).
+_WINDOW_TAIL.append("docs_ccnet_buckets")
 # round-11 second swap (rotation rule 2): the shared
 # encode_vocab_and_reassemble reassembly moved to the posexplode_outer
 # no-restore-join shape this round, which changes unigram_encode_corpus's

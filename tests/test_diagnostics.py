@@ -214,3 +214,57 @@ def test_quality_gate_single_scan(spark):
     r = plan_report(out)
     assert r.n_scans == 1 and r.n_python_stages == 0
     assert r.n_exchanges <= 2  # the one-row final agg (+AQE coalesce at most)
+
+
+# --- conversation structure QA (operators/conversation.py) ------------------
+
+
+def test_conversation_structure_hand_computed(spark):
+    from chat_data_pipeline_spark.operators.conversation import (
+        conversation_structure_report,
+    )
+
+    rows = [
+        # well-formed: alternating roles, one trainable
+        (1, [("hi", False, "User"), ("hello!", True, "Assistant")]),
+        # empty body + same-role adjacency + NO trainable turn
+        (2, [("  ", False, "User"), ("x", False, "User"), (None, False, "Assistant")]),
+        # single-turn conversation (adjacency fold must not fire)
+        (3, [("solo", True, "User")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, conversation array<struct<content string, do_train boolean, role string>>",
+    )
+    r = conversation_structure_report(df).collect()[0]
+    assert r.n_convs == 3
+    assert r.n_turns == 6
+    assert r.n_empty_turns == 2  # the blank '  ' and the NULL content
+    assert r.n_role_repeats == 1  # User followed by User
+    assert r.n_convs_without_trainable == 1
+
+
+def test_conversation_structure_empty_and_invariance(spark):
+    from chat_data_pipeline_spark.operators.conversation import (
+        conversation_structure_report,
+    )
+
+    empty = spark.createDataFrame(
+        [],
+        "user_id long, conversation array<struct<content string, do_train boolean, role string>>",
+    )
+    r = conversation_structure_report(empty).collect()[0]
+    assert tuple(r) == (0, 0, 0, 0, 0)
+
+    rows = [
+        (i, [(f"m{j}", j % 2 == 1, "User" if (i + j) % 3 else "Assistant")
+             for j in range(1 + i % 5)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, conversation array<struct<content string, do_train boolean, role string>>",
+    )
+    want = tuple(conversation_structure_report(df).collect()[0])
+    got = tuple(conversation_structure_report(df.repartition(9)).collect()[0])
+    assert got == want

@@ -91,7 +91,10 @@ def test_correctness_window_is_all_oracle_backed():
         # sample_temperature_lang (r10-green, temperature region untouched
         # by the round's weighted_sample_topk-only sampling.py change)
         "docs_quality_gate",
-        "docs_bigram_lm", "docs_ccnet_buckets", "dedup_cross_corpus_md5",
+        # ...and the NEW conversation_structure QA displaces
+        # docs_ccnet_buckets (r10-green, language_model.py untouched)
+        "conversation_structure",
+        "docs_bigram_lm", "dedup_cross_corpus_md5",
         "embeddings_hard_negatives", "filter_repetition",
         "multimodal_image_dedup", "dedup_simhash",
         # round-11 staleness rotation (the r10 verdict's top item, the
