@@ -392,3 +392,24 @@ def test_key_skew_report_is_one_corpus_exchange(spark):
     assert r.n_python_stages == 0
     assert r.n_broadcasts == 1  # the totals row
     assert r.n_exchanges <= 3, r.n_exchanges  # count agg + totals agg + rank window
+
+
+def test_conversation_structure_single_scan_no_explode(spark):
+    """All five structure counts fold inside ONE aggregate over one scan of
+    the conversation table — no generator (explode) node, zero Python."""
+    from chat_data_pipeline_spark.operators.conversation import (
+        conversation_structure_report,
+    )
+    from chat_data_pipeline_spark.queries import _events_conversations
+
+    conv = _events_conversations(spark, SF_DIR).localCheckpoint(eager=True)
+    r = plan_report(conversation_structure_report(conv))
+    assert r.n_python_stages == 0
+    assert r.n_exchanges <= 1  # the one-row final agg
+    plan = (
+        conversation_structure_report(conv)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan  # message arrays fold in place, no explode
