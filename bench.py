@@ -149,13 +149,17 @@ SCALE_PROBE_QUERIES = [
     # the distinct-word table, so the probe's 10x-vocab corpus measures
     # exactly the claimed "cost scales with vocabulary" posture
     "bpe_merges_corpus",
-    # round-11 addition: the clone-linear banding audit (the probe corpus
+    # round-11 additions: the clone-linear banding audit (the probe corpus
     # preserves within-replica clone structure, so this measures the rep
-    # collapse directly).  events_key_skew is deliberately NOT probed: the
-    # probe corpus carries no events table, and the profile is one
-    # map-side-combined count agg whose plan shape is already locked by
-    # test_key_skew_report_is_one_corpus_exchange.
+    # collapse directly), plus the events side — the probe corpus now
+    # replicates events (10x the USERS at constant per-user density), so
+    # the temporal family and the hot-key profile finally have 10x
+    # measurements instead of plan-shape tests alone.
     "dedup_banding_calibration",
+    "events_key_skew",
+    "events_sessionize_batch",
+    "events_funnel",
+    "conversation_structure",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second
@@ -233,6 +237,26 @@ def _build_scale_corpus(
     for p in parts[1:]:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    # events (r11): replica i shifts user_id/event_id by i·stride and keeps
+    # timestamps — every user's timeline structure (sessions, funnels,
+    # per-user event counts, hot-key profile) is preserved per replica, so
+    # a 10x corpus has 10x the users with the SAME per-user density (the
+    # honest scale-up for temporal/skew operators; replicating events ONTO
+    # the same users would instead measure a 10x-denser timeline).
+    ev = spark.read.parquet(f"{src_dir}/events.parquet")
+    ustride = (ev.agg(F.max("user_id")).first()[0] or 0) + 1
+    estride = (ev.agg(F.max("event_id")).first()[0] or 0) + 1
+    parts = []
+    for i in range(factor):
+        parts.append(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * ustride))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * estride))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
 def scale_probe(factor: int = 10) -> None:
