@@ -497,6 +497,28 @@ def streaming_value_histogram(stream: DataFrame, value_col: str = "value") -> Da
     return value_histogram(stream, value_col)
 
 
+def streaming_quality_report(stream: DataFrame, rules: dict) -> DataFrame:
+    """Continuously-maintained ingest quality gate — the live twin of the
+    batch ``data_quality_report`` (operators/diagnostics.py): one report row
+    per rule with cumulative ``n_rows`` / ``n_violations`` /
+    ``violation_nanos`` over everything the stream has ingested.
+
+    State is ONE aggregate row (k conditional sums + a count), BOUNDED
+    whatever the stream's volume — the CMS/HLL twin shape applied to data
+    quality; ``complete`` mode re-emits the exact batch-equal report every
+    trigger (asserted stream≡batch in tests).  This is the monitor a
+    continuously-ingesting pipeline points at its raw feed: a deploy that
+    starts producing NULL bodies or inconsistent metadata moves
+    ``violation_nanos`` on the next trigger instead of surfacing days later
+    in a batch audit.  (The ``uniqueness_report`` companion deliberately has
+    NO streaming twin: per-key counts grow with key cardinality — unbounded
+    state — exactly what the sketch family exists to avoid; dedup a stream
+    with ``dropDuplicatesWithinWatermark`` instead.)"""
+    from chat_data_pipeline_spark.operators.diagnostics import data_quality_report
+
+    return data_quality_report(stream, rules)
+
+
 FUNNEL_SCHEMA = (
     "user_id long, t_view_epoch long, t_click_epoch long, "
     "t_purchase_epoch long, funnel_depth int"

@@ -837,3 +837,41 @@ def test_streaming_funnel_late_events_never_shrink_ttl(spark, tmp_path):
 
     assert alive_mid == 2, "late replay shrank the TTL and evicted early"
     assert alive_end == 1, "eviction from last-activity + TTL must still fire"
+
+
+def test_streaming_quality_report_equals_batch(spark, tmp_path, events_dir):
+    """The live ingest gate re-emits the exact batch-equal rule report every
+    trigger — one bounded aggregate row of state however much the stream
+    has ingested (the CMS/HLL twin shape applied to data quality)."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators.diagnostics import data_quality_report
+    from chat_data_pipeline_spark.queries import _read_events
+    from chat_data_pipeline_spark.streaming import read_events_stream
+    from chat_data_pipeline_spark.streaming.pipeline import streaming_quality_report
+
+    rules = {
+        "props_not_null": F.col("props").isNotNull(),
+        "value_nonnegative": F.col("value") >= 0,
+        "type_known": F.col("event_type").isin("view", "click", "purchase", "error"),
+    }
+    batch = _read_events(spark, SF_DIR)
+    want = sorted(tuple(r) for r in data_quality_report(batch, rules).collect())
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        streaming_quality_report(stream, rules)
+        .writeStream.format("memory")
+        .queryName("quality_live")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_qg"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in spark.sql("select * from quality_live").collect()
+        )
+    finally:
+        q.stop()
+    assert got == want
