@@ -19,17 +19,31 @@ def read_table(
     spark: SparkSession, path: str, fmt: str | None = None, **options: str
 ) -> DataFrame:
     """S1: load one dataset.  Format inferred from the extension when not
-    given (parquet default — the driver's testdata is parquet)."""
+    given (parquet default — the driver's testdata is parquet).
+
+    Formats: parquet / json(l) / csv / orc (all Spark-built-in), plus
+    ``txt``: raw text corpora land as one document per line (the common
+    web-text delivery) with the text under a ``text`` column — pair with
+    ``wholetext=true`` for one document per FILE."""
     if fmt is None:
         lowered = path.lower()
         if lowered.endswith((".json", ".jsonl")):
             fmt = "json"
         elif lowered.endswith(".csv"):
             fmt = "csv"
+        elif lowered.endswith(".orc"):
+            fmt = "orc"
+        elif lowered.endswith(".txt"):
+            fmt = "text"
         else:
             fmt = "parquet"
     if fmt == "csv" and "header" not in options:
         options["header"] = "true"
+    if fmt in ("txt", "text"):
+        # format().load(), NOT reader.text(): pyspark's text() overrides a
+        # reader-level wholetext option with its own keyword default
+        df = spark.read.options(**options).format("text").load(path)
+        return df.withColumnRenamed("value", "text")
     reader = spark.read.options(**options)
     return reader.format(fmt).load(path)
 

@@ -274,6 +274,29 @@ def test_combine_sources_mixed_formats(spark, tmp_path):
     assert {str(r.id) for r in rows} == {"1", "2", "3"}
 
 
+def test_combine_sources_orc_and_text(spark, tmp_path):
+    """r11: ORC dispatch plus raw-text corpora (one doc per line under a
+    `text` column — the common web-text delivery) union with provenance."""
+    from chat_data_pipeline_spark.sources.io import combine_sources, read_table
+
+    orc = str(tmp_path / "a.orc")
+    txt = str(tmp_path / "b.txt")
+    spark.createDataFrame([(1, "from orc")], "id long, text string").write.orc(orc)
+    (tmp_path / "b.txt").write_text("line one doc\nline two doc\n")
+
+    df = combine_sources(spark, [orc, txt])
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r.source for r in rows} == {orc, txt}
+    texts = {r.text for r in rows}
+    assert {"from orc", "line one doc", "line two doc"} == texts
+
+    # wholetext: one document per FILE
+    whole = read_table(spark, txt, wholetext="true")
+    assert whole.count() == 1
+    assert "line one doc" in whole.collect()[0].text
+
+
 def test_mini_yaml_parser():
     from chat_data_pipeline_spark.cli import _mini_yaml
 
