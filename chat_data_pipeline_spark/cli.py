@@ -260,7 +260,11 @@ def main(argv: list[str] | None = None) -> None:
     out = run_config(spark, config)
     output_path = config.get("output_path")
     if output_path:
-        out.write.mode("overwrite").parquet(output_path)
+        from chat_data_pipeline_spark.sources.io import write_table
+
+        # sink format dispatches on the output extension (parquet default,
+        # json/csv/orc supported) — the read_table symmetry
+        write_table(out, output_path)
         logger.info("wrote %s", output_path)
     else:
         print(out.count())

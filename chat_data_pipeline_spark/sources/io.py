@@ -48,6 +48,30 @@ def read_table(
     return reader.format(fmt).load(path)
 
 
+def write_table(
+    df: DataFrame, path: str, fmt: str | None = None, mode: str = "overwrite"
+) -> None:
+    """S6 sink twin of :func:`read_table`: format-dispatched write (parquet
+    default; json / csv / orc by extension).  Raw-text sinks are
+    deliberately NOT dispatched — a curated dataset carries more than one
+    column, and silently dropping all but ``text`` would be data loss;
+    select and write explicitly if a text dump is really wanted."""
+    if fmt is None:
+        lowered = path.lower()
+        if lowered.endswith((".json", ".jsonl")):
+            fmt = "json"
+        elif lowered.endswith(".csv"):
+            fmt = "csv"
+        elif lowered.endswith(".orc"):
+            fmt = "orc"
+        else:
+            fmt = "parquet"
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
+
+
 def combine_sources(
     spark: SparkSession,
     paths: list[str],

@@ -898,3 +898,18 @@ def test_streaming_quality_report_equals_batch(spark, tmp_path, events_dir):
     finally:
         q.stop()
     assert got == want
+
+
+def test_write_table_roundtrips_by_extension(spark, tmp_path):
+    """r11: sink dispatch mirrors read_table — parquet/json/orc round-trip
+    through the same extension inference (csv is lossy on nested types and
+    covered by the flat case)."""
+    from chat_data_pipeline_spark.sources.io import read_table, write_table
+
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "id long, text string")
+    for name in ("o.parquet", "o.json", "o.orc", "o.csv"):
+        path = str(tmp_path / name)
+        write_table(df, path)
+        back = read_table(spark, path)
+        got = sorted((str(r.id), r.text) for r in back.collect())
+        assert got == [("1", "alpha"), ("2", "beta")], name
