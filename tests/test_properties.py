@@ -237,3 +237,91 @@ def test_value_histogram_matches_python_replay(spark, cents):
     assert (r.p50_est, r.p90_est, r.p99_est) == (
         expected[50], expected[90], expected[99],
     )
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 8),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_key_skew_matches_python_replay(spark, keys, top_n):
+    """key_skew_report equals a pure-Python replay of its own contract on
+    arbitrary key multisets (NULLs included): md-sentinel NULL grouping,
+    round(1e9·n/total) shares, the double-expression x-avg, (n desc, key
+    asc) top-N with ranks."""
+    from chat_data_pipeline_spark.operators.diagnostics import (
+        _NULL_KEY_SENTINEL,
+        key_skew_report,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k int")
+    got = [tuple(r) for r in key_skew_report(df, "k", top_n=top_n).collect()]
+
+    counts: dict = {}
+    for k in keys:
+        s = _NULL_KEY_SENTINEL if k is None else str(k)
+        counts[s] = counts.get(s, 0) + 1
+    total, nkeys = len(keys), len(counts)
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    want = [
+        (
+            rank,
+            key,
+            n,
+            round(1e9 * n / total),
+            round(1e9 * (float(n) * float(nkeys) / float(total))),
+        )
+        for rank, (key, n) in enumerate(ordered, 1)
+    ]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 5)),
+            st.one_of(st.none(), st.text(alphabet=" ab", max_size=6)),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_quality_gate_matches_python_replay(spark, rows):
+    """data_quality_report + uniqueness_report equal a pure-Python replay on
+    arbitrary (nullable id, nullable text) tables: NULL rule results count
+    as violations, uniqueness violations are NULL keys plus every member of
+    a >1 group, and rates are round(1e9·v/n) with 0 on empty input."""
+    from chat_data_pipeline_spark.operators.diagnostics import (
+        data_quality_report,
+        uniqueness_report,
+    )
+
+    df = spark.createDataFrame(rows, "id int, text string")
+    rules = {
+        "id_not_null": F.col("id").isNotNull(),
+        "text_nonblank": F.trim("text") != "",
+    }
+    got = {
+        r.rule: (r.n_rows, r.n_violations, r.violation_nanos)
+        for r in data_quality_report(df, rules).collect()
+    }
+    n = len(rows)
+    v_id = sum(1 for i, _ in rows if i is None)
+    v_tx = sum(1 for _, t in rows if t is None or t.strip() == "")
+    rate = lambda v: round(1e9 * v / n) if n else 0
+    assert got == {
+        "id_not_null": (n, v_id, rate(v_id)),
+        "text_nonblank": (n, v_tx, rate(v_tx)),
+    }
+
+    u = uniqueness_report(df, "id").collect()[0]
+    from collections import Counter
+
+    c = Counter(i for i, _ in rows)
+    v_u = sum(m for k, m in c.items() if k is None or m > 1)
+    assert (u.n_rows, u.n_violations, u.violation_nanos) == (n, v_u, rate(v_u))
