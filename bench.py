@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "dedup_banding_calibration",
     "docs_quality_gate",
     "conversation_structure",
+    "corpus_drift",
 ]
 
 
@@ -160,6 +161,7 @@ SCALE_PROBE_QUERIES = [
     "events_sessionize_batch",
     "events_funnel",
     "conversation_structure",
+    "corpus_drift",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second

@@ -5643,6 +5643,65 @@ def dedup_banding_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_drift",
+    r"""
+    WITH o AS (
+      SELECT COALESCE(CAST(lang AS VARCHAR), chr(31) || '<null>') AS grp,
+             COUNT(*) AS n_old,
+             SUM(len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')))
+               AS tokens_old
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+    ), n AS (
+      SELECT COALESCE(CAST(lang AS VARCHAR), chr(31) || '<null>') AS grp,
+             COUNT(*) AS n_new,
+             SUM(len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')))
+               AS tokens_new
+      FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(o.grp, n.grp) AS grp,
+             COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+             COALESCE(tokens_old, 0) AS tokens_old,
+             COALESCE(tokens_new, 0) AS tokens_new
+      FROM o FULL OUTER JOIN n ON o.grp = n.grp
+    ), t AS (
+      SELECT SUM(tokens_old) AS tot_o, SUM(tokens_new) AS tot_n FROM j
+    ), s AS (
+      SELECT grp,
+             CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+             CAST(n_new - n_old AS BIGINT) AS delta_n,
+             CAST(tokens_old AS BIGINT) AS tokens_old,
+             CAST(tokens_new AS BIGINT) AS tokens_new,
+             COALESCE(CAST(ROUND(1e9 * tokens_old / tot_o) AS BIGINT), 0)
+               AS share_old_nanos,
+             COALESCE(CAST(ROUND(1e9 * tokens_new / tot_n) AS BIGINT), 0)
+               AS share_new_nanos
+      FROM j, t
+    )
+    SELECT grp AS "group", n_old, n_new, delta_n, tokens_old, tokens_new,
+           share_old_nanos, share_new_nanos,
+           CAST(share_new_nanos - share_old_nanos AS BIGINT)
+             AS share_delta_nanos
+    FROM s ORDER BY "group"
+    """,
+    "snapshot composition drift (r11, new operator): per-language doc/token "
+    "counts and integer-nano token-mass SHARES diffed between two snapshots "
+    "(here the deterministic doc_id-parity split) — the 'did the re-crawl "
+    "shift the training mix' audit complementing corpus_diff_v2's content "
+    "diff; one map-side-combined agg per snapshot, a group-cardinality "
+    "full-outer join, each corpus scanned exactly once",
+)
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators.versioning import corpus_drift_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_drift_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        group_col="lang",
+    )
+
+
+@_register(
     "conversation_structure",
     f"""
     WITH {_SQL_CONV_CTE}, expl AS (
@@ -6351,6 +6410,13 @@ _WINDOW_TAIL.append("sample_temperature_lang")
 # preset pipelines in-window (the conversation family gains a second
 # in-window row beside the P1-P3 coverage riding pipeline_lifecycle).
 _WINDOW_TAIL.append("docs_ccnet_buckets")
+# round-11 seventh swap (rotation rule 1): corpus_drift is the round's
+# fifth NEW oracle-backed operator; dedup_soft_weights makes room — r10
+# hash-green, its soft-weights region in dedup.py byte-unchanged this
+# round (r11 only APPENDED banding_calibration to the module), and the
+# dedup family keeps cross_corpus_md5 / simhash_md5 / simhash / semantic /
+# split_leakage_audit / banding_calibration in-window.
+_WINDOW_TAIL.append("dedup_soft_weights")
 # round-11 second swap (rotation rule 2): the shared
 # encode_vocab_and_reassemble reassembly moved to the posexplode_outer
 # no-restore-join shape this round, which changes unigram_encode_corpus's

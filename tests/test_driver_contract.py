@@ -94,6 +94,9 @@ def test_correctness_window_is_all_oracle_backed():
         # ...and the NEW conversation_structure QA displaces
         # docs_ccnet_buckets (r10-green, language_model.py untouched)
         "conversation_structure",
+        # ...and the NEW corpus_drift snapshot-composition audit displaces
+        # dedup_soft_weights (r10-green, soft-weights region untouched)
+        "corpus_drift",
         "docs_bigram_lm", "dedup_cross_corpus_md5",
         "embeddings_hard_negatives", "filter_repetition",
         "multimodal_image_dedup", "dedup_simhash",
