@@ -263,8 +263,22 @@ def main(argv: list[str] | None = None) -> None:
         from chat_data_pipeline_spark.sources.io import write_table
 
         # sink format dispatches on the output extension (parquet default,
-        # json/csv/orc supported) — the read_table symmetry
-        write_table(out, output_path)
+        # json/csv/orc supported) — the read_table symmetry.  The optional
+        # `sink:` block controls output file shape at scale:
+        #   sink:
+        #     partition_by: [lang]          # hive-style pruning dirs
+        #     target_files: 200             # pre-write repartition
+        #     max_records_per_file: 500000  # cap the giants
+        #     stringify_complex: true       # CSV: complex cols -> JSON text
+        sink_cfg = config.get("sink") or {}
+        write_table(
+            out,
+            output_path,
+            partition_by=sink_cfg.get("partition_by"),
+            max_records_per_file=sink_cfg.get("max_records_per_file"),
+            target_files=sink_cfg.get("target_files"),
+            stringify_complex=bool(sink_cfg.get("stringify_complex", False)),
+        )
         logger.info("wrote %s", output_path)
     else:
         print(out.count())

@@ -136,17 +136,30 @@ def conversation_structure_report(
     report value-hashes cross-engine.  ``sequence(2, n)`` DESCENDS for
     n < 2 (Spark semantics), so the adjacency fold is guarded by an
     explicit size check.
+
+    NULL / empty conversation arrays (r12, explicit semantics): a row with
+    a NULL or zero-length conversation IS a corpus row, so it counts in
+    ``n_convs`` and — having no trainable turn — in
+    ``n_convs_without_trainable``; it contributes 0 to the three turn-level
+    counts.  Under Spark's default non-ANSI config ``size(NULL)`` is -1,
+    so every size() here is clamped with ``greatest(_, 0)`` and the
+    exists() fold is coalesced; the DuckDB oracle mirrors the same choice
+    by counting convs from the base table, not the unnested turns.
     """
     conv = F.col(conversation_col)
+    n_turns = F.greatest(F.size(conv), F.lit(0))
     # plain space-trim (NOT the module's unicode T.strip): the emptiness
     # rule must be replayable by DuckDB's trim(), which strips 0x20 only —
     # same arithmetic both engines, and adequate for "blank body" QA
-    empty_turns = F.size(
-        F.filter(
-            conv,
-            lambda m: F.coalesce(F.trim(m.getField("content")), F.lit(""))
-            == F.lit(""),
-        )
+    empty_turns = F.greatest(
+        F.size(
+            F.filter(
+                conv,
+                lambda m: F.coalesce(F.trim(m.getField("content")), F.lit(""))
+                == F.lit(""),
+            )
+        ),
+        F.lit(0),
     )
     role_repeats = F.when(
         F.size(conv) >= 2,
@@ -159,12 +172,17 @@ def conversation_structure_report(
             )
         ),
     ).otherwise(0)
-    no_trainable = (
-        ~F.exists(conv, lambda m: F.coalesce(m.getField("do_train"), F.lit(False)))
-    ).cast("int")
+    no_trainable = F.coalesce(
+        (
+            ~F.exists(
+                conv, lambda m: F.coalesce(m.getField("do_train"), F.lit(False))
+            )
+        ).cast("int"),
+        F.lit(1),  # NULL conversation: no trainable turn, count it
+    )
     return df.agg(
         F.count(F.lit(1)).cast("long").alias("n_convs"),
-        F.coalesce(F.sum(F.size(conv)), F.lit(0)).cast("long").alias("n_turns"),
+        F.coalesce(F.sum(n_turns), F.lit(0)).cast("long").alias("n_turns"),
         F.coalesce(F.sum(empty_turns), F.lit(0)).cast("long").alias("n_empty_turns"),
         F.coalesce(F.sum(role_repeats), F.lit(0)).cast("long").alias("n_role_repeats"),
         F.coalesce(F.sum(no_trainable), F.lit(0))

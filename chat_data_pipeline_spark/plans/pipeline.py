@@ -84,6 +84,10 @@ class SparkPreprocessor:
     verbose: bool = False
     reports: list[FilterReport] = field(default_factory=list)
     _final_obs: object | None = field(default=None, repr=False)
+    # filter names already warned about by THIS instance — the malformed-
+    # splitter warning fires once per filter name per preprocessor, so a
+    # later misconfigured pipeline in the same driver still warns
+    _warned_null_criteria: set[str] = field(default_factory=set, repr=False)
 
     def run(self, df: DataFrame, dry_run: bool = False) -> DataFrame:
         df = self._clean(df)
@@ -142,7 +146,7 @@ class SparkPreprocessor:
             df = df.filter(spec.keep_expr(col))
             if self.verbose:
                 report.rows_after = df.count()
-                _log_reduction(report)
+                _log_reduction(report, self._warned_null_criteria)
             self.reports.append(report)
         if not dry_run and not self.verbose and any(
             r.observation is not None for r in self.reports
@@ -167,10 +171,10 @@ class SparkPreprocessor:
             report.score_summary = stats
             if i > 0:
                 observed[i - 1].rows_after = report.rows_before
-                _log_reduction(observed[i - 1])
+                _log_reduction(observed[i - 1], self._warned_null_criteria)
         if observed and self._final_obs is not None:
             observed[-1].rows_after = int(self._final_obs.get["rows_after"])
-            _log_reduction(observed[-1])
+            _log_reduction(observed[-1], self._warned_null_criteria)
         return self.reports
 
     # -- dedup (ref:preprocessor.py:60-79) -----------------------------------
@@ -257,12 +261,7 @@ def _describe(df: DataFrame, column: str) -> dict[str, float]:
     return stats
 
 
-# filters already warned about this run — the malformed-fraction warning
-# fires once per filter name, not once per micro-report
-_WARNED_NULL_CRITERIA: set[str] = set()
-
-
-def _log_reduction(report: FilterReport) -> None:
+def _log_reduction(report: FilterReport, warned: set[str] | None = None) -> None:
     """ref:preprocessor.py:81-91 log contract."""
     before, after = report.rows_before, report.rows_after
     if not before:
@@ -279,15 +278,19 @@ def _log_reduction(report: FilterReport) -> None:
     # RAISES on a malformed splitter doc where this engine maps it to a NULL
     # keep and drops it declaratively — correct for stray bad rows, but a
     # WRONG splitter_token turns the whole corpus malformed and would read
-    # as a 100%-drop filter with no error.  Warn once per filter when most
-    # criteria are NULL.
+    # as a 100%-drop filter with no error.  Warn once per filter name within
+    # the caller's `warned` scope — the preprocessor instance (r12 ADVICE
+    # fix: a module-global set silenced later, genuinely misconfigured
+    # pipelines in a long-lived driver).
+    if warned is None:
+        warned = set()
     scored = (report.score_summary or {}).get("count")
     if (
         scored is not None
         and scored < before * 0.5
-        and report.filter_name not in _WARNED_NULL_CRITERIA
+        and report.filter_name not in warned
     ):
-        _WARNED_NULL_CRITERIA.add(report.filter_name)
+        warned.add(report.filter_name)
         logger.warning(
             "%s produced NULL criteria for %.1f%% of %d rows — NULL-keep "
             "rows are DROPPED. For splitter-based filters "

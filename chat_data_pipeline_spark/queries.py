@@ -5724,11 +5724,18 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(is_repeat) AS rr, MAX(is_train) AS has_train
       FROM turn GROUP BY user_id
     )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_convs,
+    -- n_convs and the without-trainable count come from the BASE conv
+    -- table, not the unnested turns, so NULL/empty conversation arrays
+    -- count as corpus rows with no trainable turn — mirroring the Spark
+    -- operator's explicit r12 semantics (a NULL conv produces zero expl
+    -- rows, so perconv alone would silently drop it)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_convs,
            CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_turns,
            CAST(COALESCE(SUM(et), 0) AS BIGINT) AS n_empty_turns,
            CAST(COALESCE(SUM(rr), 0) AS BIGINT) AS n_role_repeats,
-           CAST(COALESCE(SUM(1 - has_train), 0) AS BIGINT)
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM conv)
+             - CAST(COALESCE(SUM(CASE WHEN has_train = 1 THEN 1 ELSE 0 END),
+                             0) AS BIGINT)
              AS n_convs_without_trainable
     FROM perconv
     """,

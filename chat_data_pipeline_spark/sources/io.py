@@ -49,13 +49,42 @@ def read_table(
 
 
 def write_table(
-    df: DataFrame, path: str, fmt: str | None = None, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | str | None = None,
+    max_records_per_file: int | None = None,
+    target_files: int | None = None,
+    stringify_complex: bool = False,
 ) -> None:
     """S6 sink twin of :func:`read_table`: format-dispatched write (parquet
     default; json / csv / orc by extension).  Raw-text sinks are
     deliberately NOT dispatched — a curated dataset carries more than one
     column, and silently dropping all but ``text`` would be data loss;
-    select and write explicitly if a text dump is really wanted."""
+    select and write explicitly if a text dump is really wanted.
+
+    File sizing (r12, the 100 TB write path): by default the output file
+    count is whatever the final stage's task count happens to be — at scale
+    that is either thousands of KB-sized shards (a metadata bomb for every
+    downstream LIST) or a handful of skewed giants.  Two independent levers:
+
+    - ``target_files``: pre-write ``repartition`` to a chosen task count —
+      with ``partition_by`` the repartition keys on the partition columns so
+      each hive directory is written by few tasks (no cross-product of
+      tasks × partition values);
+    - ``max_records_per_file``: the writer-side cap (Spark's
+      ``maxRecordsPerFile``) that splits any oversized task output, bounding
+      the giants that repartition alone cannot (one hot partition value
+      still lands in one task).
+
+    CSV schema validation (r12 ADVICE): CSV cannot represent array / map /
+    struct columns; Spark surfaces that as an AnalysisException at action
+    time — AFTER the whole upstream pipeline has run.  This validates the
+    schema up front (plan-only, nothing executes) and either raises
+    immediately naming the offending columns, or — with
+    ``stringify_complex=True`` — serializes them to JSON strings in place.
+    """
     if fmt is None:
         lowered = path.lower()
         if lowered.endswith((".json", ".jsonl")):
@@ -66,9 +95,40 @@ def write_table(
             fmt = "orc"
         else:
             fmt = "parquet"
+    if fmt == "csv":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols and not stringify_complex:
+            raise ValueError(
+                f"CSV sink {path!r} cannot represent non-atomic columns "
+                f"{complex_cols}; write parquet/json instead, or pass "
+                "stringify_complex=True to serialize them as JSON strings"
+            )
+        for name in complex_cols:
+            df = df.withColumn(name, F.to_json(F.col(name)))
+    if partition_by:
+        partition_by = (
+            [partition_by] if isinstance(partition_by, str) else partition_by
+        )
+    if target_files:
+        df = (
+            df.repartition(int(target_files), *partition_by)
+            if partition_by
+            else df.repartition(int(target_files))
+        )
     writer = df.write.mode(mode)
     if fmt == "csv":
         writer = writer.option("header", "true")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)
 
 

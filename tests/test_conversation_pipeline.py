@@ -118,13 +118,13 @@ def test_pipeline_filters_and_reports(spark):
 def test_wrong_splitter_token_warns_instead_of_silent_total_drop(spark, caplog):
     """r11 ADVICE fix: a wrong splitter_token makes EVERY doc malformed —
     the reference raises, this engine drops via NULL keep.  The drop must
-    be diagnosable: a log-once warning fires when most criteria are NULL,
-    naming the NULL-keep drop and the splitter_token suspicion."""
+    be diagnosable: a warning fires when most criteria are NULL, naming
+    the NULL-keep drop and the splitter_token suspicion.  r12 ADVICE fix:
+    the warn-once scope is the PREPROCESSOR INSTANCE, not the module — a
+    later misconfigured pipeline in the same long-lived driver must warn
+    again."""
     import logging
 
-    from chat_data_pipeline_spark.plans import pipeline as P
-
-    P._WARNED_NULL_CRITERIA.discard("check_truncation")
     df = spark.createDataFrame(
         [(i, f"plain doc {i} with no splitter token at all") for i in range(6)],
         "id long, text string",
@@ -140,7 +140,9 @@ def test_wrong_splitter_token_warns_instead_of_silent_total_drop(spark, caplog):
     warns = [r for r in caplog.records if "NULL criteria" in r.getMessage()]
     assert len(warns) == 1
     assert "splitter_token" in warns[0].getMessage()
-    # log-once: a second run with the same filter name stays quiet
+    # warn-once is per INSTANCE: a fresh preprocessor with the same filter
+    # name is a new (possibly independently misconfigured) pipeline and
+    # must warn again
     with caplog.at_level(logging.WARNING, logger="chat_data_pipeline_spark"):
         SparkPreprocessor(
             column_name="text",
@@ -148,7 +150,7 @@ def test_wrong_splitter_token_warns_instead_of_silent_total_drop(spark, caplog):
             verbose=True,
         ).run(df).count()
     warns = [r for r in caplog.records if "NULL criteria" in r.getMessage()]
-    assert len(warns) == 1
+    assert len(warns) == 2
 
 
 def test_split_dataset_by_filter(spark):

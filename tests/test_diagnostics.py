@@ -244,6 +244,32 @@ def test_conversation_structure_hand_computed(spark):
     assert r.n_convs_without_trainable == 1
 
 
+def test_conversation_structure_null_and_empty_convs(spark):
+    """r12 ADVICE fix: NULL / zero-length conversation arrays are corpus
+    rows — they count in n_convs and n_convs_without_trainable and
+    contribute 0 turns (size(NULL) = -1 under non-ANSI must never leak
+    into the sums)."""
+    from chat_data_pipeline_spark.operators.conversation import (
+        conversation_structure_report,
+    )
+
+    rows = [
+        (1, [("hi", False, "User"), ("hello!", True, "Assistant")]),
+        (2, None),  # NULL conversation
+        (3, []),  # empty conversation
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, conversation array<struct<content string, do_train boolean, role string>>",
+    )
+    r = conversation_structure_report(df).collect()[0]
+    assert r.n_convs == 3
+    assert r.n_turns == 2  # NULL and [] contribute 0, not -1
+    assert r.n_empty_turns == 0
+    assert r.n_role_repeats == 0
+    assert r.n_convs_without_trainable == 2  # the NULL and the empty conv
+
+
 def test_conversation_structure_empty_and_invariance(spark):
     from chat_data_pipeline_spark.operators.conversation import (
         conversation_structure_report,

@@ -913,3 +913,61 @@ def test_write_table_roundtrips_by_extension(spark, tmp_path):
         back = read_table(spark, path)
         got = sorted((str(r.id), r.text) for r in back.collect())
         assert got == [("1", "alpha"), ("2", "beta")], name
+
+
+def test_write_table_csv_rejects_complex_columns_before_running(spark, tmp_path):
+    """r12 ADVICE fix: a CSV sink with array/struct columns must fail at
+    write_table CALL time (plan-only schema check) with the offending
+    columns named — not as an AnalysisException after the pipeline ran —
+    and stringify_complex=True must round-trip them as JSON text."""
+    import json
+
+    import pytest
+
+    from chat_data_pipeline_spark.sources.io import read_table, write_table
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], {"k": "v"})],
+        "id long, tags array<string>, meta map<string,string>",
+    )
+    with pytest.raises(ValueError, match="tags.*meta|'tags', 'meta'"):
+        write_table(df, str(tmp_path / "bad.csv"))
+    path = str(tmp_path / "ok.csv")
+    write_table(df, path, stringify_complex=True)
+    row = read_table(spark, path).collect()[0]
+    assert json.loads(row.tags) == ["a", "b"]
+    assert json.loads(row.meta) == {"k": "v"}
+
+
+def test_write_table_file_sizing_controls(spark, tmp_path):
+    """r12: the 100 TB write path — target_files fixes the output shard
+    count, max_records_per_file caps shard size, partition_by produces
+    hive dirs whose per-dir file count stays at the repartitioned task
+    count (not tasks x partition values)."""
+    import glob
+
+    from chat_data_pipeline_spark.sources.io import write_table
+
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(1000)],
+        "id long, parity string",
+    ).repartition(16)
+
+    flat = str(tmp_path / "flat.parquet")
+    write_table(df, flat, target_files=4)
+    files = glob.glob(flat + "/part-*")
+    assert len(files) == 4
+
+    capped = str(tmp_path / "capped.parquet")
+    write_table(df, capped, target_files=2, max_records_per_file=300)
+    files = glob.glob(capped + "/part-*")
+    # 2 tasks x 500 rows, split at 300 -> 2 files per task
+    assert len(files) == 4
+
+    parts = str(tmp_path / "parts.parquet")
+    write_table(df, parts, partition_by="parity", target_files=2)
+    for val in ("even", "odd"):
+        files = glob.glob(parts + f"/parity={val}/part-*")
+        assert 1 <= len(files) <= 2, val
+    back = spark.read.parquet(parts)
+    assert back.count() == 1000 and set(back.columns) == {"id", "parity"}
