@@ -702,6 +702,7 @@ def banding_calibration(
     num_perm: int = 16,
     num_bands: int = 4,
     n_buckets: int = 10,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Banding quality audit (r11): ``(bucket, n_pairs, sum_band_matches)``
     — the TRUE shingle-set Jaccard histogram of the banding's CANDIDATE
@@ -744,7 +745,23 @@ def banding_calibration(
     than dropped — losing bucket 0 would hide exactly the false positives
     the audit exists to count.
 
-    EAGER: constructing the result executes the fingerprint pass.
+    Candidate cap (r12): the clone collapse makes the audit immune to
+    exact-duplicate skew, but on a corpus where the banding is TOO
+    PERMISSIVE — precisely the miscalibration this audit exists to detect
+    — near-dup (non-identical) reps pile into shared (band, sig) buckets
+    and the rep-level self-join goes quadratic in the hottest bucket: the
+    diagnostic must not be the first job that falls over.
+    ``max_bucket_size`` bounds any bucket to its ``max_bucket_size``
+    lowest-id members before pairing (≤ C(cap, 2) pairs per bucket, ever);
+    the truncation is NEVER silent — a WARNING logs the number of
+    oversized buckets and dropped memberships, and above the cap the
+    histogram is explicitly a deterministic min-id SAMPLE of each hot
+    bucket's pairs (the S-curve shape survives; the absolute pair counts
+    read as lower bounds).  The default never binds on a sanely-banded
+    corpus; ``None`` disables the cap.
+
+    EAGER: constructing the result executes the fingerprint pass (and,
+    with a cap, one bucket-size profile job over the checkpointed bands).
     """
     from chat_data_pipeline_spark.session import repartition_for_compute
 
@@ -763,6 +780,43 @@ def banding_calibration(
         .select("id", F.posexplode("sigs").alias("band", "sig"))
         .localCheckpoint(eager=True)
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        # one small profile job over the checkpointed bands: is any
+        # (band, sig) bucket hot enough for the cap to bind?
+        oversized = (
+            bands.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > max_bucket_size)
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets_truncated"),
+                F.sum(F.col("c") - max_bucket_size).alias("n_members_dropped"),
+            )
+            .first()
+        )
+        if oversized.n_buckets_truncated:
+            logger.warning(
+                "banding_calibration: %d (band, sig) bucket(s) exceed "
+                "max_bucket_size=%d — %d membership(s) truncated to the "
+                "lowest-id members; pair counts above the cap are a "
+                "deterministic sample (lower bounds). This is itself the "
+                "audit's verdict: the (num_perm=%d, num_bands=%d) banding "
+                "is too permissive for this corpus.",
+                oversized.n_buckets_truncated,
+                max_bucket_size,
+                oversized.n_members_dropped,
+                num_perm,
+                num_bands,
+            )
+            rk = F.row_number().over(
+                Window.partitionBy("band", "sig").orderBy("id")
+            )
+            bands = (
+                bands.withColumn("__rk__", rk)
+                .filter(F.col("__rk__") <= max_bucket_size)
+                .drop("__rk__")
+            )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(

