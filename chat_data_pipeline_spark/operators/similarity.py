@@ -1387,6 +1387,233 @@ def ivf_topk_md5(
     )
 
 
+# --- persisted IVF index (r12) ----------------------------------------------
+# A 100 TB corpus builds its ANN index ONCE and serves many probe batches;
+# rebuilding centroids + posting assignments per query (ivf_topk /
+# ivf_topk_md5 above, which stay as the self-contained paths) re-scans the
+# whole corpus every time.  The artifacts follow the sketch-store posture
+# (operators/sketches.py): plain parquet, overwrite-idempotent, hive layout.
+#
+#   <index_path>/meta/       one row: coarse kind, n_centroids, dim, columns
+#   <index_path>/centroids/  (list, centroid) — kmeans flavor only (the md5
+#                            coarse codebook is a deterministic literal and
+#                            reconstructs from meta alone)
+#   <index_path>/postings/   (id, vec) PARTITIONED BY list — a probe of
+#                            n_probe lists prunes to n_probe/n_centroids of
+#                            the files at the LISTING, before any scan
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse: str = "md5",
+    dim: int = 64,
+    seed: int = 42,
+) -> None:
+    """Build → write the IVF index artifacts (idempotent: every part is an
+    overwrite, so a replayed build leaves the index byte-identical).
+
+    ``coarse='md5'`` uses the literal ±1 coarse codebook and the ordered
+    fold-dot argmax — the exact :func:`ivf_topk_md5` assignment arithmetic,
+    so a load-and-probe replays that oracle bit-for-bit.  ``coarse='kmeans'``
+    trains the seeded Lloyd centroids of :func:`ivf_topk` and persists them
+    under ``centroids/``."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    if coarse == "md5":
+        coarse_mat = np.asarray(
+            pq_md5_sign_codebooks(1, n_centroids, dim, "ivfpq_coarse")[0]
+        )
+
+        def assign(batches):
+            for batch in batches:
+                if not len(batch):
+                    continue
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+                )
+                if mat.shape[1] != dim:
+                    raise ValueError(
+                        f"corpus dim {mat.shape[1]} != configured dim {dim}"
+                    )
+                normed = mat / _fold_norm_rows(mat)[:, None]
+                out = batch.copy()
+                out["list"] = np.argmax(
+                    _fold_subspace_dots(normed, coarse_mat, 0), axis=1
+                ).astype("int32")
+                yield out
+
+        vec_type = dict(df.dtypes)[vec_col]
+        id_type = dict(df.dtypes)[id_col]
+        postings = df.select(id_col, vec_col).mapInPandas(
+            assign, schema=f"{id_col} {id_type}, {vec_col} {vec_type}, list int"
+        )
+    elif coarse == "kmeans":
+        centroids = _train_centroids(
+            df, vec_col, n_centroids, seed=seed, id_col=id_col
+        )
+        dim = int(centroids.shape[1])
+        cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+        spark.createDataFrame(
+            cent_rows, "list int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+        postings = _ivf_assign_expr(
+            df.select(id_col, vec_col), vec_col, centroids, "__lists__", 1
+        ).select(
+            id_col, vec_col, F.element_at("__lists__", 1).alias("list")
+        )
+    else:
+        raise ValueError(f"coarse must be 'md5' or 'kmeans', got {coarse!r}")
+    postings.write.mode("overwrite").partitionBy("list").parquet(
+        f"{index_path}/postings"
+    )
+    spark.createDataFrame(
+        [(coarse, int(n_centroids), int(dim), id_col, vec_col)],
+        "coarse string, n_centroids int, dim int, id_col string, vec_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def ivf_topk_persisted(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Load-and-probe against a :func:`build_ivf_index` store: query-side
+    coarse assignment picks each query's ``n_probe`` lists, the union of
+    needed lists becomes a LITERAL ``IN`` filter on the postings' partition
+    column (static partition pruning — only n_probe/n_centroids of the
+    index files are even listed), and candidates score with the flavor's
+    own arithmetic, so the output is bit-identical to the corresponding
+    build-and-probe path (``ivf_topk_md5`` / ``ivf_topk``)."""
+    import pandas as pd
+
+    _guard_query_rows(queries, max_query_rows, "ivf_topk_persisted")
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    postings = spark.read.parquet(f"{index_path}/postings")
+    id_col, vec_col = meta.id_col, meta.vec_col
+    n_centroids, dim = int(meta.n_centroids), int(meta.dim)
+    q_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(postings.dtypes)[id_col]
+    kk = int(k)
+
+    if meta.coarse == "md5":
+        coarse_mat = np.asarray(
+            pq_md5_sign_codebooks(1, n_centroids, dim, "ivfpq_coarse")[0]
+        )
+        qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+        qids = qpdf[query_id_col].to_numpy()
+        qmat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in qpdf[query_vec_col]]
+        )
+        if len(qmat) and qmat.shape[1] != dim:
+            raise ValueError(f"query dim {qmat.shape[1]} != index dim {dim}")
+        qn = qmat / _fold_norm_rows(qmat)[:, None] if len(qmat) else qmat
+        qdots = (
+            _fold_subspace_dots(qn, coarse_mat, 0)
+            if len(qn)
+            else np.zeros((0, n_centroids))
+        )
+        probes = (
+            np.stack(
+                [
+                    np.lexsort((np.arange(n_centroids), -qdots[i]))[:n_probe]
+                    for i in range(len(qn))
+                ]
+            )
+            if len(qn)
+            else np.zeros((0, n_probe), dtype=np.int64)
+        )
+        needed = sorted({int(x) for row in probes for x in row})
+        pruned = postings.filter(F.col("list").isin(needed)) if needed else postings.limit(0)
+        bcast = spark.sparkContext.broadcast((qids, probes, qn))
+
+        def scan(batches):
+            ids_q, prb, qnorm = bcast.value
+            for batch in batches:
+                if not len(batch):
+                    continue
+                vids = batch[id_col].to_numpy()
+                lists = batch["list"].to_numpy()
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+                )
+                normed = mat / _fold_norm_rows(mat)[:, None]
+                out_q, out_v, out_s = [], [], []
+                for qi in range(len(ids_q)):
+                    mask = np.isin(lists, prb[qi])
+                    if not mask.any():
+                        continue
+                    midx = np.nonzero(mask)[0]
+                    acc = np.zeros(len(midx))
+                    sub = normed[midx]
+                    for t in range(dim):
+                        acc = acc + sub[:, t] * qnorm[qi][t]
+                    scores = np.round(acc, 6)
+                    top = np.lexsort((vids[midx], -scores))[: min(kk, len(midx))]
+                    out_q.extend([ids_q[qi]] * len(top))
+                    out_v.extend(vids[midx[top]])
+                    out_s.extend(scores[top])
+                yield pd.DataFrame(
+                    {query_id_col: out_q, id_col: out_v, "cosine": out_s}
+                )
+
+        candidates = pruned.select(id_col, vec_col, "list").mapInPandas(
+            scan,
+            schema=f"{query_id_col} {q_type}, {id_col} {id_type}, cosine double",
+        )
+    elif meta.coarse == "kmeans":
+        cent = (
+            spark.read.parquet(f"{index_path}/centroids")
+            .orderBy("list")
+            .collect()
+        )
+        centroids = np.asarray([r.centroid for r in cent], dtype=np.float64)
+        probe_df = _ivf_assign_expr(
+            queries.select(query_id_col, query_vec_col),
+            query_vec_col,
+            centroids,
+            "__lists__",
+            n_probe,
+        ).select(
+            query_id_col, query_vec_col, F.explode("__lists__").alias("list")
+        )
+        # ≤ n_centroids values (driver-bounded by MAX_DRIVER_CENTROIDS)
+        needed = sorted(
+            r["list"] for r in probe_df.select("list").distinct().collect()
+        )
+        pruned = postings.filter(F.col("list").isin(needed)) if needed else postings.limit(0)
+        pairs = pruned.join(F.broadcast(probe_df), "list").select(
+            F.col(query_id_col).alias("id1"),
+            F.col(id_col).alias("id2"),
+            F.col(query_vec_col).alias("__v1__"),
+            F.col(vec_col).alias("__v2__"),
+        )
+        candidates = _score_candidate_pairs(
+            pairs, f"id1 {q_type}, id2 {id_type}, cosine double"
+        ).select(
+            F.col("id1").alias(query_id_col), F.col("id2").alias(id_col), "cosine"
+        )
+    else:
+        raise ValueError(f"unknown coarse kind {meta.coarse!r} in {index_path}")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def ivf_pq_topk_md5(
     df: DataFrame,
     queries: DataFrame,

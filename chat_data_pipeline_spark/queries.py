@@ -5843,6 +5843,60 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(ev, "user_id", top_n=25)
 
 
+@_register(
+    "ann_topk_ivf_persisted",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nv AS (SELECT vec_id, {_NORMALIZE_SQL} AS v FROM e),
+    cdots AS (SELECT vec_id, v, {_IVFPQ_CD} AS cd FROM nv),
+    assigned AS (SELECT vec_id, v, list_position(cd, list_max(cd)) - 1 AS list
+                 FROM cdots),
+    qd AS (SELECT vec_id AS query_id, v, cd FROM cdots WHERE vec_id < 8),
+    probes AS (
+      SELECT query_id, v, idx - 1 AS list,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cd[idx] DESC, idx ASC) AS pr
+      FROM qd CROSS JOIN (SELECT unnest(range(1, 17)) AS idx) t
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id, round({_NORMED_DOT_SQL}, 6) AS cosine
+      FROM assigned c JOIN (SELECT * FROM probes WHERE pr <= 4) p ON p.list = c.list
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    "persisted-IVF top-10 (r12): the index BUILDS once (md5 coarse "
+    "assignment, postings parquet PARTITIONED BY inverted list, "
+    "overwrite-idempotent — the sketch-store posture applied to ANN), then "
+    "the probe LOADS it, prunes to the 4 probed lists at the file listing "
+    "(a literal IN on the partition column: n_probe/n_centroids of the "
+    "index files are even touched), and scores with the twin's fold "
+    "cosine — so load-and-probe replays the build-and-probe oracle "
+    "bit-for-bit; the 100 TB posture is build once, serve many probe "
+    "batches",
+)
+def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"cdp_ivf_index_{tag}")
+    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
+    out = SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================

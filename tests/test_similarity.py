@@ -625,3 +625,89 @@ def test_ivf_assign_expr_empty_batch_safe(spark, emb):
     cent = SIM._train_centroids(emb.limit(50), "embedding", 4)
     empty = emb.filter(F.col("vec_id") < 0)  # 0 rows, real schema
     assert SIM._ivf_assign_expr(empty, "embedding", cent, "__lists__", 1).count() == 0
+
+
+# --- persisted IVF index (r12) ----------------------------------------------
+
+
+def test_ivf_persisted_md5_matches_build_and_probe(spark, emb, queries, tmp_path):
+    """Load-and-probe over the persisted index is bit-identical to the
+    self-contained oracle twin (same coarse assignment, fold cosine, and
+    rank tie-break arithmetic end to end)."""
+    idx = str(tmp_path / "ivf_md5")
+    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
+    want = sorted(
+        map(tuple, SIM.ivf_topk_md5(emb, queries, k=10, n_centroids=16, n_probe=4).collect())
+    )
+    got = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ivf_persisted_kmeans_matches_build_and_probe(spark, emb, queries, tmp_path):
+    """The kmeans flavor round-trips its trained centroids through parquet
+    (array<double> is exact) and reproduces ivf_topk byte-for-byte."""
+    idx = str(tmp_path / "ivf_km")
+    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="kmeans", seed=42)
+    want = sorted(
+        map(
+            tuple,
+            SIM.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=3, seed=42).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=3).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ivf_persisted_rebuild_is_idempotent(spark, emb, queries, tmp_path):
+    """A replayed build (foreachBatch-retry posture, the sketch-store
+    discipline) overwrites every artifact in place: the index serves the
+    same answers and the postings tree holds ONE hive layout, not a
+    double-append."""
+    idx = str(tmp_path / "ivf_twice")
+    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
+    first = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    )
+    n_rows_first = spark.read.parquet(f"{idx}/postings").count()
+    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
+    second = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    )
+    assert second == first
+    assert spark.read.parquet(f"{idx}/postings").count() == n_rows_first
+
+
+def test_ivf_persisted_probe_prunes_partitions(spark, emb, queries, tmp_path):
+    """The probe's literal IN filter on the partition column must prune at
+    the file LISTING: the pruned scan reads only the probed lists'
+    directories — the n_probe/n_centroids scan fraction that makes a
+    persisted index worth building at 100 TB."""
+    import glob
+    import os
+
+    idx = str(tmp_path / "ivf_prune")
+    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
+    postings = spark.read.parquet(f"{idx}/postings")
+    pruned = postings.filter(F.col("list").isin([0, 1, 2, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    assert "PartitionFilters: [list#" in scan  # partition-level, and
+    assert "DataFilters: []" in scan  # nothing left for row-level filtering
+    kept = pruned.count()
+    assert 0 < kept < postings.count()
+
+    # decisive end-to-end proof: corrupt every data file OUTSIDE the probed
+    # lists — the pruned scan must never open them, a full scan must fail
+    for f in glob.glob(f"{idx}/postings/list=*/part-*"):
+        if f.split("/list=")[1].split("/")[0] not in {"0", "1", "2", "3"}:
+            with open(f, "wb") as fh:
+                fh.write(b"not parquet")
+    fresh = spark.read.parquet(f"{idx}/postings")
+    assert fresh.filter(F.col("list").isin([0, 1, 2, 3])).count() == kept
+    with pytest.raises(Exception):
+        fresh.count()
+    assert os.path.isdir(f"{idx}/meta")
