@@ -68,3 +68,119 @@ def classifier_keep(
 ) -> Column:
     """Keep predicate: linear score >= threshold."""
     return linear_score(col, weights, bias) >= F.lit(float(threshold))
+
+
+# --- fixed-point trainer (r12) ----------------------------------------------
+# linear_score/classifier_keep APPLY a model; a real curation pipeline FITS
+# one on labeled seed data first.  This is that trainer, built on the BPE-
+# trainer playbook (driver-paced fixed rounds over ONE map-side-combined
+# aggregation each) with every number a BIGINT so the whole R-round
+# recurrence value-hashes against an unrolled-CTE DuckDB oracle:
+#
+#   features  binary hashed bag-of-words — the doc's DISTINCT md5 buckets
+#   model     weight[bucket] in integer micro-units, w0 = 0
+#   forward   pred_d = Σ_{b ∈ d} w[b]           (exact integer sum)
+#   loss      squared error against y_d ∈ {0, SCALE}
+#   round     g_b = Σ_{d ∋ b} (pred_d - y_d);  w_b -= trunc(g_b / lr_den)
+#
+# Integer sums commute exactly, so no summation-order ULPs anywhere (the
+# reason the float-EM unigram trainer CANNOT have this oracle); division
+# appears only in the driver-side update and TRUNCATES toward zero — the
+# semantics DuckDB's // operator actually has (it is NOT Python floor
+# division: -7 // 2 is -3 in DuckDB, -4 in Python).
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncation-toward-zero integer division (DuckDB // / Spark div
+    semantics; Python's // floors, which differs on negative numerators)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def doc_bucket_features(col: Column, n_buckets: int) -> Column:
+    """The trainer's feature extractor: sorted DISTINCT md5 buckets of the
+    doc's word tokens (binary hashed bag-of-words).  NULL text → no
+    features."""
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.coalesce(T.words(col), F.array().cast("array<string>")),
+                lambda t: token_bucket(t, n_buckets),
+            )
+        )
+    )
+
+
+def fixed_point_score(buckets: Column, weights: list[int]) -> Column:
+    """pred = Σ_{b ∈ buckets} weight[b] as an exact BIGINT fold — the
+    forward pass of the fixed-point model (inference stays a native Column
+    fold, the module's posture)."""
+    warr = F.lit([int(w) for w in weights])
+    return F.aggregate(
+        buckets,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(warr, b + F.lit(1)).cast("long"),
+    )
+
+
+def train_linear_classifier_fixed_point(
+    df: DataFrame,
+    text_col: str,
+    label_col: Column,
+    n_buckets: int = 256,
+    rounds: int = 4,
+    scale: int = 1_000_000,
+    lr_den_mult: int | None = None,
+) -> list[int]:
+    """Distributed full-batch gradient descent, driver-paced over ``rounds``
+    fixed rounds.  ``label_col`` is a 0/1 integer expression (the labeled
+    seed signal — e.g. "is this doc from the trusted source").
+
+    The default step divides the gradient by ``4 · n_buckets · n_docs``:
+    with binary features every doc activates ≤ n_buckets buckets, so
+    λmax(XᵀX) ≤ n_docs · n_buckets and the effective step η·λmax ≤ 1/4 —
+    PROVABLY stable on any corpus (a fixed small denominator like 8·n_docs
+    oscillates the moment docs average more than ~16 active buckets).
+    Override ``lr_den_mult`` (the multiplier on n_docs) to trade rounds for
+    step size when the corpus is known.
+
+    Scale shape: the (y, buckets) feature table is computed ONCE and
+    localCheckpointed (docs-sized, narrow — the raw text never enters the
+    loop); each round is ONE map-side-combined aggregation over it (explode
+    to (doc-err × bucket), partial sums combine per executor, ≤ n_buckets
+    rows reach the driver) plus an O(n_buckets) driver update with the
+    current weights riding the plan as a literal array.  Nothing
+    corpus-sized ever ships to the driver, and rounds are driver-paced like
+    the BPE trainer's merge loop.
+
+    Returns the trained ``n_buckets`` weights (integer micro-units).
+    """
+    from pyspark.sql import DataFrame as _DF  # noqa: F401  (doc parity)
+
+    feats = (
+        df.select(
+            (label_col.cast("long") * int(scale)).alias("__y__"),
+            doc_bucket_features(F.col(text_col), n_buckets).alias("__b__"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_docs = feats.count()
+    if lr_den_mult is None:
+        lr_den_mult = 4 * int(n_buckets)
+    lr_den = max(1, int(n_docs)) * int(lr_den_mult)
+    weights = [0] * n_buckets
+    for _ in range(int(rounds)):
+        err = (fixed_point_score(F.col("__b__"), weights) - F.col("__y__")).alias(
+            "__e__"
+        )
+        grad_rows = (
+            feats.select(err, F.explode("__b__").alias("__bk__"))
+            .groupBy("__bk__")
+            .agg(F.sum("__e__").alias("__g__"))
+            .collect()
+        )
+        grad = {r["__bk__"]: int(r["__g__"]) for r in grad_rows}
+        weights = [
+            w - _trunc_div(grad.get(b, 0), lr_den) for b, w in enumerate(weights)
+        ]
+    return weights

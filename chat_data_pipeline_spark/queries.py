@@ -3556,6 +3556,129 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- fixed-point classifier TRAINER (r12) ------------------------------------
+# The unrolled-CTE trainer-oracle playbook (the BPE trainer's discipline):
+# each driver-paced gradient round becomes one pred -> err -> g -> w CTE
+# block; integer sums commute exactly and the only division (the weight
+# update) is DuckDB's trunc-toward-zero //, mirrored by the engine's
+# _trunc_div.  Labels: lang = 'en' (the SQL-derivable seed signal).
+
+_CLS_TRAIN_ROUNDS = 4
+_CLS_TRAIN_BUCKETS = 256
+
+
+def _cls_train_sql(rounds: int, n_buckets: int, final: str) -> str:
+    """``final='weights'`` returns the trained (bucket, weight) table;
+    ``final='scores'`` the per-doc trained forward pass."""
+    parts = [
+        f"""
+    WITH tok AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             try_cast('0x' || substr(md5(tk), 1, 2) AS INTEGER) % {n_buckets} AS b
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+')) AS tk
+            FROM documents)
+    ), lab AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y
+      FROM documents
+    ), lrc AS (SELECT 4 * {n_buckets} * COUNT(*) AS lr FROM documents),
+    w0 AS (SELECT unnest(range(0, {n_buckets})) AS b, CAST(0 AS BIGINT) AS w)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    pred{r} AS MATERIALIZED (
+      SELECT t.doc_id, SUM(w.w) AS p FROM tok t JOIN w{r - 1} w USING (b)
+      GROUP BY t.doc_id
+    ), err{r} AS MATERIALIZED (
+      SELECT l.doc_id, COALESCE(p.p, 0) - l.y AS e
+      FROM lab l LEFT JOIN pred{r} p USING (doc_id)
+    ), g{r} AS MATERIALIZED (
+      SELECT t.b, SUM(e.e) AS g FROM tok t JOIN err{r} e USING (doc_id)
+      GROUP BY t.b
+    ), w{r} AS MATERIALIZED (
+      SELECT w.b, w.w - COALESCE(g.g, 0) // (SELECT lr FROM lrc) AS w
+      FROM w{r - 1} w LEFT JOIN g{r} g USING (b)
+    )"""
+        )
+    if final == "weights":
+        parts.append(
+            f"""
+    SELECT CAST(b AS INT) AS bucket, CAST(w AS BIGINT) AS weight
+    FROM w{rounds} ORDER BY bucket"""
+        )
+    else:
+        parts.append(
+            f""",
+    predF AS (
+      SELECT t.doc_id, SUM(w.w) AS p FROM tok t JOIN w{rounds} w USING (b)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(p.p, 0) AS BIGINT) AS cls_pred
+    FROM documents d LEFT JOIN predF p USING (doc_id)"""
+        )
+    return "".join(parts)
+
+
+def _cls_train_label() -> "F.Column":
+    return F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+
+
+def _cls_train_weights(spark: SparkSession, sf_dir: str) -> list[int]:
+    from chat_data_pipeline_spark.functions import scoring as SC
+
+    docs = _read(spark, sf_dir, "documents")
+    return SC.train_linear_classifier_fixed_point(
+        docs,
+        "text",
+        _cls_train_label(),
+        n_buckets=_CLS_TRAIN_BUCKETS,
+        rounds=_CLS_TRAIN_ROUNDS,
+    )
+
+
+@_register(
+    "quality_classifier_train",
+    _cls_train_sql(_CLS_TRAIN_ROUNDS, _CLS_TRAIN_BUCKETS, "weights"),
+    "fixed-point quality-classifier TRAINER (r12): full-batch gradient "
+    "descent over binary hashed bag-of-words features, 4 driver-paced "
+    "rounds of ONE map-side-combined aggregation each (raw text leaves the "
+    "loop after the checkpointed feature pass; <= n_buckets rows ever "
+    "reach the driver) — every quantity BIGINT so the whole recurrence "
+    "value-hashes against the unrolled-CTE oracle, the float-free "
+    "counterpart of fitting the fastText-style gate the scores query "
+    "applies",
+)
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weights = _cls_train_weights(spark, sf_dir)
+    return spark.createDataFrame(
+        [(b, int(w)) for b, w in enumerate(weights)], "bucket int, weight long"
+    )
+
+
+@_register(
+    "quality_classifier_train_scores",
+    _cls_train_sql(_CLS_TRAIN_ROUNDS, _CLS_TRAIN_BUCKETS, "scores"),
+    "trained-model inference (r12): the fixed-point forward pass "
+    "pred = SUM of trained bucket weights over each doc's distinct md5 "
+    "buckets, with the weights riding the scan as a literal array — "
+    "exact-integer scoring at read speed, consuming "
+    "quality_classifier_train's table",
+)
+def quality_classifier_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.functions import scoring as SC
+
+    weights = _cls_train_weights(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        SC.fixed_point_score(
+            SC.doc_bucket_features(F.col("text"), _CLS_TRAIN_BUCKETS), weights
+        ).alias("cls_pred"),
+    )
+
+
 # ===========================================================================
 # Corpus-wide paragraph dedup (operators/span_dedup.py)
 # ===========================================================================

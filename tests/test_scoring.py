@@ -256,3 +256,84 @@ def test_mix_manifest_null_group_excluded(spark):
     man = mix_manifest(df, 100, "tok", "prio", "id", "g").collect()
     assert {r.g for r in man} == {"en"}
     assert man[0].token_budget == 100  # the whole budget, not a wasted half
+
+
+# --- fixed-point trainer (r12) ----------------------------------------------
+
+
+def test_trunc_div_matches_duckdb_semantics():
+    import duckdb
+
+    from chat_data_pipeline_spark.functions.scoring import _trunc_div
+
+    cases = [(-7, 2), (7, 2), (-7, -2), (7, -2), (-1, 3), (0, 5), (10**12 + 7, 9)]
+    got = [_trunc_div(a, b) for a, b in cases]
+    want = [
+        duckdb.sql(f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)").fetchone()[0]
+        for a, b in cases
+    ]
+    assert got == want
+
+
+def _sep_corpus(spark, n=120):
+    # two disjoint vocabularies: class-1 docs speak aaa*, class-0 docs bbb*
+    rows = [
+        (i, i % 2, " ".join(f"{'aaa' if i % 2 else 'bbb'}{(i + j) % 9}" for j in range(12)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, label int, text string")
+
+
+def test_trainer_learns_a_separable_corpus(spark):
+    """On disjoint vocabularies the fixed-point GD must actually separate:
+    class-1 docs score far above class-0 docs, and predictions move toward
+    the label scale rather than oscillating (the stability bound at work)."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.functions import scoring as SC
+
+    df = _sep_corpus(spark)
+    w = SC.train_linear_classifier_fixed_point(
+        df, "text", F.col("label"), n_buckets=64, rounds=12
+    )
+    scored = df.select(
+        "label",
+        SC.fixed_point_score(SC.doc_bucket_features(F.col("text"), 64), w).alias("p"),
+    )
+    avg = {r.label: r.a for r in scored.groupBy("label").agg(F.avg("p").alias("a")).collect()}
+    assert avg[1] > 4 * max(avg[0], 1)  # clear separation
+    assert 0 < avg[1] < 1_000_000  # converging toward scale, not past it
+    assert abs(avg[0]) < 100_000
+
+
+def test_trainer_deterministic_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.functions import scoring as SC
+
+    df = _sep_corpus(spark, n=60)
+    w1 = SC.train_linear_classifier_fixed_point(
+        df, "text", F.col("label"), n_buckets=32, rounds=4
+    )
+    w2 = SC.train_linear_classifier_fixed_point(
+        df.repartition(7), "text", F.col("label"), n_buckets=32, rounds=4
+    )
+    assert w1 == w2
+    assert any(w != 0 for w in w1)
+
+
+def test_fixed_point_score_null_and_empty_text(spark):
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.functions import scoring as SC
+
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "hello")], "id long, text string")
+    out = df.select(
+        "id",
+        SC.fixed_point_score(
+            SC.doc_bucket_features(F.col("text"), 16), list(range(16))
+        ).alias("p"),
+    ).collect()
+    by_id = {r.id: r.p for r in out}
+    assert by_id[1] == 0 and by_id[2] == 0
+    assert by_id[3] != 0
