@@ -294,6 +294,86 @@ def hll_distinct(
     )
 
 
+def key_hll_registers(df: DataFrame, key_col: str, tag: str | None = None) -> DataFrame:
+    """``(bucket, r, n)`` — HLL registers over a KEY column plus the
+    per-bucket ROW count, the bounded-state ingredients of an approximate
+    duplicate rate: ``Σ n`` is the exact total and the registers estimate
+    the distinct keys.  ONE aggregation (max and count are both map-side
+    combinable), ≤ 512 rows of state whatever the key cardinality, so the
+    same code maintains a LIVE table in streaming complete mode
+    (``streaming/pipeline.streaming_uniqueness_registers``); tables merge
+    by bucket-wise (max r, sum n).
+
+    NULL keys hash as a sentinel token: they occupy one register and count
+    in ``n`` like any other repeated key (the exact ``uniqueness_report``
+    counts EVERY NULL row as a violation; the sketch's n − distinct flavor
+    counts all but one — within-noise at sketch accuracy, and documented)."""
+    h = F.md5(
+        F.concat(
+            F.lit(tag or f"uniq:{key_col}"),
+            F.lit(SEP),
+            F.coalesce(F.col(key_col).cast("string"), F.lit("\x00<null-key>")),
+        )
+    )
+    hashed = df.select(
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % HLL_M).alias("bucket"),
+        _hll_rho(F.substring(h, 9, 13)).alias("rho"),
+    )
+    return hashed.groupBy("bucket").agg(
+        F.max("rho").alias("r"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def uniqueness_approx_report(registers: DataFrame, key_col: str = "key") -> DataFrame:
+    """One-row approximate duplicate-rate report from a
+    :func:`key_hll_registers` table (live or batch): ``(rule, n_rows,
+    est_distinct, est_duplicate_rows, dup_rate_nanos)``.
+
+    The raw-HLL estimate (same integer harmonic-numerator arithmetic as
+    :func:`hll_distinct`) stands in for the COUNT DISTINCT that the exact
+    ``uniqueness_report`` cannot afford as unbounded streaming state;
+    ``est_duplicate_rows = max(0, n_rows − est_distinct)`` is the
+    "every duplicate beyond the first" count — a lower-bound flavor of the
+    exact report's Σc-over-duplicated-groups — and the rate lands in the
+    report family's integer nanos.  Accuracy is raw HLL's: ~1.04/√512
+    (≈4.6%) away from the tiny-cardinality regime; the stream≡batch
+    differential in tests pins the live table to the batch arithmetic
+    exactly and the estimate to the exact count within that band.  The
+    512-row input makes this a driver-cheap batch computation over the
+    emitted table — run it per trigger on the sink, not inside the stream."""
+    pow_term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_BITS + 1} - r)")
+    agg = registers.agg(
+        F.count("*").alias("present"),
+        F.coalesce(F.sum(pow_term), F.lit(0).cast("long")).alias("sumpow"),
+        F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n_rows"),
+    )
+    full = F.lit(1 << (_HLL_RHO_BITS + 1)).cast("long")
+    numerator = F.col("sumpow") + (F.lit(HLL_M) - F.col("present")) * full
+    est = F.when(
+        F.col("n_rows") > 0,
+        F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << (_HLL_RHO_BITS + 1)))
+        / numerator.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.lit(f"{key_col}_unique_approx").alias("rule"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        est.alias("est_distinct"),
+        F.greatest(
+            F.round(F.col("n_rows") - est).cast("long"), F.lit(0).cast("long")
+        ).alias("est_duplicate_rows"),
+        F.coalesce(
+            F.round(
+                F.try_divide(
+                    F.lit(1e9)
+                    * F.greatest(F.col("n_rows") - est, F.lit(0.0)),
+                    F.col("n_rows").cast("double"),
+                )
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("dup_rate_nanos"),
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     column: str = "text",

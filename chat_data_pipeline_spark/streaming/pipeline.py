@@ -511,12 +511,33 @@ def streaming_quality_report(stream: DataFrame, rules: dict) -> DataFrame:
     starts producing NULL bodies or inconsistent metadata moves
     ``violation_nanos`` on the next trigger instead of surfacing days later
     in a batch audit.  (The ``uniqueness_report`` companion deliberately has
-    NO streaming twin: per-key counts grow with key cardinality — unbounded
-    state — exactly what the sketch family exists to avoid; dedup a stream
-    with ``dropDuplicatesWithinWatermark`` instead.)"""
+    NO EXACT streaming twin: per-key counts grow with key cardinality —
+    unbounded state — exactly what the sketch family exists to avoid; dedup
+    a stream with ``dropDuplicatesWithinWatermark`` instead.  Since r12 the
+    gate's uniqueness gap closes APPROXIMATELY via
+    :func:`streaming_uniqueness_registers` — bounded HLL state, estimated
+    duplicate rate per trigger.)"""
     from chat_data_pipeline_spark.operators.diagnostics import data_quality_report
 
     return data_quality_report(stream, rules)
+
+
+def streaming_uniqueness_registers(stream: DataFrame, key_col: str) -> DataFrame:
+    """Continuously-maintained APPROXIMATE duplicate-rate state — the
+    bounded-state answer to the one rule the live quality gate had to
+    exclude (exact uniqueness needs per-key counts, unbounded state).
+
+    State is ≤ 512 ``(bucket, r, n)`` rows whatever the key cardinality
+    (max and count are both map-side combinable; ``complete`` mode re-emits
+    the exact batch-equal register table every trigger — asserted
+    stream≡batch in tests).  Feed each trigger's emitted table to the batch
+    ``uniqueness_approx_report`` for ``(n_rows, est_distinct,
+    est_duplicate_rows, dup_rate_nanos)`` — a deploy that starts
+    double-delivering events moves the rate on the next trigger, within
+    raw HLL's documented ~1.04/√512 accuracy, at zero state growth."""
+    from chat_data_pipeline_spark.operators.sketches import key_hll_registers
+
+    return key_hll_registers(stream, key_col)
 
 
 FUNNEL_SCHEMA = (

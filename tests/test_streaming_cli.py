@@ -971,3 +971,92 @@ def test_write_table_file_sizing_controls(spark, tmp_path):
         assert 1 <= len(files) <= 2, val
     back = spark.read.parquet(parts)
     assert back.count() == 1000 and set(back.columns) == {"id", "parity"}
+
+
+def test_streaming_uniqueness_registers_equal_batch(spark, tmp_path, events_dir):
+    """The live approximate-uniqueness state is bucket-for-bucket EQUAL to
+    the batch key_hll_registers over the same rows (same md5 bucket/rho and
+    counts), with bounded (<= 512 rows) state — the r12 closure of the live
+    quality gate's deliberately-excluded uniqueness rule."""
+    from chat_data_pipeline_spark.operators.sketches import key_hll_registers
+    from chat_data_pipeline_spark.queries import _read_events
+    from chat_data_pipeline_spark.streaming import (
+        read_events_stream,
+        streaming_uniqueness_registers,
+    )
+
+    batch = _read_events(spark, SF_DIR)
+    want = {r.bucket: (r.r, r.n) for r in key_hll_registers(batch, "user_id").collect()}
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        streaming_uniqueness_registers(stream, "user_id")
+        .writeStream.format("memory")
+        .queryName("uniq_live")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_uniq"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.bucket: (r.r, r.n)
+            for r in spark.sql("select * from uniq_live").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
+    assert len(got) <= 512
+
+
+def test_uniqueness_approx_tracks_exact_report_within_sketch_error(spark):
+    """On a corpus big enough to leave raw HLL's tiny-cardinality regime,
+    the approximate report's figures track uniqueness_report's exact ones:
+    n_rows exactly, the distinct estimate and duplicate rate within the
+    documented ~1.04/sqrt(512) (~4.6%, tested at 3x slack) band."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators.diagnostics import uniqueness_report
+    from chat_data_pipeline_spark.operators.sketches import (
+        key_hll_registers,
+        uniqueness_approx_report,
+    )
+
+    # 40k distinct keys; keys divisible by 4 appear twice -> 50k rows,
+    # exact duplicate rows (n - distinct) = 10k, dup rate 0.2
+    base = spark.range(40_000).select(F.col("id").alias("k"))
+    dups = base.filter(F.col("k") % 4 == 0)
+    df = base.unionAll(dups)
+
+    approx = uniqueness_approx_report(key_hll_registers(df, "k"), "k").collect()[0]
+    exact = uniqueness_report(df, "k").collect()[0]
+
+    n_exact_distinct = 40_000
+    assert approx.n_rows == exact.n_rows == 50_000
+    rel = abs(approx.est_distinct - n_exact_distinct) / n_exact_distinct
+    assert rel < 0.14, rel  # 3x the 4.6% rsd
+    # duplicate-rows estimate within the same band of the exact 10k
+    assert abs(approx.est_duplicate_rows - 10_000) < 0.14 * n_exact_distinct
+    assert 0 < approx.dup_rate_nanos < 1_000_000_000
+
+
+def test_uniqueness_approx_empty_and_null_keys(spark):
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators.sketches import (
+        key_hll_registers,
+        uniqueness_approx_report,
+    )
+
+    empty = spark.createDataFrame([], "k long")
+    r = uniqueness_approx_report(key_hll_registers(empty, "k"), "k").collect()[0]
+    assert (r.n_rows, r.est_distinct, r.est_duplicate_rows, r.dup_rate_nanos) == (
+        0,
+        0.0,
+        0,
+        0,
+    )
+    # NULL keys occupy one register and count as rows
+    nulls = spark.createDataFrame([(None,), (None,), (1,)], "k int")
+    r = uniqueness_approx_report(key_hll_registers(nulls, "k"), "k").collect()[0]
+    assert r.n_rows == 3
