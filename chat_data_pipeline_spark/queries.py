@@ -6611,6 +6611,97 @@ _WINDOW_TAIL.append("dedup_soft_weights")
 # soft_weights / split_leakage_audit in-window).
 _WINDOW_TAIL.remove("unigram_encode_corpus")
 _WINDOW_TAIL.append("dedup_cluster_histogram")
+# ---------------------------------------------------------------------------
+# round-12 staleness rotation — executes the standing queue documented in
+# README (rotation-policy rule 3): the 10 tail rows last driver-hash-
+# verified in round 4, then the FULL round-5 band (14 rows).  Removing them
+# from the tail restores their original early registration positions inside
+# the first-50 driver window.
+for _name in (
+    # the r4 band:
+    "conversation_pairs",
+    "dedup_exact",
+    "events_asof_view",
+    "filter_ethics",
+    "filter_stats_describe",
+    "multimodal_features",
+    "q13_order_count_distribution",
+    "q16_supplier_part_counts",
+    "shuffle_hash_sample",
+    "union_provenance",
+    # the r5 band:
+    "chunk_documents_windows",
+    "conversation_chatml",
+    "decontaminate_report",
+    "docs_fix_mojibake",
+    "docs_redact_pii",
+    "domain_doc_counts",
+    "edit_pairs_concat",
+    "events_moving_average",
+    "filter_completion",
+    "multimodal_frame_sample",
+    "sample_grouped_users",
+    "sample_proportional_mix",
+    "split_by_filter",
+    "split_train_val_test",
+):
+    _WINDOW_TAIL.remove(_name)
+# round-12 rule-2 re-admission: quality_classifier_scores rides
+# functions/scoring.py, which this round extends with the fixed-point
+# trainer — the scorer's own region (token_bucket/linear_score) is
+# byte-unchanged, but the module moved, so the r7-green row re-earns a
+# driver hash alongside the two NEW trainer queries.
+_WINDOW_TAIL.remove("quality_classifier_scores")
+# Rotated OUT to make room (25 re-admissions + 3 NEW r12 registrations —
+# ann_topk_ivf_persisted, quality_classifier_train,
+# quality_classifier_train_scores — which sit in the window by
+# registration): 28 rows, each hash-green in CORRECTNESS_r11 with its
+# implementing region untouched by round 12 (r12 touches
+# operators/dedup.py's banding_calibration region ONLY — that row stays
+# in-window — operators/conversation.py's structure-report region (stays
+# in-window), plans/pipeline.py's warning scope (both preset pipelines
+# stay in-window), operators/similarity.py and operators/sketches.py by
+# APPEND only, functions/scoring.py by append (all three scoring rows
+# in-window), and sources/io.py's write_table (union_provenance rotates
+# IN above)).  Family coverage stays in-window: relational keeps q9 +
+# q13/q16 + the asof/moving-average windows + customers_without_orders'
+# anti-join twin via q16's semi-join and dedup_exact's keyed aggs;
+# events keeps asof/moving_average/key_skew/funnel-in-tail-rotation
+# coverage via the re-admitted rows; cleaners keep docs_fix_mojibake +
+# docs_redact_pii + both presets' C2/C3 chains; filters keep
+# ethics/completion/stats_describe/truncation-in-presets + gender via
+# lifecycle; BPE/unigram coverage continues every round in the
+# full-registry parity sweep and the trainer-differential pytests.
+_WINDOW_TAIL += [
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "orders_rollup",
+    "customers_without_orders",
+    "lineitem_unpivot_measures",
+    "events_type_cube",
+    "events_grouping_sets",
+    "events_value_quantiles",
+    "events_sessionize_batch",
+    "events_error_context",
+    "events_top_users",
+    "events_json_extract",
+    "token_counts",
+    "quality_scores",
+    "doc_fingerprints",
+    "docs_remove_empty_lines",
+    "bpe_encode_corpus",
+    "bpe_fertility_by_lang",
+    "bpe_first_merge",
+    "bpe_merges_corpus",
+    "unigram_encode_corpus",
+    "filter_repetition",
+    "sample_weighted_chars",
+    "corpus_source_similarity",
+]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name
