@@ -125,6 +125,10 @@ BENCH_QUERIES = [
     "docs_quality_gate",
     "conversation_structure",
     "corpus_drift",
+    # round-12 additions
+    "ann_topk_ivf_persisted",
+    "quality_classifier_train",
+    "quality_classifier_train_scores",
 ]
 
 

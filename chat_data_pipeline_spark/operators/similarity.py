@@ -1458,9 +1458,13 @@ def build_ivf_index(
         )
         dim = int(centroids.shape[1])
         cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+        # repartition(1), NOT coalesce(1): coalesce over a driver-parallelized
+        # frame computes all defaultParallelism pickled partitions serially in
+        # ONE task (~130 ms of Python-worker round-trip each — measured ~4 s
+        # of pure overhead on local[32])
         spark.createDataFrame(
             cent_rows, "list int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+        ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
         postings = _ivf_assign_expr(
             df.select(id_col, vec_col), vec_col, centroids, "__lists__", 1
         ).select(
@@ -1474,7 +1478,7 @@ def build_ivf_index(
     spark.createDataFrame(
         [(coarse, int(n_centroids), int(dim), id_col, vec_col)],
         "coarse string, n_centroids int, dim int, id_col string, vec_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
 def ivf_topk_persisted(

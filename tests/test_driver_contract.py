@@ -76,57 +76,45 @@ def test_correctness_window_is_all_oracle_backed():
     )
     # queries still awaiting their first driver hash-verification + standing
     # window residents; test_correctness_window_covers_unverified_queries
-    # derives the oracle invariant dynamically from the CORRECTNESS files
+    # derives the oracle invariant dynamically from the CORRECTNESS files.
+    # (The round-11 window this set previously pinned is recorded in git
+    # history; round 12 executed the standing README queue — r4 + full r5
+    # bands — so the pinned set below IS the r12 window.)
     must_be_windowed = {
-        "pipeline_lifecycle", "dedup_semantic", "dedup_simhash_md5",
-        "sample_token_budget_scalable", "bpe_first_merge",
-        "corpus_source_similarity", "bpe_fertility_by_lang",
-        "corpus_hll_distinct", "q9_product_profit", "split_leakage_audit",
-        # round-11 rule-1 entries: the NEW events_key_skew hot-key profile
-        # displaces events_value_hist_quantiles (r10-green, sketch region
-        # untouched) and the NEW dedup_banding_calibration audit displaces
-        # dedup_keep_best (r10-green, keep-best region untouched)
-        "events_key_skew", "dedup_banding_calibration",
-        # ...and the NEW docs_quality_gate ingest-gate displaces
-        # sample_temperature_lang (r10-green, temperature region untouched
-        # by the round's weighted_sample_topk-only sampling.py change)
-        "docs_quality_gate",
-        # ...and the NEW conversation_structure QA displaces
-        # docs_ccnet_buckets (r10-green, language_model.py untouched)
-        "conversation_structure",
-        # ...and the NEW corpus_drift snapshot-composition audit displaces
-        # dedup_soft_weights (r10-green, soft-weights region untouched)
-        "corpus_drift",
-        "docs_bigram_lm", "dedup_cross_corpus_md5",
-        "embeddings_hard_negatives", "filter_repetition",
-        "multimodal_image_dedup", "dedup_simhash",
-        # round-11 staleness rotation (the r10 verdict's top item, the
-        # standing README queue executed): the 19 tail entries last
-        # hash-verified in rounds 2-3 re-earn driver hashes.  Rotated out to
-        # make room (each r10-green, implementing region untouched in r11):
-        # q1/q7/q6/q18, users_intersect, orders_running_total,
-        # events_pivot_types, docs_normalize, docs_clean_new_lines,
-        # filter_word_count/lowercase/empty/ethics_harsh,
-        # dedup_ngram_jaccard, dedup_minhash_md5, conversation_dedup,
-        # embedding_neardup_lsh_md5, ann_topk_pq_md5, ann_topk_ivfpq_md5
-        "lineitem_unpivot_measures", "events_json_extract",
-        "q3_shipping_priority", "orders_rollup", "events_top_users",
-        "q10_returned_revenue", "events_type_cube", "events_value_quantiles",
-        "events_sessionize_batch", "customers_without_orders", "token_counts",
-        "quality_scores", "q5_local_supplier_volume", "events_error_context",
-        "q4_order_priority", "q2_min_cost_supplier", "docs_remove_empty_lines",
-        "events_grouping_sets", "doc_fingerprints",
-        # round-11 changed-code queries (rotation rule 2): the encode
-        # reassembly moved to the posexplode_outer shape (bpe.py — carries
-        # bpe_encode_corpus AND the shared-path unigram_encode_corpus, which
-        # re-entered displacing dedup_cluster_histogram), the trainer
-        # re-batched to K=12 (bpe_merges_corpus + its oracle), the A-Res
-        # NULL-id draw gained the weight mix (sample_weighted_chars + its
-        # oracle), and the splitter filters' _split2 region gained the
-        # malformed-fraction warning plumbing (filter_truncation,
-        # filter_gender)
-        "bpe_encode_corpus", "bpe_merges_corpus", "unigram_encode_corpus",
-        "sample_weighted_chars", "filter_truncation", "filter_gender",
+        # round-12 rule-1 entries: the three NEW oracle-backed queries
+        "ann_topk_ivf_persisted",
+        "quality_classifier_train", "quality_classifier_train_scores",
+        # round-12 rule-2 re-admissions/holds: scoring.py gained the
+        # trainer (scores row re-enters), dedup.py's banding region gained
+        # the candidate cap, conversation.py's structure report gained the
+        # NULL/empty semantics, plans/pipeline.py's warning scope moved
+        # per-instance (both presets), sources/io.py's write_table grew
+        # sizing/validation (union_provenance, in the r4 band anyway)
+        "quality_classifier_scores", "dedup_banding_calibration",
+        "conversation_structure", "pipeline_lifecycle",
+        "pipeline_output_preset",
+        # round-12 staleness rotation rule 3 — the r4 band:
+        "conversation_pairs", "dedup_exact", "events_asof_view",
+        "filter_ethics", "filter_stats_describe", "multimodal_features",
+        "q13_order_count_distribution", "q16_supplier_part_counts",
+        "shuffle_hash_sample", "union_provenance",
+        # ...and the complete r5 band:
+        "chunk_documents_windows", "conversation_chatml",
+        "decontaminate_report", "docs_fix_mojibake", "docs_redact_pii",
+        "domain_doc_counts", "edit_pairs_concat", "events_moving_average",
+        "filter_completion", "multimodal_frame_sample",
+        "sample_grouped_users", "sample_proportional_mix", "split_by_filter",
+        "split_train_val_test",
+        # standing residents (r11-green; regions untouched or
+        # append-adjacent this round — similarity.py/sketches.py grew new
+        # functions beside these rows' code)
+        "filter_truncation", "filter_gender", "dedup_cross_corpus_md5",
+        "dedup_simhash_md5", "dedup_simhash", "ann_topk_ivf_md5",
+        "split_leakage_audit", "sample_token_budget_scalable",
+        "dedup_semantic", "dsir_select_en", "docs_bigram_lm",
+        "embeddings_hard_negatives", "multimodal_image_dedup",
+        "corpus_cms_heavy_hitters", "corpus_hll_distinct", "corpus_drift",
+        "docs_quality_gate", "events_key_skew",
     }
     assert must_be_windowed <= set(window)
 
