@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "ann_topk_ivf_persisted",
     "quality_classifier_train",
     "quality_classifier_train_scores",
+    "docs_classifier_gate",
 ]
 
 

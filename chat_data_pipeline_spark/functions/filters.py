@@ -482,6 +482,65 @@ def check_domain_blocklist_score(
     return F.size(A.blocked_urls(col, blocked)).cast("double")
 
 
+def _classifier_weights(
+    weights: object, weights_path: object, n_buckets: int
+) -> list[int]:
+    """Resolve the fixed-point model: an inline integer list (programmatic
+    use) or a trained ``(bucket, weight)`` parquet table (the YAML path —
+    ``quality_classifier_train``'s output written wherever the pipeline
+    persists models).  Missing buckets read as weight 0."""
+    if weights is not None:
+        return [int(w) for w in weights]  # type: ignore[union-attr]
+    if weights_path:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "check_quality_classifier: no active SparkSession to read "
+                f"weights_path {weights_path!r}"
+            )
+        out = [0] * n_buckets
+        for r in spark.read.parquet(str(weights_path)).collect():
+            out[int(r.bucket)] = int(r.weight)
+        return out
+    raise ValueError(
+        "check_quality_classifier needs `weights` (list[int]) or "
+        "`weights_path` (trained (bucket, weight) parquet)"
+    )
+
+
+def check_quality_classifier_score(
+    col: Column,
+    weights: object = None,
+    weights_path: object = None,
+    n_buckets: int = 256,
+    **_: object,
+) -> Column:
+    """Trained fixed-point classifier forward pass as a filter score (r12,
+    engine extension): pred = Σ trained bucket weights over the doc's
+    distinct md5 buckets — the model ``quality_classifier_train`` fits,
+    riding the scan as a literal array (zero shuffle, zero Python)."""
+    from chat_data_pipeline_spark.functions import scoring as SC
+
+    w = _classifier_weights(weights, weights_path, n_buckets)
+    return SC.fixed_point_score(SC.doc_bucket_features(col, len(w)), w).cast(
+        "double"
+    )
+
+
+def _quality_classifier_pred(
+    score: Column, min_score_threshold: int = 0, **_: object
+) -> Column:
+    return score >= F.lit(float(min_score_threshold))
+
+
+def check_quality_classifier_keep(col: Column, **kwargs: object) -> Column:
+    return _quality_classifier_pred(
+        check_quality_classifier_score(col, **kwargs), **kwargs
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry — mirrors the reference's getattr(filters, name) lookup
 # (ref:utils.py:23-50) plus custom_partial kwargs (ref:utils.py:142-146).
@@ -614,6 +673,16 @@ FILTERS: dict[str, FilterSpec] = {
             "check_gopher_quality",
             _gopher_keep_as_score,
             _gopher_keep_as_score,
+        ),
+        # the TRAINED gate (r12): score once, metrics + predicate off that
+        # column (keep_from_score — the model is a plain Column fold, but
+        # there is no reason to build the 256-literal array twice)
+        FilterSpec(
+            "check_quality_classifier",
+            check_quality_classifier_score,
+            check_quality_classifier_keep,
+            {"n_buckets": 256, "min_score_threshold": 0},
+            keep_from_score=_quality_classifier_pred,
         ),
         FilterSpec(
             "check_c4_quality",

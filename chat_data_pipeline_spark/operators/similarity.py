@@ -1472,13 +1472,85 @@ def build_ivf_index(
         )
     else:
         raise ValueError(f"coarse must be 'md5' or 'kmeans', got {coarse!r}")
-    postings.write.mode("overwrite").partitionBy("list").parquet(
-        f"{index_path}/postings"
-    )
+    # the base lands under batch=base so the tree is uniformly two-level
+    # (batch=*/list=*) and later extend_ivf_index deliveries interleave
+    # without producing the mixed root layout partition discovery rejects;
+    # writing THROUGH the root in overwrite mode also clears any stale
+    # extension batches from a previous build of the same path
+    postings.withColumn("batch", F.lit("base")).write.mode(
+        "overwrite"
+    ).partitionBy("batch", "list").parquet(f"{index_path}/postings")
     spark.createDataFrame(
         [(coarse, int(n_centroids), int(dim), id_col, vec_col)],
         "coarse string, n_centroids int, dim int, id_col string, vec_col string",
     ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def extend_ivf_index(
+    df: DataFrame,
+    index_path: str,
+    batch_id: int | str = "adhoc",
+) -> None:
+    """Incremental index maintenance — a growing corpus must NOT rebuild its
+    ANN index per delivery.  New rows assign with the SAME coarse arithmetic
+    the index was built with (md5 flavor: the literal codebook reconstructs
+    from meta; kmeans flavor: the persisted centroids load back — so an
+    extended index stays probe-compatible by construction) and land under
+    ``postings/batch=<id>/list=<n>/``: the ``batch`` level gives the
+    sketch-store idempotence (a replayed delivery overwrites its own
+    partition instead of double-appending) and ``list`` stays a partition
+    column at every level, so probe-side pruning is unchanged.
+    :func:`ivf_topk_persisted` reads the postings root and sees base +
+    extensions as one table (``build_ivf_index`` writes its base under
+    ``batch=base`` through the root, which also clears stale extensions on
+    a rebuild)."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    id_col, vec_col = meta.id_col, meta.vec_col
+    n_centroids, dim = int(meta.n_centroids), int(meta.dim)
+    if meta.coarse == "md5":
+        coarse_mat = np.asarray(
+            pq_md5_sign_codebooks(1, n_centroids, dim, "ivfpq_coarse")[0]
+        )
+
+        def assign(batches):
+            for batch in batches:
+                if not len(batch):
+                    continue
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+                )
+                if mat.shape[1] != dim:
+                    raise ValueError(
+                        f"corpus dim {mat.shape[1]} != index dim {dim}"
+                    )
+                normed = mat / _fold_norm_rows(mat)[:, None]
+                out = batch.copy()
+                out["list"] = np.argmax(
+                    _fold_subspace_dots(normed, coarse_mat, 0), axis=1
+                ).astype("int32")
+                yield out
+
+        vec_type = dict(df.dtypes)[vec_col]
+        id_type = dict(df.dtypes)[id_col]
+        postings = df.select(id_col, vec_col).mapInPandas(
+            assign, schema=f"{id_col} {id_type}, {vec_col} {vec_type}, list int"
+        )
+    elif meta.coarse == "kmeans":
+        cent = (
+            spark.read.parquet(f"{index_path}/centroids").orderBy("list").collect()
+        )
+        centroids = np.asarray([r.centroid for r in cent], dtype=np.float64)
+        postings = _ivf_assign_expr(
+            df.select(id_col, vec_col), vec_col, centroids, "__lists__", 1
+        ).select(id_col, vec_col, F.element_at("__lists__", 1).alias("list"))
+    else:
+        raise ValueError(f"unknown coarse kind {meta.coarse!r} in {index_path}")
+    postings.write.mode("overwrite").partitionBy("list").parquet(
+        f"{index_path}/postings/batch={batch_id}"
+    )
 
 
 def ivf_topk_persisted(

@@ -3608,7 +3608,7 @@ def _cls_train_sql(rounds: int, n_buckets: int, final: str) -> str:
     SELECT CAST(b AS INT) AS bucket, CAST(w AS BIGINT) AS weight
     FROM w{rounds} ORDER BY bucket"""
         )
-    else:
+    elif final == "scores":
         parts.append(
             f""",
     predF AS (
@@ -3617,6 +3617,25 @@ def _cls_train_sql(rounds: int, n_buckets: int, final: str) -> str:
     )
     SELECT d.doc_id, CAST(COALESCE(p.p, 0) AS BIGINT) AS cls_pred
     FROM documents d LEFT JOIN predF p USING (doc_id)"""
+        )
+    else:  # gate: keep docs at or above the corpus-average trained score —
+        # integer cross-multiplication (p·n ≥ Σp), no division anywhere
+        parts.append(
+            f""",
+    predF AS (
+      SELECT t.doc_id, SUM(w.w) AS p FROM tok t JOIN w{rounds} w USING (b)
+      GROUP BY t.doc_id
+    ), scoresF AS (
+      SELECT d.doc_id, CAST(COALESCE(p.p, 0) AS BIGINT) AS cls_pred
+      FROM documents d LEFT JOIN predF p USING (doc_id)
+    ), stats AS (
+      SELECT CAST(SUM(cls_pred) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM scoresF
+    )
+    SELECT s.doc_id, s.cls_pred
+    FROM scoresF s, stats
+    WHERE s.cls_pred * stats.n >= stats.total"""
         )
     return "".join(parts)
 
@@ -3676,6 +3695,39 @@ def quality_classifier_train_scores(spark: SparkSession, sf_dir: str) -> DataFra
         SC.fixed_point_score(
             SC.doc_bucket_features(F.col("text"), _CLS_TRAIN_BUCKETS), weights
         ).alias("cls_pred"),
+    )
+
+
+@_register(
+    "docs_classifier_gate",
+    _cls_train_sql(_CLS_TRAIN_ROUNDS, _CLS_TRAIN_BUCKETS, "gate"),
+    "train-then-GATE (r12): the complete curation loop — fit the "
+    "fixed-point classifier on the seed signal, then keep only docs whose "
+    "trained score sits at or above the corpus average, with the threshold "
+    "comparison integer-cross-multiplied (pred x n_docs >= total) so the "
+    "gate needs no division and value-hashes end to end; the same model is "
+    "YAML-reachable as the check_quality_classifier filter via a "
+    "weights_path to the trained table",
+)
+def docs_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.functions import scoring as SC
+
+    weights = _cls_train_weights(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        SC.fixed_point_score(
+            SC.doc_bucket_features(F.col("text"), _CLS_TRAIN_BUCKETS), weights
+        ).alias("cls_pred"),
+    )
+    stats = scored.agg(
+        F.coalesce(F.sum("cls_pred"), F.lit(0)).cast("long").alias("__total__"),
+        F.count(F.lit(1)).cast("long").alias("__n__"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .filter(F.col("cls_pred") * F.col("__n__") >= F.col("__total__"))
+        .select("doc_id", "cls_pred")
     )
 
 
@@ -6702,6 +6754,13 @@ _WINDOW_TAIL += [
     "sample_weighted_chars",
     "corpus_source_similarity",
 ]
+# round-12 rule-1, second batch: docs_classifier_gate (the NEW
+# train-then-gate capstone, never-driver-verified, oracle-backed) enters by
+# registration; dsir_select_en makes room — r11 hash-green, its importance-
+# resampling region untouched this round, and the quality family keeps
+# docs_bigram_lm + both preset pipelines + the three classifier rows
+# in-window.
+_WINDOW_TAIL.append("dsir_select_en")
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

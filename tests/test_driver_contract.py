@@ -81,8 +81,10 @@ def test_correctness_window_is_all_oracle_backed():
     # history; round 12 executed the standing README queue — r4 + full r5
     # bands — so the pinned set below IS the r12 window.)
     must_be_windowed = {
-        # round-12 rule-1 entries: the three NEW oracle-backed queries
-        "ann_topk_ivf_persisted",
+        # round-12 rule-1 entries: the four NEW oracle-backed queries
+        # (docs_classifier_gate displaced dsir_select_en — r11-green,
+        # importance-resampling region untouched)
+        "ann_topk_ivf_persisted", "docs_classifier_gate",
         "quality_classifier_train", "quality_classifier_train_scores",
         # round-12 rule-2 re-admissions/holds: scoring.py gained the
         # trainer (scores row re-enters), dedup.py's banding region gained
@@ -111,7 +113,7 @@ def test_correctness_window_is_all_oracle_backed():
         "filter_truncation", "filter_gender", "dedup_cross_corpus_md5",
         "dedup_simhash_md5", "dedup_simhash", "ann_topk_ivf_md5",
         "split_leakage_audit", "sample_token_budget_scalable",
-        "dedup_semantic", "dsir_select_en", "docs_bigram_lm",
+        "dedup_semantic", "docs_bigram_lm",
         "embeddings_hard_negatives", "multimodal_image_dedup",
         "corpus_cms_heavy_hitters", "corpus_hll_distinct", "corpus_drift",
         "docs_quality_gate", "events_key_skew",

@@ -337,3 +337,61 @@ def test_fixed_point_score_null_and_empty_text(spark):
     by_id = {r.id: r.p for r in out}
     assert by_id[1] == 0 and by_id[2] == 0
     assert by_id[3] != 0
+
+
+def test_check_quality_classifier_filter_gates_with_trained_weights(spark, tmp_path):
+    """The full curation loop through the FILTER FRAMEWORK: train on the
+    separable corpus, persist the (bucket, weight) table, then a
+    SparkPreprocessor gating on check_quality_classifier(weights_path=...)
+    keeps the class-1 vocabulary and drops the class-0 one — the trained
+    model as a YAML-reachable filter."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.functions import scoring as SC
+    from chat_data_pipeline_spark.plans.pipeline import SparkPreprocessor
+
+    df = _sep_corpus(spark)
+    w = SC.train_linear_classifier_fixed_point(
+        df, "text", F.col("label"), n_buckets=64, rounds=12
+    )
+    wpath = str(tmp_path / "weights.parquet")
+    spark.createDataFrame(
+        [(b, int(x)) for b, x in enumerate(w)], "bucket int, weight long"
+    ).write.parquet(wpath)
+
+    # threshold between the two class means (hand-derived from the scores)
+    scored = df.select(
+        "label",
+        SC.fixed_point_score(SC.doc_bucket_features(F.col("text"), 64), w).alias("p"),
+    )
+    means = {r.label: r.a for r in scored.groupBy("label").agg(F.avg("p").alias("a")).collect()}
+    thr = int((means[0] + means[1]) / 2)
+
+    pre = SparkPreprocessor(
+        column_name="text",
+        filters=[
+            (
+                "check_quality_classifier",
+                {"weights_path": wpath, "n_buckets": 64, "min_score_threshold": thr},
+            )
+        ],
+        verbose=True,
+    )
+    out = pre.run(df)
+    labels = [r.label for r in out.collect()]
+    assert labels and all(l == 1 for l in labels)
+    (report,) = pre.reports
+    assert report.rows_before == 120 and report.rows_after == len(labels)
+
+
+def test_check_quality_classifier_requires_a_model(spark):
+    import pytest
+
+    from chat_data_pipeline_spark.plans.registry import get_filter
+
+    spec = get_filter("check_quality_classifier")
+    df = spark.createDataFrame([(1, "hello")], "id long, text string")
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="weights"):
+        df.select(spec.score_expr(F.col("text"))).collect()

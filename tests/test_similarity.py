@@ -702,7 +702,7 @@ def test_ivf_persisted_probe_prunes_partitions(spark, emb, queries, tmp_path):
 
     # decisive end-to-end proof: corrupt every data file OUTSIDE the probed
     # lists — the pruned scan must never open them, a full scan must fail
-    for f in glob.glob(f"{idx}/postings/list=*/part-*"):
+    for f in glob.glob(f"{idx}/postings/batch=*/list=*/part-*"):
         if f.split("/list=")[1].split("/")[0] not in {"0", "1", "2", "3"}:
             with open(f, "wb") as fh:
                 fh.write(b"not parquet")
@@ -711,3 +711,50 @@ def test_ivf_persisted_probe_prunes_partitions(spark, emb, queries, tmp_path):
     with pytest.raises(Exception):
         fresh.count()
     assert os.path.isdir(f"{idx}/meta")
+
+
+def test_extend_ivf_index_matches_full_rebuild(spark, emb, queries, tmp_path):
+    """Incremental maintenance: build on half the corpus, extend with the
+    other half — the probe answers over base + extension are bit-identical
+    to a full rebuild over the union (same coarse arithmetic both paths)."""
+    idx_inc = str(tmp_path / "ivf_inc")
+    idx_full = str(tmp_path / "ivf_full")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    SIM.build_ivf_index(half_a, idx_inc, n_centroids=16, coarse="md5", dim=64)
+    SIM.extend_ivf_index(half_b, idx_inc, batch_id=1)
+    SIM.build_ivf_index(emb, idx_full, n_centroids=16, coarse="md5", dim=64)
+    got = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx_inc, queries, k=10, n_probe=4).collect())
+    )
+    want = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx_full, queries, k=10, n_probe=4).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_extend_ivf_index_replayed_delivery_is_idempotent(spark, emb, queries, tmp_path):
+    """A replayed extension batch (foreachBatch-retry posture) overwrites
+    its own batch partition — row counts and probe answers unchanged — and
+    a REBUILD of the base clears stale extensions instead of serving them."""
+    idx = str(tmp_path / "ivf_replay")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    SIM.build_ivf_index(half_a, idx, n_centroids=16, coarse="md5", dim=64)
+    SIM.extend_ivf_index(half_b, idx, batch_id=1)
+    n1 = spark.read.parquet(f"{idx}/postings").count()
+    first = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    )
+    SIM.extend_ivf_index(half_b, idx, batch_id=1)  # replay
+    assert spark.read.parquet(f"{idx}/postings").count() == n1
+    again = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    )
+    assert again == first
+    # rebuild clears extensions: only the base remains
+    SIM.build_ivf_index(half_a, idx, n_centroids=16, coarse="md5", dim=64)
+    batches = {
+        r.batch for r in spark.read.parquet(f"{idx}/postings").select("batch").distinct().collect()
+    }
+    assert batches == {"base"}
