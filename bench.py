@@ -167,6 +167,13 @@ SCALE_PROBE_QUERIES = [
     "events_funnel",
     "conversation_structure",
     "corpus_drift",
+    # round-12 additions: the persisted-index lifecycle (build is the
+    # corpus-sized pass — the probe measures that the build + the
+    # partition-pruned probe together stay near-linear) and the fixed-point
+    # trainer (one checkpointed feature pass + 4 driver-paced aggregations;
+    # the probe corpus' 10x vocab also stresses the explode width)
+    "ann_topk_ivf_persisted",
+    "quality_classifier_train",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second
