@@ -395,3 +395,60 @@ def test_check_quality_classifier_requires_a_model(spark):
 
     with pytest.raises(ValueError, match="weights"):
         df.select(spec.score_expr(F.col("text"))).collect()
+
+
+def test_trainer_matches_pure_python_mirror_on_random_corpora(spark):
+    """Three-way evidence for the trainer (the BPE discipline): beyond the
+    DuckDB unrolled-CTE oracle, the Spark trainer must match a pure-Python
+    integer-GD mirror EXACTLY (every quantity BIGINT, so there is no
+    tolerance) on seeded random corpora whose vocabulary, doc lengths, and
+    label balance vary."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.functions import scoring as SC
+    from tests.reference_semantics import get_words
+
+    def py_train(rows, n_buckets, rounds, scale=1_000_000):
+        feats = []
+        for label, text in rows:
+            buckets = sorted(
+                {
+                    int(hashlib.md5(w.encode()).hexdigest()[:2], 16) % n_buckets
+                    for w in get_words(text)
+                }
+            )
+            feats.append((label * scale, buckets))
+        n_docs = len(feats)
+        lr_den = max(1, n_docs) * 4 * n_buckets
+        w = [0] * n_buckets
+        for _ in range(rounds):
+            grad = [0] * n_buckets
+            for y, buckets in feats:
+                err = sum(w[b] for b in buckets) - y
+                for b in buckets:
+                    grad[b] += err
+            w = [
+                wi - (abs(g) // lr_den if g >= 0 else -(abs(g) // lr_den))
+                for wi, g in zip(w, grad)
+            ]
+        return w
+
+    for seed in (3, 17, 202608):
+        rng = random.Random(seed)
+        vocab = [f"w{rng.randrange(200)}" for _ in range(60)]
+        rows = [
+            (
+                rng.randrange(2),
+                " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25))),
+            )
+            for _ in range(rng.randrange(30, 80))
+        ]
+        df = spark.createDataFrame(rows, "label int, text string")
+        got = SC.train_linear_classifier_fixed_point(
+            df, "text", F.col("label"), n_buckets=32, rounds=5
+        )
+        want = py_train(rows, 32, 5)
+        assert got == want, seed

@@ -717,10 +717,12 @@ def test_extend_ivf_index_matches_full_rebuild(spark, emb, queries, tmp_path):
     """Incremental maintenance: build on half the corpus, extend with the
     other half — the probe answers over base + extension are bit-identical
     to a full rebuild over the union (same coarse arithmetic both paths)."""
-    idx_inc = str(tmp_path / "ivf_inc")
-    idx_full = str(tmp_path / "ivf_full")
     half_a = emb.filter(F.col("vec_id") % 2 == 0)
     half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    # md5 flavor: extension assigns with the literal codebook, so the
+    # incremental index must equal a full rebuild over the union exactly
+    idx_inc = str(tmp_path / "ivf_inc")
+    idx_full = str(tmp_path / "ivf_full")
     SIM.build_ivf_index(half_a, idx_inc, n_centroids=16, coarse="md5", dim=64)
     SIM.extend_ivf_index(half_b, idx_inc, batch_id=1)
     SIM.build_ivf_index(emb, idx_full, n_centroids=16, coarse="md5", dim=64)
@@ -731,6 +733,32 @@ def test_extend_ivf_index_matches_full_rebuild(spark, emb, queries, tmp_path):
         map(tuple, SIM.ivf_topk_persisted(spark, idx_full, queries, k=10, n_probe=4).collect())
     )
     assert got == want and len(got) > 0
+    # kmeans flavor: the extension assigns with the PERSISTED centroids
+    # (not a retrain), so how a delivery is batched cannot matter — one
+    # extension with all of half_b equals two extensions covering it, and
+    # the extended probe actually surfaces extension rows
+    idx_one = str(tmp_path / "ivf_km_one")
+    idx_two = str(tmp_path / "ivf_km_two")
+    for p in (idx_one, idx_two):
+        SIM.build_ivf_index(half_a, p, n_centroids=8, coarse="kmeans", seed=42)
+    SIM.extend_ivf_index(half_b, idx_one, batch_id=1)
+    SIM.extend_ivf_index(half_b.filter(F.col("vec_id") % 4 == 1), idx_two, batch_id=1)
+    SIM.extend_ivf_index(half_b.filter(F.col("vec_id") % 4 == 3), idx_two, batch_id=2)
+    got_km = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx_one, queries, k=10, n_probe=3).collect())
+    )
+    want_km = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx_two, queries, k=10, n_probe=3).collect())
+    )
+    assert got_km == want_km and len(got_km) > 0
+    # odd query ids live only in the extension batches — self-hit at rank 1
+    # proves the probe really reads them
+    odd_hits = {
+        (r.query_id, r.vec_id) for r in SIM.ivf_topk_persisted(
+            spark, idx_two, queries, k=1, n_probe=3
+        ).collect()
+    }
+    assert any(q % 2 == 1 and q == v for q, v in odd_hits)
 
 
 def test_extend_ivf_index_replayed_delivery_is_idempotent(spark, emb, queries, tmp_path):
