@@ -7,6 +7,15 @@ YAML config shape mirrors the reference (ref:experiments/tiny-example.yaml):
       - path: /data/a.parquet
       - path: /data/b.parquet
     output_path: /out/dataset
+    sink:                        # engine extension (r12): output file shape
+      partition_by: [lang]       #   hive dirs -> downstream partition pruning
+      target_files: 200          #   pre-write repartition (shard count)
+      max_records_per_file: 500000   # writer-side cap on shard size
+      stringify_complex: true    #   CSV sinks: complex cols -> JSON text
+    quality_gate:                # engine extension (r11): look before leaping
+      max_violation_nanos: 50000000
+      key: id
+      rules: {response_not_null: "response IS NOT NULL"}
     response:                    # ref:main.py:41-52
       cleaners: [fix_utf8_encoding, normalize_punctuation]
       filters:

@@ -1476,10 +1476,16 @@ def build_ivf_index(
     # (batch=*/list=*) and later extend_ivf_index deliveries interleave
     # without producing the mixed root layout partition discovery rejects;
     # writing THROUGH the root in overwrite mode also clears any stale
-    # extension batches from a previous build of the same path
-    postings.withColumn("batch", F.lit("base")).write.mode(
-        "overwrite"
-    ).partitionBy("batch", "list").parquet(f"{index_path}/postings")
+    # extension batches from a previous build of the same path.
+    # repartition on the list BEFORE the partitioned write: without it every
+    # task writes a file into every list dir (tasks × n_centroids files —
+    # tens of millions at 100 TB, the sink-sizing metadata bomb); clustered,
+    # the file count is O(n_centroids)
+    postings.withColumn("batch", F.lit("base")).repartition(
+        F.col("list")
+    ).write.mode("overwrite").partitionBy("batch", "list").parquet(
+        f"{index_path}/postings"
+    )
     spark.createDataFrame(
         [(coarse, int(n_centroids), int(dim), id_col, vec_col)],
         "coarse string, n_centroids int, dim int, id_col string, vec_col string",
@@ -1548,9 +1554,11 @@ def extend_ivf_index(
         ).select(id_col, vec_col, F.element_at("__lists__", 1).alias("list"))
     else:
         raise ValueError(f"unknown coarse kind {meta.coarse!r} in {index_path}")
-    postings.write.mode("overwrite").partitionBy("list").parquet(
-        f"{index_path}/postings/batch={batch_id}"
-    )
+    # same list-clustering as the base build: O(n_centroids) files per
+    # delivery, not tasks × n_centroids
+    postings.repartition(F.col("list")).write.mode("overwrite").partitionBy(
+        "list"
+    ).parquet(f"{index_path}/postings/batch={batch_id}")
 
 
 def ivf_topk_persisted(
