@@ -452,3 +452,55 @@ def test_trainer_matches_pure_python_mirror_on_random_corpora(spark):
         )
         want = py_train(rows, 32, 5)
         assert got == want, seed
+
+
+def test_trained_gate_runs_on_a_stream_equal_to_batch(spark, tmp_path):
+    """The trained fixed-point gate is a pure Column fold, so the SAME
+    filter spec drives a streaming clean+filter stage — survivors on the
+    stream equal the batch run over the same rows (train once, gate both
+    the backfill and the live feed with one model)."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.functions import scoring as SC
+    from chat_data_pipeline_spark.streaming.pipeline import streaming_clean_filter
+
+    df = _sep_corpus(spark)
+    w = SC.train_linear_classifier_fixed_point(
+        df, "text", F.col("label"), n_buckets=64, rounds=12
+    )
+    scored = df.select(
+        "label",
+        SC.fixed_point_score(SC.doc_bucket_features(F.col("text"), 64), w).alias("p"),
+    )
+    means = {r.label: r.a for r in scored.groupBy("label").agg(F.avg("p").alias("a")).collect()}
+    thr = int((means[0] + means[1]) / 2)
+    flt = [
+        (
+            "check_quality_classifier",
+            {"weights": w, "n_buckets": 64, "min_score_threshold": thr},
+        )
+    ]
+
+    src = str(tmp_path / "stream_in")
+    df.write.parquet(src)
+    want = sorted(
+        r.doc_id
+        for r in streaming_clean_filter(
+            spark.read.parquet(src), column="text", filters=flt
+        ).collect()
+    )
+    stream = spark.readStream.schema("doc_id long, label int, text string").parquet(src)
+    q = (
+        streaming_clean_filter(stream, column="text", filters=flt)
+        .writeStream.format("memory")
+        .queryName("gate_live")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gate"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r.doc_id for r in spark.sql("select doc_id from gate_live").collect())
+    finally:
+        q.stop()
+    assert got == want and len(got) > 0
