@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     "quality_classifier_train",
     "quality_classifier_train_scores",
     "docs_classifier_gate",
+    "q12_late_shipments",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
 ]
 
 

@@ -392,6 +392,150 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q12_late_shipments",
+    """
+    SELECT l.l_linestatus AS linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus
+    ORDER BY linestatus
+    """,
+    "TPC-H Q12 shape on this schema's columns (no l_shipmode/receiptdate in "
+    "the testdata): late-shipment lines (shipped 60+ days after order) "
+    "split into high/low order-priority counts per linestatus — the "
+    "join + conditional-aggregate pattern; the orders side broadcasts "
+    "under the threshold and degrades to a shuffle join above it",
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+@_register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                  THEN CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                       * CAST(ROUND((1 - l.l_discount)*100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS promo_cents2,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                    * CAST(ROUND((1 - l.l_discount)*100) AS BIGINT)) AS BIGINT)
+             AS total_cents2,
+           CAST(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                  THEN CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                       * CAST(ROUND((1 - l.l_discount)*100) AS BIGINT)
+                  ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                        * CAST(ROUND((1 - l.l_discount)*100) AS BIGINT)) AS DOUBLE)
+             AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    "TPC-H Q14 (promotion effect): one month's discounted revenue split by "
+    "PROMO part types — revenue carried as exact BIGINT cents-squared sums "
+    "(the q6 discipline) with ONE final IEEE division for the percentage; "
+    "the part dimension broadcasts, the lineitem filter pushes to the scan",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice")) * _cents(F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).cast("long").alias("promo_cents2"),
+            F.sum(rev).cast("long").alias("total_cents2"),
+        )
+        .select(
+            "promo_cents2",
+            "total_cents2",
+            (
+                F.lit(100.0) * F.col("promo_cents2").cast("double")
+                / F.col("total_cents2").cast("double")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@_register(
+    "q19_discounted_revenue",
+    """
+    SELECT CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                    * CAST(ROUND((1 - l.l_discount)*100) AS BIGINT)), 0) AS DOUBLE)
+             / 10000 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19 shape (disjunctive predicate bundles over a dimension join) "
+    "on this schema's columns: three brand/size/quantity bands OR-ed "
+    "together — the broadcast-join + residual-OR-filter pattern Catalyst "
+    "cannot push into either scan alone; revenue via the exact-cents "
+    "discipline",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice")) * _cents(F.lit(1.0) - F.col("l_discount"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            # COALESCE: the bands can be EMPTY at tiny scale factors — a
+            # bare SUM is NULL there and the two engines render the
+            # NULL-through-division differently
+            (F.coalesce(F.sum(rev), F.lit(0)).cast("double") / 10_000).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_register(
     "orders_rollup",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
@@ -6761,6 +6905,17 @@ _WINDOW_TAIL += [
 # docs_bigram_lm + both preset pipelines + the three classifier rows
 # in-window.
 _WINDOW_TAIL.append("dsir_select_en")
+# round-12 rule-1, third batch: the three NEW TPC-H shapes
+# (q12_late_shipments, q14_promo_revenue, q19_discounted_revenue —
+# join+conditional-agg, exact-cents promo split, disjunctive predicate
+# bundles) enter by registration.  Rotated out: filter_truncation and
+# filter_gender (both r11 hash-green, the _split2 splitter region untouched
+# this round — r12's filters.py change only APPENDED the classifier-gate
+# spec — and both still execute in-window inside the preset pipelines'
+# filter chains) and dedup_simhash (r11 hash-green, its pandas-UDF region
+# untouched; the bit-identical dedup_simhash_md5 twin keeps the in-window
+# oracle for the same arithmetic).
+_WINDOW_TAIL += ["filter_truncation", "filter_gender", "dedup_simhash"]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

@@ -81,11 +81,14 @@ def test_correctness_window_is_all_oracle_backed():
     # history; round 12 executed the standing README queue — r4 + full r5
     # bands — so the pinned set below IS the r12 window.)
     must_be_windowed = {
-        # round-12 rule-1 entries: the four NEW oracle-backed queries
-        # (docs_classifier_gate displaced dsir_select_en — r11-green,
-        # importance-resampling region untouched)
+        # round-12 rule-1 entries: the seven NEW oracle-backed queries
+        # (docs_classifier_gate displaced dsir_select_en; the three TPC-H
+        # shapes displaced filter_truncation/filter_gender — still executing
+        # in-window inside the presets — and dedup_simhash, whose
+        # bit-identical md5 twin keeps the in-window oracle)
         "ann_topk_ivf_persisted", "docs_classifier_gate",
         "quality_classifier_train", "quality_classifier_train_scores",
+        "q12_late_shipments", "q14_promo_revenue", "q19_discounted_revenue",
         # round-12 rule-2 re-admissions/holds: scoring.py gained the
         # trainer (scores row re-enters), dedup.py's banding region gained
         # the candidate cap, conversation.py's structure report gained the
@@ -110,8 +113,8 @@ def test_correctness_window_is_all_oracle_backed():
         # standing residents (r11-green; regions untouched or
         # append-adjacent this round — similarity.py/sketches.py grew new
         # functions beside these rows' code)
-        "filter_truncation", "filter_gender", "dedup_cross_corpus_md5",
-        "dedup_simhash_md5", "dedup_simhash", "ann_topk_ivf_md5",
+        "dedup_cross_corpus_md5",
+        "dedup_simhash_md5", "ann_topk_ivf_md5",
         "split_leakage_audit", "sample_token_budget_scalable",
         "dedup_semantic", "docs_bigram_lm",
         "embeddings_hard_negatives", "multimodal_image_dedup",
