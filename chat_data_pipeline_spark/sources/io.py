@@ -14,6 +14,20 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
+# transparent-codec suffixes Spark's text-based readers decompress on the
+# fly; stripped before extension dispatch so data.jsonl.gz lands on the
+# json reader instead of falling through to the parquet default
+_COMPRESSION_SUFFIXES = (".gz", ".gzip", ".bz2", ".zst", ".xz", ".snappy", ".lz4", ".deflate")
+
+
+def _dispatch_name(path: str) -> str:
+    lowered = path.lower()
+    for suffix in _COMPRESSION_SUFFIXES:
+        if lowered.endswith(suffix):
+            lowered = lowered[: -len(suffix)]
+            break
+    return lowered
+
 
 def read_table(
     spark: SparkSession, path: str, fmt: str | None = None, **options: str
@@ -24,9 +38,12 @@ def read_table(
     Formats: parquet / json(l) / csv / orc (all Spark-built-in), plus
     ``txt``: raw text corpora land as one document per line (the common
     web-text delivery) with the text under a ``text`` column — pair with
-    ``wholetext=true`` for one document per FILE."""
+    ``wholetext=true`` for one document per FILE.  Compressed deliveries
+    (``.jsonl.gz``, ``.csv.bz2``, ``.txt.zst``, …) dispatch on the inner
+    extension — Spark's text-based readers decompress these codecs
+    transparently, so the common gzipped web-crawl shard Just Reads."""
     if fmt is None:
-        lowered = path.lower()
+        lowered = _dispatch_name(path)
         if lowered.endswith((".json", ".jsonl")):
             fmt = "json"
         elif lowered.endswith(".csv"):
@@ -86,7 +103,7 @@ def write_table(
     ``stringify_complex=True`` — serializes them to JSON strings in place.
     """
     if fmt is None:
-        lowered = path.lower()
+        lowered = _dispatch_name(path)
         if lowered.endswith((".json", ".jsonl")):
             fmt = "json"
         elif lowered.endswith(".csv"):

@@ -1060,3 +1060,31 @@ def test_uniqueness_approx_empty_and_null_keys(spark):
     nulls = spark.createDataFrame([(None,), (None,), (1,)], "k int")
     r = uniqueness_approx_report(key_hll_registers(nulls, "k"), "k").collect()[0]
     assert r.n_rows == 3
+
+
+def test_read_table_dispatches_compressed_extensions(spark, tmp_path):
+    """r12: a .jsonl.gz / .csv.gz / .txt.gz delivery (the common gzipped
+    web-crawl shard) must dispatch on the INNER extension — previously the
+    compression suffix fell through to the parquet default and the read
+    exploded on magic bytes."""
+    import gzip
+
+    from chat_data_pipeline_spark.sources.io import read_table
+
+    jl = tmp_path / "docs.jsonl.gz"
+    with gzip.open(jl, "wt") as fh:
+        fh.write('{"id": 1, "text": "alpha"}\n{"id": 2, "text": "beta"}\n')
+    got = sorted((int(r.id), r.text) for r in read_table(spark, str(jl)).collect())
+    assert got == [(1, "alpha"), (2, "beta")]
+
+    cv = tmp_path / "docs.csv.gz"
+    with gzip.open(cv, "wt") as fh:
+        fh.write("id,text\n1,alpha\n2,beta\n")
+    got = sorted((r.id, r.text) for r in read_table(spark, str(cv)).collect())
+    assert got == [("1", "alpha"), ("2", "beta")]
+
+    tx = tmp_path / "docs.txt.gz"
+    with gzip.open(tx, "wt") as fh:
+        fh.write("line one\nline two\n")
+    got = sorted(r.text for r in read_table(spark, str(tx)).collect())
+    assert got == ["line one", "line two"]
