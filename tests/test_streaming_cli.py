@@ -1088,3 +1088,42 @@ def test_read_table_dispatches_compressed_extensions(spark, tmp_path):
         fh.write("line one\nline two\n")
     got = sorted(r.text for r in read_table(spark, str(tx)).collect())
     assert got == ["line one", "line two"]
+
+
+def test_key_hll_registers_match_pure_python_mirror(spark):
+    """Three-way evidence for the approximate-uniqueness sketch: the
+    register table (bucket, max-rho, count) must equal a pure-Python md5
+    mirror EXACTLY on a seeded random key set with duplicates and NULLs —
+    pinning the bucket derivation, the rho rank walk, and the counts
+    independently of Spark."""
+    import hashlib
+    import random
+
+    from chat_data_pipeline_spark.operators.sketches import (
+        HLL_M,
+        key_hll_registers,
+    )
+
+    def py_registers(keys, key_col="k"):
+        regs = {}
+        for key in keys:
+            tok = "\x00<null-key>" if key is None else str(key)
+            h = hashlib.md5(f"uniq:{key_col}\x1f{tok}".encode()).hexdigest()
+            bucket = int(h[:8], 16) % HLL_M
+            hex13 = h[8:21]
+            lz = len(hex13) - len(hex13.lstrip("0"))
+            if lz >= 13:
+                rho = 53
+            else:
+                d = hex13[lz]
+                extra = {"1": 3, "2": 2, "3": 2}.get(d, 1 if d in "4567" else 0)
+                rho = lz * 4 + extra + 1
+            r, n = regs.get(bucket, (0, 0))
+            regs[bucket] = (max(r, rho), n + 1)
+        return regs
+
+    rng = random.Random(20260815)
+    keys = [rng.randrange(5000) for _ in range(12000)] + [None] * 7
+    df = spark.createDataFrame([(k,) for k in keys], "k int")
+    got = {r.bucket: (r.r, r.n) for r in key_hll_registers(df, "k").collect()}
+    assert got == py_registers(keys)
