@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "q12_late_shipments",
     "q14_promo_revenue",
     "q19_discounted_revenue",
+    "docs_uniqueness_approx",
 ]
 
 

@@ -5881,6 +5881,82 @@ def _hll_oracle_sql() -> str:
     ).replace("__NUM__", num)
 
 
+def _uniq_approx_sql() -> str:
+    """Value-hash twin of key_hll_registers → uniqueness_approx_report over
+    the document TEXT (the exact-duplicate-rate estimate a 100 TB corpus
+    can afford): per-ROW md5 bucket+rho with counts, integer harmonic
+    numerator, ONE IEEE division for the estimate."""
+    from chat_data_pipeline_spark.operators.sketches import HLL_ALPHA, HLL_M
+
+    num = repr(HLL_ALPHA * HLL_M * HLL_M * float(1 << 53))
+    return (
+        r"""
+    WITH hashed AS (
+      SELECT substr(md5('uniq:text' || chr(31)
+                        || COALESCE(text, chr(0) || '<null-key>')), 1, 8)
+               AS b8,
+             substr(md5('uniq:text' || chr(31)
+                        || COALESCE(text, chr(0) || '<null-key>')), 9, 13)
+               AS hx
+      FROM documents
+    ), rho AS (
+      SELECT CAST('0x' || b8 AS BIGINT) % 512 AS bucket,
+             CASE WHEN length(regexp_extract(hx, '^0*')) >= 13 THEN 53
+                  ELSE 4 * length(regexp_extract(hx, '^0*'))
+                       + CASE substr(hx || 'f', length(regexp_extract(hx, '^0*')) + 1, 1)
+                           WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                           WHEN '7' THEN 1 ELSE 0 END
+                       + 1 END AS rho
+      FROM hashed
+    ), regs AS (
+      SELECT bucket, MAX(rho) AS r, COUNT(*) AS n FROM rho GROUP BY bucket
+    ), agg AS (
+      SELECT COUNT(*) AS present,
+             COALESCE(SUM(CAST(1 AS BIGINT) << (53 - r)), 0) AS sumpow,
+             COALESCE(SUM(n), 0) AS n_rows
+      FROM regs
+    ), est AS (
+      SELECT n_rows,
+             CASE WHEN n_rows > 0
+                  THEN __NUM__ / CAST(sumpow + (512 - present)
+                                      * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+                  ELSE 0.0 END AS est_distinct
+      FROM agg
+    )
+    SELECT 'text_unique_approx' AS rule,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           est_distinct,
+           GREATEST(CAST(ROUND(n_rows - est_distinct) AS BIGINT),
+                    CAST(0 AS BIGINT)) AS est_duplicate_rows,
+           COALESCE(CAST(ROUND(1e9 * GREATEST(n_rows - est_distinct, 0.0)
+                               / CAST(n_rows AS DOUBLE)) AS BIGINT),
+                    CAST(0 AS BIGINT)) AS dup_rate_nanos
+    FROM est
+    """
+    ).replace("__NUM__", num)
+
+
+@_register(
+    "docs_uniqueness_approx",
+    _uniq_approx_sql(),
+    "approximate duplicate-rate of document texts (r12): the bounded-state "
+    "answer to COUNT DISTINCT the live gate uses — <= 512 (bucket, max-rho, "
+    "row-count) registers at any cardinality, integer harmonic numerator, "
+    "one IEEE division; the SAME code maintains the live streaming table "
+    "(streaming_uniqueness_registers), so this driver hash carries the "
+    "stream's arithmetic too",
+)
+def docs_uniqueness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators.sketches import (
+        key_hll_registers,
+        uniqueness_approx_report,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return uniqueness_approx_report(key_hll_registers(docs, "text"), "text")
+
+
 @_register(
     "corpus_hll_distinct",
     _hll_oracle_sql(),
@@ -6916,6 +6992,12 @@ _WINDOW_TAIL.append("dsir_select_en")
 # untouched; the bit-identical dedup_simhash_md5 twin keeps the in-window
 # oracle for the same arithmetic).
 _WINDOW_TAIL += ["filter_truncation", "filter_gender", "dedup_simhash"]
+# round-12 rule-1, fourth batch: docs_uniqueness_approx (the batch twin of
+# the live approximate-dup-rate gate — its driver hash carries the stream's
+# register arithmetic) enters by registration; embeddings_hard_negatives
+# makes room — r11 hash-green, its mining region untouched this round, and
+# the ANN family keeps ann_topk_ivf_md5 + ann_topk_ivf_persisted in-window.
+_WINDOW_TAIL.append("embeddings_hard_negatives")
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name
