@@ -450,7 +450,7 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q14 (promotion effect): one month's discounted revenue split by "
     "PROMO part types — revenue carried as exact BIGINT cents-squared sums "
     "(the q6 discipline) with ONE final IEEE division for the percentage; "
-    "the part dimension broadcasts, the lineitem filter pushes to the scan",
+    "the part join is deliberately unhinted (part grows with sf), the lineitem date filter pushes to the scan",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
@@ -462,7 +462,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # deliberately UNHINTED (the q7/q9 doctrine): part grows with sf, so
+        # the planner broadcasts it while it fits and degrades to a shuffle
+        # join at the scale where a forced ship would OOM
+        .join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.sum(promo).cast("long").alias("promo_cents2"),
             F.sum(rev).cast("long").alias("total_cents2"),
@@ -521,7 +524,8 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # unhinted for the same sf-growth reason as q14
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(band)
         .agg(
             # COALESCE: the bands can be EMPTY at tiny scale factors — a

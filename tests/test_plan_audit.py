@@ -413,3 +413,24 @@ def test_conversation_structure_single_scan_no_explode(spark):
         .toString()
     )
     assert "Generate" not in plan  # message arrays fold in place, no explode
+
+
+def test_q12_q14_q19_no_forced_broadcast_on_sf_growing_tables(spark):
+    """r12 TPC-H shapes follow the q7/q9 doctrine: zero EXPLICIT broadcast
+    hints anywhere — part/orders grow with sf, so the planner must stay
+    free to degrade every join to a shuffle at the scale where a forced
+    ship would OOM — and q14's date filter reaches the lineitem scan."""
+    from chat_data_pipeline_spark.plans.audit import forced_broadcast_subtrees
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    for name in ("q12_late_shipments", "q14_promo_revenue", "q19_discounted_revenue"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        assert forced_broadcast_subtrees(df) == [], name
+    plan = (
+        REGISTRY["q14_promo_revenue"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed to the scan
