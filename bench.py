@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "q14_promo_revenue",
     "q19_discounted_revenue",
     "docs_uniqueness_approx",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
 ]
 
 

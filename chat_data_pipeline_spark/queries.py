@@ -482,6 +482,116 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * CAST(ROUND((1 - l_discount)*100) AS BIGINT)) AS total_cents2
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_cents2 AS BIGINT) AS total_cents2,
+           CAST(r.total_cents2 AS DOUBLE) / 10000 AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_cents2 = (SELECT MAX(total_cents2) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    "TPC-H Q15 (top supplier): quarterly per-supplier revenue view, then "
+    "the supplier(s) matching the global maximum (ties kept, per the spec) "
+    "— the agg-then-scalar-max shape; revenue as exact BIGINT cents-squared "
+    "with one display division, the global max a one-row broadcast back",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    supplier = _read(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice"))
+                * _cents(F.lit(1.0) - F.col("l_discount"))
+            )
+            .cast("long")
+            .alias("total_cents2")
+        )
+    )
+    top = rev.agg(F.max("total_cents2").alias("__max__"))
+    return (
+        supplier.join(rev, supplier.s_suppkey == rev.supplier_no)
+        .crossJoin(F.broadcast(top))
+        .filter(F.col("total_cents2") == F.col("__max__"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "total_cents2",
+            (F.col("total_cents2").cast("double") / 10_000).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    WITH band AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+    ), avgq AS (
+      SELECT l.l_partkey, AVG(l.l_quantity) AS aq
+      FROM lineitem l JOIN band b ON l.l_partkey = b.p_partkey
+      GROUP BY l.l_partkey
+    )
+    SELECT CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)), 0)
+                AS DOUBLE) / 100 / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN band b ON l.l_partkey = b.p_partkey
+    JOIN avgq a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < 0.2 * a.aq
+    """,
+    "TPC-H Q17 shape (small-quantity-order revenue) on this schema's "
+    "columns (p_container absent — the band is brand+size): per-part "
+    "average quantity as a correlated scalar, lines under 20% of their "
+    "part's average summed in exact cents with the /7 display division — "
+    "the agg-then-rejoin pattern that replaces a correlated subquery with "
+    "one extra keyed aggregation (the q2 discipline); unhinted joins, "
+    "AQE free to broadcast the band while it fits",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    band = part.filter(
+        (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+    ).select("p_partkey")
+    banded = li.join(band, li.l_partkey == band.p_partkey)
+    avgq = banded.groupBy(F.col("l_partkey").alias("__pk__")).agg(
+        F.avg("l_quantity").alias("__aq__")
+    )
+    return (
+        banded.join(avgq, F.col("l_partkey") == F.col("__pk__"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("__aq__"))
+        .agg(
+            (
+                F.coalesce(F.sum(_cents(F.col("l_extendedprice"))), F.lit(0)).cast(
+                    "double"
+                )
+                / 100
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_register(
     "q19_discounted_revenue",
     """
     SELECT CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
@@ -7002,6 +7112,15 @@ _WINDOW_TAIL += ["filter_truncation", "filter_gender", "dedup_simhash"]
 # makes room — r11 hash-green, its mining region untouched this round, and
 # the ANN family keeps ann_topk_ivf_md5 + ann_topk_ivf_persisted in-window.
 _WINDOW_TAIL.append("embeddings_hard_negatives")
+# round-12 rule-1, fifth batch: q15_top_supplier (agg-then-scalar-max) and
+# q17_small_quantity_revenue (correlated-avg via agg-then-rejoin) enter by
+# registration.  Rotated out: split_leakage_audit and dedup_cross_corpus_md5
+# — both r11 hash-green with their dedup.py regions untouched this round
+# (r12's only dedup.py change is the banding_calibration cap, whose row
+# stays in-window); the dedup family keeps exact / simhash_md5 / semantic /
+# banding_calibration / multimodal_image_dedup in-window, and both rotated
+# rows keep the full-registry parity sweep every round.
+_WINDOW_TAIL += ["split_leakage_audit", "dedup_cross_corpus_md5"]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

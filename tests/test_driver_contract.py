@@ -89,7 +89,8 @@ def test_correctness_window_is_all_oracle_backed():
         "ann_topk_ivf_persisted", "docs_classifier_gate",
         "quality_classifier_train", "quality_classifier_train_scores",
         "q12_late_shipments", "q14_promo_revenue", "q19_discounted_revenue",
-        "docs_uniqueness_approx",
+        "docs_uniqueness_approx", "q15_top_supplier",
+        "q17_small_quantity_revenue",
         # round-12 rule-2 re-admissions/holds: scoring.py gained the
         # trainer (scores row re-enters), dedup.py's banding region gained
         # the candidate cap, conversation.py's structure report gained the
@@ -114,9 +115,8 @@ def test_correctness_window_is_all_oracle_backed():
         # standing residents (r11-green; regions untouched or
         # append-adjacent this round — similarity.py/sketches.py grew new
         # functions beside these rows' code)
-        "dedup_cross_corpus_md5",
         "dedup_simhash_md5", "ann_topk_ivf_md5",
-        "split_leakage_audit", "sample_token_budget_scalable",
+        "sample_token_budget_scalable",
         "dedup_semantic", "docs_bigram_lm",
         "multimodal_image_dedup",
         "corpus_cms_heavy_hitters", "corpus_hll_distinct", "corpus_drift",
