@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "docs_uniqueness_approx",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
+    "q8_market_share",
 ]
 
 

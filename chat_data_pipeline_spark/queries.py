@@ -482,6 +482,98 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q8_market_share",
+    """
+    WITH all_lines AS (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+               * CAST(ROUND((1 - l.l_discount)*100) AS BIGINT) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+      JOIN region r    ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+      JOIN part p      ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume ELSE 0 END), 0) AS BIGINT)
+             AS nation_cents2,
+           CAST(COALESCE(SUM(volume), 0) AS BIGINT) AS total_cents2,
+           CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume ELSE 0 END), 0) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM all_lines
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    "TPC-H Q8 (national market share): the 7-table snowflake — orders of a "
+    "region's customers for one part type over two years, split by the "
+    "supplier's nation — with the share carried as exact BIGINT "
+    "cents-squared numerator/denominator plus ONE IEEE division; the "
+    "double-aliased nation dim (customer side AND supplier side) is the "
+    "q7 pattern, every join unhinted so AQE picks broadcast vs shuffle",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    supplier = _read(spark, sf_dir, "supplier")
+    part = _read(spark, sf_dir, "part")
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    vol = _cents(F.col("l_extendedprice")) * _cents(F.lit(1.0) - F.col("l_discount"))
+    lines = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(cn, customer.c_nationkey == F.col("cn.n_nationkey"))
+        .join(region, F.col("cn.n_regionkey") == region.r_regionkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(sn, supplier.s_nationkey == F.col("sn.n_nationkey"))
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("r_name") == "AMERICA")
+            & (F.col("p_type") == "STANDARD")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0)
+    )
+    return (
+        lines.groupBy("o_year")
+        .agg(
+            F.coalesce(F.sum(nation_vol), F.lit(0)).cast("long").alias("nation_cents2"),
+            F.coalesce(F.sum("volume"), F.lit(0)).cast("long").alias("total_cents2"),
+        )
+        .select(
+            "o_year",
+            "nation_cents2",
+            "total_cents2",
+            (
+                F.col("nation_cents2").cast("double")
+                / F.col("total_cents2").cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@_register(
     "q15_top_supplier",
     """
     WITH rev AS (
@@ -7121,6 +7213,13 @@ _WINDOW_TAIL.append("embeddings_hard_negatives")
 # banding_calibration / multimodal_image_dedup in-window, and both rotated
 # rows keep the full-registry parity sweep every round.
 _WINDOW_TAIL += ["split_leakage_audit", "dedup_cross_corpus_md5"]
+# round-12 rule-1, sixth batch: q8_market_share (the 7-table snowflake with
+# the exact-cents national share) enters by registration;
+# sample_token_budget_scalable makes room — r11 hash-green, its two-phase
+# token-budget region untouched this round, and the sampling family keeps
+# the re-admitted grouped/proportional rows plus sample_weighted_chars'
+# full-registry sweep.
+_WINDOW_TAIL.append("sample_token_budget_scalable")
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

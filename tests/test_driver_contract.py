@@ -90,7 +90,7 @@ def test_correctness_window_is_all_oracle_backed():
         "quality_classifier_train", "quality_classifier_train_scores",
         "q12_late_shipments", "q14_promo_revenue", "q19_discounted_revenue",
         "docs_uniqueness_approx", "q15_top_supplier",
-        "q17_small_quantity_revenue",
+        "q17_small_quantity_revenue", "q8_market_share",
         # round-12 rule-2 re-admissions/holds: scoring.py gained the
         # trainer (scores row re-enters), dedup.py's banding region gained
         # the candidate cap, conversation.py's structure report gained the
@@ -116,7 +116,6 @@ def test_correctness_window_is_all_oracle_backed():
         # append-adjacent this round — similarity.py/sketches.py grew new
         # functions beside these rows' code)
         "dedup_simhash_md5", "ann_topk_ivf_md5",
-        "sample_token_budget_scalable",
         "dedup_semantic", "docs_bigram_lm",
         "multimodal_image_dedup",
         "corpus_cms_heavy_hitters", "corpus_hll_distinct", "corpus_drift",
