@@ -434,3 +434,45 @@ def test_q12_q14_q19_no_forced_broadcast_on_sf_growing_tables(spark):
         .toString()
     )
     assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed to the scan
+
+
+def test_q8_q15_q17_broadcast_discipline_and_no_python(spark):
+    """r12 second TPC-H batch under the same doctrine: q8 and q17 carry
+    ZERO forced-broadcast subtrees (7-table snowflake and the correlated-
+    avg rejoin both leave AQE free); q15's single hint is the ONE-ROW
+    global-max table — fixed cardinality at any sf, the sanctioned
+    pattern.  None of the three touches Python."""
+    from chat_data_pipeline_spark.plans.audit import (
+        forced_broadcast_subtrees,
+        plan_report,
+    )
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    for name, n_hints in (
+        ("q8_market_share", 0),
+        ("q17_small_quantity_revenue", 0),
+        ("q15_top_supplier", 1),
+    ):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        subs = forced_broadcast_subtrees(df)
+        assert len(subs) == n_hints, (name, subs)
+        assert plan_report(df).n_python_stages == 0, name
+    # the q15 hint must be the scalar-max aggregate, not an sf-growing table
+    (sub,) = forced_broadcast_subtrees(
+        REGISTRY["q15_top_supplier"].fn(spark, SF_DIR)
+    )
+    assert "max" in sub.lower(), sub
+
+
+def test_docs_classifier_gate_plan_shape(spark):
+    """The trained gate's threshold comparison rides a ONE-ROW broadcast
+    stats table (integer cross-multiplication, no division) and the
+    scoring side stays fully native — no Python stage anywhere in the
+    gate despite the upstream driver-paced training."""
+    from chat_data_pipeline_spark.plans.audit import plan_report
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["docs_classifier_gate"].fn(spark, SF_DIR)
+    r = plan_report(df)
+    assert r.n_python_stages == 0
+    assert r.n_broadcasts >= 1  # the one-row stats side
