@@ -500,8 +500,18 @@ def _classifier_weights(
                 "check_quality_classifier: no active SparkSession to read "
                 f"weights_path {weights_path!r}"
             )
+        rows = spark.read.parquet(str(weights_path)).collect()
+        top = max((int(r.bucket) for r in rows), default=-1)
+        if top >= n_buckets:
+            raise ValueError(
+                f"check_quality_classifier: weights_path {weights_path!r} "
+                f"holds buckets up to {top} but n_buckets={n_buckets} — "
+                "scoring with a smaller modulus than the model was trained "
+                f"with silently mis-hashes every token; pass n_buckets="
+                f"{top + 1} (the trained size)"
+            )
         out = [0] * n_buckets
-        for r in spark.read.parquet(str(weights_path)).collect():
+        for r in rows:
             out[int(r.bucket)] = int(r.weight)
         return out
     raise ValueError(

@@ -504,3 +504,26 @@ def test_trained_gate_runs_on_a_stream_equal_to_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want and len(got) > 0
+
+
+def test_check_quality_classifier_rejects_bucket_modulus_mismatch(spark, tmp_path):
+    """A trained table with buckets beyond the filter's n_buckets means the
+    scoring modulus differs from the training modulus — every token would
+    silently mis-hash.  The mismatch must raise with the trained size
+    named, not IndexError or wrong scores."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.plans.registry import get_filter
+
+    wpath = str(tmp_path / "w256.parquet")
+    spark.createDataFrame(
+        [(b, 1) for b in range(256)], "bucket int, weight long"
+    ).write.parquet(wpath)
+    spec = get_filter(
+        "check_quality_classifier", weights_path=wpath, n_buckets=64
+    )
+    df = spark.createDataFrame([(1, "hello")], "id long, text string")
+    with pytest.raises(ValueError, match="n_buckets=256"):
+        df.select(spec.score_expr(F.col("text"))).collect()
