@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q8_market_share",
+    "docs_bm25_indexed",
 ]
 
 

@@ -4414,6 +4414,33 @@ def docs_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_bm25_indexed",
+    REGISTRY["docs_bm25_probe"].oracle,
+    "persisted-BM25 probe (r12): the text index BUILDS once (full-vocab "
+    "postings/df/stats parquet, term-md5-BUCKET partitioned, "
+    "overwrite-idempotent), then the probe LOADS it — the probe terms' "
+    "buckets become a literal IN at the file listing, df/n_docs/sum_dl "
+    "merge across delivery batches by exact integer addition (extensions "
+    "are bit-exact, unlike any float index), schemas come from meta so no "
+    "footer is ever sampled — and scores with bm25_scores's own "
+    "nano-rounded arithmetic, so load-and-probe replays the self-contained "
+    "oracle bit-for-bit",
+)
+def docs_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"cdp_bm25_index_{tag}")
+    RT.build_text_index(docs, idx)
+    return RT.bm25_topk_indexed(
+        spark, idx, ["join", "hash", "scan", "window", "sort"]
+    )
+
+
+@_register(
     "corpus_top_bigrams",
     r"""
     WITH toks AS (
@@ -7220,6 +7247,13 @@ _WINDOW_TAIL += ["split_leakage_audit", "dedup_cross_corpus_md5"]
 # the re-admitted grouped/proportional rows plus sample_weighted_chars'
 # full-registry sweep.
 _WINDOW_TAIL.append("sample_token_budget_scalable")
+# round-12 rule-1, seventh batch: docs_bm25_indexed (the persisted text
+# index — build-once postings, exact integer-additive extensions, bucket-
+# pruned probes) enters by registration; corpus_cms_heavy_hitters makes
+# room — r11 hash-green, its CMS region untouched this round, and the
+# sketch family keeps corpus_hll_distinct + docs_uniqueness_approx
+# in-window.
+_WINDOW_TAIL.append("corpus_cms_heavy_hitters")
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

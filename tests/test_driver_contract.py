@@ -91,6 +91,7 @@ def test_correctness_window_is_all_oracle_backed():
         "q12_late_shipments", "q14_promo_revenue", "q19_discounted_revenue",
         "docs_uniqueness_approx", "q15_top_supplier",
         "q17_small_quantity_revenue", "q8_market_share",
+        "docs_bm25_indexed",
         # round-12 rule-2 re-admissions/holds: scoring.py gained the
         # trainer (scores row re-enters), dedup.py's banding region gained
         # the candidate cap, conversation.py's structure report gained the
@@ -118,7 +119,7 @@ def test_correctness_window_is_all_oracle_backed():
         "dedup_simhash_md5", "ann_topk_ivf_md5",
         "dedup_semantic", "docs_bigram_lm",
         "multimodal_image_dedup",
-        "corpus_cms_heavy_hitters", "corpus_hll_distinct", "corpus_drift",
+        "corpus_hll_distinct", "corpus_drift",
         "docs_quality_gate", "events_key_skew",
     }
     assert must_be_windowed <= set(window)

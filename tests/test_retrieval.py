@@ -283,3 +283,89 @@ def test_sample_proportional_length_mismatch_raises(spark):
     df = spark.createDataFrame([(1, "a")], "ids long, grp string")
     with _pytest.raises(ValueError, match="proportions"):
         S.sample_proportional([df, df, df], [0.5, 0.5], 10, "grp", "ids")
+
+
+# --- persisted BM25 text index (r12) -----------------------------------------
+
+
+def test_bm25_indexed_matches_self_contained(spark, tmp_path):
+    """Load-and-probe over the persisted index is bit-identical to
+    bm25_scores over the same corpus (same tf/dl/df/n/avgdl inputs, same
+    nano-rounded contribution arithmetic)."""
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    terms = ["join", "hash", "scan", "window", "sort"]
+    idx = str(tmp_path / "bm25_idx")
+    RT.build_text_index(docs, idx)
+    got = sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect()))
+    want = sorted(map(tuple, RT.bm25_scores(docs, terms).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_bm25_index_extension_is_exact(spark, tmp_path):
+    """Every BM25 ingredient is a per-doc fact or an integer-additive
+    global, so base + extension probes are bit-identical to a full rebuild
+    over the union — and a replayed delivery overwrites its own batch."""
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    terms = ["join", "hash", "scan"]
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    RT.build_text_index(half_a, inc)
+    RT.extend_text_index(half_b, inc, batch_id=1)
+    RT.build_text_index(docs, full)
+    got = sorted(map(tuple, RT.bm25_topk_indexed(spark, inc, terms).collect()))
+    want = sorted(map(tuple, RT.bm25_topk_indexed(spark, full, terms).collect()))
+    assert got == want and len(got) > 0
+    # replay: same batch id delivered twice leaves the index unchanged
+    n1 = spark.read.parquet(f"{inc}/postings").count()
+    RT.extend_text_index(half_b, inc, batch_id=1)
+    assert spark.read.parquet(f"{inc}/postings").count() == n1
+    again = sorted(map(tuple, RT.bm25_topk_indexed(spark, inc, terms).collect()))
+    assert again == got
+    # a rebuild clears stale extensions
+    RT.build_text_index(half_a, inc)
+    batches = {
+        r.batch
+        for r in spark.read.parquet(f"{inc}/postings").select("batch").distinct().collect()
+    }
+    assert batches == {"base"}
+
+
+def test_bm25_indexed_probe_prunes_term_buckets(spark, tmp_path):
+    """The probe's literal IN on the md5 term-bucket partition column must
+    prune at the listing: corrupt every data file OUTSIDE the probed
+    buckets — the probe still answers, a full scan fails."""
+    import glob
+
+    import pytest
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    terms = ["join", "hash"]
+    idx = str(tmp_path / "prune_idx")
+    RT.build_text_index(docs, idx)
+    want = sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect()))
+    keep = {str(RT._term_bucket_py(t)) for t in terms}
+    corrupted = 0
+    for f in glob.glob(f"{idx}/postings/batch=*/bkt=*/part-*"):
+        if f.split("/bkt=")[1].split("/")[0] not in keep:
+            with open(f, "wb") as fh:
+                fh.write(b"not parquet")
+            corrupted += 1
+    assert corrupted > 0
+    got = sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect()))
+    assert got == want
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{idx}/postings").count()
