@@ -30,6 +30,8 @@ the displayed score rounds to 6 decimals.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -147,6 +149,57 @@ def top_ngrams(
 
 N_TERM_BUCKETS = 64
 
+# Write-salt for bucket-clustered index writes.  Clustering on the partition
+# column alone bounds the FILE count to O(buckets) — but it also bounds the
+# WRITE-TASK count to the number of distinct bucket values, so a corpus-sized
+# postings table funnels through ≤ N_TERM_BUCKETS (=64) tasks no matter how
+# many executors the cluster has: invisible at sf0.1, the named scale-killer
+# at 100 TB.  Salting the repartition keeps files at O(buckets × salt) while
+# the write stage scales with the salt (raise it with the cluster size).
+WRITE_SALT = 8
+
+_BATCH_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def validate_batch_id(batch_id: int | str) -> str:
+    """Reject batch ids that would corrupt the hive layout: ``'base'`` would
+    silently overwrite the base build, and path separators / ``=`` / spaces
+    would break ``batch=<id>`` partition-directory parsing."""
+    s = str(batch_id)
+    if s == "base":
+        raise ValueError(
+            "batch_id 'base' is reserved for the index's base build; "
+            "pick a distinct delivery id"
+        )
+    if not _BATCH_ID_RE.match(s):
+        raise ValueError(
+            f"batch_id {s!r} is not a safe partition value "
+            "(allowed: letters, digits, '.', '_', '-')"
+        )
+    return s
+
+
+def cluster_for_partitioned_write(
+    df: DataFrame, part_cols: list[str], salt_expr, write_salt: int = WRITE_SALT
+) -> DataFrame:
+    """Cluster rows ahead of a hive-partitioned write so the file count
+    stays O(dirs × write_salt) while write parallelism scales with
+    ``write_salt``, DECOUPLED from the partition-dir count.
+
+    A bare ``repartition(part_cols)`` gives O(dirs) files but also caps the
+    write stage at #dirs non-empty tasks; adding a hashed salt column to the
+    shuffle key (dropped before the write, so it never reaches the files)
+    spreads each dir's rows over ≤ write_salt tasks."""
+    cols = [F.col(c) for c in part_cols]
+    if write_salt <= 1:
+        return df.repartition(*cols)
+    salt = F.pmod(F.xxhash64(salt_expr), F.lit(int(write_salt)))
+    return (
+        df.withColumn("__wsalt__", salt)
+        .repartition(*cols, F.col("__wsalt__"))
+        .drop("__wsalt__")
+    )
+
 
 def _term_bucket_py(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
     import hashlib
@@ -186,30 +239,44 @@ def build_text_index(
     )
     batch = F.lit(str(batch_id))
     id_type = dict(docs.dtypes)[id_col]
-    if _clear:
-        # meta carries the id type so probes can supply EXPLICIT schemas —
-        # no footer sampling at read time (on a million-file index, schema
-        # inference would open an arbitrary footer per read)
+    # salt the bucket-clustered writes so the corpus-sized postings table is
+    # written by O(N_TERM_BUCKETS × WRITE_SALT) tasks, not ≤64 (see
+    # WRITE_SALT above); the salt hashes the term so a bucket's rows spread
+    # over ≤ WRITE_SALT tasks → ≤ WRITE_SALT files per bkt dir.
+    # partitionOverwriteMode is pinned STATIC per-write: under a session
+    # configured dynamic, a base rebuild would replace only batch=base and
+    # probes would silently keep serving stale extension batches (and a
+    # replayed extension would keep stale bkt dirs its new content no
+    # longer produces).
+    p_out = cluster_for_partitioned_write(postings, ["bkt"], F.col("term"))
+    d_out = cluster_for_partitioned_write(dfreq, ["bkt"], F.col("term"))
+    if _clear:  # base build: write through the root, clearing old batches
+        p_out.withColumn("batch", batch).write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("batch", "bkt").parquet(f"{index_path}/postings")
+        d_out.withColumn("batch", batch).write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("batch", "bkt").parquet(f"{index_path}/dfreq")
+        stats.withColumn("batch", batch).write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("batch").parquet(f"{index_path}/stats")
+        # meta is written LAST as the build's commit marker (same order as
+        # build_ivf_index): a build that dies midway leaves no fresh meta,
+        # so a probe of the partial root fails loudly instead of reading
+        # postings that disagree with a stale meta.  It also carries the id
+        # type so probes can supply EXPLICIT schemas — no footer sampling
+        # at read time (on a million-file index, schema inference would
+        # open an arbitrary footer per read).
         spark.createDataFrame(
             [(id_type, N_TERM_BUCKETS)], "id_type string, n_term_buckets int"
         ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
-    if _clear:  # base build: write through the root, clearing old batches
-        postings.withColumn("batch", batch).repartition(F.col("bkt")).write.mode(
-            "overwrite"
-        ).partitionBy("batch", "bkt").parquet(f"{index_path}/postings")
-        dfreq.withColumn("batch", batch).repartition(F.col("bkt")).write.mode(
-            "overwrite"
-        ).partitionBy("batch", "bkt").parquet(f"{index_path}/dfreq")
-        stats.withColumn("batch", batch).write.mode("overwrite").partitionBy(
-            "batch"
-        ).parquet(f"{index_path}/stats")
     else:  # extension: overwrite only this delivery's partition
-        postings.repartition(F.col("bkt")).write.mode("overwrite").partitionBy(
-            "bkt"
-        ).parquet(f"{index_path}/postings/batch={batch_id}")
-        dfreq.repartition(F.col("bkt")).write.mode("overwrite").partitionBy(
-            "bkt"
-        ).parquet(f"{index_path}/dfreq/batch={batch_id}")
+        p_out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("bkt").parquet(f"{index_path}/postings/batch={batch_id}")
+        d_out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("bkt").parquet(f"{index_path}/dfreq/batch={batch_id}")
         stats.write.mode("overwrite").parquet(f"{index_path}/stats/batch={batch_id}")
 
 
@@ -226,7 +293,12 @@ def extend_text_index(
     Replaying a batch id overwrites its own partitions (sketch-store
     idempotence)."""
     build_text_index(
-        docs, index_path, text_col, id_col, batch_id=batch_id, _clear=False
+        docs,
+        index_path,
+        text_col,
+        id_col,
+        batch_id=validate_batch_id(batch_id),
+        _clear=False,
     )
 
 
@@ -237,13 +309,22 @@ def bm25_topk_indexed(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    k: int | None = None,
 ) -> DataFrame:
     """Load-and-probe BM25 over a persisted index: the probe terms' md5
     buckets become a LITERAL ``IN`` on the ``bkt`` partition column (static
     pruning at the listing — ≤ #terms of N_TERM_BUCKETS dirs touched), the
     batch dimension merges by integer addition, and the scoring arithmetic
     is :func:`bm25_scores`'s own — output bit-identical to the
-    self-contained path over the same corpus."""
+    self-contained path over the same corpus.
+
+    ``k`` bounds the serving result to the top-k documents by
+    (bm25 desc, id asc) — ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition top-k + a driver merge of
+    k·partitions rows, never a global sort), so a common-term probe on a
+    100 TB corpus returns k rows, not a corpus-sized result.  ``k=None``
+    keeps the exhaustive-scoring behavior for consumers that want every
+    matching document (e.g. corpus-wide relevance weighting)."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
@@ -298,8 +379,11 @@ def bm25_topk_indexed(
         .crossJoin(F.broadcast(stats))
         .withColumn("__nano__", F.round(contrib * 1e9).cast("long"))
     )
-    return (
+    out = (
         scored.groupBy(id_col)
         .agg((F.sum("__nano__").cast("double") / 1e9).alias("__raw__"))
         .select(F.col(id_col), F.round("__raw__", 6).alias("bm25"))
     )
+    if k is not None:
+        out = out.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(int(k))
+    return out

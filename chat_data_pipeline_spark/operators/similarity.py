@@ -1476,16 +1476,26 @@ def build_ivf_index(
     # (batch=*/list=*) and later extend_ivf_index deliveries interleave
     # without producing the mixed root layout partition discovery rejects;
     # writing THROUGH the root in overwrite mode also clears any stale
-    # extension batches from a previous build of the same path.
-    # repartition on the list BEFORE the partitioned write: without it every
-    # task writes a file into every list dir (tasks × n_centroids files —
-    # tens of millions at 100 TB, the sink-sizing metadata bomb); clustered,
-    # the file count is O(n_centroids)
-    postings.withColumn("batch", F.lit("base")).repartition(
-        F.col("list")
-    ).write.mode("overwrite").partitionBy("batch", "list").parquet(
-        f"{index_path}/postings"
+    # extension batches from a previous build of the same path —
+    # partitionOverwriteMode is pinned STATIC per-write so a session
+    # configured dynamic can't turn that clearing into a batch=base-only
+    # replace that leaves probes silently serving stale extensions.
+    # Cluster on (list, salt) BEFORE the partitioned write: unclustered,
+    # every task writes a file into every list dir (tasks × n_centroids
+    # files — tens of millions at 100 TB, the sink-sizing metadata bomb);
+    # clustered on list ALONE, the corpus-sized write funnels through
+    # ≤ n_centroids tasks (the scale-killer in the other direction).  The
+    # id-hashed salt keeps files at O(n_centroids × WRITE_SALT) while the
+    # write stage scales with the salt.
+    from chat_data_pipeline_spark.operators.retrieval import (
+        cluster_for_partitioned_write,
     )
+
+    cluster_for_partitioned_write(
+        postings.withColumn("batch", F.lit("base")), ["list"], F.col(id_col)
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("batch", "list").parquet(f"{index_path}/postings")
     spark.createDataFrame(
         [(coarse, int(n_centroids), int(dim), id_col, vec_col)],
         "coarse string, n_centroids int, dim int, id_col string, vec_col string",
@@ -1512,6 +1522,9 @@ def extend_ivf_index(
     a rebuild)."""
     import pandas as pd
 
+    from chat_data_pipeline_spark.operators.retrieval import validate_batch_id
+
+    batch_id = validate_batch_id(batch_id)
     spark = df.sparkSession
     meta = spark.read.parquet(f"{index_path}/meta").first()
     id_col, vec_col = meta.id_col, meta.vec_col
@@ -1554,11 +1567,20 @@ def extend_ivf_index(
         ).select(id_col, vec_col, F.element_at("__lists__", 1).alias("list"))
     else:
         raise ValueError(f"unknown coarse kind {meta.coarse!r} in {index_path}")
-    # same list-clustering as the base build: O(n_centroids) files per
-    # delivery, not tasks × n_centroids
-    postings.repartition(F.col("list")).write.mode("overwrite").partitionBy(
-        "list"
-    ).parquet(f"{index_path}/postings/batch={batch_id}")
+    # same salted list-clustering as the base build: O(n_centroids × salt)
+    # files per delivery with the write stage decoupled from the centroid
+    # count; static overwrite pinned so a replayed delivery fully replaces
+    # its batch dir (dynamic mode would keep stale list dirs the replay's
+    # new content no longer produces)
+    from chat_data_pipeline_spark.operators.retrieval import (
+        cluster_for_partitioned_write,
+    )
+
+    cluster_for_partitioned_write(postings, ["list"], F.col(id_col)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "static").partitionBy("list").parquet(
+        f"{index_path}/postings/batch={batch_id}"
+    )
 
 
 def ivf_topk_persisted(

@@ -369,3 +369,169 @@ def test_bm25_indexed_probe_prunes_term_buckets(spark, tmp_path):
     assert got == want
     with pytest.raises(Exception):
         spark.read.parquet(f"{idx}/postings").count()
+
+
+def test_index_write_parallelism_decouples_from_bucket_count(spark):
+    """The r12 bucket-clustered index writes bounded the FILE count to
+    O(buckets) but also funneled the corpus-sized write through ≤ #buckets
+    tasks (the 100 TB scale-killer the r12 verdict named).  The salted
+    clustering must spread the write stage past the bucket count while a
+    bare bucket repartition cannot."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    # AQE coalesces this test's tiny shuffle to 1 partition either way; at
+    # scale it can't coalesce below its size targets, and the ceiling under
+    # test is KEY DIVERSITY — rows sharing a bkt can never split across
+    # tasks, no matter the executor count.  Disable coalescing so non-empty
+    # partition counts read that diversity directly.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        # bkt must come from a hash INDEPENDENT of the salt's xxhash64
+        # (production buckets are md5-based, as here): a bkt derived from
+        # the same hash would make (bkt, salt) collapse to #bkt combos
+        rows = spark.range(5000).select(
+            F.concat(F.lit("t"), F.col("id")).alias("term"),
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit("t"), F.col("id"))), 1, 2), 16, 10)
+                .cast("int")
+                % 64
+            ).alias("bkt"),
+        )
+
+        def nonempty(df):
+            return (
+                df.select(F.spark_partition_id().alias("p"))
+                .groupBy("p")
+                .count()
+                .count()
+            )
+
+        bare = nonempty(rows.repartition(F.col("bkt")))
+        salted = nonempty(
+            RT.cluster_for_partitioned_write(rows, ["bkt"], F.col("term"))
+        )
+        assert bare <= 64  # the ceiling the bare clustering imposes
+        assert salted > 64  # the salt breaks it
+        # salt=1 degenerates to the bare clustering (byte-identical shape)
+        assert (
+            nonempty(
+                RT.cluster_for_partitioned_write(
+                    rows, ["bkt"], F.col("term"), write_salt=1
+                )
+            )
+            <= 64
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coal)
+
+
+def test_index_file_count_stays_bounded_by_salt(spark, tmp_path):
+    """Salting must not reintroduce the tasks × dirs metadata bomb: each
+    bkt dir holds ≤ WRITE_SALT data files."""
+    import glob
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "salted_idx")
+    RT.build_text_index(docs, idx)
+    for d in glob.glob(f"{idx}/postings/batch=base/bkt=*"):
+        n = len(glob.glob(f"{d}/part-*"))
+        assert 1 <= n <= RT.WRITE_SALT, f"{d} has {n} files"
+
+
+def test_extend_rejects_reserved_and_unsafe_batch_ids(spark, tmp_path):
+    """batch_id='base' would silently overwrite the base build; ids with
+    '/' or '=' corrupt the hive layout — both must fail loudly."""
+    import pytest as _pytest
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "guard_idx")
+    RT.build_text_index(docs.limit(20), idx)
+    for bad in ("base", "a/b", "x=y", "a b", ""):
+        with _pytest.raises(ValueError):
+            RT.extend_text_index(docs.limit(5), idx, batch_id=bad)
+    # the sibling IVF extension shares the validator
+    assert RT.validate_batch_id("delivery-2026.08_15") == "delivery-2026.08_15"
+
+
+def test_text_index_meta_is_the_commit_marker(spark, tmp_path):
+    """meta must be written LAST (matching build_ivf_index): a build that
+    dies midway leaves no fresh meta, so a probe of the partial root fails
+    loudly instead of serving postings that disagree with stale meta."""
+    import os
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "commit_idx")
+    RT.build_text_index(docs.limit(50), idx)
+    meta_t = os.path.getmtime(f"{idx}/meta/_SUCCESS")
+    for artifact in ("postings", "dfreq", "stats"):
+        assert meta_t >= os.path.getmtime(f"{idx}/{artifact}/_SUCCESS")
+
+
+def test_index_rebuild_clears_extensions_under_dynamic_overwrite(spark, tmp_path):
+    """The 'rebuild clears stale extension batches' guarantee must not
+    depend on the session's partitionOverwriteMode: pin static per-write so
+    a dynamic-configured session (common in production) can't leave probes
+    silently serving stale extensions after a base rebuild."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        idx = str(tmp_path / "dyn_idx")
+        RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+        RT.extend_text_index(docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id=1)
+        RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), idx)  # rebuild
+        batches = {
+            r.batch
+            for r in spark.read.parquet(f"{idx}/postings")
+            .select("batch")
+            .distinct()
+            .collect()
+        }
+        assert batches == {"base"}
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def test_bm25_topk_indexed_k_takes_ordered_head(spark, tmp_path):
+    """k bounds the served result to the top-k by (bm25 desc, id asc) and
+    compiles to TakeOrderedAndProject — never a global sort — so a
+    common-term probe can't return a corpus-sized result."""
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    terms = ["join", "hash", "scan", "window", "sort"]
+    idx = str(tmp_path / "topk_idx")
+    RT.build_text_index(docs, idx)
+    full = RT.bm25_topk_indexed(spark, idx, terms).collect()
+    want = sorted(full, key=lambda r: (-r.bm25, r.doc_id))[:5]
+    topk = RT.bm25_topk_indexed(spark, idx, terms, k=5)
+    got = topk.collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
