@@ -501,14 +501,24 @@ def _classifier_weights(
                 f"weights_path {weights_path!r}"
             )
         rows = spark.read.parquet(str(weights_path)).collect()
+        # The trainer always persists a DENSE n_buckets-row table (one row
+        # per bucket, zero-weight buckets included), so the stored modulus
+        # IS top+1 and must equal the configured one in BOTH directions: a
+        # larger stored modulus scored with a smaller n_buckets AND a
+        # smaller stored modulus scored with a larger n_buckets each hash
+        # every token into the wrong bucket.  Sparse (bucket, weight)
+        # tables are unsupported via weights_path for exactly this reason —
+        # they would make the trained modulus unrecoverable.
         top = max((int(r.bucket) for r in rows), default=-1)
-        if top >= n_buckets:
+        if top + 1 != n_buckets or len(rows) != n_buckets:
             raise ValueError(
                 f"check_quality_classifier: weights_path {weights_path!r} "
-                f"holds buckets up to {top} but n_buckets={n_buckets} — "
-                "scoring with a smaller modulus than the model was trained "
-                f"with silently mis-hashes every token; pass n_buckets="
-                f"{top + 1} (the trained size)"
+                f"holds {len(rows)} rows with buckets up to {top} (trained "
+                f"modulus {top + 1}) but n_buckets={n_buckets} — scoring "
+                "with a different modulus than the model was trained with "
+                f"silently mis-hashes every token; pass n_buckets={top + 1} "
+                "(the trained size).  Sparse weight tables are unsupported "
+                "via weights_path: persist the trainer's dense output."
             )
         out = [0] * n_buckets
         for r in rows:

@@ -527,3 +527,50 @@ def test_check_quality_classifier_rejects_bucket_modulus_mismatch(spark, tmp_pat
     df = spark.createDataFrame([(1, "hello")], "id long, text string")
     with pytest.raises(ValueError, match="n_buckets=256"):
         df.select(spec.score_expr(F.col("text"))).collect()
+
+
+def test_check_quality_classifier_rejects_smaller_trained_modulus(spark, tmp_path):
+    """The reverse direction of the modulus guard: a model trained with a
+    SMALLER modulus (64) served with a larger configured n_buckets (256)
+    previously passed the one-sided top<n check and silently mis-hashed
+    every token.  The trainer persists DENSE tables, so trained modulus =
+    top+1 and must equal n_buckets exactly."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.plans.registry import get_filter
+
+    wpath = str(tmp_path / "w64.parquet")
+    spark.createDataFrame(
+        [(b, 1) for b in range(64)], "bucket int, weight long"
+    ).write.parquet(wpath)
+    spec = get_filter(
+        "check_quality_classifier", weights_path=wpath, n_buckets=256
+    )
+    df = spark.createDataFrame([(1, "hello")], "id long, text string")
+    with pytest.raises(ValueError, match="n_buckets=64"):
+        df.select(spec.score_expr(F.col("text"))).collect()
+
+
+def test_check_quality_classifier_rejects_sparse_weight_table(spark, tmp_path):
+    """Sparse (bucket, weight) tables make the trained modulus
+    unrecoverable (top+1 underestimates it whenever the last buckets are
+    zero-weight) — unsupported via weights_path, must raise even when
+    top+1 happens to equal n_buckets."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.plans.registry import get_filter
+
+    wpath = str(tmp_path / "sparse.parquet")
+    spark.createDataFrame(
+        [(0, 5), (63, 7)], "bucket int, weight long"
+    ).write.parquet(wpath)
+    spec = get_filter(
+        "check_quality_classifier", weights_path=wpath, n_buckets=64
+    )
+    df = spark.createDataFrame([(1, "hello")], "id long, text string")
+    with pytest.raises(ValueError, match="[Ss]parse"):
+        df.select(spec.score_expr(F.col("text"))).collect()
