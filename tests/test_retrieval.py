@@ -535,3 +535,4 @@ def test_bm25_topk_indexed_k_takes_ordered_head(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     plan = topk._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort snuck in beside the top-k
