@@ -786,6 +786,195 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _region_suppliers(spark: SparkSession, sf_dir: str, region: str) -> DataFrame:
+    """(s_suppkey, s_name) of one region's suppliers — the q11/q20/q21
+    dimension chain; fixed-cardinality (supplier x nation x region dims),
+    broadcast by the callers."""
+    supplier = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(reg), nation.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+
+
+@_register(
+    "q11_important_parts",
+    """
+    WITH eu AS (
+      SELECT s_suppkey FROM supplier s JOIN nation n ON s.s_nationkey=n.n_nationkey
+      JOIN region r ON n.n_regionkey=r.r_regionkey WHERE r.r_name='EUROPE'
+    ), pv AS (
+      SELECT l.l_partkey, SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS value_cents
+      FROM lineitem l JOIN eu ON l.l_suppkey=eu.s_suppkey
+      GROUP BY l.l_partkey
+    ), tot AS (SELECT SUM(value_cents) AS t FROM pv)
+    SELECT pv.l_partkey AS p_partkey, pv.value_cents,
+           CAST(pv.value_cents AS DOUBLE)/100 AS part_value
+    FROM pv, tot WHERE pv.value_cents*1000 > tot.t
+    """,
+    "TPC-H Q11 shape (important stock) on this schema's columns (no "
+    "partsupp — part value = shipped extended price of one region's "
+    "suppliers): group-by-HAVING-against-a-scalar — the global total is a "
+    "one-row broadcast and the HAVING is the exact-integer cross-multiply "
+    "value_cents*1000 > total (no float fraction anywhere); the dimension "
+    "chain broadcasts, the fact table shuffles once on l_partkey",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    eu = _region_suppliers(spark, sf_dir, "EUROPE").select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("value_cents"))
+    )
+    tot = pv.agg(F.sum("value_cents").cast("long").alias("__t__"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("__t__"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "value_cents",
+            (F.col("value_cents").cast("double") / 100).alias("part_value"),
+        )
+    )
+
+
+@_register(
+    "q20_top_suppliers_promo",
+    """
+    WITH w AS (
+      SELECT l.l_partkey, l.l_suppkey, SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey=p.p_partkey
+      WHERE p.p_type='PROMO'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1,2
+    ), pt AS (SELECT l_partkey, SUM(qty) AS total_qty FROM w GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name FROM supplier s
+    JOIN nation n ON s.s_nationkey=n.n_nationkey
+    JOIN region r ON n.n_regionkey=r.r_regionkey
+    WHERE r.r_name='EUROPE' AND s.s_suppkey IN (
+      SELECT w.l_suppkey FROM w JOIN pt ON w.l_partkey=pt.l_partkey
+      WHERE 2*w.qty > pt.total_qty)
+    """,
+    "TPC-H Q20 shape (part promotion) on this schema's columns (no "
+    "partsupp availqty — a 'dominant shipper' stands in: suppliers who "
+    "shipped >50%% of a PROMO part's 1996 volume): the correlated IN over "
+    "an agg subquery resolves as agg -> agg -> exact-integer compare -> "
+    "LEFT SEMI join, never a per-row subquery; quantities summed as exact "
+    "BIGINT with the threshold as 2*qty > total (no 0.5 float)",
+)
+def q20_top_suppliers_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    w = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"))
+    )
+    pt = w.groupBy(F.col("l_partkey").alias("__pk__")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    winners = (
+        w.join(pt, w.l_partkey == pt.__pk__)
+        .filter(2 * F.col("qty") > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    eu = _region_suppliers(spark, sf_dir, "EUROPE")
+    return eu.join(
+        winners, eu.s_suppkey == winners.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@_register(
+    "q21_waiting_suppliers",
+    """
+    WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus='F'),
+    lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > fo.o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem l JOIN fo ON l.l_orderkey=fo.o_orderkey
+    ),
+    l1 AS (
+      SELECT lo.l_orderkey, lo.l_suppkey, s.s_name
+      FROM lo JOIN supplier s ON lo.l_suppkey=s.s_suppkey
+      JOIN nation n ON s.s_nationkey=n.n_nationkey
+      JOIN region r ON n.n_regionkey=r.r_regionkey
+      WHERE lo.late AND r.r_name='EUROPE'
+    )
+    SELECT s_name, COUNT(*) AS numwait FROM l1
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey=l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey=l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+    "TPC-H Q21 shape (suppliers who kept orders waiting) on this schema's "
+    "columns (no receipt/commit dates — 'late' = shipped >60 days after "
+    "the order date): the DOUBLE-CORRELATED EXISTS / NOT EXISTS resolves "
+    "as one LEFT SEMI ('some other supplier touched the order') and one "
+    "LEFT ANTI ('no other supplier was late on it') join on l_orderkey — "
+    "never a correlated per-row subquery; the late-line table is computed "
+    "once and checkpointed (both the probe side and the anti side read "
+    "it), dims broadcast, and the final top-100 is TakeOrderedAndProject",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    fo = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late_lines = (
+        li.join(fo, li.l_orderkey == fo.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        # consumed twice (the waiting set AND the anti side); without the
+        # pin each consumer re-pays the orders join
+        .localCheckpoint(eager=False)
+    )
+    eu = _region_suppliers(spark, sf_dir, "EUROPE")
+    l1 = late_lines.join(
+        F.broadcast(eu), late_lines.l_suppkey == eu.s_suppkey
+    ).select("l_orderkey", "l_suppkey", "s_name")
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok2__"), F.col("l_suppkey").alias("__sk2__")
+    )
+    l3 = late_lines.select(
+        F.col("l_orderkey").alias("__ok3__"), F.col("l_suppkey").alias("__sk3__")
+    )
+    waited = l1.join(
+        l2,
+        (l1.l_orderkey == l2.__ok2__) & (l1.l_suppkey != l2.__sk2__),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == l3.__ok3__) & (F.col("l_suppkey") != l3.__sk3__),
+        "left_anti",
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
 @_register(
     "orders_rollup",
     """

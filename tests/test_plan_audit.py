@@ -476,3 +476,19 @@ def test_docs_classifier_gate_plan_shape(spark):
     r = plan_report(df)
     assert r.n_python_stages == 0
     assert r.n_broadcasts >= 1  # the one-row stats side
+
+
+def test_q21_resolves_as_semi_and_anti_joins(spark):
+    """The double-correlated EXISTS / NOT EXISTS must compile to ONE
+    LeftSemi and ONE LeftAnti hash/sort-merge join on l_orderkey — never a
+    correlated per-row subquery — with the final top-100 as
+    TakeOrderedAndProject, not a global sort."""
+    from chat_data_pipeline_spark.plans.audit import plan_report
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["q21_waiting_suppliers"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan_report(df).n_python_stages == 0
