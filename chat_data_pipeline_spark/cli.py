@@ -16,6 +16,12 @@ YAML config shape mirrors the reference (ref:experiments/tiny-example.yaml):
       max_violation_nanos: 50000000
       key: id
       rules: {response_not_null: "response IS NOT NULL"}
+    train:                       # engine extension (r13): train-then-gate
+      quality_classifier:        #   fits the fixed-point classifier and
+        column: response         #   persists (bucket, weight) to the path a
+        label_expr: "lang = 'en'"  # check_quality_classifier filter below
+        weights_path: /models/qw.parquet  # consumes via weights_path
+        n_buckets: 256
     response:                    # ref:main.py:41-52
       cleaners: [fix_utf8_encoding, normalize_punctuation]
       filters:
@@ -224,6 +230,67 @@ def _apply_quality_gate(df: DataFrame, gate_cfg: dict) -> None:
         )
 
 
+def _run_training(spark: SparkSession, df: DataFrame, train_cfg: dict) -> None:
+    """Config-driven model training (r13, engine extension): close the
+    train-then-gate loop INSIDE one YAML — fit the fixed-point quality
+    classifier on a labeled seed expression and persist the dense
+    ``(bucket, weight)`` table to the exact path a later
+    ``check_quality_classifier`` filter's ``weights_path`` consumes.
+
+    YAML shape::
+
+        train:
+          quality_classifier:
+            column: response              # text column to featurize
+            label_expr: "lang = 'en'"     # 0/1 seed signal (SQL expression)
+            weights_path: /models/quality_weights.parquet
+            n_buckets: 256                # optional (trained modulus)
+            rounds: 4                     # optional GD rounds
+            scale: 1000000                # optional fixed-point scale
+            lr_den_mult: null             # optional step-size override
+
+    Training is an EAGER action by design (driver-paced GD rounds, like the
+    quality gate's look-before-leap scan); the persisted table is dense, so
+    the filter's bidirectional modulus check can recover the trained size."""
+    from chat_data_pipeline_spark.functions import scoring as SC
+
+    known = {"quality_classifier"}
+    unknown = set(train_cfg) - known
+    if unknown:
+        raise ValueError(
+            f"train: unknown trainer(s) {sorted(unknown)}; supported: {sorted(known)}"
+        )
+    spec = dict(train_cfg.get("quality_classifier") or {})
+    if "label_expr" not in spec or "weights_path" not in spec:
+        raise ValueError(
+            "train.quality_classifier needs `label_expr` (0/1 seed signal) "
+            "and `weights_path` (where the trained table is persisted)"
+        )
+    column = str(spec.get("column", "response"))
+    n_buckets = int(spec.get("n_buckets", 256))
+    kwargs = {}
+    if spec.get("lr_den_mult") is not None:
+        kwargs["lr_den_mult"] = int(spec["lr_den_mult"])
+    weights = SC.train_linear_classifier_fixed_point(
+        df,
+        column,
+        F.expr(str(spec["label_expr"])).cast("int"),
+        n_buckets=n_buckets,
+        rounds=int(spec.get("rounds", 4)),
+        scale=int(spec.get("scale", 1_000_000)),
+        **kwargs,
+    )
+    wpath = str(spec["weights_path"])
+    # repartition(1), not coalesce(1): coalesce over a driver-parallelized
+    # frame computes every pickled partition serially in one task
+    spark.createDataFrame(
+        [(b, int(w)) for b, w in enumerate(weights)], "bucket int, weight long"
+    ).repartition(1).write.mode("overwrite").parquet(wpath)
+    logger.info(
+        "train.quality_classifier: wrote %d-bucket weights to %s", n_buckets, wpath
+    )
+
+
 def run_config(spark: SparkSession, config: dict) -> DataFrame:
     """ref:main.py lifecycle A (SURVEY.md §3.1), lazily composed."""
     from chat_data_pipeline_spark.operators import conversation as CV
@@ -238,6 +305,13 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
     gate_cfg = config.get("quality_gate")
     if gate_cfg:
         _apply_quality_gate(df, gate_cfg)
+
+    train_cfg = config.get("train")
+    if train_cfg:
+        # trains BEFORE the filter chain so a filter in this same config can
+        # reference the just-persisted weights_path — the one-YAML
+        # train-then-gate loop
+        _run_training(spark, df, train_cfg)
 
     response_cfg = config.get("response") or {}
     pre = _build_preprocessor("response", response_cfg)

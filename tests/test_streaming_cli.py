@@ -1127,3 +1127,91 @@ def test_key_hll_registers_match_pure_python_mirror(spark):
     df = spark.createDataFrame([(k,) for k in keys], "k int")
     got = {r.bucket: (r.r, r.n) for r in key_hll_registers(df, "k").collect()}
     assert got == py_registers(keys)
+
+
+# min_score_threshold 17000 = the midpoint of the measured class bands
+# (junk vocabulary scores exactly 0, trusted >= ~34k after 12 rounds)
+TRAIN_GATE_CONFIG = """
+datasets:
+  - path: {conv_path}
+seed: 42
+train:
+  quality_classifier:
+    column: response
+    label_expr: "source = 'trusted'"
+    weights_path: {weights_path}
+    n_buckets: 64
+    rounds: 12
+response:
+  cleaners: []
+  filters:
+    - name: check_quality_classifier
+      args:
+        weights_path: {weights_path}
+        n_buckets: 64
+        min_score_threshold: 17000
+  deduplication:
+    do_deduplication: false
+instruction:
+  cleaners: []
+  filters: []
+  deduplication:
+    do_deduplication: false
+"""
+
+
+def test_cli_train_then_gate_one_yaml(spark, tmp_path):
+    """r13: the complete train-then-gate curation loop in ONE config — the
+    train: block fits the fixed-point classifier on the 'source = trusted'
+    seed signal and persists the dense (bucket, weight) table to the exact
+    path the check_quality_classifier filter consumes; the gated output
+    keeps the trusted vocabulary and drops the junk one."""
+    from chat_data_pipeline_spark.cli import load_yaml, run_config
+
+    good = ["quality prose flows here", "thoughtful writing reads well",
+            "prose and writing flow together", "reads well and flows"]
+    junk = ["zork quux blarg", "blarg zork noise", "quux noise zork blarg",
+            "noise quux blarg"]
+    rows = [
+        (i, "trusted", [("q", False, "User"), (good[i % 4], True, "Assistant")])
+        for i in range(20)
+    ] + [
+        (100 + i, "scraped", [("q", False, "User"), (junk[i % 4], True, "Assistant")])
+        for i in range(20)
+    ]
+    conv_path = str(tmp_path / "conv.parquet")
+    spark.createDataFrame(
+        rows,
+        "id long, source string, conversation array<struct<content string, do_train boolean, role string>>",
+    ).write.parquet(conv_path)
+
+    weights_path = str(tmp_path / "quality_weights.parquet")
+    cfg = tmp_path / "train_gate.yaml"
+    cfg.write_text(
+        TRAIN_GATE_CONFIG.format(conv_path=conv_path, weights_path=weights_path)
+    )
+    out = run_config(spark, load_yaml(str(cfg)))
+    got = out.collect()
+
+    # the persisted artifact is the dense trained table the filter loaded
+    w = spark.read.parquet(weights_path)
+    assert w.count() == 64 and {f.name for f in w.schema.fields} == {"bucket", "weight"}
+
+    # every surviving row is from the trusted seed vocabulary
+    assert len(got) == 20
+    assert all("zork" not in r.conversation[-1].content for r in got)
+    assert {r.source for r in got} == {"trusted"}
+
+
+def test_cli_train_block_validates_config(spark, tmp_path):
+    """Unknown trainers and missing label_expr/weights_path fail loudly at
+    config time, not as an AttributeError mid-lifecycle."""
+    import pytest as _pytest
+
+    from chat_data_pipeline_spark.cli import _run_training
+
+    df = spark.createDataFrame([(1, "x", "t")], "id long, source string, response string")
+    with _pytest.raises(ValueError, match="unknown trainer"):
+        _run_training(spark, df, {"bogus_trainer": {}})
+    with _pytest.raises(ValueError, match="label_expr"):
+        _run_training(spark, df, {"quality_classifier": {"weights_path": "/tmp/x"}})
