@@ -2075,3 +2075,96 @@ def semantic_dedup(
         dedup_cluster, schema=f"{id_col} {id_type}"
     )
     return df.join(kept, on=id_col, how="left_semi")
+
+
+def ivf_index_drift_report(spark, index_path: str) -> DataFrame:
+    """Extended-index health diagnostic (r13): ``extend_ivf_index`` keeps
+    the base coarse structure forever — correct for probe compatibility,
+    but a delivery distribution that drifts away from the base corpus
+    silently degrades recall (vectors land in lists whose centroid no
+    longer represents them, and hot lists blunt the probe pruning).  This
+    report reads the index's OWN postings and scores every batch:
+
+    - ``n_vectors`` — batch size;
+    - ``n_lists_used`` — distinct lists the batch occupies;
+    - ``mean_assign_score_nanos`` — mean fit between each vector and its
+      assigned list, integer nanos, HIGHER = snugger.  md5 flavor: the
+      assign fold-dot (normed vector · coarse row) the build maximized;
+      kmeans flavor: negative squared L2 to the assigned centroid;
+    - ``occupancy_skew_nanos`` — the batch's hottest list as a
+      multiple-of-uniform share in nanos (1e9 = perfectly balanced,
+      n_centroids·1e9 = everything in one list).
+
+    Documented rebuild thresholds: re-train the coarse structure when a
+    delivery's ``mean_assign_score_nanos`` falls below ~0.8× the base
+    batch's, or its ``occupancy_skew_nanos`` exceeds ~4·1e9 while the
+    base sits near 1e9 — both signal the quantizer no longer matches the
+    data it is indexing.
+
+    Scale shape: one Arrow pass over the postings (the scoring), one
+    map-side-combined (batch, list) count agg (the occupancy) — nothing
+    ever collects beyond O(batches × n_centroids) rows.
+    """
+    import pandas as pd
+
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    n_centroids, dim = int(meta.n_centroids), int(meta.dim)
+    vec_col = meta.vec_col
+    postings = spark.read.parquet(f"{index_path}/postings")
+
+    if meta.coarse == "md5":
+        cent = np.asarray(pq_md5_sign_codebooks(1, n_centroids, dim, "ivfpq_coarse")[0])
+
+        def fit_nanos(mat: np.ndarray, lists: np.ndarray) -> np.ndarray:
+            normed = mat / _fold_norm_rows(mat)[:, None]
+            dots = _fold_subspace_dots(normed, cent, 0)
+            return np.rint(dots[np.arange(len(mat)), lists] * 1e9).astype(np.int64)
+
+    elif meta.coarse == "kmeans":
+        rows = spark.read.parquet(f"{index_path}/centroids").orderBy("list").collect()
+        cent = np.asarray([r.centroid for r in rows], dtype=np.float64)
+
+        def fit_nanos(mat: np.ndarray, lists: np.ndarray) -> np.ndarray:
+            d2 = ((mat - cent[lists]) ** 2).sum(axis=1)
+            return np.rint(-d2 * 1e9).astype(np.int64)
+
+    else:
+        raise ValueError(f"unknown coarse kind {meta.coarse!r} in {index_path}")
+
+    def score(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+            )
+            lists = batch["list"].to_numpy().astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "batch": batch["batch"].astype(str),
+                    "list": lists,
+                    "fit_nanos": fit_nanos(mat, lists),
+                }
+            )
+
+    scored = postings.select("batch", "list", vec_col).mapInPandas(
+        score, schema="batch string, list long, fit_nanos long"
+    )
+    per_list = scored.groupBy("batch", "list").agg(
+        F.count("*").alias("__n__"),
+        F.sum("fit_nanos").alias("__fit_sum__"),
+    )
+    return (
+        per_list.groupBy("batch")
+        .agg(
+            F.sum("__n__").cast("long").alias("n_vectors"),
+            F.count("*").cast("long").alias("n_lists_used"),
+            F.expr("sum(__fit_sum__) div sum(__n__)").alias(
+                "mean_assign_score_nanos"
+            ),
+            F.expr(f"(max(__n__) * {n_centroids}L * 1000000000L) div sum(__n__)").alias(
+                "occupancy_skew_nanos"
+            ),
+        )
+        .orderBy("batch")
+    )

@@ -786,3 +786,59 @@ def test_extend_ivf_index_replayed_delivery_is_idempotent(spark, emb, queries, t
         r.batch for r in spark.read.parquet(f"{idx}/postings").select("batch").distinct().collect()
     }
     assert batches == {"base"}
+
+
+def test_ivf_drift_report_flags_a_drifted_delivery(spark, emb, tmp_path):
+    """r13 index-health diagnostic: a base build reads balanced occupancy
+    and a snug mean assign score; a deliberately drifted delivery (every
+    vector a clone of one base vector -> one hot list; all-ones vectors ->
+    poor fold-dot fit) must move BOTH signals, giving the documented
+    rebuild threshold something real to fire on."""
+    idx = str(tmp_path / "drift_idx")
+    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
+
+    one = emb.orderBy("vec_id").limit(1).collect()[0]
+    hot = spark.createDataFrame(
+        [(10_000 + i, list(one.embedding)) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    SIM.extend_ivf_index(hot, idx, batch_id="hot")
+    # a one-hot spike normalizes to e_0, whose dot with ANY +/-1 row is
+    # exactly +/-1 -> assign score <= 1e9, provably below the base mean
+    spike = spark.createDataFrame(
+        [(20_000 + i, [1.0] + [0.0] * 63) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    SIM.extend_ivf_index(spike, idx, batch_id="spike")
+
+    rep = {r.batch: r for r in SIM.ivf_index_drift_report(spark, idx).collect()}
+    assert set(rep) == {"base", "hot", "spike"}
+    base, hot_r, spike_r = rep["base"], rep["hot"], rep["spike"]
+    assert base.n_vectors == emb.count() and hot_r.n_vectors == 64
+
+    # clone-hot delivery: every vector in ONE list -> skew pegs at
+    # n_centroids x 1e9 while the base sits near uniform
+    assert hot_r.n_lists_used == 1
+    assert hot_r.occupancy_skew_nanos == 16 * 1_000_000_000
+    assert base.occupancy_skew_nanos < 4 * 1_000_000_000
+
+    # spike delivery: one-hot vectors cap the fold-dot at 1.0 while the
+    # base corpus averages well above it — the fit signal moves down
+    assert spike_r.mean_assign_score_nanos <= 1_000_000_000
+    assert spike_r.mean_assign_score_nanos < base.mean_assign_score_nanos
+
+    # kmeans flavor exercises the centroid-distance scoring path
+    idx_km = str(tmp_path / "drift_idx_km")
+    SIM.build_ivf_index(emb, idx_km, n_centroids=8, coarse="kmeans", seed=42)
+    SIM.extend_ivf_index(hot, idx_km, batch_id="hot")
+    rep_km = {r.batch: r for r in SIM.ivf_index_drift_report(spark, idx_km).collect()}
+    assert rep_km["hot"].n_lists_used == 1
+    assert rep_km["hot"].occupancy_skew_nanos == 8 * 1_000_000_000
+    # scores are negative squared distances: snug base > drifted... the hot
+    # clones ARE real corpus vectors, so instead assert the score scale is
+    # sane (non-positive) and deterministic across two report runs
+    again = {r.batch: r for r in SIM.ivf_index_drift_report(spark, idx_km).collect()}
+    assert {b: r.mean_assign_score_nanos for b, r in rep_km.items()} == {
+        b: r.mean_assign_score_nanos for b, r in again.items()
+    }
+    assert all(r.mean_assign_score_nanos <= 0 for r in rep_km.values())
