@@ -138,6 +138,11 @@ BENCH_QUERIES = [
     "q17_small_quantity_revenue",
     "q8_market_share",
     "docs_bm25_indexed",
+    # round-13 additions
+    "docs_bm25_topk_indexed",
+    "q11_important_parts",
+    "q20_top_suppliers_promo",
+    "q21_waiting_suppliers",
 ]
 
 
@@ -335,6 +340,54 @@ def scale_probe(factor: int = 10) -> None:
                 math.log(rfv) / math.log(factor), 3
             )
         print(f"# {name}: {results[name]}", file=sys.stderr)
+
+    # r13: the BM25 index lifecycle measured in its TWO phases — the only
+    # r12 heavyweight without an exponent.  The BUILD is the corpus-sized
+    # stage (tokenize/explode/agg + the salted bucket-partitioned write);
+    # the PROBE should stay near-flat: the probed term buckets prune at the
+    # file listing and df/stats merge by integer addition, so probe cost
+    # tracks the posting volume of 5 terms, not the corpus.
+    import shutil
+
+    from chat_data_pipeline_spark.operators import retrieval as RTOP
+
+    probe_terms = ["join", "hash", "scan", "window", "sort"]
+
+    def _bm25_phases(d: str) -> tuple[float, float]:
+        docs = spark.read.parquet(f"{d}/documents.parquet").select("doc_id", "text")
+        idx = os.path.join(big_dir + "-bm25idx")
+        shutil.rmtree(idx, ignore_errors=True)
+        tb = float("inf")
+        for _ in range(2):  # overwrite-idempotent: rebuild in place
+            t0 = time.time()
+            RTOP.build_text_index(docs, idx)
+            tb = min(tb, time.time() - t0)
+        tp = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            RTOP.bm25_topk_indexed(spark, idx, probe_terms, k=10).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            tp = min(tp, time.time() - t0)
+        shutil.rmtree(idx, ignore_errors=True)
+        gc.collect()
+        return round(tb, 3), round(tp, 3)
+
+    b1, p1 = _bm25_phases(SF_DIR)
+    bN, pN = _bm25_phases(big_dir)
+    for name, t1, tN in (
+        ("docs_bm25_index_build", b1, bN),
+        ("docs_bm25_index_probe", p1, pN),
+    ):
+        ratio = tN / t1 if t1 else float("nan")
+        results[name] = {
+            "t1": t1,
+            f"t{factor}": tN,
+            "ratio": round(ratio, 2),
+            "exponent": round(math.log(ratio) / math.log(factor), 3),
+        }
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+
     print(
         json.dumps(
             {"metric": "scale_probe", "factor": factor, "sf": SF_DIR, "queries": results}
