@@ -7512,6 +7512,73 @@ _WINDOW_TAIL.append("sample_token_budget_scalable")
 # sketch family keeps corpus_hll_distinct + docs_uniqueness_approx
 # in-window.
 _WINDOW_TAIL.append("corpus_cms_heavy_hitters")
+# ---------------------------------------------------------------------------
+# round-13 staleness rotation — executes the standing queue documented in
+# README (rotation-policy rule 3): the complete round-6 band (8 rows), then
+# the complete round-7 band (7 rows).  Removing them from the tail restores
+# their original early registration positions inside the first-50 driver
+# window.
+for _name in (
+    # the r6 band:
+    "decontaminate_ngram",
+    "docs_repetition_signals",
+    "filter_char_repetition",
+    "lang_id_counts",
+    "paragraph_dedup",
+    "q22_idle_rich_customers",
+    "sample_stratified_lang",
+    "substring_dedup_docs",
+    # the r7 band:
+    "ann_topk_cosine",
+    "decontaminate_bloom_report",
+    "docs_bm25_probe",
+    "embedding_neardup_pairs",
+    "filter_domain_blocklist",
+    "filter_nsfw_score",
+    "paragraph_dedup_within",
+):
+    _WINDOW_TAIL.remove(_name)
+# Rotated OUT to make room (15 re-admissions + 4 NEW r13 registrations —
+# docs_bm25_topk_indexed, q11_important_parts, q20_top_suppliers_promo,
+# q21_waiting_suppliers — which sit in the window by registration): 19 rows,
+# each hash-green in CORRECTNESS_r12 with its implementing region untouched
+# by round 13.  (r13 touches retrieval.py/similarity.py's index
+# build/extend writes and queries.py's index/classifier defs — so
+# docs_bm25_indexed, ann_topk_ivf_persisted, and all four classifier rows
+# STAY in-window to re-earn hashes on the changed code; filters.py's
+# weights_path guard has no registered rider, and cli.py's train: block is
+# CLI-e2e-pytest territory.)  Family coverage stays in-window: relational
+# keeps the three NEW shapes + the re-admitted q22 anti-join + the
+# re-admitted q13/q16-adjacent coverage via dedup/sampling keyed aggs;
+# events keeps moving_average + key_skew (asof stays in the full-registry
+# parity sweep); cleaners/filters keep both preset pipelines' C2/C3 +
+# filter chains plus the re-admitted char_repetition/nsfw/domain rows;
+# dedup keeps simhash_md5 / semantic / banding_calibration /
+# image_dedup + the re-admitted paragraph/substring rows; sampling keeps
+# the re-admitted stratified row (grouped/proportional/shuffle_hash stay
+# pytest- and sweep-covered); sources/provenance executes under every
+# _read-based row and both presets' source columns.
+_WINDOW_TAIL += [
+    "q8_market_share",
+    "q12_late_shipments",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "events_asof_view",
+    "union_provenance",
+    "docs_fix_mojibake",
+    "edit_pairs_concat",
+    "filter_stats_describe",
+    "filter_completion",
+    "filter_ethics",
+    "dedup_exact",
+    "sample_grouped_users",
+    "shuffle_hash_sample",
+    "sample_proportional_mix",
+]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

@@ -81,46 +81,39 @@ def test_correctness_window_is_all_oracle_backed():
     # history; round 12 executed the standing README queue — r4 + full r5
     # bands — so the pinned set below IS the r12 window.)
     must_be_windowed = {
-        # round-12 rule-1 entries: the seven NEW oracle-backed queries
-        # (docs_classifier_gate displaced dsir_select_en; the three TPC-H
-        # shapes displaced filter_truncation/filter_gender — still executing
-        # in-window inside the presets — and dedup_simhash, whose
-        # bit-identical md5 twin keeps the in-window oracle)
-        "ann_topk_ivf_persisted", "docs_classifier_gate",
+        # round-13 rule-1 entries: the four NEW oracle-backed queries
+        # (three TPC-H shapes + the indexed top-k serving row)
+        "q11_important_parts", "q20_top_suppliers_promo",
+        "q21_waiting_suppliers", "docs_bm25_topk_indexed",
+        # round-13 rule-2 holds: retrieval.py/similarity.py's index
+        # build/extend writes changed (salting, static overwrite, meta
+        # order) and queries.py's index/classifier defs changed (run-scoped
+        # paths, train-once memo) — all six re-earn hashes on the changed
+        # code
+        "docs_bm25_indexed", "ann_topk_ivf_persisted",
         "quality_classifier_train", "quality_classifier_train_scores",
-        "q12_late_shipments", "q14_promo_revenue", "q19_discounted_revenue",
-        "docs_uniqueness_approx", "q15_top_supplier",
-        "q17_small_quantity_revenue", "q8_market_share",
-        "docs_bm25_indexed",
-        # round-12 rule-2 re-admissions/holds: scoring.py gained the
-        # trainer (scores row re-enters), dedup.py's banding region gained
-        # the candidate cap, conversation.py's structure report gained the
-        # NULL/empty semantics, plans/pipeline.py's warning scope moved
-        # per-instance (both presets), sources/io.py's write_table grew
-        # sizing/validation (union_provenance, in the r4 band anyway)
-        "quality_classifier_scores", "dedup_banding_calibration",
-        "conversation_structure", "pipeline_lifecycle",
-        "pipeline_output_preset",
-        # round-12 staleness rotation rule 3 — the r4 band:
-        "conversation_pairs", "dedup_exact", "events_asof_view",
-        "filter_ethics", "filter_stats_describe", "multimodal_features",
-        "q13_order_count_distribution", "q16_supplier_part_counts",
-        "shuffle_hash_sample", "union_provenance",
-        # ...and the complete r5 band:
-        "chunk_documents_windows", "conversation_chatml",
-        "decontaminate_report", "docs_fix_mojibake", "docs_redact_pii",
-        "domain_doc_counts", "edit_pairs_concat", "events_moving_average",
-        "filter_completion", "multimodal_frame_sample",
-        "sample_grouped_users", "sample_proportional_mix", "split_by_filter",
-        "split_train_val_test",
-        # standing residents (r11-green; regions untouched or
-        # append-adjacent this round — similarity.py/sketches.py grew new
-        # functions beside these rows' code)
+        "quality_classifier_scores", "docs_classifier_gate",
+        # round-13 staleness rotation rule 3 — the r6 band:
+        "decontaminate_ngram", "docs_repetition_signals",
+        "filter_char_repetition", "lang_id_counts", "paragraph_dedup",
+        "q22_idle_rich_customers", "sample_stratified_lang",
+        "substring_dedup_docs",
+        # ...and the complete r7 band:
+        "ann_topk_cosine", "decontaminate_bloom_report", "docs_bm25_probe",
+        "embedding_neardup_pairs", "filter_domain_blocklist",
+        "filter_nsfw_score", "paragraph_dedup_within",
+        # standing residents (r12-green; regions untouched or
+        # append-adjacent this round)
+        "conversation_pairs", "conversation_chatml", "multimodal_features",
+        "multimodal_frame_sample", "pipeline_lifecycle",
+        "pipeline_output_preset", "decontaminate_report",
+        "chunk_documents_windows", "split_train_val_test", "split_by_filter",
+        "events_moving_average", "domain_doc_counts", "docs_redact_pii",
+        "dedup_semantic", "docs_bigram_lm", "multimodal_image_dedup",
+        "docs_uniqueness_approx", "corpus_hll_distinct",
+        "dedup_banding_calibration", "corpus_drift",
+        "conversation_structure", "docs_quality_gate", "events_key_skew",
         "dedup_simhash_md5", "ann_topk_ivf_md5",
-        "dedup_semantic", "docs_bigram_lm",
-        "multimodal_image_dedup",
-        "corpus_hll_distinct", "corpus_drift",
-        "docs_quality_gate", "events_key_skew",
     }
     assert must_be_windowed <= set(window)
 
