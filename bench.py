@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "docs_bm25_indexed",
     # round-13 additions
     "docs_bm25_topk_indexed",
+    "ann_ivf_drift_report",
     "q11_important_parts",
     "q20_top_suppliers_promo",
     "q21_waiting_suppliers",

@@ -2087,16 +2087,18 @@ def ivf_index_drift_report(spark, index_path: str) -> DataFrame:
 
     - ``n_vectors`` — batch size;
     - ``n_lists_used`` — distinct lists the batch occupies;
-    - ``mean_assign_score_nanos`` — mean fit between each vector and its
-      assigned list, integer nanos, HIGHER = snugger.  md5 flavor: the
-      assign fold-dot (normed vector · coarse row) the build maximized;
-      kmeans flavor: negative squared L2 to the assigned centroid;
+    - ``mean_assign_score_micros`` — mean fit between each vector and its
+      assigned list, integer micros (the 6-decimal precision every
+      cross-engine twin in this repo rounds to), HIGHER = snugger.  md5
+      flavor: the assign fold-dot (normed vector · coarse row) the build
+      maximized; kmeans flavor: negative squared L2 to the assigned
+      centroid;
     - ``occupancy_skew_nanos`` — the batch's hottest list as a
       multiple-of-uniform share in nanos (1e9 = perfectly balanced,
       n_centroids·1e9 = everything in one list).
 
     Documented rebuild thresholds: re-train the coarse structure when a
-    delivery's ``mean_assign_score_nanos`` falls below ~0.8× the base
+    delivery's ``mean_assign_score_micros`` falls below ~0.8× the base
     batch's, or its ``occupancy_skew_nanos`` exceeds ~4·1e9 while the
     base sits near 1e9 — both signal the quantizer no longer matches the
     data it is indexing.
@@ -2115,18 +2117,18 @@ def ivf_index_drift_report(spark, index_path: str) -> DataFrame:
     if meta.coarse == "md5":
         cent = np.asarray(pq_md5_sign_codebooks(1, n_centroids, dim, "ivfpq_coarse")[0])
 
-        def fit_nanos(mat: np.ndarray, lists: np.ndarray) -> np.ndarray:
+        def fit_micros(mat: np.ndarray, lists: np.ndarray) -> np.ndarray:
             normed = mat / _fold_norm_rows(mat)[:, None]
             dots = _fold_subspace_dots(normed, cent, 0)
-            return np.rint(dots[np.arange(len(mat)), lists] * 1e9).astype(np.int64)
+            return np.rint(dots[np.arange(len(mat)), lists] * 1e6).astype(np.int64)
 
     elif meta.coarse == "kmeans":
         rows = spark.read.parquet(f"{index_path}/centroids").orderBy("list").collect()
         cent = np.asarray([r.centroid for r in rows], dtype=np.float64)
 
-        def fit_nanos(mat: np.ndarray, lists: np.ndarray) -> np.ndarray:
+        def fit_micros(mat: np.ndarray, lists: np.ndarray) -> np.ndarray:
             d2 = ((mat - cent[lists]) ** 2).sum(axis=1)
-            return np.rint(-d2 * 1e9).astype(np.int64)
+            return np.rint(-d2 * 1e6).astype(np.int64)
 
     else:
         raise ValueError(f"unknown coarse kind {meta.coarse!r} in {index_path}")
@@ -2143,16 +2145,16 @@ def ivf_index_drift_report(spark, index_path: str) -> DataFrame:
                 {
                     "batch": batch["batch"].astype(str),
                     "list": lists,
-                    "fit_nanos": fit_nanos(mat, lists),
+                    "fit_micros": fit_micros(mat, lists),
                 }
             )
 
     scored = postings.select("batch", "list", vec_col).mapInPandas(
-        score, schema="batch string, list long, fit_nanos long"
+        score, schema="batch string, list long, fit_micros long"
     )
     per_list = scored.groupBy("batch", "list").agg(
         F.count("*").alias("__n__"),
-        F.sum("fit_nanos").alias("__fit_sum__"),
+        F.sum("fit_micros").alias("__fit_sum__"),
     )
     return (
         per_list.groupBy("batch")
@@ -2160,7 +2162,7 @@ def ivf_index_drift_report(spark, index_path: str) -> DataFrame:
             F.sum("__n__").cast("long").alias("n_vectors"),
             F.count("*").cast("long").alias("n_lists_used"),
             F.expr("sum(__fit_sum__) div sum(__n__)").alias(
-                "mean_assign_score_nanos"
+                "mean_assign_score_micros"
             ),
             F.expr(f"(max(__n__) * {n_centroids}L * 1000000000L) div sum(__n__)").alias(
                 "occupancy_skew_nanos"

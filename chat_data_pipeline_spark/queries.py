@@ -6783,6 +6783,50 @@ def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register(
+    "ann_ivf_drift_report",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nv AS (SELECT vec_id, {_NORMALIZE_SQL} AS v FROM e),
+    cdots AS (SELECT vec_id, {_IVFPQ_CD} AS cd FROM nv),
+    assigned AS (SELECT vec_id,
+        CASE WHEN vec_id % 2 = 0 THEN 'base' ELSE 'b1' END AS batch,
+        list_position(cd, list_max(cd)) - 1 AS list,
+        CAST(ROUND(list_max(cd) * 1000000) AS BIGINT) AS fit_micros
+      FROM cdots),
+    per_list AS (SELECT batch, list, COUNT(*) AS n, SUM(fit_micros) AS fs
+                 FROM assigned GROUP BY 1, 2)
+    SELECT batch, CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_lists_used,
+           SUM(fs) // SUM(n) AS mean_assign_score_micros,
+           (MAX(n) * 16 * 1000000000) // SUM(n) AS occupancy_skew_nanos
+    FROM per_list GROUP BY batch
+    """,
+    "extended-index drift report (r13): build the md5 IVF index on the "
+    "even half of the corpus, deliver the odd half as extension batch b1, "
+    "then score BOTH batches from the index's own postings — per-batch "
+    "mean assign fold-dot in integer micros (the quantizer-fit signal that "
+    "drops when a delivery's distribution drifts from the base) and "
+    "hottest-list occupancy as a multiple-of-uniform in nanos (the probe-"
+    "pruning-bluntness signal); the fold-dot arithmetic is the IVF twin's "
+    "own, so the whole health report value-hashes cross-engine",
+)
+def ann_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = _run_scoped_path("ivf_drift_index", sf_dir)
+
+    def _build() -> None:
+        SIM.build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), idx,
+            n_centroids=16, coarse="md5", dim=64,
+        )
+        SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), idx, batch_id="b1")
+
+    _build_once(idx, _build)
+    return SIM.ivf_index_drift_report(spark, idx)
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
@@ -7579,6 +7623,13 @@ _WINDOW_TAIL += [
     "shuffle_hash_sample",
     "sample_proportional_mix",
 ]
+# round-13 rule-1, second batch: ann_ivf_drift_report (the extended-index
+# health report, never-driver-verified, oracle-backed via the IVF twin's
+# fold arithmetic) enters by registration; conversation_chatml makes room —
+# r12 hash-green, operators/conversation.py untouched this round, and the
+# conversation family keeps conversation_pairs + conversation_structure
+# in-window (P3 reassembly stays in the full-registry parity sweep).
+_WINDOW_TAIL.append("conversation_chatml")
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

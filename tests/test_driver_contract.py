@@ -85,6 +85,7 @@ def test_correctness_window_is_all_oracle_backed():
         # (three TPC-H shapes + the indexed top-k serving row)
         "q11_important_parts", "q20_top_suppliers_promo",
         "q21_waiting_suppliers", "docs_bm25_topk_indexed",
+        "ann_ivf_drift_report",
         # round-13 rule-2 holds: retrieval.py/similarity.py's index
         # build/extend writes changed (salting, static overwrite, meta
         # order) and queries.py's index/classifier defs changed (run-scoped
@@ -104,7 +105,7 @@ def test_correctness_window_is_all_oracle_backed():
         "filter_nsfw_score", "paragraph_dedup_within",
         # standing residents (r12-green; regions untouched or
         # append-adjacent this round)
-        "conversation_pairs", "conversation_chatml", "multimodal_features",
+        "conversation_pairs", "multimodal_features",
         "multimodal_frame_sample", "pipeline_lifecycle",
         "pipeline_output_preset", "decontaminate_report",
         "chunk_documents_windows", "split_train_val_test", "split_by_filter",

@@ -824,8 +824,8 @@ def test_ivf_drift_report_flags_a_drifted_delivery(spark, emb, tmp_path):
 
     # spike delivery: one-hot vectors cap the fold-dot at 1.0 while the
     # base corpus averages well above it — the fit signal moves down
-    assert spike_r.mean_assign_score_nanos <= 1_000_000_000
-    assert spike_r.mean_assign_score_nanos < base.mean_assign_score_nanos
+    assert spike_r.mean_assign_score_micros <= 1_000_000
+    assert spike_r.mean_assign_score_micros < base.mean_assign_score_micros
 
     # kmeans flavor exercises the centroid-distance scoring path
     idx_km = str(tmp_path / "drift_idx_km")
@@ -838,7 +838,7 @@ def test_ivf_drift_report_flags_a_drifted_delivery(spark, emb, tmp_path):
     # clones ARE real corpus vectors, so instead assert the score scale is
     # sane (non-positive) and deterministic across two report runs
     again = {r.batch: r for r in SIM.ivf_index_drift_report(spark, idx_km).collect()}
-    assert {b: r.mean_assign_score_nanos for b, r in rep_km.items()} == {
-        b: r.mean_assign_score_nanos for b, r in again.items()
+    assert {b: r.mean_assign_score_micros for b, r in rep_km.items()} == {
+        b: r.mean_assign_score_micros for b, r in again.items()
     }
-    assert all(r.mean_assign_score_nanos <= 0 for r in rep_km.values())
+    assert all(r.mean_assign_score_micros <= 0 for r in rep_km.values())
