@@ -107,12 +107,22 @@ _RUN_SCOPED_PATHS: set[str] = set()
 
 # Build-once memo for run-scoped artifacts: registered queries stay
 # self-contained (any one of them builds what it needs), but within one
-# process the SECOND query over the same artifact reuses it instead of
-# re-paying the corpus-sized build — the build-once posture the operators
-# themselves are designed around (a 100 TB user trains/builds once by
-# construction; the bench shouldn't pay it per registered row).  Sound
-# because every artifact here is a deterministic function of (kind, sf_dir)
-# and the builds are overwrite-idempotent.
+# process a SERVING-posture query reuses the artifact instead of re-paying
+# the corpus-sized build — the build-once posture the operators themselves
+# are designed around (a 100 TB user trains/builds once by construction).
+# Sound because every artifact here is a deterministic function of
+# (kind, sf_dir) and the builds are overwrite-idempotent.
+#
+# Which rows memoize is a deliberate measurement contract (the bench and
+# scale probe time best-of-3 reps, so a memoized build drops out of a row's
+# steady-state number):
+#   - LIFECYCLE rows (docs_bm25_indexed, ann_topk_ivf_persisted,
+#     quality_classifier_train) do NOT memoize — they measure the full
+#     build/train cost per invocation, comparable across rounds;
+#   - SERVING rows (docs_bm25_topk_indexed, ann_ivf_drift_report,
+#     quality_classifier_train_scores, docs_classifier_gate) memoize /
+#     load the persisted artifact — they measure steady-state consumption,
+#     which is what their 100 TB posture is (train/build once, serve many).
 _BUILT_ARTIFACTS: set[str] = set()
 
 
@@ -4228,28 +4238,44 @@ def _cls_train_label() -> "F.Column":
     return F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
 
 
-_CLS_WEIGHTS_CACHE: dict[str, list[int]] = {}
-
-
-def _cls_train_weights(spark: SparkSession, sf_dir: str) -> list[int]:
-    """Train-once memo (r13, the r12 verdict's bench-cost note): the three
-    classifier queries each consume the SAME deterministic model, so the
-    first one per (process, sf_dir) pays the 4 aggregation rounds and the
-    scores/gate rows reuse the weights — the build-once posture the
-    persisted indexes already follow (a 100 TB user trains once by
-    construction); each query stays self-contained when run alone."""
+def _cls_train_and_persist(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Train the fixed-point model and persist the dense ``(bucket,
+    weight)`` table to the run-scoped artifact path — the weights_path
+    shape the YAML ``train:`` block writes and ``check_quality_classifier``
+    consumes."""
     from chat_data_pipeline_spark.functions import scoring as SC
 
-    if sf_dir not in _CLS_WEIGHTS_CACHE:
-        docs = _read(spark, sf_dir, "documents")
-        _CLS_WEIGHTS_CACHE[sf_dir] = SC.train_linear_classifier_fixed_point(
-            docs,
-            "text",
-            _cls_train_label(),
-            n_buckets=_CLS_TRAIN_BUCKETS,
-            rounds=_CLS_TRAIN_ROUNDS,
-        )
-    return _CLS_WEIGHTS_CACHE[sf_dir]
+    docs = _read(spark, sf_dir, "documents")
+    weights = SC.train_linear_classifier_fixed_point(
+        docs,
+        "text",
+        _cls_train_label(),
+        n_buckets=_CLS_TRAIN_BUCKETS,
+        rounds=_CLS_TRAIN_ROUNDS,
+    )
+    path = _run_scoped_path("cls_weights", sf_dir)
+    spark.createDataFrame(
+        [(b, int(w)) for b, w in enumerate(weights)], "bucket int, weight long"
+    ).repartition(1).write.mode("overwrite").parquet(path)
+    _BUILT_ARTIFACTS.add(path)
+    return weights
+
+
+def _cls_load_weights(spark: SparkSession, sf_dir: str) -> list[int]:
+    """SERVING-row model resolution (r13, the r12 verdict's bench-cost
+    note): load the persisted trained table when this process already
+    trained it (the scores/gate rows consume the trainer's artifact
+    instead of re-running the 4 GD rounds — at 100 TB a user trains once
+    by construction); train-and-persist when run standalone, so every
+    registered query stays self-contained."""
+    path = _run_scoped_path("cls_weights", sf_dir)
+    if path not in _BUILT_ARTIFACTS:
+        return _cls_train_and_persist(spark, sf_dir)
+    rows = spark.read.parquet(path).collect()
+    out = [0] * _CLS_TRAIN_BUCKETS
+    for r in rows:
+        out[int(r.bucket)] = int(r.weight)
+    return out
 
 
 @_register(
@@ -4265,7 +4291,8 @@ def _cls_train_weights(spark: SparkSession, sf_dir: str) -> list[int]:
     "applies",
 )
 def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    weights = _cls_train_weights(spark, sf_dir)
+    # LIFECYCLE row: trains every invocation by contract (_build_once note)
+    weights = _cls_train_and_persist(spark, sf_dir)
     return spark.createDataFrame(
         [(b, int(w)) for b, w in enumerate(weights)], "bucket int, weight long"
     )
@@ -4283,7 +4310,7 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_classifier_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chat_data_pipeline_spark.functions import scoring as SC
 
-    weights = _cls_train_weights(spark, sf_dir)
+    weights = _cls_load_weights(spark, sf_dir)
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -4307,7 +4334,7 @@ def quality_classifier_train_scores(spark: SparkSession, sf_dir: str) -> DataFra
 def docs_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chat_data_pipeline_spark.functions import scoring as SC
 
-    weights = _cls_train_weights(spark, sf_dir)
+    weights = _cls_load_weights(spark, sf_dir)
     docs = _read(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
@@ -4674,7 +4701,11 @@ def docs_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     idx = _run_scoped_path("bm25_index", sf_dir)
-    _build_once(idx, lambda: RT.build_text_index(docs, idx))
+    # the LIFECYCLE row: builds every invocation by contract (see the
+    # _build_once note) so its bench number stays the build-dominated cost;
+    # marking the artifact built lets the serving row reuse it
+    RT.build_text_index(docs, idx)
+    _BUILT_ARTIFACTS.add(idx)
     return RT.bm25_topk_indexed(
         spark, idx, ["join", "hash", "scan", "window", "sort"]
     )
@@ -6776,9 +6807,9 @@ def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     idx = _run_scoped_path("ivf_index", sf_dir)
-    _build_once(
-        idx, lambda: SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
-    )
+    # LIFECYCLE row: builds every invocation by contract (_build_once note)
+    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
+    _BUILT_ARTIFACTS.add(idx)
     out = SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
