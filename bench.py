@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     # round-13 additions
     "docs_bm25_topk_indexed",
     "ann_ivf_drift_report",
+    "classifier_eval_report",
+    "docs_bm25_batch_serving",
     "q11_important_parts",
     "q20_top_suppliers_promo",
     "q21_waiting_suppliers",

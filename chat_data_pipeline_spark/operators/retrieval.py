@@ -387,3 +387,115 @@ def bm25_topk_indexed(
     if k is not None:
         out = out.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(int(k))
     return out
+
+
+def bm25_topk_indexed_batch(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Serve a TABLE of queries against the persisted index in ONE pass —
+    the lexical analog of :func:`ivf_topk_persisted`'s query batching.
+    ``queries`` is ``(query_id, array<string> terms)``.
+
+    Scale shape: the union of every query's terms prunes the postings at
+    the file LISTING (one literal ``IN`` on the md5 bucket column — the
+    index is opened once for the whole batch, not once per query); the
+    exploded (query, term) table is query-sized and broadcasts; per-term
+    nano contributions are computed ONCE per (doc, term) and fan out to
+    queries through that broadcast join; the final top-k is a window
+    ranked inside each query's partition — no global sort, no per-query
+    index scan.  The query table is guarded (driver-collected for bucket
+    computation), mirroring the ANN probe's ``max_query_rows`` contract.
+
+    Output: ``(query_id, id_col, bm25, rank)`` with rank ≤ k, ties broken
+    by ascending id — per-(doc, term) scores are bit-identical to
+    :func:`bm25_topk_indexed` over the same index."""
+    from pyspark.sql import Window
+
+    n_q = queries.count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"bm25_topk_indexed_batch: {n_q} query rows exceed "
+            f"max_query_rows={max_query_rows}; raise the guard explicitly "
+            "if the driver can hold the query set"
+        )
+    qrows = queries.select(query_id_col, terms_col).collect()
+    terms = sorted(
+        {str(t).lower() for r in qrows for t in (r[1] or [])}
+    )
+    if not terms:
+        raise ValueError("bm25_topk_indexed_batch: no query terms")
+    bkts = sorted({_term_bucket_py(t) for t in terms})
+    qt = spark.createDataFrame(
+        [(r[0], str(t).lower()) for r in qrows for t in set(r[1] or [])],
+        f"{query_id_col} {dict(queries.dtypes)[query_id_col]}, term string",
+    )
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    p_schema = f"doc {meta.id_type}, dl int, term string, tf long"
+    postings = (
+        spark.read.schema(p_schema).parquet(f"{index_path}/postings")
+        .filter(F.col("bkt").isin(bkts))
+        .filter(F.col("term").isin(terms))
+        .select(F.col("doc").alias(id_col), "dl", "term", "tf")
+    )
+    dfreq = (
+        spark.read.schema("term string, df long")
+        .parquet(f"{index_path}/dfreq")
+        .filter(F.col("bkt").isin(bkts))
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    stats = (
+        spark.read.schema("n_docs long, sum_dl long")
+        .parquet(f"{index_path}/stats")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("__sum_dl__"),
+        )
+        .select(
+            "n_docs",
+            (F.col("__sum_dl__").cast("double") / F.col("n_docs").cast("double")).alias(
+                "avgdl"
+            ),
+        )
+    )
+    k1_l, b_l = F.lit(float(k1)), F.lit(float(b))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1_l + 1.0)
+        / (F.col("tf") + k1_l * (F.lit(1.0) - b_l + b_l * F.col("dl") / F.col("avgdl")))
+    )
+    per_term = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__nano__", F.round(contrib * 1e9).cast("long"))
+        .select(id_col, "term", "__nano__")
+    )
+    scored = (
+        per_term.join(F.broadcast(qt), "term")
+        .groupBy(query_id_col, id_col)
+        .agg((F.sum("__nano__").cast("double") / 1e9).alias("__raw__"))
+        .select(query_id_col, id_col, F.round("__raw__", 6).alias("bm25"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(query_id_col, id_col, "bm25", "rank")
+    )

@@ -4212,7 +4212,8 @@ def _cls_train_sql(rounds: int, n_buckets: int, final: str) -> str:
     SELECT d.doc_id, CAST(COALESCE(p.p, 0) AS BIGINT) AS cls_pred
     FROM documents d LEFT JOIN predF p USING (doc_id)"""
         )
-    else:  # gate: keep docs at or above the corpus-average trained score —
+    elif final == "gate":
+        # gate: keep docs at or above the corpus-average trained score —
         # integer cross-multiplication (p·n ≥ Σp), no division anywhere
         parts.append(
             f""",
@@ -4230,6 +4231,36 @@ def _cls_train_sql(rounds: int, n_buckets: int, final: str) -> str:
     SELECT s.doc_id, s.cls_pred
     FROM scoresF s, stats
     WHERE s.cls_pred * stats.n >= stats.total"""
+        )
+    else:  # eval: confusion of the gate's keep decision vs the seed label
+        parts.append(
+            f""",
+    predF AS (
+      SELECT t.doc_id, SUM(w.w) AS p FROM tok t JOIN w{rounds} w USING (b)
+      GROUP BY t.doc_id
+    ), scoresF AS (
+      SELECT d.doc_id, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(COALESCE(p.p, 0) AS BIGINT) AS pred
+      FROM documents d LEFT JOIN predF p USING (doc_id)
+    ), stats AS (
+      SELECT CAST(SUM(pred) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM scoresF
+    ), conf AS (
+      SELECT
+        SUM(CASE WHEN pred * n >= total AND y = 1 THEN 1 ELSE 0 END) AS tp,
+        SUM(CASE WHEN pred * n >= total AND y = 0 THEN 1 ELSE 0 END) AS fp,
+        SUM(CASE WHEN pred * n < total AND y = 1 THEN 1 ELSE 0 END) AS fn,
+        SUM(CASE WHEN pred * n < total AND y = 0 THEN 1 ELSE 0 END) AS tn
+      FROM scoresF, stats
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+                ELSE tp * 1000000000 // (tp + fp) END AS precision_nanos,
+           CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+                ELSE tp * 1000000000 // (tp + fn) END AS recall_nanos
+    FROM conf"""
         )
     return "".join(parts)
 
@@ -4350,6 +4381,62 @@ def docs_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.crossJoin(F.broadcast(stats))
         .filter(F.col("cls_pred") * F.col("__n__") >= F.col("__total__"))
         .select("doc_id", "cls_pred")
+    )
+
+
+@_register(
+    "classifier_eval_report",
+    _cls_train_sql(_CLS_TRAIN_ROUNDS, _CLS_TRAIN_BUCKETS, "eval"),
+    "train-gate-EVALUATE (r13): the curation loop's missing third step — "
+    "confusion of the gate's keep decision against the seed label it was "
+    "trained on (tp/fp/fn/tn at the corpus-average threshold, the gate's "
+    "own integer cross-multiplied rule) plus precision/recall in integer "
+    "nanos, so a user measures what the trained gate actually keeps "
+    "BEFORE trusting it on 100 TB; one scan + one one-row broadcast + one "
+    "map-side-combined confusion agg — the report is O(1) rows at any "
+    "corpus size, and every quantity BIGINT so it value-hashes end to end",
+)
+def classifier_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.functions import scoring as SC
+
+    weights = _cls_load_weights(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(
+        _cls_train_label().alias("y"),
+        SC.fixed_point_score(
+            SC.doc_bucket_features(F.col("text"), _CLS_TRAIN_BUCKETS), weights
+        ).alias("pred"),
+    )
+    stats = scored.agg(
+        F.coalesce(F.sum("pred"), F.lit(0)).cast("long").alias("__total__"),
+        F.count(F.lit(1)).cast("long").alias("__n__"),
+    )
+    keep = F.col("pred") * F.col("__n__") >= F.col("__total__")
+    conf = scored.crossJoin(F.broadcast(stats)).agg(
+        F.sum(F.when(keep & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(keep & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~keep & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~keep & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    return conf.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("tp * 1000000000L div (tp + fp)"))
+        .alias("precision_nanos"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("tp * 1000000000L div (tp + fn)"))
+        .alias("recall_nanos"),
     )
 
 
@@ -4730,6 +4817,75 @@ def docs_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.bm25_topk_indexed(
         spark, idx, ["join", "hash", "scan", "window", "sort"], k=10
     )
+
+
+@_register(
+    "docs_bm25_batch_serving",
+    r"""
+    WITH qt AS (SELECT * FROM (VALUES (0, 'join'), (0, 'hash'), (1, 'scan'),
+                  (1, 'window'), (1, 'sort'), (2, 'hash'), (2, 'sort'))
+                AS v(query_id, term)),
+    toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS ws
+      FROM documents
+    ), dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT t.doc_id, tok.s AS term, d.dl, COUNT(*) AS tf
+      FROM toks t, unnest(t.ws) AS tok(s), dl d
+      WHERE d.doc_id = t.doc_id
+        AND tok.s IN (SELECT DISTINCT term FROM qt)
+      GROUP BY t.doc_id, tok.s, d.dl
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(ROUND(
+               ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+             * 1e9) AS BIGINT) AS nano
+      FROM tf, dfreq, stats WHERE dfreq.term = tf.term
+    ),
+    scored AS (
+      SELECT qt.query_id, c.doc_id,
+             round(CAST(SUM(c.nano) AS DOUBLE) / 1e9, 6) AS bm25
+      FROM contrib c JOIN qt ON qt.term = c.term
+      GROUP BY qt.query_id, c.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, bm25,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    "batched lexical serving (r13): a TABLE of queries against the "
+    "persisted BM25 index in ONE pass — the union of all probe terms "
+    "prunes the postings at the file listing once for the whole batch, "
+    "per-(doc, term) nano contributions compute once and fan out to "
+    "queries via a broadcast (query, term) join, and the per-query top-5 "
+    "ranks inside each query's window partition (never a global sort, "
+    "never a per-query index scan); the lexical analog of the ANN probe's "
+    "query batching",
+)
+def docs_bm25_batch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = _run_scoped_path("bm25_index", sf_dir)
+    _build_once(idx, lambda: RT.build_text_index(docs, idx))
+    queries = spark.createDataFrame(
+        [
+            (0, ["join", "hash"]),
+            (1, ["scan", "window", "sort"]),
+            (2, ["hash", "sort"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    out = RT.bm25_topk_indexed_batch(spark, idx, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 @_register(
@@ -7661,6 +7817,15 @@ _WINDOW_TAIL += [
 # conversation family keeps conversation_pairs + conversation_structure
 # in-window (P3 reassembly stays in the full-registry parity sweep).
 _WINDOW_TAIL.append("conversation_chatml")
+# round-13 rule-1, third batch: classifier_eval_report (train-gate-EVALUATE,
+# the loop's missing third step) and docs_bm25_batch_serving (one-pass
+# multi-query serving over the persisted index) enter by registration.
+# Rotated out: multimodal_frame_sample (r12 hash-green, multimodal.py
+# untouched this round; the family keeps multimodal_features +
+# multimodal_image_dedup in-window) and decontaminate_report (r12
+# hash-green, decontamination.py untouched; the family keeps the
+# re-admitted decontaminate_ngram + decontaminate_bloom_report in-window).
+_WINDOW_TAIL += ["multimodal_frame_sample", "decontaminate_report"]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

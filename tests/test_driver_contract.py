@@ -85,7 +85,8 @@ def test_correctness_window_is_all_oracle_backed():
         # (three TPC-H shapes + the indexed top-k serving row)
         "q11_important_parts", "q20_top_suppliers_promo",
         "q21_waiting_suppliers", "docs_bm25_topk_indexed",
-        "ann_ivf_drift_report",
+        "ann_ivf_drift_report", "classifier_eval_report",
+        "docs_bm25_batch_serving",
         # round-13 rule-2 holds: retrieval.py/similarity.py's index
         # build/extend writes changed (salting, static overwrite, meta
         # order) and queries.py's index/classifier defs changed (run-scoped
@@ -105,9 +106,8 @@ def test_correctness_window_is_all_oracle_backed():
         "filter_nsfw_score", "paragraph_dedup_within",
         # standing residents (r12-green; regions untouched or
         # append-adjacent this round)
-        "conversation_pairs", "multimodal_features",
-        "multimodal_frame_sample", "pipeline_lifecycle",
-        "pipeline_output_preset", "decontaminate_report",
+        "conversation_pairs", "multimodal_features", "pipeline_lifecycle",
+        "pipeline_output_preset",
         "chunk_documents_windows", "split_train_val_test", "split_by_filter",
         "events_moving_average", "domain_doc_counts", "docs_redact_pii",
         "dedup_semantic", "docs_bigram_lm", "multimodal_image_dedup",

@@ -536,3 +536,39 @@ def test_bm25_topk_indexed_k_takes_ordered_head(spark, tmp_path):
     plan = topk._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort [" not in plan  # no global sort snuck in beside the top-k
+
+
+def test_bm25_batch_serving_matches_single_probes(spark, tmp_path):
+    """One-pass batch serving must be bit-identical to issuing each query
+    through bm25_topk_indexed individually (same per-(doc, term) nano
+    contributions, same tie-break), and the query-table guard must bite."""
+    import pytest as _pytest
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "batch_idx")
+    RT.build_text_index(docs, idx)
+    bags = {0: ["join", "hash"], 1: ["scan", "window", "sort"], 2: ["hash", "sort"]}
+    queries = spark.createDataFrame(
+        [(q, ts) for q, ts in bags.items()], "query_id long, terms array<string>"
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25)
+        for r in RT.bm25_topk_indexed_batch(spark, idx, queries, k=5).collect()
+    }
+    want = {}
+    for q, ts in bags.items():
+        for i, r in enumerate(
+            RT.bm25_topk_indexed(spark, idx, ts, k=5).collect(), start=1
+        ):
+            want[(q, i)] = (r.doc_id, r.bm25)
+    assert got == want and len(got) == 15
+
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        RT.bm25_topk_indexed_batch(spark, idx, queries, k=5, max_query_rows=2)
+    empty = spark.createDataFrame([(9, [])], "query_id long, terms array<string>")
+    with _pytest.raises(ValueError, match="no query terms"):
+        RT.bm25_topk_indexed_batch(spark, idx, empty)
