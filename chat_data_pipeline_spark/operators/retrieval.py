@@ -267,6 +267,13 @@ def build_text_index(
         # type so probes can supply EXPLICIT schemas — no footer sampling
         # at read time (on a million-file index, schema inference would
         # open an arbitrary footer per read).
+        # the batch-commit ledger resets with the base (write-through-root
+        # clears stale extension markers), then meta commits the build
+        spark.createDataFrame([(1,)], "ok int").withColumn(
+            "batch", batch
+        ).repartition(1).write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("batch").parquet(f"{index_path}/batches")
         spark.createDataFrame(
             [(id_type, N_TERM_BUCKETS)], "id_type string, n_term_buckets int"
         ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
@@ -278,6 +285,15 @@ def build_text_index(
             "partitionOverwriteMode", "static"
         ).partitionBy("bkt").parquet(f"{index_path}/dfreq/batch={batch_id}")
         stats.write.mode("overwrite").parquet(f"{index_path}/stats/batch={batch_id}")
+        # the delivery's commit marker is written LAST: a crash mid-delivery
+        # (postings landed, df/stats didn't) must leave the batch INVISIBLE
+        # to probes — BM25's exactness claim depends on the three artifacts
+        # agreeing, so probes read only ledger-committed batches and a
+        # half-delivered batch can't silently skew df against tf.  Replay
+        # with the same id overwrites the partial artifacts and re-commits.
+        spark.createDataFrame([(1,)], "ok int").repartition(1).write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/batches/batch={batch_id}")
 
 
 def extend_text_index(
@@ -299,6 +315,20 @@ def extend_text_index(
         id_col,
         batch_id=validate_batch_id(batch_id),
         _clear=False,
+    )
+
+
+def _committed_batches(spark, index_path: str) -> list[str]:
+    """Batch ids whose deliveries fully committed (ledger marker written
+    after all three artifacts) — probes read ONLY these, so a crashed
+    delivery's partial postings/df/stats can never skew a score."""
+    return sorted(
+        r.batch
+        for r in spark.read.schema("ok int")
+        .parquet(f"{index_path}/batches")
+        .select("batch")
+        .distinct()
+        .collect()
     )
 
 
@@ -330,11 +360,15 @@ def bm25_topk_indexed(
     terms = [t.lower() for t in query_terms]
     bkts = sorted({_term_bucket_py(t) for t in terms})
     meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
     # explicit schemas (from meta): zero footer sampling — the pruned read
-    # lists only the probed bkt dirs and opens nothing else
+    # lists only the probed bkt dirs of COMMITTED batches and opens nothing
+    # else (batch and bkt are both partition columns: two literal INs at
+    # the listing)
     p_schema = f"doc {meta.id_type}, dl int, term string, tf long"
     postings = (
         spark.read.schema(p_schema).parquet(f"{index_path}/postings")
+        .filter(F.col("batch").isin(committed))
         .filter(F.col("bkt").isin(bkts))
         .filter(F.col("term").isin(terms))
         .select(F.col("doc").alias(id_col), "dl", "term", "tf")
@@ -342,6 +376,7 @@ def bm25_topk_indexed(
     dfreq = (
         spark.read.schema("term string, df long")
         .parquet(f"{index_path}/dfreq")
+        .filter(F.col("batch").isin(committed))
         .filter(F.col("bkt").isin(bkts))
         .filter(F.col("term").isin(terms))
         .groupBy("term")
@@ -350,6 +385,7 @@ def bm25_topk_indexed(
     stats = (
         spark.read.schema("n_docs long, sum_dl long")
         .parquet(f"{index_path}/stats")
+        .filter(F.col("batch").isin(committed))
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("sum_dl").cast("long").alias("__sum_dl__"),
@@ -439,9 +475,11 @@ def bm25_topk_indexed_batch(
         f"{query_id_col} {dict(queries.dtypes)[query_id_col]}, term string",
     )
     meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
     p_schema = f"doc {meta.id_type}, dl int, term string, tf long"
     postings = (
         spark.read.schema(p_schema).parquet(f"{index_path}/postings")
+        .filter(F.col("batch").isin(committed))
         .filter(F.col("bkt").isin(bkts))
         .filter(F.col("term").isin(terms))
         .select(F.col("doc").alias(id_col), "dl", "term", "tf")
@@ -449,6 +487,7 @@ def bm25_topk_indexed_batch(
     dfreq = (
         spark.read.schema("term string, df long")
         .parquet(f"{index_path}/dfreq")
+        .filter(F.col("batch").isin(committed))
         .filter(F.col("bkt").isin(bkts))
         .filter(F.col("term").isin(terms))
         .groupBy("term")
@@ -457,6 +496,7 @@ def bm25_topk_indexed_batch(
     stats = (
         spark.read.schema("n_docs long, sum_dl long")
         .parquet(f"{index_path}/stats")
+        .filter(F.col("batch").isin(committed))
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("sum_dl").cast("long").alias("__sum_dl__"),

@@ -572,3 +572,48 @@ def test_bm25_batch_serving_matches_single_probes(spark, tmp_path):
     empty = spark.createDataFrame([(9, [])], "query_id long, terms array<string>")
     with _pytest.raises(ValueError, match="no query terms"):
         RT.bm25_topk_indexed_batch(spark, idx, empty)
+
+
+def test_uncommitted_extension_is_invisible_to_probes(spark, tmp_path):
+    """Extensions write three artifacts non-atomically; a crash after the
+    postings land but before df/stats would silently skew scores (tf
+    present, df missing).  The per-batch commit marker — written LAST —
+    makes a half-delivered batch invisible: probes read only
+    ledger-committed batches, and a replay re-commits it."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    terms = ["join", "hash", "scan"]
+    idx = str(tmp_path / "crash_idx")
+    RT.build_text_index(half_a, idx)
+    base_only = sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect()))
+
+    # deliver, then simulate a crash-before-commit by deleting the marker
+    RT.extend_text_index(half_b, idx, batch_id=1)
+    full = sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect()))
+    assert full != base_only
+    shutil.rmtree(f"{idx}/batches/batch=1")
+    assert (
+        sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect()))
+        == base_only
+    )
+    # batch serving honors the same ledger
+    q = spark.createDataFrame([(0, terms)], "query_id long, terms array<string>")
+    visible = {
+        r.doc_id
+        for r in RT.bm25_topk_indexed_batch(spark, idx, q, k=10_000).collect()
+    }
+    assert visible and all(d % 2 == 0 for d in visible)  # only base docs
+    # replay re-commits: the delivery becomes visible again, bit-identical
+    RT.extend_text_index(half_b, idx, batch_id=1)
+    assert (
+        sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect())) == full
+    )
