@@ -1496,6 +1496,14 @@ def build_ivf_index(
     ).write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy("batch", "list").parquet(f"{index_path}/postings")
+    # commit ledger (same posture as the text index): reset with the base,
+    # one marker per committed delivery — probes read only marked batches,
+    # so a crashed extension's partial part-files are invisible
+    spark.createDataFrame([(1,)], "ok int").withColumn(
+        "batch", F.lit("base")
+    ).repartition(1).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("batch").parquet(f"{index_path}/batches")
     spark.createDataFrame(
         [(coarse, int(n_centroids), int(dim), id_col, vec_col)],
         "coarse string, n_centroids int, dim int, id_col string, vec_col string",
@@ -1581,6 +1589,11 @@ def extend_ivf_index(
     ).option("partitionOverwriteMode", "static").partitionBy("list").parquet(
         f"{index_path}/postings/batch={batch_id}"
     )
+    # commit marker LAST: a crashed delivery's partial part-files stay
+    # invisible to probes until a replay completes and re-commits
+    spark.createDataFrame([(1,)], "ok int").repartition(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/batches/batch={batch_id}")
 
 
 def ivf_topk_persisted(
@@ -1602,9 +1615,15 @@ def ivf_topk_persisted(
     build-and-probe path (``ivf_topk_md5`` / ``ivf_topk``)."""
     import pandas as pd
 
+    from chat_data_pipeline_spark.operators.retrieval import _committed_batches
+
     _guard_query_rows(queries, max_query_rows, "ivf_topk_persisted")
     meta = spark.read.parquet(f"{index_path}/meta").first()
-    postings = spark.read.parquet(f"{index_path}/postings")
+    # ledger-committed batches only: a crashed delivery's partial
+    # part-files are invisible until its replay re-commits
+    postings = spark.read.parquet(f"{index_path}/postings").filter(
+        F.col("batch").isin(_committed_batches(spark, index_path))
+    )
     id_col, vec_col = meta.id_col, meta.vec_col
     n_centroids, dim = int(meta.n_centroids), int(meta.dim)
     q_type = dict(queries.dtypes)[query_id_col]
@@ -2109,10 +2128,14 @@ def ivf_index_drift_report(spark, index_path: str) -> DataFrame:
     """
     import pandas as pd
 
+    from chat_data_pipeline_spark.operators.retrieval import _committed_batches
+
     meta = spark.read.parquet(f"{index_path}/meta").first()
     n_centroids, dim = int(meta.n_centroids), int(meta.dim)
     vec_col = meta.vec_col
-    postings = spark.read.parquet(f"{index_path}/postings")
+    postings = spark.read.parquet(f"{index_path}/postings").filter(
+        F.col("batch").isin(_committed_batches(spark, index_path))
+    )
 
     if meta.coarse == "md5":
         cent = np.asarray(pq_md5_sign_codebooks(1, n_centroids, dim, "ivfpq_coarse")[0])

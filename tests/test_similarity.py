@@ -842,3 +842,40 @@ def test_ivf_drift_report_flags_a_drifted_delivery(spark, emb, tmp_path):
         b: r.mean_assign_score_micros for b, r in again.items()
     }
     assert all(r.mean_assign_score_micros <= 0 for r in rep_km.values())
+
+
+def test_uncommitted_ivf_extension_is_invisible_to_probes(spark, emb, queries, tmp_path):
+    """Same crash-consistency contract as the text index: a delivery whose
+    commit marker never landed (crash mid-write) must be invisible to
+    probes AND to the drift report; a replay re-commits it bit-identically."""
+    import shutil
+
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf_crash")
+    SIM.build_ivf_index(half_a, idx, n_centroids=16, coarse="md5", dim=64)
+    base_only = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    )
+    SIM.extend_ivf_index(half_b, idx, batch_id=1)
+    full = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    )
+    assert full != base_only
+    shutil.rmtree(f"{idx}/batches/batch=1")
+    assert (
+        sorted(
+            map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+        )
+        == base_only
+    )
+    assert {r.batch for r in SIM.ivf_index_drift_report(spark, idx).collect()} == {
+        "base"
+    }
+    SIM.extend_ivf_index(half_b, idx, batch_id=1)  # replay re-commits
+    assert (
+        sorted(
+            map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+        )
+        == full
+    )
