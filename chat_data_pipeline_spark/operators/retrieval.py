@@ -267,13 +267,10 @@ def build_text_index(
         # type so probes can supply EXPLICIT schemas — no footer sampling
         # at read time (on a million-file index, schema inference would
         # open an arbitrary footer per read).
-        # the batch-commit ledger resets with the base (write-through-root
-        # clears stale extension markers), then meta commits the build
-        spark.createDataFrame([(1,)], "ok int").withColumn(
-            "batch", batch
-        ).repartition(1).write.mode("overwrite").option(
-            "partitionOverwriteMode", "static"
-        ).partitionBy("batch").parquet(f"{index_path}/batches")
+        # the commit ledger resets with the base (clearing stale extension
+        # markers — a driver-side FS op, no Spark job), then meta commits
+        # the build
+        ledger_reset(spark, index_path)
         spark.createDataFrame(
             [(id_type, N_TERM_BUCKETS)], "id_type string, n_term_buckets int"
         ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
@@ -291,9 +288,7 @@ def build_text_index(
         # agreeing, so probes read only ledger-committed batches and a
         # half-delivered batch can't silently skew df against tf.  Replay
         # with the same id overwrites the partial artifacts and re-commits.
-        spark.createDataFrame([(1,)], "ok int").repartition(1).write.mode(
-            "overwrite"
-        ).parquet(f"{index_path}/batches/batch={batch_id}")
+        ledger_commit(spark, index_path, batch_id)
 
 
 def extend_text_index(
@@ -318,18 +313,47 @@ def extend_text_index(
     )
 
 
+def _ledger_fs(spark, index_path: str):
+    """(FileSystem, Path) for the index's commit ledger directory — plain
+    Hadoop FS metadata ops (works on HDFS/S3A/local alike), so ledger
+    maintenance costs milliseconds, never a Spark job."""
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{index_path}/batches")
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def ledger_reset(spark, index_path: str) -> None:
+    """Base-build ledger reset: clears every extension's commit marker (the
+    base itself is committed by the meta write that follows)."""
+    fs, path, _jvm = _ledger_fs(spark, index_path)
+    fs.delete(path, True)
+    fs.mkdirs(path)
+
+
+def ledger_commit(spark, index_path: str, batch_id: int | str) -> None:
+    """Mark one delivery committed — an empty touch file named after the
+    batch id, created AFTER the delivery's artifacts."""
+    fs, path, jvm = _ledger_fs(spark, index_path)
+    fs.mkdirs(path)
+    fs.create(jvm.org.apache.hadoop.fs.Path(path, str(batch_id)), True).close()
+
+
 def _committed_batches(spark, index_path: str) -> list[str]:
-    """Batch ids whose deliveries fully committed (ledger marker written
-    after all three artifacts) — probes read ONLY these, so a crashed
-    delivery's partial postings/df/stats can never skew a score."""
-    return sorted(
-        r.batch
-        for r in spark.read.schema("ok int")
-        .parquet(f"{index_path}/batches")
-        .select("batch")
-        .distinct()
-        .collect()
-    )
+    """'base' plus every batch id whose delivery fully committed (ledger
+    touch file written after the artifacts) — probes read ONLY these, so a
+    crashed delivery's partial artifacts can never skew a result.  The
+    base build needs no ledger entry: its commit marker is the meta write,
+    which already lands after the base artifacts."""
+    fs, path, _jvm = _ledger_fs(spark, index_path)
+    out = ["base"]
+    if fs.exists(path):
+        out += sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(path)
+            if not st.getPath().getName().startswith("_")
+        )
+    return out
 
 
 def bm25_topk_indexed(

@@ -1496,14 +1496,13 @@ def build_ivf_index(
     ).write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy("batch", "list").parquet(f"{index_path}/postings")
-    # commit ledger (same posture as the text index): reset with the base,
-    # one marker per committed delivery — probes read only marked batches,
-    # so a crashed extension's partial part-files are invisible
-    spark.createDataFrame([(1,)], "ok int").withColumn(
-        "batch", F.lit("base")
-    ).repartition(1).write.mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).partitionBy("batch").parquet(f"{index_path}/batches")
+    # commit ledger (same posture as the text index): reset with the base
+    # (driver-side FS op), one touch marker per committed delivery — probes
+    # read only marked batches, so a crashed extension's partial part-files
+    # are invisible; the base's own commit marker is the meta write below
+    from chat_data_pipeline_spark.operators.retrieval import ledger_reset
+
+    ledger_reset(spark, index_path)
     spark.createDataFrame(
         [(coarse, int(n_centroids), int(dim), id_col, vec_col)],
         "coarse string, n_centroids int, dim int, id_col string, vec_col string",
@@ -1591,9 +1590,9 @@ def extend_ivf_index(
     )
     # commit marker LAST: a crashed delivery's partial part-files stay
     # invisible to probes until a replay completes and re-commits
-    spark.createDataFrame([(1,)], "ok int").repartition(1).write.mode(
-        "overwrite"
-    ).parquet(f"{index_path}/batches/batch={batch_id}")
+    from chat_data_pipeline_spark.operators.retrieval import ledger_commit
+
+    ledger_commit(spark, index_path, batch_id)
 
 
 def ivf_topk_persisted(

@@ -580,7 +580,7 @@ def test_uncommitted_extension_is_invisible_to_probes(spark, tmp_path):
     present, df missing).  The per-batch commit marker — written LAST —
     makes a half-delivered batch invisible: probes read only
     ledger-committed batches, and a replay re-commits it."""
-    import shutil
+    import os
 
     from pyspark.sql import functions as F
 
@@ -600,7 +600,7 @@ def test_uncommitted_extension_is_invisible_to_probes(spark, tmp_path):
     RT.extend_text_index(half_b, idx, batch_id=1)
     full = sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect()))
     assert full != base_only
-    shutil.rmtree(f"{idx}/batches/batch=1")
+    os.remove(f"{idx}/batches/1")
     assert (
         sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect()))
         == base_only

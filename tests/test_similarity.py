@@ -862,7 +862,7 @@ def test_uncommitted_ivf_extension_is_invisible_to_probes(spark, emb, queries, t
         map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
     )
     assert full != base_only
-    shutil.rmtree(f"{idx}/batches/batch=1")
+    os.remove(f"{idx}/batches/1")
     assert (
         sorted(
             map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
