@@ -184,3 +184,44 @@ def train_linear_classifier_fixed_point(
             w - _trunc_div(grad.get(b, 0), lr_den) for b, w in enumerate(weights)
         ]
     return weights
+
+
+def classifier_confusion(
+    df,
+    text_col: str,
+    label_col: Column,
+    weights: list[int],
+    threshold: int,
+):
+    """Confusion of the fixed-point classifier's keep rule
+    (``pred >= threshold``) against a 0/1 label, as ONE map-side-combinable
+    aggregation — which makes it STREAM-SAFE: ``queries.py``'s
+    ``classifier_eval_report`` thresholds at the corpus average, an
+    agg-of-agg shape complete-mode streaming forbids, but a DEPLOYED gate
+    serves a fixed threshold anyway, so the live monitor evaluates exactly
+    what production runs.  Returns one row ``(tp, fp, fn, tn,
+    precision_nanos, recall_nanos)`` — O(1) state at any stream volume.
+    """
+    pred = fixed_point_score(
+        doc_bucket_features(F.col(text_col), len(weights)), weights
+    )
+    keep = pred >= F.lit(int(threshold))
+    y1 = label_col.cast("int") == 1
+    conf = df.agg(
+        F.coalesce(F.sum(F.when(keep & y1, 1)), F.lit(0)).cast("long").alias("tp"),
+        F.coalesce(F.sum(F.when(keep & ~y1, 1)), F.lit(0)).cast("long").alias("fp"),
+        F.coalesce(F.sum(F.when(~keep & y1, 1)), F.lit(0)).cast("long").alias("fn"),
+        F.coalesce(F.sum(F.when(~keep & ~y1, 1)), F.lit(0)).cast("long").alias("tn"),
+    )
+    return conf.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("tp * 1000000000L div (tp + fp)"))
+        .alias("precision_nanos"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("tp * 1000000000L div (tp + fn)"))
+        .alias("recall_nanos"),
+    )

@@ -671,3 +671,31 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_classifier_eval(
+    stream: DataFrame,
+    text_col: str,
+    label_expr: str,
+    weights: list[int],
+    threshold: int,
+) -> DataFrame:
+    """Live twin of the batch classifier evaluation — continuous confusion
+    (tp/fp/fn/tn + precision/recall in integer nanos) of the DEPLOYED
+    gate's keep rule (``pred >= threshold``, the fixed serving threshold)
+    against a labeled seed signal, over everything the stream has ingested.
+
+    State is ONE aggregate row (four conditional sums), bounded at any
+    volume; ``complete`` mode re-emits the exact batch-equal report every
+    trigger (asserted stream≡batch in tests).  This is the monitor a
+    train-then-gate deployment points at its labeled canary feed: a drift
+    that starts flipping the gate's decisions moves precision/recall on
+    the next trigger instead of surfacing in the next offline eval.
+    (The batch ``classifier_eval_report`` thresholds at the CORPUS AVERAGE
+    — an agg-of-agg complete-mode streaming forbids; production serves a
+    fixed threshold, which is exactly what this evaluates.)"""
+    from chat_data_pipeline_spark.functions.scoring import classifier_confusion
+
+    return classifier_confusion(
+        stream, text_col, F.expr(label_expr), weights, threshold
+    )

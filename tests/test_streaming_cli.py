@@ -1215,3 +1215,54 @@ def test_cli_train_block_validates_config(spark, tmp_path):
         _run_training(spark, df, {"bogus_trainer": {}})
     with _pytest.raises(ValueError, match="label_expr"):
         _run_training(spark, df, {"quality_classifier": {"weights_path": "/tmp/x"}})
+
+
+def test_streaming_classifier_eval_equals_batch(spark, tmp_path):
+    """The live eval twin: continuous confusion of the deployed gate's
+    FIXED-threshold keep rule over a labeled stream is batch-equal every
+    trigger (one aggregate row of state), so a drift that flips gate
+    decisions moves precision/recall on the next trigger."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.functions import scoring as SC
+    from chat_data_pipeline_spark.streaming import streaming_classifier_eval
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    label = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    weights = SC.train_linear_classifier_fixed_point(
+        docs, "text", label, n_buckets=64, rounds=4
+    )
+    # the deployed threshold: the corpus average, computed ONCE at training
+    # time and then fixed at serving (what production actually runs)
+    thr_row = docs.select(
+        SC.fixed_point_score(
+            SC.doc_bucket_features(F.col("text"), 64), weights
+        ).alias("p")
+    ).agg(F.expr("sum(p) div count(*)").alias("t")).first()
+    thr = int(thr_row.t)
+    want = tuple(
+        SC.classifier_confusion(docs, "text", label, weights, thr).first()
+    )
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    _shutil.copy(f"{SF_DIR}/documents.parquet", d / "documents.parquet")
+    schema = docs.schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    q = (
+        streaming_classifier_eval(stream, "text", "lang = 'en'", weights, thr)
+        .writeStream.format("memory")
+        .queryName("cls_eval_live")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cls_eval"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = tuple(spark.sql("select * from cls_eval_live").first())
+    finally:
+        q.stop()
+    assert got == want
+    assert sum(want[:4]) == docs.count()  # every doc classified exactly once
