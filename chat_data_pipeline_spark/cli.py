@@ -291,6 +291,58 @@ def _run_training(spark: SparkSession, df: DataFrame, train_cfg: dict) -> None:
     )
 
 
+def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
+    """Config-driven index maintenance (r13, engine extension): build or
+    extend the persisted BM25 text index from the same YAML that runs the
+    pipeline, so a curation job can leave a servable index behind (or
+    deliver its batch into one) without a separate script.
+
+    YAML shape::
+
+        index:
+          bm25:
+            path: /indexes/corpus_bm25
+            column: response          # text column to index
+            id_expr: id               # unique id expression
+            action: build             # build (default) | extend
+            batch_id: delivery-042    # required for extend
+
+    Indexing is an EAGER action by design (it writes the artifacts); the
+    extension path inherits the commit-ledger crash consistency — a config
+    run that dies mid-delivery leaves the batch invisible to probes, and
+    re-running the same config re-commits it."""
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    known = {"bm25"}
+    unknown = set(index_cfg) - known
+    if unknown:
+        raise ValueError(
+            f"index: unknown index kind(s) {sorted(unknown)}; supported: {sorted(known)}"
+        )
+    spec = dict(index_cfg.get("bm25") or {})
+    if "path" not in spec:
+        raise ValueError("index.bm25 needs `path` (the index root)")
+    column = str(spec.get("column", "response"))
+    id_expr = str(spec.get("id_expr", "id"))
+    action = str(spec.get("action", "build"))
+    source = df.select(
+        F.expr(id_expr).alias("__doc_id__"), F.col(column).alias("__text__")
+    )
+    if action == "build":
+        RT.build_text_index(source, str(spec["path"]), "__text__", "__doc_id__")
+    elif action == "extend":
+        if "batch_id" not in spec:
+            raise ValueError("index.bm25 action=extend needs `batch_id`")
+        RT.extend_text_index(
+            source, str(spec["path"]), spec["batch_id"], "__text__", "__doc_id__"
+        )
+    else:
+        raise ValueError(
+            f"index.bm25 action must be 'build' or 'extend', got {action!r}"
+        )
+    logger.info("index.bm25: %s %s", action, spec["path"])
+
+
 def run_config(spark: SparkSession, config: dict) -> DataFrame:
     """ref:main.py lifecycle A (SURVEY.md §3.1), lazily composed."""
     from chat_data_pipeline_spark.operators import conversation as CV
@@ -320,6 +372,13 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
     instruction_cfg = config.get("instruction") or {}
     pre = _build_preprocessor("instruction", instruction_cfg, forbid_cleaners=True)
     df = pre.run(df)
+
+    index_cfg = config.get("index")
+    if index_cfg:
+        # indexes the CURATED rows (post clean/filter/dedup, pre-reassembly)
+        # — the artifact a curation job should leave behind is an index of
+        # what it kept, not of the raw feed
+        _run_indexing(spark, df, index_cfg)
 
     df = CV.to_chatml(df)
     return shuffle_rows(df, seed=int(config.get("seed", 42)))

@@ -1266,3 +1266,88 @@ def test_streaming_classifier_eval_equals_batch(spark, tmp_path):
         q.stop()
     assert got == want
     assert sum(want[:4]) == docs.count()  # every doc classified exactly once
+
+
+INDEX_CONFIG = """
+datasets:
+  - path: {conv_path}
+seed: 42
+index:
+  bm25:
+    path: {idx_path}
+    column: response
+    id_expr: id
+    action: {action}
+{batch_line}response:
+  cleaners: []
+  filters:
+    - name: check_word_number
+      args:
+        min_word_threshold: 2
+        max_word_threshold: 100
+  deduplication:
+    do_deduplication: false
+instruction:
+  cleaners: []
+  filters: []
+  deduplication:
+    do_deduplication: false
+"""
+
+
+def test_cli_index_block_builds_and_extends(spark, tmp_path):
+    """r13: config-driven index maintenance — one YAML curates and leaves
+    a servable BM25 index of what it KEPT (the one-word response is
+    filtered out and must not be indexed); a second config delivers an
+    extension batch into the same index."""
+    import pytest as _pytest
+
+    from chat_data_pipeline_spark.cli import _run_indexing, load_yaml, run_config
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    rows = [
+        (1, "s", [("q", False, "User"), ("spark shuffles the hash join", True, "Assistant")]),
+        (2, "s", [("q", False, "User"), ("window functions sort rows", True, "Assistant")]),
+        (3, "s", [("q", False, "User"), ("short", True, "Assistant")]),  # filtered out
+    ]
+    conv_path = str(tmp_path / "conv.parquet")
+    spark.createDataFrame(
+        rows,
+        "id long, source string, conversation array<struct<content string, do_train boolean, role string>>",
+    ).write.parquet(conv_path)
+    idx = str(tmp_path / "cfg_idx")
+
+    cfg = tmp_path / "build.yaml"
+    cfg.write_text(
+        INDEX_CONFIG.format(conv_path=conv_path, idx_path=idx, action="build", batch_line="")
+    )
+    run_config(spark, load_yaml(str(cfg)))
+    got = {r.doc_id for r in RT.bm25_topk_indexed(spark, idx, ["hash", "sort"]).collect()}
+    assert got == {1, 2}  # the filtered doc 3 never reached the index
+
+    # extension delivery via a second config
+    rows2 = [(9, "s", [("q", False, "User"), ("another hash heavy reply", True, "Assistant")])]
+    conv2 = str(tmp_path / "conv2.parquet")
+    spark.createDataFrame(
+        rows2,
+        "id long, source string, conversation array<struct<content string, do_train boolean, role string>>",
+    ).write.parquet(conv2)
+    cfg2 = tmp_path / "extend.yaml"
+    cfg2.write_text(
+        INDEX_CONFIG.format(
+            conv_path=conv2, idx_path=idx, action="extend",
+            batch_line="    batch_id: d1\n",
+        )
+    )
+    run_config(spark, load_yaml(str(cfg2)))
+    got2 = {r.doc_id for r in RT.bm25_topk_indexed(spark, idx, ["hash", "sort"]).collect()}
+    assert got2 == {1, 2, 9}
+
+    # config validation fails loudly
+    df = spark.createDataFrame([(1, "x")], "id long, response string")
+    with _pytest.raises(ValueError, match="unknown index kind"):
+        _run_indexing(spark, df, {"faiss": {}})
+    with _pytest.raises(ValueError, match="path"):
+        _run_indexing(spark, df, {"bm25": {}})
+    with _pytest.raises(ValueError, match="batch_id"):
+        _run_indexing(spark, df, {"bm25": {"path": str(idx), "action": "extend"}})
