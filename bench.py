@@ -190,6 +190,14 @@ SCALE_PROBE_QUERIES = [
     # the probe corpus' 10x vocab also stresses the explode width)
     "ann_topk_ivf_persisted",
     "quality_classifier_train",
+    # round-13 additions: the SERVING rows (build-once memo means rep 1
+    # builds the artifact and the best-of-3 reads the steady-state serving
+    # cost — the number that must stay near-flat at 100 TB), plus the
+    # train-gate-evaluate confusion report
+    "docs_bm25_topk_indexed",
+    "docs_bm25_batch_serving",
+    "ann_ivf_drift_report",
+    "classifier_eval_report",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second
