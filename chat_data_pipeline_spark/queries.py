@@ -837,8 +837,10 @@ def _region_suppliers(spark: SparkSession, sf_dir: str, region: str) -> DataFram
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
     eu = _region_suppliers(spark, sf_dir, "EUROPE").select("s_suppkey")
+    # the supplier side GROWS with sf — no forced broadcast (the q8/q17
+    # doctrine): AQE broadcasts it while it fits, falls back past that
     pv = (
-        li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
+        li.join(eu, li.l_suppkey == eu.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("value_cents"))
     )
@@ -888,7 +890,8 @@ def q20_top_suppliers_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part grows with sf — unhinted for the same q8/q17 reason
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"))
     )
@@ -959,8 +962,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     eu = _region_suppliers(spark, sf_dir, "EUROPE")
+    # supplier grows with sf — unhinted (q8/q17 doctrine)
     l1 = late_lines.join(
-        F.broadcast(eu), late_lines.l_suppkey == eu.s_suppkey
+        eu, late_lines.l_suppkey == eu.s_suppkey
     ).select("l_orderkey", "l_suppkey", "s_name")
     l2 = li.select(
         F.col("l_orderkey").alias("__ok2__"), F.col("l_suppkey").alias("__sk2__")

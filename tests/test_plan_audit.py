@@ -492,3 +492,27 @@ def test_q21_resolves_as_semi_and_anti_joins(spark):
     assert "LeftAnti" in plan
     assert "TakeOrderedAndProject" in plan
     assert plan_report(df).n_python_stages == 0
+
+
+def test_q11_q20_q21_broadcast_discipline(spark):
+    """The r13 TPC-H shapes follow the q8/q17 doctrine: no forced
+    broadcast on sf-growing tables (lineitem/part/supplier) — the only
+    hints ride the fixed-cardinality nation/region dims inside
+    _region_suppliers (25/5 rows at ANY scale factor), and nothing
+    touches Python."""
+    from chat_data_pipeline_spark.plans.audit import (
+        forced_broadcast_subtrees,
+        plan_report,
+    )
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    for name in ("q11_important_parts", "q20_top_suppliers_promo",
+                 "q21_waiting_suppliers"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        for sub in forced_broadcast_subtrees(df):
+            low = sub.lower()
+            assert not any(t in low for t in ("lineitem", "part.", "supplier")), (
+                name,
+                sub,
+            )
+        assert plan_report(df).n_python_stages == 0, name
