@@ -198,6 +198,14 @@ SCALE_PROBE_QUERIES = [
     "docs_bm25_batch_serving",
     "ann_ivf_drift_report",
     "classifier_eval_report",
+    # round-13: the relational side's first empirical exponents (the probe
+    # corpus now replicates the TPC-H tables with referentially-consistent
+    # key strides) — q8's 7-table snowflake, q11's HAVING-scalar, q20's
+    # nested-agg semi-join, q21's semi+anti double correlation
+    "q8_market_share",
+    "q11_important_parts",
+    "q20_top_suppliers_promo",
+    "q21_waiting_suppliers",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second
@@ -295,6 +303,56 @@ def _build_scale_corpus(
     for p in parts[1:]:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    # TPC-H side (r13): give the relational shapes their first empirical
+    # exponents.  Replica i shifts every surrogate key by i·stride while
+    # keeping all categorical/dimension attributes (status, priority,
+    # brand/type/size, nationkey) — so per-replica join fan-outs and
+    # predicate selectivities are preserved, dimension-filtered sets
+    # (e.g. one region's suppliers) grow ×factor, and nation/region stay
+    # the fixed 25/5-row dims they are at any scale factor.
+    keys = {
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+    }
+    tables = {t: spark.read.parquet(f"{src_dir}/{t}.parquet") for t in keys}
+    # one stride per KEY DOMAIN (a fact's foreign key shifts by the SAME
+    # stride as the key it references, so referential joins survive);
+    # the stride covers the max across every column of the domain, so a
+    # dangling foreign key can't collide into the next replica's range
+    domain = {
+        "o_orderkey": "orders", "l_orderkey": "orders",
+        "o_custkey": "customers", "c_custkey": "customers",
+        "l_partkey": "parts", "p_partkey": "parts",
+        "l_suppkey": "suppliers", "s_suppkey": "suppliers",
+    }
+    dmax: dict[str, int] = {}
+    for t, cols in keys.items():
+        for c in cols:
+            m = tables[t].agg(F.max(c)).first()[0] or 0
+            d = domain[c]
+            dmax[d] = max(dmax.get(d, 0), int(m))
+    strides = {d: m + 1 for d, m in dmax.items()}
+    for t, cols in keys.items():
+        parts = []
+        for i in range(factor):
+            rep = tables[t]
+            for c in cols:
+                rep = rep.withColumn(
+                    c, F.col(c) + F.lit(i * strides[domain[c]])
+                )
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    for t in ("nation", "region"):  # fixed dims: copy as-is
+        spark.read.parquet(f"{src_dir}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
 
 
 def scale_probe(factor: int = 10) -> None:
