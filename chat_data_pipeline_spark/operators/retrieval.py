@@ -237,7 +237,6 @@ def build_text_index(
         F.count("*").cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
     )
-    batch = F.lit(str(batch_id))
     id_type = dict(docs.dtypes)[id_col]
     # salt the bucket-clustered writes so the corpus-sized postings table is
     # written by O(N_TERM_BUCKETS × WRITE_SALT) tasks, not ≤64 (see
@@ -251,29 +250,7 @@ def build_text_index(
     p_out = cluster_for_partitioned_write(postings, ["bkt"], F.col("term"))
     d_out = cluster_for_partitioned_write(dfreq, ["bkt"], F.col("term"))
     if _clear:  # base build: write through the root, clearing old batches
-        p_out.withColumn("batch", batch).write.mode("overwrite").option(
-            "partitionOverwriteMode", "static"
-        ).partitionBy("batch", "bkt").parquet(f"{index_path}/postings")
-        d_out.withColumn("batch", batch).write.mode("overwrite").option(
-            "partitionOverwriteMode", "static"
-        ).partitionBy("batch", "bkt").parquet(f"{index_path}/dfreq")
-        stats.withColumn("batch", batch).write.mode("overwrite").option(
-            "partitionOverwriteMode", "static"
-        ).partitionBy("batch").parquet(f"{index_path}/stats")
-        # meta is written LAST as the build's commit marker (same order as
-        # build_ivf_index): a build that dies midway leaves no fresh meta,
-        # so a probe of the partial root fails loudly instead of reading
-        # postings that disagree with a stale meta.  It also carries the id
-        # type so probes can supply EXPLICIT schemas — no footer sampling
-        # at read time (on a million-file index, schema inference would
-        # open an arbitrary footer per read).
-        # the commit ledger resets with the base (clearing stale extension
-        # markers — a driver-side FS op, no Spark job), then meta commits
-        # the build
-        ledger_reset(spark, index_path)
-        spark.createDataFrame(
-            [(id_type, N_TERM_BUCKETS)], "id_type string, n_term_buckets int"
-        ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+        _write_text_base(spark, index_path, p_out, d_out, stats, id_type)
     else:  # extension: overwrite only this delivery's partition
         p_out.write.mode("overwrite").option(
             "partitionOverwriteMode", "static"
@@ -289,6 +266,83 @@ def build_text_index(
         # half-delivered batch can't silently skew df against tf.  Replay
         # with the same id overwrites the partial artifacts and re-commits.
         ledger_commit(spark, index_path, batch_id)
+
+
+def _write_text_base(
+    spark, index_path: str, p_out: DataFrame, d_out: DataFrame,
+    stats: DataFrame, id_type: str,
+) -> None:
+    """Write the three base artifacts through the root (clearing stale
+    extension batches), reset the commit ledger, then write meta LAST as
+    the build's commit marker (same order as build_ivf_index): a build
+    that dies midway leaves no fresh meta, so a probe of the partial root
+    fails loudly instead of reading postings that disagree with stale
+    meta.  meta also carries the id type so probes supply EXPLICIT schemas
+    — no footer sampling at read time (on a million-file index, schema
+    inference would open an arbitrary footer per read)."""
+    base = F.lit("base")
+    p_out.withColumn("batch", base).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("batch", "bkt").parquet(f"{index_path}/postings")
+    d_out.withColumn("batch", base).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("batch", "bkt").parquet(f"{index_path}/dfreq")
+    stats.withColumn("batch", base).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("batch").parquet(f"{index_path}/stats")
+    ledger_reset(spark, index_path)
+    spark.createDataFrame(
+        [(id_type, N_TERM_BUCKETS)], "id_type string, n_term_buckets int"
+    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def compact_text_index(spark, index_path: str, dst_index: str | None = None) -> None:
+    """Compact base + committed extensions into a single fresh base — the
+    LSM-style maintenance step for a long-lived index: every probe pays an
+    N-way batch merge (N dirs listed per probed bucket, N stats rows), so
+    after many deliveries a compaction restores single-batch probe cost.
+    BM25's ingredients are per-doc facts and integer-additive globals, so
+    the compacted index answers probes BIT-IDENTICALLY (tested).
+
+    ``dst_index=None`` compacts IN PLACE: the merged artifacts are pinned
+    with an eager localCheckpoint before the overwrite (Spark cannot
+    overwrite a path it is lazily reading), which materializes the
+    postings to executor-local disk — fine at single-node scale.  A 100 TB
+    deployment passes ``dst_index`` instead: the compaction streams into a
+    FRESH root with no checkpoint, and the caller swaps probes over to it
+    (write-then-swap, the zero-downtime pattern)."""
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
+    p_schema = f"doc {meta.id_type}, dl int, term string, tf long"
+    postings = (
+        spark.read.schema(p_schema).parquet(f"{index_path}/postings")
+        .filter(F.col("batch").isin(committed))
+        .select("doc", "dl", "term", "tf", "bkt")
+    )
+    dfreq = (
+        spark.read.schema("term string, df long")
+        .parquet(f"{index_path}/dfreq")
+        .filter(F.col("batch").isin(committed))
+        .groupBy("bkt", "term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    stats = (
+        spark.read.schema("n_docs long, sum_dl long")
+        .parquet(f"{index_path}/stats")
+        .filter(F.col("batch").isin(committed))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+    )
+    if dst_index is None:
+        postings = postings.localCheckpoint(eager=True)
+        dfreq = dfreq.localCheckpoint(eager=True)
+        stats = stats.localCheckpoint(eager=True)
+        dst_index = index_path
+    p_out = cluster_for_partitioned_write(postings, ["bkt"], F.col("term"))
+    d_out = cluster_for_partitioned_write(dfreq, ["bkt"], F.col("term"))
+    _write_text_base(spark, dst_index, p_out, d_out, stats, meta.id_type)
 
 
 def extend_text_index(

@@ -2192,3 +2192,53 @@ def ivf_index_drift_report(spark, index_path: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> None:
+    """Compact base + committed extension batches into a single fresh base
+    (the text index's LSM-style maintenance applied to ANN): probes list
+    O(batches × lists) directories on a long-extended index, and
+    :func:`ivf_index_drift_report` loses per-delivery resolution anyway
+    once deliveries are folded — compaction restores single-batch probe
+    cost while keeping the postings BIT-IDENTICAL as a set (assignments
+    were made with the index's own coarse arithmetic when each batch
+    landed, so no vector moves lists).
+
+    ``dst_index=None`` compacts IN PLACE (eager localCheckpoint pins the
+    postings before the overwrite — fine at single-node scale); a 100 TB
+    deployment passes ``dst_index`` to stream into a fresh root with no
+    checkpoint and swaps probes over (write-then-swap)."""
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _committed_batches,
+        cluster_for_partitioned_write,
+        ledger_reset,
+    )
+
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    postings = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("batch").isin(_committed_batches(spark, index_path)))
+        .select(meta.id_col, meta.vec_col, "list")
+    )
+    cent = None
+    if meta.coarse == "kmeans":
+        cent = spark.read.parquet(f"{index_path}/centroids")
+    if dst_index is None:
+        postings = postings.localCheckpoint(eager=True)
+        if cent is not None:
+            cent = cent.localCheckpoint(eager=True)
+        dst_index = index_path
+    if cent is not None:
+        cent.repartition(1).write.mode("overwrite").parquet(
+            f"{dst_index}/centroids"
+        )
+    cluster_for_partitioned_write(
+        postings.withColumn("batch", F.lit("base")), ["list"], F.col(meta.id_col)
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("batch", "list").parquet(f"{dst_index}/postings")
+    ledger_reset(spark, dst_index)
+    spark.createDataFrame(
+        [(meta.coarse, int(meta.n_centroids), int(meta.dim), meta.id_col, meta.vec_col)],
+        "coarse string, n_centroids int, dim int, id_col string, vec_col string",
+    ).repartition(1).write.mode("overwrite").parquet(f"{dst_index}/meta")

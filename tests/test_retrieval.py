@@ -617,3 +617,49 @@ def test_uncommitted_extension_is_invisible_to_probes(spark, tmp_path):
     assert (
         sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect())) == full
     )
+
+
+def test_compact_text_index_bit_identical_probes(spark, tmp_path):
+    """LSM-style maintenance: base + two deliveries compact into one fresh
+    base whose probes are bit-identical (BM25's ingredients are per-doc
+    facts and integer-additive globals), the ledger resets, and a further
+    delivery extends the compacted index normally.  Both in-place and
+    write-then-swap (dst_index) flavors."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    terms = ["join", "hash", "scan", "window", "sort"]
+    idx = str(tmp_path / "lsm_idx")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 3 == 0), idx)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 3 == 1), idx, batch_id=1)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 3 == 2), idx, batch_id=2)
+    want = sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect()))
+
+    # write-then-swap flavor first (reads idx, writes fresh root)
+    swapped = str(tmp_path / "lsm_idx_v2")
+    RT.compact_text_index(spark, idx, dst_index=swapped)
+    got_sw = sorted(map(tuple, RT.bm25_topk_indexed(spark, swapped, terms).collect()))
+    assert got_sw == want
+
+    # in-place flavor
+    RT.compact_text_index(spark, idx)
+    got = sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect()))
+    assert got == want
+    batches = {
+        r.batch
+        for r in spark.read.parquet(f"{idx}/postings").select("batch").distinct().collect()
+    }
+    assert batches == {"base"}  # single-batch probe cost restored
+    assert RT._committed_batches(spark, idx) == ["base"]
+
+    # the compacted index keeps extending normally
+    extra = spark.createDataFrame(
+        [(10_000, "a fresh hash join window document")], "doc_id long, text string"
+    )
+    RT.extend_text_index(extra, idx, batch_id="post-compact")
+    after = {r.doc_id for r in RT.bm25_topk_indexed(spark, idx, terms).collect()}
+    assert 10_000 in after and {t[0] for t in want} <= after

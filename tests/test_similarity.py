@@ -879,3 +879,42 @@ def test_uncommitted_ivf_extension_is_invisible_to_probes(spark, emb, queries, t
         )
         == full
     )
+
+
+def test_compact_ivf_index_bit_identical_probes(spark, emb, queries, tmp_path):
+    """IVF compaction folds committed deliveries into one base with the
+    posting SET unchanged (assignments were made with the index's own
+    coarse arithmetic at delivery time) — probes bit-identical, ledger
+    reset, drift report sees a single base batch."""
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf_lsm")
+    SIM.build_ivf_index(half_a, idx, n_centroids=16, coarse="md5", dim=64)
+    SIM.extend_ivf_index(half_b, idx, batch_id=1)
+    want = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    )
+    SIM.compact_ivf_index(spark, idx)
+    got = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    )
+    assert got == want
+    rep = SIM.ivf_index_drift_report(spark, idx).collect()
+    assert {r.batch for r in rep} == {"base"}
+    assert rep[0].n_vectors == emb.count()
+
+    # kmeans flavor carries its centroids through the compaction
+    idx_km = str(tmp_path / "ivf_lsm_km")
+    SIM.build_ivf_index(half_a, idx_km, n_centroids=8, coarse="kmeans", seed=42)
+    SIM.extend_ivf_index(half_b, idx_km, batch_id=1)
+    want_km = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx_km, queries, k=10, n_probe=3).collect())
+    )
+    dst = str(tmp_path / "ivf_lsm_km_v2")
+    SIM.compact_ivf_index(spark, idx_km, dst_index=dst)
+    got_km = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, dst, queries, k=10, n_probe=3).collect())
+    )
+    assert got_km == want_km
+    # and the compacted index still accepts deliveries (centroids intact)
+    SIM.extend_ivf_index(half_b.limit(5), dst, batch_id="post-compact")
