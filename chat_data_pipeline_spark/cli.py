@@ -304,8 +304,9 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
             path: /indexes/corpus_bm25
             column: response          # text column to index
             id_expr: id               # unique id expression
-            action: build             # build (default) | extend
+            action: build             # build (default) | extend | compact
             batch_id: delivery-042    # required for extend
+            dst_path: /indexes/v2     # optional for compact (write-then-swap)
 
     Indexing is an EAGER action by design (it writes the artifacts); the
     extension path inherits the commit-ledger crash consistency — a config
@@ -336,9 +337,17 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
         RT.extend_text_index(
             source, str(spec["path"]), spec["batch_id"], "__text__", "__doc_id__"
         )
+    elif action == "compact":
+        # maintenance action: folds committed deliveries into a fresh base
+        # (ignores this run's rows — pair with a separate extend config)
+        RT.compact_text_index(
+            spark,
+            str(spec["path"]),
+            dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
+        )
     else:
         raise ValueError(
-            f"index.bm25 action must be 'build' or 'extend', got {action!r}"
+            f"index.bm25 action must be 'build', 'extend' or 'compact', got {action!r}"
         )
     logger.info("index.bm25: %s %s", action, spec["path"])
 

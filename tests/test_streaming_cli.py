@@ -1351,3 +1351,27 @@ def test_cli_index_block_builds_and_extends(spark, tmp_path):
         _run_indexing(spark, df, {"bm25": {}})
     with _pytest.raises(ValueError, match="batch_id"):
         _run_indexing(spark, df, {"bm25": {"path": str(idx), "action": "extend"}})
+
+
+def test_cli_index_compact_action(spark, tmp_path):
+    """index.bm25 action=compact folds committed deliveries into one base
+    from config — probes bit-identical, ledger reset."""
+    from chat_data_pipeline_spark.cli import _run_indexing
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("response")
+    )
+    idx = str(tmp_path / "cli_compact_idx")
+    _run_indexing(spark, docs.filter(F.col("id") % 2 == 0), {"bm25": {"path": idx}})
+    _run_indexing(
+        spark,
+        docs.filter(F.col("id") % 2 == 1),
+        {"bm25": {"path": idx, "action": "extend", "batch_id": "d1"}},
+    )
+    want = sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, ["join", "hash"]).collect()))
+    _run_indexing(spark, docs.limit(0), {"bm25": {"path": idx, "action": "compact"}})
+    got = sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, ["join", "hash"]).collect()))
+    assert got == want
+    assert RT._committed_batches(spark, idx) == ["base"]
