@@ -268,18 +268,38 @@ def build_text_index(
         ledger_commit(spark, index_path, batch_id)
 
 
+def invalidate_index_meta(spark, index_path: str) -> None:
+    """Delete the index's meta FIRST in every base (re)build / in-place
+    compaction — meta is the build's commit marker (written LAST), and a
+    first build at a fresh path crashes safely because no meta exists yet;
+    but a REBUILD that dies between the postings overwrite and the ledger
+    reset would otherwise leave the OLD meta and OLD ledger intact, so
+    probes would silently merge the partial new base with stale
+    dfreq/stats/extension state (r13 ADVICE).  Deleting meta up front
+    makes the whole rebuild window meta-less: a crash anywhere inside it
+    leaves a root every probe rejects loudly.  Plain Hadoop FS metadata
+    op — milliseconds, never a Spark job."""
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta")
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(path, True)
+
+
 def _write_text_base(
     spark, index_path: str, p_out: DataFrame, d_out: DataFrame,
     stats: DataFrame, id_type: str,
 ) -> None:
     """Write the three base artifacts through the root (clearing stale
     extension batches), reset the commit ledger, then write meta LAST as
-    the build's commit marker (same order as build_ivf_index): a build
-    that dies midway leaves no fresh meta, so a probe of the partial root
-    fails loudly instead of reading postings that disagree with stale
-    meta.  meta also carries the id type so probes supply EXPLICIT schemas
-    — no footer sampling at read time (on a million-file index, schema
-    inference would open an arbitrary footer per read)."""
+    the build's commit marker (same order as build_ivf_index): meta is
+    deleted FIRST (see :func:`invalidate_index_meta`), so a build OR
+    REBUILD that dies midway leaves no meta at all and a probe of the
+    partial root fails loudly instead of reading postings that disagree
+    with stale meta/ledger state.  meta also carries the id type so probes
+    supply EXPLICIT schemas — no footer sampling at read time (on a
+    million-file index, schema inference would open an arbitrary footer
+    per read)."""
+    invalidate_index_meta(spark, index_path)
     base = F.lit("base")
     p_out.withColumn("batch", base).write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
@@ -542,14 +562,22 @@ def bm25_topk_indexed_batch(
             "if the driver can hold the query set"
         )
     qrows = queries.select(query_id_col, terms_col).collect()
-    terms = sorted(
-        {str(t).lower() for r in qrows for t in (r[1] or [])}
-    )
-    if not terms:
-        raise ValueError("bm25_topk_indexed_batch: no query terms")
+    # dedup AFTER lowercasing (r13 ADVICE): ['Hash', 'hash'] is ONE term —
+    # a pre-lowercase set() would emit two identical (query_id, 'hash')
+    # rows and double that term's contribution vs bm25_topk_indexed
+    qterms = [(r[0], sorted({str(t).lower() for t in (r[1] or [])})) for r in qrows]
+    empty = [qid for qid, ts in qterms if not ts]
+    if empty:
+        # match the single-query path's contract: an empty/NULL terms row
+        # raises instead of silently vanishing from the output, so callers
+        # can distinguish 'no matches' from 'query dropped'
+        raise ValueError(
+            f"bm25_topk_indexed_batch: no query terms for rows {empty[:10]}"
+        )
+    terms = sorted({t for _, ts in qterms for t in ts})
     bkts = sorted({_term_bucket_py(t) for t in terms})
     qt = spark.createDataFrame(
-        [(r[0], str(t).lower()) for r in qrows for t in set(r[1] or [])],
+        [(qid, t) for qid, ts in qterms for t in ts],
         f"{query_id_col} {dict(queries.dtypes)[query_id_col]}, term string",
     )
     meta = spark.read.parquet(f"{index_path}/meta").first()

@@ -49,6 +49,14 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _half_away_micros(x: np.ndarray) -> np.ndarray:
+    """Vectorized DuckDB/Spark ROUND semantics (half away from zero) at
+    1e-6 — NOT numpy's banker's ``rint``, so exact .5-micro boundaries
+    round the same way the oracle's ``ROUND(... * 1000000)`` does (the
+    scalar twin lives at ``selection._round_half_away_micros``)."""
+    return (np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5)).astype(np.int64)
+
+
 def _guard_query_rows(queries: DataFrame, max_query_rows: int, site: str) -> None:
     """limit-probe guard (scans ≤ cap+1 narrow rows, never a full count) for
     the driver-collected / broadcast probe side of the ANN scans: an
@@ -1489,8 +1497,14 @@ def build_ivf_index(
     # write stage scales with the salt.
     from chat_data_pipeline_spark.operators.retrieval import (
         cluster_for_partitioned_write,
+        invalidate_index_meta,
     )
 
+    # meta deleted FIRST / written LAST: the whole (re)build window is
+    # meta-less, so a crash between the postings overwrite and the ledger
+    # reset can't leave probes silently merging a partial new base with
+    # stale extension state (r13 ADVICE; same posture as _write_text_base)
+    invalidate_index_meta(spark, index_path)
     cluster_for_partitioned_write(
         postings.withColumn("batch", F.lit("base")), ["list"], F.col(id_col)
     ).write.mode("overwrite").option(
@@ -2142,7 +2156,7 @@ def ivf_index_drift_report(spark, index_path: str) -> DataFrame:
         def fit_micros(mat: np.ndarray, lists: np.ndarray) -> np.ndarray:
             normed = mat / _fold_norm_rows(mat)[:, None]
             dots = _fold_subspace_dots(normed, cent, 0)
-            return np.rint(dots[np.arange(len(mat)), lists] * 1e6).astype(np.int64)
+            return _half_away_micros(dots[np.arange(len(mat)), lists])
 
     elif meta.coarse == "kmeans":
         rows = spark.read.parquet(f"{index_path}/centroids").orderBy("list").collect()
@@ -2150,7 +2164,7 @@ def ivf_index_drift_report(spark, index_path: str) -> DataFrame:
 
         def fit_micros(mat: np.ndarray, lists: np.ndarray) -> np.ndarray:
             d2 = ((mat - cent[lists]) ** 2).sum(axis=1)
-            return np.rint(-d2 * 1e6).astype(np.int64)
+            return _half_away_micros(-d2)
 
     else:
         raise ValueError(f"unknown coarse kind {meta.coarse!r} in {index_path}")
@@ -2211,6 +2225,7 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
     from chat_data_pipeline_spark.operators.retrieval import (
         _committed_batches,
         cluster_for_partitioned_write,
+        invalidate_index_meta,
         ledger_reset,
     )
 
@@ -2228,6 +2243,10 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
         if cent is not None:
             cent = cent.localCheckpoint(eager=True)
         dst_index = index_path
+    # meta-less rebuild window (r13 ADVICE): a compaction crash after the
+    # postings overwrite must not leave probes merging the partial new
+    # base with the old ledger's extension state
+    invalidate_index_meta(spark, dst_index)
     if cent is not None:
         cent.repartition(1).write.mode("overwrite").parquet(
             f"{dst_index}/centroids"

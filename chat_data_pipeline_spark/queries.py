@@ -823,7 +823,8 @@ def _region_suppliers(spark: SparkSession, sf_dir: str, region: str) -> DataFram
       FROM lineitem l JOIN eu ON l.l_suppkey=eu.s_suppkey
       GROUP BY l.l_partkey
     ), tot AS (SELECT SUM(value_cents) AS t FROM pv)
-    SELECT pv.l_partkey AS p_partkey, pv.value_cents,
+    SELECT pv.l_partkey AS p_partkey,
+           CAST(pv.value_cents AS BIGINT) AS value_cents,
            CAST(pv.value_cents AS DOUBLE)/100 AS part_value
     FROM pv, tot WHERE pv.value_cents*1000 > tot.t
     """,
@@ -4260,10 +4261,10 @@ def _cls_train_sql(rounds: int, n_buckets: int, final: str) -> str:
     )
     SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
            CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
-           CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
-                ELSE tp * 1000000000 // (tp + fp) END AS precision_nanos,
-           CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
-                ELSE tp * 1000000000 // (tp + fn) END AS recall_nanos
+           CAST(CASE WHEN tp + fp = 0 THEN 0
+                ELSE tp * 1000000000 // (tp + fp) END AS BIGINT) AS precision_nanos,
+           CAST(CASE WHEN tp + fn = 0 THEN 0
+                ELSE tp * 1000000000 // (tp + fn) END AS BIGINT) AS recall_nanos
     FROM conf"""
         )
     return "".join(parts)
@@ -6990,8 +6991,9 @@ def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM assigned GROUP BY 1, 2)
     SELECT batch, CAST(SUM(n) AS BIGINT) AS n_vectors,
            CAST(COUNT(*) AS BIGINT) AS n_lists_used,
-           SUM(fs) // SUM(n) AS mean_assign_score_micros,
-           (MAX(n) * 16 * 1000000000) // SUM(n) AS occupancy_skew_nanos
+           CAST(SUM(fs) // SUM(n) AS BIGINT) AS mean_assign_score_micros,
+           CAST((MAX(n) * 16 * 1000000000) // SUM(n) AS BIGINT)
+             AS occupancy_skew_nanos
     FROM per_list GROUP BY batch
     """,
     "extended-index drift report (r13): build the md5 IVF index on the "
@@ -7830,6 +7832,73 @@ _WINDOW_TAIL.append("conversation_chatml")
 # hash-green, decontamination.py untouched; the family keeps the
 # re-admitted decontaminate_ngram + decontaminate_bloom_report in-window).
 _WINDOW_TAIL += ["multimodal_frame_sample", "decontaminate_report"]
+# ---------------------------------------------------------------------------
+# round-14 staleness rotation — executes the standing queue documented in
+# README (rotation-policy rule 3): the complete round-9 band, all 16 rows.
+# Removing them from the tail restores their original early registration
+# positions inside the first-50 driver window.
+for _name in (
+    "corpus_datacard",
+    "corpus_diff_v2",
+    "corpus_mix_manifest",
+    "corpus_top_bigrams",
+    "decontaminate_semantic",
+    "docs_c4_clean",
+    "docs_length_deciles",
+    "docs_script_mix",
+    "docs_strip_html",
+    "events_funnel",
+    "events_hourly_agg",
+    "filter_gopher_quality",
+    "filter_perplexity",
+    "multimodal_resize",
+    "pack_sequences_bins",
+    "sample_token_budget_lang",
+):
+    _WINDOW_TAIL.remove(_name)
+# Rotated OUT to make room (16 rows): the full 15-row r6/r7 re-admitted
+# band — `decontaminate_ngram`, `docs_repetition_signals`,
+# `filter_char_repetition`, `lang_id_counts`, `paragraph_dedup`,
+# `q22_idle_rich_customers`, `sample_stratified_lang`,
+# `substring_dedup_docs`, `ann_topk_cosine`, `decontaminate_bloom_report`,
+# `docs_bm25_probe`, `embedding_neardup_pairs`, `filter_domain_blocklist`,
+# `filter_nsfw_score`, `paragraph_dedup_within` — every one re-greened in
+# CORRECTNESS_r13 with its implementing region untouched by round 14 (the
+# freshest evidence in the registry, so rule-3 ranks them last) — plus
+# `chunk_documents_windows` (r13-green, chunking region untouched; the
+# sequence-prep family keeps the re-admitted `pack_sequences_bins`
+# in-window).  Rule-2 holds this round's touched rows in-window to re-earn
+# hashes on the changed code: `q11_important_parts`,
+# `classifier_eval_report` (oracle BIGINT casts), `ann_ivf_drift_report`
+# (oracle casts + the half-away fit rounding in similarity.py), and the
+# four retrieval.py riders `docs_bm25_indexed` / `docs_bm25_topk_indexed` /
+# `docs_bm25_batch_serving` / `ann_topk_ivf_persisted`.  Family coverage
+# stays in-window: decontamination re-admits `decontaminate_semantic`;
+# filters keep both preset pipelines' chains + `filter_gopher_quality` /
+# `filter_perplexity`; dedup keeps `dedup_simhash_md5` / `dedup_semantic` /
+# `dedup_banding_calibration` / `multimodal_image_dedup`; ANN keeps
+# `ann_topk_ivf_md5` + `ann_topk_ivf_persisted` + the drift report;
+# relational keeps q11/q20/q21; sampling re-admits
+# `sample_token_budget_lang` (stratified/grouped/proportional stay in the
+# full-registry parity sweep).
+_WINDOW_TAIL += [
+    "decontaminate_ngram",
+    "docs_repetition_signals",
+    "filter_char_repetition",
+    "lang_id_counts",
+    "paragraph_dedup",
+    "q22_idle_rich_customers",
+    "sample_stratified_lang",
+    "substring_dedup_docs",
+    "ann_topk_cosine",
+    "decontaminate_bloom_report",
+    "docs_bm25_probe",
+    "embedding_neardup_pairs",
+    "filter_domain_blocklist",
+    "filter_nsfw_score",
+    "paragraph_dedup_within",
+    "chunk_documents_windows",
+]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

@@ -81,34 +81,30 @@ def test_correctness_window_is_all_oracle_backed():
     # history; round 12 executed the standing README queue — r4 + full r5
     # bands — so the pinned set below IS the r12 window.)
     must_be_windowed = {
-        # round-13 rule-1 entries: the four NEW oracle-backed queries
-        # (three TPC-H shapes + the indexed top-k serving row)
-        "q11_important_parts", "q20_top_suppliers_promo",
-        "q21_waiting_suppliers", "docs_bm25_topk_indexed",
-        "ann_ivf_drift_report", "classifier_eval_report",
-        "docs_bm25_batch_serving",
-        # round-13 rule-2 holds: retrieval.py/similarity.py's index
-        # build/extend writes changed (salting, static overwrite, meta
-        # order) and queries.py's index/classifier defs changed (run-scoped
-        # paths, train-once memo) — all six re-earn hashes on the changed
-        # code
-        "docs_bm25_indexed", "ann_topk_ivf_persisted",
+        # round-14 rule-2 holds: the three r13 hash-red rows re-earn on the
+        # oracle BIGINT casts (q11/eval) and the casts + half-away fit
+        # rounding (drift report, similarity.py), and the four retrieval.py
+        # riders re-earn on the batch-serving lowercase/empty-terms fixes +
+        # rebuild-crash meta versioning
+        "q11_important_parts", "classifier_eval_report",
+        "ann_ivf_drift_report",
+        "docs_bm25_indexed", "docs_bm25_topk_indexed",
+        "docs_bm25_batch_serving", "ann_topk_ivf_persisted",
+        # round-14 staleness rotation rule 3 — the complete r9 band:
+        "corpus_datacard", "corpus_diff_v2", "corpus_mix_manifest",
+        "corpus_top_bigrams", "decontaminate_semantic", "docs_c4_clean",
+        "docs_length_deciles", "docs_script_mix", "docs_strip_html",
+        "events_funnel", "events_hourly_agg", "filter_gopher_quality",
+        "filter_perplexity", "multimodal_resize", "pack_sequences_bins",
+        "sample_token_budget_lang",
+        # standing residents (r13-green; regions untouched or
+        # append-adjacent this round)
+        "q20_top_suppliers_promo", "q21_waiting_suppliers",
         "quality_classifier_train", "quality_classifier_train_scores",
         "quality_classifier_scores", "docs_classifier_gate",
-        # round-13 staleness rotation rule 3 — the r6 band:
-        "decontaminate_ngram", "docs_repetition_signals",
-        "filter_char_repetition", "lang_id_counts", "paragraph_dedup",
-        "q22_idle_rich_customers", "sample_stratified_lang",
-        "substring_dedup_docs",
-        # ...and the complete r7 band:
-        "ann_topk_cosine", "decontaminate_bloom_report", "docs_bm25_probe",
-        "embedding_neardup_pairs", "filter_domain_blocklist",
-        "filter_nsfw_score", "paragraph_dedup_within",
-        # standing residents (r12-green; regions untouched or
-        # append-adjacent this round)
         "conversation_pairs", "multimodal_features", "pipeline_lifecycle",
         "pipeline_output_preset",
-        "chunk_documents_windows", "split_train_val_test", "split_by_filter",
+        "split_train_val_test", "split_by_filter",
         "events_moving_average", "domain_doc_counts", "docs_redact_pii",
         "dedup_semantic", "docs_bigram_lm", "multimodal_image_dedup",
         "docs_uniqueness_approx", "corpus_hll_distinct",

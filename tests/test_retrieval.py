@@ -573,6 +573,32 @@ def test_bm25_batch_serving_matches_single_probes(spark, tmp_path):
     with _pytest.raises(ValueError, match="no query terms"):
         RT.bm25_topk_indexed_batch(spark, idx, empty)
 
+    # case-variant duplicates dedup AFTER lowercasing (r13 ADVICE): a query
+    # carrying ['Hash', 'hash'] scores the term ONCE, bit-identical to the
+    # single-query path over ['hash'] — not double-counted
+    cased = spark.createDataFrame(
+        [(7, ["Hash", "hash", "JOIN"])], "query_id long, terms array<string>"
+    )
+    got_cased = [
+        (r.doc_id, r.bm25)
+        for r in RT.bm25_topk_indexed_batch(spark, idx, cased, k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    want_cased = [
+        (r.doc_id, r.bm25)
+        for r in RT.bm25_topk_indexed(spark, idx, ["hash", "join"], k=5).collect()
+    ]
+    assert got_cased == want_cased
+
+    # a NULL terms array raises like an empty one (the single-query
+    # contract) — the query must not silently vanish from the output
+    nulled = spark.createDataFrame(
+        [(3, ["join"]), (8, None)], "query_id long, terms array<string>"
+    )
+    with _pytest.raises(ValueError, match="no query terms for rows \\[8\\]"):
+        RT.bm25_topk_indexed_batch(spark, idx, nulled)
+
 
 def test_uncommitted_extension_is_invisible_to_probes(spark, tmp_path):
     """Extensions write three artifacts non-atomically; a crash after the
@@ -663,3 +689,40 @@ def test_compact_text_index_bit_identical_probes(spark, tmp_path):
     RT.extend_text_index(extra, idx, batch_id="post-compact")
     after = {r.doc_id for r in RT.bm25_topk_indexed(spark, idx, terms).collect()}
     assert 10_000 in after and {t[0] for t in want} <= after
+
+
+def test_rebuild_crash_leaves_no_servable_meta(spark, tmp_path):
+    """r13 ADVICE: the meta-last commit marker protected only FIRST builds —
+    an in-place REBUILD crashing between the postings overwrite and the
+    ledger reset used to leave the OLD meta + OLD ledger intact, so probes
+    silently merged the partial new base with stale extension state.  Meta
+    is now deleted FIRST (invalidate_index_meta), making the whole rebuild
+    window meta-less: a crash anywhere inside it fails every probe loudly,
+    and a completed rebuild restores service."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    terms = ["join", "hash", "scan"]
+    idx = str(tmp_path / "rebuild_crash_idx")
+    RT.build_text_index(half_a, idx)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id=1)
+    assert RT.bm25_topk_indexed(spark, idx, terms, k=5).count() == 5
+
+    # a rebuild's FIRST action: the index enters the meta-less window
+    RT.invalidate_index_meta(spark, idx)
+    with _pytest.raises((AnalysisException, Py4JJavaError)):
+        RT.bm25_topk_indexed(spark, idx, terms, k=5).collect()
+
+    # a completed rebuild over the full corpus restores service and equals
+    # a fresh build at a clean path
+    RT.build_text_index(docs, idx)
+    clean = str(tmp_path / "clean_idx")
+    RT.build_text_index(docs, clean)
+    assert sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect())
+    ) == sorted(map(tuple, RT.bm25_topk_indexed(spark, clean, terms).collect()))

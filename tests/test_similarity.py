@@ -918,3 +918,35 @@ def test_compact_ivf_index_bit_identical_probes(spark, emb, queries, tmp_path):
     assert got_km == want_km
     # and the compacted index still accepts deliveries (centroids intact)
     SIM.extend_ivf_index(half_b.limit(5), dst, batch_id="post-compact")
+
+
+def test_ivf_rebuild_crash_leaves_no_servable_meta(spark, emb, queries, tmp_path):
+    """Same rebuild-crash posture as the text index (r13 ADVICE): meta is
+    deleted FIRST in build_ivf_index / compact_ivf_index, so a crash
+    inside the rebuild window fails probes loudly instead of silently
+    merging a partial new base with the old ledger's extension state."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    from chat_data_pipeline_spark.operators.retrieval import invalidate_index_meta
+
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "ivf_rebuild_crash")
+    SIM.build_ivf_index(half_a, idx, n_centroids=16, coarse="md5", dim=64)
+    SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), idx, batch_id=1)
+    assert SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).count() > 0
+
+    invalidate_index_meta(spark, idx)
+    with _pytest.raises((AnalysisException, Py4JJavaError)):
+        SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect()
+
+    # a completed rebuild restores service bit-identically to a fresh build
+    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
+    clean = str(tmp_path / "ivf_clean")
+    SIM.build_ivf_index(emb, clean, n_centroids=16, coarse="md5", dim=64)
+    assert sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    ) == sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, clean, queries, k=10, n_probe=4).collect())
+    )
