@@ -292,8 +292,9 @@ def _run_training(spark: SparkSession, df: DataFrame, train_cfg: dict) -> None:
 
 
 def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
-    """Config-driven index maintenance (r13, engine extension): build or
-    extend the persisted BM25 text index from the same YAML that runs the
+    """Config-driven index maintenance (r13 bm25, r14 ivf — engine
+    extension): build / extend / maintain the persisted BM25 text index
+    and/or the persisted IVF ANN index from the same YAML that runs the
     pipeline, so a curation job can leave a servable index behind (or
     deliver its batch into one) without a separate script.
 
@@ -307,20 +308,41 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
             action: build             # build (default) | extend | compact
             batch_id: delivery-042    # required for extend
             dst_path: /indexes/v2     # optional for compact (write-then-swap)
+          ivf:
+            path: /indexes/corpus_ivf
+            vec_col: embedding        # array<float/double> column to index
+            id_expr: id               # unique id expression
+            dataset: /tables/emb.parquet  # optional vector source; default:
+                                          # the curated rows themselves
+            coarse: md5               # md5 (default) | kmeans
+            n_centroids: 16
+            dim: 64                   # vector dim (md5 codebook width)
+            seed: 42                  # kmeans retrain seed
+            action: build             # build (default) | extend | compact
+                                      #   | rebuild (coarse-retrain+cutover)
+            batch_id: delivery-042    # required for extend
+            dst_path: /indexes/v2     # optional for compact/rebuild
 
-    Indexing is an EAGER action by design (it writes the artifacts); the
-    extension path inherits the commit-ledger crash consistency — a config
-    run that dies mid-delivery leaves the batch invisible to probes, and
-    re-running the same config re-commits it."""
-    from chat_data_pipeline_spark.operators import retrieval as RT
-
-    known = {"bm25"}
+    Both kinds share the commit-ledger crash posture: indexing is an EAGER
+    action (it writes the artifacts), a config run that dies mid-delivery
+    leaves the batch invisible to probes and re-running the same config
+    re-commits it, and every base (re)build window is meta-less so a crash
+    inside it fails probes loudly."""
+    known = {"bm25", "ivf"}
     unknown = set(index_cfg) - known
     if unknown:
         raise ValueError(
             f"index: unknown index kind(s) {sorted(unknown)}; supported: {sorted(known)}"
         )
-    spec = dict(index_cfg.get("bm25") or {})
+    if "bm25" in index_cfg:
+        _run_bm25_indexing(spark, df, dict(index_cfg.get("bm25") or {}))
+    if "ivf" in index_cfg:
+        _run_ivf_indexing(spark, df, dict(index_cfg.get("ivf") or {}))
+
+
+def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
     if "path" not in spec:
         raise ValueError("index.bm25 needs `path` (the index root)")
     column = str(spec.get("column", "response"))
@@ -350,6 +372,64 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
             f"index.bm25 action must be 'build', 'extend' or 'compact', got {action!r}"
         )
     logger.info("index.bm25: %s %s", action, spec["path"])
+
+
+def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
+    """The ANN twin of the bm25 block (closes the r13 verdict gap: an
+    embedding-curation config can now leave a servable IVF index behind
+    the way a text config can).  Vectors come from the curated rows by
+    default; `dataset:` points at a separate (id, vector) table instead —
+    the common layout where embeddings live beside the corpus, keyed by
+    the same ids."""
+    from chat_data_pipeline_spark.operators import similarity as SIM
+
+    if "path" not in spec:
+        raise ValueError("index.ivf needs `path` (the index root)")
+    path = str(spec["path"])
+    action = str(spec.get("action", "build"))
+    dst = str(spec["dst_path"]) if spec.get("dst_path") else None
+    if action not in ("build", "extend", "compact", "rebuild"):
+        raise ValueError(
+            "index.ivf action must be 'build', 'extend', 'compact' or "
+            f"'rebuild', got {action!r}"
+        )
+    if action == "extend" and "batch_id" not in spec:
+        raise ValueError("index.ivf action=extend needs `batch_id`")
+    if action in ("build", "extend"):
+        vec_col = str(spec.get("vec_col", "embedding"))
+        id_expr = str(spec.get("id_expr", "id"))
+        base = (
+            spark.read.parquet(str(spec["dataset"])) if spec.get("dataset") else df
+        )
+        source = base.select(
+            F.expr(id_expr).alias("__vec_id__"), F.col(vec_col).alias("__vec__")
+        )
+    if action == "build":
+        SIM.build_ivf_index(
+            source,
+            path,
+            n_centroids=int(spec.get("n_centroids", 16)),
+            id_col="__vec_id__",
+            vec_col="__vec__",
+            coarse=str(spec.get("coarse", "md5")),
+            dim=int(spec.get("dim", 64)),
+            seed=int(spec.get("seed", 42)),
+        )
+    elif action == "extend":
+        SIM.extend_ivf_index(source, path, spec["batch_id"])
+    elif action == "compact":
+        SIM.compact_ivf_index(spark, path, dst_index=dst)
+    elif action == "rebuild":
+        # the drift repair: coarse-retrain over base+committed postings,
+        # re-assign, cut over (see ivf_index_drift_report's thresholds)
+        SIM.rebuild_ivf_index(
+            spark,
+            path,
+            dst_index=dst,
+            n_centroids=int(spec["n_centroids"]) if spec.get("n_centroids") else None,
+            seed=int(spec.get("seed", 42)),
+        )
+    logger.info("index.ivf: %s %s", action, path)
 
 
 def run_config(spark: SparkSession, config: dict) -> DataFrame:

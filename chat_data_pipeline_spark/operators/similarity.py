@@ -1431,7 +1431,17 @@ def build_ivf_index(
     under ``centroids/``."""
     import pandas as pd
 
+    from chat_data_pipeline_spark.operators.retrieval import invalidate_index_meta
+
     spark = df.sparkSession
+    # meta deleted FIRST / written LAST (r13 ADVICE): the delete must come
+    # BEFORE the kmeans branch's centroids write, not just before the
+    # postings write — otherwise an in-place rebuild crashing right after
+    # centroids/ lands would leave OLD meta + OLD postings + NEW centroids,
+    # and probes would silently score stale assignments against the
+    # retrained quantizer.  From here to the meta write the root is
+    # meta-less and every probe fails loudly.
+    invalidate_index_meta(spark, index_path)
     if coarse == "md5":
         coarse_mat = np.asarray(
             pq_md5_sign_codebooks(1, n_centroids, dim, "ivfpq_coarse")[0]
@@ -1497,14 +1507,8 @@ def build_ivf_index(
     # write stage scales with the salt.
     from chat_data_pipeline_spark.operators.retrieval import (
         cluster_for_partitioned_write,
-        invalidate_index_meta,
     )
 
-    # meta deleted FIRST / written LAST: the whole (re)build window is
-    # meta-less, so a crash between the postings overwrite and the ledger
-    # reset can't leave probes silently merging a partial new base with
-    # stale extension state (r13 ADVICE; same posture as _write_text_base)
-    invalidate_index_meta(spark, index_path)
     cluster_for_partitioned_write(
         postings.withColumn("batch", F.lit("base")), ["list"], F.col(id_col)
     ).write.mode("overwrite").option(
@@ -2261,3 +2265,64 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
         [(meta.coarse, int(meta.n_centroids), int(meta.dim), meta.id_col, meta.vec_col)],
         "coarse string, n_centroids int, dim int, id_col string, vec_col string",
     ).repartition(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
+
+
+def rebuild_ivf_index(
+    spark,
+    index_path: str,
+    dst_index: str | None = None,
+    n_centroids: int | None = None,
+    seed: int = 42,
+) -> None:
+    """Coarse-retrain + cutover — the REPAIR action for a drifted index
+    (r13 verdict item 5: :func:`ivf_index_drift_report` diagnoses a
+    quantizer that no longer matches the data it indexes, and compaction
+    deliberately keeps the old centroids; this operator acts on the
+    signal).  Reads the base + every ledger-committed extension back as
+    one corpus, RE-TRAINS the coarse structure over that union, re-assigns
+    every vector, and writes a fresh root via :func:`build_ivf_index` —
+    inheriting the salted list-clustered writes, the meta-deleted-first /
+    meta-written-last crash window, and the ledger reset.
+
+    Flavor semantics:
+
+    - ``kmeans`` — the retrain is the whole point: Lloyd over the union
+      adapts the centroids to the drifted mixture, so a post-rebuild
+      :func:`ivf_index_drift_report` shows the mean assign fit recover and
+      the hottest-list skew relax (tested over a deliberately drifted
+      delivery).
+    - ``md5`` — the coarse codebook is a deterministic literal (seeded by
+      ``'ivfpq_coarse'``), so a rebuild at the same ``n_centroids`` is
+      assignment-identical to a compaction and probes stay BIT-EXACT; pass
+      a larger ``n_centroids`` to re-shard a grown corpus into more lists
+      (finer pruning) while keeping the md5 twin's oracle arithmetic.
+
+    ``dst_index=None`` rebuilds IN PLACE (the union is pinned with an
+    eager localCheckpoint before the overwrite — fine at single-node
+    scale); a 100 TB deployment passes ``dst_index`` to stream into a
+    fresh root with no checkpoint and swaps probes over once the rebuild
+    commits (write-then-swap, zero-downtime).  The probe cutover itself is
+    the caller's pointer swap — probes hitting the OLD root keep serving
+    the old index throughout.
+    """
+    from chat_data_pipeline_spark.operators.retrieval import _committed_batches
+
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    union = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("batch").isin(_committed_batches(spark, index_path)))
+        .select(meta.id_col, meta.vec_col)
+    )
+    if dst_index is None:
+        union = union.localCheckpoint(eager=True)
+        dst_index = index_path
+    build_ivf_index(
+        union,
+        dst_index,
+        n_centroids=int(n_centroids or meta.n_centroids),
+        id_col=meta.id_col,
+        vec_col=meta.vec_col,
+        coarse=meta.coarse,
+        dim=int(meta.dim),
+        seed=seed,
+    )

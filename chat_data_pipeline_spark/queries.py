@@ -7020,6 +7020,53 @@ def ann_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_index_drift_report(spark, idx)
 
 
+@_register(
+    "ann_ivf_rebuild_report",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nv AS (SELECT vec_id, {_NORMALIZE_SQL} AS v FROM e),
+    cdots AS (SELECT vec_id, {_IVFPQ_CD} AS cd FROM nv),
+    assigned AS (SELECT vec_id,
+        list_position(cd, list_max(cd)) - 1 AS list,
+        CAST(ROUND(list_max(cd) * 1000000) AS BIGINT) AS fit_micros
+      FROM cdots),
+    per_list AS (SELECT list, COUNT(*) AS n, SUM(fit_micros) AS fs
+                 FROM assigned GROUP BY 1)
+    SELECT 'base' AS batch, CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_lists_used,
+           CAST(SUM(fs) // SUM(n) AS BIGINT) AS mean_assign_score_micros,
+           CAST((MAX(n) * 16 * 1000000000) // SUM(n) AS BIGINT)
+             AS occupancy_skew_nanos
+    FROM per_list
+    """,
+    "coarse-retrain + cutover health check (r14): take the drift report's "
+    "two-batch index (even half base, odd half delivered as b1), run "
+    "rebuild_ivf_index into a fresh root — re-train the quantizer over "
+    "base+committed postings, re-assign, write-then-swap — and score the "
+    "REBUILT index with the same drift diagnostics.  For the md5 coarse "
+    "flavor the codebook is a deterministic literal, so the rebuilt "
+    "assignments equal a single-batch build over the union and the whole "
+    "report value-hashes cross-engine: one 'base' batch carrying every "
+    "vector, ledger reset, extension state folded in",
+)
+def ann_ivf_rebuild_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    dst = _run_scoped_path("ivf_rebuild_dst", sf_dir)
+
+    def _build() -> None:
+        src = _run_scoped_path("ivf_rebuild_src", sf_dir)
+        SIM.build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), src,
+            n_centroids=16, coarse="md5", dim=64,
+        )
+        SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), src, batch_id="b1")
+        SIM.rebuild_ivf_index(spark, src, dst_index=dst)
+
+    _build_once(dst, _build)
+    return SIM.ivf_index_drift_report(spark, dst)
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
@@ -7899,6 +7946,13 @@ _WINDOW_TAIL += [
     "paragraph_dedup_within",
     "chunk_documents_windows",
 ]
+# round-14 rule-1: ann_ivf_rebuild_report (the drift-REPAIR health check,
+# never-driver-verified, oracle-backed via the md5 twin's single-batch
+# union arithmetic) enters by registration; events_moving_average makes
+# room — r13 hash-green, its window-frame region untouched this round, and
+# the events family keeps the re-admitted events_hourly_agg/events_funnel
+# plus events_key_skew in-window.
+_WINDOW_TAIL.append("events_moving_average")
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

@@ -1375,3 +1375,123 @@ def test_cli_index_compact_action(spark, tmp_path):
     got = sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, ["join", "hash"]).collect()))
     assert got == want
     assert RT._committed_batches(spark, idx) == ["base"]
+
+
+IVF_INDEX_CONFIG = """
+datasets:
+  - path: {conv_path}
+seed: 42
+index:
+  ivf:
+    path: {idx_path}
+    dataset: {emb_path}
+    vec_col: embedding
+    id_expr: vec_id
+    coarse: md5
+    n_centroids: 16
+    dim: 64
+    action: {action}
+{batch_line}response:
+  cleaners: []
+  filters: []
+  deduplication:
+    do_deduplication: false
+instruction:
+  cleaners: []
+  filters: []
+  deduplication:
+    do_deduplication: false
+"""
+
+
+def test_cli_index_ivf_lifecycle(spark, tmp_path):
+    """r14 (r13 verdict item 4): the index: block's ANN twin — one YAML
+    family curates and leaves a servable IVF index behind (build), a
+    second config delivers an extension batch, a third compacts; probes
+    stay bit-identical to a direct build over the union, and the rebuild
+    action is config-reachable."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.cli import _run_indexing, load_yaml, run_config
+    from chat_data_pipeline_spark.operators import similarity as SIM
+    from chat_data_pipeline_spark.operators.retrieval import _committed_batches
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    half_a, half_b = (
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+    emb_a, emb_b = str(tmp_path / "emb_a.parquet"), str(tmp_path / "emb_b.parquet")
+    half_a.write.parquet(emb_a)
+    half_b.write.parquet(emb_b)
+    conv_path = str(tmp_path / "conv.parquet")
+    spark.createDataFrame(
+        [(1, "s", [("q", False, "User"), ("a fine reply", True, "Assistant")])],
+        "id long, source string, conversation array<struct<content string, do_train boolean, role string>>",
+    ).write.parquet(conv_path)
+    idx = str(tmp_path / "cfg_ivf_idx")
+
+    cfg = tmp_path / "ivf_build.yaml"
+    cfg.write_text(
+        IVF_INDEX_CONFIG.format(
+            conv_path=conv_path, idx_path=idx, emb_path=emb_a,
+            action="build", batch_line="",
+        )
+    )
+    run_config(spark, load_yaml(str(cfg)))
+    queries = (
+        emb.limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .localCheckpoint(eager=True)
+    )
+    base_probe = SIM.ivf_topk_persisted(spark, idx, queries, k=5, n_probe=4)
+    assert base_probe.count() > 0
+
+    cfg2 = tmp_path / "ivf_extend.yaml"
+    cfg2.write_text(
+        IVF_INDEX_CONFIG.format(
+            conv_path=conv_path, idx_path=idx, emb_path=emb_b,
+            action="extend", batch_line="    batch_id: d1\n",
+        )
+    )
+    run_config(spark, load_yaml(str(cfg2)))
+    # bit-identical to a direct build over the union (the md5 twin's
+    # assignment arithmetic is delivery-order-invariant)
+    direct = str(tmp_path / "direct_ivf")
+    SIM.build_ivf_index(
+        emb.select(
+            F.col("vec_id").alias("__vec_id__"), F.col("embedding").alias("__vec__")
+        ),
+        direct, n_centroids=16, id_col="__vec_id__", vec_col="__vec__",
+        coarse="md5", dim=64,
+    )
+    want = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, direct, queries, k=5, n_probe=4).collect())
+    )
+    got = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=5, n_probe=4).collect())
+    )
+    assert got == want
+
+    # compact from config: one base, probes unchanged
+    df0 = spark.createDataFrame([(1, "x")], "id long, response string")
+    _run_indexing(spark, df0, {"ivf": {"path": idx, "action": "compact"}})
+    assert _committed_batches(spark, idx) == ["base"]
+    assert sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=5, n_probe=4).collect())
+    ) == want
+
+    # rebuild reachable from config (md5 at same n_centroids: bit-exact)
+    _run_indexing(spark, df0, {"ivf": {"path": idx, "action": "rebuild"}})
+    assert sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=5, n_probe=4).collect())
+    ) == want
+
+    # validation fails loudly
+    with _pytest.raises(ValueError, match="path"):
+        _run_indexing(spark, df0, {"ivf": {}})
+    with _pytest.raises(ValueError, match="batch_id"):
+        _run_indexing(spark, df0, {"ivf": {"path": idx, "action": "extend"}})
+    with _pytest.raises(ValueError, match="action must be"):
+        _run_indexing(spark, df0, {"ivf": {"path": idx, "action": "faiss"}})
