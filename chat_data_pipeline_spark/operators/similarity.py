@@ -2201,6 +2201,10 @@ def ivf_index_drift_report(spark, index_path: str) -> DataFrame:
         .agg(
             F.sum("__n__").cast("long").alias("n_vectors"),
             F.count("*").cast("long").alias("n_lists_used"),
+            # `div` truncates toward zero, exactly like DuckDB 1.0's integer
+            # `//` (verified: -7 // 2 = -3 there, NOT floor's -4) — so the
+            # negative fit sums the md5/kmeans flavors produce divide
+            # identically cross-engine
             F.expr("sum(__fit_sum__) div sum(__n__)").alias(
                 "mean_assign_score_micros"
             ),
