@@ -308,6 +308,10 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
             action: build             # build (default) | extend | compact
             batch_id: delivery-042    # required for extend
             dst_path: /indexes/v2     # optional for compact (write-then-swap)
+            alias: /indexes/serving   # optional: after the action lands,
+                                      # atomically point this serving alias
+                                      # at the final root (dst_path if
+                                      # given, else path)
           ivf:
             path: /indexes/corpus_ivf
             vec_col: embedding        # array<float/double> column to index
@@ -322,12 +326,16 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
                                       #   | rebuild (coarse-retrain+cutover)
             batch_id: delivery-042    # required for extend
             dst_path: /indexes/v2     # optional for compact/rebuild
+            alias: /indexes/ann_serving   # optional cutover pointer
 
     Both kinds share the commit-ledger crash posture: indexing is an EAGER
     action (it writes the artifacts), a config run that dies mid-delivery
     leaves the batch invisible to probes and re-running the same config
     re-commits it, and every base (re)build window is meta-less so a crash
-    inside it fails probes loudly."""
+    inside it fails probes loudly.  With `alias:` the whole zero-downtime
+    loop is one config: rebuild/compact into `dst_path`, then the swap
+    lands ONLY after the action completed — a run that dies mid-action
+    leaves the alias serving the old root."""
     known = {"bm25", "ivf"}
     unknown = set(index_cfg) - known
     if unknown:
@@ -370,6 +378,12 @@ def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     else:
         raise ValueError(
             f"index.bm25 action must be 'build', 'extend' or 'compact', got {action!r}"
+        )
+    if spec.get("alias"):
+        RT.swap_index_alias(
+            spark,
+            str(spec["alias"]),
+            str(spec["dst_path"]) if spec.get("dst_path") else str(spec["path"]),
         )
     logger.info("index.bm25: %s %s", action, spec["path"])
 
@@ -429,6 +443,10 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             n_centroids=int(spec["n_centroids"]) if spec.get("n_centroids") else None,
             seed=int(spec.get("seed", 42)),
         )
+    if spec.get("alias"):
+        from chat_data_pipeline_spark.operators.retrieval import swap_index_alias
+
+        swap_index_alias(spark, str(spec["alias"]), dst or path)
     logger.info("index.ivf: %s %s", action, path)
 
 

@@ -30,6 +30,7 @@ the displayed score rounds to 6 decimals.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame
@@ -330,7 +331,8 @@ def compact_text_index(spark, index_path: str, dst_index: str | None = None) -> 
     postings to executor-local disk — fine at single-node scale.  A 100 TB
     deployment passes ``dst_index`` instead: the compaction streams into a
     FRESH root with no checkpoint, and the caller swaps probes over to it
-    (write-then-swap, the zero-downtime pattern)."""
+    (write-then-swap, the zero-downtime pattern — :func:`swap_index_alias`
+    is that pointer as an operator)."""
     meta = spark.read.parquet(f"{index_path}/meta").first()
     committed = _committed_batches(spark, index_path)
     p_schema = f"doc {meta.id_type}, dl int, term string, tf long"
@@ -428,6 +430,73 @@ def _committed_batches(spark, index_path: str) -> list[str]:
             if not st.getPath().getName().startswith("_")
         )
     return out
+
+
+def _alias_fs(spark, alias_path: str):
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(alias_path)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def swap_index_alias(spark, alias_path: str, index_path: str) -> None:
+    """Point an alias at an index root — the probe-side half of
+    write-then-swap (:func:`compact_text_index` / ``rebuild_ivf_index``
+    stream into a FRESH root; this is the 'caller's pointer swap' their
+    docstrings hand off to).  The alias is a DIRECTORY of monotonically
+    versioned one-line pointer files: a swap stages the new pointer under
+    a ``_tmp`` name and RENAMES it into place (rename is the atomic
+    primitive on HDFS-like stores, and same-directory so object stores
+    degrade gracefully), so a reader never sees a half-written pointer —
+    it resolves either the old version or the new one.  Old versions are
+    pruned opportunistically AFTER the new pointer lands (a crash between
+    the two leaves extra history, never a broken alias).
+
+    Fails fast if the target has no readable ``meta`` — an alias must
+    never be swapped onto a root that is mid-rebuild (meta-less window) or
+    missing."""
+    spark.read.parquet(f"{index_path}/meta").first()  # target must be servable
+    fs, adir, jvm = _alias_fs(spark, alias_path)
+    fs.mkdirs(adir)
+    existing = [
+        st.getPath().getName()
+        for st in fs.listStatus(adir)
+        if st.getPath().getName().startswith("v")
+    ]
+    nxt = 1 + max((int(n[1:].split("-")[0]) for n in existing), default=0)
+    vname = f"v{nxt:012d}-{os.getpid()}"
+    tmp = jvm.org.apache.hadoop.fs.Path(adir, f"_tmp.{vname}")
+    out = fs.create(tmp, True)
+    out.write(bytearray(str(index_path).encode("utf-8")))
+    out.close()
+    if not fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(adir, vname)):
+        raise IOError(f"alias swap rename failed under {alias_path}")
+    for name in existing:  # prune AFTER the new pointer is live
+        fs.delete(jvm.org.apache.hadoop.fs.Path(adir, name), False)
+
+
+def resolve_index_alias(spark, alias_path: str) -> str:
+    """The index root an alias currently points at: the highest-versioned
+    committed pointer file (``_tmp`` stages are ignored, so a concurrent
+    or crashed swap is invisible).  Probe composition:
+    ``bm25_topk_indexed(spark, resolve_index_alias(spark, alias), ...)``
+    — probes keep hitting the OLD root until the swap's rename lands."""
+    fs, adir, _jvm = _alias_fs(spark, alias_path)
+    if not fs.exists(adir):
+        raise FileNotFoundError(f"no index alias at {alias_path}")
+    names = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(adir)
+        if st.getPath().getName().startswith("v")
+    )
+    if not names:
+        raise FileNotFoundError(f"index alias {alias_path} has no committed pointer")
+    stream = fs.open(_jvm.org.apache.hadoop.fs.Path(adir, names[-1]))
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return raw.decode("utf-8")
 
 
 def bm25_topk_indexed(

@@ -2307,7 +2307,9 @@ def rebuild_ivf_index(
     fresh root with no checkpoint and swaps probes over once the rebuild
     commits (write-then-swap, zero-downtime).  The probe cutover itself is
     the caller's pointer swap — probes hitting the OLD root keep serving
-    the old index throughout.
+    the old index throughout; ``retrieval.swap_index_alias`` /
+    ``resolve_index_alias`` provide that pointer as an operator (atomic
+    versioned rename, refuses meta-less targets).
     """
     from chat_data_pipeline_spark.operators.retrieval import _committed_batches
 

@@ -726,3 +726,66 @@ def test_rebuild_crash_leaves_no_servable_meta(spark, tmp_path):
     assert sorted(
         map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect())
     ) == sorted(map(tuple, RT.bm25_topk_indexed(spark, clean, terms).collect()))
+
+
+def test_index_alias_write_then_swap_cutover(spark, tmp_path):
+    """The write-then-swap story's last step made an operator (r14): probes
+    resolve a versioned pointer directory; a swap stages the new pointer
+    under _tmp and renames it into place, so readers see the old root or
+    the new one, never a half-written pointer; a swap onto a meta-less
+    (mid-rebuild) root is refused."""
+    import pytest as _pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    terms = ["join", "hash", "scan"]
+    v1, v2 = str(tmp_path / "idx_v1"), str(tmp_path / "idx_v2")
+    alias = str(tmp_path / "serving_alias")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), v1)
+    RT.swap_index_alias(spark, alias, v1)
+    assert RT.resolve_index_alias(spark, alias) == v1
+    old = sorted(
+        map(
+            tuple,
+            RT.bm25_topk_indexed(
+                spark, RT.resolve_index_alias(spark, alias), terms
+            ).collect(),
+        )
+    )
+
+    # rebuild into a FRESH root while the alias keeps serving v1
+    RT.build_text_index(docs, v2)
+    assert RT.resolve_index_alias(spark, alias) == v1
+    RT.swap_index_alias(spark, alias, v2)
+    assert RT.resolve_index_alias(spark, alias) == v2
+    new = sorted(
+        map(
+            tuple,
+            RT.bm25_topk_indexed(
+                spark, RT.resolve_index_alias(spark, alias), terms
+            ).collect(),
+        )
+    )
+    assert new != old  # the cutover actually moved probes to the full corpus
+
+    # a crashed swap's _tmp stage is invisible to resolution
+    fs, adir, jvm = RT._alias_fs(spark, alias)
+    stage = jvm.org.apache.hadoop.fs.Path(adir, "_tmp.v999999999999-1")
+    out = fs.create(stage, True)
+    out.write(bytearray(b"/nowhere"))
+    out.close()
+    assert RT.resolve_index_alias(spark, alias) == v2
+
+    # swapping onto a mid-rebuild (meta-less) root fails fast
+    RT.invalidate_index_meta(spark, v1)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises((AnalysisException, Py4JJavaError)):
+        RT.swap_index_alias(spark, alias, v1)
+    assert RT.resolve_index_alias(spark, alias) == v2  # alias untouched
+
+    # unknown alias resolves loudly
+    with _pytest.raises(FileNotFoundError):
+        RT.resolve_index_alias(spark, str(tmp_path / "missing_alias"))

@@ -1495,3 +1495,55 @@ def test_cli_index_ivf_lifecycle(spark, tmp_path):
         _run_indexing(spark, df0, {"ivf": {"path": idx, "action": "extend"}})
     with _pytest.raises(ValueError, match="action must be"):
         _run_indexing(spark, df0, {"ivf": {"path": idx, "action": "faiss"}})
+
+
+def test_cli_index_alias_cutover(spark, tmp_path):
+    """r14: the `alias:` key completes the zero-downtime loop in one
+    config — the swap lands only after the action completed, and a
+    rebuild into dst_path cuts the serving pointer over atomically."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.cli import _run_indexing
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from chat_data_pipeline_spark.operators import similarity as SIM
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("response")
+    )
+    idx = str(tmp_path / "alias_bm25")
+    alias = str(tmp_path / "bm25_serving")
+    _run_indexing(spark, docs, {"bm25": {"path": idx, "alias": alias}})
+    assert RT.resolve_index_alias(spark, alias) == idx
+    assert (
+        RT.bm25_topk_indexed(
+            spark, RT.resolve_index_alias(spark, alias), ["join", "hash"], k=5
+        ).count()
+        == 5
+    )
+
+    # ANN: build, then config-driven rebuild into a fresh root + cutover
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ividx, ivdst = str(tmp_path / "alias_ivf"), str(tmp_path / "alias_ivf_v2")
+    ivalias = str(tmp_path / "ann_serving")
+    _run_indexing(
+        spark, emb,
+        {"ivf": {"path": ividx, "id_expr": "vec_id", "alias": ivalias}},
+    )
+    assert RT.resolve_index_alias(spark, ivalias) == ividx
+    _run_indexing(
+        spark, emb,
+        {"ivf": {"path": ividx, "action": "rebuild", "dst_path": ivdst,
+                 "alias": ivalias}},
+    )
+    assert RT.resolve_index_alias(spark, ivalias) == ivdst
+    queries = (
+        emb.limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .localCheckpoint(eager=True)
+    )
+    assert (
+        SIM.ivf_topk_persisted(
+            spark, RT.resolve_index_alias(spark, ivalias), queries, k=5, n_probe=4
+        ).count()
+        > 0
+    )
