@@ -699,3 +699,76 @@ def streaming_classifier_eval(
     return classifier_confusion(
         stream, text_col, F.expr(label_expr), weights, threshold
     )
+
+
+def streaming_index_delivery(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Live corpus → fresh servable BM25 index (r14): each micro-batch
+    becomes ONE ledger-committed delivery via
+    ``extend_text_index(batch_id=f"s{epoch}")``, so a long-running ingest
+    keeps the persisted index current without ever rebuilding.
+
+    Effectively-once on top of the checkpoint's replay — for free, because
+    it reuses the batch extension contract end to end: a micro-batch
+    replayed after a mid-commit crash overwrites its OWN ``batch=`` hive
+    partitions and re-commits its ledger marker (sketch-store idempotence),
+    and until that marker lands the partial delivery is INVISIBLE to
+    probes, which keep serving the committed batches throughout.  Probes
+    over base + streamed deliveries are bit-identical to a full rebuild
+    over the union (the extension exactness contract, tested).  Pair with
+    ``compact_text_index`` when the accumulated per-trigger batches make
+    the N-way probe merge noticeable, and ``swap_index_alias`` to cut
+    serving over to the compacted root.
+
+    The index base must exist (``build_text_index`` first) — the stream
+    only DELIVERS; it never owns the meta/coarse structure."""
+    from chat_data_pipeline_spark.operators.retrieval import extend_text_index
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # no empty ledger entries for idle triggers
+            return
+        extend_text_index(
+            batch_df.select(id_col, text_col),
+            index_path,
+            batch_id=f"s{batch_id}",
+            text_col=text_col,
+            id_col=id_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def streaming_ivf_delivery(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+):
+    """ANN twin of :func:`streaming_index_delivery`: every micro-batch of
+    vectors is assigned with the index's OWN coarse arithmetic (so the
+    extended index stays probe-compatible by construction) and lands as a
+    ledger-committed ``extend_ivf_index`` delivery — same effectively-once
+    replay semantics, same invisible-until-committed crash posture.  The
+    id/vector column names come from the index meta; monitor the live
+    deliveries with ``ivf_index_drift_report`` and repair a drifted
+    quantizer with ``rebuild_ivf_index`` + ``swap_index_alias``."""
+    from chat_data_pipeline_spark.operators.similarity import extend_ivf_index
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        extend_ivf_index(batch_df, index_path, batch_id=f"s{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

@@ -1547,3 +1547,100 @@ def test_cli_index_alias_cutover(spark, tmp_path):
         ).count()
         > 0
     )
+
+
+def test_streaming_index_delivery_stream_equals_batch(spark, tmp_path):
+    """r14: a live feed keeps the persisted BM25 index fresh — each
+    micro-batch is one ledger-committed delivery, and probes over
+    base + streamed deliveries are bit-identical to a fresh build over
+    the whole corpus (the extension exactness contract, now reached from
+    Structured Streaming)."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from chat_data_pipeline_spark.streaming.pipeline import streaming_index_delivery
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    idx = str(tmp_path / "live_bm25")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 3 == 0), idx)
+
+    feed = tmp_path / "bm25_feed"
+    feed.mkdir()
+    # two files → two triggers → two deliveries
+    docs.filter(F.col("doc_id") % 3 == 1).repartition(1).write.parquet(
+        str(feed / "f1.parquet")
+    )
+    docs.filter(F.col("doc_id") % 3 == 2).repartition(1).write.parquet(
+        str(feed / "f2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*")
+    )
+    q = streaming_index_delivery(
+        stream, idx, str(tmp_path / "ckpt_live_bm25")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    committed = RT._committed_batches(spark, idx)
+    assert committed[0] == "base" and len(committed) == 3  # two stream deliveries
+    terms = ["join", "hash", "scan", "window", "sort"]
+    fresh = str(tmp_path / "fresh_bm25")
+    RT.build_text_index(docs, fresh)
+    assert sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect())
+    ) == sorted(map(tuple, RT.bm25_topk_indexed(spark, fresh, terms).collect()))
+
+
+def test_streaming_ivf_delivery_stream_equals_batch(spark, tmp_path):
+    """ANN twin: streamed vector deliveries assign with the index's own
+    coarse arithmetic, so probes equal a direct build over the union."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from chat_data_pipeline_spark.operators import similarity as SIM
+    from chat_data_pipeline_spark.streaming.pipeline import streaming_ivf_delivery
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "live_ivf")
+    SIM.build_ivf_index(
+        emb.filter(F.col("vec_id") % 3 == 0), idx, n_centroids=16, coarse="md5", dim=64
+    )
+    feed = tmp_path / "ivf_feed"
+    feed.mkdir()
+    emb.filter(F.col("vec_id") % 3 == 1).repartition(1).write.parquet(
+        str(feed / "f1.parquet")
+    )
+    emb.filter(F.col("vec_id") % 3 == 2).repartition(1).write.parquet(
+        str(feed / "f2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*")
+    )
+    q = streaming_ivf_delivery(stream, idx, str(tmp_path / "ckpt_live_ivf"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(RT._committed_batches(spark, idx)) == 3
+    queries = (
+        emb.limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .localCheckpoint(eager=True)
+    )
+    direct = str(tmp_path / "direct_ivf_stream")
+    SIM.build_ivf_index(emb, direct, n_centroids=16, coarse="md5", dim=64)
+    assert sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    ) == sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, direct, queries, k=10, n_probe=4).collect())
+    )
