@@ -120,9 +120,11 @@ _RUN_SCOPED_PATHS: set[str] = set()
 #     quality_classifier_train) do NOT memoize — they measure the full
 #     build/train cost per invocation, comparable across rounds;
 #   - SERVING rows (docs_bm25_topk_indexed, ann_ivf_drift_report,
-#     quality_classifier_train_scores, docs_classifier_gate) memoize /
-#     load the persisted artifact — they measure steady-state consumption,
-#     which is what their 100 TB posture is (train/build once, serve many).
+#     ann_ivf_rebuild_report, quality_classifier_train_scores,
+#     docs_classifier_gate) memoize / load the persisted artifact — they
+#     measure steady-state consumption, which is what their 100 TB posture
+#     is (train/build once, serve many; the rebuild row memoizes the whole
+#     build→extend→rebuild chain and times the post-cutover diagnostics).
 _BUILT_ARTIFACTS: set[str] = set()
 
 

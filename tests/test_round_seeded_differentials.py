@@ -367,3 +367,51 @@ def test_unigram_trainer_matches_local_reference_on_random_corpora(spark):
             counts = U._em_counts_local(words, logp)
             logp = U._m_step(counts, logp, 48, 0.25)
         assert got == logp, f"seed={seed} case={case}"
+
+
+# ---------------------------------------------------------------------------
+# 7. kmeans rebuild (r14) — the coarse-retrain path whose Lloyd/RNG
+#    arithmetic cannot replay in a DuckDB oracle (the md5 flavor's rebuild
+#    is hash-carried by ann_ivf_rebuild_report; THIS is the kmeans leg)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_rebuild_recovers_random_drift(spark, tmp_path):
+    """Round-seeded drift-repair differential: a base mixture of unit-ish
+    Gaussian blobs, an extension shifted by a round-seeded offset far
+    outside the base support.  For ANY correct retrain-over-the-union,
+    the rebuilt index's mean assign fit (negative squared L2, micros) must
+    beat the drifted delivery's fit under the STALE quantizer, and the
+    rebuilt root must carry every vector exactly once."""
+    seed = round_seed("kmeans-rebuild")
+    rng = np.random.RandomState(seed)
+    dim, n_base, n_ext = 16, 400, 400
+    base_mat = rng.randn(n_base, dim)
+    offset = 25.0 + float(rng.rand()) * 25.0  # far outside N(0,1) support
+    ext_mat = rng.randn(n_ext, dim) + offset
+
+    def frame(mat, start):
+        return spark.createDataFrame(
+            [(start + i, [float(x) for x in row]) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<double>",
+        )
+
+    idx = str(tmp_path / "rsd_ivf")
+    SIM.build_ivf_index(frame(base_mat, 0), idx, n_centroids=8, coarse="kmeans")
+    SIM.extend_ivf_index(frame(ext_mat, n_base), idx, batch_id="b1")
+    before = {
+        r.batch: r for r in SIM.ivf_index_drift_report(spark, idx).collect()
+    }
+    assert before["b1"].mean_assign_score_micros < before[
+        "base"
+    ].mean_assign_score_micros, f"seed={seed}"
+
+    dst = str(tmp_path / "rsd_ivf_v2")
+    SIM.rebuild_ivf_index(spark, idx, dst_index=dst, seed=seed)
+    after = {r.batch: r for r in SIM.ivf_index_drift_report(spark, dst).collect()}
+    assert set(after) == {"base"}, f"seed={seed}"
+    assert after["base"].n_vectors == n_base + n_ext, f"seed={seed}"
+    assert (
+        after["base"].mean_assign_score_micros
+        > before["b1"].mean_assign_score_micros
+    ), f"seed={seed}"
