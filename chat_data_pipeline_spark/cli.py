@@ -380,11 +380,15 @@ def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             f"index.bm25 action must be 'build', 'extend' or 'compact', got {action!r}"
         )
     if spec.get("alias"):
-        RT.swap_index_alias(
-            spark,
-            str(spec["alias"]),
-            str(spec["dst_path"]) if spec.get("dst_path") else str(spec["path"]),
+        # dst_path is only honored for the action that WRITES it — a reused
+        # config carrying a stale dst_path with action=build/extend must
+        # not cut serving over to the old root it names
+        final = (
+            str(spec["dst_path"])
+            if action == "compact" and spec.get("dst_path")
+            else str(spec["path"])
         )
+        RT.swap_index_alias(spark, str(spec["alias"]), final)
     logger.info("index.bm25: %s %s", action, spec["path"])
 
 
@@ -415,8 +419,18 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         base = (
             spark.read.parquet(str(spec["dataset"])) if spec.get("dataset") else df
         )
+        if action == "build":
+            # a fresh build OWNS the meta: normalized internal column names
+            out_id, out_vec = "__vec_id__", "__vec__"
+        else:
+            # a delivery adopts the TARGET index's meta column names, so a
+            # config can extend an index built by any caller (CLI-built
+            # roots store __vec_id__/__vec__; API/streaming-built roots
+            # store whatever build_ivf_index was given)
+            meta = spark.read.parquet(f"{path}/meta").first()
+            out_id, out_vec = meta.id_col, meta.vec_col
         source = base.select(
-            F.expr(id_expr).alias("__vec_id__"), F.col(vec_col).alias("__vec__")
+            F.expr(id_expr).alias(out_id), F.col(vec_col).alias(out_vec)
         )
     if action == "build":
         SIM.build_ivf_index(
@@ -446,7 +460,11 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     if spec.get("alias"):
         from chat_data_pipeline_spark.operators.retrieval import swap_index_alias
 
-        swap_index_alias(spark, str(spec["alias"]), dst or path)
+        # dst_path only counts for the actions that write it (see the bm25
+        # twin): build/extend with a stale dst_path in the spec must swap
+        # to `path`, not to whatever old root dst_path still names
+        final = dst if action in ("compact", "rebuild") and dst else path
+        swap_index_alias(spark, str(spec["alias"]), final)
     logger.info("index.ivf: %s %s", action, path)
 
 

@@ -280,9 +280,7 @@ def invalidate_index_meta(spark, index_path: str) -> None:
     makes the whole rebuild window meta-less: a crash anywhere inside it
     leaves a root every probe rejects loudly.  Plain Hadoop FS metadata
     op — milliseconds, never a Spark job."""
-    jvm = spark.sparkContext._jvm
-    path = jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta")
-    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs, path, _jvm = _fs_for(spark, f"{index_path}/meta")
     fs.delete(path, True)
 
 
@@ -389,14 +387,20 @@ def extend_text_index(
     )
 
 
-def _ledger_fs(spark, index_path: str):
-    """(FileSystem, Path) for the index's commit ledger directory — plain
-    Hadoop FS metadata ops (works on HDFS/S3A/local alike), so ledger
-    maintenance costs milliseconds, never a Spark job."""
+def _fs_for(spark, path_str: str):
+    """(FileSystem, Path, jvm) for any path — the ONE Hadoop-FS handle
+    helper behind the ledger, the meta invalidation and the serving alias
+    (plain FS metadata ops, works on HDFS/S3A/local alike, milliseconds,
+    never a Spark job)."""
     jvm = spark.sparkContext._jvm
-    path = jvm.org.apache.hadoop.fs.Path(f"{index_path}/batches")
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
     fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     return fs, path, jvm
+
+
+def _ledger_fs(spark, index_path: str):
+    """(FileSystem, Path) for the index's commit ledger directory."""
+    return _fs_for(spark, f"{index_path}/batches")
 
 
 def ledger_reset(spark, index_path: str) -> None:
@@ -432,13 +436,6 @@ def _committed_batches(spark, index_path: str) -> list[str]:
     return out
 
 
-def _alias_fs(spark, alias_path: str):
-    jvm = spark.sparkContext._jvm
-    path = jvm.org.apache.hadoop.fs.Path(alias_path)
-    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return fs, path, jvm
-
-
 def swap_index_alias(spark, alias_path: str, index_path: str) -> None:
     """Point an alias at an index root — the probe-side half of
     write-then-swap (:func:`compact_text_index` / ``rebuild_ivf_index``
@@ -448,30 +445,43 @@ def swap_index_alias(spark, alias_path: str, index_path: str) -> None:
     a ``_tmp`` name and RENAMES it into place (rename is the atomic
     primitive on HDFS-like stores, and same-directory so object stores
     degrade gracefully), so a reader never sees a half-written pointer —
-    it resolves either the old version or the new one.  Old versions are
-    pruned opportunistically AFTER the new pointer lands (a crash between
-    the two leaves extra history, never a broken alias).
+    it resolves either the old version or the new one.  Pruning keeps the
+    IMMEDIATELY-PREVIOUS version and only deletes older history, so a
+    reader that listed the directory just before the swap still opens a
+    live file (the resolve side additionally retries one list-again on a
+    lost race two swaps deep).
+
+    Concurrency contract: version numbers are allocated by list-then-max
+    (no FS-only primitive can serialize two racing swaps), so two
+    CONCURRENT swaps may share a version and the survivor is the
+    deterministic (version, zero-padded pid) name order — atomic
+    visibility is guaranteed, swap ORDER is the caller's coordination
+    job (one maintenance actor per alias, the same posture as the
+    index builds themselves).
 
     Fails fast if the target has no readable ``meta`` — an alias must
     never be swapped onto a root that is mid-rebuild (meta-less window) or
     missing."""
     spark.read.parquet(f"{index_path}/meta").first()  # target must be servable
-    fs, adir, jvm = _alias_fs(spark, alias_path)
+    fs, adir, jvm = _fs_for(spark, alias_path)
     fs.mkdirs(adir)
-    existing = [
+    existing = sorted(
         st.getPath().getName()
         for st in fs.listStatus(adir)
         if st.getPath().getName().startswith("v")
-    ]
+    )
     nxt = 1 + max((int(n[1:].split("-")[0]) for n in existing), default=0)
-    vname = f"v{nxt:012d}-{os.getpid()}"
+    vname = f"v{nxt:012d}-{os.getpid():010d}"
     tmp = jvm.org.apache.hadoop.fs.Path(adir, f"_tmp.{vname}")
     out = fs.create(tmp, True)
     out.write(bytearray(str(index_path).encode("utf-8")))
     out.close()
     if not fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(adir, vname)):
         raise IOError(f"alias swap rename failed under {alias_path}")
-    for name in existing:  # prune AFTER the new pointer is live
+    # prune AFTER the new pointer is live, KEEPING the immediately-previous
+    # version for in-flight readers (a crash mid-prune leaves extra
+    # history, never a broken alias)
+    for name in existing[:-1]:
         fs.delete(jvm.org.apache.hadoop.fs.Path(adir, name), False)
 
 
@@ -480,23 +490,33 @@ def resolve_index_alias(spark, alias_path: str) -> str:
     committed pointer file (``_tmp`` stages are ignored, so a concurrent
     or crashed swap is invisible).  Probe composition:
     ``bm25_topk_indexed(spark, resolve_index_alias(spark, alias), ...)``
-    — probes keep hitting the OLD root until the swap's rename lands."""
-    fs, adir, _jvm = _alias_fs(spark, alias_path)
+    — probes keep hitting the OLD root until the swap's rename lands.
+    A reader that loses the prune race two swaps deep (its listed file
+    was deleted before it opened) retries one fresh listing."""
+    fs, adir, jvm = _fs_for(spark, alias_path)
     if not fs.exists(adir):
         raise FileNotFoundError(f"no index alias at {alias_path}")
-    names = sorted(
-        st.getPath().getName()
-        for st in fs.listStatus(adir)
-        if st.getPath().getName().startswith("v")
-    )
-    if not names:
-        raise FileNotFoundError(f"index alias {alias_path} has no committed pointer")
-    stream = fs.open(_jvm.org.apache.hadoop.fs.Path(adir, names[-1]))
-    try:
-        raw = bytes(stream.readAllBytes())
-    finally:
-        stream.close()
-    return raw.decode("utf-8")
+    last_err: Exception | None = None
+    for _attempt in range(2):
+        names = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(adir)
+            if st.getPath().getName().startswith("v")
+        )
+        if not names:
+            raise FileNotFoundError(
+                f"index alias {alias_path} has no committed pointer"
+            )
+        try:
+            stream = fs.open(jvm.org.apache.hadoop.fs.Path(adir, names[-1]))
+            try:
+                raw = bytes(stream.readAllBytes())
+            finally:
+                stream.close()
+            return raw.decode("utf-8")
+        except Exception as exc:  # pruned between list and open: re-list once
+            last_err = exc
+    raise last_err
 
 
 def bm25_topk_indexed(

@@ -769,8 +769,23 @@ def test_index_alias_write_then_swap_cutover(spark, tmp_path):
     )
     assert new != old  # the cutover actually moved probes to the full corpus
 
+    # pruning keeps the immediately-previous pointer for in-flight readers
+    fs, adir, jvm = RT._fs_for(spark, alias)
+    live = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(adir)
+        if st.getPath().getName().startswith("v")
+    )
+    assert len(live) == 2  # v1's pointer survived the v2 swap
+    RT.swap_index_alias(spark, alias, v2)  # third swap prunes the oldest
+    live = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(adir)
+        if st.getPath().getName().startswith("v")
+    )
+    assert len(live) == 2 and RT.resolve_index_alias(spark, alias) == v2
+
     # a crashed swap's _tmp stage is invisible to resolution
-    fs, adir, jvm = RT._alias_fs(spark, alias)
     stage = jvm.org.apache.hadoop.fs.Path(adir, "_tmp.v999999999999-1")
     out = fs.create(stage, True)
     out.write(bytearray(b"/nowhere"))

@@ -1644,3 +1644,63 @@ def test_streaming_ivf_delivery_stream_equals_batch(spark, tmp_path):
     ) == sorted(
         map(tuple, SIM.ivf_topk_persisted(spark, direct, queries, k=10, n_probe=4).collect())
     )
+
+
+def test_cli_ivf_extend_adopts_target_meta_columns(spark, tmp_path):
+    """r14 review fix: a config delivery must adopt the TARGET index's meta
+    column names — extending an index built directly through the API (meta
+    stores vec_id/embedding) from YAML used to rename the source to
+    __vec_id__/__vec__ and fail unconditionally."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.cli import _run_indexing
+    from chat_data_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "api_built_ivf")
+    SIM.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, n_centroids=16, coarse="md5", dim=64
+    )
+    _run_indexing(
+        spark,
+        emb.filter(F.col("vec_id") % 2 == 1),
+        {"ivf": {"path": idx, "action": "extend", "batch_id": "d1",
+                 "id_expr": "vec_id", "vec_col": "embedding"}},
+    )
+    queries = (
+        emb.limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .localCheckpoint(eager=True)
+    )
+    direct = str(tmp_path / "direct_full_ivf")
+    SIM.build_ivf_index(emb, direct, n_centroids=16, coarse="md5", dim=64)
+    assert sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    ) == sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, direct, queries, k=10, n_probe=4).collect())
+    )
+
+
+def test_cli_alias_ignores_stale_dst_path_for_build(spark, tmp_path):
+    """r14 review fix: dst_path only counts for the actions that WRITE it —
+    a reused compact config flipped to action=build must swap the alias to
+    `path`, not silently cut serving over to the old dst root."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.cli import _run_indexing
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("response")
+    )
+    old_dst = str(tmp_path / "old_compacted_root")
+    # a stale-but-servable root (valid meta, so the swap guard won't save us)
+    RT.build_text_index(docs.limit(50), old_dst, "response", "id")
+    idx = str(tmp_path / "fresh_root")
+    alias = str(tmp_path / "serving")
+    _run_indexing(
+        spark, docs,
+        {"bm25": {"path": idx, "action": "build", "dst_path": old_dst,
+                  "alias": alias}},
+    )
+    assert RT.resolve_index_alias(spark, alias) == idx
