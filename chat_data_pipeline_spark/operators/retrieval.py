@@ -234,7 +234,12 @@ def build_text_index(
         .localCheckpoint(eager=False)
     )
     dfreq = postings.groupBy("bkt", "term").agg(F.count("*").alias("df"))
-    stats = toks.agg(
+    # doc-granular (doc, dl) rows: deletes subtract stats through THESE, not
+    # the postings, so a zero-token document (dl=0, no posting rows) still
+    # subtracts its n_docs contribution exactly; stats rides the same
+    # lineage so the corpus tokenizes once for both
+    dlens = toks.select("doc", "dl").localCheckpoint(eager=False)
+    stats = dlens.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
     )
@@ -251,7 +256,7 @@ def build_text_index(
     p_out = cluster_for_partitioned_write(postings, ["bkt"], F.col("term"))
     d_out = cluster_for_partitioned_write(dfreq, ["bkt"], F.col("term"))
     if _clear:  # base build: write through the root, clearing old batches
-        _write_text_base(spark, index_path, p_out, d_out, stats, id_type)
+        _write_text_base(spark, index_path, p_out, d_out, stats, dlens, id_type)
     else:  # extension: overwrite only this delivery's partition
         p_out.write.mode("overwrite").option(
             "partitionOverwriteMode", "static"
@@ -260,6 +265,9 @@ def build_text_index(
             "partitionOverwriteMode", "static"
         ).partitionBy("bkt").parquet(f"{index_path}/dfreq/batch={batch_id}")
         stats.write.mode("overwrite").parquet(f"{index_path}/stats/batch={batch_id}")
+        dlens.write.mode("overwrite").parquet(
+            f"{index_path}/doclens/batch={batch_id}"
+        )
         # the delivery's commit marker is written LAST: a crash mid-delivery
         # (postings landed, df/stats didn't) must leave the batch INVISIBLE
         # to probes — BM25's exactness claim depends on the three artifacts
@@ -286,9 +294,9 @@ def invalidate_index_meta(spark, index_path: str) -> None:
 
 def _write_text_base(
     spark, index_path: str, p_out: DataFrame, d_out: DataFrame,
-    stats: DataFrame, id_type: str,
+    stats: DataFrame, dlens: DataFrame, id_type: str,
 ) -> None:
-    """Write the three base artifacts through the root (clearing stale
+    """Write the four base artifacts through the root (clearing stale
     extension batches), reset the commit ledger, then write meta LAST as
     the build's commit marker (same order as build_ivf_index): meta is
     deleted FIRST (see :func:`invalidate_index_meta`), so a build OR
@@ -297,8 +305,17 @@ def _write_text_base(
     with stale meta/ledger state.  meta also carries the id type so probes
     supply EXPLICIT schemas — no footer sampling at read time (on a
     million-file index, schema inference would open an arbitrary footer
-    per read)."""
+    per read).
+
+    Tombstones are cleared inside the same meta-less window: a fresh base
+    (or a compaction, which physically drops the tombstoned docs before
+    calling here) starts with no pending deletes by definition, and a
+    crash between the tombstone wipe and the meta write leaves a root
+    probes reject loudly rather than one silently serving un-deleted
+    rows."""
     invalidate_index_meta(spark, index_path)
+    fs, tpath, _jvm = _fs_for(spark, f"{index_path}/tombstones")
+    fs.delete(tpath, True)
     base = F.lit("base")
     p_out.withColumn("batch", base).write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
@@ -309,6 +326,9 @@ def _write_text_base(
     stats.withColumn("batch", base).write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy("batch").parquet(f"{index_path}/stats")
+    dlens.withColumn("batch", base).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("batch").parquet(f"{index_path}/doclens")
     ledger_reset(spark, index_path)
     spark.createDataFrame(
         [(id_type, N_TERM_BUCKETS)], "id_type string, n_term_buckets int"
@@ -333,6 +353,7 @@ def compact_text_index(spark, index_path: str, dst_index: str | None = None) -> 
     is that pointer as an operator)."""
     meta = spark.read.parquet(f"{index_path}/meta").first()
     committed = _committed_batches(spark, index_path)
+    tomb = _tombstoned_ids(spark, index_path, meta.id_type, committed)
     p_schema = f"doc {meta.id_type}, dl int, term string, tf long"
     postings = (
         spark.read.schema(p_schema).parquet(f"{index_path}/postings")
@@ -345,24 +366,39 @@ def compact_text_index(spark, index_path: str, dst_index: str | None = None) -> 
         .filter(F.col("batch").isin(committed))
         .groupBy("bkt", "term")
         .agg(F.sum("df").cast("long").alias("df"))
+        # a fully-deleted term nets to df=0 (its positive build/extension
+        # rows exactly cancel its negative delete rows); drop the husk
+        .filter(F.col("df") > 0)
     )
-    stats = (
-        spark.read.schema("n_docs long, sum_dl long")
-        .parquet(f"{index_path}/stats")
+    dlens = (
+        spark.read.schema(f"doc {meta.id_type}, dl int")
+        .parquet(f"{index_path}/doclens")
         .filter(F.col("batch").isin(committed))
-        .agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("sum_dl").cast("long").alias("sum_dl"),
-        )
+        .select("doc", "dl")
     )
+    if tomb is not None:
+        # compaction is where deletes become PHYSICAL: tombstoned docs are
+        # dropped from the rewritten postings/doclens, their negative
+        # df/stats rows cancel in the net sums above, and _write_text_base
+        # clears the tombstone set itself — after which a previously
+        # deleted id may be re-delivered
+        postings = postings.join(tomb, "doc", "left_anti")
+        dlens = dlens.join(tomb, "doc", "left_anti")
     if dst_index is None:
         postings = postings.localCheckpoint(eager=True)
         dfreq = dfreq.localCheckpoint(eager=True)
-        stats = stats.localCheckpoint(eager=True)
+        dlens = dlens.localCheckpoint(eager=True)
         dst_index = index_path
+    # recomputed from the RETAINED doc rows rather than netting the stats
+    # partitions — equal by the extend-guard invariant, but this derivation
+    # is correct unconditionally
+    stats = dlens.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    )
     p_out = cluster_for_partitioned_write(postings, ["bkt"], F.col("term"))
     d_out = cluster_for_partitioned_write(dfreq, ["bkt"], F.col("term"))
-    _write_text_base(spark, dst_index, p_out, d_out, stats, meta.id_type)
+    _write_text_base(spark, dst_index, p_out, d_out, stats, dlens, meta.id_type)
 
 
 def extend_text_index(
@@ -376,7 +412,16 @@ def extend_text_index(
     / Σdl are integer-additive and merge on read, so probes over base +
     extensions are bit-identical to a full rebuild over the union (tested).
     Replaying a batch id overwrites its own partitions (sketch-store
-    idempotence)."""
+    idempotence).
+
+    A delivery containing a TOMBSTONED id is refused: the tombstone would
+    hide the new rows from probes while their positive df/stats landed
+    anyway, silently skewing scores for every other document sharing a
+    term (see :func:`delete_from_text_index`) — compact first to clear the
+    tombstones, then re-deliver.  The guard costs nothing until the index
+    has seen a delete (one directory existence check), then one
+    delivery-sized semi-join per delivery."""
+    _guard_tombstoned_delivery(docs, index_path, id_col)
     build_text_index(
         docs,
         index_path,
@@ -385,6 +430,135 @@ def extend_text_index(
         batch_id=validate_batch_id(batch_id),
         _clear=False,
     )
+
+
+def _guard_tombstoned_delivery(docs: DataFrame, index_path: str, id_col: str) -> None:
+    """Raise if any delivered id is currently tombstoned (shared by the
+    text and IVF extension paths)."""
+    spark = docs.sparkSession
+    fs, tpath, _jvm = _fs_for(spark, f"{index_path}/tombstones")
+    if not fs.exists(tpath):
+        return
+    id_type = dict(docs.dtypes)[id_col]
+    committed = _committed_batches(spark, index_path)
+    tomb = _tombstoned_ids(spark, index_path, id_type, committed)
+    if tomb is None:
+        return
+    clash = (
+        docs.select(F.col(id_col).cast(id_type).alias("doc"))
+        .join(tomb, "doc", "left_semi")
+        .limit(1)
+        .count()
+    )
+    if clash:
+        raise ValueError(
+            f"delivery into {index_path} contains tombstoned ids; "
+            "compact the index to clear its tombstones before re-delivering "
+            "deleted documents"
+        )
+
+
+def _tombstoned_ids(
+    spark,
+    index_path: str,
+    id_type: str,
+    committed: list[str],
+    exclude_batch: str | None = None,
+) -> DataFrame | None:
+    """Ledger-committed tombstoned ids as a one-column ``doc`` DataFrame,
+    or ``None`` when the index has never seen a delete — the common case
+    stays one directory-existence check, no Spark job.  ``exclude_batch``
+    lets a delete REPLAY recompute its own victims instead of seeing its
+    previous commit and degrading to a no-op."""
+    fs, tpath, _jvm = _fs_for(spark, f"{index_path}/tombstones")
+    if not fs.exists(tpath):
+        return None
+    batches = [b for b in committed if b != exclude_batch]
+    return (
+        spark.read.schema(f"doc {id_type}")
+        .parquet(f"{index_path}/tombstones")
+        .filter(F.col("batch").isin(batches))
+        .select("doc")
+    )
+
+
+def delete_from_text_index(
+    spark,
+    index_path: str,
+    ids: DataFrame,
+    batch_id: int | str,
+) -> None:
+    """Tombstone-delete documents from the persisted BM25 index WITHOUT a
+    rebuild — takedown / post-hoc decontamination as one ledger-committed
+    delivery (the LSM posture extended to removals).  ``ids`` is a
+    one-column DataFrame of document ids.
+
+    Mechanics: BM25's globals are integer-additive, so a delete is a
+    NEGATIVE delivery — the victims' per-term document counts land under
+    ``dfreq/batch=<id>`` as negative ``df`` rows and their (count, Σdl)
+    under ``stats/batch=<id>`` as negative totals, which the probes'
+    existing cross-batch sums subtract with zero probe-side arithmetic
+    change; the ids land under ``tombstones/batch=<id>`` and probes
+    anti-join them out of the postings.  Probes after a delete are
+    BIT-IDENTICAL to a fresh build over the retained corpus (tested),
+    including zero-token documents — their n_docs contribution subtracts
+    through the doc-granular ``doclens`` artifact, which sees every
+    delivered row, not just rows that produced postings.
+
+    Crash consistency: the ledger marker commits LAST, so a crash
+    mid-delete leaves every artifact invisible to probes; replaying the
+    same ``batch_id`` recomputes the same victims (its own previous
+    tombstones are excluded from the already-deleted set) and overwrites
+    its own partitions.  Ids already tombstoned by an EARLIER delete are
+    excluded up front, so overlapping deletes never double-subtract.
+
+    Scale shape: the victims' semi-join reads the postings once (a delete
+    cannot prune — a document's terms hash to every bucket) and reduces to
+    term-sized negatives plus id-sized tombstones; serving cost gains one
+    anti-join against the tombstone set (AQE broadcasts it while small).
+    Compaction is the pressure valve: it drops tombstoned docs physically
+    and clears the set."""
+    batch_id = validate_batch_id(batch_id)
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
+    id_type = meta.id_type
+    want = ids.select(F.col(ids.columns[0]).cast(id_type).alias("doc")).distinct()
+    tomb = _tombstoned_ids(
+        spark, index_path, id_type, committed, exclude_batch=batch_id
+    )
+    if tomb is not None:
+        want = want.join(tomb, "doc", "left_anti")
+    # eager: `want` feeds three writes below, one of which overwrites the
+    # tombstone root the anti-join above may be reading (replay)
+    want = want.localCheckpoint(eager=True)
+    p_schema = f"doc {id_type}, dl int, term string, tf long"
+    victims = (
+        spark.read.schema(p_schema).parquet(f"{index_path}/postings")
+        .filter(F.col("batch").isin(committed))
+        .join(want, "doc", "left_semi")
+    )
+    neg_df = victims.groupBy("bkt", "term").agg(
+        (-F.count("*")).cast("long").alias("df")
+    )
+    neg_stats = (
+        spark.read.schema(f"doc {id_type}, dl int")
+        .parquet(f"{index_path}/doclens")
+        .filter(F.col("batch").isin(committed))
+        .join(want, "doc", "left_semi")
+        .agg(
+            (-F.count("*")).cast("long").alias("n_docs"),
+            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("sum_dl"),
+        )
+    )
+    cluster_for_partitioned_write(neg_df, ["bkt"], F.col("term")).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(
+        f"{index_path}/dfreq/batch={batch_id}"
+    )
+    neg_stats.write.mode("overwrite").parquet(f"{index_path}/stats/batch={batch_id}")
+    want.write.mode("overwrite").parquet(f"{index_path}/tombstones/batch={batch_id}")
+    # commit marker LAST: a crash anywhere above leaves the delete invisible
+    ledger_commit(spark, index_path, batch_id)
 
 
 def _fs_for(spark, path_str: str):
@@ -560,6 +734,14 @@ def bm25_topk_indexed(
         .filter(F.col("term").isin(terms))
         .select(F.col("doc").alias(id_col), "dl", "term", "tf")
     )
+    tomb = _tombstoned_ids(spark, index_path, meta.id_type, committed)
+    if tomb is not None:
+        # tombstoned docs stay physical until compaction; the anti-join
+        # hides them, while their negative dfreq/stats deliveries subtract
+        # through the cross-batch sums below
+        postings = postings.join(
+            tomb.withColumnRenamed("doc", id_col), id_col, "left_anti"
+        )
     dfreq = (
         spark.read.schema("term string, df long")
         .parquet(f"{index_path}/dfreq")
@@ -679,6 +861,11 @@ def bm25_topk_indexed_batch(
         .filter(F.col("term").isin(terms))
         .select(F.col("doc").alias(id_col), "dl", "term", "tf")
     )
+    tomb = _tombstoned_ids(spark, index_path, meta.id_type, committed)
+    if tomb is not None:
+        postings = postings.join(
+            tomb.withColumnRenamed("doc", id_col), id_col, "left_anti"
+        )
     dfreq = (
         spark.read.schema("term string, df long")
         .parquet(f"{index_path}/dfreq")

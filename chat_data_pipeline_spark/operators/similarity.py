@@ -1442,6 +1442,12 @@ def build_ivf_index(
     # retrained quantizer.  From here to the meta write the root is
     # meta-less and every probe fails loudly.
     invalidate_index_meta(spark, index_path)
+    # a fresh base starts with no pending deletes; cleared inside the
+    # meta-less window (same posture as the text index's base write)
+    from chat_data_pipeline_spark.operators.retrieval import _fs_for
+
+    _tfs, _tpath, _tjvm = _fs_for(spark, f"{index_path}/tombstones")
+    _tfs.delete(_tpath, True)
     if coarse == "md5":
         coarse_mat = np.asarray(
             pq_md5_sign_codebooks(1, n_centroids, dim, "ivfpq_coarse")[0]
@@ -1547,12 +1553,19 @@ def extend_ivf_index(
     a rebuild)."""
     import pandas as pd
 
-    from chat_data_pipeline_spark.operators.retrieval import validate_batch_id
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _guard_tombstoned_delivery,
+        validate_batch_id,
+    )
 
     batch_id = validate_batch_id(batch_id)
     spark = df.sparkSession
     meta = spark.read.parquet(f"{index_path}/meta").first()
     id_col, vec_col = meta.id_col, meta.vec_col
+    # a delivery containing a tombstoned id is refused (same contract as
+    # extend_text_index): the tombstone would hide the new rows from
+    # probes — compact first, then re-deliver
+    _guard_tombstoned_delivery(df.select(id_col, vec_col), index_path, id_col)
     n_centroids, dim = int(meta.n_centroids), int(meta.dim)
     if meta.coarse == "md5":
         coarse_mat = np.asarray(
@@ -1632,16 +1645,29 @@ def ivf_topk_persisted(
     build-and-probe path (``ivf_topk_md5`` / ``ivf_topk``)."""
     import pandas as pd
 
-    from chat_data_pipeline_spark.operators.retrieval import _committed_batches
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _committed_batches,
+        _tombstoned_ids,
+    )
 
     _guard_query_rows(queries, max_query_rows, "ivf_topk_persisted")
     meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
     # ledger-committed batches only: a crashed delivery's partial
     # part-files are invisible until its replay re-commits
     postings = spark.read.parquet(f"{index_path}/postings").filter(
-        F.col("batch").isin(_committed_batches(spark, index_path))
+        F.col("batch").isin(committed)
     )
     id_col, vec_col = meta.id_col, meta.vec_col
+    tomb = _tombstoned_ids(
+        spark, index_path, dict(postings.dtypes)[id_col], committed
+    )
+    if tomb is not None:
+        # deleted vectors stay physical until compaction/rebuild folds them
+        # away; the anti-join hides them from every probe
+        postings = postings.join(
+            tomb.withColumnRenamed("doc", id_col), id_col, "left_anti"
+        )
     n_centroids, dim = int(meta.n_centroids), int(meta.dim)
     q_type = dict(queries.dtypes)[query_id_col]
     id_type = dict(postings.dtypes)[id_col]
@@ -2232,17 +2258,28 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
     checkpoint and swaps probes over (write-then-swap)."""
     from chat_data_pipeline_spark.operators.retrieval import (
         _committed_batches,
+        _fs_for,
+        _tombstoned_ids,
         cluster_for_partitioned_write,
         invalidate_index_meta,
         ledger_reset,
     )
 
     meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
     postings = (
         spark.read.parquet(f"{index_path}/postings")
-        .filter(F.col("batch").isin(_committed_batches(spark, index_path)))
+        .filter(F.col("batch").isin(committed))
         .select(meta.id_col, meta.vec_col, "list")
     )
+    tomb = _tombstoned_ids(
+        spark, index_path, dict(postings.dtypes)[meta.id_col], committed
+    )
+    if tomb is not None:
+        # compaction makes deletes physical and clears the tombstone set
+        postings = postings.join(
+            tomb.withColumnRenamed("doc", meta.id_col), meta.id_col, "left_anti"
+        )
     cent = None
     if meta.coarse == "kmeans":
         cent = spark.read.parquet(f"{index_path}/centroids")
@@ -2255,6 +2292,10 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
     # postings overwrite must not leave probes merging the partial new
     # base with the old ledger's extension state
     invalidate_index_meta(spark, dst_index)
+    # the compacted root starts with no pending deletes (they just became
+    # physical); cleared inside the meta-less window
+    _tfs, _tpath, _tjvm = _fs_for(spark, f"{dst_index}/tombstones")
+    _tfs.delete(_tpath, True)
     if cent is not None:
         cent.repartition(1).write.mode("overwrite").parquet(
             f"{dst_index}/centroids"
@@ -2311,14 +2352,28 @@ def rebuild_ivf_index(
     ``resolve_index_alias`` provide that pointer as an operator (atomic
     versioned rename, refuses meta-less targets).
     """
-    from chat_data_pipeline_spark.operators.retrieval import _committed_batches
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _committed_batches,
+        _tombstoned_ids,
+    )
 
     meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
     union = (
         spark.read.parquet(f"{index_path}/postings")
-        .filter(F.col("batch").isin(_committed_batches(spark, index_path)))
+        .filter(F.col("batch").isin(committed))
         .select(meta.id_col, meta.vec_col)
     )
+    tomb = _tombstoned_ids(
+        spark, index_path, dict(union.dtypes)[meta.id_col], committed
+    )
+    if tomb is not None:
+        # the retrain must not learn from deleted vectors, and the rebuilt
+        # root makes the deletes physical (build_ivf_index clears the
+        # tombstone set inside its meta-less window)
+        union = union.join(
+            tomb.withColumnRenamed("doc", meta.id_col), meta.id_col, "left_anti"
+        )
     if dst_index is None:
         union = union.localCheckpoint(eager=True)
         dst_index = index_path
@@ -2332,3 +2387,51 @@ def rebuild_ivf_index(
         dim=int(meta.dim),
         seed=seed,
     )
+
+
+def delete_from_ivf_index(
+    spark,
+    index_path: str,
+    ids: DataFrame,
+    batch_id: int | str,
+) -> None:
+    """Tombstone-delete vectors from the persisted IVF index WITHOUT a
+    rebuild — the ANN half of the takedown / post-hoc decontamination
+    story (:func:`retrieval.delete_from_text_index` is the lexical half).
+    ``ids`` is a one-column DataFrame of vector ids.
+
+    The IVF index keeps no global statistics, so a delete is just the
+    ledger-committed tombstone set under ``tombstones/batch=<id>``:
+    probes anti-join it out of the postings (bit-identical to a fresh
+    build over the retained vectors — tested), the drift-repair rebuild
+    excludes it from the retrain, and compaction/rebuild make the removal
+    physical and clear the set.  Crash consistency: the ledger marker
+    commits LAST, so a half-written tombstone set is invisible; replaying
+    the same ``batch_id`` overwrites its own partition.  Already-deleted
+    ids are folded in again harmlessly (no additive state to
+    double-subtract), but are excluded anyway so the tombstone set stays
+    duplicate-free across deliveries."""
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _committed_batches,
+        _tombstoned_ids,
+        ledger_commit,
+        validate_batch_id,
+    )
+
+    batch_id = validate_batch_id(batch_id)
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
+    id_type = dict(
+        spark.read.parquet(f"{index_path}/postings").dtypes
+    )[meta.id_col]
+    want = ids.select(F.col(ids.columns[0]).cast(id_type).alias("doc")).distinct()
+    tomb = _tombstoned_ids(
+        spark, index_path, id_type, committed, exclude_batch=batch_id
+    )
+    if tomb is not None:
+        want = want.join(tomb, "doc", "left_anti")
+        # eager: the write below overwrites a partition of the root the
+        # anti-join reads (delete replay)
+        want = want.localCheckpoint(eager=True)
+    want.write.mode("overwrite").parquet(f"{index_path}/tombstones/batch={batch_id}")
+    ledger_commit(spark, index_path, batch_id)

@@ -9,6 +9,7 @@ via tests/test_oracle_parity.py)."""
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -804,3 +805,180 @@ def test_index_alias_write_then_swap_cutover(spark, tmp_path):
     # unknown alias resolves loudly
     with _pytest.raises(FileNotFoundError):
         RT.resolve_index_alias(spark, str(tmp_path / "missing_alias"))
+
+
+# ---------------------------------------------------------------------------
+# tombstone deletes (r14): takedown / post-hoc decontamination without a
+# rebuild — a delete is one ledger-committed NEGATIVE delivery (negative
+# df/stats partitions subtract through the probes' cross-batch sums; the id
+# set anti-joins out of the postings), and compaction makes it physical
+# ---------------------------------------------------------------------------
+
+
+def _delete_corpus(spark):
+    """sf0.001 docs plus a ZERO-TOKEN document: deleting it exercises the
+    doc-granular doclens subtraction (no posting rows to see it through)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [(90_001, ""), (90_002, "hash join window probe fodder")],
+        "doc_id long, text string",
+    )
+    return docs.unionByName(extra)
+
+
+_PROBE_TERMS = ["join", "hash", "scan", "window", "sort"]
+
+
+def _probe(spark, idx):
+    return sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, _PROBE_TERMS).collect()))
+
+
+def test_delete_from_text_index_bit_identical_to_retained_build(spark, tmp_path):
+    """Probes after a delete are bit-identical to a fresh build over the
+    retained corpus — including the zero-token victim, whose n_docs/avgdl
+    contribution can only subtract through doclens."""
+    docs = _delete_corpus(spark)
+    victims = F.col("doc_id").isin([90_001, 90_002]) | (F.col("doc_id") % 7 == 3)
+    idx = str(tmp_path / "del_idx")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 3 != 2), idx)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 3 == 2), idx, batch_id=1)
+    RT.delete_from_text_index(
+        spark, idx, docs.filter(victims).select("doc_id"), batch_id="takedown-1"
+    )
+    fresh = str(tmp_path / "retained_idx")
+    RT.build_text_index(docs.filter(~victims), fresh)
+    assert _probe(spark, idx) == _probe(spark, fresh)
+    # batched serving sees the same tombstones
+    q = spark.createDataFrame(
+        [(0, ["join", "hash"]), (1, ["window", "sort"])],
+        "query_id long, terms array<string>",
+    )
+    got_b = sorted(
+        map(tuple, RT.bm25_topk_indexed_batch(spark, idx, q, k=5).collect())
+    )
+    want_b = sorted(
+        map(tuple, RT.bm25_topk_indexed_batch(spark, fresh, q, k=5).collect())
+    )
+    assert got_b == want_b and len(got_b) > 0
+
+
+def test_delete_is_invisible_until_committed_and_replayable(spark, tmp_path):
+    """Crash-sim: removing the delete's ledger marker restores pre-delete
+    probes exactly (every artifact is invisible uncommitted); replaying the
+    delete re-lands the same state (idempotence), and a second overlapping
+    delete never double-subtracts the shared victims."""
+    docs = _delete_corpus(spark)
+    idx = str(tmp_path / "crash_idx")
+    RT.build_text_index(docs, idx)
+    before = _probe(spark, idx)
+    a = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    RT.delete_from_text_index(spark, idx, a, batch_id="d1")
+    after_d1 = _probe(spark, idx)
+    assert after_d1 != before
+    # crash-sim: delete's commit marker vanishes -> the whole delete does
+    os.remove(f"{idx}/batches/d1")
+    assert _probe(spark, idx) == before
+    # replay the SAME batch id: recomputes its own victims (does not see its
+    # previous tombstones as already-deleted) and re-commits
+    RT.delete_from_text_index(spark, idx, a, batch_id="d1")
+    assert _probe(spark, idx) == after_d1
+    # overlapping second delete: A ∪ B minus the already-tombstoned A
+    ab = docs.filter(
+        (F.col("doc_id") % 7 == 3) | (F.col("doc_id") % 7 == 5)
+    ).select("doc_id")
+    RT.delete_from_text_index(spark, idx, ab, batch_id="d2")
+    fresh = str(tmp_path / "retained2")
+    RT.build_text_index(
+        docs.filter((F.col("doc_id") % 7 != 3) & (F.col("doc_id") % 7 != 5)), fresh
+    )
+    assert _probe(spark, idx) == _probe(spark, fresh)
+    # stats netted exactly once per victim
+    import pyspark.sql.functions as SF
+
+    n_live = (
+        spark.read.schema("n_docs long, sum_dl long")
+        .parquet(f"{idx}/stats")
+        .agg(SF.sum("n_docs"))
+        .first()[0]
+    )
+    assert n_live == docs.filter(
+        (F.col("doc_id") % 7 != 3) & (F.col("doc_id") % 7 != 5)
+    ).count()
+
+
+def test_extend_refuses_tombstoned_ids(spark, tmp_path):
+    """Re-delivering a tombstoned id would land positive df/stats under a
+    tombstone that hides the rows — refused until compaction clears it."""
+    docs = _delete_corpus(spark)
+    idx = str(tmp_path / "guard_idx")
+    RT.build_text_index(docs, idx)
+    RT.delete_from_text_index(
+        spark, idx, spark.createDataFrame([(7,)], "doc_id long"), batch_id="d1"
+    )
+    bad = spark.createDataFrame(
+        [(7, "resurrected doc"), (70_001, "fresh doc")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="tombstoned"):
+        RT.extend_text_index(bad, idx, batch_id="b1")
+    RT.extend_text_index(bad.filter(F.col("doc_id") != 7), idx, batch_id="b1")
+    # after compaction the tombstones are gone and re-delivery is legal
+    RT.compact_text_index(spark, idx)
+    RT.extend_text_index(
+        bad.filter(F.col("doc_id") == 7), idx, batch_id="b2"
+    )
+    live = (
+        spark.read.parquet(f"{idx}/doclens")
+        .filter(F.col("doc") == 7)
+        .count()
+    )
+    assert live == 1
+
+
+def test_compact_after_delete_is_physical_and_bit_identical(spark, tmp_path):
+    """Compaction folds deletes away physically: probes unchanged, the
+    tombstone set cleared, no victim row left in postings/doclens, and the
+    fully-deleted terms' df husks dropped.  Both flavors."""
+    docs = _delete_corpus(spark)
+    victims = F.col("doc_id").isin([90_001, 90_002]) | (F.col("doc_id") % 7 == 3)
+    idx = str(tmp_path / "cdel_idx")
+    RT.build_text_index(docs, idx)
+    RT.delete_from_text_index(
+        spark, idx, docs.filter(victims).select("doc_id"), batch_id="d1"
+    )
+    want = _probe(spark, idx)
+
+    swapped = str(tmp_path / "cdel_idx_v2")
+    RT.compact_text_index(spark, idx, dst_index=swapped)
+    assert _probe(spark, swapped) == want
+    assert not os.path.exists(f"{swapped}/tombstones")
+
+    RT.compact_text_index(spark, idx)
+    assert _probe(spark, idx) == want
+    assert not os.path.exists(f"{idx}/tombstones")
+    doc_ids = {
+        r.doc
+        for r in spark.read.schema("doc long, dl int")
+        .parquet(f"{idx}/doclens")
+        .select("doc")
+        .collect()
+    }
+    assert not {r.doc_id for r in docs.filter(victims).collect()} & doc_ids
+    p_ids = {
+        r.doc
+        for r in spark.read.schema("doc long, dl int, term string, tf long")
+        .parquet(f"{idx}/postings")
+        .select("doc")
+        .distinct()
+        .collect()
+    }
+    assert not {r.doc_id for r in docs.filter(victims).collect()} & p_ids
+    # netted-to-zero df rows do not survive compaction
+    min_df = (
+        spark.read.schema("term string, df long")
+        .parquet(f"{idx}/dfreq")
+        .agg(F.min("df"))
+        .first()[0]
+    )
+    assert min_df >= 1

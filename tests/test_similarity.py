@@ -1016,3 +1016,92 @@ def test_rebuild_ivf_index_md5_probes_bit_exact(spark, emb, queries, tmp_path):
     )
     assert got == want
     assert _committed_batches(spark, idx) == ["base"]
+
+
+# ---------------------------------------------------------------------------
+# tombstone deletes (r14): the ANN half of the takedown story — probes
+# anti-join the ledger-committed tombstone set; compaction/rebuild make the
+# removal physical; the retrain never learns from deleted vectors
+# ---------------------------------------------------------------------------
+
+
+def _pp(spark, idx, queries, n_probe=4):
+    return sorted(
+        map(
+            tuple,
+            SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=n_probe).collect(),
+        )
+    )
+
+
+def test_delete_from_ivf_index_matches_retained_build(spark, emb, queries, tmp_path):
+    """Probes after a delete are bit-identical to a fresh build over the
+    retained vectors (md5 flavor: the assignment arithmetic is shared, so
+    exactness is checkable end to end)."""
+    idx = str(tmp_path / "ivf_del")
+    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
+    SIM.extend_ivf_index(emb.limit(0), idx, batch_id="noop")  # ledger exercise
+    victims = emb.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+    SIM.delete_from_ivf_index(spark, idx, victims, batch_id="takedown-1")
+    fresh = str(tmp_path / "ivf_retained")
+    SIM.build_ivf_index(
+        emb.filter(F.col("vec_id") % 5 != 2), fresh, n_centroids=16, coarse="md5", dim=64
+    )
+    got, want = _pp(spark, idx, queries), _pp(spark, fresh, queries)
+    assert got == want and len(got) > 0
+
+
+def test_ivf_delete_crash_sim_and_guard(spark, emb, queries, tmp_path):
+    """An uncommitted delete is invisible; a committed one blocks deliveries
+    of the same ids until compaction clears the tombstones."""
+    import os
+
+    idx = str(tmp_path / "ivf_crash")
+    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
+    before = _pp(spark, idx, queries)
+    victims = emb.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+    SIM.delete_from_ivf_index(spark, idx, victims, batch_id="d1")
+    after = _pp(spark, idx, queries)
+    assert after != before
+    os.remove(f"{idx}/batches/d1")
+    assert _pp(spark, idx, queries) == before
+    SIM.delete_from_ivf_index(spark, idx, victims, batch_id="d1")
+    assert _pp(spark, idx, queries) == after
+    with pytest.raises(ValueError, match="tombstoned"):
+        SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 5 == 2), idx, batch_id="b1")
+    # compaction makes the delete physical, clears tombstones, keeps probes
+    SIM.compact_ivf_index(spark, idx)
+    assert _pp(spark, idx, queries) == after
+    assert not os.path.exists(f"{idx}/tombstones")
+    left = {
+        r[0]
+        for r in spark.read.parquet(f"{idx}/postings").select("vec_id").collect()
+    }
+    assert not {r.vec_id for r in victims.collect()} & left
+    # re-delivery is legal again
+    SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 5 == 2), idx, batch_id="b2")
+    restored = str(tmp_path / "ivf_restored")
+    SIM.build_ivf_index(emb, restored, n_centroids=16, coarse="md5", dim=64)
+    assert _pp(spark, idx, queries) == _pp(spark, restored, queries)
+
+
+def test_ivf_rebuild_after_delete_excludes_victims(spark, emb, queries, tmp_path):
+    """The drift-repair rebuild must not re-learn deleted vectors: the
+    kmeans retrain's union excludes tombstones, the rebuilt root is
+    physically clean, and probes match a fresh build over the retained
+    set."""
+    idx = str(tmp_path / "ivf_reb_del")
+    SIM.build_ivf_index(emb, idx, n_centroids=8, coarse="kmeans", seed=42)
+    victims = emb.filter(F.col("vec_id") % 3 == 1).select("vec_id")
+    SIM.delete_from_ivf_index(spark, idx, victims, batch_id="d1")
+    SIM.rebuild_ivf_index(spark, idx)
+    import os
+
+    assert not os.path.exists(f"{idx}/tombstones")
+    fresh = str(tmp_path / "ivf_reb_fresh")
+    SIM.build_ivf_index(
+        emb.filter(F.col("vec_id") % 3 != 1), fresh, n_centroids=8, coarse="kmeans", seed=42
+    )
+    got = _pp(spark, idx, queries, n_probe=3)
+    want = _pp(spark, fresh, queries, n_probe=3)
+    assert got == want and len(got) > 0
