@@ -150,6 +150,11 @@ BENCH_QUERIES = [
     # report behind the build-once memo; best-of-3 reads the steady-state
     # report cost like the other serving rows)
     "ann_ivf_rebuild_report",
+    # round-14: tombstone-delete serving on both persisted indexes
+    # (build+delete behind the build-once memo; best-of-3 reads the served
+    # probe cost WITH the tombstone anti-join in the plan)
+    "docs_bm25_delete_serving",
+    "ann_ivf_delete_serving",
 ]
 
 
@@ -210,6 +215,11 @@ SCALE_PROBE_QUERIES = [
     "q11_important_parts",
     "q20_top_suppliers_promo",
     "q21_waiting_suppliers",
+    # round-14: delete serving — the probe measures that the tombstone
+    # anti-join keeps the served probe near-flat when the corpus (and the
+    # tombstone set, which grows with it) is 10x
+    "docs_bm25_delete_serving",
+    "ann_ivf_delete_serving",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second

@@ -4896,6 +4896,63 @@ def docs_bm25_batch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_bm25_delete_serving",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS ws
+      FROM documents WHERE doc_id % 7 <> 3
+    ), dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT t.doc_id, tok.s AS term, d.dl, COUNT(*) AS tf
+      FROM toks t, unnest(t.ws) AS tok(s), dl d
+      WHERE d.doc_id = t.doc_id
+        AND tok.s IN ('join', 'hash', 'scan', 'window', 'sort')
+      GROUP BY t.doc_id, tok.s, d.dl
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           round(CAST(SUM(CAST(ROUND(
+             ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+           * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS bm25
+    FROM tf, dfreq, stats
+    WHERE dfreq.term = tf.term
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+    "tombstone-delete serving (r14): the index builds over the FULL corpus, "
+    "then a takedown batch deletes the doc_id%7==3 slice WITHOUT a rebuild "
+    "— one ledger-committed delivery whose negative df/stats partitions "
+    "subtract through the probes' existing cross-batch sums and whose "
+    "tombstone set anti-joins out of the postings (doc-granular doclens "
+    "keeps n_docs exact even for zero-token victims) — and the served "
+    "top-10 is BIT-IDENTICAL to an index freshly built over the retained "
+    "corpus, which is exactly what this oracle computes; the df/idf shift "
+    "from the deletions is part of the check, not just the id filtering",
+)
+def docs_bm25_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = _run_scoped_path("bm25_del_index", sf_dir)
+
+    def _mk() -> None:
+        RT.build_text_index(docs, idx)
+        RT.delete_from_text_index(
+            spark,
+            idx,
+            docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+            batch_id="takedown",
+        )
+
+    # SERVING row: build+delete once per run, probe steady-state
+    _build_once(idx, _mk)
+    return RT.bm25_topk_indexed(
+        spark, idx, ["join", "hash", "scan", "window", "sort"], k=10
+    )
+
+
+@_register(
     "corpus_top_bigrams",
     r"""
     WITH toks AS (
@@ -6978,6 +7035,66 @@ def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_ivf_delete_serving",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nv AS (SELECT vec_id, {_NORMALIZE_SQL} AS v FROM e),
+    cdots AS (SELECT vec_id, v, {_IVFPQ_CD} AS cd FROM nv),
+    assigned AS (SELECT vec_id, v, list_position(cd, list_max(cd)) - 1 AS list
+                 FROM cdots WHERE vec_id % 5 <> 2),
+    qd AS (SELECT vec_id AS query_id, v, cd FROM cdots WHERE vec_id < 8),
+    probes AS (
+      SELECT query_id, v, idx - 1 AS list,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cd[idx] DESC, idx ASC) AS pr
+      FROM qd CROSS JOIN (SELECT unnest(range(1, 17)) AS idx) t
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id, round({_NORMED_DOT_SQL}, 6) AS cosine
+      FROM assigned c JOIN (SELECT * FROM probes WHERE pr <= 4) p ON p.list = c.list
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    "ANN tombstone-delete serving (r14): the persisted md5 IVF index builds "
+    "over the FULL vector corpus, a takedown batch deletes the vec_id%5==2 "
+    "slice WITHOUT a rebuild (one ledger-committed tombstone set that "
+    "probes anti-join out of the postings), and the served per-query "
+    "top-10 is BIT-IDENTICAL to an index freshly built over the retained "
+    "vectors — the oracle's assigned CTE drops the victims while the "
+    "query vectors still come from the full table, mirroring the real "
+    "serving situation where deleted corpus entries can keep arriving as "
+    "queries",
+)
+def ann_ivf_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = _run_scoped_path("ivf_del_index", sf_dir)
+
+    def _mk() -> None:
+        SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
+        SIM.delete_from_ivf_index(
+            spark,
+            idx,
+            emb.filter(F.col("vec_id") % 5 == 2).select("vec_id"),
+            batch_id="takedown",
+        )
+
+    # SERVING row: build+delete once per run, probe steady-state
+    _build_once(idx, _mk)
+    out = SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
     "ann_ivf_drift_report",
     f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -7955,6 +8072,16 @@ _WINDOW_TAIL += [
 # the events family keeps the re-admitted events_hourly_agg/events_funnel
 # plus events_key_skew in-window.
 _WINDOW_TAIL.append("events_moving_average")
+# round-14 rule-1, second batch: docs_bm25_delete_serving and
+# ann_ivf_delete_serving (tombstone-delete serving over the two persisted
+# indexes — never-driver-verified, both full-oracle: the BM25 one checks
+# the df/idf shift of a delete against a retained-corpus rebuild, the ANN
+# one the anti-joined probe) enter by registration.  Making room:
+# docs_uniqueness_approx and corpus_drift — both r13 hash-green with their
+# sketch regions untouched this round, and the sketch/diagnostic family
+# keeps corpus_hll_distinct, events_key_skew and conversation_structure
+# in-window.
+_WINDOW_TAIL += ["docs_uniqueness_approx", "corpus_drift"]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

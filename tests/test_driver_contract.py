@@ -88,8 +88,10 @@ def test_correctness_window_is_all_oracle_backed():
         # rebuild-crash meta versioning
         "q11_important_parts", "classifier_eval_report",
         "ann_ivf_drift_report",
-        # round-14 rule-1 entry: the NEW oracle-backed rebuild health check
+        # round-14 rule-1 entries: the NEW oracle-backed rebuild health
+        # check and the two tombstone-delete serving rows
         "ann_ivf_rebuild_report",
+        "docs_bm25_delete_serving", "ann_ivf_delete_serving",
         "docs_bm25_indexed", "docs_bm25_topk_indexed",
         "docs_bm25_batch_serving", "ann_topk_ivf_persisted",
         # round-14 staleness rotation rule 3 — the complete r9 band:
@@ -109,8 +111,8 @@ def test_correctness_window_is_all_oracle_backed():
         "split_train_val_test", "split_by_filter",
         "domain_doc_counts", "docs_redact_pii",
         "dedup_semantic", "docs_bigram_lm", "multimodal_image_dedup",
-        "docs_uniqueness_approx", "corpus_hll_distinct",
-        "dedup_banding_calibration", "corpus_drift",
+        "corpus_hll_distinct",
+        "dedup_banding_calibration",
         "conversation_structure", "docs_quality_gate", "events_key_skew",
         "dedup_simhash_md5", "ann_topk_ivf_md5",
     }
