@@ -305,8 +305,11 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
             path: /indexes/corpus_bm25
             column: response          # text column to index
             id_expr: id               # unique id expression
-            action: build             # build (default) | extend | compact
-            batch_id: delivery-042    # required for extend
+            action: build             # build (default) | extend | delete
+                                      #   | compact
+            batch_id: delivery-042    # required for extend / delete
+            ids_dataset: /ids.parquet # optional delete-id table; default:
+                                      # this run's curated rows' id_expr
             dst_path: /indexes/v2     # optional for compact (write-then-swap)
             alias: /indexes/serving   # optional: after the action lands,
                                       # atomically point this serving alias
@@ -322,9 +325,10 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
             n_centroids: 16
             dim: 64                   # vector dim (md5 codebook width)
             seed: 42                  # kmeans retrain seed
-            action: build             # build (default) | extend | compact
+            action: build             # build (default) | extend | delete
+                                      #   | compact
                                       #   | rebuild (coarse-retrain+cutover)
-            batch_id: delivery-042    # required for extend
+            batch_id: delivery-042    # required for extend / delete
             dst_path: /indexes/v2     # optional for compact/rebuild
             alias: /indexes/ann_serving   # optional cutover pointer
 
@@ -356,9 +360,10 @@ def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     column = str(spec.get("column", "response"))
     id_expr = str(spec.get("id_expr", "id"))
     action = str(spec.get("action", "build"))
-    source = df.select(
-        F.expr(id_expr).alias("__doc_id__"), F.col(column).alias("__text__")
-    )
+    if action in ("build", "extend"):
+        source = df.select(
+            F.expr(id_expr).alias("__doc_id__"), F.col(column).alias("__text__")
+        )
     if action == "build":
         RT.build_text_index(source, str(spec["path"]), "__text__", "__doc_id__")
     elif action == "extend":
@@ -367,9 +372,27 @@ def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         RT.extend_text_index(
             source, str(spec["path"]), spec["batch_id"], "__text__", "__doc_id__"
         )
+    elif action == "delete":
+        # takedown delivery: tombstone the ids WITHOUT a rebuild — ids come
+        # from this run's curated rows by default (curate-the-victims
+        # configs), or from `ids_dataset:` (a plain id table)
+        if "batch_id" not in spec:
+            raise ValueError("index.bm25 action=delete needs `batch_id`")
+        base = (
+            spark.read.parquet(str(spec["ids_dataset"]))
+            if spec.get("ids_dataset")
+            else df
+        )
+        RT.delete_from_text_index(
+            spark,
+            str(spec["path"]),
+            base.select(F.expr(id_expr).alias("__doc_id__")),
+            spec["batch_id"],
+        )
     elif action == "compact":
-        # maintenance action: folds committed deliveries into a fresh base
-        # (ignores this run's rows — pair with a separate extend config)
+        # maintenance action: folds committed deliveries (and any
+        # tombstones, which become physical) into a fresh base — ignores
+        # this run's rows; pair with a separate extend config
         RT.compact_text_index(
             spark,
             str(spec["path"]),
@@ -377,7 +400,8 @@ def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         )
     else:
         raise ValueError(
-            f"index.bm25 action must be 'build', 'extend' or 'compact', got {action!r}"
+            "index.bm25 action must be 'build', 'extend', 'delete' or "
+            f"'compact', got {action!r}"
         )
     if spec.get("alias"):
         # dst_path is only honored for the action that WRITES it — a reused
@@ -406,13 +430,13 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     path = str(spec["path"])
     action = str(spec.get("action", "build"))
     dst = str(spec["dst_path"]) if spec.get("dst_path") else None
-    if action not in ("build", "extend", "compact", "rebuild"):
+    if action not in ("build", "extend", "delete", "compact", "rebuild"):
         raise ValueError(
-            "index.ivf action must be 'build', 'extend', 'compact' or "
-            f"'rebuild', got {action!r}"
+            "index.ivf action must be 'build', 'extend', 'delete', "
+            f"'compact' or 'rebuild', got {action!r}"
         )
-    if action == "extend" and "batch_id" not in spec:
-        raise ValueError("index.ivf action=extend needs `batch_id`")
+    if action in ("extend", "delete") and "batch_id" not in spec:
+        raise ValueError(f"index.ivf action={action} needs `batch_id`")
     if action in ("build", "extend"):
         vec_col = str(spec.get("vec_col", "embedding"))
         id_expr = str(spec.get("id_expr", "id"))
@@ -445,6 +469,17 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         )
     elif action == "extend":
         SIM.extend_ivf_index(source, path, spec["batch_id"])
+    elif action == "delete":
+        # takedown delivery: tombstone the vector ids without a rebuild —
+        # ids from this run's curated rows by default, or from `dataset:`
+        # (the same id table layout the build/extend vectors come from)
+        id_expr = str(spec.get("id_expr", "id"))
+        base = (
+            spark.read.parquet(str(spec["dataset"])) if spec.get("dataset") else df
+        )
+        SIM.delete_from_ivf_index(
+            spark, path, base.select(F.expr(id_expr)), spec["batch_id"]
+        )
     elif action == "compact":
         SIM.compact_ivf_index(spark, path, dst_index=dst)
     elif action == "rebuild":

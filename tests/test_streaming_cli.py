@@ -1704,3 +1704,62 @@ def test_cli_alias_ignores_stale_dst_path_for_build(spark, tmp_path):
                   "alias": alias}},
     )
     assert RT.resolve_index_alias(spark, alias) == idx
+
+
+def test_cli_index_delete_action_both_kinds(spark, tmp_path):
+    """r14: config-driven takedown — index.bm25/index.ivf action=delete
+    tombstones ids (from an ids table or the run's curated rows) without a
+    rebuild; probes match a fresh build over the retained rows, and a
+    follow-up compact config makes the removal physical."""
+    import pytest as _pytest
+
+    from chat_data_pipeline_spark.cli import _run_indexing
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from chat_data_pipeline_spark.operators import similarity as SIM
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "cli_del_bm25")
+    RT.build_text_index(docs, idx)
+    ids_path = str(tmp_path / "victims.parquet")
+    docs.filter(F.col("doc_id") % 7 == 3).select("doc_id").write.parquet(ids_path)
+    df_unused = spark.createDataFrame([(1, "x")], "id long, response string")
+    _run_indexing(
+        spark,
+        df_unused,
+        {"bm25": {"path": idx, "action": "delete", "batch_id": "take-1",
+                  "ids_dataset": ids_path, "id_expr": "doc_id"}},
+    )
+    fresh = str(tmp_path / "cli_del_fresh")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 7 != 3), fresh)
+    terms = ["join", "hash", "scan", "window", "sort"]
+    assert sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect())) == \
+        sorted(map(tuple, RT.bm25_topk_indexed(spark, fresh, terms).collect()))
+    # compact-from-config makes it physical
+    _run_indexing(spark, df_unused, {"bm25": {"path": idx, "action": "compact"}})
+    import os
+
+    assert not os.path.exists(f"{idx}/tombstones")
+
+    # batch_id required
+    with _pytest.raises(ValueError, match="batch_id"):
+        _run_indexing(spark, df_unused, {"bm25": {"path": idx, "action": "delete"}})
+
+    # IVF kind: ids via dataset
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf = str(tmp_path / "cli_del_ivf")
+    SIM.build_ivf_index(emb, ivf, n_centroids=16, coarse="md5", dim=64)
+    vids = str(tmp_path / "vic_vec.parquet")
+    emb.filter(F.col("vec_id") % 5 == 2).select("vec_id").write.parquet(vids)
+    _run_indexing(
+        spark,
+        df_unused,
+        {"ivf": {"path": ivf, "action": "delete", "batch_id": "take-1",
+                 "dataset": vids, "id_expr": "vec_id"}},
+    )
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SIM.ivf_topk_persisted(spark, ivf, qs, k=10, n_probe=4).collect()
+    assert out and all(r.vec_id % 5 != 2 for r in out)
