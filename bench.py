@@ -155,6 +155,9 @@ BENCH_QUERIES = [
     # probe cost WITH the tombstone anti-join in the plan)
     "docs_bm25_delete_serving",
     "ann_ivf_delete_serving",
+    # round-14: hybrid lexical+vector serving — both arms' persisted-index
+    # probes plus the query-sized RRF fusion in one number
+    "docs_hybrid_rrf",
 ]
 
 
@@ -220,6 +223,9 @@ SCALE_PROBE_QUERIES = [
     # tombstone set, which grows with it) is 10x
     "docs_bm25_delete_serving",
     "ann_ivf_delete_serving",
+    # round-14: hybrid serving — both arms' pruned probes + query-sized
+    # fusion must stay near-flat at 10x corpus
+    "docs_hybrid_rrf",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second

@@ -693,6 +693,59 @@ def resolve_index_alias(spark, alias_path: str) -> str:
     raise last_err
 
 
+def rrf_fuse(
+    arms: list[DataFrame],
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) of N
+    ranked retrieval arms — the standard way to combine a lexical and a
+    vector ranking into one hybrid result without score calibration: each
+    arm contributes ``1/(rrf_k + rank)`` for the documents it ranked, and
+    documents surfacing in several arms accumulate.
+
+    Every ``arms`` entry is ``(query_id_col, id_col, rank)`` — the shape
+    :func:`bm25_topk_indexed_batch` and ``similarity.ivf_topk_persisted``
+    already serve.  Contributions are exact integer nanos
+    (``1e9 div (rrf_k + rank)``), so the fused ordering is
+    engine-independent; ties break by ascending id.  Output:
+    ``(query_id, id, rrf_nanos, rank)`` with rank ≤ k.
+
+    Scale shape: each arm is already top-k-bounded (queries × arm_k rows),
+    so the fusion works on query-sized data — one union, one
+    (query, id) partial-aggregated groupBy, one per-query window.  The
+    heavy lifting stays in the arms' own pruned index probes; fusing adds
+    no corpus-sized stage."""
+    if not arms:
+        raise ValueError("rrf_fuse needs at least one ranked arm")
+    contrib = F.expr(f"{10**9}L div ({int(rrf_k)} + rank)")
+    pieces = [
+        a.select(
+            F.col(query_id_col).cast("long").alias(query_id_col),
+            F.col(id_col),
+            contrib.alias("__c__"),
+        )
+        for a in arms
+    ]
+    unioned = pieces[0]
+    for p in pieces[1:]:
+        unioned = unioned.unionByName(p)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_nanos").desc(), F.col(id_col).asc()
+    )
+    return (
+        unioned.groupBy(query_id_col, id_col)
+        .agg(F.sum("__c__").cast("long").alias("rrf_nanos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(query_id_col, id_col, "rrf_nanos", "rank")
+    )
+
+
 def bm25_topk_indexed(
     spark,
     index_path: str,

@@ -7094,6 +7094,133 @@ def ann_ivf_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+_HYBRID_RRF_ORACLE = (
+    r"""
+    WITH qt AS (SELECT * FROM (VALUES (0, 'join'), (0, 'hash'), (1, 'scan'),
+                  (1, 'window'), (1, 'sort'), (2, 'hash'), (2, 'sort'))
+                AS v(query_id, term)),
+    toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS ws
+      FROM documents
+    ), dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT t.doc_id, tok.s AS term, d.dl, COUNT(*) AS tf
+      FROM toks t, unnest(t.ws) AS tok(s), dl d
+      WHERE d.doc_id = t.doc_id
+        AND tok.s IN (SELECT DISTINCT term FROM qt)
+      GROUP BY t.doc_id, tok.s, d.dl
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    lex_contrib AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(ROUND(
+               ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+             * 1e9) AS BIGINT) AS nano
+      FROM tf, dfreq, stats WHERE dfreq.term = tf.term
+    ),
+    lex_scored AS (
+      SELECT qt.query_id, c.doc_id,
+             round(CAST(SUM(c.nano) AS DOUBLE) / 1e9, 6) AS bm25
+      FROM lex_contrib c JOIN qt ON qt.term = c.term
+      GROUP BY qt.query_id, c.doc_id
+    ),
+    lex_ranked AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM lex_scored
+    ),
+"""
+    + f"""
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    nv AS (SELECT vec_id, {_NORMALIZE_SQL} AS v FROM e),
+    cdots AS (SELECT vec_id, v, {_IVFPQ_CD} AS cd FROM nv),
+    assigned AS (SELECT vec_id, v, list_position(cd, list_max(cd)) - 1 AS list
+                 FROM cdots),
+    qd AS (SELECT vec_id AS query_id, v, cd FROM cdots WHERE vec_id < 3),
+    vprobes AS (
+      SELECT query_id, v, idx - 1 AS list,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cd[idx] DESC, idx ASC) AS pr
+      FROM qd CROSS JOIN (SELECT unnest(range(1, 17)) AS idx) t
+    ),
+    vec_scored AS (
+      SELECT p.query_id, c.vec_id, round({_NORMED_DOT_SQL}, 6) AS cosine
+      FROM assigned c JOIN (SELECT * FROM vprobes WHERE pr <= 4) p ON p.list = c.list
+    ),
+    vec_ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM vec_scored
+    ),
+    contribs AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             1000000000 // (60 + rank) AS c
+      FROM lex_ranked WHERE rank <= 20
+      UNION ALL
+      SELECT CAST(query_id AS BIGINT) AS query_id, vec_id AS doc_id,
+             1000000000 // (60 + rank) AS c
+      FROM vec_ranked WHERE rank <= 20
+    ),
+    fused AS (
+      SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_nanos
+      FROM contribs GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, rrf_nanos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_nanos DESC, doc_id ASC) AS rank
+      FROM fused
+    )
+    SELECT query_id, doc_id, rrf_nanos, rank FROM ranked WHERE rank <= 10
+    """
+)
+
+
+@_register(
+    "docs_hybrid_rrf",
+    _HYBRID_RRF_ORACLE,
+    "hybrid retrieval serving (r14): a query TABLE served against BOTH "
+    "persisted indexes — per-query lexical top-20 from the batched BM25 "
+    "probe and vector top-20 from the persisted md5 IVF probe (documents "
+    "and embeddings share the id space) — fused with reciprocal-rank "
+    "fusion (Cormack 2009) in exact integer nanos (1e9 div (60+rank)), so "
+    "the hybrid ordering replays cross-engine with no score calibration; "
+    "both arms are top-k-bounded before the fusion touches them, so the "
+    "fusion itself is query-sized — the 100 TB cost stays in the arms' "
+    "pruned index probes",
+)
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _read(spark, sf_dir, "embeddings")
+    bidx = _run_scoped_path("bm25_index", sf_dir)
+    _build_once(bidx, lambda: RT.build_text_index(docs, bidx))
+    vidx = _run_scoped_path("ivf_index", sf_dir)
+    _build_once(
+        vidx, lambda: SIM.build_ivf_index(emb, vidx, n_centroids=16, coarse="md5", dim=64)
+    )
+    qterms = spark.createDataFrame(
+        [(0, ["join", "hash"]), (1, ["scan", "window", "sort"]), (2, ["hash", "sort"])],
+        "query_id long, terms array<string>",
+    )
+    lex = RT.bm25_topk_indexed_batch(spark, bidx, qterms, k=20).select(
+        "query_id", "doc_id", "rank"
+    )
+    qvec = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec = SIM.ivf_topk_persisted(spark, vidx, qvec, k=20, n_probe=4).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    out = RT.rrf_fuse([lex, vec], id_col="doc_id", k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @_register(
     "ann_ivf_drift_report",
     f"""
@@ -8082,6 +8209,15 @@ _WINDOW_TAIL.append("events_moving_average")
 # keeps corpus_hll_distinct, events_key_skew and conversation_structure
 # in-window.
 _WINDOW_TAIL += ["docs_uniqueness_approx", "corpus_drift"]
+# round-14 rule-1, third batch: docs_hybrid_rrf (hybrid lexical+vector
+# serving over BOTH persisted indexes, fused with integer-exact
+# reciprocal-rank fusion — never-driver-verified, full oracle composed
+# from the two arms' own oracle arithmetic) enters by registration;
+# conversation_structure makes room — r13 hash-green, its diagnostics
+# region untouched this round, and the conversation family keeps
+# conversation_pairs in-window (P1/P2) with chatml in the full-registry
+# parity sweep.
+_WINDOW_TAIL.append("conversation_structure")
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

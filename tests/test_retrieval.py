@@ -982,3 +982,87 @@ def test_compact_after_delete_is_physical_and_bit_identical(spark, tmp_path):
         .first()[0]
     )
     assert min_df >= 1
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    """Integer-nano RRF against a direct reimplementation, including a doc
+    surfacing in both arms (accumulates) and tie-break by ascending id."""
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    vec = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (1, 21, 1), (1, 20, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.rrf_nanos, r.rank)
+        for r in RT.rrf_fuse([lex, vec], k=10).collect()
+    }
+
+    def c(rank):
+        return 10**9 // (60 + rank)
+
+    want_scores = {
+        (0, 10): c(1), (0, 11): c(2) + c(1), (0, 12): c(3), (0, 13): c(2),
+        (1, 20): c(1) + c(2), (1, 21): c(1),
+    }
+    assert {k: v[0] for k, v in got.items()} == want_scores
+    # doc 11 (both arms) beats the single-arm rank-1 doc 10
+    assert got[(0, 11)][1] == 1 and got[(0, 10)][1] == 2
+    assert got[(1, 20)][1] == 1
+
+
+def test_rrf_fuse_tiebreak_and_k(spark):
+    arm = spark.createDataFrame(
+        [(0, 5, 1), (0, 3, 1), (0, 9, 2)], "query_id long, doc_id long, rank int"
+    )
+    rows = RT.rrf_fuse([arm], k=2).collect()
+    assert [(r.doc_id, r.rank) for r in sorted(rows, key=lambda r: r.rank)] == [
+        (3, 1), (5, 2)  # equal scores -> ascending id; k=2 cuts doc 9
+    ]
+    with pytest.raises(ValueError):
+        RT.rrf_fuse([])
+
+
+def test_hybrid_rrf_composes_the_two_persisted_arms(spark, tmp_path):
+    """End-to-end hybrid over both persisted indexes equals fusing the two
+    arm results directly (no hidden re-ranking in the composition)."""
+    from chat_data_pipeline_spark.operators import similarity as SIM
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bidx, vidx = str(tmp_path / "hb_bm25"), str(tmp_path / "hb_ivf")
+    RT.build_text_index(docs, bidx)
+    SIM.build_ivf_index(emb, vidx, n_centroids=16, coarse="md5", dim=64)
+    qterms = spark.createDataFrame(
+        [(0, ["join", "hash"]), (1, ["scan", "window", "sort"])],
+        "query_id long, terms array<string>",
+    )
+    lex = RT.bm25_topk_indexed_batch(spark, bidx, qterms, k=20).select(
+        "query_id", "doc_id", "rank"
+    )
+    qvec = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec = SIM.ivf_topk_persisted(spark, vidx, qvec, k=20, n_probe=4).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = RT.rrf_fuse([lex, vec], k=10).collect()
+    assert fused
+    # rrf score of any fused row must be reconstructible from the arm ranks
+    lex_r = {(r.query_id, r.doc_id): r.rank for r in lex.collect()}
+    vec_r = {(r.query_id, r.doc_id): r.rank for r in vec.collect()}
+    for r in fused:
+        key = (r.query_id, r.doc_id)
+        want = sum(
+            10**9 // (60 + d[key]) for d in (lex_r, vec_r) if key in d
+        )
+        assert r.rrf_nanos == want and want > 0
