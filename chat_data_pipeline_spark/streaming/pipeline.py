@@ -772,3 +772,79 @@ def streaming_ivf_delivery(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def streaming_index_takedown(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+):
+    """Live takedown feed → tombstone deliveries (r14): the removal twin of
+    :func:`streaming_index_delivery`.  Each micro-batch of document ids
+    becomes ONE ledger-committed ``delete_from_text_index`` delivery
+    (``batch_id=f"t{epoch}"`` — the ``t`` prefix keeps takedown ids
+    disjoint from the delivery stream's ``s`` ids), so a compliance feed
+    (user deletion requests, post-hoc contamination discoveries) keeps the
+    serving index clean without rebuilds.
+
+    Effectively-once rides the same two mechanisms as deliveries: a
+    replayed micro-batch RECOMPUTES its own victims (its previous
+    tombstones are excluded from the already-deleted set) and overwrites
+    its own partitions, and a mid-commit crash leaves the delete invisible
+    to probes.  Ids already tombstoned by an earlier epoch are excluded up
+    front, so an id reported twice never double-subtracts df/stats.
+
+    Coordination contract: one writer at a time per index root (same as
+    every maintenance operator here) — run the delivery and takedown
+    streams against the same root only with a trigger discipline that
+    serializes them, or point them at different roots and reconcile with
+    compaction.  A delivery containing a currently-tombstoned id fails
+    loudly by design (compact first, then re-deliver)."""
+    from chat_data_pipeline_spark.operators.retrieval import delete_from_text_index
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delete_from_text_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df.select(id_col),
+            batch_id=f"t{batch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def streaming_ivf_takedown(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+):
+    """ANN twin of :func:`streaming_index_takedown`: each micro-batch of
+    vector ids lands as one ledger-committed ``delete_from_ivf_index``
+    tombstone delivery — same effectively-once replay semantics, same
+    invisible-until-committed crash posture, no global statistics to
+    adjust.  Compact or rebuild to make the removals physical."""
+    from chat_data_pipeline_spark.operators.similarity import delete_from_ivf_index
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delete_from_ivf_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df.select(id_col),
+            batch_id=f"t{batch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

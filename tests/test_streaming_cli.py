@@ -1763,3 +1763,86 @@ def test_cli_index_delete_action_both_kinds(spark, tmp_path):
     )
     out = SIM.ivf_topk_persisted(spark, ivf, qs, k=10, n_probe=4).collect()
     assert out and all(r.vec_id % 5 != 2 for r in out)
+
+
+def test_streaming_takedown_stream_equals_batch(spark, tmp_path):
+    """r14: live takedowns — a file feed of ids tombstones both persisted
+    indexes one ledger-committed delete per micro-batch; probes afterwards
+    are bit-identical to a fresh build over the retained rows, and an id
+    reported in two triggers never double-subtracts."""
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from chat_data_pipeline_spark.operators import similarity as SIM
+    from chat_data_pipeline_spark.streaming.pipeline import (
+        streaming_index_takedown,
+        streaming_ivf_takedown,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    idx = str(tmp_path / "take_bm25")
+    RT.build_text_index(docs, idx)
+    feed = tmp_path / "take_feed"
+    feed.mkdir()
+    # two triggers; trigger 2 re-reports some of trigger 1's ids (overlap)
+    docs.filter(F.col("doc_id") % 7 == 3).select("doc_id").repartition(1).write.parquet(
+        str(feed / "f1.parquet")
+    )
+    docs.filter(
+        (F.col("doc_id") % 7 == 3) | (F.col("doc_id") % 7 == 5)
+    ).select("doc_id").repartition(1).write.parquet(str(feed / "f2.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*")
+    )
+    q = streaming_index_takedown(stream, idx, str(tmp_path / "ckpt_take"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    retained = docs.filter((F.col("doc_id") % 7 != 3) & (F.col("doc_id") % 7 != 5))
+    fresh = str(tmp_path / "take_fresh")
+    RT.build_text_index(retained, fresh)
+    terms = ["join", "hash", "scan", "window", "sort"]
+    assert sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect())
+    ) == sorted(map(tuple, RT.bm25_topk_indexed(spark, fresh, terms).collect()))
+    # stats subtracted exactly once per victim despite the overlap
+    n_live = (
+        spark.read.schema("n_docs long, sum_dl long")
+        .parquet(f"{idx}/stats")
+        .agg(F.sum("n_docs"))
+        .first()[0]
+    )
+    assert n_live == retained.count()
+
+    # ANN twin
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ivf = str(tmp_path / "take_ivf")
+    SIM.build_ivf_index(emb, ivf, n_centroids=16, coarse="md5", dim=64)
+    vfeed = tmp_path / "take_vfeed"
+    vfeed.mkdir()
+    emb.filter(F.col("vec_id") % 5 == 2).select("vec_id").repartition(1).write.parquet(
+        str(vfeed / "f1.parquet")
+    )
+    vstream = (
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(vfeed) + "/*")
+    )
+    vq = streaming_ivf_takedown(vstream, ivf, str(tmp_path / "ckpt_vtake"))
+    try:
+        vq.processAllAvailable()
+    finally:
+        vq.stop()
+    vfresh = str(tmp_path / "take_ivf_fresh")
+    SIM.build_ivf_index(
+        emb.filter(F.col("vec_id") % 5 != 2), vfresh, n_centroids=16, coarse="md5", dim=64
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, ivf, queries, k=10, n_probe=4).collect())
+    ) == sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, vfresh, queries, k=10, n_probe=4).collect())
+    )
