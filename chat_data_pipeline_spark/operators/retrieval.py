@@ -878,14 +878,20 @@ def bm25_topk_indexed_batch(
     :func:`bm25_topk_indexed` over the same index."""
     from pyspark.sql import Window
 
-    n_q = queries.count()
-    if n_q > max_query_rows:
+    # guard and collect in ONE job: the limit bounds the driver transfer
+    # even when the input is over the cap, and len() replaces a separate
+    # count() action (a whole extra scan on every serving call)
+    qrows = (
+        queries.select(query_id_col, terms_col)
+        .limit(int(max_query_rows) + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
         raise ValueError(
-            f"bm25_topk_indexed_batch: {n_q} query rows exceed "
+            f"bm25_topk_indexed_batch: query rows exceed "
             f"max_query_rows={max_query_rows}; raise the guard explicitly "
             "if the driver can hold the query set"
         )
-    qrows = queries.select(query_id_col, terms_col).collect()
     # dedup AFTER lowercasing (r13 ADVICE): ['Hash', 'hash'] is ONE term —
     # a pre-lowercase set() would emit two identical (query_id, 'hash')
     # rows and double that term's contribution vs bm25_topk_indexed

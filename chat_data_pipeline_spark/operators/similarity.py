@@ -1650,7 +1650,6 @@ def ivf_topk_persisted(
         _tombstoned_ids,
     )
 
-    _guard_query_rows(queries, max_query_rows, "ivf_topk_persisted")
     meta = spark.read.parquet(f"{index_path}/meta").first()
     committed = _committed_batches(spark, index_path)
     # ledger-committed batches only: a crashed delivery's partial
@@ -1677,7 +1676,20 @@ def ivf_topk_persisted(
         coarse_mat = np.asarray(
             pq_md5_sign_codebooks(1, n_centroids, dim, "ivfpq_coarse")[0]
         )
-        qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+        # guard and collect in ONE job (serving latency: a separate
+        # limit-count guard was a whole extra scan per probe call) — the
+        # limit bounds the Arrow transfer even for an oversized input
+        qpdf = (
+            queries.select(query_id_col, query_vec_col)
+            .limit(int(max_query_rows) + 1)
+            .toPandas()
+        )
+        if len(qpdf) > max_query_rows:
+            raise ValueError(
+                f"ivf_topk_persisted: probe set exceeds "
+                f"max_query_rows={max_query_rows}; shard the query set or "
+                "raise the guard explicitly"
+            )
         qids = qpdf[query_id_col].to_numpy()
         qmat = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in qpdf[query_vec_col]]
@@ -1739,6 +1751,9 @@ def ivf_topk_persisted(
             schema=f"{query_id_col} {q_type}, {id_col} {id_type}, cosine double",
         )
     elif meta.coarse == "kmeans":
+        # this flavor never driver-collects the queries (they broadcast into
+        # the list join), so the limit-count guard stays a separate cheap job
+        _guard_query_rows(queries, max_query_rows, "ivf_topk_persisted")
         cent = (
             spark.read.parquet(f"{index_path}/centroids")
             .orderBy("list")
