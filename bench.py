@@ -158,6 +158,10 @@ BENCH_QUERIES = [
     # round-14: hybrid lexical+vector serving — both arms' persisted-index
     # probes plus the query-sized RRF fusion in one number
     "docs_hybrid_rrf",
+    # round-14: the persisted signature store's onboarding probe (store
+    # builds behind the build-once memo; best-of-3 reads the steady-state
+    # probe — one NEW-side fingerprint pass + one band semi-join)
+    "dedup_onboarding_indexed",
 ]
 
 
@@ -226,6 +230,9 @@ SCALE_PROBE_QUERIES = [
     # round-14: hybrid serving — both arms' pruned probes + query-sized
     # fusion must stay near-flat at 10x corpus
     "docs_hybrid_rrf",
+    # round-14: onboarding probe — the NEW-side fingerprint pass is the
+    # corpus-sized stage; the store side ships signatures, never text
+    "dedup_onboarding_indexed",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second

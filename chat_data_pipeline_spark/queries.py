@@ -2401,6 +2401,74 @@ def dedup_cross_corpus_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_onboarding_indexed",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)])
+                  ELSE [] END AS shingles
+      FROM toks
+    ), posting AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ), hashes AS (
+      SELECT doc_id, p,
+             MIN(substr(md5(CAST(p // 4 AS VARCHAR) || chr(31) || s),
+                        1 + 8 * (p % 4), 8)) AS h
+      FROM posting CROSS JOIN range(16) r(p)
+      GROUP BY doc_id, p
+    ), bandsig AS (
+      SELECT doc_id, p // 4 AS band,
+             string_agg(h, '|' ORDER BY p) AS sig
+      FROM hashes GROUP BY doc_id, p // 4
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 3 = 2
+      AND d.doc_id NOT IN (
+        SELECT DISTINCT n.doc_id
+        FROM bandsig n JOIN bandsig r ON r.band = n.band AND r.sig = n.sig
+        WHERE n.doc_id % 3 = 2
+          AND r.doc_id % 3 <> 2 AND r.doc_id % 9 <> 0)
+    """,
+    "persisted-signature onboarding (r14): the dedup family's build-once "
+    "lifecycle — the reference corpus fingerprints ONCE into the store "
+    "(base = doc_id%3==0), a second curated crawl delivers its signatures "
+    "(%3==1), a takedown tombstones the %9==0 slice (its content is gone, "
+    "so new near-copies are no longer duplicates of anything), and the "
+    "probe onboards a fresh crawl (%3==2) against the LIVE reference set "
+    "without re-fingerprinting it — one md5 band semi-join; the oracle "
+    "recomputes the whole lifecycle's survivor set from scratch, so the "
+    "hash covers build, delivery, deletion AND probe arithmetic at once",
+)
+def dedup_onboarding_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import dedup_store as DSTORE
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = _run_scoped_path("dedup_store", sf_dir)
+
+    def _mk() -> None:
+        DSTORE.build_dedup_index(docs.filter(F.col("doc_id") % 3 == 0), idx, family="md5")
+        DSTORE.extend_dedup_index(
+            docs.filter(F.col("doc_id") % 3 == 1), idx, batch_id="crawl-1"
+        )
+        DSTORE.delete_from_dedup_index(
+            spark,
+            idx,
+            docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"),
+            batch_id="take-1",
+        )
+
+    # SERVING row: the store builds once per run, probes steady-state
+    _build_once(idx, _mk)
+    return DSTORE.filter_against_dedup_index(
+        spark, idx, docs.filter(F.col("doc_id") % 3 == 2)
+    ).select("doc_id")
+
+
+@_register(
     "corpus_source_similarity",
     r"""
     WITH toks AS (
@@ -8218,6 +8286,14 @@ _WINDOW_TAIL += ["docs_uniqueness_approx", "corpus_drift"]
 # conversation_pairs in-window (P1/P2) with chatml in the full-registry
 # parity sweep.
 _WINDOW_TAIL.append("conversation_structure")
+# round-14 rule-1, fourth batch: dedup_onboarding_indexed (the persisted
+# signature store's full build->deliver->takedown->probe lifecycle, one
+# oracle hash over all four — never-driver-verified) enters by
+# registration; docs_quality_gate makes room — r13 hash-green, the
+# expectations-report region untouched this round, the CLI quality_gate
+# e2e pytest still drives it every suite run, and the diagnostics family
+# keeps events_key_skew + corpus_hll_distinct in-window.
+_WINDOW_TAIL.append("docs_quality_gate")
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

@@ -92,7 +92,7 @@ def test_correctness_window_is_all_oracle_backed():
         # check and the two tombstone-delete serving rows
         "ann_ivf_rebuild_report",
         "docs_bm25_delete_serving", "ann_ivf_delete_serving",
-        "docs_hybrid_rrf",
+        "docs_hybrid_rrf", "dedup_onboarding_indexed",
         "docs_bm25_indexed", "docs_bm25_topk_indexed",
         "docs_bm25_batch_serving", "ann_topk_ivf_persisted",
         # round-14 staleness rotation rule 3 — the complete r9 band:
@@ -114,7 +114,7 @@ def test_correctness_window_is_all_oracle_backed():
         "dedup_semantic", "docs_bigram_lm", "multimodal_image_dedup",
         "corpus_hll_distinct",
         "dedup_banding_calibration",
-        "docs_quality_gate", "events_key_skew",
+        "events_key_skew",
         "dedup_simhash_md5", "ann_topk_ivf_md5",
     }
     assert must_be_windowed <= set(window)
