@@ -331,6 +331,17 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
             batch_id: delivery-042    # required for extend / delete
             dst_path: /indexes/v2     # optional for compact/rebuild
             alias: /indexes/ann_serving   # optional cutover pointer
+          dedup:
+            path: /stores/corpus_sigs # persisted MinHash signature store
+            column: response          # text column to fingerprint
+            id_expr: id
+            family: md5               # md5 (default, oracle-backed) | sha1
+            action: build             # build (default) | extend | delete
+                                      #   | compact
+            batch_id: crawl-042       # required for extend / delete
+            ids_dataset: /ids.parquet # optional delete-id table
+            dst_path: /stores/v2      # optional for compact
+            alias: /stores/serving    # optional cutover pointer
 
     Both kinds share the commit-ledger crash posture: indexing is an EAGER
     action (it writes the artifacts), a config run that dies mid-delivery
@@ -340,7 +351,7 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
     loop is one config: rebuild/compact into `dst_path`, then the swap
     lands ONLY after the action completed — a run that dies mid-action
     leaves the alias serving the old root."""
-    known = {"bm25", "ivf"}
+    known = {"bm25", "ivf", "dedup"}
     unknown = set(index_cfg) - known
     if unknown:
         raise ValueError(
@@ -350,6 +361,8 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
         _run_bm25_indexing(spark, df, dict(index_cfg.get("bm25") or {}))
     if "ivf" in index_cfg:
         _run_ivf_indexing(spark, df, dict(index_cfg.get("ivf") or {}))
+    if "dedup" in index_cfg:
+        _run_dedup_store_indexing(spark, df, dict(index_cfg.get("dedup") or {}))
 
 
 def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
@@ -503,6 +516,112 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     logger.info("index.ivf: %s %s", action, path)
 
 
+def _run_dedup_store_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
+    """The signature-store twin of the bm25/ivf blocks: build / extend /
+    delete / compact the persisted MinHash store from the same config that
+    curates — so a curation job can leave (or grow) the reference-signature
+    set its successors onboard against.  Signatures come from the CURATED
+    rows; `ids_dataset:` supplies delete ids like the bm25 twin."""
+    from chat_data_pipeline_spark.operators import dedup_store as DS
+
+    if "path" not in spec:
+        raise ValueError("index.dedup needs `path` (the store root)")
+    path = str(spec["path"])
+    action = str(spec.get("action", "build"))
+    if action not in ("build", "extend", "delete", "compact"):
+        raise ValueError(
+            "index.dedup action must be 'build', 'extend', 'delete' or "
+            f"'compact', got {action!r}"
+        )
+    if action in ("extend", "delete") and "batch_id" not in spec:
+        raise ValueError(f"index.dedup action={action} needs `batch_id`")
+    column = str(spec.get("column", "response"))
+    id_expr = str(spec.get("id_expr", "id"))
+    if action == "build":
+        source = df.select(
+            F.expr(id_expr).alias("__doc_id__"), F.col(column).alias("__text__")
+        )
+        DS.build_dedup_index(
+            source,
+            path,
+            column="__text__",
+            id_col="__doc_id__",
+            family=str(spec.get("family", "md5")),
+            ngram_size=int(spec.get("ngram_size", 5)),
+            num_perm=int(spec.get("num_perm", 16)),
+            num_bands=int(spec.get("num_bands", 4)),
+            threshold=float(spec.get("threshold", 0.7)),
+            min_ngram_size=int(spec.get("min_ngram_size", 5)),
+            seed=int(spec.get("seed", 42)),
+        )
+    elif action == "extend":
+        # adopt the TARGET store's meta column names (same contract as the
+        # ivf twin: a config can deliver into a store built by any caller)
+        meta = spark.read.parquet(f"{path}/meta").first()
+        source = df.select(
+            F.expr(id_expr).alias(meta.id_col), F.col(column).alias(meta.text_col)
+        )
+        DS.extend_dedup_index(source, path, spec["batch_id"])
+    elif action == "delete":
+        base = (
+            spark.read.parquet(str(spec["ids_dataset"]))
+            if spec.get("ids_dataset")
+            else df
+        )
+        DS.delete_from_dedup_index(
+            spark, path, base.select(F.expr(id_expr)), spec["batch_id"]
+        )
+    elif action == "compact":
+        DS.compact_dedup_index(
+            spark,
+            path,
+            dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
+        )
+    if spec.get("alias"):
+        from chat_data_pipeline_spark.operators.retrieval import swap_index_alias
+
+        dst = str(spec["dst_path"]) if spec.get("dst_path") else None
+        final = dst if action == "compact" and dst else path
+        swap_index_alias(spark, str(spec["alias"]), final)
+    logger.info("index.dedup: %s %s", action, path)
+
+
+def _run_onboarding(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame:
+    """Top-level `onboard:` block — cross-corpus near-dup subtraction
+    against a persisted signature store, applied to the CURATED rows (after
+    clean/filter/dedup, before reassembly), optionally writing the
+    SURVIVORS' signatures back as a delivery so the next crawl onboards
+    against the grown reference set:
+
+        onboard:
+          store: /stores/corpus_sigs     # built via index.dedup action=build
+          column: response               # text column (default response)
+          id_expr: id
+          deliver_batch_id: crawl-042    # optional write-back
+
+    The store must exist; its meta pins the fingerprint family and params,
+    so "near-duplicate" means here exactly what it meant at build time."""
+    from chat_data_pipeline_spark.operators import dedup_store as DS
+
+    if "store" not in spec:
+        raise ValueError("onboard needs `store` (the signature-store root)")
+    store = str(spec["store"])
+    column = str(spec.get("column", "response"))
+    id_expr = str(spec.get("id_expr", "id"))
+    meta = spark.read.parquet(f"{store}/meta").first()
+    src = df.withColumn(meta.id_col, F.expr(id_expr)).withColumn(
+        meta.text_col, F.col(column)
+    )
+    kept = DS.filter_against_dedup_index(spark, store, src)
+    if spec.get("deliver_batch_id"):
+        # delivery is EAGER (it writes the store artifacts); the returned
+        # plan stays lazy for the output write
+        DS.extend_dedup_index(kept, store, spec["deliver_batch_id"])
+    extra = [c for c in (meta.id_col, meta.text_col) if c not in df.columns]
+    logger.info("onboard: filtered against %s", store)
+    return kept.drop(*extra) if extra else kept
+
+
 def run_config(spark: SparkSession, config: dict) -> DataFrame:
     """ref:main.py lifecycle A (SURVEY.md §3.1), lazily composed."""
     from chat_data_pipeline_spark.operators import conversation as CV
@@ -532,6 +651,12 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
     instruction_cfg = config.get("instruction") or {}
     pre = _build_preprocessor("instruction", instruction_cfg, forbid_cleaners=True)
     df = pre.run(df)
+
+    onboard_cfg = config.get("onboard")
+    if onboard_cfg:
+        # cross-corpus onboarding AFTER in-corpus curation: cheap junk is
+        # already gone, so the store probe fingerprints only survivors
+        df = _run_onboarding(spark, df, dict(onboard_cfg))
 
     index_cfg = config.get("index")
     if index_cfg:

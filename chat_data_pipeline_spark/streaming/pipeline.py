@@ -848,3 +848,31 @@ def streaming_ivf_takedown(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def streaming_dedup_store_delivery(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+):
+    """Live signature deliveries into the persisted MinHash store (r14):
+    each micro-batch of curated documents fingerprints ONCE — with the
+    store meta's pinned family/params — and lands as one ledger-committed
+    ``extend_dedup_index`` delivery, so the reference set future onboarding
+    runs probe grows continuously.  Same effectively-once replay semantics
+    and invisible-until-committed crash posture as the BM25/IVF delivery
+    streams; the column names come from the store meta.  Takedowns go
+    through :func:`dedup_store.delete_from_dedup_index` (batch ids stay
+    caller-scoped; use a prefix disjoint from ``s<epoch>``)."""
+    from chat_data_pipeline_spark.operators.dedup_store import extend_dedup_index
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        extend_dedup_index(batch_df, store_path, batch_id=f"s{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

@@ -1846,3 +1846,118 @@ def test_streaming_takedown_stream_equals_batch(spark, tmp_path):
     ) == sorted(
         map(tuple, SIM.ivf_topk_persisted(spark, vfresh, queries, k=10, n_probe=4).collect())
     )
+
+
+def test_cli_dedup_store_and_onboard_block(spark, tmp_path):
+    """r14: the signature store is config-reachable — one YAML builds the
+    store from its curated rows; a second YAML curates a fresh crawl,
+    onboards it against the store (near-dups of the reference subtract),
+    and delivers the survivors' signatures back."""
+    import pytest as _pytest
+
+    from chat_data_pipeline_spark.cli import _run_indexing, load_yaml, run_config
+    from chat_data_pipeline_spark.operators import dedup_store as DS
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    def conv_rows(ids_texts):
+        return [
+            (i, "s", [("q", False, "User"), (t, True, "Assistant")])
+            for i, t in ids_texts
+        ]
+
+    schema = (
+        "id long, source string, conversation "
+        "array<struct<content string, do_train boolean, role string>>"
+    )
+    ref_texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "spark shuffles the hash join across the whole cluster nightly"),
+    ]
+    conv1 = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(conv_rows(ref_texts), schema).write.parquet(conv1)
+    store = str(tmp_path / "sig_store")
+    cfg1 = tmp_path / "build.yaml"
+    cfg1.write_text(
+        f"datasets:\n  - path: {conv1}\noutput_path: {tmp_path}/out1\n"
+        "response:\n  cleaners: []\n  filters: []\n"
+        "  deduplication: {do_deduplication: false}\n"
+        "instruction:\n  cleaners: []\n  filters: []\n"
+        "  deduplication: {do_deduplication: false}\n"
+        f"index:\n  dedup:\n    path: {store}\n    action: build\n"
+        "    ngram_size: 3\n    min_ngram_size: 3\n"
+    )
+    run_config(spark, load_yaml(str(cfg1)))
+    assert spark.read.parquet(f"{store}/meta").first().family == "md5"
+
+    # second config: one near-dup of ref doc 1, one fresh doc; onboard
+    new_texts = [
+        (10, "the quick brown fox jumps over the lazy dog again and again"),
+        (11, "entirely novel content about window functions and sorting rows"),
+    ]
+    conv2 = str(tmp_path / "new.parquet")
+    spark.createDataFrame(conv_rows(new_texts), schema).write.parquet(conv2)
+    cfg2 = tmp_path / "onboard.yaml"
+    cfg2.write_text(
+        f"datasets:\n  - path: {conv2}\noutput_path: {tmp_path}/out2\n"
+        "response:\n  cleaners: []\n  filters: []\n"
+        "  deduplication: {do_deduplication: false}\n"
+        "instruction:\n  cleaners: []\n  filters: []\n"
+        "  deduplication: {do_deduplication: false}\n"
+        f"onboard:\n  store: {store}\n  deliver_batch_id: crawl-1\n"
+    )
+    out = run_config(spark, load_yaml(str(cfg2)))
+    kept = {r.id for r in out.select("id").collect()}
+    assert kept == {11}  # the near-dup of ref doc 1 subtracted
+    # survivors' signatures were delivered back
+    assert "crawl-1" in RT._committed_batches(spark, store)
+    ids_in_store = {
+        r.id for r in spark.read.parquet(f"{store}/bands").select("id").collect()
+    }
+    assert 11 in ids_in_store and 10 not in ids_in_store
+
+    # validation
+    df = spark.createDataFrame([(1, "x")], "id long, response string")
+    with _pytest.raises(ValueError, match="batch_id"):
+        _run_indexing(spark, df, {"dedup": {"path": store, "action": "extend"}})
+    with _pytest.raises(ValueError, match="action"):
+        _run_indexing(spark, df, {"dedup": {"path": store, "action": "probe"}})
+
+
+def test_streaming_dedup_store_delivery_stream_equals_batch(spark, tmp_path):
+    """r14: streamed signature deliveries — probes of the stream-grown store
+    equal a store built directly over the union."""
+    from chat_data_pipeline_spark.operators import dedup_store as DS
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from chat_data_pipeline_spark.streaming.pipeline import (
+        streaming_dedup_store_delivery,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    store = str(tmp_path / "live_sigs")
+    DS.build_dedup_index(docs.filter(F.col("doc_id") % 3 == 0), store, family="md5")
+    feed = tmp_path / "sig_feed"
+    feed.mkdir()
+    docs.filter(F.col("doc_id") % 3 == 1).repartition(1).write.parquet(
+        str(feed / "f1.parquet")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*")
+    )
+    q = streaming_dedup_store_delivery(stream, store, str(tmp_path / "ckpt_sigs"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(RT._committed_batches(spark, store)) == 2
+    new = docs.filter(F.col("doc_id") % 3 == 2)
+    direct = str(tmp_path / "direct_sigs")
+    DS.build_dedup_index(docs.filter(F.col("doc_id") % 3 != 2), direct, family="md5")
+    got = sorted(
+        r.doc_id for r in DS.filter_against_dedup_index(spark, store, new).collect()
+    )
+    want = sorted(
+        r.doc_id for r in DS.filter_against_dedup_index(spark, direct, new).collect()
+    )
+    assert got == want and 0 < len(got) < new.count()
