@@ -162,6 +162,9 @@ BENCH_QUERIES = [
     # builds behind the build-once memo; best-of-3 reads the steady-state
     # probe — one NEW-side fingerprint pass + one band semi-join)
     "dedup_onboarding_indexed",
+    # round-14: text-index observability (reads the delete-serving
+    # artifact's own aggregates; O(batches) output)
+    "bm25_index_health",
 ]
 
 

@@ -980,3 +980,69 @@ def bm25_topk_indexed_batch(
         .filter(F.col("rank") <= int(k))
         .select(query_id_col, id_col, "bm25", "rank")
     )
+
+
+def text_index_health(spark, index_path: str) -> DataFrame:
+    """Per-delivery health report for the persisted BM25 index — the text
+    twin of ``similarity.ivf_index_drift_report``: one row per
+    ledger-committed batch straight from the index's own artifacts, no
+    corpus access.
+
+    Columns: ``(batch, n_docs, sum_dl, n_terms, sum_df, n_postings,
+    n_tombstones)``.  A DELETE delivery reads as its negative footprint —
+    negative n_docs/sum_dl/sum_df, zero postings, positive tombstones — so
+    the report doubles as the audit that a takedown landed with exactly
+    the subtraction it should have; the batch SUMS give the live totals a
+    probe serves.  Operational signals: many small batches → compact
+    (probe pays an N-way merge), large n_tombstones → compact (probe pays
+    the anti-join), sum over batches of sum_df trending far below
+    n_postings → deletes outpacing compaction.
+
+    Scale shape: postings are touched only by a count aggregate
+    (map-side-combined, no row leaves the executors); dfreq/stats/
+    tombstones are term-/batch-/id-sized.  O(batches) output rows."""
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
+
+    def _per_batch(sub: str, schema: str, aggs: list, names: list[str]) -> DataFrame:
+        fs, path, _jvm = _fs_for(spark, f"{index_path}/{sub}")
+        if not fs.exists(path):
+            out = spark.createDataFrame(
+                [], "batch string, " + ", ".join(f"{n} long" for n in names)
+            )
+            return out
+        return (
+            spark.read.schema(schema)
+            .parquet(f"{index_path}/{sub}")
+            .filter(F.col("batch").isin(committed))
+            .groupBy(F.col("batch").cast("string").alias("batch"))
+            .agg(*[a.cast("long").alias(n) for a, n in zip(aggs, names)])
+        )
+
+    stats = _per_batch(
+        "stats",
+        "n_docs long, sum_dl long",
+        [F.sum("n_docs"), F.sum("sum_dl")],
+        ["n_docs", "sum_dl"],
+    )
+    dfreq = _per_batch(
+        "dfreq",
+        "term string, df long",
+        [F.count("*"), F.sum("df")],
+        ["n_terms", "sum_df"],
+    )
+    postings = _per_batch(
+        "postings",
+        f"doc {meta.id_type}, dl int, term string, tf long",
+        [F.count("*")],
+        ["n_postings"],
+    )
+    tombs = _per_batch(
+        "tombstones", f"doc {meta.id_type}", [F.count("*")], ["n_tombstones"]
+    )
+    out = stats
+    for other in (dfreq, postings, tombs):
+        out = out.join(other, "batch", "full_outer")
+    fill = {c: 0 for c in ("n_docs", "sum_dl", "n_terms", "sum_df",
+                           "n_postings", "n_tombstones")}
+    return out.fillna(fill).orderBy("batch")

@@ -5000,7 +5000,10 @@ def docs_bm25_batch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus, which is exactly what this oracle computes; the df/idf shift "
     "from the deletions is part of the check, not just the id filtering",
 )
-def docs_bm25_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_del_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """The shared build-once artifact of the delete-serving family: full
+    corpus indexed, then the doc_id%7==3 slice tombstoned as one
+    'takedown' delivery."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     idx = _run_scoped_path("bm25_del_index", sf_dir)
 
@@ -5013,11 +5016,56 @@ def docs_bm25_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_id="takedown",
         )
 
-    # SERVING row: build+delete once per run, probe steady-state
     _build_once(idx, _mk)
+    return idx
+
+
+def docs_bm25_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SERVING row: build+delete once per run, probe steady-state
+    idx = _bm25_del_artifact(spark, sf_dir)
     return RT.bm25_topk_indexed(
         spark, idx, ["join", "hash", "scan", "window", "sort"], k=10
     )
+
+
+@_register(
+    "bm25_index_health",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS ws
+      FROM documents
+    ), dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+    dt AS (SELECT DISTINCT t.doc_id, tok.s AS term
+           FROM toks t, unnest(t.ws) AS tok(s))
+    SELECT 'base' AS batch,
+           CAST((SELECT COUNT(*) FROM dl) AS BIGINT) AS n_docs,
+           CAST((SELECT COALESCE(SUM(dl), 0) FROM dl) AS BIGINT) AS sum_dl,
+           CAST((SELECT COUNT(DISTINCT term) FROM dt) AS BIGINT) AS n_terms,
+           CAST((SELECT COUNT(*) FROM dt) AS BIGINT) AS sum_df,
+           CAST((SELECT COUNT(*) FROM dt) AS BIGINT) AS n_postings,
+           CAST(0 AS BIGINT) AS n_tombstones
+    UNION ALL
+    SELECT 'takedown' AS batch,
+           CAST(-(SELECT COUNT(*) FROM dl WHERE doc_id % 7 = 3) AS BIGINT),
+           CAST(-(SELECT COALESCE(SUM(dl), 0) FROM dl WHERE doc_id % 7 = 3) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT term) FROM dt WHERE doc_id % 7 = 3) AS BIGINT),
+           CAST(-(SELECT COUNT(*) FROM dt WHERE doc_id % 7 = 3) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM dl WHERE doc_id % 7 = 3) AS BIGINT)
+    """,
+    "text-index health report (r14): the BM25 twin of the IVF drift "
+    "report — one row per ledger-committed batch straight from the "
+    "index's OWN artifacts (stats/dfreq/postings/tombstones aggregates, "
+    "no corpus access, O(batches) output).  A DELETE delivery reads as "
+    "its negative footprint — negative n_docs/sum_dl/sum_df, zero "
+    "postings, positive tombstones — so the report audits that a "
+    "takedown landed with exactly the subtraction it should have; the "
+    "oracle recomputes both batches' expected footprints from the corpus "
+    "from scratch, value-hashing the whole build+delete bookkeeping",
+)
+def bm25_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _bm25_del_artifact(spark, sf_dir)
+    return RT.text_index_health(spark, idx)
 
 
 @_register(
@@ -8294,6 +8342,14 @@ _WINDOW_TAIL.append("conversation_structure")
 # e2e pytest still drives it every suite run, and the diagnostics family
 # keeps events_key_skew + corpus_hll_distinct in-window.
 _WINDOW_TAIL.append("docs_quality_gate")
+# round-14 rule-1, fifth batch: bm25_index_health (the text index's
+# observability twin of the IVF drift report, never-driver-verified, its
+# oracle recomputing both batches' footprints from the corpus) enters by
+# registration; domain_doc_counts makes room — r13 hash-green, its
+# analysis region untouched this round, and the domain/lang family keeps
+# docs_script_mix in-window with lang_id_counts in the full-registry
+# sweep.
+_WINDOW_TAIL.append("domain_doc_counts")
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

@@ -1066,3 +1066,33 @@ def test_hybrid_rrf_composes_the_two_persisted_arms(spark, tmp_path):
             10**9 // (60 + d[key]) for d in (lex_r, vec_r) if key in d
         )
         assert r.rrf_nanos == want and want > 0
+
+
+def test_text_index_health_reports_the_lifecycle(spark, tmp_path):
+    """The health report mirrors each delivery's exact footprint: positive
+    for build/extends, negative for a delete, and collapses to one clean
+    base row after compaction; batch SUMS equal the live corpus facts."""
+    docs = _delete_corpus(spark)
+    idx = str(tmp_path / "health_idx")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 3 != 2), idx)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 3 == 2), idx, batch_id="b1")
+    victims = docs.filter(F.col("doc_id") % 7 == 3)
+    RT.delete_from_text_index(
+        spark, idx, victims.select("doc_id"), batch_id="take"
+    )
+    rows = {r.batch: r for r in RT.text_index_health(spark, idx).collect()}
+    assert set(rows) == {"base", "b1", "take"}
+    n_victims = victims.count()
+    assert rows["take"].n_docs == -n_victims
+    assert rows["take"].n_tombstones == n_victims
+    assert rows["take"].n_postings == 0
+    assert rows["take"].sum_df < 0 and rows["take"].sum_dl < 0
+    assert rows["base"].n_docs + rows["b1"].n_docs - n_victims == docs.count() - n_victims
+    live_docs = sum(r.n_docs for r in rows.values())
+    assert live_docs == docs.count() - n_victims
+    # compaction folds to one clean base row with the same live totals
+    RT.compact_text_index(spark, idx)
+    after = RT.text_index_health(spark, idx).collect()
+    assert len(after) == 1 and after[0].batch == "base"
+    assert after[0].n_docs == live_docs and after[0].n_tombstones == 0
+    assert after[0].sum_dl == sum(r.sum_dl for r in rows.values())
