@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     # round-14: text-index observability (reads the delete-serving
     # artifact's own aggregates; O(batches) output)
     "bm25_index_health",
+    "dedup_store_health",
 ]
 
 

@@ -307,3 +307,47 @@ def compact_dedup_index(spark, index_path: str, dst_index: str | None = None) ->
             meta.id_type, meta.sig_type, meta.text_col, meta.id_col,
         ),
     )
+
+
+def dedup_store_health(spark, index_path: str) -> DataFrame:
+    """Per-delivery health report for the signature store — completing the
+    observability trilogy (``retrieval.text_index_health``,
+    ``similarity.ivf_index_drift_report``): one row per ledger-committed
+    batch from the store's OWN artifacts, no corpus access.
+
+    Columns: ``(batch, n_rows, n_ids, n_tombstones)`` — posting rows,
+    distinct reference docs, and takedown ids per delivery.  A delete
+    delivery reads as (0, 0, k).  Signals: ``n_rows / n_ids`` far from the
+    banding width means shingle-less docs dominate a delivery (they carry
+    no rows and can never subtract near-dups); a large tombstone count →
+    compact, every probe pays the anti-join until then.
+
+    Scale shape: one map-side-combined count agg over the postings plus an
+    id-sized tombstone count; O(batches) output rows."""
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
+    bands = (
+        spark.read.schema(f"id {meta.id_type}, sig {meta.sig_type}")
+        .parquet(f"{index_path}/bands")
+        .filter(F.col("batch").isin(committed))
+        .groupBy(F.col("batch").cast("string").alias("batch"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("id").cast("long").alias("n_ids"),
+        )
+    )
+    fs, tpath, _jvm = _fs_for(spark, f"{index_path}/tombstones")
+    if fs.exists(tpath):
+        tombs = (
+            spark.read.schema(f"doc {meta.id_type}")
+            .parquet(f"{index_path}/tombstones")
+            .filter(F.col("batch").isin(committed))
+            .groupBy(F.col("batch").cast("string").alias("batch"))
+            .agg(F.count("*").cast("long").alias("n_tombstones"))
+        )
+    else:
+        tombs = spark.createDataFrame([], "batch string, n_tombstones long")
+    out = bands.join(tombs, "batch", "full_outer")
+    return out.fillna(
+        {"n_rows": 0, "n_ids": 0, "n_tombstones": 0}
+    ).orderBy("batch")

@@ -2469,6 +2469,63 @@ def dedup_onboarding_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_store_health",
+    r"""
+    WITH dl AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS n
+      FROM documents
+    )
+    SELECT 'base' AS batch,
+           CAST(4 * (SELECT COUNT(*) FROM dl WHERE n >= 5 AND doc_id % 3 = 0)
+                AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM dl WHERE n >= 5 AND doc_id % 3 = 0)
+                AS BIGINT) AS n_ids,
+           CAST(0 AS BIGINT) AS n_tombstones
+    UNION ALL
+    SELECT 'crawl-1',
+           CAST(4 * (SELECT COUNT(*) FROM dl WHERE n >= 5 AND doc_id % 3 = 1)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM dl WHERE n >= 5 AND doc_id % 3 = 1)
+                AS BIGINT),
+           CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'take-1', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 9 = 0)
+                AS BIGINT)
+    """,
+    "signature-store health report (r14): one row per ledger-committed "
+    "delivery from the store's OWN artifacts — posting rows, distinct "
+    "reference docs, takedown ids — completing the observability trilogy "
+    "(text_index_health, ivf_index_drift_report); shingle-less docs carry "
+    "no rows (they can never subtract near-dups), the takedown delivery "
+    "reads as (0, 0, k), and the oracle recomputes every delivery's "
+    "expected footprint from the corpus (eligible docs x num_bands rows), "
+    "so the hash audits the store's whole bookkeeping",
+)
+def dedup_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import dedup_store as DSTORE
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = _run_scoped_path("dedup_store", sf_dir)
+
+    def _mk() -> None:
+        DSTORE.build_dedup_index(docs.filter(F.col("doc_id") % 3 == 0), idx, family="md5")
+        DSTORE.extend_dedup_index(
+            docs.filter(F.col("doc_id") % 3 == 1), idx, batch_id="crawl-1"
+        )
+        DSTORE.delete_from_dedup_index(
+            spark,
+            idx,
+            docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"),
+            batch_id="take-1",
+        )
+
+    _build_once(idx, _mk)
+    return DSTORE.dedup_store_health(spark, idx)
+
+
+@_register(
     "corpus_source_similarity",
     r"""
     WITH toks AS (
@@ -8350,6 +8407,13 @@ _WINDOW_TAIL.append("docs_quality_gate")
 # docs_script_mix in-window with lang_id_counts in the full-registry
 # sweep.
 _WINDOW_TAIL.append("domain_doc_counts")
+# round-14 rule-1, sixth batch: dedup_store_health (the signature store's
+# bookkeeping audit, never-driver-verified, from-scratch oracle) enters
+# by registration; split_by_filter makes room — r13 hash-green, the
+# filter-framework region untouched this round, and the family keeps
+# pipeline_output_preset, pipeline_lifecycle and split_train_val_test
+# in-window.
+_WINDOW_TAIL.append("split_by_filter")
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

@@ -126,3 +126,36 @@ def test_store_compact_dst_and_idempotent_build(spark, docs, tmp_path):
     assert got == _ids(
         D.cross_corpus_minhash_filter_md5(new, ref_a, "text", "doc_id")
     )
+
+
+def test_dedup_store_health_reports_the_lifecycle(spark, docs, tmp_path):
+    """Per-delivery footprints: positive for build/extends, (0, 0, k) for a
+    takedown, shingle-less docs carrying no rows; compaction collapses to
+    one clean base row with the live totals."""
+    idx = str(tmp_path / "health_store")
+    ref_a = docs.filter((F.col("doc_id") % 3 == 0) | (F.col("doc_id") == 90_001))
+    ref_b = docs.filter(F.col("doc_id") % 3 == 1)
+    DS.build_dedup_index(ref_a, idx, family="md5")
+    DS.extend_dedup_index(ref_b, idx, batch_id="b1")
+    victims = ref_b.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    DS.delete_from_dedup_index(spark, idx, victims, batch_id="take")
+    rows = {r.batch: r for r in DS.dedup_store_health(spark, idx).collect()}
+    assert set(rows) == {"base", "b1", "take"}
+
+    def eligible(df):
+        # shingle-less docs (< 5 tokens, like the synthetic 90_001/90_002)
+        # are in the delivery but carry no posting rows
+        return df.filter(
+            F.size(F.split(F.lower("text"), r"[^\w]+")) >= 5
+        ).count()
+
+    assert rows["base"].n_ids == eligible(ref_a) < ref_a.count()
+    assert rows["base"].n_rows == 4 * rows["base"].n_ids
+    assert rows["b1"].n_ids == eligible(ref_b)
+    assert rows["take"].n_rows == 0 and rows["take"].n_ids == 0
+    assert rows["take"].n_tombstones == victims.count()
+    DS.compact_dedup_index(spark, idx)
+    after = DS.dedup_store_health(spark, idx).collect()
+    assert len(after) == 1 and after[0].batch == "base"
+    assert after[0].n_tombstones == 0
+    assert after[0].n_ids == rows["base"].n_ids + rows["b1"].n_ids - victims.count()

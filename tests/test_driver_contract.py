@@ -93,6 +93,7 @@ def test_correctness_window_is_all_oracle_backed():
         "ann_ivf_rebuild_report",
         "docs_bm25_delete_serving", "ann_ivf_delete_serving",
         "docs_hybrid_rrf", "dedup_onboarding_indexed", "bm25_index_health",
+        "dedup_store_health",
         "docs_bm25_indexed", "docs_bm25_topk_indexed",
         "docs_bm25_batch_serving", "ann_topk_ivf_persisted",
         # round-14 staleness rotation rule 3 — the complete r9 band:
@@ -109,7 +110,7 @@ def test_correctness_window_is_all_oracle_backed():
         "quality_classifier_scores", "docs_classifier_gate",
         "conversation_pairs", "multimodal_features", "pipeline_lifecycle",
         "pipeline_output_preset",
-        "split_train_val_test", "split_by_filter",
+        "split_train_val_test",
         "docs_redact_pii",
         "dedup_semantic", "docs_bigram_lm", "multimodal_image_dedup",
         "corpus_hll_distinct",
