@@ -5057,6 +5057,14 @@ def docs_bm25_batch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus, which is exactly what this oracle computes; the df/idf shift "
     "from the deletions is part of the check, not just the id filtering",
 )
+def docs_bm25_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SERVING row: build+delete once per run, probe steady-state
+    idx = _bm25_del_artifact(spark, sf_dir)
+    return RT.bm25_topk_indexed(
+        spark, idx, ["join", "hash", "scan", "window", "sort"], k=10
+    )
+
+
 def _bm25_del_artifact(spark: SparkSession, sf_dir: str) -> str:
     """The shared build-once artifact of the delete-serving family: full
     corpus indexed, then the doc_id%7==3 slice tombstoned as one
@@ -5075,14 +5083,6 @@ def _bm25_del_artifact(spark: SparkSession, sf_dir: str) -> str:
 
     _build_once(idx, _mk)
     return idx
-
-
-def docs_bm25_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SERVING row: build+delete once per run, probe steady-state
-    idx = _bm25_del_artifact(spark, sf_dir)
-    return RT.bm25_topk_indexed(
-        spark, idx, ["join", "hash", "scan", "window", "sort"], k=10
-    )
 
 
 @_register(
