@@ -151,3 +151,23 @@ def test_correctness_window_covers_unverified_queries():
     never = [n for n in names if n in oracles and n not in verified]
     outside = [n for n in never if n not in window]
     assert not outside, f"never-driver-verified queries outside the window: {outside}"
+
+
+def test_registered_fns_declare_dataframe_returns():
+    """Static wiring lint (r14 incident): a decorator accidentally applied
+    to a helper inserted between @_register and its query function put a
+    str-returning callable in the registry — the parity sweep catches it
+    only when that row happens to re-run.  Every registered fn must
+    declare a DataFrame return (milliseconds, no execution)."""
+    import inspect
+
+    from pyspark.sql import DataFrame
+
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    bad = [
+        (name, inspect.signature(q.fn).return_annotation)
+        for name, q in REGISTRY.items()
+        if inspect.signature(q.fn).return_annotation not in ("DataFrame", DataFrame)
+    ]
+    assert not bad, bad
