@@ -241,3 +241,25 @@ def test_banding_calibration_survives_clone_blowup(big):
     assert hist.get(10, 0) >= n_exact_groups * 1
     # and clone mass dominates: the exact bucket is the heaviest
     assert hist[10] == max(hist.values())
+
+
+def test_index_delete_lifecycle_survives_clone_blowup(big, spark, tmp_path_factory):
+    """r14: the takedown path at 20× — build the BM25 index over the ~10k-doc
+    replicated corpus, tombstone 10% of it in one delivery, and serve: the
+    delete's victim semi-join, the negative-stats merge and the probe-side
+    anti-join must all hold at clone-blowup scale, and the post-delete
+    top-k must contain no victim."""
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    idx = str(tmp_path_factory.mktemp("stress_del") / "bm25")
+    RT.build_text_index(big, idx)
+    victims = big.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    n_victims = victims.count()
+    RT.delete_from_text_index(spark, idx, victims, batch_id="take")
+    out = RT.bm25_topk_indexed(
+        spark, idx, ["join", "hash", "scan", "window", "sort"], k=50
+    ).collect()
+    assert out and all(r.doc_id % 10 != 3 for r in out)
+    health = {r.batch: r for r in RT.text_index_health(spark, idx).collect()}
+    assert health["take"].n_docs == -n_victims
+    assert health["base"].n_docs - n_victims == big.count() - n_victims
