@@ -34,6 +34,8 @@ class PlanReport:
     wholestage_ids: int       # distinct WholeStageCodegen spans
     pushed_filters: list[str]  # per-scan PushedFilters payloads
     read_schemas: list[str]    # per-scan ReadSchema payloads (column pruning)
+    partition_filters: list[str]  # per-scan PartitionFilters (listing pruning)
+    text: str                  # the full formatted plan (join-type asserts)
 
     @property
     def scans_are_pruned(self) -> bool:
@@ -122,4 +124,6 @@ def plan_report(df: DataFrame) -> PlanReport:
         wholestage_ids=len(set(re.findall(r"codegen id : (\d+)", text))),
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", text),
         read_schemas=re.findall(r"ReadSchema: (\S+)", text),
+        partition_filters=re.findall(r"PartitionFilters: \[([^\]]*)\]", text),
+        text=text,
     )

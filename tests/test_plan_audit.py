@@ -516,3 +516,66 @@ def test_q11_q20_q21_broadcast_discipline(spark):
                 sub,
             )
         assert plan_report(df).n_python_stages == 0, name
+
+
+def test_post_delete_probe_plan_keeps_pruning_and_broadcasts_the_anti_join(
+    spark, docs, tmp_path
+):
+    """r14 tombstone serving: the probe after a delete must (a) still prune
+    the postings at the LISTING — batch and bkt partition filters intact —
+    and (b) hide the tombstones via a BROADCAST LeftAnti, never a
+    shuffle-both-sides anti join on the small id set."""
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    idx = str(tmp_path / "plan_del")
+    RT.build_text_index(docs.select("doc_id", "text"), idx)
+    RT.delete_from_text_index(
+        spark, idx, docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+        batch_id="take",
+    )
+    out = RT.bm25_topk_indexed(spark, idx, ["join", "hash"], k=10)
+    r = plan_report(out)
+    assert any("batch" in p and "bkt" in p for p in r.partition_filters), (
+        r.partition_filters
+    )
+    assert "BroadcastHashJoin LeftAnti" in r.text
+    assert r.scans_are_pruned
+
+
+def test_rrf_fusion_is_query_sized(spark):
+    """The fusion downstream of the arms is one partial-aggregated groupBy
+    + one per-query window — two exchanges over query-sized rows, zero
+    Python, zero scans of its own."""
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, doc_id long, rank int"
+    )
+    r = plan_report(RT.rrf_fuse([lex, vec], k=10))
+    assert r.n_python_stages == 0
+    assert r.n_exchanges <= 2, r.n_exchanges
+    # partial aggregation before the (query, id) shuffle (map-side combine)
+    assert "partial" in r.text.lower()
+
+
+def test_dedup_store_probe_reads_explicit_schemas(spark, docs, tmp_path):
+    """The store probe must read the persisted bands with the meta-supplied
+    explicit schema (no footer sampling) and keep the reference side to
+    signatures — no text column in any store-side ReadSchema."""
+    from chat_data_pipeline_spark.operators import dedup_store as DS
+
+    idx = str(tmp_path / "plan_store")
+    DS.build_dedup_index(
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"), idx,
+        family="md5",
+    )
+    out = DS.filter_against_dedup_index(
+        spark, idx, docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    )
+    r = plan_report(out)
+    assert r.scans_are_pruned
+    band_scans = [s for s in r.read_schemas if "sig" in s]
+    assert band_scans and all("text" not in s for s in band_scans), r.read_schemas
