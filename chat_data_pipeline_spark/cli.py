@@ -329,6 +329,8 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
                                       #   | compact
                                       #   | rebuild (coarse-retrain+cutover)
             batch_id: delivery-042    # required for extend / delete
+            ids_dataset: /ids.parquet # optional delete-id table; default:
+                                      # this run's curated rows' id_expr
             dst_path: /indexes/v2     # optional for compact/rebuild
             alias: /indexes/ann_serving   # optional cutover pointer
           dedup:
@@ -363,6 +365,24 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
         _run_ivf_indexing(spark, df, dict(index_cfg.get("ivf") or {}))
     if "dedup" in index_cfg:
         _run_dedup_store_indexing(spark, df, dict(index_cfg.get("dedup") or {}))
+
+
+def _finish_with_alias(
+    spark: SparkSession, spec: dict, action: str, dst_writing_actions: tuple
+) -> None:
+    """Optional serving-alias cutover AFTER an index action lands — the ONE
+    implementation of the 'dst_path only counts for the action that writes
+    it' rule (previously triplicated across the three index kinds, r14
+    review): a reused config carrying a stale dst_path with
+    action=build/extend/delete must swap serving to `path`, never to
+    whatever old root dst_path still names."""
+    if not spec.get("alias"):
+        return
+    from chat_data_pipeline_spark.operators.retrieval import swap_index_alias
+
+    dst = str(spec["dst_path"]) if spec.get("dst_path") else None
+    final = dst if action in dst_writing_actions and dst else str(spec["path"])
+    swap_index_alias(spark, str(spec["alias"]), final)
 
 
 def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
@@ -416,16 +436,7 @@ def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             "index.bm25 action must be 'build', 'extend', 'delete' or "
             f"'compact', got {action!r}"
         )
-    if spec.get("alias"):
-        # dst_path is only honored for the action that WRITES it — a reused
-        # config carrying a stale dst_path with action=build/extend must
-        # not cut serving over to the old root it names
-        final = (
-            str(spec["dst_path"])
-            if action == "compact" and spec.get("dst_path")
-            else str(spec["path"])
-        )
-        RT.swap_index_alias(spark, str(spec["alias"]), final)
+    _finish_with_alias(spark, spec, action, ("compact",))
     logger.info("index.bm25: %s %s", action, spec["path"])
 
 
@@ -484,11 +495,22 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         SIM.extend_ivf_index(source, path, spec["batch_id"])
     elif action == "delete":
         # takedown delivery: tombstone the vector ids without a rebuild —
-        # ids from this run's curated rows by default, or from `dataset:`
-        # (the same id table layout the build/extend vectors come from)
+        # ids from this run's curated rows by default, or from
+        # `ids_dataset:` (NOT `dataset:`, which names the build/extend
+        # VECTOR source: a reused extend config flipped to action=delete
+        # would otherwise tombstone the entire embeddings table silently —
+        # the same stale-key hazard class as dst_path, r14 review)
+        if spec.get("dataset"):
+            raise ValueError(
+                "index.ivf action=delete takes `ids_dataset`, not `dataset` "
+                "(which names the build/extend vector source); remove the "
+                "stale `dataset:` key or rename it"
+            )
         id_expr = str(spec.get("id_expr", "id"))
         base = (
-            spark.read.parquet(str(spec["dataset"])) if spec.get("dataset") else df
+            spark.read.parquet(str(spec["ids_dataset"]))
+            if spec.get("ids_dataset")
+            else df
         )
         SIM.delete_from_ivf_index(
             spark, path, base.select(F.expr(id_expr)), spec["batch_id"]
@@ -505,14 +527,7 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             n_centroids=int(spec["n_centroids"]) if spec.get("n_centroids") else None,
             seed=int(spec.get("seed", 42)),
         )
-    if spec.get("alias"):
-        from chat_data_pipeline_spark.operators.retrieval import swap_index_alias
-
-        # dst_path only counts for the actions that write it (see the bm25
-        # twin): build/extend with a stale dst_path in the spec must swap
-        # to `path`, not to whatever old root dst_path still names
-        final = dst if action in ("compact", "rebuild") and dst else path
-        swap_index_alias(spark, str(spec["alias"]), final)
+    _finish_with_alias(spark, spec, action, ("compact", "rebuild"))
     logger.info("index.ivf: %s %s", action, path)
 
 
@@ -577,12 +592,7 @@ def _run_dedup_store_indexing(spark: SparkSession, df: DataFrame, spec: dict) ->
             path,
             dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
         )
-    if spec.get("alias"):
-        from chat_data_pipeline_spark.operators.retrieval import swap_index_alias
-
-        dst = str(spec["dst_path"]) if spec.get("dst_path") else None
-        final = dst if action == "compact" and dst else path
-        swap_index_alias(spark, str(spec["alias"]), final)
+    _finish_with_alias(spark, spec, action, ("compact",))
     logger.info("index.dedup: %s %s", action, path)
 
 
@@ -608,18 +618,28 @@ def _run_onboarding(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame
     store = str(spec["store"])
     column = str(spec.get("column", "response"))
     id_expr = str(spec.get("id_expr", "id"))
-    meta = spark.read.parquet(f"{store}/meta").first()
-    src = df.withColumn(meta.id_col, F.expr(id_expr)).withColumn(
-        meta.text_col, F.col(column)
+    # probe under a reserved temp id column: writing the store's meta
+    # column names into df would silently OVERWRITE a curated column that
+    # happens to share a name but maps a different expression (r14 review)
+    src = df.withColumn("__onboard_id__", F.expr(id_expr))
+    kept = DS.filter_against_dedup_index(
+        spark, store, src, column=column, id_col="__onboard_id__"
     )
-    kept = DS.filter_against_dedup_index(spark, store, src)
     if spec.get("deliver_batch_id"):
         # delivery is EAGER (it writes the store artifacts); the returned
-        # plan stays lazy for the output write
-        DS.extend_dedup_index(kept, store, spec["deliver_batch_id"])
-    extra = [c for c in (meta.id_col, meta.text_col) if c not in df.columns]
+        # plan stays lazy for the output write.  The delivered frame
+        # aliases to the store meta's column names without touching `kept`.
+        meta = spark.read.parquet(f"{store}/meta").first()
+        DS.extend_dedup_index(
+            kept.select(
+                F.col("__onboard_id__").alias(meta.id_col),
+                F.col(column).alias(meta.text_col),
+            ),
+            store,
+            spec["deliver_batch_id"],
+        )
     logger.info("onboard: filtered against %s", store)
-    return kept.drop(*extra) if extra else kept
+    return kept.drop("__onboard_id__")
 
 
 def run_config(spark: SparkSession, config: dict) -> DataFrame:

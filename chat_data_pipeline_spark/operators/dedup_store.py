@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from chat_data_pipeline_spark.operators.retrieval import (
     _committed_batches,
     _fs_for,
+    _guard_batch_id_kind,
     _guard_tombstoned_delivery,
     _tombstoned_ids,
     cluster_for_partitioned_write,
@@ -193,6 +194,9 @@ def extend_dedup_index(
     refused until compaction (same contract as the other indexes)."""
     batch_id = validate_batch_id(batch_id)
     spark = df.sparkSession
+    _guard_batch_id_kind(
+        spark, index_path, batch_id, "tombstones", "extension", "delete"
+    )
     meta = spark.read.parquet(f"{index_path}/meta").first()
     _guard_tombstoned_delivery(
         df.select(meta.id_col), index_path, meta.id_col
@@ -224,6 +228,9 @@ def delete_from_dedup_index(
     anti-join before the (band, sig) keys are formed; no additive state to
     adjust.  Compaction makes it physical and clears the set."""
     batch_id = validate_batch_id(batch_id)
+    _guard_batch_id_kind(
+        spark, index_path, batch_id, "bands", "delete", "extension"
+    )
     meta = spark.read.parquet(f"{index_path}/meta").first()
     committed = _committed_batches(spark, index_path)
     want = ids.select(

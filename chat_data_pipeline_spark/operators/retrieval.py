@@ -421,15 +421,45 @@ def extend_text_index(
     tombstones, then re-deliver.  The guard costs nothing until the index
     has seen a delete (one directory existence check), then one
     delivery-sized semi-join per delivery."""
+    bid = validate_batch_id(batch_id)
+    _guard_batch_id_kind(
+        docs.sparkSession, index_path, bid, "tombstones", "extension", "delete"
+    )
     _guard_tombstoned_delivery(docs, index_path, id_col)
     build_text_index(
         docs,
         index_path,
         text_col,
         id_col,
-        batch_id=validate_batch_id(batch_id),
+        batch_id=bid,
         _clear=False,
     )
+
+
+def _guard_batch_id_kind(
+    spark,
+    index_path: str,
+    batch_id: str,
+    other_kind_dir: str,
+    this_kind: str,
+    other_kind: str,
+) -> None:
+    """Deletes and extensions share one ledger namespace, but replay
+    idempotence is SAME-KIND only: a delete re-using a committed
+    extension's id would statically overwrite that batch's dfreq/stats
+    with the victims' negatives while its postings survived (silently
+    corrupt idf/avgdl); an extension re-using a delete's id would replace
+    the negatives while the tombstones kept hiding live docs.  One FS
+    existence probe on the OTHER kind's batch dir fails the cross-kind
+    reuse loudly — uncommitted remnants count too, since committing this
+    delivery would make the crashed other-kind artifacts visible."""
+    fs, p, _jvm = _fs_for(spark, f"{index_path}/{other_kind_dir}/batch={batch_id}")
+    if fs.exists(p):
+        raise ValueError(
+            f"batch id {batch_id!r} already names a {other_kind} delivery of "
+            f"{index_path}; {this_kind} deliveries must use a distinct id "
+            "(replay idempotence is same-kind only)"
+        )
 
 
 def _guard_tombstoned_delivery(docs: DataFrame, index_path: str, id_col: str) -> None:
@@ -519,6 +549,9 @@ def delete_from_text_index(
     Compaction is the pressure valve: it drops tombstoned docs physically
     and clears the set."""
     batch_id = validate_batch_id(batch_id)
+    _guard_batch_id_kind(
+        spark, index_path, batch_id, "postings", "delete", "extension"
+    )
     meta = spark.read.parquet(f"{index_path}/meta").first()
     committed = _committed_batches(spark, index_path)
     id_type = meta.id_type
@@ -657,6 +690,23 @@ def swap_index_alias(spark, alias_path: str, index_path: str) -> None:
     # history, never a broken alias)
     for name in existing[:-1]:
         fs.delete(jvm.org.apache.hadoop.fs.Path(adir, name), False)
+    # also sweep CRASHED swaps' staging files (a swapper that died between
+    # create and rename leaves an _tmp.v... orphan per attempt — invisible
+    # to resolution but unbounded growth otherwise).  Only strictly OLDER
+    # versions than the pointer just renamed are swept: a concurrent
+    # swapper's live staging file carries version >= nxt, and an older
+    # straggler whose tmp we delete would have LOST the (version, pid)
+    # tiebreak anyway — its rename now fails loudly instead of silently
+    # losing.
+    for st in fs.listStatus(adir):
+        name = st.getPath().getName()
+        if name.startswith("_tmp.v"):
+            try:
+                ver = int(name[len("_tmp.v"):].split("-")[0])
+            except ValueError:
+                continue
+            if ver < nxt:
+                fs.delete(st.getPath(), False)
 
 
 def resolve_index_alias(spark, alias_path: str) -> str:

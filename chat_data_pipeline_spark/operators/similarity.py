@@ -1434,6 +1434,16 @@ def build_ivf_index(
     from chat_data_pipeline_spark.operators.retrieval import invalidate_index_meta
 
     spark = df.sparkSession
+    # everything that can FAIL without writing — flavor validation and the
+    # kmeans driver-side training — runs BEFORE the live root is touched: a
+    # typo'd coarse kind or a failed retrain must leave a previously
+    # servable index serving, not meta-less (r14 review)
+    if coarse == "kmeans":
+        trained_centroids = _train_centroids(
+            df, vec_col, n_centroids, seed=seed, id_col=id_col
+        )
+    elif coarse != "md5":
+        raise ValueError(f"coarse must be 'md5' or 'kmeans', got {coarse!r}")
     # meta deleted FIRST / written LAST (r13 ADVICE): the delete must come
     # BEFORE the kmeans branch's centroids write, not just before the
     # postings write — otherwise an in-place rebuild crashing right after
@@ -1477,9 +1487,7 @@ def build_ivf_index(
             assign, schema=f"{id_col} {id_type}, {vec_col} {vec_type}, list int"
         )
     elif coarse == "kmeans":
-        centroids = _train_centroids(
-            df, vec_col, n_centroids, seed=seed, id_col=id_col
-        )
+        centroids = trained_centroids  # trained above, pre-invalidation
         dim = int(centroids.shape[1])
         cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
         # repartition(1), NOT coalesce(1): coalesce over a driver-parallelized
@@ -1494,8 +1502,6 @@ def build_ivf_index(
         ).select(
             id_col, vec_col, F.element_at("__lists__", 1).alias("list")
         )
-    else:
-        raise ValueError(f"coarse must be 'md5' or 'kmeans', got {coarse!r}")
     # the base lands under batch=base so the tree is uniformly two-level
     # (batch=*/list=*) and later extend_ivf_index deliveries interleave
     # without producing the mixed root layout partition discovery rejects;
@@ -1554,12 +1560,18 @@ def extend_ivf_index(
     import pandas as pd
 
     from chat_data_pipeline_spark.operators.retrieval import (
+        _guard_batch_id_kind,
         _guard_tombstoned_delivery,
         validate_batch_id,
     )
 
     batch_id = validate_batch_id(batch_id)
     spark = df.sparkSession
+    # cross-kind batch-id reuse is refused (same contract as the text
+    # index): replay idempotence is same-kind only
+    _guard_batch_id_kind(
+        spark, index_path, batch_id, "tombstones", "extension", "delete"
+    )
     meta = spark.read.parquet(f"{index_path}/meta").first()
     id_col, vec_col = meta.id_col, meta.vec_col
     # a delivery containing a tombstoned id is refused (same contract as
@@ -2428,12 +2440,16 @@ def delete_from_ivf_index(
     duplicate-free across deliveries."""
     from chat_data_pipeline_spark.operators.retrieval import (
         _committed_batches,
+        _guard_batch_id_kind,
         _tombstoned_ids,
         ledger_commit,
         validate_batch_id,
     )
 
     batch_id = validate_batch_id(batch_id)
+    _guard_batch_id_kind(
+        spark, index_path, batch_id, "postings", "delete", "extension"
+    )
     meta = spark.read.parquet(f"{index_path}/meta").first()
     committed = _committed_batches(spark, index_path)
     id_type = dict(

@@ -1096,3 +1096,54 @@ def test_text_index_health_reports_the_lifecycle(spark, tmp_path):
     assert len(after) == 1 and after[0].batch == "base"
     assert after[0].n_docs == live_docs and after[0].n_tombstones == 0
     assert after[0].sum_dl == sum(r.sum_dl for r in rows.values())
+
+
+def test_cross_kind_batch_id_reuse_is_refused(spark, tmp_path):
+    """r14 review: replay idempotence is same-kind only — a delete re-using
+    a committed extension's id would overwrite its df/stats with negatives
+    while the postings survived; the reverse would leave tombstones hiding
+    live docs.  Both directions fail loudly; same-kind replays still work."""
+    docs = _delete_corpus(spark)
+    idx = str(tmp_path / "kind_idx")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 3 == 0), idx)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 3 == 1), idx, batch_id="b1")
+    ids = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    with pytest.raises(ValueError, match="extension delivery"):
+        RT.delete_from_text_index(spark, idx, ids, batch_id="b1")
+    RT.delete_from_text_index(spark, idx, ids, batch_id="d1")
+    with pytest.raises(ValueError, match="delete delivery"):
+        RT.extend_text_index(
+            docs.filter(F.col("doc_id") % 3 == 2), idx, batch_id="d1"
+        )
+    # same-kind replays keep their idempotence (the re-extension avoids the
+    # tombstoned %7==3 slice — that refusal is the separate delivery guard)
+    RT.delete_from_text_index(spark, idx, ids, batch_id="d1")
+    RT.extend_text_index(
+        docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 7 != 3)),
+        idx,
+        batch_id="b1",
+    )
+
+
+def test_alias_swap_sweeps_crashed_staging_files(spark, tmp_path):
+    """A swapper that dies between create and rename leaves an _tmp orphan;
+    the next successful swap sweeps strictly-older orphans while the live
+    pointer chain stays intact."""
+    import os as _os
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "al_idx")
+    RT.build_text_index(docs, idx)
+    alias = str(tmp_path / "alias")
+    RT.swap_index_alias(spark, alias, idx)
+    # crash-sim: a staged-but-never-renamed pointer from an older attempt
+    orphan = f"{alias}/_tmp.v{0:012d}-{1:010d}"
+    with open(orphan, "w") as fh:
+        fh.write("/dead/root")
+    RT.swap_index_alias(spark, alias, idx)
+    assert not _os.path.exists(orphan)
+    assert RT.resolve_index_alias(spark, alias) == idx

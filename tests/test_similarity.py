@@ -1105,3 +1105,26 @@ def test_ivf_rebuild_after_delete_excludes_victims(spark, emb, queries, tmp_path
     got = _pp(spark, idx, queries, n_probe=3)
     want = _pp(spark, fresh, queries, n_probe=3)
     assert got == want and len(got) > 0
+
+
+def test_failed_ivf_rebuild_request_leaves_root_servable(spark, emb, queries, tmp_path):
+    """r14 review: flavor validation and the kmeans retrain run BEFORE the
+    live root's meta is invalidated — a typo'd coarse kind must raise
+    without bricking a serving index."""
+    idx = str(tmp_path / "ivf_guarded")
+    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
+    before = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    )
+    with pytest.raises(ValueError, match="coarse"):
+        SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="kmean", dim=64)
+    after = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    )
+    assert after == before  # still serving, bit-identical
+    # cross-kind batch-id guard on the ANN side
+    SIM.extend_ivf_index(emb.limit(3), idx, batch_id="b1")
+    with pytest.raises(ValueError, match="extension delivery"):
+        SIM.delete_from_ivf_index(
+            spark, idx, emb.limit(1).select("vec_id"), batch_id="b1"
+        )

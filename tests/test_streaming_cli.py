@@ -1756,7 +1756,7 @@ def test_cli_index_delete_action_both_kinds(spark, tmp_path):
         spark,
         df_unused,
         {"ivf": {"path": ivf, "action": "delete", "batch_id": "take-1",
-                 "dataset": vids, "id_expr": "vec_id"}},
+                 "ids_dataset": vids, "id_expr": "vec_id"}},
     )
     qs = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -1961,3 +1961,38 @@ def test_streaming_dedup_store_delivery_stream_equals_batch(spark, tmp_path):
         r.doc_id for r in DS.filter_against_dedup_index(spark, direct, new).collect()
     )
     assert got == want and 0 < len(got) < new.count()
+
+
+def test_onboard_block_does_not_clobber_colliding_columns(spark, tmp_path):
+    """r14 review: a store whose meta column names collide with curated
+    output columns mapping DIFFERENT expressions must not have those
+    columns overwritten by the onboarding probe."""
+    from chat_data_pipeline_spark.cli import _run_onboarding
+    from chat_data_pipeline_spark.operators import dedup_store as DS
+
+    ref = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "collide_store")
+    # store meta: id_col=doc_id, text_col=text (API defaults)
+    DS.build_dedup_index(ref, store, family="md5", ngram_size=3, min_ngram_size=3)
+    # curated rows carry their OWN 'text' and 'doc_id' columns with
+    # different content; onboarding maps id/response instead
+    df = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight",
+             "ORIGINAL-TEXT-A", 777),
+            (11, "entirely novel content about window functions and rows",
+             "ORIGINAL-TEXT-B", 888),
+        ],
+        "id long, response string, text string, doc_id long",
+    )
+    out = _run_onboarding(
+        spark, df, {"store": store, "column": "response", "id_expr": "id"}
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert set(rows) == {11}  # near-dup of the ref subtracted via response
+    assert rows[11].text == "ORIGINAL-TEXT-B"  # curated column untouched
+    assert rows[11].doc_id == 888
+    assert "__onboard_id__" not in out.columns
