@@ -415,3 +415,32 @@ def test_kmeans_rebuild_recovers_random_drift(spark, tmp_path):
         after["base"].mean_assign_score_micros
         > before["b1"].mean_assign_score_micros
     ), f"seed={seed}"
+
+
+def test_tombstone_delete_random_victims_equal_retained_build(spark):
+    """r14: the tombstone-delete exactness claim under a ROUND-ROTATING
+    victim set — a fresh random victim sample each round must leave probes
+    bit-identical to an index freshly built over the retained corpus, so
+    the negative-delivery arithmetic can't overfit the registered rows'
+    fixed %7 slice."""
+    import tempfile
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    seed = round_seed("tombstone-delete")
+    rng = random.Random(seed)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    victims = sorted(rng.sample(all_ids, k=len(all_ids) // rng.randint(4, 9)))
+    vdf = spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    base = tempfile.mkdtemp()
+    idx, fresh = f"{base}/del_idx", f"{base}/fresh_idx"
+    RT.build_text_index(docs, idx)
+    RT.delete_from_text_index(spark, idx, vdf, batch_id="takedown")
+    RT.build_text_index(docs.filter(~F.col("doc_id").isin(victims)), fresh)
+    terms = rng.sample(["join", "hash", "scan", "window", "sort", "the", "a"], k=4)
+    got = sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms).collect()))
+    want = sorted(map(tuple, RT.bm25_topk_indexed(spark, fresh, terms).collect()))
+    assert got == want and len(got) > 0, f"seed={seed}"
