@@ -467,18 +467,12 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         base = (
             spark.read.parquet(str(spec["dataset"])) if spec.get("dataset") else df
         )
-        if action == "build":
-            # a fresh build OWNS the meta: normalized internal column names
-            out_id, out_vec = "__vec_id__", "__vec__"
-        else:
-            # a delivery adopts the TARGET index's meta column names, so a
-            # config can extend an index built by any caller (CLI-built
-            # roots store __vec_id__/__vec__; API/streaming-built roots
-            # store whatever build_ivf_index was given)
-            meta = spark.read.parquet(f"{path}/meta").first()
-            out_id, out_vec = meta.id_col, meta.vec_col
+        # a fresh build OWNS the meta (normalized internal column names); a
+        # delivery passes the same temp names as OVERRIDES and the operator
+        # adopts the target's meta names itself — a config can extend an
+        # index built by any caller without the CLI pre-reading meta
         source = base.select(
-            F.expr(id_expr).alias(out_id), F.col(vec_col).alias(out_vec)
+            F.expr(id_expr).alias("__vec_id__"), F.col(vec_col).alias("__vec__")
         )
     if action == "build":
         SIM.build_ivf_index(
@@ -492,7 +486,9 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             seed=int(spec.get("seed", 42)),
         )
     elif action == "extend":
-        SIM.extend_ivf_index(source, path, spec["batch_id"])
+        SIM.extend_ivf_index(
+            source, path, spec["batch_id"], id_col="__vec_id__", vec_col="__vec__"
+        )
     elif action == "delete":
         # takedown delivery: tombstone the vector ids without a rebuild —
         # ids from this run's curated rows by default, or from
@@ -570,13 +566,12 @@ def _run_dedup_store_indexing(spark: SparkSession, df: DataFrame, spec: dict) ->
             seed=int(spec.get("seed", 42)),
         )
     elif action == "extend":
-        # adopt the TARGET store's meta column names (same contract as the
-        # ivf twin: a config can deliver into a store built by any caller)
-        meta = spark.read.parquet(f"{path}/meta").first()
-        source = df.select(
-            F.expr(id_expr).alias(meta.id_col), F.col(column).alias(meta.text_col)
+        # the operator resolves the target store's meta itself; the CLI
+        # just names its own columns (one meta read per delivery, not two)
+        source = df.select(F.expr(id_expr).alias("__sid__"), F.col(column))
+        DS.extend_dedup_index(
+            source, path, spec["batch_id"], column=column, id_col="__sid__"
         )
-        DS.extend_dedup_index(source, path, spec["batch_id"])
     elif action == "delete":
         base = (
             spark.read.parquet(str(spec["ids_dataset"]))
@@ -627,16 +622,13 @@ def _run_onboarding(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame
     )
     if spec.get("deliver_batch_id"):
         # delivery is EAGER (it writes the store artifacts); the returned
-        # plan stays lazy for the output write.  The delivered frame
-        # aliases to the store meta's column names without touching `kept`.
-        meta = spark.read.parquet(f"{store}/meta").first()
+        # plan stays lazy for the output write
         DS.extend_dedup_index(
-            kept.select(
-                F.col("__onboard_id__").alias(meta.id_col),
-                F.col(column).alias(meta.text_col),
-            ),
+            kept,
             store,
             spec["deliver_batch_id"],
+            column=column,
+            id_col="__onboard_id__",
         )
     logger.info("onboard: filtered against %s", store)
     return kept.drop("__onboard_id__")

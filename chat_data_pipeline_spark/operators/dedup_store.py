@@ -184,12 +184,17 @@ def extend_dedup_index(
     df: DataFrame,
     index_path: str,
     batch_id: int | str,
+    column: str | None = None,
+    id_col: str | None = None,
 ) -> None:
     """Deliver one curated batch's signatures into the store — the
     onboarding loop's write-back step: a crawl that SURVIVED the probe
     joins the reference side for the next crawl, fingerprinted once, here.
-    Params and column names come from meta, so every delivery uses the
-    exact arithmetic the base was built with.  Replay overwrites its own
+    Fingerprint params always come from meta (every delivery uses the
+    exact arithmetic the base was built with); ``column``/``id_col``
+    override the meta COLUMN NAMES when the delivered frame uses its own
+    (config-driven callers pass theirs instead of pre-reading meta — one
+    meta read per delivery, not two).  Replay overwrites its own
     partition and re-commits; a delivery containing a tombstoned id is
     refused until compaction (same contract as the other indexes)."""
     batch_id = validate_batch_id(batch_id)
@@ -198,11 +203,11 @@ def extend_dedup_index(
         spark, index_path, batch_id, "tombstones", "extension", "delete"
     )
     meta = spark.read.parquet(f"{index_path}/meta").first()
-    _guard_tombstoned_delivery(
-        df.select(meta.id_col), index_path, meta.id_col
-    )
+    column = column or meta.text_col
+    id_col = id_col or meta.id_col
+    _guard_tombstoned_delivery(df.select(id_col), index_path, id_col)
     bands = _bands_for(
-        df.select(meta.id_col, meta.text_col), meta.text_col, meta.id_col,
+        df.select(id_col, column), column, id_col,
         _params_from_meta(meta),
     )
     cluster_for_partitioned_write(bands, ["band"], F.col("sig")).write.mode(

@@ -1543,6 +1543,8 @@ def extend_ivf_index(
     df: DataFrame,
     index_path: str,
     batch_id: int | str = "adhoc",
+    id_col: str | None = None,
+    vec_col: str | None = None,
 ) -> None:
     """Incremental index maintenance — a growing corpus must NOT rebuild its
     ANN index per delivery.  New rows assign with the SAME coarse arithmetic
@@ -1573,6 +1575,13 @@ def extend_ivf_index(
         spark, index_path, batch_id, "tombstones", "extension", "delete"
     )
     meta = spark.read.parquet(f"{index_path}/meta").first()
+    # optional column-name overrides: a caller whose frame uses its own
+    # names aliases here instead of pre-reading meta (one read, not two)
+    if id_col or vec_col:
+        df = df.select(
+            F.col(id_col or meta.id_col).alias(meta.id_col),
+            F.col(vec_col or meta.vec_col).alias(meta.vec_col),
+        )
     id_col, vec_col = meta.id_col, meta.vec_col
     # a delivery containing a tombstoned id is refused (same contract as
     # extend_text_index): the tombstone would hide the new rows from
