@@ -166,6 +166,9 @@ BENCH_QUERIES = [
     # artifact's own aggregates; O(batches) output)
     "bm25_index_health",
     "dedup_store_health",
+    # round-14: compressed ANN serving (codes-only store; build-once memo,
+    # best-of-3 reads the pruned LUT probe)
+    "ann_topk_ivfpq_persisted",
 ]
 
 
@@ -237,6 +240,9 @@ SCALE_PROBE_QUERIES = [
     # round-14: onboarding probe — the NEW-side fingerprint pass is the
     # corpus-sized stage; the store side ships signatures, never text
     "dedup_onboarding_indexed",
+    # round-14: the compressed ANN probe must stay near-flat at 10x like
+    # its full-precision sibling — same listing prune, 1/16th the bytes
+    "ann_topk_ivfpq_persisted",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second

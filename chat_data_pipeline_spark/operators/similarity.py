@@ -2303,10 +2303,14 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
 
     meta = spark.read.parquet(f"{index_path}/meta").first()
     committed = _committed_batches(spark, index_path)
+    # payload column by flavor: the compressed md5pq store folds its codes,
+    # the full-precision flavors their vectors — assignments never move
+    # lists either way, so compaction is layout-only for all of them
+    payload = "pq_code" if meta.coarse == "md5pq" else meta.vec_col
     postings = (
         spark.read.parquet(f"{index_path}/postings")
         .filter(F.col("batch").isin(committed))
-        .select(meta.id_col, meta.vec_col, "list")
+        .select(meta.id_col, payload, "list")
     )
     tomb = _tombstoned_ids(
         spark, index_path, dict(postings.dtypes)[meta.id_col], committed
@@ -2342,10 +2346,18 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
         "partitionOverwriteMode", "static"
     ).partitionBy("batch", "list").parquet(f"{dst_index}/postings")
     ledger_reset(spark, dst_index)
-    spark.createDataFrame(
-        [(meta.coarse, int(meta.n_centroids), int(meta.dim), meta.id_col, meta.vec_col)],
-        "coarse string, n_centroids int, dim int, id_col string, vec_col string",
-    ).repartition(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
+    if meta.coarse == "md5pq":
+        spark.createDataFrame(
+            [(meta.coarse, int(meta.n_centroids), int(meta.m),
+              int(meta.n_codewords), int(meta.dim), meta.id_col, meta.vec_col)],
+            "coarse string, n_centroids int, m int, n_codewords int, dim int, "
+            "id_col string, vec_col string",
+        ).repartition(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
+    else:
+        spark.createDataFrame(
+            [(meta.coarse, int(meta.n_centroids), int(meta.dim), meta.id_col, meta.vec_col)],
+            "coarse string, n_centroids int, dim int, id_col string, vec_col string",
+        ).repartition(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
 
 
 def rebuild_ivf_index(
@@ -2394,6 +2406,13 @@ def rebuild_ivf_index(
     )
 
     meta = spark.read.parquet(f"{index_path}/meta").first()
+    if meta.coarse == "md5pq":
+        raise ValueError(
+            "rebuild_ivf_index cannot rebuild a compressed md5pq index: PQ "
+            "storage is lossy (codes only, no vectors) — rebuild from the "
+            "source corpus with build_ivfpq_index, or compact_ivf_index for "
+            "layout maintenance"
+        )
     committed = _committed_batches(spark, index_path)
     union = (
         spark.read.parquet(f"{index_path}/postings")
@@ -2475,3 +2494,278 @@ def delete_from_ivf_index(
         want = want.localCheckpoint(eager=True)
     want.write.mode("overwrite").parquet(f"{index_path}/tombstones/batch={batch_id}")
     ledger_commit(spark, index_path, batch_id)
+
+
+def _ivfpq_code_postings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    m: int,
+    n_codewords: int,
+    dim: int,
+) -> DataFrame:
+    """(id, list, pq_code) posting rows under the md5 IVF-PQ arithmetic —
+    the EXACT coarse-argmax + residual-code assignment of
+    :func:`ivf_pq_topk_md5`, factored out so the persisted build/extend
+    and the in-flight twin can never diverge."""
+    import pandas as pd
+
+    dsub = dim // m
+    coarse = np.asarray(pq_md5_sign_codebooks(1, n_centroids, dim, "ivfpq_coarse")[0])
+    books = np.asarray(pq_md5_sign_codebooks(m, n_codewords, dsub, "ivfpq_book"))
+
+    def assign(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            vids = batch[id_col]
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+            )
+            if mat.shape[1] != dim:
+                raise ValueError(f"corpus dim {mat.shape[1]} != configured dim {dim}")
+            normed = mat / _fold_norm_rows(mat)[:, None]
+            lists = np.argmax(_fold_subspace_dots(normed, coarse, 0), axis=1)
+            resid = normed - coarse[lists]
+            codes = np.stack(
+                [
+                    np.argmax(_fold_subspace_dots(resid, books[j], j * dsub), axis=1)
+                    for j in range(m)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: vids,
+                    "list": lists.astype("int32"),
+                    "pq_code": [row.astype("int32").tolist() for row in codes],
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} {id_type}, list int, pq_code array<int>"
+    )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codewords: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the COMPRESSED ANN index: (id, list, pq_code) postings only —
+    no raw vectors.  This is the variant that actually fits 100 TB of
+    embeddings in serving storage: the full-precision IVF index stores
+    dim × 4-8 bytes per vector (256-512 B at dim=64) where this one stores
+    the m residual codes (m × 4 B as a plain int array here; a production
+    sink would pack them into an m-byte binary — the layout, pruning and
+    arithmetic are identical either way, so the plumbing is what this
+    operator pins down).
+
+    md5 flavor only, deliberately: every codebook is a literal
+    parameter-derived construct, so meta carries just the params and a
+    probe reconstructs the exact :func:`ivf_pq_topk_md5` arithmetic —
+    probes of the persisted index are BIT-IDENTICAL to the in-flight twin
+    (tested), which is itself oracle-hash-verified.  The trained-float PQ
+    path keeps its recall pytests; persisting it would need codebook
+    artifacts like the kmeans centroids.
+
+    Lifecycle posture shared with the other stores: salted list-clustered
+    writes, meta deleted first / written LAST, ledger reset, tombstones
+    cleared in the meta-less window.  NOTE: storage is LOSSY — a rebuild
+    at different params needs the source corpus, not the index (inherent
+    to PQ); compaction and deletes work normally."""
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _fs_for,
+        cluster_for_partitioned_write,
+        invalidate_index_meta,
+        ledger_reset,
+    )
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    spark = df.sparkSession
+    postings = _ivfpq_code_postings(
+        df, id_col, vec_col, n_centroids, m, n_codewords, dim
+    )
+    invalidate_index_meta(spark, index_path)
+    _tfs, _tpath, _tjvm = _fs_for(spark, f"{index_path}/tombstones")
+    _tfs.delete(_tpath, True)
+    cluster_for_partitioned_write(
+        postings.withColumn("batch", F.lit("base")), ["list"], F.col(id_col)
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("batch", "list").parquet(f"{index_path}/postings")
+    ledger_reset(spark, index_path)
+    spark.createDataFrame(
+        [("md5pq", int(n_centroids), int(m), int(n_codewords), int(dim), id_col, vec_col)],
+        "coarse string, n_centroids int, m int, n_codewords int, dim int, "
+        "id_col string, vec_col string",
+    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def extend_ivfpq_index(df: DataFrame, index_path: str, batch_id: int | str) -> None:
+    """Deliver one vector batch into the compressed index — codes assigned
+    with the index's own (meta-pinned) arithmetic, same ledger-committed /
+    replay-idempotent / tombstone-guarded contract as the other stores."""
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _guard_batch_id_kind,
+        _guard_tombstoned_delivery,
+        cluster_for_partitioned_write,
+        ledger_commit,
+        validate_batch_id,
+    )
+
+    batch_id = validate_batch_id(batch_id)
+    spark = df.sparkSession
+    _guard_batch_id_kind(
+        spark, index_path, batch_id, "tombstones", "extension", "delete"
+    )
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    if meta.coarse != "md5pq":
+        raise ValueError(f"{index_path} is not an IVF-PQ index (coarse={meta.coarse!r})")
+    _guard_tombstoned_delivery(df.select(meta.id_col), index_path, meta.id_col)
+    postings = _ivfpq_code_postings(
+        df, meta.id_col, meta.vec_col, int(meta.n_centroids), int(meta.m),
+        int(meta.n_codewords), int(meta.dim),
+    )
+    cluster_for_partitioned_write(postings, ["list"], F.col(meta.id_col)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "static").partitionBy("list").parquet(
+        f"{index_path}/postings/batch={batch_id}"
+    )
+    ledger_commit(spark, index_path, batch_id)
+
+
+def ivfpq_topk_persisted(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Serve approximate top-k from the COMPRESSED index: query-side coarse
+    assignment picks each query's lists, the union prunes the postings at
+    the file LISTING, and candidates score as base coarse dot + m residual
+    LUT lookups in the twin's exact left-to-right fold — BIT-IDENTICAL to
+    :func:`ivf_pq_topk_md5` over the same corpus (tested), at 1/16th-ish
+    the storage and scan bytes of the full-precision probe."""
+    import pandas as pd
+
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _committed_batches,
+        _tombstoned_ids,
+    )
+
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    if meta.coarse != "md5pq":
+        raise ValueError(f"{index_path} is not an IVF-PQ index (coarse={meta.coarse!r})")
+    n_centroids, m_sub = int(meta.n_centroids), int(meta.m)
+    n_codewords, dim = int(meta.n_codewords), int(meta.dim)
+    dsub = dim // m_sub
+    committed = _committed_batches(spark, index_path)
+    postings = spark.read.parquet(f"{index_path}/postings").filter(
+        F.col("batch").isin(committed)
+    )
+    id_col = meta.id_col
+    tomb = _tombstoned_ids(
+        spark, index_path, dict(postings.dtypes)[id_col], committed
+    )
+    if tomb is not None:
+        postings = postings.join(
+            tomb.withColumnRenamed("doc", id_col), id_col, "left_anti"
+        )
+    coarse = np.asarray(pq_md5_sign_codebooks(1, n_centroids, dim, "ivfpq_coarse")[0])
+    books = np.asarray(pq_md5_sign_codebooks(m_sub, n_codewords, dsub, "ivfpq_book"))
+    qpdf = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(int(max_query_rows) + 1)
+        .toPandas()
+    )
+    if len(qpdf) > max_query_rows:
+        raise ValueError(
+            f"ivfpq_topk_persisted: probe set exceeds "
+            f"max_query_rows={max_query_rows}; shard the query set or raise "
+            "the guard explicitly"
+        )
+    qids = qpdf[query_id_col].to_numpy()
+    qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf[query_vec_col]])
+    if len(qmat) and qmat.shape[1] != dim:
+        raise ValueError(f"query dim {qmat.shape[1]} != index dim {dim}")
+    qn = qmat / _fold_norm_rows(qmat)[:, None] if len(qmat) else qmat
+    qdots = _fold_subspace_dots(qn, coarse, 0) if len(qn) else np.zeros((0, n_centroids))
+    probes = (
+        np.stack(
+            [
+                np.lexsort((np.arange(n_centroids), -qdots[i]))[:n_probe]
+                for i in range(len(qn))
+            ]
+        )
+        if len(qn)
+        else np.zeros((0, n_probe), dtype=np.int64)
+    )
+    luts = (
+        np.stack(
+            [_fold_subspace_dots(qn, books[j], j * dsub) for j in range(m_sub)], axis=1
+        )
+        if len(qn)
+        else np.zeros((0, m_sub, n_codewords))
+    )
+    needed = sorted({int(x) for row in probes for x in row})
+    pruned = (
+        postings.filter(F.col("list").isin(needed)) if needed else postings.limit(0)
+    )
+    bcast = spark.sparkContext.broadcast((qids, probes, qdots, luts))
+    q_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(postings.dtypes)[id_col]
+    kk = int(k)
+
+    def scan(batches):
+        ids_q, prb, base, tables = bcast.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            vids = batch[id_col].to_numpy()
+            lists = batch["list"].to_numpy()
+            codes = np.stack([np.asarray(c) for c in batch["pq_code"]])
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(ids_q)):
+                mask = np.isin(lists, prb[qi])
+                if not mask.any():
+                    continue
+                midx = np.nonzero(mask)[0]
+                # the twin's exact fold: base coarse dot, then the m LUT
+                # adds left-to-right (identical FP summation order)
+                acc = base[qi][lists[midx]].copy()
+                for j in range(len(tables[qi])):
+                    acc = acc + tables[qi][j][codes[midx, j]]
+                scores = np.round(acc, 6)
+                top = np.lexsort((vids[midx], -scores))[: min(kk, len(midx))]
+                out_q.extend([ids_q[qi]] * len(top))
+                out_v.extend(vids[midx[top]])
+                out_s.extend(scores[top])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_v, "approx_cosine": out_s}
+            )
+
+    candidates = pruned.select(id_col, "list", "pq_code").mapInPandas(
+        scan,
+        schema=f"{query_id_col} {q_type}, {id_col} {id_type}, approx_cosine double",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_cosine", "rank")
+    )

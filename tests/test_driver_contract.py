@@ -93,7 +93,7 @@ def test_correctness_window_is_all_oracle_backed():
         "ann_ivf_rebuild_report",
         "docs_bm25_delete_serving", "ann_ivf_delete_serving",
         "docs_hybrid_rrf", "dedup_onboarding_indexed", "bm25_index_health",
-        "dedup_store_health",
+        "dedup_store_health", "ann_topk_ivfpq_persisted",
         "docs_bm25_indexed", "docs_bm25_topk_indexed",
         "docs_bm25_batch_serving", "ann_topk_ivf_persisted",
         # round-14 staleness rotation rule 3 — the complete r9 band:
@@ -112,7 +112,7 @@ def test_correctness_window_is_all_oracle_backed():
         "pipeline_output_preset",
         "split_train_val_test",
         "docs_redact_pii",
-        "dedup_semantic", "docs_bigram_lm", "multimodal_image_dedup",
+        "dedup_semantic", "docs_bigram_lm",
         "corpus_hll_distinct",
         "dedup_banding_calibration",
         "events_key_skew",

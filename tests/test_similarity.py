@@ -1128,3 +1128,76 @@ def test_failed_ivf_rebuild_request_leaves_root_servable(spark, emb, queries, tm
         SIM.delete_from_ivf_index(
             spark, idx, emb.limit(1).select("vec_id"), batch_id="b1"
         )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF-PQ index (r14): the compressed store — codes only, no raw
+# vectors; probes bit-identical to the in-flight oracle twin
+# ---------------------------------------------------------------------------
+
+
+def _ppq(spark, idx, queries, n_probe=4):
+    return sorted(
+        map(
+            tuple,
+            SIM.ivfpq_topk_persisted(
+                spark, idx, queries, k=10, n_probe=n_probe
+            ).collect(),
+        )
+    )
+
+
+def test_ivfpq_persisted_matches_in_flight_twin(spark, emb, queries, tmp_path):
+    """The persisted compressed probe replays ivf_pq_topk_md5 bit-for-bit:
+    codes assigned at build with the twin's arithmetic, scores folded in
+    the twin's exact base+LUT order — and the store holds NO raw vectors."""
+    idx = str(tmp_path / "ivfpq_idx")
+    SIM.build_ivfpq_index(emb, idx, n_centroids=16, m=8, n_codewords=16, dim=64)
+    got = _ppq(spark, idx, queries)
+    want = sorted(
+        map(
+            tuple,
+            SIM.ivf_pq_topk_md5(emb, queries, k=10, n_centroids=16, n_probe=4).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    cols = set(spark.read.parquet(f"{idx}/postings").columns)
+    assert "embedding" not in cols and "pq_code" in cols  # lossy by design
+
+
+def test_ivfpq_persisted_lifecycle(spark, emb, queries, tmp_path):
+    """extend ≡ union build, delete hides victims, compaction folds batches
+    bit-identically, rebuild refuses the lossy store with guidance."""
+    import os
+
+    idx = str(tmp_path / "ivfpq_life")
+    SIM.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, n_centroids=16, m=8,
+        n_codewords=16, dim=64,
+    )
+    SIM.extend_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), idx, batch_id="b1")
+    union = str(tmp_path / "ivfpq_union")
+    SIM.build_ivfpq_index(emb, union, n_centroids=16, m=8, n_codewords=16, dim=64)
+    assert _ppq(spark, idx, queries) == _ppq(spark, union, queries)
+
+    victims = emb.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+    SIM.delete_from_ivf_index(spark, idx, victims, batch_id="take")
+    retained = str(tmp_path / "ivfpq_retained")
+    SIM.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 5 != 2), retained, n_centroids=16, m=8,
+        n_codewords=16, dim=64,
+    )
+    after_del = _ppq(spark, idx, queries)
+    assert after_del == _ppq(spark, retained, queries)
+
+    SIM.compact_ivf_index(spark, idx)
+    assert _ppq(spark, idx, queries) == after_del
+    assert not os.path.exists(f"{idx}/tombstones")
+    left = {
+        r.vec_id
+        for r in spark.read.parquet(f"{idx}/postings").select("vec_id").collect()
+    }
+    assert not {r.vec_id for r in victims.collect()} & left
+
+    with pytest.raises(ValueError, match="lossy"):
+        SIM.rebuild_ivf_index(spark, idx)
