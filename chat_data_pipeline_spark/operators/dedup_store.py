@@ -45,6 +45,7 @@ from chat_data_pipeline_spark.operators.retrieval import (
     _committed_batches,
     _fs_for,
     _guard_batch_id_kind,
+    _guard_delivery_id_type,
     _guard_tombstoned_delivery,
     _tombstoned_ids,
     cluster_for_partitioned_write,
@@ -205,6 +206,7 @@ def extend_dedup_index(
     meta = spark.read.parquet(f"{index_path}/meta").first()
     column = column or meta.text_col
     id_col = id_col or meta.id_col
+    _guard_delivery_id_type(df, id_col, meta.id_type, index_path)
     _guard_tombstoned_delivery(df.select(id_col), index_path, id_col)
     bands = _bands_for(
         df.select(id_col, column), column, id_col,

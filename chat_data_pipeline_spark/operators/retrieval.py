@@ -425,6 +425,8 @@ def extend_text_index(
     _guard_batch_id_kind(
         docs.sparkSession, index_path, bid, "tombstones", "extension", "delete"
     )
+    meta = docs.sparkSession.read.parquet(f"{index_path}/meta").first()
+    _guard_delivery_id_type(docs, id_col, meta.id_type, index_path)
     _guard_tombstoned_delivery(docs, index_path, id_col)
     build_text_index(
         docs,
@@ -459,6 +461,32 @@ def _guard_batch_id_kind(
             f"batch id {batch_id!r} already names a {other_kind} delivery of "
             f"{index_path}; {this_kind} deliveries must use a distinct id "
             "(replay idempotence is same-kind only)"
+        )
+
+
+def _guard_delivery_id_type(
+    df: DataFrame, id_col: str, expected: str, index_path: str
+) -> None:
+    """Refuse a delivery whose id column's type differs from the type the
+    store was built with (r14 ADVICE): without this, a wrong-typed
+    extension ledger-commits cleanly and only fails LATER, at probe time,
+    under the meta-pinned explicit read schema — the one delivery guard
+    that didn't share the others' refuse-at-delivery posture.  One dtypes
+    dict lookup; no Spark job."""
+    got = dict(df.dtypes).get(id_col)
+    if got is None:
+        raise ValueError(
+            f"delivery into {index_path}: expected id column {id_col!r} "
+            f"(from the store meta) but the delivered frame has columns "
+            f"{df.columns}; pass the column-name overrides if the frame "
+            "uses its own names"
+        )
+    if got != expected:
+        raise ValueError(
+            f"delivery into {index_path}: id column {id_col!r} has type "
+            f"{got!r} but the store was built with id type {expected!r}; "
+            "cast the delivered ids first (a mismatched delivery would "
+            "commit and only fail later at probe scan time)"
         )
 
 
@@ -767,13 +795,27 @@ def rrf_fuse(
     so the fusion works on query-sized data — one union, one
     (query, id) partial-aggregated groupBy, one per-query window.  The
     heavy lifting stays in the arms' own pruned index probes; fusing adds
-    no corpus-sized stage."""
+    no corpus-sized stage.
+
+    Query ids pass through with the FIRST arm's type (string request ids
+    are a real serving shape — a lossy cast would collapse every
+    non-numeric id into one NULL fusion group); arms whose query-id types
+    disagree are refused up front, mirroring the stores' id guards."""
     if not arms:
         raise ValueError("rrf_fuse needs at least one ranked arm")
+    q_type = dict(arms[0].dtypes)[query_id_col]
+    for i, a in enumerate(arms[1:], start=1):
+        got = dict(a.dtypes)[query_id_col]
+        if got != q_type:
+            raise ValueError(
+                f"rrf_fuse arm {i} has {query_id_col} type {got!r} but arm 0 "
+                f"has {q_type!r}; cast the arms to one query-id type before "
+                "fusing (a silent coercion would merge or NULL-out queries)"
+            )
     contrib = F.expr(f"{10**9}L div ({int(rrf_k)} + rank)")
     pieces = [
         a.select(
-            F.col(query_id_col).cast("long").alias(query_id_col),
+            F.col(query_id_col),
             F.col(id_col),
             contrib.alias("__c__"),
         )

@@ -1583,6 +1583,18 @@ def extend_ivf_index(
             F.col(vec_col or meta.vec_col).alias(meta.vec_col),
         )
     id_col, vec_col = meta.id_col, meta.vec_col
+    # the IVF meta carries no id_type (the postings do); the base schema is
+    # the contract a delivery must match — refuse up front, not at probe
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _guard_delivery_id_type,
+    )
+
+    _guard_delivery_id_type(
+        df,
+        id_col,
+        dict(spark.read.parquet(f"{index_path}/postings").dtypes)[id_col],
+        index_path,
+    )
     # a delivery containing a tombstoned id is refused (same contract as
     # extend_text_index): the tombstone would hide the new rows from
     # probes — compact first, then re-deliver
@@ -2610,12 +2622,22 @@ def build_ivfpq_index(
     ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
-def extend_ivfpq_index(df: DataFrame, index_path: str, batch_id: int | str) -> None:
+def extend_ivfpq_index(
+    df: DataFrame,
+    index_path: str,
+    batch_id: int | str,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> None:
     """Deliver one vector batch into the compressed index — codes assigned
     with the index's own (meta-pinned) arithmetic, same ledger-committed /
-    replay-idempotent / tombstone-guarded contract as the other stores."""
+    replay-idempotent / tombstone-guarded contract as the other stores.
+    ``id_col``/``vec_col`` override the meta COLUMN NAMES when the
+    delivered frame uses its own (config-driven callers pass theirs
+    instead of pre-reading meta — one meta read per delivery)."""
     from chat_data_pipeline_spark.operators.retrieval import (
         _guard_batch_id_kind,
+        _guard_delivery_id_type,
         _guard_tombstoned_delivery,
         cluster_for_partitioned_write,
         ledger_commit,
@@ -2630,6 +2652,17 @@ def extend_ivfpq_index(df: DataFrame, index_path: str, batch_id: int | str) -> N
     meta = spark.read.parquet(f"{index_path}/meta").first()
     if meta.coarse != "md5pq":
         raise ValueError(f"{index_path} is not an IVF-PQ index (coarse={meta.coarse!r})")
+    if id_col or vec_col:
+        df = df.select(
+            F.col(id_col or meta.id_col).alias(meta.id_col),
+            F.col(vec_col or meta.vec_col).alias(meta.vec_col),
+        )
+    _guard_delivery_id_type(
+        df,
+        meta.id_col,
+        dict(spark.read.parquet(f"{index_path}/postings").dtypes)[meta.id_col],
+        index_path,
+    )
     _guard_tombstoned_delivery(df.select(meta.id_col), index_path, meta.id_col)
     postings = _ivfpq_code_postings(
         df, meta.id_col, meta.vec_col, int(meta.n_centroids), int(meta.m),

@@ -774,6 +774,68 @@ def streaming_ivf_delivery(
     )
 
 
+def streaming_ivfpq_delivery(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+):
+    """Compressed-ANN twin of :func:`streaming_ivf_delivery` (closes the
+    r14 verdict's reachability gap on the newest store): every micro-batch
+    of vectors encodes with the index's OWN meta-pinned md5-PQ arithmetic
+    — coarse assign + per-subspace residual codes — and lands as one
+    ledger-committed ``extend_ivfpq_index`` delivery, so a live embedding
+    feed keeps the codes-only serving store current without ever touching
+    raw-vector storage.  Same effectively-once replay semantics and
+    invisible-until-committed crash posture as the other delivery streams;
+    probes stay bit-identical to the in-flight ``ivf_pq_topk_md5`` twin
+    over the same corpus.  The id/vector column names come from the index
+    meta; the base must exist (``build_ivfpq_index`` first)."""
+    from chat_data_pipeline_spark.operators.similarity import extend_ivfpq_index
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        extend_ivfpq_index(batch_df, index_path, batch_id=f"s{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def streaming_ivfpq_takedown(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+):
+    """Takedown twin for the compressed store: each micro-batch of vector
+    ids lands as one ledger-committed tombstone delivery.  Deletes are
+    flavor-agnostic (:func:`delete_from_ivf_index` tombstones by id for
+    every IVF flavor, md5pq included), so this shares that operator —
+    same ``t<epoch>`` batch-id discipline as the other takedown streams,
+    disjoint from the delivery stream's ``s`` ids.  Compact to make the
+    removals physical."""
+    from chat_data_pipeline_spark.operators.similarity import delete_from_ivf_index
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delete_from_ivf_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df.select(id_col),
+            batch_id=f"t{batch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
 def streaming_index_takedown(
     stream: DataFrame,
     index_path: str,

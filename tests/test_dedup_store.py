@@ -159,3 +159,17 @@ def test_dedup_store_health_reports_the_lifecycle(spark, docs, tmp_path):
     assert len(after) == 1 and after[0].batch == "base"
     assert after[0].n_tombstones == 0
     assert after[0].n_ids == rows["base"].n_ids + rows["b1"].n_ids - victims.count()
+
+
+def test_extend_dedup_index_refuses_wrong_id_type(spark, docs, tmp_path):
+    """r14 ADVICE: the signature store shares the refuse-at-delivery id-type
+    posture of the other stores' guards."""
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = str(tmp_path / "idtype_store")
+    DS.build_dedup_index(ref, idx, family="md5")
+    bad = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    with pytest.raises(ValueError, match="id type"):
+        DS.extend_dedup_index(bad, idx, batch_id="b1")
+    assert RT._committed_batches(spark, idx) == ["base"]

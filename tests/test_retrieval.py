@@ -1147,3 +1147,50 @@ def test_alias_swap_sweeps_crashed_staging_files(spark, tmp_path):
     RT.swap_index_alias(spark, alias, idx)
     assert not _os.path.exists(orphan)
     assert RT.resolve_index_alias(spark, alias) == idx
+
+
+def test_rrf_fuse_preserves_string_query_ids(spark):
+    """r14 ADVICE: a string-keyed query table (request ids) must round-trip
+    through the fusion — the old unconditional long cast NULLed every
+    non-numeric id and collapsed all such queries into one fusion group."""
+    lex = spark.createDataFrame(
+        [("req-a", 10, 1), ("req-a", 11, 2), ("req-b", 20, 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    vec = spark.createDataFrame(
+        [("req-a", 11, 1), ("req-b", 21, 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    rows = RT.rrf_fuse([lex, vec], k=10).collect()
+    assert {r.query_id for r in rows} == {"req-a", "req-b"}
+    got = {(r.query_id, r.doc_id): r.rrf_nanos for r in rows}
+    c = lambda rank: 10**9 // (60 + rank)  # noqa: E731
+    assert got[("req-a", 11)] == c(2) + c(1)
+    assert got[("req-b", 20)] == c(1) and got[("req-b", 21)] == c(1)
+
+
+def test_rrf_fuse_refuses_mismatched_query_id_types(spark):
+    lex = spark.createDataFrame(
+        [(0, 10, 1)], "query_id long, doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [("0", 11, 1)], "query_id string, doc_id long, rank int"
+    )
+    with pytest.raises(ValueError, match="query_id type"):
+        RT.rrf_fuse([lex, vec], k=5)
+
+
+def test_extend_text_index_refuses_wrong_id_type(spark, tmp_path):
+    """r14 ADVICE: a delivery whose id column's type differs from the
+    built index's id_type is refused AT DELIVERY (it used to ledger-commit
+    and only fail later under the meta-pinned probe schema)."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = str(tmp_path / "idtype_bm25")
+    RT.build_text_index(docs, idx)
+    bad = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    with pytest.raises(ValueError, match="id type"):
+        RT.extend_text_index(bad, idx, batch_id="b1")
+    # the refused delivery left nothing committed
+    assert RT._committed_batches(spark, idx) == ["base"]

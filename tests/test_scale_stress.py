@@ -262,4 +262,7 @@ def test_index_delete_lifecycle_survives_clone_blowup(big, spark, tmp_path_facto
     assert out and all(r.doc_id % 10 != 3 for r in out)
     health = {r.batch: r for r in RT.text_index_health(spark, idx).collect()}
     assert health["take"].n_docs == -n_victims
-    assert health["base"].n_docs - n_victims == big.count() - n_victims
+    # live total = cross-batch sum (base + the delete's negatives) — the
+    # r14 form cancelled algebraically to base == corpus and never checked
+    # the post-delete arithmetic (r14 ADVICE)
+    assert sum(r.n_docs for r in health.values()) == big.count() - n_victims

@@ -1201,3 +1201,20 @@ def test_ivfpq_persisted_lifecycle(spark, emb, queries, tmp_path):
 
     with pytest.raises(ValueError, match="lossy"):
         SIM.rebuild_ivf_index(spark, idx)
+
+
+def test_extend_ivf_and_ivfpq_refuse_wrong_id_type(spark, emb, tmp_path):
+    """r14 ADVICE: both vector stores refuse a delivery whose id column's
+    type differs from the base postings' — at delivery, not at probe."""
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    bad = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    idx = str(tmp_path / "idtype_ivf")
+    SIM.build_ivf_index(half_a, idx, n_centroids=16, coarse="md5", dim=64)
+    with pytest.raises(ValueError, match="id type"):
+        SIM.extend_ivf_index(bad, idx, batch_id=1)
+    pidx = str(tmp_path / "idtype_ivfpq")
+    SIM.build_ivfpq_index(half_a, pidx, n_centroids=16, m=8, n_codewords=16, dim=64)
+    with pytest.raises(ValueError, match="id type"):
+        SIM.extend_ivfpq_index(bad, pidx, batch_id=1)

@@ -1996,3 +1996,151 @@ def test_onboard_block_does_not_clobber_colliding_columns(spark, tmp_path):
     assert rows[11].text == "ORIGINAL-TEXT-B"  # curated column untouched
     assert rows[11].doc_id == 888
     assert "__onboard_id__" not in out.columns
+
+
+def test_streaming_ivfpq_delivery_and_takedown_stream_equals_batch(spark, tmp_path):
+    """r15: the compressed store's live lifecycle — streamed vector
+    deliveries encode with the index's own meta-pinned md5-PQ arithmetic
+    and streamed takedowns tombstone by id, so probes afterwards are
+    bit-identical to a fresh build over the retained vectors."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from chat_data_pipeline_spark.operators import similarity as SIM
+    from chat_data_pipeline_spark.streaming.pipeline import (
+        streaming_ivfpq_delivery,
+        streaming_ivfpq_takedown,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "live_ivfpq")
+    SIM.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 3 == 0), idx,
+        n_centroids=16, m=8, n_codewords=16, dim=64,
+    )
+    feed = tmp_path / "pq_feed"
+    feed.mkdir()
+    emb.filter(F.col("vec_id") % 3 == 1).repartition(1).write.parquet(
+        str(feed / "f1.parquet")
+    )
+    emb.filter(F.col("vec_id") % 3 == 2).repartition(1).write.parquet(
+        str(feed / "f2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*")
+    )
+    q = streaming_ivfpq_delivery(stream, idx, str(tmp_path / "ckpt_live_pq"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(RT._committed_batches(spark, idx)) == 3
+
+    # takedown feed: one id twice across triggers (no double-subtract) plus
+    # a strided victim set
+    vic = emb.filter(F.col("vec_id") % 11 == 4).select("vec_id")
+    tfeed = tmp_path / "pq_takedown_feed"
+    tfeed.mkdir()
+    vic.repartition(1).write.parquet(str(tfeed / "t1.parquet"))
+    vic.limit(1).repartition(1).write.parquet(str(tfeed / "t2.parquet"))
+    tstream = (
+        spark.readStream.schema(vic.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tfeed) + "/*")
+    )
+    tq = streaming_ivfpq_takedown(tstream, idx, str(tmp_path / "ckpt_take_pq"))
+    try:
+        tq.processAllAvailable()
+    finally:
+        tq.stop()
+
+    queries = (
+        emb.limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .localCheckpoint(eager=True)
+    )
+    direct = str(tmp_path / "direct_ivfpq_stream")
+    SIM.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 11 != 4), direct,
+        n_centroids=16, m=8, n_codewords=16, dim=64,
+    )
+    assert sorted(
+        map(tuple, SIM.ivfpq_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    ) == sorted(
+        map(tuple, SIM.ivfpq_topk_persisted(spark, direct, queries, k=10, n_probe=4).collect())
+    )
+
+
+def test_cli_ivfpq_lifecycle(spark, tmp_path):
+    """r15: the compressed store is YAML-reachable — build from a vector
+    `dataset:`, deliver a batch, takedown via `ids_dataset:`, compact to
+    physical; probes bit-match a fresh build over the retained vectors,
+    and the lossy-storage rebuild refusal surfaces as a config error."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.cli import _run_indexing
+    from chat_data_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    half_a = str(tmp_path / "vec_a.parquet")
+    half_b = str(tmp_path / "vec_b.parquet")
+    emb.filter(F.col("vec_id") % 2 == 0).write.parquet(half_a)
+    emb.filter(F.col("vec_id") % 2 == 1).write.parquet(half_b)
+    idx = str(tmp_path / "cli_ivfpq")
+    alias = str(tmp_path / "pq_serving")
+    df_unused = spark.createDataFrame([(1, "x")], "id long, response string")
+    _run_indexing(
+        spark, df_unused,
+        {"ivfpq": {"path": idx, "action": "build", "dataset": half_a,
+                   "id_expr": "vec_id", "vec_col": "embedding",
+                   "n_centroids": 16, "m": 8, "n_codewords": 16, "dim": 64,
+                   "alias": alias}},
+    )
+    _run_indexing(
+        spark, df_unused,
+        {"ivfpq": {"path": idx, "action": "extend", "batch_id": "d1",
+                   "dataset": half_b, "id_expr": "vec_id",
+                   "vec_col": "embedding"}},
+    )
+    vids = str(tmp_path / "pq_victims.parquet")
+    emb.filter(F.col("vec_id") % 9 == 5).select("vec_id").write.parquet(vids)
+    _run_indexing(
+        spark, df_unused,
+        {"ivfpq": {"path": idx, "action": "delete", "batch_id": "take-1",
+                   "ids_dataset": vids, "id_expr": "vec_id"}},
+    )
+    _run_indexing(spark, df_unused, {"ivfpq": {"path": idx, "action": "compact"}})
+    assert not os.path.exists(f"{idx}/tombstones")
+
+    queries = (
+        emb.limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .localCheckpoint(eager=True)
+    )
+    direct = str(tmp_path / "cli_ivfpq_direct")
+    SIM.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 9 != 5), direct,
+        n_centroids=16, m=8, n_codewords=16, dim=64,
+    )
+    assert sorted(
+        map(tuple, SIM.ivfpq_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    ) == sorted(
+        map(tuple, SIM.ivfpq_topk_persisted(spark, direct, queries, k=10, n_probe=4).collect())
+    )
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    assert RT.resolve_index_alias(spark, alias) == idx
+
+    with _pytest.raises(ValueError, match="lossy"):
+        _run_indexing(spark, df_unused, {"ivfpq": {"path": idx, "action": "rebuild"}})
+    with _pytest.raises(ValueError, match="ids_dataset"):
+        _run_indexing(
+            spark, df_unused,
+            {"ivfpq": {"path": idx, "action": "delete", "batch_id": "t2",
+                       "dataset": half_b}},
+        )
