@@ -169,6 +169,10 @@ BENCH_QUERIES = [
     # round-14: compressed ANN serving (codes-only store; build-once memo,
     # best-of-3 reads the pruned LUT probe)
     "ann_topk_ivfpq_persisted",
+    # round-15: compressed-store delete serving (build+delete behind the
+    # build-once memo; best-of-3 reads the LUT probe WITH the tombstone
+    # anti-join in the plan — completes the delete-serving trilogy)
+    "ann_ivfpq_delete_serving",
 ]
 
 
@@ -243,6 +247,9 @@ SCALE_PROBE_QUERIES = [
     # round-14: the compressed ANN probe must stay near-flat at 10x like
     # its full-precision sibling — same listing prune, 1/16th the bytes
     "ann_topk_ivfpq_persisted",
+    # round-15: the compressed store's delete serving — near-flat at 10x
+    # corpus AND 10x tombstones, like the BM25/IVF delete rows
+    "ann_ivfpq_delete_serving",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second
@@ -650,13 +657,38 @@ def main() -> None:
         extras["lifecycle_rows_per_sec"] = round(
             n_docs / timings["pipeline_lifecycle"], 1
         )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+    # full line first (human/pipe consumers), THEN the durable copy, THEN a
+    # compact final line: the driver records only the last ~2KB of stdout,
+    # and at 120+ queries the full map no longer fits — r13/r14 both landed
+    # "parsed": null with the line's HEAD truncated away.  The last stdout
+    # line now always parses on its own (same schema, the slowest-25 map +
+    # a pointer), and the complete per-query map survives in the repo.
+    print(json.dumps(summary))
+    summary_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_SUMMARY.json")
+    with open(summary_path, "w") as fh:
+        json.dump(summary, fh)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:25]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "queries_truncated_to_slowest": len(slowest) < len(timings),
+                "n_queries": len(timings),
+                "full_map": "BENCH_SUMMARY.json",
                 "sf": sf,
                 **extras,
             }

@@ -727,11 +727,136 @@ def _run_onboarding(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame
     return kept.drop("__onboard_id__")
 
 
+def _serve_root(spark: SparkSession, spec: dict, kind: str) -> str:
+    """An arm names its index by `path:` or by `alias:` (the serving
+    pointer `index.*` cutovers maintain) — exactly one of the two."""
+    if bool(spec.get("path")) == bool(spec.get("alias")):
+        raise ValueError(f"serve.{kind} needs exactly one of `path` or `alias`")
+    if spec.get("alias"):
+        from chat_data_pipeline_spark.operators.retrieval import (
+            resolve_index_alias,
+        )
+
+        return resolve_index_alias(spark, str(spec["alias"]))
+    return str(spec["path"])
+
+
+def _run_serving(spark: SparkSession, spec: dict) -> DataFrame:
+    """Top-level `serve:` block — config-driven PROBING (r15: closes the
+    last Python-only gap in the build→extend→delete→compact→serve loop):
+    a query table served against named index roots, lexical and/or
+    vector, fused with reciprocal-rank fusion when both arms are present:
+
+        serve:
+          queries: /tables/queries.parquet  # the query table
+          k: 10                             # served result depth
+          output_path: /out/hybrid.parquet  # optional sink (parquet/
+                                            # json/csv/orc by extension)
+          bm25:
+            path: /indexes/corpus_bm25      # or alias: /indexes/serving
+            query_id_expr: query_id
+            terms_col: terms                # array<string>
+            k: 20                           # arm depth (pre-fusion)
+          ann:
+            path: /indexes/corpus_ivf       # IVF or IVF-PQ root — the
+                                            # flavor dispatches from meta
+            query_id_expr: query_id
+            vec_col: query_vec
+            n_probe: 4
+            k: 20
+          rrf_k: 60                         # fusion constant (both arms)
+
+    One arm serves that arm's top-k directly; two arms fuse with the
+    integer-nano RRF the `docs_hybrid_rrf` operator path uses, so a
+    config-served hybrid is bit-identical to the Python composition over
+    the same roots.  Both arms read the SAME query table, so the fused
+    query-id type matches by construction.  The probes stay
+    listing-pruned and top-k-bounded; the fusion is query-sized."""
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from chat_data_pipeline_spark.operators import similarity as SIM
+
+    if "queries" not in spec:
+        raise ValueError("serve needs `queries` (the query table path)")
+    q = spark.read.parquet(str(spec["queries"]))
+    k = int(spec.get("k", 10))
+    bm = spec.get("bm25")
+    ann = spec.get("ann")
+    if not bm and not ann:
+        raise ValueError("serve needs at least one arm: `bm25` and/or `ann`")
+    hybrid = bool(bm) and bool(ann)
+    arms: list[DataFrame] = []
+    if bm:
+        bm = dict(bm)
+        root = _serve_root(spark, bm, "bm25")
+        arm_k = int(bm.get("k", k))
+        lex = RT.bm25_topk_indexed_batch(
+            spark,
+            root,
+            q.select(
+                F.expr(str(bm.get("query_id_expr", "query_id"))).alias("query_id"),
+                F.col(str(bm.get("terms_col", "terms"))).alias("terms"),
+            ),
+            k=arm_k,
+            k1=float(bm.get("k1", 1.2)),
+            b=float(bm.get("b", 0.75)),
+        )
+        arms.append(lex.select("query_id", "doc_id", "bm25", "rank"))
+    if ann:
+        ann = dict(ann)
+        root = _serve_root(spark, ann, "ann")
+        arm_k = int(ann.get("k", k))
+        qvec = q.select(
+            F.expr(str(ann.get("query_id_expr", "query_id"))).alias("query_id"),
+            F.col(str(ann.get("vec_col", "query_vec"))).alias("query_vec"),
+        )
+        meta = spark.read.parquet(f"{root}/meta").first()
+        probe = (
+            SIM.ivfpq_topk_persisted
+            if meta.coarse == "md5pq"
+            else SIM.ivf_topk_persisted
+        )
+        vec = probe(
+            spark, root, qvec, k=arm_k, n_probe=int(ann.get("n_probe", 4))
+        )
+        # normalize the id column to doc_id so the arms union (the probe
+        # serves whatever id name the index meta pinned)
+        score_col = "approx_cosine" if meta.coarse == "md5pq" else "cosine"
+        arms.append(
+            vec.select(
+                "query_id",
+                F.col(meta.id_col).alias("doc_id"),
+                F.col(score_col),
+                "rank",
+            )
+        )
+    if hybrid:
+        out = RT.rrf_fuse(
+            [a.select("query_id", "doc_id", "rank") for a in arms],
+            id_col="doc_id",
+            k=k,
+            rrf_k=int(spec.get("rrf_k", 60)),
+        )
+    else:
+        out = arms[0].filter(F.col("rank") <= k)
+    if spec.get("output_path"):
+        from chat_data_pipeline_spark.sources.io import write_table
+
+        write_table(out, str(spec["output_path"]))
+        logger.info("serve: wrote %s", spec["output_path"])
+    return out
+
+
 def run_config(spark: SparkSession, config: dict) -> DataFrame:
     """ref:main.py lifecycle A (SURVEY.md §3.1), lazily composed."""
     from chat_data_pipeline_spark.operators import conversation as CV
     from chat_data_pipeline_spark.operators.sampling import shuffle_rows
     from chat_data_pipeline_spark.sources import combine_sources
+
+    serve_cfg = config.get("serve")
+    if serve_cfg and "datasets" not in config:
+        # a pure SERVING job: no corpus to curate — probe the named index
+        # roots and return (main() writes the result to output_path)
+        return _run_serving(spark, dict(serve_cfg))
 
     paths = [d["path"] if isinstance(d, dict) else d for d in config["datasets"]]
     df = combine_sources(spark, paths)
@@ -769,6 +894,18 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
         # — the artifact a curation job should leave behind is an index of
         # what it kept, not of the raw feed
         _run_indexing(spark, df, index_cfg)
+
+    if serve_cfg:
+        # curate-then-serve in one config: the probes run AFTER the index
+        # block's deliveries landed, against the just-maintained roots;
+        # the serve block writes its own sink (required here — the
+        # config's output_path belongs to the curated rows)
+        if not dict(serve_cfg).get("output_path"):
+            raise ValueError(
+                "serve alongside `datasets` needs serve.output_path "
+                "(the config-level output_path is the curated corpus sink)"
+            )
+        _run_serving(spark, dict(serve_cfg))
 
     df = CV.to_chatml(df)
     return shuffle_rows(df, seed=int(config.get("seed", 42)))

@@ -2953,13 +2953,19 @@ _IVFPQ_CB_CASE = (
 )
 _IVFPQ_RD = _pm_dot_lists("r", _IVFPQ_BOOKS)
 _IVFPQ_QD = _pm_dot_lists("v", _IVFPQ_BOOKS)
-_IVFPQ_MD5_ORACLE = f"""
+def _ivfpq_md5_oracle(corpus_where: str = "") -> str:
+    """The IVF-PQ md5-twin oracle, parameterized on a corpus-side WHERE
+    (r15): the delete-serving row drops the victims from the ``assigned``
+    CTE (and therefore from ``codes``) while the query vectors still come
+    from the full table — the default empty predicate reproduces the
+    r12-green oracle byte-for-byte."""
+    return f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     nv AS (SELECT vec_id, {_NORMALIZE_SQL} AS v FROM e),
     cdots AS (SELECT vec_id, v, {_IVFPQ_CD} AS cd FROM nv),
     assigned AS (SELECT vec_id, v, list_position(cd, list_max(cd)) - 1 AS list
-                 FROM cdots),
+                 FROM cdots{corpus_where}),
     withcb AS (SELECT vec_id, v, list, {_IVFPQ_CB_CASE} AS cb FROM assigned),
     resid AS (SELECT vec_id, list,
               list_transform(range(1, 65), i -> v[i] - cb[i]) AS r FROM withcb),
@@ -2992,6 +2998,9 @@ _IVFPQ_MD5_ORACLE = f"""
     )
     SELECT query_id, vec_id, approx_cosine, rank FROM ranked WHERE rank <= 10
     """
+
+
+_IVFPQ_MD5_ORACLE = _ivfpq_md5_oracle()
 
 
 @_register(
@@ -7517,6 +7526,42 @@ def ann_ivf_rebuild_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_index_drift_report(spark, dst)
 
 
+@_register(
+    "ann_ivfpq_delete_serving",
+    _ivfpq_md5_oracle(" WHERE vec_id % 5 <> 2"),
+    "COMPRESSED-store tombstone-delete serving (r15): the persisted IVF-PQ "
+    "index builds over the FULL vector corpus, a takedown batch deletes "
+    "the vec_id%5==2 slice WITHOUT a rebuild (the flavor-agnostic "
+    "ledger-committed tombstone set that probes anti-join out of the "
+    "code postings), and the served per-query top-10 is BIT-IDENTICAL to "
+    "a compressed index freshly built over the retained vectors — the "
+    "oracle drops the victims from the corpus-side assigned/codes CTEs "
+    "while the query vectors still come from the full table; completes "
+    "the delete-serving trilogy (BM25 r14, IVF r14, IVF-PQ here) so every "
+    "persisted store's takedown path carries a driver hash",
+)
+def ann_ivfpq_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = _run_scoped_path("ivfpq_del_index", sf_dir)
+
+    def _mk() -> None:
+        SIM.build_ivfpq_index(emb, idx, n_centroids=16, m=8, n_codewords=16, dim=64)
+        SIM.delete_from_ivf_index(
+            spark,
+            idx,
+            emb.filter(F.col("vec_id") % 5 == 2).select("vec_id"),
+            batch_id="takedown",
+        )
+
+    # SERVING row: build+delete once per run, probe steady-state
+    _build_once(idx, _mk)
+    out = SIM.ivfpq_topk_persisted(spark, idx, queries, k=10, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
@@ -8453,6 +8498,95 @@ _WINDOW_TAIL.append("split_by_filter")
 # family keeps multimodal_features plus the re-admitted multimodal_resize
 # in-window.
 _WINDOW_TAIL.append("multimodal_image_dedup")
+# ---------------------------------------------------------------------------
+# round-15 staleness rotation — executes the standing queue documented in
+# README (rotation-policy rule 3): the complete round-10 band, all 25 rows.
+# Removing them from the tail restores their original early registration
+# positions inside the first-50 driver window.
+for _name in (
+    "ann_topk_ivfpq_md5",
+    "ann_topk_pq_md5",
+    "conversation_dedup",
+    "dedup_cluster_histogram",
+    "dedup_keep_best",
+    "dedup_minhash_md5",
+    "dedup_ngram_jaccard",
+    "dedup_soft_weights",
+    "docs_ccnet_buckets",
+    "docs_clean_new_lines",
+    "docs_normalize",
+    "embedding_neardup_lsh_md5",
+    "events_pivot_types",
+    "events_value_hist_quantiles",
+    "filter_empty",
+    "filter_ethics_harsh",
+    "filter_lowercase_ratio",
+    "filter_word_count",
+    "orders_running_total",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "sample_temperature_lang",
+    "users_intersect",
+):
+    _WINDOW_TAIL.remove(_name)
+# Rotated OUT to make room (25 re-admissions + 1 NEW r15 registration —
+# ann_ivfpq_delete_serving, which sits in the window by registration): 26
+# rows, every one hash-green in CORRECTNESS_r14 — the freshest evidence in
+# the registry, so rule-3 ranks them last — with its implementing region
+# untouched by round 15 (r15 touches rrf_fuse + the four stores' extend
+# delivery guards in retrieval.py / dedup_store.py / similarity.py, the
+# serve:/index.ivfpq CLI blocks, and streaming/pipeline.py by APPEND — so
+# the riders of those regions STAY in-window to re-earn hashes on the
+# changed code: docs_bm25_indexed (build→extend→probe lifecycle),
+# docs_hybrid_rrf (rrf_fuse), dedup_onboarding_indexed + dedup_store_health
+# (extend_dedup_index), ann_ivf_drift_report + ann_ivf_rebuild_report
+# (extend_ivf_index)).  Family coverage stays in-window: relational
+# re-admits q1/q6/q7/q18 + users_intersect + orders_running_total; events
+# re-admits pivot_types + value_hist_quantiles with key_skew held;
+# conversation re-admits conversation_dedup with pipeline_lifecycle's P1-P3
+# chain held; cleaners re-admit docs_normalize + docs_clean_new_lines with
+# docs_c4_clean held; filters re-admit empty/ethics_harsh/lowercase_ratio/
+# word_count with filter_gopher_quality + both held pipelines' chains;
+# dedup re-admits minhash_md5 / ngram_jaccard / keep_best / soft_weights /
+# cluster_histogram with banding_calibration + semantic held; ANN re-admits
+# the pq_md5 + ivfpq_md5 twins with ann_topk_ivf_persisted +
+# ann_ivf_delete_serving + the drift/rebuild reports held and the NEW
+# compressed delete-serving row entering; classifiers keep train + eval;
+# retrieval keeps indexed (rule-2) + batch_serving + delete_serving +
+# index_health + hybrid_rrf (rule-2); sampling re-admits
+# sample_temperature_lang with split_train_val_test held; sketches keep
+# corpus_hll_distinct; decontamination keeps decontaminate_semantic;
+# multimodal keeps multimodal_resize; LM quality keeps docs_bigram_lm.
+_WINDOW_TAIL += [
+    "q11_important_parts",
+    "q20_top_suppliers_promo",
+    "q21_waiting_suppliers",
+    "events_hourly_agg",
+    "events_funnel",
+    "pipeline_output_preset",
+    "dedup_simhash_md5",
+    "ann_topk_ivfpq_persisted",
+    "ann_topk_ivf_md5",
+    "filter_perplexity",
+    "conversation_pairs",
+    "multimodal_features",
+    "quality_classifier_scores",
+    "quality_classifier_train_scores",
+    "docs_classifier_gate",
+    "docs_redact_pii",
+    "pack_sequences_bins",
+    "docs_bm25_topk_indexed",
+    "corpus_top_bigrams",
+    "sample_token_budget_lang",
+    "corpus_mix_manifest",
+    "docs_length_deciles",
+    "docs_script_mix",
+    "docs_strip_html",
+    "corpus_diff_v2",
+    "corpus_datacard",
+]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

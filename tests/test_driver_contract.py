@@ -81,42 +81,38 @@ def test_correctness_window_is_all_oracle_backed():
     # history; round 12 executed the standing README queue — r4 + full r5
     # bands — so the pinned set below IS the r12 window.)
     must_be_windowed = {
-        # round-14 rule-2 holds: the three r13 hash-red rows re-earn on the
-        # oracle BIGINT casts (q11/eval) and the casts + half-away fit
-        # rounding (drift report, similarity.py), and the four retrieval.py
-        # riders re-earn on the batch-serving lowercase/empty-terms fixes +
-        # rebuild-crash meta versioning
-        "q11_important_parts", "classifier_eval_report",
-        "ann_ivf_drift_report",
-        # round-14 rule-1 entries: the NEW oracle-backed rebuild health
-        # check and the two tombstone-delete serving rows
-        "ann_ivf_rebuild_report",
-        "docs_bm25_delete_serving", "ann_ivf_delete_serving",
-        "docs_hybrid_rrf", "dedup_onboarding_indexed", "bm25_index_health",
-        "dedup_store_health", "ann_topk_ivfpq_persisted",
-        "docs_bm25_indexed", "docs_bm25_topk_indexed",
+        # round-15 rule-1: the NEW compressed-store delete-serving row
+        "ann_ivfpq_delete_serving",
+        # round-15 rule-2 holds: riders of the regions r15 touched —
+        # rrf_fuse's query-id type preservation (docs_hybrid_rrf), the
+        # delivery id-type guards on the four stores' extend paths
+        # (docs_bm25_indexed's build→extend→probe lifecycle,
+        # dedup_onboarding_indexed + dedup_store_health via
+        # extend_dedup_index, ann_ivf_drift_report + ann_ivf_rebuild_report
+        # via extend_ivf_index)
+        "docs_hybrid_rrf", "docs_bm25_indexed",
+        "dedup_onboarding_indexed", "dedup_store_health",
+        "ann_ivf_drift_report", "ann_ivf_rebuild_report",
+        # round-15 staleness rotation rule 3 — the complete r10 band:
+        "ann_topk_ivfpq_md5", "ann_topk_pq_md5", "conversation_dedup",
+        "dedup_cluster_histogram", "dedup_keep_best", "dedup_minhash_md5",
+        "dedup_ngram_jaccard", "dedup_soft_weights", "docs_ccnet_buckets",
+        "docs_clean_new_lines", "docs_normalize",
+        "embedding_neardup_lsh_md5", "events_pivot_types",
+        "events_value_hist_quantiles", "filter_empty", "filter_ethics_harsh",
+        "filter_lowercase_ratio", "filter_word_count",
+        "orders_running_total", "q18_large_orders", "q1_pricing_summary",
+        "q6_revenue_forecast", "q7_nation_volume", "sample_temperature_lang",
+        "users_intersect",
+        # standing residents (r14-green; family-coverage holds)
+        "pipeline_lifecycle", "split_train_val_test",
+        "decontaminate_semantic", "dedup_semantic",
+        "dedup_banding_calibration", "events_key_skew",
+        "corpus_hll_distinct", "docs_bigram_lm", "filter_gopher_quality",
+        "docs_c4_clean", "quality_classifier_train",
+        "classifier_eval_report", "docs_bm25_delete_serving",
         "docs_bm25_batch_serving", "ann_topk_ivf_persisted",
-        # round-14 staleness rotation rule 3 — the complete r9 band:
-        "corpus_datacard", "corpus_diff_v2", "corpus_mix_manifest",
-        "corpus_top_bigrams", "decontaminate_semantic", "docs_c4_clean",
-        "docs_length_deciles", "docs_script_mix", "docs_strip_html",
-        "events_funnel", "events_hourly_agg", "filter_gopher_quality",
-        "filter_perplexity", "multimodal_resize", "pack_sequences_bins",
-        "sample_token_budget_lang",
-        # standing residents (r13-green; regions untouched or
-        # append-adjacent this round)
-        "q20_top_suppliers_promo", "q21_waiting_suppliers",
-        "quality_classifier_train", "quality_classifier_train_scores",
-        "quality_classifier_scores", "docs_classifier_gate",
-        "conversation_pairs", "multimodal_features", "pipeline_lifecycle",
-        "pipeline_output_preset",
-        "split_train_val_test",
-        "docs_redact_pii",
-        "dedup_semantic", "docs_bigram_lm",
-        "corpus_hll_distinct",
-        "dedup_banding_calibration",
-        "events_key_skew",
-        "dedup_simhash_md5", "ann_topk_ivf_md5",
+        "ann_ivf_delete_serving", "bm25_index_health", "multimodal_resize",
     }
     assert must_be_windowed <= set(window)
 

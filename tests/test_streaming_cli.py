@@ -2144,3 +2144,101 @@ def test_cli_ivfpq_lifecycle(spark, tmp_path):
             {"ivfpq": {"path": idx, "action": "delete", "batch_id": "t2",
                        "dataset": half_b}},
         )
+
+
+def test_cli_serve_block_hybrid_bit_matches_operator_path(spark, tmp_path):
+    """r15: YAML-reachable serving — a serve-only config probes both
+    persisted indexes from a query table and the fused result bit-matches
+    the rrf_fuse operator composition over the same roots; single-arm
+    serves dispatch per index flavor (BM25 / IVF / IVF-PQ from meta)."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.cli import run_config
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from chat_data_pipeline_spark.operators import similarity as SIM
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bidx, vidx = str(tmp_path / "srv_bm25"), str(tmp_path / "srv_ivf")
+    RT.build_text_index(docs, bidx)
+    SIM.build_ivf_index(emb, vidx, n_centroids=16, coarse="md5", dim=64)
+
+    # one query table carries both arms' inputs (ids share the space)
+    qtab = str(tmp_path / "queries.parquet")
+    terms = spark.createDataFrame(
+        [(0, ["join", "hash"]), (1, ["scan", "window", "sort"]), (2, ["hash", "sort"])],
+        "query_id long, terms array<string>",
+    )
+    terms.join(
+        emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        "query_id",
+    ).write.parquet(qtab)
+
+    out_path = str(tmp_path / "served.parquet")
+    served = run_config(
+        spark,
+        {"serve": {"queries": qtab, "k": 10, "output_path": out_path,
+                   "bm25": {"path": bidx, "k": 20},
+                   "ann": {"path": vidx, "k": 20}}},
+    )
+    lex = RT.bm25_topk_indexed_batch(
+        spark, bidx,
+        spark.read.parquet(qtab).select("query_id", "terms"), k=20,
+    ).select("query_id", "doc_id", "rank")
+    vec = SIM.ivf_topk_persisted(
+        spark, vidx,
+        spark.read.parquet(qtab).select("query_id", "query_vec"),
+        k=20, n_probe=4,
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    want = sorted(map(tuple, RT.rrf_fuse([lex, vec], k=10).collect()))
+    assert sorted(map(tuple, served.collect())) == want
+    # the sink got the same rows
+    assert sorted(
+        map(tuple, spark.read.parquet(out_path)
+            .select("query_id", "doc_id", "rrf_nanos", "rank").collect())
+    ) == want
+
+    # single lexical arm: plain BM25 top-k at serve depth
+    one = run_config(
+        spark, {"serve": {"queries": qtab, "k": 5, "bm25": {"path": bidx}}}
+    )
+    want_lex = RT.bm25_topk_indexed_batch(
+        spark, bidx, spark.read.parquet(qtab).select("query_id", "terms"), k=5
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, want_lex.collect())
+    )
+
+    # single vector arm against a COMPRESSED root: flavor dispatch from meta
+    pqidx = str(tmp_path / "srv_ivfpq")
+    SIM.build_ivfpq_index(emb, pqidx, n_centroids=16, m=8, n_codewords=16, dim=64)
+    pq = run_config(
+        spark, {"serve": {"queries": qtab, "k": 5, "ann": {"path": pqidx}}}
+    )
+    want_pq = SIM.ivfpq_topk_persisted(
+        spark, pqidx,
+        spark.read.parquet(qtab).select("query_id", "query_vec"), k=5, n_probe=4,
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "approx_cosine", "rank")
+    assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, want_pq.collect()))
+
+    # alias-addressed arm + path/alias exclusivity
+    alias = str(tmp_path / "srv_alias")
+    RT.swap_index_alias(spark, alias, bidx)
+    via_alias = run_config(
+        spark, {"serve": {"queries": qtab, "k": 5, "bm25": {"alias": alias}}}
+    )
+    assert sorted(map(tuple, via_alias.collect())) == sorted(
+        map(tuple, want_lex.collect())
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        run_config(
+            spark,
+            {"serve": {"queries": qtab,
+                       "bm25": {"path": bidx, "alias": alias}}},
+        )
+    with _pytest.raises(ValueError, match="at least one arm"):
+        run_config(spark, {"serve": {"queries": qtab}})
