@@ -362,6 +362,13 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
             dst_path: /stores/v2      # optional for compact
             alias: /stores/serving    # optional cutover pointer
 
+    Every kind also accepts ``action: auto_compact`` (r15): read the
+    store's own artifacts via ``maintenance_plan`` and compact only when
+    a threshold is crossed — ``max_batches`` (default 8) committed
+    deliveries, or ``max_tombstone_nanos`` (default 1e8 = 10%) dead rows.
+    With ``alias:``, a skipped run swaps serving to ``path``; only a run
+    that actually compacted swaps to ``dst_path``.
+
     Both kinds share the commit-ledger crash posture: indexing is an EAGER
     action (it writes the artifacts), a config run that dies mid-delivery
     leaves the batch invisible to probes and re-running the same config
@@ -402,6 +409,38 @@ def _finish_with_alias(
     dst = str(spec["dst_path"]) if spec.get("dst_path") else None
     final = dst if action in dst_writing_actions and dst else str(spec["path"])
     swap_index_alias(spark, str(spec["alias"]), final)
+
+
+def _run_auto_compact(spark: SparkSession, spec: dict, kind: str) -> str:
+    """Shared `action: auto_compact` for all four index kinds (r15): read
+    the store's own artifacts via `maintenance_plan`, compact only if a
+    threshold is crossed (`max_batches`, default 8; `max_tombstone_nanos`,
+    default 1e8 = 10% dead rows).  Returns the EFFECTIVE action so
+    `_finish_with_alias` points a serving alias at dst_path only when the
+    compaction actually wrote it — a skipped run swaps to the live
+    `path`, never to a stale dst root."""
+    from chat_data_pipeline_spark.operators.maintenance import (
+        DEFAULT_MAX_BATCHES,
+        DEFAULT_MAX_TOMBSTONE_NANOS,
+        compact_if_needed,
+    )
+
+    did = compact_if_needed(
+        spark,
+        str(spec["path"]),
+        max_batches=int(spec.get("max_batches", DEFAULT_MAX_BATCHES)),
+        max_tombstone_nanos=int(
+            spec.get("max_tombstone_nanos", DEFAULT_MAX_TOMBSTONE_NANOS)
+        ),
+        dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
+    )
+    logger.info(
+        "index.%s: auto_compact %s %s",
+        kind,
+        "compacted" if did else "below thresholds, skipped",
+        spec["path"],
+    )
+    return "compact" if did else "auto_compact_noop"
 
 
 def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
@@ -450,10 +489,12 @@ def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             str(spec["path"]),
             dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
         )
+    elif action == "auto_compact":
+        action = _run_auto_compact(spark, spec, "bm25")
     else:
         raise ValueError(
-            "index.bm25 action must be 'build', 'extend', 'delete' or "
-            f"'compact', got {action!r}"
+            "index.bm25 action must be 'build', 'extend', 'delete', "
+            f"'compact' or 'auto_compact', got {action!r}"
         )
     _finish_with_alias(spark, spec, action, ("compact",))
     logger.info("index.bm25: %s %s", action, spec["path"])
@@ -473,10 +514,11 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     path = str(spec["path"])
     action = str(spec.get("action", "build"))
     dst = str(spec["dst_path"]) if spec.get("dst_path") else None
-    if action not in ("build", "extend", "delete", "compact", "rebuild"):
+    if action not in ("build", "extend", "delete", "compact", "rebuild",
+                      "auto_compact"):
         raise ValueError(
             "index.ivf action must be 'build', 'extend', 'delete', "
-            f"'compact' or 'rebuild', got {action!r}"
+            f"'compact', 'rebuild' or 'auto_compact', got {action!r}"
         )
     if action in ("extend", "delete") and "batch_id" not in spec:
         raise ValueError(f"index.ivf action={action} needs `batch_id`")
@@ -542,6 +584,8 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             n_centroids=int(spec["n_centroids"]) if spec.get("n_centroids") else None,
             seed=int(spec.get("seed", 42)),
         )
+    elif action == "auto_compact":
+        action = _run_auto_compact(spark, spec, "ivf")
     _finish_with_alias(spark, spec, action, ("compact", "rebuild"))
     logger.info("index.ivf: %s %s", action, path)
 
@@ -565,10 +609,10 @@ def _run_ivfpq_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             "index.ivfpq has no rebuild action: PQ storage is lossy (codes "
             "only) — re-run action=build over the source corpus instead"
         )
-    if action not in ("build", "extend", "delete", "compact"):
+    if action not in ("build", "extend", "delete", "compact", "auto_compact"):
         raise ValueError(
-            "index.ivfpq action must be 'build', 'extend', 'delete' or "
-            f"'compact', got {action!r}"
+            "index.ivfpq action must be 'build', 'extend', 'delete', "
+            f"'compact' or 'auto_compact', got {action!r}"
         )
     if action in ("extend", "delete") and "batch_id" not in spec:
         raise ValueError(f"index.ivfpq action={action} needs `batch_id`")
@@ -616,6 +660,8 @@ def _run_ivfpq_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         )
     elif action == "compact":
         SIM.compact_ivf_index(spark, path, dst_index=dst)
+    elif action == "auto_compact":
+        action = _run_auto_compact(spark, spec, "ivfpq")
     _finish_with_alias(spark, spec, action, ("compact",))
     logger.info("index.ivfpq: %s %s", action, path)
 
@@ -632,10 +678,10 @@ def _run_dedup_store_indexing(spark: SparkSession, df: DataFrame, spec: dict) ->
         raise ValueError("index.dedup needs `path` (the store root)")
     path = str(spec["path"])
     action = str(spec.get("action", "build"))
-    if action not in ("build", "extend", "delete", "compact"):
+    if action not in ("build", "extend", "delete", "compact", "auto_compact"):
         raise ValueError(
-            "index.dedup action must be 'build', 'extend', 'delete' or "
-            f"'compact', got {action!r}"
+            "index.dedup action must be 'build', 'extend', 'delete', "
+            f"'compact' or 'auto_compact', got {action!r}"
         )
     if action in ("extend", "delete") and "batch_id" not in spec:
         raise ValueError(f"index.dedup action={action} needs `batch_id`")
@@ -680,6 +726,8 @@ def _run_dedup_store_indexing(spark: SparkSession, df: DataFrame, spec: dict) ->
             path,
             dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
         )
+    elif action == "auto_compact":
+        action = _run_auto_compact(spark, spec, "dedup")
     _finish_with_alias(spark, spec, action, ("compact",))
     logger.info("index.dedup: %s %s", action, path)
 
@@ -725,6 +773,67 @@ def _run_onboarding(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame
         )
     logger.info("onboard: filtered against %s", store)
     return kept.drop("__onboard_id__")
+
+
+def _run_takedown(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame:
+    """Top-level `takedown:` block (r15) — ONE victim table deleted from
+    EVERY store that serves it, in one config:
+
+        takedown:
+          ids_dataset: /victims.parquet  # default: this run's curated rows
+          id_expr: id
+          batch_id: gdpr-0042            # one ledger id across the stores
+          bm25: /indexes/corpus_bm25     # any non-empty subset of the four
+          ivf: /indexes/corpus_ivf
+          ivfpq: /indexes/corpus_ivfpq
+          dedup: /stores/corpus_sigs
+
+    The compliance shape at 100 TB: a deletion request must reach every
+    derived artifact — the lexical index, both ANN stores, AND the
+    signature store (whose reference entries would otherwise keep
+    subtracting near-copies of content that no longer exists).  Without
+    this block a config needs four index.* delete stanzas that can drift
+    apart; here the id set and batch id are shared by construction.  Each
+    store's delete is its own ledger-committed tombstone delivery (the
+    ledgers are per-root, so one batch id is valid everywhere and replay
+    stays idempotent per store); a crash between stores leaves the
+    completed ones committed and the re-run re-delivers all four
+    idempotently.  Returns the distinct victim-id frame for accounting."""
+    from chat_data_pipeline_spark.operators import dedup_store as DS
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from chat_data_pipeline_spark.operators import similarity as SIM
+
+    if "batch_id" not in spec:
+        raise ValueError("takedown needs `batch_id`")
+    stores = [k for k in ("bm25", "ivf", "ivfpq", "dedup") if spec.get(k)]
+    if not stores:
+        raise ValueError(
+            "takedown needs at least one store root: bm25/ivf/ivfpq/dedup"
+        )
+    id_expr = str(spec.get("id_expr", "id"))
+    base = (
+        spark.read.parquet(str(spec["ids_dataset"]))
+        if spec.get("ids_dataset")
+        else df
+    )
+    if base is None:
+        raise ValueError(
+            "takedown without `datasets` needs `ids_dataset` (the victim table)"
+        )
+    victims = base.select(F.expr(id_expr).alias("doc")).distinct()
+    # one deterministic id set for every store: the per-store deletes each
+    # scan their own already-deleted sets, so pin the frame once
+    victims = victims.localCheckpoint(eager=True)
+    deleters = {
+        "bm25": RT.delete_from_text_index,
+        "ivf": SIM.delete_from_ivf_index,
+        "ivfpq": SIM.delete_from_ivf_index,  # deletes are flavor-agnostic
+        "dedup": DS.delete_from_dedup_index,
+    }
+    for kind in stores:
+        deleters[kind](spark, str(spec[kind]), victims, spec["batch_id"])
+        logger.info("takedown: %s %s", kind, spec[kind])
+    return victims
 
 
 def _serve_root(spark: SparkSession, spec: dict, kind: str) -> str:
@@ -853,9 +962,14 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
     from chat_data_pipeline_spark.sources import combine_sources
 
     serve_cfg = config.get("serve")
-    if serve_cfg and "datasets" not in config:
-        # a pure SERVING job: no corpus to curate — probe the named index
-        # roots and return (main() writes the result to output_path)
+    takedown_cfg = config.get("takedown")
+    if "datasets" not in config and (serve_cfg or takedown_cfg):
+        # a pure SERVING or COMPLIANCE job: no corpus to curate — act on
+        # the named index roots and return (main() writes/counts the rest)
+        if takedown_cfg:
+            victims = _run_takedown(spark, None, dict(takedown_cfg))
+            if not serve_cfg:
+                return victims
         return _run_serving(spark, dict(serve_cfg))
 
     paths = [d["path"] if isinstance(d, dict) else d for d in config["datasets"]]
@@ -894,6 +1008,12 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
         # — the artifact a curation job should leave behind is an index of
         # what it kept, not of the raw feed
         _run_indexing(spark, df, index_cfg)
+
+    if takedown_cfg:
+        # compliance delivery AFTER index maintenance: victims default to
+        # this run's curated rows (curate-the-victims configs), and the
+        # deletes land on the just-maintained roots
+        _run_takedown(spark, df, dict(takedown_cfg))
 
     if serve_cfg:
         # curate-then-serve in one config: the probes run AFTER the index

@@ -1,0 +1,203 @@
+"""Store-agnostic maintenance policy (r15): when should a long-lived
+persisted store compact?
+
+Every store here (BM25 text index, IVF / IVF-PQ ANN indexes, MinHash
+signature store) accumulates per-delivery ``batch=`` partitions and
+ledger-committed tombstone sets; both are deliberately cheap to WRITE
+(extensions are one partition, deletes are one id set) and paid for at
+PROBE time (an N-way batch merge, a tombstone anti-join).  Compaction
+resets both costs — but on a 100 TB deployment nobody watches each root
+by hand, so the decision itself must be an operator: read the store's
+OWN artifacts (O(batches) cost, never the corpus), compare against
+thresholds, and recommend.
+
+``maintenance_plan`` is that decision as a one-row DataFrame;
+``compact_if_needed`` acts on it; the CLI exposes both as
+``action: auto_compact`` on all four ``index.*`` kinds, so a scheduled
+YAML run keeps a fleet of roots healthy without a human in the loop.
+
+No reference parity claimed — the reference (single-run pandas pipeline,
+ref ``pipeline.py:45-67``) has no persisted stores to maintain; this is
+engine-extension surface like the stores themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Defaults: compact once probes pay an 8-way merge, or once 10% of the
+# store's physical rows are dead weight the anti-join must filter.
+DEFAULT_MAX_BATCHES = 8
+DEFAULT_MAX_TOMBSTONE_NANOS = 100_000_000
+
+
+def detect_store_kind(spark, index_path: str) -> str:
+    """Classify a store root by its meta schema — the four kinds pin
+    disjoint meta columns, so the detection is structural, not heuristic:
+    ``n_term_buckets`` → bm25, ``sig_type`` → dedup, ``coarse='md5pq'`` →
+    ivfpq, other ``coarse`` → ivf.  Raises on anything else (including a
+    meta-less mid-rebuild root, which must fail loudly everywhere)."""
+    meta_df = spark.read.parquet(f"{index_path}/meta")
+    cols = set(meta_df.columns)
+    if "n_term_buckets" in cols:
+        return "bm25"
+    if "sig_type" in cols:
+        return "dedup"
+    if "coarse" in cols:
+        return "ivfpq" if meta_df.first().coarse == "md5pq" else "ivf"
+    raise ValueError(
+        f"{index_path}/meta matches no known store kind (columns: {sorted(cols)})"
+    )
+
+
+def _count_committed(spark, index_path: str, sub: str, committed: list[str]) -> int:
+    """Row count of a committed-batch-filtered artifact, or 0 when the
+    artifact directory does not exist.  Parquet ``count()`` resolves from
+    file-footer row counts — a metadata operation, no data scan — so this
+    stays cheap on a corpus-sized postings table."""
+    from chat_data_pipeline_spark.operators.retrieval import _fs_for
+
+    fs, path, _jvm = _fs_for(spark, f"{index_path}/{sub}")
+    if not fs.exists(path):
+        return 0
+    return (
+        spark.read.parquet(f"{index_path}/{sub}")
+        .filter(F.col("batch").isin(committed))
+        .count()
+    )
+
+
+def maintenance_plan(
+    spark,
+    index_path: str,
+    max_batches: int = DEFAULT_MAX_BATCHES,
+    max_tombstone_nanos: int = DEFAULT_MAX_TOMBSTONE_NANOS,
+) -> DataFrame:
+    """One-row compaction recommendation from the store's own artifacts.
+
+    Columns: ``(kind, n_batches, n_tombstones, live_units,
+    tombstone_nanos, compact_recommended)`` where ``live_units`` is the
+    store's natural unit — live documents for bm25 (the cross-batch
+    ``stats.n_docs`` sum, which already nets delete deliveries), physical
+    posting rows minus tombstones for ivf/ivfpq (one row per vector), and
+    fingerprinted ids for the dedup store (band rows are exactly
+    ``num_bands`` per fingerprinted doc) — and ``tombstone_nanos`` is the
+    integer-exact dead fraction ``1e9 * n_tombstones div (live_units +
+    n_tombstones)``.  ``compact_recommended`` is true when either
+    threshold is crossed: more committed batches than ``max_batches``
+    (probes pay the N-way merge) or a dead fraction above
+    ``max_tombstone_nanos`` (probes pay the anti-join for rows that no
+    longer serve).
+
+    Scale shape: ledger + tombstones are batch-/id-sized reads; the one
+    posting-table touch is a footer-metadata count.  Never reads the
+    corpus, never shuffles corpus-sized data."""
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _committed_batches,
+        _fs_for,
+        _tombstoned_ids,
+    )
+
+    kind = detect_store_kind(spark, index_path)
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
+    n_batches = len(committed)
+
+    if kind == "bm25":
+        id_type = meta.id_type
+    elif kind == "dedup":
+        id_type = meta.id_type
+    else:
+        id_type = dict(
+            spark.read.parquet(f"{index_path}/postings").dtypes
+        )[meta.id_col]
+    tomb = _tombstoned_ids(spark, index_path, id_type, committed)
+    n_tombstones = 0 if tomb is None else tomb.count()
+
+    if kind == "bm25":
+        fs, spath, _jvm = _fs_for(spark, f"{index_path}/stats")
+        live = 0
+        if fs.exists(spath):
+            live = int(
+                spark.read.schema("n_docs long, sum_dl long")
+                .parquet(f"{index_path}/stats")
+                .filter(F.col("batch").isin(committed))
+                .agg(F.coalesce(F.sum("n_docs"), F.lit(0)))
+                .first()[0]
+            )
+    elif kind == "dedup":
+        # band rows per fingerprinted doc: the md5 family emits exactly
+        # meta.num_bands; the sha1 family bands with the datasketch-optimal
+        # (B, R) for (threshold, num_perm) and drops whole-sentinel docs
+        rows = _count_committed(spark, index_path, "bands", committed)
+        if meta.family == "md5":
+            divisor = int(meta.num_bands)
+        else:
+            from chat_data_pipeline_spark.operators.dedup import optimal_param
+
+            divisor = int(optimal_param(float(meta.threshold), int(meta.num_perm))[0])
+        live = rows // divisor - n_tombstones
+    else:  # ivf / ivfpq: one posting row per vector
+        rows = _count_committed(spark, index_path, "postings", committed)
+        live = rows - n_tombstones
+
+    physical = live + n_tombstones
+    tombstone_nanos = (
+        (10**9 * n_tombstones) // physical if physical > 0 else 0
+    )
+    recommended = n_batches > int(max_batches) or tombstone_nanos > int(
+        max_tombstone_nanos
+    )
+    return spark.createDataFrame(
+        [(
+            kind,
+            int(n_batches),
+            int(n_tombstones),
+            int(live),
+            int(tombstone_nanos),
+            bool(recommended),
+        )],
+        "kind string, n_batches long, n_tombstones long, live_units long, "
+        "tombstone_nanos long, compact_recommended boolean",
+    )
+
+
+def compact_if_needed(
+    spark,
+    index_path: str,
+    max_batches: int = DEFAULT_MAX_BATCHES,
+    max_tombstone_nanos: int = DEFAULT_MAX_TOMBSTONE_NANOS,
+    dst_index: str | None = None,
+) -> bool:
+    """Act on :func:`maintenance_plan`: compact the store (dispatching to
+    its kind's compactor) iff recommended; returns whether it compacted.
+    The plan read and the compaction run in the same process, but the
+    decision uses only ledger-committed state, so a concurrent delivery
+    committing between the two at worst makes the compaction fold one
+    more batch — never an inconsistency (same single-writer-per-root
+    coordination contract as every maintenance operator here)."""
+    plan = maintenance_plan(
+        spark, index_path, max_batches, max_tombstone_nanos
+    ).first()
+    if not plan.compact_recommended:
+        return False
+    if plan.kind == "bm25":
+        from chat_data_pipeline_spark.operators.retrieval import (
+            compact_text_index,
+        )
+
+        compact_text_index(spark, index_path, dst_index=dst_index)
+    elif plan.kind == "dedup":
+        from chat_data_pipeline_spark.operators.dedup_store import (
+            compact_dedup_index,
+        )
+
+        compact_dedup_index(spark, index_path, dst_index=dst_index)
+    else:
+        from chat_data_pipeline_spark.operators.similarity import (
+            compact_ivf_index,
+        )
+
+        compact_ivf_index(spark, index_path, dst_index=dst_index)
+    return True

@@ -1,0 +1,204 @@
+"""r15: store-agnostic maintenance policy + the cross-store takedown block.
+
+The plan must read ONLY the stores' own artifacts (O(batches) + one
+footer-metadata count), recommend exactly per its two thresholds, and the
+auto-compact action must act on the recommendation — compacting when
+crossed, leaving the root byte-untouched when not."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.operators import dedup_store as DS
+from chat_data_pipeline_spark.operators import maintenance as MT
+from chat_data_pipeline_spark.operators import retrieval as RT
+from chat_data_pipeline_spark.operators import similarity as SIM
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint(
+        eager=True
+    )
+
+
+def test_detect_store_kind_all_four(spark, docs, emb, tmp_path):
+    b = str(tmp_path / "k_bm25")
+    RT.build_text_index(docs, b)
+    v = str(tmp_path / "k_ivf")
+    SIM.build_ivf_index(emb, v, n_centroids=16, coarse="md5", dim=64)
+    p = str(tmp_path / "k_ivfpq")
+    SIM.build_ivfpq_index(emb, p, n_centroids=16, m=8, n_codewords=16, dim=64)
+    d = str(tmp_path / "k_dedup")
+    DS.build_dedup_index(docs, d, family="md5")
+    assert MT.detect_store_kind(spark, b) == "bm25"
+    assert MT.detect_store_kind(spark, v) == "ivf"
+    assert MT.detect_store_kind(spark, p) == "ivfpq"
+    assert MT.detect_store_kind(spark, d) == "dedup"
+
+
+def test_maintenance_plan_bm25_exact_numbers(spark, docs, tmp_path):
+    idx = str(tmp_path / "plan_bm25")
+    n = docs.count()
+    RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id="b1")
+    victims = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    n_victims = victims.count()
+    RT.delete_from_text_index(spark, idx, victims, batch_id="take")
+    plan = MT.maintenance_plan(spark, idx).first()
+    assert plan.kind == "bm25"
+    assert plan.n_batches == 3  # base + b1 + the delete delivery
+    assert plan.n_tombstones == n_victims
+    assert plan.live_units == n - n_victims
+    assert plan.tombstone_nanos == (10**9 * n_victims) // n
+    # ~14% dead > the 10% default threshold
+    assert plan.compact_recommended
+
+    # acting on it makes the deletes physical; the fresh plan is clean
+    assert MT.compact_if_needed(spark, idx)
+    plan2 = MT.maintenance_plan(spark, idx).first()
+    assert (plan2.n_batches, plan2.n_tombstones) == (1, 0)
+    assert plan2.live_units == n - n_victims
+    assert not plan2.compact_recommended
+
+
+def test_maintenance_plan_batch_threshold_and_noop(spark, emb, tmp_path):
+    idx = str(tmp_path / "plan_ivf")
+    SIM.build_ivf_index(
+        emb.filter(F.col("vec_id") % 4 == 0), idx, n_centroids=16, coarse="md5", dim=64
+    )
+    for i in range(1, 4):
+        SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 4 == i), idx, batch_id=i)
+    n = emb.count()
+    plan = MT.maintenance_plan(spark, idx).first()
+    assert plan.kind == "ivf"
+    assert (plan.n_batches, plan.n_tombstones, plan.live_units) == (4, 0, n)
+    assert not plan.compact_recommended  # 4 <= default 8, no tombstones
+    # below thresholds: no-op, ledger untouched
+    assert not MT.compact_if_needed(spark, idx)
+    assert len(RT._committed_batches(spark, idx)) == 4
+    # a tighter batch budget flips the recommendation
+    tight = MT.maintenance_plan(spark, idx, max_batches=3).first()
+    assert tight.compact_recommended
+    assert MT.compact_if_needed(spark, idx, max_batches=3)
+    assert RT._committed_batches(spark, idx) == ["base"]
+
+
+def test_maintenance_plan_dedup_and_ivfpq_units(spark, docs, emb, tmp_path):
+    d = str(tmp_path / "plan_dedup")
+    DS.build_dedup_index(docs, d, family="md5", num_bands=4)
+    meta = spark.read.parquet(f"{d}/meta").first()
+    bands = spark.read.parquet(f"{d}/bands").count()
+    plan = MT.maintenance_plan(spark, d).first()
+    assert plan.kind == "dedup"
+    assert plan.live_units == bands // int(meta.num_bands)
+    p = str(tmp_path / "plan_ivfpq")
+    SIM.build_ivfpq_index(emb, p, n_centroids=16, m=8, n_codewords=16, dim=64)
+    plan_pq = MT.maintenance_plan(spark, p).first()
+    assert plan_pq.kind == "ivfpq"
+    assert plan_pq.live_units == emb.count()
+
+
+def test_cli_auto_compact_acts_and_skips(spark, docs, tmp_path):
+    from chat_data_pipeline_spark.cli import _run_indexing
+
+    idx = str(tmp_path / "auto_bm25")
+    RT.build_text_index(docs, idx)
+    victims = docs.filter(F.col("doc_id") % 6 == 1).select("doc_id")
+    RT.delete_from_text_index(spark, idx, victims, batch_id="take")
+    dfu = spark.createDataFrame([(1, "x")], "id long, response string")
+    alias = str(tmp_path / "auto_alias")
+    stale_dst = str(tmp_path / "stale_dst")
+    RT.build_text_index(docs.limit(20), stale_dst)  # a servable stale root
+    # below thresholds with a HIGH tombstone budget: skipped, and the alias
+    # must point at the live path, never the stale dst
+    _run_indexing(
+        spark, dfu,
+        {"bm25": {"path": idx, "action": "auto_compact",
+                  "max_tombstone_nanos": 999_999_999, "dst_path": stale_dst,
+                  "alias": alias}},
+    )
+    assert RT.resolve_index_alias(spark, alias) == idx
+    assert os.path.exists(f"{idx}/tombstones")
+    # default thresholds: ~17% dead crosses 10% — compacts, tombstones gone
+    _run_indexing(
+        spark, dfu, {"bm25": {"path": idx, "action": "auto_compact"}}
+    )
+    assert not os.path.exists(f"{idx}/tombstones")
+    assert RT._committed_batches(spark, idx) == ["base"]
+
+
+def test_cli_takedown_block_hits_every_store(spark, docs, emb, tmp_path):
+    """One victim table + one batch id deleted from all four stores in one
+    config; every store's probe afterwards excludes the victims."""
+    from chat_data_pipeline_spark.cli import run_config
+
+    b = str(tmp_path / "td_bm25")
+    RT.build_text_index(docs, b)
+    v = str(tmp_path / "td_ivf")
+    SIM.build_ivf_index(emb, v, n_centroids=16, coarse="md5", dim=64)
+    p = str(tmp_path / "td_ivfpq")
+    SIM.build_ivfpq_index(emb, p, n_centroids=16, m=8, n_codewords=16, dim=64)
+    d = str(tmp_path / "td_dedup")
+    DS.build_dedup_index(docs, d, family="md5")
+
+    ids_path = str(tmp_path / "victims.parquet")
+    docs.filter(F.col("doc_id") % 5 == 2).select(
+        F.col("doc_id").alias("id")
+    ).write.parquet(ids_path)
+
+    out = run_config(
+        spark,
+        {"takedown": {"ids_dataset": ids_path, "batch_id": "gdpr-1",
+                      "bm25": b, "ivf": v, "ivfpq": p, "dedup": d}},
+    )
+    n_victims = spark.read.parquet(ids_path).count()
+    assert out.count() == n_victims
+
+    lex = RT.bm25_topk_indexed(
+        spark, b, ["join", "hash", "scan", "window", "sort"], k=50
+    ).collect()
+    assert lex and all(r.doc_id % 5 != 2 for r in lex)
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ivf_out = SIM.ivf_topk_persisted(spark, v, qs, k=10, n_probe=4).collect()
+    assert ivf_out and all(r.vec_id % 5 != 2 for r in ivf_out)
+    pq_out = SIM.ivfpq_topk_persisted(spark, p, qs, k=10, n_probe=4).collect()
+    assert pq_out and all(r.vec_id % 5 != 2 for r in pq_out)
+    # the signature store stopped subtracting matches of the VICTIMS'
+    # entries (collisions with retained references still subtract):
+    # probing equals a fresh store built over the retained corpus only
+    probe = docs.filter(F.col("doc_id") % 5 == 2)
+    kept = {r.doc_id for r in DS.filter_against_dedup_index(spark, d, probe).collect()}
+    fresh = str(tmp_path / "td_dedup_fresh")
+    DS.build_dedup_index(docs.filter(F.col("doc_id") % 5 != 2), fresh, family="md5")
+    want = {
+        r.doc_id
+        for r in DS.filter_against_dedup_index(spark, fresh, probe).collect()
+    }
+    assert kept == want and kept  # victims' own entries no longer subtract
+
+    # config errors: no stores / missing batch_id / standalone without ids
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one store"):
+        run_config(spark, {"takedown": {"ids_dataset": ids_path, "batch_id": "x"}})
+    with _pytest.raises(ValueError, match="batch_id"):
+        run_config(spark, {"takedown": {"ids_dataset": ids_path, "bm25": b}})
+    with _pytest.raises(ValueError, match="ids_dataset"):
+        run_config(spark, {"takedown": {"batch_id": "x2", "bm25": b}})
