@@ -173,6 +173,10 @@ BENCH_QUERIES = [
     # build-once memo; best-of-3 reads the LUT probe WITH the tombstone
     # anti-join in the plan — completes the delete-serving trilogy)
     "ann_ivfpq_delete_serving",
+    # round-15: the maintenance decision (store builds behind the memo;
+    # best-of-3 reads the O(batches) plan cost — the per-root price of a
+    # fleet-wide maintenance sweep)
+    "bm25_maintenance_plan",
 ]
 
 

@@ -881,12 +881,27 @@ def _run_serving(spark: SparkSession, spec: dict) -> DataFrame:
     the same roots.  Both arms read the SAME query table, so the fused
     query-id type matches by construction.  The probes stay
     listing-pruned and top-k-bounded; the fusion is query-sized."""
-    from chat_data_pipeline_spark.operators import retrieval as RT
-    from chat_data_pipeline_spark.operators import similarity as SIM
-
     if "queries" not in spec:
         raise ValueError("serve needs `queries` (the query table path)")
     q = spark.read.parquet(str(spec["queries"]))
+    out = serve_frame(spark, q, spec)
+    if spec.get("output_path"):
+        from chat_data_pipeline_spark.sources.io import write_table
+
+        write_table(out, str(spec["output_path"]))
+        logger.info("serve: wrote %s", spec["output_path"])
+    return out
+
+
+def serve_frame(spark: SparkSession, q: DataFrame, spec: dict) -> DataFrame:
+    """The `serve:` block's engine on an in-memory query FRAME — one
+    implementation shared by the batch CLI path (reads the frame from
+    `queries:`) and `streaming.streaming_query_serving` (each micro-batch
+    of queries is the frame), so streamed serving is bit-identical per
+    trigger to a batch serve of the same rows."""
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from chat_data_pipeline_spark.operators import similarity as SIM
+
     k = int(spec.get("k", 10))
     bm = spec.get("bm25")
     ann = spec.get("ann")
@@ -939,20 +954,13 @@ def _run_serving(spark: SparkSession, spec: dict) -> DataFrame:
             )
         )
     if hybrid:
-        out = RT.rrf_fuse(
+        return RT.rrf_fuse(
             [a.select("query_id", "doc_id", "rank") for a in arms],
             id_col="doc_id",
             k=k,
             rrf_k=int(spec.get("rrf_k", 60)),
         )
-    else:
-        out = arms[0].filter(F.col("rank") <= k)
-    if spec.get("output_path"):
-        from chat_data_pipeline_spark.sources.io import write_table
-
-        write_table(out, str(spec["output_path"]))
-        logger.info("serve: wrote %s", spec["output_path"])
-    return out
+    return arms[0].filter(F.col("rank") <= k)
 
 
 def run_config(spark: SparkSession, config: dict) -> DataFrame:

@@ -7562,6 +7562,56 @@ def ann_ivfpq_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register(
+    "bm25_maintenance_plan",
+    """
+    WITH t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nv
+      FROM documents
+    )
+    SELECT 'bm25' AS kind,
+           CAST(3 AS BIGINT) AS n_batches,
+           nv AS n_tombstones,
+           n - nv AS live_units,
+           (1000000000 * nv) // n AS tombstone_nanos,
+           ((1000000000 * nv) // n) > 100000000 AS compact_recommended
+    FROM t
+    """,
+    "maintenance policy as data (r15): build+extend+delete a BM25 store, "
+    "then the one-row compaction plan computed from the store's OWN "
+    "artifacts — committed-delivery count, tombstone count, live docs "
+    "(the cross-batch stats sum, which nets the delete's negatives), the "
+    "integer-exact dead fraction in nanos, and the threshold decision "
+    "(the ~14%% victim slice crosses the 10%% default).  The oracle "
+    "recomputes every number from the corpus from scratch, so the hash "
+    "pins the whole bookkeeping chain the auto_compact CLI action trusts; "
+    "the plan itself never reads the corpus — ledger + id-sized artifacts "
+    "plus one footer-metadata count, the O(batches) observability cost "
+    "a fleet-wide maintenance sweep needs at 100 TB",
+)
+def bm25_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import maintenance as MT
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = _run_scoped_path("bm25_maint_index", sf_dir)
+
+    def _mk() -> None:
+        RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+        RT.extend_text_index(
+            docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id="b1"
+        )
+        RT.delete_from_text_index(
+            spark,
+            idx,
+            docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+            batch_id="take",
+        )
+    _build_once(idx, _mk)
+    return MT.maintenance_plan(spark, idx)
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
@@ -8587,6 +8637,14 @@ _WINDOW_TAIL += [
     "corpus_diff_v2",
     "corpus_datacard",
 ]
+# round-15 rule-1, second batch: bm25_maintenance_plan (the compaction
+# policy's one-row decision, never-driver-verified, from-scratch corpus
+# oracle) enters by registration; docs_bm25_batch_serving makes room —
+# r14 hash-green, its one-pass batch-probe region untouched this round,
+# and the retrieval family keeps docs_bm25_indexed (rule-2) +
+# docs_bm25_delete_serving + bm25_index_health + docs_hybrid_rrf
+# in-window (the query-axis exponent stays in the README probe table).
+_WINDOW_TAIL.append("docs_bm25_batch_serving")
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

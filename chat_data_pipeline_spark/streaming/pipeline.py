@@ -912,6 +912,47 @@ def streaming_ivf_takedown(
     )
 
 
+def streaming_query_serving(
+    stream: DataFrame,
+    serve_spec: dict,
+    checkpoint_path: str,
+    results_path: str,
+):
+    """Live RETRIEVAL (r15): a stream of queries — not documents — served
+    against fixed persisted index roots, each micro-batch probed with the
+    `serve:` block's own engine (``cli.serve_frame``: lexical and/or
+    vector arms, single-arm top-k or integer-nano RRF hybrid) and the
+    per-trigger results appended to ``results_path``.  The request-log
+    shape of serving: queries arrive continuously, the index is the slow
+    artifact, and every trigger's output is BIT-IDENTICAL to a batch
+    serve of that trigger's rows over the same roots (tested).
+
+    ``serve_spec`` is the `serve:` block minus `queries`/`output_path`
+    (e.g. ``{"k": 10, "bm25": {"path": ...}, "ann": {"path": ...}}``).
+    Appends are effectively-once per epoch via the checkpoint's replay +
+    an epoch column: a replayed trigger rewrites its own ``epoch=`` hive
+    partition instead of double-appending (the sketch-store idempotence
+    discipline applied to a result log).  Index maintenance stays the
+    writers' business — probes here only read ledger-committed state, so
+    a delivery landing mid-stream becomes visible atomically at its
+    commit marker."""
+    from chat_data_pipeline_spark.cli import serve_frame
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = serve_frame(batch_df.sparkSession, batch_df, dict(serve_spec))
+        # replay overwrites its OWN epoch dir only (writing through the
+        # root with static overwrite would replace the whole result log)
+        out.write.mode("overwrite").parquet(f"{results_path}/epoch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
 def streaming_dedup_store_delivery(
     stream: DataFrame,
     store_path: str,

@@ -81,8 +81,9 @@ def test_correctness_window_is_all_oracle_backed():
     # history; round 12 executed the standing README queue — r4 + full r5
     # bands — so the pinned set below IS the r12 window.)
     must_be_windowed = {
-        # round-15 rule-1: the NEW compressed-store delete-serving row
-        "ann_ivfpq_delete_serving",
+        # round-15 rule-1: the NEW compressed-store delete-serving row and
+        # the maintenance-policy row
+        "ann_ivfpq_delete_serving", "bm25_maintenance_plan",
         # round-15 rule-2 holds: riders of the regions r15 touched —
         # rrf_fuse's query-id type preservation (docs_hybrid_rrf), the
         # delivery id-type guards on the four stores' extend paths
@@ -111,7 +112,7 @@ def test_correctness_window_is_all_oracle_backed():
         "corpus_hll_distinct", "docs_bigram_lm", "filter_gopher_quality",
         "docs_c4_clean", "quality_classifier_train",
         "classifier_eval_report", "docs_bm25_delete_serving",
-        "docs_bm25_batch_serving", "ann_topk_ivf_persisted",
+        "ann_topk_ivf_persisted",
         "ann_ivf_delete_serving", "bm25_index_health", "multimodal_resize",
     }
     assert must_be_windowed <= set(window)

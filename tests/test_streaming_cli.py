@@ -2242,3 +2242,65 @@ def test_cli_serve_block_hybrid_bit_matches_operator_path(spark, tmp_path):
         )
     with _pytest.raises(ValueError, match="at least one arm"):
         run_config(spark, {"serve": {"queries": qtab}})
+
+
+def test_streaming_query_serving_stream_equals_batch(spark, tmp_path):
+    """r15: live retrieval — a file feed of QUERIES served per micro-batch
+    against fixed index roots; every epoch's appended results are
+    bit-identical to a batch serve of that trigger's rows, and the hybrid
+    fusion runs per trigger with both arms."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.cli import serve_frame
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from chat_data_pipeline_spark.operators import similarity as SIM
+    from chat_data_pipeline_spark.streaming.pipeline import streaming_query_serving
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bidx, vidx = str(tmp_path / "qs_bm25"), str(tmp_path / "qs_ivf")
+    RT.build_text_index(docs, bidx)
+    SIM.build_ivf_index(emb, vidx, n_centroids=16, coarse="md5", dim=64)
+
+    qall = spark.createDataFrame(
+        [(0, ["join", "hash"]), (1, ["scan", "window", "sort"]),
+         (2, ["hash", "sort"]), (3, ["join", "sort"])],
+        "query_id long, terms array<string>",
+    ).join(
+        emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        "query_id",
+    ).localCheckpoint(eager=True)
+    feed = tmp_path / "query_feed"
+    feed.mkdir()
+    qall.filter(F.col("query_id") < 2).repartition(1).write.parquet(
+        str(feed / "f1.parquet")
+    )
+    qall.filter(F.col("query_id") >= 2).repartition(1).write.parquet(
+        str(feed / "f2.parquet")
+    )
+    spec = {"k": 10, "bm25": {"path": bidx, "k": 20}, "ann": {"path": vidx, "k": 20}}
+    results = str(tmp_path / "served_log")
+    stream = (
+        spark.readStream.schema(qall.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*")
+    )
+    q = streaming_query_serving(
+        stream, spec, str(tmp_path / "ckpt_qserve"), results
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(results)
+    assert {r.epoch for r in got.select("epoch").distinct().collect()} == {0, 1}
+    # the whole log equals a batch serve of the full query table (each
+    # query's result depends only on its own rows, so trigger slicing is
+    # invisible in the union)
+    want = sorted(map(tuple, serve_frame(spark, qall, spec).collect()))
+    assert sorted(
+        map(tuple, got.drop("epoch").collect())
+    ) == want
