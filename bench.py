@@ -177,6 +177,11 @@ BENCH_QUERIES = [
     # best-of-3 reads the O(batches) plan cost — the per-root price of a
     # fleet-wide maintenance sweep)
     "bm25_maintenance_plan",
+    # round-15: SEMANTIC onboarding against the persisted SRP-LSH embedding
+    # store (build+deliver+takedown behind the memo; best-of-3 reads the
+    # steady-state probe — one new-side fingerprint pass + the bucket
+    # collision join + the cosine verify)
+    "embedding_onboarding_indexed",
 ]
 
 
@@ -254,6 +259,10 @@ SCALE_PROBE_QUERIES = [
     # round-15: the compressed store's delete serving — near-flat at 10x
     # corpus AND 10x tombstones, like the BM25/IVF delete rows
     "ann_ivfpq_delete_serving",
+    # round-15: semantic onboarding — the probe's corpus-sized stage is the
+    # NEW side's single fingerprint pass (the reference side is persisted),
+    # so the exponent should track the lexical onboarding row's ~0.16
+    "embedding_onboarding_indexed",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second

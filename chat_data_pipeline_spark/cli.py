@@ -377,7 +377,7 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
     loop is one config: rebuild/compact into `dst_path`, then the swap
     lands ONLY after the action completed — a run that dies mid-action
     leaves the alias serving the old root."""
-    known = {"bm25", "ivf", "ivfpq", "dedup"}
+    known = {"bm25", "ivf", "ivfpq", "dedup", "neardup"}
     unknown = set(index_cfg) - known
     if unknown:
         raise ValueError(
@@ -391,6 +391,8 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
         _run_ivfpq_indexing(spark, df, dict(index_cfg.get("ivfpq") or {}))
     if "dedup" in index_cfg:
         _run_dedup_store_indexing(spark, df, dict(index_cfg.get("dedup") or {}))
+    if "neardup" in index_cfg:
+        _run_neardup_store_indexing(spark, df, dict(index_cfg.get("neardup") or {}))
 
 
 def _finish_with_alias(
@@ -775,6 +777,152 @@ def _run_onboarding(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame
     return kept.drop("__onboard_id__")
 
 
+def _run_semantic_onboarding(
+    spark: SparkSession, df: DataFrame, spec: dict
+) -> DataFrame:
+    """Top-level `onboard_semantic:` block (r15) — the EMBEDDING twin of
+    `onboard:`: drop curated rows that are semantic near-copies of a
+    persisted SRP-LSH reference store's live entries:
+
+        onboard_semantic:
+          store: /stores/ref_vectors     # built via index.neardup
+          dataset: /tables/emb.parquet   # (id, vector) side table; omit if
+                                         # the curated rows carry vec_col
+          vec_col: embedding
+          id_expr: id
+          deliver_batch_id: crawl-042    # optional survivor write-back
+
+    The probe frame is the curated rows' ids joined to their vectors (a
+    semi-join restricts a side table to this run's rows first); survivors
+    keep every curated column.  With `deliver_batch_id`, the SURVIVORS'
+    vectors land as a ledger-committed delivery so the next crawl onboards
+    against the grown reference set — the grow-as-you-onboard loop, at the
+    semantic level."""
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+
+    if "store" not in spec:
+        raise ValueError("onboard_semantic needs `store` (the neardup-store root)")
+    store = str(spec["store"])
+    vec_col = str(spec.get("vec_col", "embedding"))
+    id_expr = str(spec.get("id_expr", "id"))
+    src = df.withColumn("__onboard_id__", F.expr(id_expr))
+    if spec.get("dataset"):
+        vecs = spark.read.parquet(str(spec["dataset"])).select(
+            F.expr(id_expr).alias("__onboard_id__"),
+            F.col(vec_col).alias("__onboard_vec__"),
+        )
+        probe = vecs.join(
+            src.select("__onboard_id__").distinct(), "__onboard_id__", "left_semi"
+        )
+    else:
+        probe = src.select(
+            "__onboard_id__", F.col(vec_col).alias("__onboard_vec__")
+        )
+    kept_ids = NS.filter_against_neardup_index(
+        spark, store, probe, id_col="__onboard_id__", vec_col="__onboard_vec__"
+    )
+    if spec.get("deliver_batch_id"):
+        NS.extend_neardup_index(
+            kept_ids,
+            store,
+            spec["deliver_batch_id"],
+            id_col="__onboard_id__",
+            vec_col="__onboard_vec__",
+        )
+    out = src.join(
+        kept_ids.select("__onboard_id__"), "__onboard_id__", "left_semi"
+    )
+    logger.info("onboard_semantic: filtered against %s", store)
+    return out.drop("__onboard_id__")
+
+
+def _run_neardup_store_indexing(
+    spark: SparkSession, df: DataFrame, spec: dict
+) -> None:
+    """The EMBEDDING near-dup store's config block (r15): build / extend /
+    delete / compact / auto_compact the persisted SRP-LSH store — the
+    semantic twin of `index.dedup`.  Vectors come from `dataset:` (an
+    (id, vector) table) or the curated rows:
+
+        index:
+          neardup:
+            path: /stores/ref_vectors
+            dataset: /tables/emb.parquet
+            vec_col: embedding
+            id_expr: id
+            n_planes: 4
+            n_tables: 4
+            dim: 64
+            threshold: 0.45
+            action: build            # build | extend | delete | compact
+                                     #   | auto_compact
+            batch_id: crawl-042      # required for extend / delete
+            ids_dataset: /ids.parquet
+            dst_path: /stores/v2
+            alias: /stores/serving
+    """
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+
+    if "path" not in spec:
+        raise ValueError("index.neardup needs `path` (the store root)")
+    path = str(spec["path"])
+    action = str(spec.get("action", "build"))
+    dst = str(spec["dst_path"]) if spec.get("dst_path") else None
+    if action not in ("build", "extend", "delete", "compact", "auto_compact"):
+        raise ValueError(
+            "index.neardup action must be 'build', 'extend', 'delete', "
+            f"'compact' or 'auto_compact', got {action!r}"
+        )
+    if action in ("extend", "delete") and "batch_id" not in spec:
+        raise ValueError(f"index.neardup action={action} needs `batch_id`")
+    if action in ("build", "extend"):
+        vec_col = str(spec.get("vec_col", "embedding"))
+        id_expr = str(spec.get("id_expr", "id"))
+        base = (
+            spark.read.parquet(str(spec["dataset"])) if spec.get("dataset") else df
+        )
+        source = base.select(
+            F.expr(id_expr).alias("__vec_id__"), F.col(vec_col).alias("__vec__")
+        )
+    if action == "build":
+        NS.build_neardup_index(
+            source,
+            path,
+            id_col="__vec_id__",
+            vec_col="__vec__",
+            n_planes=int(spec.get("n_planes", 4)),
+            n_tables=int(spec.get("n_tables", 4)),
+            dim=int(spec.get("dim", 64)),
+            threshold=float(spec.get("threshold", 0.45)),
+        )
+    elif action == "extend":
+        NS.extend_neardup_index(
+            source, path, spec["batch_id"], id_col="__vec_id__", vec_col="__vec__"
+        )
+    elif action == "delete":
+        if spec.get("dataset"):
+            raise ValueError(
+                "index.neardup action=delete takes `ids_dataset`, not "
+                "`dataset` (which names the build/extend vector source); "
+                "remove the stale `dataset:` key or rename it"
+            )
+        id_expr = str(spec.get("id_expr", "id"))
+        base = (
+            spark.read.parquet(str(spec["ids_dataset"]))
+            if spec.get("ids_dataset")
+            else df
+        )
+        NS.delete_from_neardup_index(
+            spark, path, base.select(F.expr(id_expr)), spec["batch_id"]
+        )
+    elif action == "compact":
+        NS.compact_neardup_index(spark, path, dst_index=dst)
+    elif action == "auto_compact":
+        action = _run_auto_compact(spark, spec, "neardup")
+    _finish_with_alias(spark, spec, action, ("compact",))
+    logger.info("index.neardup: %s %s", action, path)
+
+
 def _run_takedown(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame:
     """Top-level `takedown:` block (r15) — ONE victim table deleted from
     EVERY store that serves it, in one config:
@@ -783,10 +931,11 @@ def _run_takedown(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame:
           ids_dataset: /victims.parquet  # default: this run's curated rows
           id_expr: id
           batch_id: gdpr-0042            # one ledger id across the stores
-          bm25: /indexes/corpus_bm25     # any non-empty subset of the four
+          bm25: /indexes/corpus_bm25     # any non-empty subset of the five
           ivf: /indexes/corpus_ivf
           ivfpq: /indexes/corpus_ivfpq
           dedup: /stores/corpus_sigs
+          neardup: /stores/ref_vectors
 
     The compliance shape at 100 TB: a deletion request must reach every
     derived artifact — the lexical index, both ANN stores, AND the
@@ -805,10 +954,10 @@ def _run_takedown(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame:
 
     if "batch_id" not in spec:
         raise ValueError("takedown needs `batch_id`")
-    stores = [k for k in ("bm25", "ivf", "ivfpq", "dedup") if spec.get(k)]
+    stores = [k for k in ("bm25", "ivf", "ivfpq", "dedup", "neardup") if spec.get(k)]
     if not stores:
         raise ValueError(
-            "takedown needs at least one store root: bm25/ivf/ivfpq/dedup"
+            "takedown needs at least one store root: bm25/ivf/ivfpq/dedup/neardup"
         )
     id_expr = str(spec.get("id_expr", "id"))
     base = (
@@ -824,11 +973,14 @@ def _run_takedown(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame:
     # one deterministic id set for every store: the per-store deletes each
     # scan their own already-deleted sets, so pin the frame once
     victims = victims.localCheckpoint(eager=True)
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+
     deleters = {
         "bm25": RT.delete_from_text_index,
         "ivf": SIM.delete_from_ivf_index,
         "ivfpq": SIM.delete_from_ivf_index,  # deletes are flavor-agnostic
         "dedup": DS.delete_from_dedup_index,
+        "neardup": NS.delete_from_neardup_index,
     }
     for kind in stores:
         deleters[kind](spark, str(spec[kind]), victims, spec["batch_id"])
@@ -1009,6 +1161,12 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
         # cross-corpus onboarding AFTER in-corpus curation: cheap junk is
         # already gone, so the store probe fingerprints only survivors
         df = _run_onboarding(spark, df, dict(onboard_cfg))
+
+    sem_cfg = config.get("onboard_semantic")
+    if sem_cfg:
+        # the embedding-level onboarding pass — composable with the
+        # lexical one (both subtract against their own reference stores)
+        df = _run_semantic_onboarding(spark, df, dict(sem_cfg))
 
     index_cfg = config.get("index")
     if index_cfg:

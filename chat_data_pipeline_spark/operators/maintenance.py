@@ -44,6 +44,8 @@ def detect_store_kind(spark, index_path: str) -> str:
         return "bm25"
     if "sig_type" in cols:
         return "dedup"
+    if "n_planes" in cols:
+        return "neardup"
     if "coarse" in cols:
         return "ivfpq" if meta_df.first().coarse == "md5pq" else "ivf"
     raise ValueError(
@@ -104,9 +106,7 @@ def maintenance_plan(
     committed = _committed_batches(spark, index_path)
     n_batches = len(committed)
 
-    if kind == "bm25":
-        id_type = meta.id_type
-    elif kind == "dedup":
+    if kind in ("bm25", "dedup", "neardup"):
         id_type = meta.id_type
     else:
         id_type = dict(
@@ -138,6 +138,10 @@ def maintenance_plan(
 
             divisor = int(optimal_param(float(meta.threshold), int(meta.num_perm))[0])
         live = rows // divisor - n_tombstones
+    elif kind == "neardup":
+        # one verify-vector row per stored embedding
+        rows = _count_committed(spark, index_path, "vectors", committed)
+        live = rows - n_tombstones
     else:  # ivf / ivfpq: one posting row per vector
         rows = _count_committed(spark, index_path, "postings", committed)
         live = rows - n_tombstones
@@ -194,6 +198,12 @@ def compact_if_needed(
         )
 
         compact_dedup_index(spark, index_path, dst_index=dst_index)
+    elif plan.kind == "neardup":
+        from chat_data_pipeline_spark.operators.neardup_store import (
+            compact_neardup_index,
+        )
+
+        compact_neardup_index(spark, index_path, dst_index=dst_index)
     else:
         from chat_data_pipeline_spark.operators.similarity import (
             compact_ivf_index,

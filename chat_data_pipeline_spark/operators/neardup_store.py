@@ -1,0 +1,355 @@
+"""Persisted SRP-LSH embedding near-dup store (r15): cross-corpus
+SEMANTIC onboarding with the build-once lifecycle.
+
+The MinHash signature store (``dedup_store``) answers "is this new
+document a lexical near-copy of anything we already keep?" — this store
+answers the same question at the EMBEDDING level (paraphrases,
+translations, templated rewrites that shingle differently but embed
+together): the reference corpus' SRP bucket postings and normalized-fold
+verify vectors persist once, and every onboarding run fingerprints only
+the NEW side, bucket-joins, and cosine-verifies the collisions.
+
+Fingerprint family: the md5-derived Rademacher sign planes
+(:func:`similarity.srp_md5_sign_planes`) — the cross-engine family the
+registered ``embedding_neardup_lsh_md5`` twin already proves bit-exact,
+so the store's whole build→deliver→takedown→probe lifecycle
+value-hashes against a from-scratch DuckDB recomputation (registered
+``embedding_onboarding_indexed``).
+
+Lifecycle posture shared with the other three stores (BM25 / IVF(-PQ) /
+signature): salted hive-partitioned writes, per-delivery commit ledger
+(marker LAST — crashed deliveries invisible), meta deleted first /
+written LAST on every base (re)build, id-level tombstone deletes that
+probes anti-join, compaction making deletes physical, cross-kind
+batch-id guard, refuse-at-delivery id-type guard.
+
+100 TB shape: postings are (id, table, bucket) rows partitioned by
+``(batch, t)``; the probe's heavy side is the NEW delivery's single
+fingerprint pass; the collision join keys on (t, b) where plane count
+controls occupancy; the verify join re-fetches only collided ids'
+vectors.  The store does re-ship reference VECTORS (the verify needs
+them) — that is inherent to cosine-verified near-dup, and still a
+one-time cost vs re-embedding or re-shipping the corpus text.
+
+No reference parity claimed — extension surface, same as the other
+persisted stores.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.operators.retrieval import (
+    _committed_batches,
+    _fs_for,
+    _guard_batch_id_kind,
+    _guard_delivery_id_type,
+    _guard_tombstoned_delivery,
+    _tombstoned_ids,
+    cluster_for_partitioned_write,
+    invalidate_index_meta,
+    ledger_commit,
+    ledger_reset,
+    validate_batch_id,
+)
+from chat_data_pipeline_spark.operators.similarity import srp_md5_sign_planes
+
+
+def _srp_bucket_udf(n_planes: int, n_tables: int, dim: int):
+    """Arrow-batched bucket assignment under the md5 sign-plane family —
+    the exact columnwise-fold arithmetic of
+    :func:`similarity.embedding_neardup_pairs_srp_md5` (per-row ordered
+    IEEE sums, identical bits to DuckDB's list_reduce), returning the
+    per-table bucket array for posexplode."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = srp_md5_sign_planes(dim, n_planes, n_tables)
+    sign_mats = [np.asarray(planes[t], dtype=np.float64) for t in range(n_tables)]
+
+    def bucket_batch(vs):
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
+        out = []
+        if len(mat):
+            if mat.shape[1] != dim:
+                raise ValueError(
+                    f"embedding dim {mat.shape[1]} != store dim {dim}"
+                )
+            tbl = np.zeros((len(mat), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for p in range(n_planes):
+                    acc = np.zeros(len(mat))
+                    srow = sign_mats[t][p]
+                    for j in range(dim):
+                        acc = acc + mat[:, j] * srow[j]
+                    tbl[:, t] = tbl[:, t] * 2 + (acc >= 0).astype(np.int64)
+            out = [row.tolist() for row in tbl]
+        return pd.Series(out, dtype=object)
+
+    return pandas_udf(bucket_batch, "array<long>")
+
+
+def _postings_and_vectors(
+    df: DataFrame, id_col: str, vec_col: str,
+    n_planes: int, n_tables: int, dim: int,
+) -> tuple[DataFrame, DataFrame]:
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).localCheckpoint(eager=True)
+    buckets = _srp_bucket_udf(n_planes, n_tables, dim)
+    posting = base.select("id", F.posexplode(buckets(F.col("v"))).alias("t", "b"))
+    return posting, base
+
+
+def _write_batch(
+    index_path: str, batch_dir: str, posting: DataFrame, vectors: DataFrame
+) -> None:
+    cluster_for_partitioned_write(posting, ["t"], F.col("b")).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "static").partitionBy("t").parquet(
+        f"{index_path}/postings/{batch_dir}"
+    )
+    vectors.write.mode("overwrite").parquet(f"{index_path}/vectors/{batch_dir}")
+
+
+def build_neardup_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    threshold: float = 0.45,
+) -> None:
+    """Fingerprint the reference embedding corpus ONCE and persist its SRP
+    bucket postings + verify vectors.  Plane/table counts and the cosine
+    threshold are build-time constants pinned in meta (every delivery and
+    probe uses exactly the arithmetic the base was built with); size
+    ``n_planes`` for the expected corpus occupancy at build time — a
+    params change is a rebuild from the source corpus."""
+    spark = df.sparkSession
+    posting, vectors = _postings_and_vectors(
+        df, id_col, vec_col, int(n_planes), int(n_tables), int(dim)
+    )
+    invalidate_index_meta(spark, index_path)
+    # a REBUILD clears stale extension batches and tombstones inside the
+    # meta-less window (probes reject the root until meta lands LAST)
+    for _sub in ("postings", "vectors", "tombstones"):
+        _fs, _p, _jvm = _fs_for(spark, f"{index_path}/{_sub}")
+        _fs.delete(_p, True)
+    # the batch level is the hive DIRECTORY (batch=base), same as every
+    # extension delivery — one read of postings/ sees base + extensions
+    _write_batch(index_path, "batch=base", posting, vectors)
+    ledger_reset(spark, index_path)
+    id_type = dict(df.dtypes)[id_col]
+    spark.createDataFrame(
+        [(
+            int(n_planes), int(n_tables), int(dim), float(threshold),
+            id_type, id_col, vec_col,
+        )],
+        "n_planes int, n_tables int, dim int, threshold double, "
+        "id_type string, id_col string, vec_col string",
+    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def extend_neardup_index(
+    df: DataFrame,
+    index_path: str,
+    batch_id: int | str,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> None:
+    """Deliver one embedding batch — fingerprinted with the store's
+    meta-pinned planes, ledger-committed, replay-idempotent,
+    tombstone-guarded and id-type-guarded like every other store
+    delivery.  ``id_col``/``vec_col`` override the meta column names."""
+    batch_id = validate_batch_id(batch_id)
+    spark = df.sparkSession
+    _guard_batch_id_kind(
+        spark, index_path, batch_id, "tombstones", "extension", "delete"
+    )
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    if id_col or vec_col:
+        df = df.select(
+            F.col(id_col or meta.id_col).alias(meta.id_col),
+            F.col(vec_col or meta.vec_col).alias(meta.vec_col),
+        )
+    _guard_delivery_id_type(df, meta.id_col, meta.id_type, index_path)
+    _guard_tombstoned_delivery(df.select(meta.id_col), index_path, meta.id_col)
+    posting, vectors = _postings_and_vectors(
+        df, meta.id_col, meta.vec_col,
+        int(meta.n_planes), int(meta.n_tables), int(meta.dim),
+    )
+    _write_batch(index_path, f"batch={batch_id}", posting, vectors)
+    ledger_commit(spark, index_path, batch_id)
+
+
+def delete_from_neardup_index(
+    spark,
+    index_path: str,
+    ids: DataFrame,
+    batch_id: int | str,
+) -> None:
+    """Tombstone-delete reference embeddings — a taken-down item must stop
+    subtracting semantic near-copies of content that no longer exists.
+    Same ledger-committed id-set shape as the other stores' deletes; no
+    additive state to adjust; compaction makes it physical."""
+    batch_id = validate_batch_id(batch_id)
+    _guard_batch_id_kind(
+        spark, index_path, batch_id, "postings", "delete", "extension"
+    )
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
+    want = ids.select(
+        F.col(ids.columns[0]).cast(meta.id_type).alias("doc")
+    ).distinct()
+    tomb = _tombstoned_ids(
+        spark, index_path, meta.id_type, committed, exclude_batch=batch_id
+    )
+    if tomb is not None:
+        want = want.join(tomb, "doc", "left_anti")
+        want = want.localCheckpoint(eager=True)
+    want.write.mode("overwrite").parquet(f"{index_path}/tombstones/batch={batch_id}")
+    ledger_commit(spark, index_path, batch_id)
+
+
+def compact_neardup_index(
+    spark, index_path: str, dst_index: str | None = None
+) -> None:
+    """Fold base + committed deliveries (minus tombstones, which become
+    physical) into a single fresh base — postings AND vectors move
+    together so the verify side can never dangle.  Same in-place
+    (checkpoint-pinned) vs write-then-swap (``dst_index``) split as the
+    other stores' compactors."""
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
+    posting = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("batch").isin(committed))
+        .select("id", "t", "b")
+    )
+    vectors = (
+        spark.read.parquet(f"{index_path}/vectors")
+        .filter(F.col("batch").isin(committed))
+        .select("id", "v")
+    )
+    tomb = _tombstoned_ids(spark, index_path, meta.id_type, committed)
+    if tomb is not None:
+        dead = tomb.withColumnRenamed("doc", "id")
+        posting = posting.join(dead, "id", "left_anti")
+        vectors = vectors.join(dead, "id", "left_anti")
+    if dst_index is None:
+        posting = posting.localCheckpoint(eager=True)
+        vectors = vectors.localCheckpoint(eager=True)
+        dst_index = index_path
+    invalidate_index_meta(spark, dst_index)
+    # stale extension dirs + tombstones cleared inside the meta-less
+    # window (the in-place inputs are pinned by the eager checkpoints)
+    for _sub in ("postings", "vectors", "tombstones"):
+        _fs, _p, _jvm = _fs_for(spark, f"{dst_index}/{_sub}")
+        _fs.delete(_p, True)
+    _write_batch(dst_index, "batch=base", posting, vectors)
+    ledger_reset(spark, dst_index)
+    spark.createDataFrame(
+        [(
+            int(meta.n_planes), int(meta.n_tables), int(meta.dim),
+            float(meta.threshold), meta.id_type, meta.id_col, meta.vec_col,
+        )],
+        "n_planes int, n_tables int, dim int, threshold double, "
+        "id_type string, id_col string, vec_col string",
+    ).repartition(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
+
+
+def filter_against_neardup_index(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> DataFrame:
+    """Semantic onboarding probe: drop every NEW row whose embedding
+    bucket-collides with a live reference entry AND fold-cosines at or
+    above the store's pinned threshold; return the survivors (all of
+    ``new_df``'s columns intact).
+
+    Plan shape: ONE fingerprint pass over the new side (the only
+    delivery-sized stage), a (t, b) equi-join against the committed
+    reference postings, a distinct candidate set, then vector re-fetch
+    joins sized by the collisions — bit-identical to the in-flight
+    ``embedding_neardup_pairs_srp_md5`` arithmetic restricted to
+    cross-corpus pairs (the registered row value-hashes it)."""
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    nid = id_col or meta.id_col
+    nvec = vec_col or meta.vec_col
+    committed = _committed_batches(spark, index_path)
+    ref_post = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("batch").isin(committed))
+        .select(F.col("id").alias("rid"), "t", "b")
+    )
+    ref_vecs = (
+        spark.read.parquet(f"{index_path}/vectors")
+        .filter(F.col("batch").isin(committed))
+        .select(F.col("id").alias("rid"), F.col("v").alias("__rv__"))
+    )
+    tomb = _tombstoned_ids(spark, index_path, meta.id_type, committed)
+    if tomb is not None:
+        dead = tomb.withColumnRenamed("doc", "rid")
+        ref_post = ref_post.join(dead, "rid", "left_anti")
+        # the verify side rides the postings prune: a tombstoned id has no
+        # surviving posting row, so its vector can never be re-fetched
+    new_post, new_vecs = _postings_and_vectors(
+        new_df.select(
+            F.col(nid).alias(meta.id_col), F.col(nvec).alias(meta.vec_col)
+        ),
+        meta.id_col,
+        meta.vec_col,
+        int(meta.n_planes),
+        int(meta.n_tables),
+        int(meta.dim),
+    )
+    cand = (
+        new_post.select(F.col("id").alias("nid"), "t", "b")
+        .join(ref_post, ["t", "b"])
+        .select("nid", "rid")
+        .distinct()
+    )
+    pairs = cand.join(
+        new_vecs.select(F.col("id").alias("nid"), F.col("v").alias("__nv__")),
+        "nid",
+    ).join(ref_vecs, "rid")
+
+    import pandas as pd
+
+    thr = float(meta.threshold)
+
+    def verify(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            m1 = np.asarray([np.asarray(x, dtype=np.float64) for x in batch["__nv__"]])
+            m2 = np.asarray([np.asarray(x, dtype=np.float64) for x in batch["__rv__"]])
+            dot = np.zeros(len(m1))
+            n1 = np.zeros(len(m1))
+            n2 = np.zeros(len(m1))
+            for j in range(m1.shape[1]):
+                dot = dot + m1[:, j] * m2[:, j]
+                n1 = n1 + m1[:, j] * m1[:, j]
+                n2 = n2 + m2[:, j] * m2[:, j]
+            cos = np.round(
+                dot
+                / (np.maximum(np.sqrt(n1), 1e-12) * np.maximum(np.sqrt(n2), 1e-12)),
+                6,
+            )
+            keep = cos >= thr
+            yield pd.DataFrame({"nid": batch["nid"].to_numpy()[keep]})
+
+    matched = pairs.mapInPandas(
+        verify, schema=f"nid {dict(new_df.dtypes)[nid]}"
+    ).distinct()
+    return new_df.join(
+        matched.withColumnRenamed("nid", nid), nid, "left_anti"
+    )

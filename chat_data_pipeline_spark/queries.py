@@ -7612,6 +7612,100 @@ def bm25_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MT.maintenance_plan(spark, idx)
 
 
+def _srp_posting_sql(src: str, n_planes: int = 4, n_tables: int = 4) -> str:
+    """DuckDB bucket postings under the md5 Rademacher sign-plane family at
+    FIXED store params — the `embedding_neardup_lsh_md5` oracle's posting
+    CTE with the corpus-scaling rule replaced by the store meta's pinned
+    plane count (a persisted store fingerprints every side with its
+    build-time constants)."""
+    return f"""
+      SELECT vec_id, t.t AS t,
+             list_reduce(
+               list_transform(range(0, {n_planes}), p ->
+                 CASE WHEN list_reduce(
+                   list_transform(range(1, 65), j ->
+                     v[j] * (CASE WHEN CAST('0x' || substr(md5('srp'
+                               || CAST(t.t AS VARCHAR) || '_'
+                               || CAST(p AS VARCHAR) || '_'
+                               || CAST(j - 1 AS VARCHAR)), 1, 1) AS BIGINT)
+                               % 2 = 1
+                             THEN CAST(1.0 AS DOUBLE)
+                             ELSE CAST(-1.0 AS DOUBLE) END)),
+                   (x, y) -> x + y) >= 0 THEN 1 ELSE 0 END),
+               (acc, bit) -> acc * 2 + bit) AS b
+      FROM {src}, (SELECT unnest(range(0, {n_tables})) AS t) t
+    """
+
+
+@_register(
+    "embedding_onboarding_indexed",
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    live AS (
+      SELECT vec_id, v FROM e
+      WHERE vec_id % 3 = 0
+         OR (vec_id % 3 = 1 AND vec_id % 5 <> 0)
+    ),
+    nw AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 2),
+    pl AS ({_srp_posting_sql("live")}),
+    pn AS ({_srp_posting_sql("nw")}),
+    cand AS (
+      SELECT DISTINCT n.vec_id AS nid, l.vec_id AS rid
+      FROM pn n JOIN pl l ON n.t = l.t AND n.b = l.b
+    ),
+    matched AS (
+      SELECT DISTINCT c.nid
+      FROM cand c JOIN nw a ON a.vec_id = c.nid
+                  JOIN live b ON b.vec_id = c.rid
+      WHERE round({_COSINE_SQL}, 6) >= 0.45
+    )
+    SELECT vec_id FROM nw
+    WHERE vec_id NOT IN (SELECT nid FROM matched)
+    """,
+    "SEMANTIC onboarding against the persisted embedding near-dup store "
+    "(r15): the vector twin of dedup_onboarding_indexed — one oracle hash "
+    "over the full build(ref)->deliver(crawl)->takedown(victims)->probe "
+    "lifecycle of the SRP-LSH store: the new side fingerprints ONCE with "
+    "the store's meta-pinned md5 sign planes, bucket-collides against the "
+    "live reference postings (base + committed delivery, tombstoned "
+    "victims anti-joined), and fold-cosine-verifies at the pinned "
+    "threshold; survivors are the onboarded set.  The from-scratch "
+    "DuckDB oracle recomputes buckets, collisions and cosines over the "
+    "retained references — so the hash pins that takedowns stop "
+    "subtracting semantic near-copies of removed content, cross-engine "
+    "bit-exact.  100 TB shape: the reference side ships postings + "
+    "verify vectors once; every crawl pays one fingerprint pass over "
+    "ITS OWN rows plus collision-sized joins",
+)
+def embedding_onboarding_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = _run_scoped_path("neardup_store", sf_dir)
+
+    def _mk() -> None:
+        NS.build_neardup_index(
+            emb.filter(F.col("vec_id") % 3 == 0), idx,
+            n_planes=4, n_tables=4, dim=64, threshold=0.45,
+        )
+        NS.extend_neardup_index(
+            emb.filter(F.col("vec_id") % 3 == 1), idx, batch_id="crawl-1"
+        )
+        NS.delete_from_neardup_index(
+            spark,
+            idx,
+            emb.filter((F.col("vec_id") % 3 == 1) & (F.col("vec_id") % 5 == 0))
+            .select("vec_id"),
+            batch_id="take-1",
+        )
+
+    _build_once(idx, _mk)
+    new = emb.filter(F.col("vec_id") % 3 == 2)
+    return NS.filter_against_neardup_index(spark, idx, new).select("vec_id")
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
@@ -8645,6 +8739,14 @@ _WINDOW_TAIL += [
 # docs_bm25_delete_serving + bm25_index_health + docs_hybrid_rrf
 # in-window (the query-axis exponent stays in the README probe table).
 _WINDOW_TAIL.append("docs_bm25_batch_serving")
+# round-15 rule-1, third batch: embedding_onboarding_indexed (the SEMANTIC
+# onboarding lifecycle over the NEW persisted SRP-LSH embedding store,
+# never-driver-verified, from-scratch corpus oracle) enters by
+# registration; dedup_semantic makes room — r14 hash-green, its kmeans
+# blocking region untouched this round, and the semantic/embedding family
+# keeps the re-admitted embedding_neardup_lsh_md5 + decontaminate_semantic
+# + the new onboarding row in-window.
+_WINDOW_TAIL.append("dedup_semantic")
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

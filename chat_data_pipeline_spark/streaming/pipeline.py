@@ -912,6 +912,36 @@ def streaming_ivf_takedown(
     )
 
 
+def streaming_neardup_store_delivery(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+):
+    """Live deliveries into the persisted SRP-LSH embedding near-dup store
+    (r15): each micro-batch of (id, vector) rows fingerprints ONCE with
+    the store meta's pinned sign planes and lands as one ledger-committed
+    ``extend_neardup_index`` delivery — the semantic-reference set future
+    onboarding runs probe grows continuously, same effectively-once
+    replay semantics and invisible-until-committed crash posture as the
+    other four stores' delivery streams.  Takedowns go through
+    :func:`neardup_store.delete_from_neardup_index` (use a batch-id
+    prefix disjoint from ``s<epoch>``)."""
+    from chat_data_pipeline_spark.operators.neardup_store import (
+        extend_neardup_index,
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        extend_neardup_index(batch_df, store_path, batch_id=f"s{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
 def streaming_query_serving(
     stream: DataFrame,
     serve_spec: dict,

@@ -81,9 +81,10 @@ def test_correctness_window_is_all_oracle_backed():
     # history; round 12 executed the standing README queue — r4 + full r5
     # bands — so the pinned set below IS the r12 window.)
     must_be_windowed = {
-        # round-15 rule-1: the NEW compressed-store delete-serving row and
-        # the maintenance-policy row
+        # round-15 rule-1: the NEW compressed-store delete-serving row,
+        # the maintenance-policy row, and the semantic-onboarding row
         "ann_ivfpq_delete_serving", "bm25_maintenance_plan",
+        "embedding_onboarding_indexed",
         # round-15 rule-2 holds: riders of the regions r15 touched —
         # rrf_fuse's query-id type preservation (docs_hybrid_rrf), the
         # delivery id-type guards on the four stores' extend paths
@@ -107,7 +108,7 @@ def test_correctness_window_is_all_oracle_backed():
         "users_intersect",
         # standing residents (r14-green; family-coverage holds)
         "pipeline_lifecycle", "split_train_val_test",
-        "decontaminate_semantic", "dedup_semantic",
+        "decontaminate_semantic",
         "dedup_banding_calibration", "events_key_skew",
         "corpus_hll_distinct", "docs_bigram_lm", "filter_gopher_quality",
         "docs_c4_clean", "quality_classifier_train",
