@@ -890,7 +890,9 @@ def _run_neardup_store_indexing(
             path,
             id_col="__vec_id__",
             vec_col="__vec__",
-            n_planes=int(spec.get("n_planes", 4)),
+            # default None = the corpus-scaled occupancy rule (see the
+            # operator docstring); an explicit n_planes pins it
+            n_planes=int(spec["n_planes"]) if spec.get("n_planes") else None,
             n_tables=int(spec.get("n_tables", 4)),
             dim=int(spec.get("dim", 64)),
             threshold=float(spec.get("threshold", 0.45)),

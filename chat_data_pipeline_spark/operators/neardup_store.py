@@ -119,7 +119,7 @@ def build_neardup_index(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 4,
     dim: int = 64,
     threshold: float = 0.45,
@@ -127,10 +127,26 @@ def build_neardup_index(
     """Fingerprint the reference embedding corpus ONCE and persist its SRP
     bucket postings + verify vectors.  Plane/table counts and the cosine
     threshold are build-time constants pinned in meta (every delivery and
-    probe uses exactly the arithmetic the base was built with); size
-    ``n_planes`` for the expected corpus occupancy at build time — a
-    params change is a rebuild from the source corpus."""
+    probe uses exactly the arithmetic the base was built with).
+
+    ``n_planes=None`` (the default) applies the corpus-scaled occupancy
+    rule the in-corpus LSH row uses: 4 planes at the 500-vector gate,
+    +1 per corpus doubling — measured necessary, not theoretical: a
+    4-plane store probed at 10× corpus read exponent 0.72 (fixed 16
+    buckets/table saturate, the collision join grows ~quadratically in
+    FALSE candidates); the scaled rule keeps per-bucket occupancy — and
+    with it probe cost — near-constant as the build corpus grows.  One
+    ``count()`` at build time pays for it.  A long-extended store
+    eventually outgrows its pinned plane count the same way; that is the
+    `maintenance_plan` compact/rebuild signal — rebuild from the source
+    corpus at the new size (params change = rebuild, as with every
+    fingerprint store)."""
+    import math
+
     spark = df.sparkSession
+    if n_planes is None:
+        n = df.count()
+        n_planes = 4 + max(0, int(math.floor(math.log2(max(n, 1) / 500.0))))
     posting, vectors = _postings_and_vectors(
         df, id_col, vec_col, int(n_planes), int(n_tables), int(dim)
     )

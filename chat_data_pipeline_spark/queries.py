@@ -7612,16 +7612,18 @@ def bm25_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MT.maintenance_plan(spark, idx)
 
 
-def _srp_posting_sql(src: str, n_planes: int = 4, n_tables: int = 4) -> str:
-    """DuckDB bucket postings under the md5 Rademacher sign-plane family at
-    FIXED store params — the `embedding_neardup_lsh_md5` oracle's posting
-    CTE with the corpus-scaling rule replaced by the store meta's pinned
-    plane count (a persisted store fingerprints every side with its
-    build-time constants)."""
+def _srp_posting_sql(src: str, planes_expr: str = "4", n_tables: int = 4) -> str:
+    """DuckDB bucket postings under the md5 Rademacher sign-plane family —
+    the `embedding_neardup_lsh_md5` oracle's posting CTE, parameterized on
+    the plane-count EXPRESSION so the store oracle can replay the
+    build-time corpus-scaled occupancy rule (``planes_expr`` may reference
+    an ``np`` CTE; the caller adds ``, np`` to FROM via ``extra_from``
+    inline in the expression-bearing CTE)."""
+    extra = ", np" if "np." in planes_expr else ""
     return f"""
       SELECT vec_id, t.t AS t,
              list_reduce(
-               list_transform(range(0, {n_planes}), p ->
+               list_transform(range(0, {planes_expr}), p ->
                  CASE WHEN list_reduce(
                    list_transform(range(1, 65), j ->
                      v[j] * (CASE WHEN CAST('0x' || substr(md5('srp'
@@ -7633,7 +7635,7 @@ def _srp_posting_sql(src: str, n_planes: int = 4, n_tables: int = 4) -> str:
                              ELSE CAST(-1.0 AS DOUBLE) END)),
                    (x, y) -> x + y) >= 0 THEN 1 ELSE 0 END),
                (acc, bit) -> acc * 2 + bit) AS b
-      FROM {src}, (SELECT unnest(range(0, {n_tables})) AS t) t
+      FROM {src}, (SELECT unnest(range(0, {n_tables})) AS t) t{extra}
     """
 
 
@@ -7649,8 +7651,15 @@ def _srp_posting_sql(src: str, n_planes: int = 4, n_tables: int = 4) -> str:
          OR (vec_id % 3 = 1 AND vec_id % 5 <> 0)
     ),
     nw AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 2),
-    pl AS ({_srp_posting_sql("live")}),
-    pn AS ({_srp_posting_sql("nw")}),
+    -- the store's build-time corpus-scaled plane count: 4 at the
+    -- 500-vector gate, +1 per doubling of the BUILD corpus (vec_id%3=0)
+    np AS (
+      SELECT 4 + GREATEST(0, CAST(FLOOR(log2(GREATEST(COUNT(*), 1) / 500.0))
+                                  AS INT)) AS n_pl
+      FROM embeddings WHERE vec_id % 3 = 0
+    ),
+    pl AS ({_srp_posting_sql("live", "np.n_pl")}),
+    pn AS ({_srp_posting_sql("nw", "np.n_pl")}),
     cand AS (
       SELECT DISTINCT n.vec_id AS nid, l.vec_id AS rid
       FROM pn n JOIN pl l ON n.t = l.t AND n.b = l.b
@@ -7686,9 +7695,11 @@ def embedding_onboarding_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _run_scoped_path("neardup_store", sf_dir)
 
     def _mk() -> None:
+        # n_planes=None -> the corpus-scaled occupancy rule (the oracle's
+        # np CTE computes the same count-based expression)
         NS.build_neardup_index(
             emb.filter(F.col("vec_id") % 3 == 0), idx,
-            n_planes=4, n_tables=4, dim=64, threshold=0.45,
+            n_planes=None, n_tables=4, dim=64, threshold=0.45,
         )
         NS.extend_neardup_index(
             emb.filter(F.col("vec_id") % 3 == 1), idx, batch_id="crawl-1"
