@@ -7616,9 +7616,8 @@ def _srp_posting_sql(src: str, planes_expr: str = "4", n_tables: int = 4) -> str
     """DuckDB bucket postings under the md5 Rademacher sign-plane family —
     the `embedding_neardup_lsh_md5` oracle's posting CTE, parameterized on
     the plane-count EXPRESSION so the store oracle can replay the
-    build-time corpus-scaled occupancy rule (``planes_expr`` may reference
-    an ``np`` CTE; the caller adds ``, np`` to FROM via ``extra_from``
-    inline in the expression-bearing CTE)."""
+    build-time corpus-scaled occupancy rule (a ``planes_expr`` referencing
+    an ``np`` CTE automatically joins it into FROM)."""
     extra = ", np" if "np." in planes_expr else ""
     return f"""
       SELECT vec_id, t.t AS t,
