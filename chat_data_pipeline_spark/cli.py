@@ -990,6 +990,53 @@ def _run_takedown(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame:
     return victims
 
 
+def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
+    """Top-level `maintain:` block (r15) — the scheduled fleet sweep:
+
+        maintain:
+          roots:
+            - /indexes/corpus_bm25
+            - /indexes/corpus_ivf
+            - /stores/corpus_sigs
+          max_batches: 8
+          max_tombstone_nanos: 100000000
+          auto_compact: true                  # act, not just report
+          report_path: /out/maintenance.parquet   # optional sink
+
+    Reads every root's own artifacts (`maintenance_sweep` — O(batches)
+    per root, kind auto-detected), optionally compacts the flagged ones,
+    and returns the sweep report (recomputed AFTER the compactions when
+    `auto_compact` acted, so the persisted report reflects the state the
+    run left behind)."""
+    from chat_data_pipeline_spark.operators.maintenance import (
+        DEFAULT_MAX_BATCHES,
+        DEFAULT_MAX_TOMBSTONE_NANOS,
+        compact_if_needed,
+        maintenance_sweep,
+    )
+
+    roots = [str(r) for r in (spec.get("roots") or [])]
+    if not roots:
+        raise ValueError("maintain needs `roots` (a list of store roots)")
+    mb = int(spec.get("max_batches", DEFAULT_MAX_BATCHES))
+    mt = int(spec.get("max_tombstone_nanos", DEFAULT_MAX_TOMBSTONE_NANOS))
+    acted = False
+    if spec.get("auto_compact"):
+        for root in roots:
+            if compact_if_needed(spark, root, mb, mt):
+                logger.info("maintain: compacted %s", root)
+                acted = True
+    report = maintenance_sweep(spark, roots, mb, mt)
+    if spec.get("report_path"):
+        from chat_data_pipeline_spark.sources.io import write_table
+
+        write_table(report, str(spec["report_path"]))
+        logger.info("maintain: wrote %s", spec["report_path"])
+    if acted:
+        logger.info("maintain: report reflects post-compaction state")
+    return report
+
+
 def _serve_root(spark: SparkSession, spec: dict, kind: str) -> str:
     """An arm names its index by `path:` or by `alias:` (the serving
     pointer `index.*` cutovers maintain) — exactly one of the two."""
@@ -1125,13 +1172,20 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
 
     serve_cfg = config.get("serve")
     takedown_cfg = config.get("takedown")
-    if "datasets" not in config and (serve_cfg or takedown_cfg):
-        # a pure SERVING or COMPLIANCE job: no corpus to curate — act on
-        # the named index roots and return (main() writes/counts the rest)
+    maintain_cfg = config.get("maintain")
+    if "datasets" not in config and (serve_cfg or takedown_cfg or maintain_cfg):
+        # a pure SERVING / COMPLIANCE / MAINTENANCE job: no corpus to
+        # curate — act on the named index roots and return (main()
+        # writes/counts the rest).  Order: takedowns land first, then
+        # maintenance (which may compact them physical), then probes.
         if takedown_cfg:
             victims = _run_takedown(spark, None, dict(takedown_cfg))
-            if not serve_cfg:
+            if not serve_cfg and not maintain_cfg:
                 return victims
+        if maintain_cfg:
+            report = _run_maintenance(spark, dict(maintain_cfg))
+            if not serve_cfg:
+                return report
         return _run_serving(spark, dict(serve_cfg))
 
     paths = [d["path"] if isinstance(d, dict) else d for d in config["datasets"]]
@@ -1182,6 +1236,11 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
         # this run's curated rows (curate-the-victims configs), and the
         # deletes land on the just-maintained roots
         _run_takedown(spark, df, dict(takedown_cfg))
+
+    if maintain_cfg:
+        # fleet sweep after deliveries/takedowns: compact what crossed
+        # its thresholds this run, report the state left behind
+        _run_maintenance(spark, dict(maintain_cfg))
 
     if serve_cfg:
         # curate-then-serve in one config: the probes run AFTER the index

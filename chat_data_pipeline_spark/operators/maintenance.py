@@ -167,6 +167,31 @@ def maintenance_plan(
     )
 
 
+def maintenance_sweep(
+    spark,
+    roots: list[str],
+    max_batches: int = DEFAULT_MAX_BATCHES,
+    max_tombstone_nanos: int = DEFAULT_MAX_TOMBSTONE_NANOS,
+) -> DataFrame:
+    """Fleet view: one :func:`maintenance_plan` row per store root, with
+    the root prepended — the single table an operator (or a scheduled
+    config) reads to see which of a deployment's indexes need attention.
+    The driver-side loop is over the FLEET (human-scale, each plan is
+    O(batches)); nothing corpus-sized ever moves."""
+    if not roots:
+        raise ValueError("maintenance_sweep needs at least one store root")
+    out = None
+    for root in roots:
+        plan = maintenance_plan(
+            spark, root, max_batches, max_tombstone_nanos
+        ).withColumn("root", F.lit(str(root)))
+        out = plan if out is None else out.unionByName(plan)
+    return out.select(
+        "root", "kind", "n_batches", "n_tombstones", "live_units",
+        "tombstone_nanos", "compact_recommended",
+    )
+
+
 def compact_if_needed(
     spark,
     index_path: str,

@@ -202,3 +202,38 @@ def test_cli_takedown_block_hits_every_store(spark, docs, emb, tmp_path):
         run_config(spark, {"takedown": {"ids_dataset": ids_path, "bm25": b}})
     with _pytest.raises(ValueError, match="ids_dataset"):
         run_config(spark, {"takedown": {"batch_id": "x2", "bm25": b}})
+
+
+def test_cli_maintain_block_sweeps_the_fleet(spark, docs, emb, tmp_path):
+    """r15: one `maintain:` config sweeps heterogeneous roots — the
+    over-threshold store compacts (auto_compact), the healthy one is left
+    byte-untouched, and the persisted report reflects the post-compaction
+    state with kinds auto-detected."""
+    from chat_data_pipeline_spark.cli import run_config
+
+    b = str(tmp_path / "mt_bm25")
+    RT.build_text_index(docs, b)
+    victims = docs.filter(F.col("doc_id") % 6 == 1).select("doc_id")
+    RT.delete_from_text_index(spark, b, victims, batch_id="take")  # ~17% dead
+    v = str(tmp_path / "mt_ivf")
+    SIM.build_ivf_index(emb, v, n_centroids=16, coarse="md5", dim=64)  # healthy
+    report_path = str(tmp_path / "mt_report.parquet")
+    out = run_config(
+        spark,
+        {"maintain": {"roots": [b, v], "auto_compact": True,
+                      "report_path": report_path}},
+    )
+    rows = {r.root: r for r in out.collect()}
+    assert rows[b].kind == "bm25" and rows[v].kind == "ivf"
+    # the bm25 root compacted: clean single-batch state in the report
+    assert rows[b].n_batches == 1 and rows[b].n_tombstones == 0
+    assert not rows[b].compact_recommended
+    assert not os.path.exists(f"{b}/tombstones")
+    # the healthy ivf root untouched
+    assert rows[v].n_batches == 1 and not rows[v].compact_recommended
+    assert RT._committed_batches(spark, v) == ["base"]
+    # the persisted report matches the returned frame
+    persisted = {r.root: r for r in spark.read.parquet(report_path).collect()}
+    assert persisted.keys() == rows.keys()
+    with pytest.raises(ValueError, match="roots"):
+        run_config(spark, {"maintain": {"auto_compact": True}})
