@@ -579,3 +579,64 @@ def test_dedup_store_probe_reads_explicit_schemas(spark, docs, tmp_path):
     assert r.scans_are_pruned
     band_scans = [s for s in r.read_schemas if "sig" in s]
     assert band_scans and all("text" not in s for s in band_scans), r.read_schemas
+
+
+def test_neardup_probe_plan_shape(spark, tmp_path):
+    """r15: the semantic-onboarding probe's plan — no cartesian product
+    anywhere (the candidate join keys on (t, b)), exactly two Python
+    stages execute per probe (the NEW side's one fingerprint UDF plus the
+    cosine verify; the reference side reads persisted postings/vectors,
+    never a UDF), and the verify joins are hash joins."""
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "plan_nd")
+    NS.build_neardup_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, n_planes=4, n_tables=4, dim=64
+    )
+    out = NS.filter_against_neardup_index(
+        spark, idx, emb.filter(F.col("vec_id") % 2 == 1)
+    )
+    r = plan_report(out)
+    assert "CartesianProduct" not in r.text and "BroadcastNestedLoop" not in r.text
+    # exactly two Python stages: the NEW side's one bucket-fingerprint
+    # eval (single consumer — the candidate join; the checkpointed base
+    # keeps the source from re-scanning through it) and the cosine
+    # verify's mapInPandas.  The reference side contributes parquet scans
+    # only — its fingerprints were paid once, at build/delivery time.
+    assert r.n_python_stages == 2, r.text
+
+
+def test_serve_frame_hybrid_plan_shape(spark, tmp_path):
+    """r15: the YAML serving engine's fused plan — the fusion stage adds
+    no corpus scan of its own (all scans are the arms' pruned index
+    reads + the query table), and no cartesian product appears."""
+    from chat_data_pipeline_spark.cli import serve_frame
+    from chat_data_pipeline_spark.operators import retrieval as RT
+    from chat_data_pipeline_spark.operators import similarity as SIM
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bidx, vidx = str(tmp_path / "pl_bm25"), str(tmp_path / "pl_ivf")
+    RT.build_text_index(docs, bidx)
+    SIM.build_ivf_index(emb, vidx, n_centroids=16, coarse="md5", dim=64)
+    q = spark.createDataFrame(
+        [(0, ["join", "hash"])], "query_id long, terms array<string>"
+    ).join(
+        emb.limit(1).select(
+            F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        "query_id",
+    )
+    out = serve_frame(
+        spark, q, {"k": 10, "bm25": {"path": bidx, "k": 20},
+                   "ann": {"path": vidx, "k": 20}}
+    )
+    r = plan_report(out)
+    assert "CartesianProduct" not in r.text
+    # every file scan is an index artifact (postings/dfreq/stats/doclens
+    # under the two roots) — the fusion stage never rescans a corpus table
+    for schema in r.read_schemas:
+        assert "text" not in schema or "tf" in schema, r.read_schemas
