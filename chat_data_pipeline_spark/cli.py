@@ -413,8 +413,29 @@ def _finish_with_alias(
     swap_index_alias(spark, str(spec["alias"]), final)
 
 
+def _delete_ids_frame(spark: SparkSession, df: DataFrame, spec: dict, kind: str) -> DataFrame:
+    """Victim-id frame for an `index.*` delete — the ONE implementation of
+    the stale-`dataset:`-key guard (a reused extend config flipped to
+    action=delete would otherwise tombstone the entire vector table
+    silently) plus the ids_dataset/curated-rows source choice, previously
+    copy-pasted across the vector-store handlers."""
+    if spec.get("dataset"):
+        raise ValueError(
+            f"index.{kind} action=delete takes `ids_dataset`, not `dataset` "
+            "(which names the build/extend vector source); remove the "
+            "stale `dataset:` key or rename it"
+        )
+    id_expr = str(spec.get("id_expr", "id"))
+    base = (
+        spark.read.parquet(str(spec["ids_dataset"]))
+        if spec.get("ids_dataset")
+        else df
+    )
+    return base.select(F.expr(id_expr))
+
+
 def _run_auto_compact(spark: SparkSession, spec: dict, kind: str) -> str:
-    """Shared `action: auto_compact` for all four index kinds (r15): read
+    """Shared `action: auto_compact` for all five index kinds (r15): read
     the store's own artifacts via `maintenance_plan`, compact only if a
     threshold is crossed (`max_batches`, default 8; `max_tombstone_nanos`,
     default 1e8 = 10% dead rows).  Returns the EFFECTIVE action so
@@ -553,26 +574,9 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             source, path, spec["batch_id"], id_col="__vec_id__", vec_col="__vec__"
         )
     elif action == "delete":
-        # takedown delivery: tombstone the vector ids without a rebuild —
-        # ids from this run's curated rows by default, or from
-        # `ids_dataset:` (NOT `dataset:`, which names the build/extend
-        # VECTOR source: a reused extend config flipped to action=delete
-        # would otherwise tombstone the entire embeddings table silently —
-        # the same stale-key hazard class as dst_path, r14 review)
-        if spec.get("dataset"):
-            raise ValueError(
-                "index.ivf action=delete takes `ids_dataset`, not `dataset` "
-                "(which names the build/extend vector source); remove the "
-                "stale `dataset:` key or rename it"
-            )
-        id_expr = str(spec.get("id_expr", "id"))
-        base = (
-            spark.read.parquet(str(spec["ids_dataset"]))
-            if spec.get("ids_dataset")
-            else df
-        )
+        # takedown delivery: tombstone the vector ids without a rebuild
         SIM.delete_from_ivf_index(
-            spark, path, base.select(F.expr(id_expr)), spec["batch_id"]
+            spark, path, _delete_ids_frame(spark, df, spec, "ivf"), spec["batch_id"]
         )
     elif action == "compact":
         SIM.compact_ivf_index(spark, path, dst_index=dst)
@@ -643,22 +647,9 @@ def _run_ivfpq_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             source, path, spec["batch_id"], id_col="__vec_id__", vec_col="__vec__"
         )
     elif action == "delete":
-        # same stale-key hazard as index.ivf: `dataset:` names the
-        # build/extend VECTOR source, never the victim set
-        if spec.get("dataset"):
-            raise ValueError(
-                "index.ivfpq action=delete takes `ids_dataset`, not `dataset` "
-                "(which names the build/extend vector source); remove the "
-                "stale `dataset:` key or rename it"
-            )
-        id_expr = str(spec.get("id_expr", "id"))
-        base = (
-            spark.read.parquet(str(spec["ids_dataset"]))
-            if spec.get("ids_dataset")
-            else df
-        )
         SIM.delete_from_ivf_index(
-            spark, path, base.select(F.expr(id_expr)), spec["batch_id"]
+            spark, path, _delete_ids_frame(spark, df, spec, "ivfpq"),
+            spec["batch_id"],
         )
     elif action == "compact":
         SIM.compact_ivf_index(spark, path, dst_index=dst)
@@ -793,11 +784,14 @@ def _run_semantic_onboarding(
           deliver_batch_id: crawl-042    # optional survivor write-back
 
     The probe frame is the curated rows' ids joined to their vectors (a
-    semi-join restricts a side table to this run's rows first); survivors
-    keep every curated column.  With `deliver_batch_id`, the SURVIVORS'
-    vectors land as a ledger-committed delivery so the next crawl onboards
-    against the grown reference set — the grow-as-you-onboard loop, at the
-    semantic level."""
+    semi-join restricts a side table to this run's rows first); the
+    curated output anti-joins the MATCHED ids, so a curated row whose id
+    is MISSING from the side table passes through un-probed — the block
+    only ever removes rows it positively matched (a lagging embedding
+    job must not read as near-dup filtering).  With `deliver_batch_id`,
+    the probed SURVIVORS' vectors land as a ledger-committed delivery so
+    the next crawl onboards against the grown reference set — the
+    grow-as-you-onboard loop, at the semantic level."""
     from chat_data_pipeline_spark.operators import neardup_store as NS
 
     if "store" not in spec:
@@ -818,20 +812,21 @@ def _run_semantic_onboarding(
         probe = src.select(
             "__onboard_id__", F.col(vec_col).alias("__onboard_vec__")
         )
-    kept_ids = NS.filter_against_neardup_index(
+    # pinned: the heavy probe (fingerprint UDF + collision join + cosine
+    # verify) pays once, however many consumers follow (the optional
+    # delivery below plus the curated output's anti-join)
+    matched = NS.matched_against_neardup_index(
         spark, store, probe, id_col="__onboard_id__", vec_col="__onboard_vec__"
-    )
+    ).localCheckpoint(eager=True)
     if spec.get("deliver_batch_id"):
         NS.extend_neardup_index(
-            kept_ids,
+            probe.join(matched, "__onboard_id__", "left_anti"),
             store,
             spec["deliver_batch_id"],
             id_col="__onboard_id__",
             vec_col="__onboard_vec__",
         )
-    out = src.join(
-        kept_ids.select("__onboard_id__"), "__onboard_id__", "left_semi"
-    )
+    out = src.join(matched, "__onboard_id__", "left_anti")
     logger.info("onboard_semantic: filtered against %s", store)
     return out.drop("__onboard_id__")
 
@@ -902,20 +897,9 @@ def _run_neardup_store_indexing(
             source, path, spec["batch_id"], id_col="__vec_id__", vec_col="__vec__"
         )
     elif action == "delete":
-        if spec.get("dataset"):
-            raise ValueError(
-                "index.neardup action=delete takes `ids_dataset`, not "
-                "`dataset` (which names the build/extend vector source); "
-                "remove the stale `dataset:` key or rename it"
-            )
-        id_expr = str(spec.get("id_expr", "id"))
-        base = (
-            spark.read.parquet(str(spec["ids_dataset"]))
-            if spec.get("ids_dataset")
-            else df
-        )
         NS.delete_from_neardup_index(
-            spark, path, base.select(F.expr(id_expr)), spec["batch_id"]
+            spark, path, _delete_ids_frame(spark, df, spec, "neardup"),
+            spec["batch_id"],
         )
     elif action == "compact":
         NS.compact_neardup_index(spark, path, dst_index=dst)
@@ -948,7 +932,7 @@ def _run_takedown(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame:
     store's delete is its own ledger-committed tombstone delivery (the
     ledgers are per-root, so one batch id is valid everywhere and replay
     stays idempotent per store); a crash between stores leaves the
-    completed ones committed and the re-run re-delivers all four
+    completed ones committed and the re-run re-delivers every store
     idempotently.  Returns the distinct victim-id frame for accounting."""
     from chat_data_pipeline_spark.operators import dedup_store as DS
     from chat_data_pipeline_spark.operators import retrieval as RT
@@ -1109,10 +1093,20 @@ def serve_frame(spark: SparkSession, q: DataFrame, spec: dict) -> DataFrame:
     if not bm and not ann:
         raise ValueError("serve needs at least one arm: `bm25` and/or `ann`")
     hybrid = bool(bm) and bool(ann)
+    from chat_data_pipeline_spark.operators.maintenance import detect_store_kind
+
     arms: list[DataFrame] = []
     if bm:
         bm = dict(bm)
         root = _serve_root(spark, bm, "bm25")
+        # structural kind check: a typo'd path (or an alias repointed at
+        # the wrong root) must fail as a config error, not an opaque
+        # missing-meta-field AttributeError mid-probe
+        kind = detect_store_kind(spark, root)
+        if kind != "bm25":
+            raise ValueError(
+                f"serve.bm25 root {root} is a {kind} store, not a BM25 index"
+            )
         arm_k = int(bm.get("k", k))
         lex = RT.bm25_topk_indexed_batch(
             spark,
@@ -1129,6 +1123,11 @@ def serve_frame(spark: SparkSession, q: DataFrame, spec: dict) -> DataFrame:
     if ann:
         ann = dict(ann)
         root = _serve_root(spark, ann, "ann")
+        kind = detect_store_kind(spark, root)
+        if kind not in ("ivf", "ivfpq"):
+            raise ValueError(
+                f"serve.ann root {root} is a {kind} store, not an ANN index"
+            )
         arm_k = int(ann.get("k", k))
         qvec = q.select(
             F.expr(str(ann.get("query_id_expr", "query_id"))).alias("query_id"),
@@ -1136,16 +1135,14 @@ def serve_frame(spark: SparkSession, q: DataFrame, spec: dict) -> DataFrame:
         )
         meta = spark.read.parquet(f"{root}/meta").first()
         probe = (
-            SIM.ivfpq_topk_persisted
-            if meta.coarse == "md5pq"
-            else SIM.ivf_topk_persisted
+            SIM.ivfpq_topk_persisted if kind == "ivfpq" else SIM.ivf_topk_persisted
         )
         vec = probe(
             spark, root, qvec, k=arm_k, n_probe=int(ann.get("n_probe", 4))
         )
         # normalize the id column to doc_id so the arms union (the probe
         # serves whatever id name the index meta pinned)
-        score_col = "approx_cosine" if meta.coarse == "md5pq" else "cosine"
+        score_col = "approx_cosine" if kind == "ivfpq" else "cosine"
         arms.append(
             vec.select(
                 "query_id",

@@ -2,7 +2,7 @@
 persisted store compact?
 
 Every store here (BM25 text index, IVF / IVF-PQ ANN indexes, MinHash
-signature store) accumulates per-delivery ``batch=`` partitions and
+signature store, SRP embedding near-dup store) accumulates per-delivery ``batch=`` partitions and
 ledger-committed tombstone sets; both are deliberately cheap to WRITE
 (extensions are one partition, deletes are one id set) and paid for at
 PROBE time (an N-way batch merge, a tombstone anti-join).  Compaction
@@ -13,7 +13,7 @@ thresholds, and recommend.
 
 ``maintenance_plan`` is that decision as a one-row DataFrame;
 ``compact_if_needed`` acts on it; the CLI exposes both as
-``action: auto_compact`` on all four ``index.*`` kinds, so a scheduled
+``action: auto_compact`` on all five ``index.*`` kinds, so a scheduled
 YAML run keeps a fleet of roots healthy without a human in the loop.
 
 No reference parity claimed — the reference (single-run pandas pipeline,
@@ -33,10 +33,10 @@ DEFAULT_MAX_TOMBSTONE_NANOS = 100_000_000
 
 
 def detect_store_kind(spark, index_path: str) -> str:
-    """Classify a store root by its meta schema — the four kinds pin
+    """Classify a store root by its meta schema — the five kinds pin
     disjoint meta columns, so the detection is structural, not heuristic:
-    ``n_term_buckets`` → bm25, ``sig_type`` → dedup, ``coarse='md5pq'`` →
-    ivfpq, other ``coarse`` → ivf.  Raises on anything else (including a
+    ``n_term_buckets`` → bm25, ``sig_type`` → dedup, ``n_planes`` →
+    neardup, ``coarse='md5pq'`` → ivfpq, other ``coarse`` → ivf.  Raises on anything else (including a
     meta-less mid-rebuild root, which must fail loudly everywhere)."""
     meta_df = spark.read.parquet(f"{index_path}/meta")
     cols = set(meta_df.columns)
@@ -79,22 +79,32 @@ def maintenance_plan(
     """One-row compaction recommendation from the store's own artifacts.
 
     Columns: ``(kind, n_batches, n_tombstones, live_units,
-    tombstone_nanos, compact_recommended)`` where ``live_units`` is the
+    tombstone_nanos, compact_recommended)`` where ``n_tombstones`` counts
+    the tombstoned ids that are PHYSICALLY RESIDENT in the store (the
+    tombstone set semi-joined against the store's id artifact — a
+    takedown id the store never held must not read as dead weight: the
+    cross-store ``takedown:`` block fans one victim set to every store,
+    so non-resident ids are the NORMAL case there, and counting them
+    raw would trigger spurious fleet compactions), ``live_units`` is the
     store's natural unit — live documents for bm25 (the cross-batch
-    ``stats.n_docs`` sum, which already nets delete deliveries), physical
-    posting rows minus tombstones for ivf/ivfpq (one row per vector), and
-    fingerprinted ids for the dedup store (band rows are exactly
-    ``num_bands`` per fingerprinted doc) — and ``tombstone_nanos`` is the
-    integer-exact dead fraction ``1e9 * n_tombstones div (live_units +
-    n_tombstones)``.  ``compact_recommended`` is true when either
-    threshold is crossed: more committed batches than ``max_batches``
-    (probes pay the N-way merge) or a dead fraction above
-    ``max_tombstone_nanos`` (probes pay the anti-join for rows that no
-    longer serve).
+    ``stats.n_docs`` sum, which already nets delete deliveries —
+    non-resident victims subtracted nothing, by construction of the
+    doclens-driven negatives), physical rows minus resident dead for
+    ivf/ivfpq/neardup (one posting/vector row per embedding), and
+    fingerprinted ids minus resident dead for the dedup store (band rows
+    are exactly ``num_bands`` per fingerprinted doc) — and
+    ``tombstone_nanos`` is the integer-exact dead fraction
+    ``1e9 * dead div (live_units + dead)``.  ``compact_recommended`` is
+    true when either threshold is crossed: more committed batches than
+    ``max_batches`` (probes pay the N-way merge) or a dead fraction
+    above ``max_tombstone_nanos`` (probes pay the anti-join for rows
+    that no longer serve).
 
-    Scale shape: ledger + tombstones are batch-/id-sized reads; the one
-    posting-table touch is a footer-metadata count.  Never reads the
-    corpus, never shuffles corpus-sized data."""
+    Scale shape: ledger + tombstones are batch-/id-sized reads; the
+    posting-table touches are one footer-metadata count plus, only when
+    a tombstone set exists, one column-pruned id scan whose shuffle side
+    is the (broadcast-sized) tombstone set.  Never reads corpus text or
+    vectors, never shuffles corpus-sized data."""
     from chat_data_pipeline_spark.operators.retrieval import (
         _committed_batches,
         _fs_for,
@@ -109,11 +119,38 @@ def maintenance_plan(
     if kind in ("bm25", "dedup", "neardup"):
         id_type = meta.id_type
     else:
-        id_type = dict(
+        # ivf/ivfpq metas pin id_type since r15; pre-r15 roots fall back
+        # to inferring it from the postings tree
+        id_type = meta.asDict().get("id_type") or dict(
             spark.read.parquet(f"{index_path}/postings").dtypes
         )[meta.id_col]
     tomb = _tombstoned_ids(spark, index_path, id_type, committed)
-    n_tombstones = 0 if tomb is None else tomb.count()
+
+    # the residency artifact: one id row (or a known multiple) per stored
+    # unit, positive deliveries only — deletes write none of these
+    res_sub, res_id = {
+        "bm25": ("doclens", "doc"),
+        "dedup": ("bands", "id"),
+        "neardup": ("vectors", "id"),
+        "ivf": ("postings", None),
+        "ivfpq": ("postings", None),
+    }[kind]
+    if res_id is None:
+        res_id = meta.id_col
+
+    def _resident_dead() -> int:
+        if tomb is None:
+            return 0
+        return (
+            spark.read.parquet(f"{index_path}/{res_sub}")
+            .filter(F.col("batch").isin(committed))
+            .select(F.col(res_id).alias("doc"))
+            .join(tomb, "doc", "left_semi")
+            .distinct()
+            .count()
+        )
+
+    dead = _resident_dead()
 
     if kind == "bm25":
         fs, spath, _jvm = _fs_for(spark, f"{index_path}/stats")
@@ -137,19 +174,18 @@ def maintenance_plan(
             from chat_data_pipeline_spark.operators.dedup import optimal_param
 
             divisor = int(optimal_param(float(meta.threshold), int(meta.num_perm))[0])
-        live = rows // divisor - n_tombstones
+        live = rows // divisor - dead
     elif kind == "neardup":
         # one verify-vector row per stored embedding
         rows = _count_committed(spark, index_path, "vectors", committed)
-        live = rows - n_tombstones
+        live = rows - dead
     else:  # ivf / ivfpq: one posting row per vector
         rows = _count_committed(spark, index_path, "postings", committed)
-        live = rows - n_tombstones
+        live = rows - dead
 
-    physical = live + n_tombstones
-    tombstone_nanos = (
-        (10**9 * n_tombstones) // physical if physical > 0 else 0
-    )
+    n_tombstones = dead
+    physical = live + dead
+    tombstone_nanos = (10**9 * dead) // physical if physical > 0 else 0
     recommended = n_batches > int(max_batches) or tombstone_nanos > int(
         max_tombstone_nanos
     )

@@ -279,24 +279,22 @@ def compact_neardup_index(
     ).repartition(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
 
 
-def filter_against_neardup_index(
+def matched_against_neardup_index(
     spark,
     index_path: str,
     new_df: DataFrame,
     id_col: str | None = None,
     vec_col: str | None = None,
 ) -> DataFrame:
-    """Semantic onboarding probe: drop every NEW row whose embedding
+    """The MATCHED new-side ids — every ``new_df`` row whose embedding
     bucket-collides with a live reference entry AND fold-cosines at or
-    above the store's pinned threshold; return the survivors (all of
-    ``new_df``'s columns intact).
-
-    Plan shape: ONE fingerprint pass over the new side (the only
-    delivery-sized stage), a (t, b) equi-join against the committed
-    reference postings, a distinct candidate set, then vector re-fetch
-    joins sized by the collisions — bit-identical to the in-flight
-    ``embedding_neardup_pairs_srp_md5`` arithmetic restricted to
-    cross-corpus pairs (the registered row value-hashes it)."""
+    above the store's pinned threshold; one column named after the probed
+    id column.  The caller anti-joins this (``filter_against_neardup_
+    index`` does exactly that), which keeps the match/survive decision
+    separable: a consumer restricting the probe to a SUBSET of its rows
+    (the ``onboard_semantic`` side-table shape) must anti-join the
+    matches, never semi-join the survivors — rows that were never probed
+    would otherwise silently disappear as if they had matched."""
     meta = spark.read.parquet(f"{index_path}/meta").first()
     nid = id_col or meta.id_col
     nvec = vec_col or meta.vec_col
@@ -363,9 +361,34 @@ def filter_against_neardup_index(
             keep = cos >= thr
             yield pd.DataFrame({"nid": batch["nid"].to_numpy()[keep]})
 
-    matched = pairs.mapInPandas(
-        verify, schema=f"nid {dict(new_df.dtypes)[nid]}"
-    ).distinct()
-    return new_df.join(
-        matched.withColumnRenamed("nid", nid), nid, "left_anti"
+    return (
+        pairs.mapInPandas(verify, schema=f"nid {dict(new_df.dtypes)[nid]}")
+        .distinct()
+        .withColumnRenamed("nid", nid)
     )
+
+
+def filter_against_neardup_index(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> DataFrame:
+    """Semantic onboarding probe: drop every NEW row whose embedding
+    bucket-collides with a live reference entry AND fold-cosines at or
+    above the store's pinned threshold; return the survivors (all of
+    ``new_df``'s columns intact).
+
+    Plan shape: ONE fingerprint pass over the new side (the only
+    delivery-sized stage), a (t, b) equi-join against the committed
+    reference postings, a distinct candidate set, then vector re-fetch
+    joins sized by the collisions — bit-identical to the in-flight
+    ``embedding_neardup_pairs_srp_md5`` arithmetic restricted to
+    cross-corpus pairs (the registered row value-hashes it)."""
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    nid = id_col or meta.id_col
+    matched = matched_against_neardup_index(
+        spark, index_path, new_df, id_col=id_col, vec_col=vec_col
+    )
+    return new_df.join(matched, nid, "left_anti")

@@ -1534,8 +1534,10 @@ def build_ivf_index(
 
     ledger_reset(spark, index_path)
     spark.createDataFrame(
-        [(coarse, int(n_centroids), int(dim), id_col, vec_col)],
-        "coarse string, n_centroids int, dim int, id_col string, vec_col string",
+        [(coarse, int(n_centroids), int(dim), id_col, vec_col,
+          dict(df.dtypes)[id_col])],
+        "coarse string, n_centroids int, dim int, id_col string, "
+        "vec_col string, id_type string",
     ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
@@ -1583,8 +1585,9 @@ def extend_ivf_index(
             F.col(vec_col or meta.vec_col).alias(meta.vec_col),
         )
     id_col, vec_col = meta.id_col, meta.vec_col
-    # the IVF meta carries no id_type (the postings do); the base schema is
-    # the contract a delivery must match — refuse up front, not at probe
+    # refuse a wrong-typed delivery up front, not at probe; meta pins
+    # id_type since r15 (one tiny file already read above) — only a
+    # pre-r15 root falls back to inferring it from the postings tree
     from chat_data_pipeline_spark.operators.retrieval import (
         _guard_delivery_id_type,
     )
@@ -1592,7 +1595,8 @@ def extend_ivf_index(
     _guard_delivery_id_type(
         df,
         id_col,
-        dict(spark.read.parquet(f"{index_path}/postings").dtypes)[id_col],
+        meta.asDict().get("id_type")
+        or dict(spark.read.parquet(f"{index_path}/postings").dtypes)[id_col],
         index_path,
     )
     # a delivery containing a tombstoned id is refused (same contract as
@@ -2358,17 +2362,23 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
         "partitionOverwriteMode", "static"
     ).partitionBy("batch", "list").parquet(f"{dst_index}/postings")
     ledger_reset(spark, dst_index)
+    # carry id_type forward (r15: the extend guards read it from meta; a
+    # pre-r15 root lacks the field, so recover it from the postings once)
+    id_type = meta.asDict().get("id_type") or dict(postings.dtypes)[meta.id_col]
     if meta.coarse == "md5pq":
         spark.createDataFrame(
             [(meta.coarse, int(meta.n_centroids), int(meta.m),
-              int(meta.n_codewords), int(meta.dim), meta.id_col, meta.vec_col)],
+              int(meta.n_codewords), int(meta.dim), meta.id_col, meta.vec_col,
+              id_type)],
             "coarse string, n_centroids int, m int, n_codewords int, dim int, "
-            "id_col string, vec_col string",
+            "id_col string, vec_col string, id_type string",
         ).repartition(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
     else:
         spark.createDataFrame(
-            [(meta.coarse, int(meta.n_centroids), int(meta.dim), meta.id_col, meta.vec_col)],
-            "coarse string, n_centroids int, dim int, id_col string, vec_col string",
+            [(meta.coarse, int(meta.n_centroids), int(meta.dim), meta.id_col,
+              meta.vec_col, id_type)],
+            "coarse string, n_centroids int, dim int, id_col string, "
+            "vec_col string, id_type string",
         ).repartition(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
 
 
@@ -2492,7 +2502,7 @@ def delete_from_ivf_index(
     )
     meta = spark.read.parquet(f"{index_path}/meta").first()
     committed = _committed_batches(spark, index_path)
-    id_type = dict(
+    id_type = meta.asDict().get("id_type") or dict(
         spark.read.parquet(f"{index_path}/postings").dtypes
     )[meta.id_col]
     want = ids.select(F.col(ids.columns[0]).cast(id_type).alias("doc")).distinct()
@@ -2616,9 +2626,10 @@ def build_ivfpq_index(
     ).partitionBy("batch", "list").parquet(f"{index_path}/postings")
     ledger_reset(spark, index_path)
     spark.createDataFrame(
-        [("md5pq", int(n_centroids), int(m), int(n_codewords), int(dim), id_col, vec_col)],
+        [("md5pq", int(n_centroids), int(m), int(n_codewords), int(dim),
+          id_col, vec_col, dict(df.dtypes)[id_col])],
         "coarse string, n_centroids int, m int, n_codewords int, dim int, "
-        "id_col string, vec_col string",
+        "id_col string, vec_col string, id_type string",
     ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
@@ -2660,7 +2671,8 @@ def extend_ivfpq_index(
     _guard_delivery_id_type(
         df,
         meta.id_col,
-        dict(spark.read.parquet(f"{index_path}/postings").dtypes)[meta.id_col],
+        meta.asDict().get("id_type")
+        or dict(spark.read.parquet(f"{index_path}/postings").dtypes)[meta.id_col],
         index_path,
     )
     _guard_tombstoned_delivery(df.select(meta.id_col), index_path, meta.id_col)

@@ -155,6 +155,10 @@ def test_cli_takedown_block_hits_every_store(spark, docs, emb, tmp_path):
     SIM.build_ivfpq_index(emb, p, n_centroids=16, m=8, n_codewords=16, dim=64)
     d = str(tmp_path / "td_dedup")
     DS.build_dedup_index(docs, d, family="md5")
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+
+    nd = str(tmp_path / "td_neardup")
+    NS.build_neardup_index(emb, nd, n_planes=4, n_tables=4, dim=64)
 
     ids_path = str(tmp_path / "victims.parquet")
     docs.filter(F.col("doc_id") % 5 == 2).select(
@@ -164,7 +168,8 @@ def test_cli_takedown_block_hits_every_store(spark, docs, emb, tmp_path):
     out = run_config(
         spark,
         {"takedown": {"ids_dataset": ids_path, "batch_id": "gdpr-1",
-                      "bm25": b, "ivf": v, "ivfpq": p, "dedup": d}},
+                      "bm25": b, "ivf": v, "ivfpq": p, "dedup": d,
+                      "neardup": nd}},
     )
     n_victims = spark.read.parquet(ids_path).count()
     assert out.count() == n_victims
@@ -192,6 +197,23 @@ def test_cli_takedown_block_hits_every_store(spark, docs, emb, tmp_path):
         for r in DS.filter_against_dedup_index(spark, fresh, probe).collect()
     }
     assert kept == want and kept  # victims' own entries no longer subtract
+
+    # the embedding store's takedown landed too: probing equals a fresh
+    # store over the retained vectors (ids share the doc space)
+    probe_vec = emb.filter(F.col("vec_id") % 5 == 2)
+    kept_nd = {
+        r.vec_id
+        for r in NS.filter_against_neardup_index(spark, nd, probe_vec).collect()
+    }
+    nd_fresh = str(tmp_path / "td_neardup_fresh")
+    NS.build_neardup_index(
+        emb.filter(F.col("vec_id") % 5 != 2), nd_fresh, n_planes=4, n_tables=4, dim=64
+    )
+    want_nd = {
+        r.vec_id
+        for r in NS.filter_against_neardup_index(spark, nd_fresh, probe_vec).collect()
+    }
+    assert kept_nd == want_nd and kept_nd
 
     # config errors: no stores / missing batch_id / standalone without ids
     import pytest as _pytest
@@ -237,3 +259,28 @@ def test_cli_maintain_block_sweeps_the_fleet(spark, docs, emb, tmp_path):
     assert persisted.keys() == rows.keys()
     with pytest.raises(ValueError, match="roots"):
         run_config(spark, {"maintain": {"auto_compact": True}})
+
+
+
+def test_maintenance_plan_ignores_non_resident_tombstones(spark, docs, tmp_path):
+    """r15 review: the cross-store takedown fans ONE victim set to every
+    store, so tombstoned ids a store never held are the NORMAL case — the
+    plan must count only RESIDENT dead rows, or a ~1%-dead store would
+    read as 33% dead and auto_compact would churn the fleet."""
+    idx = str(tmp_path / "nonres_bm25")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    RT.build_text_index(half, idx)
+    n = half.count()
+    # victims: mostly NON-resident (odd ids) plus a small resident slice
+    victims = docs.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 20 == 0)
+    ).select("doc_id")
+    resident = half.filter(F.col("doc_id") % 20 == 0).count()
+    RT.delete_from_text_index(spark, idx, victims, batch_id="take")
+    plan = MT.maintenance_plan(spark, idx).first()
+    assert plan.n_tombstones == resident
+    assert plan.live_units == n - resident
+    assert plan.tombstone_nanos == (10**9 * resident) // n
+    # ~5% resident dead stays under the 10% default even though the raw
+    # tombstone set is >50% of the corpus
+    assert not plan.compact_recommended

@@ -113,9 +113,12 @@ def test_guards_and_kind_detection(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="id type"):
         NS.extend_neardup_index(bad, idx, batch_id="b1")
-    # cross-kind batch-id reuse refused
+    # cross-kind batch-id reuse refused (victims chosen RESIDENT — the
+    # plan below counts only resident dead since the r15 review fix)
     NS.delete_from_neardup_index(
-        spark, idx, emb.limit(3).select("vec_id"), batch_id="x1"
+        spark, idx,
+        emb.filter(F.col("vec_id").isin(0, 2, 4)).select("vec_id"),
+        batch_id="x1",
     )
     with pytest.raises(ValueError, match="distinct id"):
         NS.extend_neardup_index(
@@ -264,3 +267,36 @@ def test_streaming_neardup_delivery_stream_equals_batch(spark, emb, tmp_path):
         r.vec_id for r in NS.filter_against_neardup_index(spark, direct, new).collect()
     }
     assert got == want
+
+
+def test_onboard_semantic_missing_vectors_pass_through(spark, emb, tmp_path):
+    """r15 review: a curated row whose id is MISSING from the vector side
+    table must pass through un-probed — the block anti-joins MATCHED ids,
+    so a lagging embedding job can never read as near-dup filtering."""
+    from chat_data_pipeline_spark.cli import run_config
+
+    store = str(tmp_path / "os_nd")
+    NS.build_neardup_index(
+        emb.filter(F.col("vec_id") % 2 == 0), store, n_planes=4, n_tables=4, dim=64
+    )
+    # curated rows: ids 1 (odd, vector present), 2 (EVEN — exact near-dup
+    # of a reference entry, vector present), 3 (vector MISSING)
+    data_path = str(tmp_path / "os_conv.parquet")
+    spark.createDataFrame(
+        [(i, [("u", False, "User"), ("v", True, "Assistant")]) for i in (1, 2, 3)],
+        "id long, conversation array<struct<content string, do_train boolean, role string>>",
+    ).write.parquet(data_path)
+    side = str(tmp_path / "os_side.parquet")
+    emb.filter(F.col("vec_id").isin(1, 2)).select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).write.parquet(side)
+    out = run_config(
+        spark,
+        {"datasets": [data_path],
+         "onboard_semantic": {"store": store, "dataset": side,
+                              "vec_col": "embedding", "id_expr": "id"}},
+    )
+    kept = {r.id for r in out.select("id").collect()}
+    # 2 matched (identical vector in the reference) and dropped; 1 probed
+    # and survived; 3 never probed and PASSED THROUGH
+    assert kept == {1, 3}

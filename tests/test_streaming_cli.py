@@ -2242,6 +2242,12 @@ def test_cli_serve_block_hybrid_bit_matches_operator_path(spark, tmp_path):
         )
     with _pytest.raises(ValueError, match="at least one arm"):
         run_config(spark, {"serve": {"queries": qtab}})
+    # r15 review: a wrong-kind root is a CONFIG error, raised before the
+    # query table's columns are even touched
+    with _pytest.raises(ValueError, match="not an ANN index"):
+        run_config(spark, {"serve": {"queries": qtab, "ann": {"path": bidx}}})
+    with _pytest.raises(ValueError, match="not a BM25 index"):
+        run_config(spark, {"serve": {"queries": qtab, "bm25": {"path": vidx}}})
 
 
 def test_streaming_query_serving_stream_equals_batch(spark, tmp_path):
