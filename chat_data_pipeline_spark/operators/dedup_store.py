@@ -43,12 +43,15 @@ from pyspark.sql import functions as F
 
 from chat_data_pipeline_spark.operators.retrieval import (
     _committed_batches,
+    _fold_manifest_forward,
     _fs_for,
     _guard_batch_id_kind,
     _guard_delivery_id_type,
+    _guard_spent_batch_id,
     _guard_tombstoned_delivery,
     _tombstoned_ids,
     cluster_for_partitioned_write,
+    folded_clear,
     invalidate_index_meta,
     ledger_commit,
     ledger_reset,
@@ -110,7 +113,9 @@ def _bands_for(df: DataFrame, column: str, id_col: str, m: dict) -> DataFrame:
     return bands.filter(~F.col("sig").isin([bytes(s) for s in sentinel]))
 
 
-def _write_dedup_base(spark, index_path: str, bands: DataFrame, meta_row) -> None:
+def _write_dedup_base(
+    spark, index_path: str, bands: DataFrame, meta_row, clear_folded: bool = True
+) -> None:
     """Base write with the shared crash posture: meta deleted FIRST (the
     whole (re)build window is meta-less — probes of a partial root fail
     loudly), tombstones cleared inside that window, band-clustered salted
@@ -120,6 +125,8 @@ def _write_dedup_base(spark, index_path: str, bands: DataFrame, meta_row) -> Non
     invalidate_index_meta(spark, index_path)
     fs, tpath, _jvm = _fs_for(spark, f"{index_path}/tombstones")
     fs.delete(tpath, True)
+    if clear_folded:
+        folded_clear(spark, index_path)
     cluster_for_partitioned_write(
         bands.withColumn("batch", F.lit("base")), ["band"], F.col("sig")
     ).write.mode("overwrite").option(
@@ -200,6 +207,8 @@ def extend_dedup_index(
     refused until compaction (same contract as the other indexes)."""
     batch_id = validate_batch_id(batch_id)
     spark = df.sparkSession
+    if _guard_spent_batch_id(spark, index_path, batch_id, "extension"):
+        return  # folded replay: the base already holds this delivery
     _guard_batch_id_kind(
         spark, index_path, batch_id, "tombstones", "extension", "delete"
     )
@@ -235,6 +244,8 @@ def delete_from_dedup_index(
     anti-join before the (band, sig) keys are formed; no additive state to
     adjust.  Compaction makes it physical and clears the set."""
     batch_id = validate_batch_id(batch_id)
+    if _guard_spent_batch_id(spark, index_path, batch_id, "delete"):
+        return  # folded replay: the victims are already physically gone
     _guard_batch_id_kind(
         spark, index_path, batch_id, "bands", "delete", "extension"
     )
@@ -306,10 +317,13 @@ def compact_dedup_index(spark, index_path: str, dst_index: str | None = None) ->
     (``retrieval.swap_index_alias`` works here too — resolution only needs
     the root's meta)."""
     meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
     bands = _committed_bands(spark, index_path, meta).select("id", "sig", "band")
     if dst_index is None:
         bands = bands.localCheckpoint(eager=True)
         dst_index = index_path
+    # spent-id manifest BEFORE the rewrite (see retrieval.folded_record)
+    _fold_manifest_forward(spark, index_path, dst_index, committed)
     _write_dedup_base(
         spark,
         dst_index,
@@ -320,6 +334,7 @@ def compact_dedup_index(spark, index_path: str, dst_index: str | None = None) ->
             int(meta.min_ngram_size), int(meta.seed),
             meta.id_type, meta.sig_type, meta.text_col, meta.id_col,
         ),
+        clear_folded=False,
     )
 
 

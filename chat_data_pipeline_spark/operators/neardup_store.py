@@ -43,9 +43,11 @@ from pyspark.sql import functions as F
 
 from chat_data_pipeline_spark.operators.retrieval import (
     _committed_batches,
+    _fold_manifest_forward,
     _fs_for,
     _guard_batch_id_kind,
     _guard_delivery_id_type,
+    _guard_spent_batch_id,
     _guard_tombstoned_delivery,
     _tombstoned_ids,
     cluster_for_partitioned_write,
@@ -151,9 +153,10 @@ def build_neardup_index(
         df, id_col, vec_col, int(n_planes), int(n_tables), int(dim)
     )
     invalidate_index_meta(spark, index_path)
-    # a REBUILD clears stale extension batches and tombstones inside the
-    # meta-less window (probes reject the root until meta lands LAST)
-    for _sub in ("postings", "vectors", "tombstones"):
+    # a REBUILD clears stale extension batches, tombstones and the
+    # spent-id manifest inside the meta-less window (probes reject the
+    # root until meta lands LAST; a fresh world makes old ids reusable)
+    for _sub in ("postings", "vectors", "tombstones", "folded"):
         _fs, _p, _jvm = _fs_for(spark, f"{index_path}/{_sub}")
         _fs.delete(_p, True)
     # the batch level is the hive DIRECTORY (batch=base), same as every
@@ -184,6 +187,8 @@ def extend_neardup_index(
     delivery.  ``id_col``/``vec_col`` override the meta column names."""
     batch_id = validate_batch_id(batch_id)
     spark = df.sparkSession
+    if _guard_spent_batch_id(spark, index_path, batch_id, "extension"):
+        return  # folded replay: the base already holds this delivery
     _guard_batch_id_kind(
         spark, index_path, batch_id, "tombstones", "extension", "delete"
     )
@@ -214,6 +219,8 @@ def delete_from_neardup_index(
     Same ledger-committed id-set shape as the other stores' deletes; no
     additive state to adjust; compaction makes it physical."""
     batch_id = validate_batch_id(batch_id)
+    if _guard_spent_batch_id(spark, index_path, batch_id, "delete"):
+        return  # folded replay: the victims are already physically gone
     _guard_batch_id_kind(
         spark, index_path, batch_id, "postings", "delete", "extension"
     )
@@ -261,9 +268,12 @@ def compact_neardup_index(
         posting = posting.localCheckpoint(eager=True)
         vectors = vectors.localCheckpoint(eager=True)
         dst_index = index_path
+    # spent-id manifest BEFORE the rewrite (see retrieval.folded_record)
+    _fold_manifest_forward(spark, index_path, dst_index, committed)
     invalidate_index_meta(spark, dst_index)
     # stale extension dirs + tombstones cleared inside the meta-less
-    # window (the in-place inputs are pinned by the eager checkpoints)
+    # window (the in-place inputs are pinned by the eager checkpoints;
+    # the folded manifest written above survives — it must)
     for _sub in ("postings", "vectors", "tombstones"):
         _fs, _p, _jvm = _fs_for(spark, f"{dst_index}/{_sub}")
         _fs.delete(_p, True)

@@ -295,6 +295,7 @@ def invalidate_index_meta(spark, index_path: str) -> None:
 def _write_text_base(
     spark, index_path: str, p_out: DataFrame, d_out: DataFrame,
     stats: DataFrame, dlens: DataFrame, id_type: str,
+    clear_folded: bool = True,
 ) -> None:
     """Write the four base artifacts through the root (clearing stale
     extension batches), reset the commit ledger, then write meta LAST as
@@ -316,6 +317,11 @@ def _write_text_base(
     invalidate_index_meta(spark, index_path)
     fs, tpath, _jvm = _fs_for(spark, f"{index_path}/tombstones")
     fs.delete(tpath, True)
+    if clear_folded:
+        # a from-source rebuild starts a new world: old delivery ids are
+        # reusable; a COMPACTION passes clear_folded=False to keep the
+        # spent-id manifest it just wrote
+        folded_clear(spark, index_path)
     base = F.lit("base")
     p_out.withColumn("batch", base).write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
@@ -398,7 +404,16 @@ def compact_text_index(spark, index_path: str, dst_index: str | None = None) -> 
     )
     p_out = cluster_for_partitioned_write(postings, ["bkt"], F.col("term"))
     d_out = cluster_for_partitioned_write(dfreq, ["bkt"], F.col("term"))
-    _write_text_base(spark, dst_index, p_out, d_out, stats, dlens, meta.id_type)
+    # the folded manifest lands BEFORE the rewrite: a delivery this
+    # compaction folds must read as spent from the moment the compacted
+    # base serves (see folded_record — closes the streaming replay
+    # double-count window); safe even if the rewrite crashes, because the
+    # marked batches are still ledger-committed in the old root
+    _fold_manifest_forward(spark, index_path, dst_index, committed)
+    _write_text_base(
+        spark, dst_index, p_out, d_out, stats, dlens, meta.id_type,
+        clear_folded=False,
+    )
 
 
 def extend_text_index(
@@ -422,6 +437,8 @@ def extend_text_index(
     has seen a delete (one directory existence check), then one
     delivery-sized semi-join per delivery."""
     bid = validate_batch_id(batch_id)
+    if _guard_spent_batch_id(docs.sparkSession, index_path, bid, "extension"):
+        return  # folded replay: the base already holds this delivery
     _guard_batch_id_kind(
         docs.sparkSession, index_path, bid, "tombstones", "extension", "delete"
     )
@@ -577,6 +594,8 @@ def delete_from_text_index(
     Compaction is the pressure valve: it drops tombstoned docs physically
     and clears the set."""
     batch_id = validate_batch_id(batch_id)
+    if _guard_spent_batch_id(spark, index_path, batch_id, "delete"):
+        return  # folded replay: the victims are already physically gone
     _guard_batch_id_kind(
         spark, index_path, batch_id, "postings", "delete", "extension"
     )
@@ -652,6 +671,130 @@ def ledger_commit(spark, index_path: str, batch_id: int | str) -> None:
     fs, path, jvm = _ledger_fs(spark, index_path)
     fs.mkdirs(path)
     fs.create(jvm.org.apache.hadoop.fs.Path(path, str(batch_id)), True).close()
+
+
+def folded_record(
+    spark, index_path: str, extension_ids: list[str], delete_ids: list[str]
+) -> None:
+    """Record batch ids a compaction/rebuild has FOLDED into the base —
+    the manifest that closes the streaming replay double-count window
+    (r15): a micro-batch delivered, compacted into the base, and then
+    REPLAYED after a crash (checkpoint not yet committed past it) would
+    otherwise re-deliver rows the base already contains; the extend paths
+    treat a folded extension id as a spent no-op instead.  Kind-split
+    markers (``folded/extensions/<id>`` / ``folded/deletes/<id>``) keep
+    the cross-kind refusal working after compaction erased the artifact
+    dirs the live cross-kind guard keys on.  Tiny touch files, written
+    INSIDE the compaction's meta-less window (before meta lands), so base
+    and manifest become visible together or the root fails probes
+    loudly."""
+    fs, _root, jvm = _fs_for(spark, index_path)
+    for sub, ids in (("extensions", extension_ids), ("deletes", delete_ids)):
+        if not ids:
+            continue
+        d = jvm.org.apache.hadoop.fs.Path(f"{index_path}/folded/{sub}")
+        fs.mkdirs(d)
+        for bid in ids:
+            fs.create(jvm.org.apache.hadoop.fs.Path(d, str(bid)), True).close()
+
+
+def folded_kind(spark, index_path: str, batch_id: str) -> str | None:
+    """'extension' / 'delete' if ``batch_id`` was folded by a past
+    compaction of this root, else None.  One directory-existence probe
+    when the root has never compacted; two marker probes after."""
+    fs, fpath, jvm = _fs_for(spark, f"{index_path}/folded")
+    if not fs.exists(fpath):
+        return None
+    for sub in ("extensions", "deletes"):
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{index_path}/folded/{sub}/{batch_id}"
+            )
+        ):
+            return sub[:-1] if sub == "deletes" else "extension"
+    return None
+
+
+def folded_ids(spark, index_path: str) -> tuple[list[str], list[str]]:
+    """(extension_ids, delete_ids) previously folded — carried forward
+    across compactions (a delivery folded two compactions ago must stay
+    spent) and copied to ``dst_index`` on write-then-swap compactions."""
+    out: list[list[str]] = []
+    for sub in ("extensions", "deletes"):
+        fs, p, _jvm = _fs_for(spark, f"{index_path}/folded/{sub}")
+        out.append(
+            sorted(st.getPath().getName() for st in fs.listStatus(p))
+            if fs.exists(p)
+            else []
+        )
+    return out[0], out[1]
+
+
+def folded_clear(spark, index_path: str) -> None:
+    """Fresh base build: a from-source rebuild starts a new world — prior
+    delivery ids are legitimately reusable against it."""
+    fs, p, _jvm = _fs_for(spark, f"{index_path}/folded")
+    fs.delete(p, True)
+
+
+def _classify_committed(
+    spark, index_path: str, committed: list[str]
+) -> tuple[list[str], list[str]]:
+    """Split a committed-batch list into (extensions, deletes) by the
+    artifact that defines a delete: its ``tombstones/batch=`` dir (still
+    present at compact time — compaction classifies BEFORE it clears)."""
+    fs, _p, jvm = _fs_for(spark, index_path)
+    exts, dels = [], []
+    for bid in committed:
+        if bid == "base":
+            continue
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{index_path}/tombstones/batch={bid}")
+        ):
+            dels.append(bid)
+        else:
+            exts.append(bid)
+    return exts, dels
+
+
+def _fold_manifest_forward(
+    spark, src_index: str, dst_index: str, committed: list[str]
+) -> None:
+    """The ONE compaction-side call: carry src's already-folded ids
+    forward and add this compaction's committed batches, written to dst
+    (== src for in-place) inside the meta-less window."""
+    prior_ext, prior_del = folded_ids(spark, src_index)
+    new_ext, new_del = _classify_committed(spark, src_index, committed)
+    folded_record(
+        spark,
+        dst_index,
+        sorted(set(prior_ext) | set(new_ext)),
+        sorted(set(prior_del) | set(new_del)),
+    )
+
+
+def _guard_spent_batch_id(spark, index_path: str, batch_id: str, this_kind: str):
+    """Shared entry/delete check against the folded manifest.  Returns
+    True when the caller should NO-OP (same-kind replay of a folded
+    delivery — the base already contains exactly what the replay would
+    re-deliver); raises on cross-kind reuse of a spent id."""
+    fk = folded_kind(spark, index_path, batch_id)
+    if fk is None:
+        return False
+    if fk == this_kind:
+        import logging
+
+        logging.getLogger("chat_data_pipeline_spark").info(
+            "batch %s of %s was folded by compaction; %s replay is a no-op",
+            batch_id, index_path, this_kind,
+        )
+        return True
+    raise ValueError(
+        f"batch id {batch_id!r} already names a {fk} delivery that a "
+        f"compaction of {index_path} folded into the base; {this_kind} "
+        "deliveries must use a distinct id (replay idempotence is "
+        "same-kind only, and folded ids stay spent)"
+    )
 
 
 def _committed_batches(spark, index_path: str) -> list[str]:

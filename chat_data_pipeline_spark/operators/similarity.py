@@ -1530,9 +1530,13 @@ def build_ivf_index(
     # (driver-side FS op), one touch marker per committed delivery — probes
     # read only marked batches, so a crashed extension's partial part-files
     # are invisible; the base's own commit marker is the meta write below
-    from chat_data_pipeline_spark.operators.retrieval import ledger_reset
+    from chat_data_pipeline_spark.operators.retrieval import (
+        folded_clear,
+        ledger_reset,
+    )
 
     ledger_reset(spark, index_path)
+    folded_clear(spark, index_path)
     spark.createDataFrame(
         [(coarse, int(n_centroids), int(dim), id_col, vec_col,
           dict(df.dtypes)[id_col])],
@@ -1571,6 +1575,12 @@ def extend_ivf_index(
 
     batch_id = validate_batch_id(batch_id)
     spark = df.sparkSession
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _guard_spent_batch_id,
+    )
+
+    if _guard_spent_batch_id(spark, index_path, batch_id, "extension"):
+        return  # folded replay: the base already holds this delivery
     # cross-kind batch-id reuse is refused (same contract as the text
     # index): replay idempotence is same-kind only
     _guard_batch_id_kind(
@@ -2344,6 +2354,15 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
         if cent is not None:
             cent = cent.localCheckpoint(eager=True)
         dst_index = index_path
+    # folded manifest BEFORE the rewrite (see retrieval.folded_record):
+    # deliveries this compaction folds must read as spent once the
+    # compacted base serves; marking early is safe — they stay
+    # ledger-committed in the old root until the rewrite lands
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _fold_manifest_forward,
+    )
+
+    _fold_manifest_forward(spark, index_path, dst_index, committed)
     # meta-less rebuild window (r13 ADVICE): a compaction crash after the
     # postings overwrite must not leave probes merging the partial new
     # base with the old ledger's extension state
@@ -2423,8 +2442,11 @@ def rebuild_ivf_index(
     versioned rename, refuses meta-less targets).
     """
     from chat_data_pipeline_spark.operators.retrieval import (
+        _classify_committed,
         _committed_batches,
         _tombstoned_ids,
+        folded_ids,
+        folded_record,
     )
 
     meta = spark.read.parquet(f"{index_path}/meta").first()
@@ -2451,6 +2473,13 @@ def rebuild_ivf_index(
         union = union.join(
             tomb.withColumnRenamed("doc", meta.id_col), meta.id_col, "left_anti"
         )
+    # classify the batches this rebuild folds WHILE their tombstone dirs
+    # still exist; build_ivf_index clears the dst manifest (fresh-world
+    # semantics), so the carried-forward manifest is re-recorded after —
+    # a rebuild that did not RETURN must be re-run before deliveries
+    # resume (the meta-less window enforces exactly that)
+    prior_ext, prior_del = folded_ids(spark, index_path)
+    new_ext, new_del = _classify_committed(spark, index_path, committed)
     if dst_index is None:
         union = union.localCheckpoint(eager=True)
         dst_index = index_path
@@ -2463,6 +2492,12 @@ def rebuild_ivf_index(
         coarse=meta.coarse,
         dim=int(meta.dim),
         seed=seed,
+    )
+    folded_record(
+        spark,
+        dst_index,
+        sorted(set(prior_ext) | set(new_ext)),
+        sorted(set(prior_del) | set(new_del)),
     )
 
 
@@ -2491,12 +2526,15 @@ def delete_from_ivf_index(
     from chat_data_pipeline_spark.operators.retrieval import (
         _committed_batches,
         _guard_batch_id_kind,
+        _guard_spent_batch_id,
         _tombstoned_ids,
         ledger_commit,
         validate_batch_id,
     )
 
     batch_id = validate_batch_id(batch_id)
+    if _guard_spent_batch_id(spark, index_path, batch_id, "delete"):
+        return  # folded replay: the victims are already physically gone
     _guard_batch_id_kind(
         spark, index_path, batch_id, "postings", "delete", "extension"
     )
@@ -2606,6 +2644,7 @@ def build_ivfpq_index(
     from chat_data_pipeline_spark.operators.retrieval import (
         _fs_for,
         cluster_for_partitioned_write,
+        folded_clear,
         invalidate_index_meta,
         ledger_reset,
     )
@@ -2619,6 +2658,7 @@ def build_ivfpq_index(
     invalidate_index_meta(spark, index_path)
     _tfs, _tpath, _tjvm = _fs_for(spark, f"{index_path}/tombstones")
     _tfs.delete(_tpath, True)
+    folded_clear(spark, index_path)
     cluster_for_partitioned_write(
         postings.withColumn("batch", F.lit("base")), ["list"], F.col(id_col)
     ).write.mode("overwrite").option(
@@ -2657,6 +2697,12 @@ def extend_ivfpq_index(
 
     batch_id = validate_batch_id(batch_id)
     spark = df.sparkSession
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _guard_spent_batch_id,
+    )
+
+    if _guard_spent_batch_id(spark, index_path, batch_id, "extension"):
+        return  # folded replay: the base already holds this delivery
     _guard_batch_id_kind(
         spark, index_path, batch_id, "tombstones", "extension", "delete"
     )
