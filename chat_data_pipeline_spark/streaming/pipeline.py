@@ -701,12 +701,45 @@ def streaming_classifier_eval(
     )
 
 
+def _maybe_auto_compact(
+    spark, store_path: str, epoch: int, every: int | None,
+    max_batches: int | None, max_tombstone_nanos: int | None,
+) -> None:
+    """Writer-side maintenance for the delivery streams (r15): every
+    ``every`` epochs, run ``compact_if_needed`` against the store this
+    stream is delivering into.  SAFE here and only here: the stream IS
+    the root's single writer, so the compaction serializes with its own
+    deliveries by construction, and the folded-batch manifest makes a
+    crash-replay of an already-folded epoch a no-op instead of a
+    double-count (see ``retrieval.folded_record``).  Thresholds default
+    to the maintenance module's."""
+    if not every or (epoch + 1) % int(every):
+        return
+    from chat_data_pipeline_spark.operators.maintenance import (
+        DEFAULT_MAX_BATCHES,
+        DEFAULT_MAX_TOMBSTONE_NANOS,
+        compact_if_needed,
+    )
+
+    compact_if_needed(
+        spark,
+        store_path,
+        max_batches=int(max_batches or DEFAULT_MAX_BATCHES),
+        max_tombstone_nanos=int(
+            max_tombstone_nanos or DEFAULT_MAX_TOMBSTONE_NANOS
+        ),
+    )
+
+
 def streaming_index_delivery(
     stream: DataFrame,
     index_path: str,
     checkpoint_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    auto_compact_every: int | None = None,
+    max_batches: int | None = None,
+    max_tombstone_nanos: int | None = None,
 ):
     """Live corpus → fresh servable BM25 index (r14): each micro-batch
     becomes ONE ledger-committed delivery via
@@ -739,6 +772,10 @@ def streaming_index_delivery(
             text_col=text_col,
             id_col=id_col,
         )
+        _maybe_auto_compact(
+            batch_df.sparkSession, index_path, batch_id, auto_compact_every,
+            max_batches, max_tombstone_nanos,
+        )
 
     return (
         stream.writeStream.foreachBatch(step)
@@ -751,6 +788,9 @@ def streaming_ivf_delivery(
     stream: DataFrame,
     index_path: str,
     checkpoint_path: str,
+    auto_compact_every: int | None = None,
+    max_batches: int | None = None,
+    max_tombstone_nanos: int | None = None,
 ):
     """ANN twin of :func:`streaming_index_delivery`: every micro-batch of
     vectors is assigned with the index's OWN coarse arithmetic (so the
@@ -766,6 +806,10 @@ def streaming_ivf_delivery(
         if batch_df.isEmpty():
             return
         extend_ivf_index(batch_df, index_path, batch_id=f"s{batch_id}")
+        _maybe_auto_compact(
+            batch_df.sparkSession, index_path, batch_id, auto_compact_every,
+            max_batches, max_tombstone_nanos,
+        )
 
     return (
         stream.writeStream.foreachBatch(step)
@@ -778,6 +822,9 @@ def streaming_ivfpq_delivery(
     stream: DataFrame,
     index_path: str,
     checkpoint_path: str,
+    auto_compact_every: int | None = None,
+    max_batches: int | None = None,
+    max_tombstone_nanos: int | None = None,
 ):
     """Compressed-ANN twin of :func:`streaming_ivf_delivery` (closes the
     r14 verdict's reachability gap on the newest store): every micro-batch
@@ -796,6 +843,10 @@ def streaming_ivfpq_delivery(
         if batch_df.isEmpty():
             return
         extend_ivfpq_index(batch_df, index_path, batch_id=f"s{batch_id}")
+        _maybe_auto_compact(
+            batch_df.sparkSession, index_path, batch_id, auto_compact_every,
+            max_batches, max_tombstone_nanos,
+        )
 
     return (
         stream.writeStream.foreachBatch(step)
@@ -916,6 +967,9 @@ def streaming_neardup_store_delivery(
     stream: DataFrame,
     store_path: str,
     checkpoint_path: str,
+    auto_compact_every: int | None = None,
+    max_batches: int | None = None,
+    max_tombstone_nanos: int | None = None,
 ):
     """Live deliveries into the persisted SRP-LSH embedding near-dup store
     (r15): each micro-batch of (id, vector) rows fingerprints ONCE with
@@ -934,6 +988,10 @@ def streaming_neardup_store_delivery(
         if batch_df.isEmpty():
             return
         extend_neardup_index(batch_df, store_path, batch_id=f"s{batch_id}")
+        _maybe_auto_compact(
+            batch_df.sparkSession, store_path, batch_id, auto_compact_every,
+            max_batches, max_tombstone_nanos,
+        )
 
     return (
         stream.writeStream.foreachBatch(step)
@@ -987,6 +1045,9 @@ def streaming_dedup_store_delivery(
     stream: DataFrame,
     store_path: str,
     checkpoint_path: str,
+    auto_compact_every: int | None = None,
+    max_batches: int | None = None,
+    max_tombstone_nanos: int | None = None,
 ):
     """Live signature deliveries into the persisted MinHash store (r14):
     each micro-batch of curated documents fingerprints ONCE — with the
@@ -1003,6 +1064,10 @@ def streaming_dedup_store_delivery(
         if batch_df.isEmpty():
             return
         extend_dedup_index(batch_df, store_path, batch_id=f"s{batch_id}")
+        _maybe_auto_compact(
+            batch_df.sparkSession, store_path, batch_id, auto_compact_every,
+            max_batches, max_tombstone_nanos,
+        )
 
     return (
         stream.writeStream.foreachBatch(step)

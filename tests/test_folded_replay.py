@@ -178,3 +178,48 @@ def test_write_then_swap_compaction_carries_the_manifest(spark, docs, tmp_path):
     assert sorted(
         map(tuple, RT.bm25_topk_indexed(spark, dst, TERMS, k=20).collect())
     ) == before
+
+
+def test_streaming_delivery_with_auto_compact(spark, docs, tmp_path):
+    """r15: the self-maintaining ingest loop — a delivery stream with
+    auto_compact_every compacts its own root between its own triggers
+    (writer-serialized, replay-safe via the folded manifest); the final
+    probes equal a direct build over the union and the ledger stays
+    single-batch under a tight budget."""
+    from chat_data_pipeline_spark.streaming.pipeline import (
+        streaming_index_delivery,
+    )
+
+    base = docs.filter(F.col("doc_id") % 4 == 0)
+    idx = str(tmp_path / "auto_live")
+    RT.build_text_index(base, idx)
+    feed = tmp_path / "auto_feed"
+    feed.mkdir()
+    for i in (1, 2, 3):
+        docs.filter(F.col("doc_id") % 4 == i).repartition(1).write.parquet(
+            str(feed / f"f{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*")
+    )
+    q = streaming_index_delivery(
+        stream, idx, str(tmp_path / "auto_ckpt"),
+        auto_compact_every=1, max_batches=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # every trigger's delivery pushed the ledger over max_batches=1 and
+    # the follow-up compaction folded it back down
+    assert RT._committed_batches(spark, idx) == ["base"]
+    assert RT.folded_kind(spark, idx, "s0") == "extension"
+    direct = str(tmp_path / "auto_direct")
+    RT.build_text_index(docs, direct)
+    assert sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, idx, TERMS, k=20).collect())
+    ) == sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, direct, TERMS, k=20).collect())
+    )
