@@ -264,9 +264,17 @@ def delete_from_dedup_index(
     ledger_commit(spark, index_path, batch_id)
 
 
-def _committed_bands(spark, index_path: str, meta) -> DataFrame:
-    """Committed, non-tombstoned (id, band, sig) store postings."""
-    committed = _committed_batches(spark, index_path)
+def _committed_bands(
+    spark, index_path: str, meta, committed: list[str] | None = None
+) -> DataFrame:
+    """Committed, non-tombstoned (id, band, sig) store postings.
+
+    ``committed`` lets the compactor pass its ONE ledger snapshot through
+    (r15 review): a delivery committing between two independent ledger
+    listings would otherwise be folded into the rewritten base without
+    being marked spent in the folded manifest."""
+    if committed is None:
+        committed = _committed_batches(spark, index_path)
     ref = (
         spark.read.schema(f"id {meta.id_type}, sig {meta.sig_type}")
         .parquet(f"{index_path}/bands")
@@ -318,7 +326,9 @@ def compact_dedup_index(spark, index_path: str, dst_index: str | None = None) ->
     the root's meta)."""
     meta = spark.read.parquet(f"{index_path}/meta").first()
     committed = _committed_batches(spark, index_path)
-    bands = _committed_bands(spark, index_path, meta).select("id", "sig", "band")
+    bands = _committed_bands(spark, index_path, meta, committed).select(
+        "id", "sig", "band"
+    )
     if dst_index is None:
         bands = bands.localCheckpoint(eager=True)
         dst_index = index_path

@@ -141,8 +141,13 @@ def maintenance_plan(
     def _resident_dead() -> int:
         if tomb is None:
             return 0
+        # explicit single-column schema (the probe paths' discipline): a
+        # crashed uncommitted delivery's partial files must not drive
+        # schema inference — the committed-batch filter hides their ROWS,
+        # but inference reads footers before any filter applies
         return (
-            spark.read.parquet(f"{index_path}/{res_sub}")
+            spark.read.schema(f"{res_id} {id_type}")
+            .parquet(f"{index_path}/{res_sub}")
             .filter(F.col("batch").isin(committed))
             .select(F.col(res_id).alias("doc"))
             .join(tomb, "doc", "left_semi")

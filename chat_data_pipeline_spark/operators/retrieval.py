@@ -765,6 +765,11 @@ def _fold_manifest_forward(
     (== src for in-place) inside the meta-less window."""
     prior_ext, prior_del = folded_ids(spark, src_index)
     new_ext, new_del = _classify_committed(spark, src_index, committed)
+    if dst_index != src_index:
+        # a dst root that previously lived as an index carries an
+        # UNRELATED world's spent ids — resurrecting them would silently
+        # no-op legitimate future deliveries; only src's history carries
+        folded_clear(spark, dst_index)
     folded_record(
         spark,
         dst_index,
@@ -784,8 +789,16 @@ def _guard_spent_batch_id(spark, index_path: str, batch_id: str, this_kind: str)
     if fk == this_kind:
         import logging
 
-        logging.getLogger("chat_data_pipeline_spark").info(
-            "batch %s of %s was folded by compaction; %s replay is a no-op",
+        # WARNING level: a replay is the expected producer of this event,
+        # but an id COLLISION (a stream restarted with a fresh checkpoint
+        # re-deriving epoch ids from 0 against the same root) would be
+        # silently dropped here too — the log is the operator's signal to
+        # use a fresh batch_id_prefix per checkpoint (see the delivery
+        # streams' parameter)
+        logging.getLogger("chat_data_pipeline_spark").warning(
+            "batch %s of %s was already folded by compaction; treating "
+            "this %s as a replay and skipping it (if this is NEW content "
+            "under a recycled id, deliver under a fresh id/prefix)",
             batch_id, index_path, this_kind,
         )
         return True

@@ -1420,6 +1420,7 @@ def build_ivf_index(
     coarse: str = "md5",
     dim: int = 64,
     seed: int = 42,
+    _clear_folded: bool = True,
 ) -> None:
     """Build → write the IVF index artifacts (idempotent: every part is an
     overwrite, so a replayed build leaves the index byte-identical).
@@ -1536,7 +1537,14 @@ def build_ivf_index(
     )
 
     ledger_reset(spark, index_path)
-    folded_clear(spark, index_path)
+    if _clear_folded:
+        # fresh-from-source world: old delivery ids are reusable.  A
+        # REBUILD passes False — it wrote the carried-forward spent-id
+        # manifest BEFORE this base landed, and that manifest must
+        # survive (r15 review: recording it after meta would leave a
+        # crash window with a servable root and no manifest, reopening
+        # the replay double-count this machinery closes)
+        folded_clear(spark, index_path)
     spark.createDataFrame(
         [(coarse, int(n_centroids), int(dim), id_col, vec_col,
           dict(df.dtypes)[id_col])],
@@ -2474,15 +2482,28 @@ def rebuild_ivf_index(
             tomb.withColumnRenamed("doc", meta.id_col), meta.id_col, "left_anti"
         )
     # classify the batches this rebuild folds WHILE their tombstone dirs
-    # still exist; build_ivf_index clears the dst manifest (fresh-world
-    # semantics), so the carried-forward manifest is re-recorded after —
-    # a rebuild that did not RETURN must be re-run before deliveries
-    # resume (the meta-less window enforces exactly that)
+    # still exist, and write the spent-id manifest to dst BEFORE the new
+    # base can serve (r15 review: recording it after build_ivf_index's
+    # meta write left a crash window with a healthy root and no manifest
+    # — exactly the replay double-count hole the manifest closes).
+    # Early marking is safe: the marked batches stay ledger-committed in
+    # the old root until the rebuild lands.
     prior_ext, prior_del = folded_ids(spark, index_path)
     new_ext, new_del = _classify_committed(spark, index_path, committed)
     if dst_index is None:
         union = union.localCheckpoint(eager=True)
         dst_index = index_path
+    if dst_index != index_path:
+        from chat_data_pipeline_spark.operators.retrieval import folded_clear
+
+        # a reused dst root must not resurrect an unrelated world's ids
+        folded_clear(spark, dst_index)
+    folded_record(
+        spark,
+        dst_index,
+        sorted(set(prior_ext) | set(new_ext)),
+        sorted(set(prior_del) | set(new_del)),
+    )
     build_ivf_index(
         union,
         dst_index,
@@ -2492,12 +2513,7 @@ def rebuild_ivf_index(
         coarse=meta.coarse,
         dim=int(meta.dim),
         seed=seed,
-    )
-    folded_record(
-        spark,
-        dst_index,
-        sorted(set(prior_ext) | set(new_ext)),
-        sorted(set(prior_del) | set(new_del)),
+        _clear_folded=False,
     )
 
 

@@ -707,12 +707,17 @@ def _maybe_auto_compact(
 ) -> None:
     """Writer-side maintenance for the delivery streams (r15): every
     ``every`` epochs, run ``compact_if_needed`` against the store this
-    stream is delivering into.  SAFE here and only here: the stream IS
-    the root's single writer, so the compaction serializes with its own
-    deliveries by construction, and the folded-batch manifest makes a
-    crash-replay of an already-folded epoch a no-op instead of a
-    double-count (see ``retrieval.folded_record``).  Thresholds default
-    to the maintenance module's."""
+    stream is delivering into.  SAFE when — and only when — this
+    delivery stream is the root's ONLY writer: the compaction then
+    serializes with its own deliveries by construction, and the
+    folded-batch manifest makes a crash-replay of an already-folded
+    epoch a no-op instead of a double-count (see
+    ``retrieval.folded_record``).  Do NOT enable it while a takedown
+    stream (or any other writer) shares the root — a compaction racing
+    the other writer's ledger commit could fold state without spending
+    that delivery's id; run compaction as its own serialized maintenance
+    window in that topology.  Thresholds default to the maintenance
+    module's."""
     if not every or (epoch + 1) % int(every):
         return
     from chat_data_pipeline_spark.operators.maintenance import (
@@ -724,9 +729,15 @@ def _maybe_auto_compact(
     compact_if_needed(
         spark,
         store_path,
-        max_batches=int(max_batches or DEFAULT_MAX_BATCHES),
+        # None-safe (not falsy-or): an explicit 0 is a legal threshold —
+        # "compact whenever any dead row / any extension batch exists"
+        max_batches=int(
+            max_batches if max_batches is not None else DEFAULT_MAX_BATCHES
+        ),
         max_tombstone_nanos=int(
-            max_tombstone_nanos or DEFAULT_MAX_TOMBSTONE_NANOS
+            max_tombstone_nanos
+            if max_tombstone_nanos is not None
+            else DEFAULT_MAX_TOMBSTONE_NANOS
         ),
     )
 

@@ -223,3 +223,25 @@ def test_streaming_delivery_with_auto_compact(spark, docs, tmp_path):
     ) == sorted(
         map(tuple, RT.bm25_topk_indexed(spark, direct, TERMS, k=20).collect())
     )
+
+
+def test_reused_dst_root_does_not_resurrect_stale_spent_ids(spark, docs, tmp_path):
+    """r15 review: compacting into a dst_path that previously lived as an
+    index must not carry THAT root's folded ids into the new world — only
+    the source root's history travels."""
+    old_world = str(tmp_path / "old_world")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), old_world)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 2 == 1), old_world, batch_id="sX")
+    RT.compact_text_index(spark, old_world)
+    assert RT.folded_kind(spark, old_world, "sX") == "extension"
+
+    src = str(tmp_path / "new_src")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 3 == 0), src)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 3 == 1), src, batch_id="sY")
+    RT.compact_text_index(spark, src, dst_index=old_world)
+    # the reused dst carries ONLY the source's history
+    assert RT.folded_kind(spark, old_world, "sY") == "extension"
+    assert RT.folded_kind(spark, old_world, "sX") is None
+    # a fresh delivery under the unrelated world's id is legal again
+    RT.extend_text_index(docs.limit(5), old_world, batch_id="sX")
+    assert "sX" in RT._committed_batches(spark, old_world)
