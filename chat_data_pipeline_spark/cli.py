@@ -1093,7 +1093,7 @@ def serve_frame(spark: SparkSession, q: DataFrame, spec: dict) -> DataFrame:
     if not bm and not ann:
         raise ValueError("serve needs at least one arm: `bm25` and/or `ann`")
     hybrid = bool(bm) and bool(ann)
-    from chat_data_pipeline_spark.operators.maintenance import detect_store_kind
+    from chat_data_pipeline_spark.operators.maintenance import store_kind_and_meta
 
     arms: list[DataFrame] = []
     if bm:
@@ -1101,8 +1101,11 @@ def serve_frame(spark: SparkSession, q: DataFrame, spec: dict) -> DataFrame:
         root = _serve_root(spark, bm, "bm25")
         # structural kind check: a typo'd path (or an alias repointed at
         # the wrong root) must fail as a config error, not an opaque
-        # missing-meta-field AttributeError mid-probe
-        kind = detect_store_kind(spark, root)
+        # missing-meta-field AttributeError mid-probe.  One meta read per
+        # root per serve call — this path is per-micro-batch under
+        # streaming_query_serving, so the kind check and any meta field a
+        # probe needs share the same read.
+        kind, _meta = store_kind_and_meta(spark, root)
         if kind != "bm25":
             raise ValueError(
                 f"serve.bm25 root {root} is a {kind} store, not a BM25 index"
@@ -1123,7 +1126,7 @@ def serve_frame(spark: SparkSession, q: DataFrame, spec: dict) -> DataFrame:
     if ann:
         ann = dict(ann)
         root = _serve_root(spark, ann, "ann")
-        kind = detect_store_kind(spark, root)
+        kind, meta = store_kind_and_meta(spark, root)
         if kind not in ("ivf", "ivfpq"):
             raise ValueError(
                 f"serve.ann root {root} is a {kind} store, not an ANN index"
@@ -1133,7 +1136,6 @@ def serve_frame(spark: SparkSession, q: DataFrame, spec: dict) -> DataFrame:
             F.expr(str(ann.get("query_id_expr", "query_id"))).alias("query_id"),
             F.col(str(ann.get("vec_col", "query_vec"))).alias("query_vec"),
         )
-        meta = spark.read.parquet(f"{root}/meta").first()
         probe = (
             SIM.ivfpq_topk_persisted if kind == "ivfpq" else SIM.ivf_topk_persisted
         )

@@ -32,25 +32,36 @@ DEFAULT_MAX_BATCHES = 8
 DEFAULT_MAX_TOMBSTONE_NANOS = 100_000_000
 
 
-def detect_store_kind(spark, index_path: str) -> str:
-    """Classify a store root by its meta schema — the five kinds pin
-    disjoint meta columns, so the detection is structural, not heuristic:
-    ``n_term_buckets`` → bm25, ``sig_type`` → dedup, ``n_planes`` →
-    neardup, ``coarse='md5pq'`` → ivfpq, other ``coarse`` → ivf.  Raises on anything else (including a
-    meta-less mid-rebuild root, which must fail loudly everywhere)."""
-    meta_df = spark.read.parquet(f"{index_path}/meta")
-    cols = set(meta_df.columns)
+def store_kind_and_meta(spark, index_path: str):
+    """Classify a store root by its meta schema AND hand back the meta row
+    in the same read — the five kinds pin disjoint meta columns, so the
+    detection is structural, not heuristic: ``n_term_buckets`` → bm25,
+    ``sig_type`` → dedup, ``n_planes`` → neardup, ``coarse='md5pq'`` →
+    ivfpq, other ``coarse`` → ivf.  Raises on anything else (including a
+    meta-less mid-rebuild root, which must fail loudly everywhere).
+
+    Returns ``(kind, meta_row)`` so callers that need both (the
+    maintenance plan, the serve engine's per-arm validation) pay ONE meta
+    read per root instead of detect-then-re-read — per-micro-batch cost
+    on ``streaming_query_serving``."""
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    cols = set(meta.asDict())
     if "n_term_buckets" in cols:
-        return "bm25"
+        return "bm25", meta
     if "sig_type" in cols:
-        return "dedup"
+        return "dedup", meta
     if "n_planes" in cols:
-        return "neardup"
+        return "neardup", meta
     if "coarse" in cols:
-        return "ivfpq" if meta_df.first().coarse == "md5pq" else "ivf"
+        return ("ivfpq" if meta.coarse == "md5pq" else "ivf"), meta
     raise ValueError(
         f"{index_path}/meta matches no known store kind (columns: {sorted(cols)})"
     )
+
+
+def detect_store_kind(spark, index_path: str) -> str:
+    """Kind-only convenience over :func:`store_kind_and_meta`."""
+    return store_kind_and_meta(spark, index_path)[0]
 
 
 def _count_committed(spark, index_path: str, sub: str, committed: list[str]) -> int:
@@ -91,8 +102,10 @@ def maintenance_plan(
     non-resident victims subtracted nothing, by construction of the
     doclens-driven negatives), physical rows minus resident dead for
     ivf/ivfpq/neardup (one posting/vector row per embedding), and
-    fingerprinted ids minus resident dead for the dedup store (band rows
-    are exactly ``num_bands`` per fingerprinted doc) — and
+    distinct fingerprinted ids minus resident dead for the dedup store
+    (counted from the bands artifact directly — per-doc band-row counts
+    are not reliably fixed: sentinel bands drop, shingle-less docs emit
+    nothing) — and
     ``tombstone_nanos`` is the integer-exact dead fraction
     ``1e9 * dead div (live_units + dead)``.  ``compact_recommended`` is
     true when either threshold is crossed: more committed batches than
@@ -111,8 +124,7 @@ def maintenance_plan(
         _tombstoned_ids,
     )
 
-    kind = detect_store_kind(spark, index_path)
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    kind, meta = store_kind_and_meta(spark, index_path)
     committed = _committed_batches(spark, index_path)
     n_batches = len(committed)
 
@@ -120,9 +132,13 @@ def maintenance_plan(
         id_type = meta.id_type
     else:
         # ivf/ivfpq metas pin id_type since r15; pre-r15 roots fall back
-        # to inferring it from the postings tree
+        # to inferring it from the BASE partition only — inferring over
+        # the whole postings tree would touch the footers of a crashed
+        # uncommitted delivery's partial files (the exact hazard the
+        # explicit-schema reads below guard against; the base is complete
+        # by construction, its commit marker being the meta write)
         id_type = meta.asDict().get("id_type") or dict(
-            spark.read.parquet(f"{index_path}/postings").dtypes
+            spark.read.parquet(f"{index_path}/postings/batch=base").dtypes
         )[meta.id_col]
     tomb = _tombstoned_ids(spark, index_path, id_type, committed)
 
@@ -169,17 +185,21 @@ def maintenance_plan(
                 .first()[0]
             )
     elif kind == "dedup":
-        # band rows per fingerprinted doc: the md5 family emits exactly
-        # meta.num_bands; the sha1 family bands with the datasketch-optimal
-        # (B, R) for (threshold, num_perm) and drops whole-sentinel docs
-        rows = _count_committed(spark, index_path, "bands", committed)
-        if meta.family == "md5":
-            divisor = int(meta.num_bands)
-        else:
-            from chat_data_pipeline_spark.operators.dedup import optimal_param
-
-            divisor = int(optimal_param(float(meta.threshold), int(meta.num_perm))[0])
-        live = rows // divisor - dead
+        # distinct fingerprinted ids, NOT band rows // band count: the
+        # per-doc band-row count is only nominally fixed (the sha1 family
+        # drops whole-sentinel bands per-band, md5 emits zero rows for
+        # shingle-less docs), so a row-count division undercounts on
+        # corpora with short/empty docs — and with it the dead fraction
+        # that gates auto_compact.  One column-pruned distinct over `id`,
+        # the same cost class as the residency semi-join above.
+        live = (
+            spark.read.schema(f"id {id_type}")
+            .parquet(f"{index_path}/bands")
+            .filter(F.col("batch").isin(committed))
+            .select("id")
+            .distinct()
+            .count()
+        ) - dead
     elif kind == "neardup":
         # one verify-vector row per stored embedding
         rows = _count_committed(spark, index_path, "vectors", committed)

@@ -751,6 +751,7 @@ def streaming_index_delivery(
     auto_compact_every: int | None = None,
     max_batches: int | None = None,
     max_tombstone_nanos: int | None = None,
+    batch_id_prefix: str = "s",
 ):
     """Live corpus → fresh servable BM25 index (r14): each micro-batch
     becomes ONE ledger-committed delivery via
@@ -770,7 +771,17 @@ def streaming_index_delivery(
     serving over to the compacted root.
 
     The index base must exist (``build_text_index`` first) — the stream
-    only DELIVERS; it never owns the meta/coarse structure."""
+    only DELIVERS; it never owns the meta/coarse structure.
+
+    ``batch_id_prefix`` scopes this checkpoint's epoch-derived batch ids
+    (``{prefix}{epoch}``).  Epoch counters restart at 0 with a FRESH
+    checkpoint, so restarting a stream with a new checkpoint against a
+    root whose earlier ``s<epoch>`` deliveries were compacted away would
+    collide with SPENT ids — the folded manifest treats those as replays
+    and silently skips them (data loss, WARN-logged only).  Give every
+    checkpoint generation its own prefix (``s2``, ``ingest-b``, ...) and
+    the collision cannot happen; keep it disjoint from the takedown
+    stream's prefix."""
     from chat_data_pipeline_spark.operators.retrieval import extend_text_index
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -779,7 +790,7 @@ def streaming_index_delivery(
         extend_text_index(
             batch_df.select(id_col, text_col),
             index_path,
-            batch_id=f"s{batch_id}",
+            batch_id=f"{batch_id_prefix}{batch_id}",
             text_col=text_col,
             id_col=id_col,
         )
@@ -802,6 +813,7 @@ def streaming_ivf_delivery(
     auto_compact_every: int | None = None,
     max_batches: int | None = None,
     max_tombstone_nanos: int | None = None,
+    batch_id_prefix: str = "s",
 ):
     """ANN twin of :func:`streaming_index_delivery`: every micro-batch of
     vectors is assigned with the index's OWN coarse arithmetic (so the
@@ -810,13 +822,19 @@ def streaming_ivf_delivery(
     replay semantics, same invisible-until-committed crash posture.  The
     id/vector column names come from the index meta; monitor the live
     deliveries with ``ivf_index_drift_report`` and repair a drifted
-    quantizer with ``rebuild_ivf_index`` + ``swap_index_alias``."""
+    quantizer with ``rebuild_ivf_index`` + ``swap_index_alias``.
+    ``batch_id_prefix`` scopes this checkpoint's epoch ids — use a fresh
+    prefix per checkpoint generation so recycled epoch counters can never
+    collide with ids a compaction already spent (see
+    :func:`streaming_index_delivery`)."""
     from chat_data_pipeline_spark.operators.similarity import extend_ivf_index
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        extend_ivf_index(batch_df, index_path, batch_id=f"s{batch_id}")
+        extend_ivf_index(
+            batch_df, index_path, batch_id=f"{batch_id_prefix}{batch_id}"
+        )
         _maybe_auto_compact(
             batch_df.sparkSession, index_path, batch_id, auto_compact_every,
             max_batches, max_tombstone_nanos,
@@ -836,6 +854,7 @@ def streaming_ivfpq_delivery(
     auto_compact_every: int | None = None,
     max_batches: int | None = None,
     max_tombstone_nanos: int | None = None,
+    batch_id_prefix: str = "s",
 ):
     """Compressed-ANN twin of :func:`streaming_ivf_delivery` (closes the
     r14 verdict's reachability gap on the newest store): every micro-batch
@@ -847,13 +866,17 @@ def streaming_ivfpq_delivery(
     invisible-until-committed crash posture as the other delivery streams;
     probes stay bit-identical to the in-flight ``ivf_pq_topk_md5`` twin
     over the same corpus.  The id/vector column names come from the index
-    meta; the base must exist (``build_ivfpq_index`` first)."""
+    meta; the base must exist (``build_ivfpq_index`` first).
+    ``batch_id_prefix``: fresh per checkpoint generation (see
+    :func:`streaming_index_delivery`)."""
     from chat_data_pipeline_spark.operators.similarity import extend_ivfpq_index
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        extend_ivfpq_index(batch_df, index_path, batch_id=f"s{batch_id}")
+        extend_ivfpq_index(
+            batch_df, index_path, batch_id=f"{batch_id_prefix}{batch_id}"
+        )
         _maybe_auto_compact(
             batch_df.sparkSession, index_path, batch_id, auto_compact_every,
             max_batches, max_tombstone_nanos,
@@ -871,14 +894,17 @@ def streaming_ivfpq_takedown(
     index_path: str,
     checkpoint_path: str,
     id_col: str = "vec_id",
+    batch_id_prefix: str = "t",
 ):
     """Takedown twin for the compressed store: each micro-batch of vector
     ids lands as one ledger-committed tombstone delivery.  Deletes are
     flavor-agnostic (:func:`delete_from_ivf_index` tombstones by id for
     every IVF flavor, md5pq included), so this shares that operator —
-    same ``t<epoch>`` batch-id discipline as the other takedown streams,
-    disjoint from the delivery stream's ``s`` ids.  Compact to make the
-    removals physical."""
+    same ``{prefix}{epoch}`` batch-id discipline as the other takedown
+    streams, disjoint from the delivery stream's prefix; use a fresh
+    prefix per checkpoint generation (see
+    :func:`streaming_index_delivery`).  Compact to make the removals
+    physical."""
     from chat_data_pipeline_spark.operators.similarity import delete_from_ivf_index
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -888,7 +914,7 @@ def streaming_ivfpq_takedown(
             batch_df.sparkSession,
             index_path,
             batch_df.select(id_col),
-            batch_id=f"t{batch_id}",
+            batch_id=f"{batch_id_prefix}{batch_id}",
         )
 
     return (
@@ -903,12 +929,14 @@ def streaming_index_takedown(
     index_path: str,
     checkpoint_path: str,
     id_col: str = "doc_id",
+    batch_id_prefix: str = "t",
 ):
     """Live takedown feed → tombstone deliveries (r14): the removal twin of
     :func:`streaming_index_delivery`.  Each micro-batch of document ids
     becomes ONE ledger-committed ``delete_from_text_index`` delivery
-    (``batch_id=f"t{epoch}"`` — the ``t`` prefix keeps takedown ids
-    disjoint from the delivery stream's ``s`` ids), so a compliance feed
+    (``batch_id=f"{batch_id_prefix}{epoch}"`` — the prefix keeps takedown
+    ids disjoint from the delivery stream's; use a fresh one per
+    checkpoint generation, see the delivery stream), so a compliance feed
     (user deletion requests, post-hoc contamination discoveries) keeps the
     serving index clean without rebuilds.
 
@@ -934,7 +962,7 @@ def streaming_index_takedown(
             batch_df.sparkSession,
             index_path,
             batch_df.select(id_col),
-            batch_id=f"t{batch_id}",
+            batch_id=f"{batch_id_prefix}{batch_id}",
         )
 
     return (
@@ -949,12 +977,15 @@ def streaming_ivf_takedown(
     index_path: str,
     checkpoint_path: str,
     id_col: str = "vec_id",
+    batch_id_prefix: str = "t",
 ):
     """ANN twin of :func:`streaming_index_takedown`: each micro-batch of
     vector ids lands as one ledger-committed ``delete_from_ivf_index``
     tombstone delivery — same effectively-once replay semantics, same
     invisible-until-committed crash posture, no global statistics to
-    adjust.  Compact or rebuild to make the removals physical."""
+    adjust.  ``batch_id_prefix``: fresh per checkpoint generation (see
+    :func:`streaming_index_delivery`).  Compact or rebuild to make the
+    removals physical."""
     from chat_data_pipeline_spark.operators.similarity import delete_from_ivf_index
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -964,7 +995,7 @@ def streaming_ivf_takedown(
             batch_df.sparkSession,
             index_path,
             batch_df.select(id_col),
-            batch_id=f"t{batch_id}",
+            batch_id=f"{batch_id_prefix}{batch_id}",
         )
 
     return (
@@ -981,6 +1012,7 @@ def streaming_neardup_store_delivery(
     auto_compact_every: int | None = None,
     max_batches: int | None = None,
     max_tombstone_nanos: int | None = None,
+    batch_id_prefix: str = "s",
 ):
     """Live deliveries into the persisted SRP-LSH embedding near-dup store
     (r15): each micro-batch of (id, vector) rows fingerprints ONCE with
@@ -990,7 +1022,9 @@ def streaming_neardup_store_delivery(
     replay semantics and invisible-until-committed crash posture as the
     other four stores' delivery streams.  Takedowns go through
     :func:`neardup_store.delete_from_neardup_index` (use a batch-id
-    prefix disjoint from ``s<epoch>``)."""
+    prefix disjoint from this stream's ``batch_id_prefix``, which itself
+    should be fresh per checkpoint generation — see
+    :func:`streaming_index_delivery`)."""
     from chat_data_pipeline_spark.operators.neardup_store import (
         extend_neardup_index,
     )
@@ -998,7 +1032,9 @@ def streaming_neardup_store_delivery(
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        extend_neardup_index(batch_df, store_path, batch_id=f"s{batch_id}")
+        extend_neardup_index(
+            batch_df, store_path, batch_id=f"{batch_id_prefix}{batch_id}"
+        )
         _maybe_auto_compact(
             batch_df.sparkSession, store_path, batch_id, auto_compact_every,
             max_batches, max_tombstone_nanos,
@@ -1059,6 +1095,7 @@ def streaming_dedup_store_delivery(
     auto_compact_every: int | None = None,
     max_batches: int | None = None,
     max_tombstone_nanos: int | None = None,
+    batch_id_prefix: str = "s",
 ):
     """Live signature deliveries into the persisted MinHash store (r14):
     each micro-batch of curated documents fingerprints ONCE — with the
@@ -1068,13 +1105,17 @@ def streaming_dedup_store_delivery(
     and invisible-until-committed crash posture as the BM25/IVF delivery
     streams; the column names come from the store meta.  Takedowns go
     through :func:`dedup_store.delete_from_dedup_index` (batch ids stay
-    caller-scoped; use a prefix disjoint from ``s<epoch>``)."""
+    caller-scoped; use a prefix disjoint from this stream's
+    ``batch_id_prefix``, itself fresh per checkpoint generation — see
+    :func:`streaming_index_delivery`)."""
     from chat_data_pipeline_spark.operators.dedup_store import extend_dedup_index
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        extend_dedup_index(batch_df, store_path, batch_id=f"s{batch_id}")
+        extend_dedup_index(
+            batch_df, store_path, batch_id=f"{batch_id_prefix}{batch_id}"
+        )
         _maybe_auto_compact(
             batch_df.sparkSession, store_path, batch_id, auto_compact_every,
             max_batches, max_tombstone_nanos,

@@ -245,3 +245,56 @@ def test_reused_dst_root_does_not_resurrect_stale_spent_ids(spark, docs, tmp_pat
     # a fresh delivery under the unrelated world's id is legal again
     RT.extend_text_index(docs.limit(5), old_world, batch_id="sX")
     assert "sX" in RT._committed_batches(spark, old_world)
+
+
+def test_fresh_checkpoint_prefix_avoids_spent_id_collision(spark, docs, tmp_path):
+    """r16 (ADVICE): a stream restarted with a FRESH checkpoint re-derives
+    epoch ids from 0 — under the same prefix those collide with ids a
+    compaction already spent and the deliveries are silently skipped as
+    replays.  The documented remedy is a fresh ``batch_id_prefix`` per
+    checkpoint generation; prove the parameter exists end-to-end and that
+    the prefixed generation actually lands."""
+    from chat_data_pipeline_spark.streaming.pipeline import (
+        streaming_index_delivery,
+    )
+
+    idx = str(tmp_path / "prefix_live")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 3 == 0), idx)
+
+    def _run_generation(feed_name, ckpt_name, rows, prefix):
+        feed = tmp_path / feed_name
+        feed.mkdir()
+        rows.repartition(1).write.parquet(str(feed / "f0.parquet"))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed) + "/*")
+        )
+        q = streaming_index_delivery(
+            stream, idx, str(tmp_path / ckpt_name), batch_id_prefix=prefix
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # generation 1 delivers epoch 0 under the default prefix, then a
+    # compaction folds (and spends) s0
+    _run_generation("gen1", "ckpt1", docs.filter(F.col("doc_id") % 3 == 1), "s")
+    assert "s0" in RT._committed_batches(spark, idx)
+    RT.compact_text_index(spark, idx)
+    assert RT.folded_kind(spark, idx, "s0") == "extension"
+
+    # generation 2: fresh checkpoint, epochs restart at 0.  Under the old
+    # prefix this NEW content would be skipped as a replay of spent s0;
+    # under its own prefix it lands as a real delivery.
+    _run_generation("gen2", "ckpt2", docs.filter(F.col("doc_id") % 3 == 2), "s2-")
+    assert "s2-0" in RT._committed_batches(spark, idx)
+
+    direct = str(tmp_path / "prefix_direct")
+    RT.build_text_index(docs, direct)
+    assert sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, idx, TERMS, k=20).collect())
+    ) == sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, direct, TERMS, k=20).collect())
+    )
