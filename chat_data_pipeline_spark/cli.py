@@ -434,6 +434,15 @@ def _delete_ids_frame(spark: SparkSession, df: DataFrame, spec: dict, kind: str)
     return base.select(F.expr(id_expr))
 
 
+def _cli_lease(spark, path: str, label: str):
+    """Per-root writer lease for CLI maintenance mutations (r16): a YAML
+    compact against a root that a live delivery/takedown stream writes
+    must serialize with its triggers, not race them."""
+    from chat_data_pipeline_spark.operators.lease import writer_lease
+
+    return writer_lease(spark, path, label)
+
+
 def _run_auto_compact(spark: SparkSession, spec: dict, kind: str) -> str:
     """Shared `action: auto_compact` for all five index kinds (r15): read
     the store's own artifacts via `maintenance_plan`, compact only if a
@@ -442,21 +451,23 @@ def _run_auto_compact(spark: SparkSession, spec: dict, kind: str) -> str:
     `_finish_with_alias` points a serving alias at dst_path only when the
     compaction actually wrote it — a skipped run swaps to the live
     `path`, never to a stale dst root."""
+    from chat_data_pipeline_spark.operators.lease import writer_lease
     from chat_data_pipeline_spark.operators.maintenance import (
         DEFAULT_MAX_BATCHES,
         DEFAULT_MAX_TOMBSTONE_NANOS,
         compact_if_needed,
     )
 
-    did = compact_if_needed(
-        spark,
-        str(spec["path"]),
-        max_batches=int(spec.get("max_batches", DEFAULT_MAX_BATCHES)),
-        max_tombstone_nanos=int(
-            spec.get("max_tombstone_nanos", DEFAULT_MAX_TOMBSTONE_NANOS)
-        ),
-        dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
-    )
+    with writer_lease(spark, str(spec["path"]), f"cli:auto_compact:{kind}"):
+        did = compact_if_needed(
+            spark,
+            str(spec["path"]),
+            max_batches=int(spec.get("max_batches", DEFAULT_MAX_BATCHES)),
+            max_tombstone_nanos=int(
+                spec.get("max_tombstone_nanos", DEFAULT_MAX_TOMBSTONE_NANOS)
+            ),
+            dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
+        )
     logger.info(
         "index.%s: auto_compact %s %s",
         kind,
@@ -507,11 +518,12 @@ def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         # maintenance action: folds committed deliveries (and any
         # tombstones, which become physical) into a fresh base — ignores
         # this run's rows; pair with a separate extend config
-        RT.compact_text_index(
-            spark,
-            str(spec["path"]),
-            dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
-        )
+        with _cli_lease(spark, str(spec["path"]), "cli:compact:bm25"):
+            RT.compact_text_index(
+                spark,
+                str(spec["path"]),
+                dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
+            )
     elif action == "auto_compact":
         action = _run_auto_compact(spark, spec, "bm25")
     else:
@@ -579,7 +591,8 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             spark, path, _delete_ids_frame(spark, df, spec, "ivf"), spec["batch_id"]
         )
     elif action == "compact":
-        SIM.compact_ivf_index(spark, path, dst_index=dst)
+        with _cli_lease(spark, path, "cli:compact:ivf"):
+            SIM.compact_ivf_index(spark, path, dst_index=dst)
     elif action == "rebuild":
         # the drift repair: coarse-retrain over base+committed postings,
         # re-assign, cut over (see ivf_index_drift_report's thresholds)
@@ -600,9 +613,11 @@ def _run_ivfpq_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     """The COMPRESSED ANN store's config block (closes the r14 verdict's
     reachability gap: a YAML run could leave behind a BM25, IVF or
     signature store but not the codes-only store the 100 TB serving story
-    actually reads from).  Same shape as `index.ivf` minus `rebuild` — PQ
-    storage is lossy, so a params change rebuilds from the SOURCE corpus
-    via action=build, never from the index."""
+    actually reads from).  Same shape as `index.ivf`; `rebuild` (r16)
+    differs from the IVF one because PQ storage is lossy — it REQUIRES
+    the source corpus back (`dataset:` or this run's rows) and re-encodes
+    it through `rebuild_ivfpq_index` (tombstones made physical, folded
+    ids spent, optional `n_centroids`/`m`/`n_codewords` re-shard)."""
     from chat_data_pipeline_spark.operators import similarity as SIM
 
     if "path" not in spec:
@@ -610,19 +625,16 @@ def _run_ivfpq_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     path = str(spec["path"])
     action = str(spec.get("action", "build"))
     dst = str(spec["dst_path"]) if spec.get("dst_path") else None
-    if action == "rebuild":
-        raise ValueError(
-            "index.ivfpq has no rebuild action: PQ storage is lossy (codes "
-            "only) — re-run action=build over the source corpus instead"
-        )
-    if action not in ("build", "extend", "delete", "compact", "auto_compact"):
+    if action not in (
+        "build", "extend", "delete", "compact", "rebuild", "auto_compact"
+    ):
         raise ValueError(
             "index.ivfpq action must be 'build', 'extend', 'delete', "
-            f"'compact' or 'auto_compact', got {action!r}"
+            f"'compact', 'rebuild' or 'auto_compact', got {action!r}"
         )
     if action in ("extend", "delete") and "batch_id" not in spec:
         raise ValueError(f"index.ivfpq action={action} needs `batch_id`")
-    if action in ("build", "extend"):
+    if action in ("build", "extend", "rebuild"):
         vec_col = str(spec.get("vec_col", "embedding"))
         id_expr = str(spec.get("id_expr", "id"))
         base = (
@@ -652,10 +664,28 @@ def _run_ivfpq_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             spec["batch_id"],
         )
     elif action == "compact":
-        SIM.compact_ivf_index(spark, path, dst_index=dst)
+        with _cli_lease(spark, path, "cli:compact:ivfpq"):
+            SIM.compact_ivf_index(spark, path, dst_index=dst)
+    elif action == "rebuild":
+        with _cli_lease(spark, path, "cli:rebuild:ivfpq"):
+            SIM.rebuild_ivfpq_index(
+                spark,
+                path,
+                source,
+                dst_index=dst,
+                n_centroids=int(spec["n_centroids"])
+                if spec.get("n_centroids")
+                else None,
+                m=int(spec["m"]) if spec.get("m") else None,
+                n_codewords=int(spec["n_codewords"])
+                if spec.get("n_codewords")
+                else None,
+                id_col="__vec_id__",
+                vec_col="__vec__",
+            )
     elif action == "auto_compact":
         action = _run_auto_compact(spark, spec, "ivfpq")
-    _finish_with_alias(spark, spec, action, ("compact",))
+    _finish_with_alias(spark, spec, action, ("compact", "rebuild"))
     logger.info("index.ivfpq: %s %s", action, path)
 
 
@@ -714,11 +744,12 @@ def _run_dedup_store_indexing(spark: SparkSession, df: DataFrame, spec: dict) ->
             spark, path, base.select(F.expr(id_expr)), spec["batch_id"]
         )
     elif action == "compact":
-        DS.compact_dedup_index(
-            spark,
-            path,
-            dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
-        )
+        with _cli_lease(spark, path, "cli:compact:dedup"):
+            DS.compact_dedup_index(
+                spark,
+                path,
+                dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
+            )
     elif action == "auto_compact":
         action = _run_auto_compact(spark, spec, "dedup")
     _finish_with_alias(spark, spec, action, ("compact",))
@@ -902,7 +933,8 @@ def _run_neardup_store_indexing(
             spec["batch_id"],
         )
     elif action == "compact":
-        NS.compact_neardup_index(spark, path, dst_index=dst)
+        with _cli_lease(spark, path, "cli:compact:neardup"):
+            NS.compact_neardup_index(spark, path, dst_index=dst)
     elif action == "auto_compact":
         action = _run_auto_compact(spark, spec, "neardup")
     _finish_with_alias(spark, spec, action, ("compact",))
@@ -968,8 +1000,13 @@ def _run_takedown(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame:
         "dedup": DS.delete_from_dedup_index,
         "neardup": NS.delete_from_neardup_index,
     }
+    from chat_data_pipeline_spark.operators.lease import writer_lease
+
     for kind in stores:
-        deleters[kind](spark, str(spec[kind]), victims, spec["batch_id"])
+        # per-root writer lease (r16): a compliance run may fan into roots
+        # that live delivery streams are writing — serialize per store
+        with writer_lease(spark, str(spec[kind]), "cli:takedown"):
+            deleters[kind](spark, str(spec[kind]), victims, spec["batch_id"])
         logger.info("takedown: %s %s", kind, spec[kind])
     return victims
 
@@ -1006,10 +1043,16 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
     mt = int(spec.get("max_tombstone_nanos", DEFAULT_MAX_TOMBSTONE_NANOS))
     acted = False
     if spec.get("auto_compact"):
+        from chat_data_pipeline_spark.operators.lease import writer_lease
+
         for root in roots:
-            if compact_if_needed(spark, root, mb, mt):
-                logger.info("maintain: compacted %s", root)
-                acted = True
+            # per-root writer lease (r16): the fleet sweep may include
+            # roots with live delivery/takedown streams — serialize the
+            # compaction decision+act against their triggers
+            with writer_lease(spark, root, "cli:maintain"):
+                if compact_if_needed(spark, root, mb, mt):
+                    logger.info("maintain: compacted %s", root)
+                    acted = True
     report = maintenance_sweep(spark, roots, mb, mt)
     if spec.get("report_path"):
         from chat_data_pipeline_spark.sources.io import write_table

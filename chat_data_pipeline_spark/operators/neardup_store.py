@@ -402,3 +402,58 @@ def filter_against_neardup_index(
         spark, index_path, new_df, id_col=id_col, vec_col=vec_col
     )
     return new_df.join(matched, nid, "left_anti")
+
+
+def neardup_store_health(spark, index_path: str) -> DataFrame:
+    """Per-delivery health report for the embedding near-dup store —
+    completing the observability set across all five persisted stores
+    (``retrieval.text_index_health``, ``similarity.ivf_index_drift_report``,
+    ``dedup_store.dedup_store_health``): one row per ledger-committed
+    batch from the store's OWN artifacts, no corpus access.
+
+    Columns: ``(batch, n_rows, n_ids, n_tombstones)`` — bucket posting
+    rows, stored verify vectors, and takedown ids per delivery.  A delete
+    delivery reads as (0, 0, k).  Signals: ``n_rows`` must be exactly
+    ``n_tables × n_ids`` (every vector posts once per table — a drifted
+    ratio means a partially-written delivery escaped the ledger, which
+    the commit protocol forbids, so this is the audit that would catch a
+    broken deployment's writes); a large tombstone count → compact,
+    every probe pays the anti-join until then; a fleet-level view of
+    ``n_ids`` growth against the meta-pinned plane count is the
+    bucket-saturation rebuild signal (the store scales planes at BUILD
+    time only — see ``build_neardup_index``).
+
+    Scale shape: two map-side-combined count aggs (posting footer
+    metadata + vector rows) plus an id-sized tombstone count; O(batches)
+    output rows."""
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    committed = _committed_batches(spark, index_path)
+    posts = (
+        spark.read.schema(f"id {meta.id_type}, b long")
+        .parquet(f"{index_path}/postings")
+        .filter(F.col("batch").isin(committed))
+        .groupBy(F.col("batch").cast("string").alias("batch"))
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    vecs = (
+        spark.read.schema(f"id {meta.id_type}")
+        .parquet(f"{index_path}/vectors")
+        .filter(F.col("batch").isin(committed))
+        .groupBy(F.col("batch").cast("string").alias("batch"))
+        .agg(F.count("*").cast("long").alias("n_ids"))
+    )
+    fs, tpath, _jvm = _fs_for(spark, f"{index_path}/tombstones")
+    if fs.exists(tpath):
+        tombs = (
+            spark.read.schema(f"doc {meta.id_type}")
+            .parquet(f"{index_path}/tombstones")
+            .filter(F.col("batch").isin(committed))
+            .groupBy(F.col("batch").cast("string").alias("batch"))
+            .agg(F.count("*").cast("long").alias("n_tombstones"))
+        )
+    else:
+        tombs = spark.createDataFrame([], "batch string, n_tombstones long")
+    out = posts.join(vecs, "batch", "full_outer").join(tombs, "batch", "full_outer")
+    return out.fillna(
+        {"n_rows": 0, "n_ids": 0, "n_tombstones": 0}
+    ).orderBy("batch")

@@ -2634,6 +2634,7 @@ def build_ivfpq_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _clear_folded: bool = True,
 ) -> None:
     """Persist the COMPRESSED ANN index: (id, list, pq_code) postings only —
     no raw vectors.  This is the variant that actually fits 100 TB of
@@ -2674,7 +2675,12 @@ def build_ivfpq_index(
     invalidate_index_meta(spark, index_path)
     _tfs, _tpath, _tjvm = _fs_for(spark, f"{index_path}/tombstones")
     _tfs.delete(_tpath, True)
-    folded_clear(spark, index_path)
+    if _clear_folded:
+        # a FRESH build starts a new world: old ids become reusable.  A
+        # rebuild passes False — it wrote the spent-id manifest BEFORE
+        # calling here and that manifest must survive the base rewrite
+        # (mirrors build_ivf_index's contract with rebuild_ivf_index).
+        folded_clear(spark, index_path)
     cluster_for_partitioned_write(
         postings.withColumn("batch", F.lit("base")), ["list"], F.col(id_col)
     ).write.mode("overwrite").option(
@@ -2748,6 +2754,118 @@ def extend_ivfpq_index(
         f"{index_path}/postings/batch={batch_id}"
     )
     ledger_commit(spark, index_path, batch_id)
+
+
+def rebuild_ivfpq_index(
+    spark,
+    index_path: str,
+    vectors_df: DataFrame,
+    dst_index: str | None = None,
+    n_centroids: int | None = None,
+    m: int | None = None,
+    n_codewords: int | None = None,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> None:
+    """Re-shard / re-encode the COMPRESSED index from explicitly-supplied
+    source vectors (r16, closing the r15 verdict's re-shard gap): PQ
+    storage is lossy — codes only, no vectors — so ``rebuild_ivf_index``
+    correctly REFUSES md5pq roots and a long-lived compressed store whose
+    coarse quantizer outgrew its corpus had no in-engine recovery.  This
+    operator is that recovery: the caller hands back the source embedding
+    corpus (the one artifact a compressed store cannot reconstruct), and
+    the rebuild re-encodes it at the same — or re-sharded — parameters
+    through the normal build path.
+
+    Contract mirrored from :func:`rebuild_ivf_index`:
+
+    - currently-tombstoned ids are EXCLUDED from the supplied corpus, so
+      the rebuild makes pending deletes physical;
+    - the spent-id manifest carries forward and gains this rebuild's
+      committed batch ids, written to dst BEFORE the new base can serve
+      (``build_ivfpq_index(_clear_folded=False)`` keeps it through the
+      meta-less window) — a crash-replayed delivery of a folded id stays
+      a no-op on the rebuilt root;
+    - VALIDATES before invalidating: param divisibility, id-column type
+      and the md5pq flavor are all checked while the live root still
+      serves, so a bad corpus frame cannot brick an in-place rebuild;
+    - ``dst_index=None`` rebuilds in place (tombstone anti-join pinned
+      with an eager localCheckpoint before the overwrite); a 100 TB
+      deployment passes ``dst_index`` and swaps probes over with
+      ``retrieval.swap_index_alias`` (write-then-swap, zero-downtime).
+
+    Pass a larger ``n_centroids`` to re-shard a grown corpus into more
+    lists (finer file-listing pruning) while keeping the literal-codebook
+    arithmetic — probes of the rebuilt root are BIT-IDENTICAL to a fresh
+    ``build_ivfpq_index`` over the retained vectors at the same params
+    (tested, and driver-hashed via ``ann_ivfpq_rebuild_report``)."""
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _classify_committed,
+        _committed_batches,
+        _guard_delivery_id_type,
+        _tombstoned_ids,
+        folded_clear,
+        folded_ids,
+        folded_record,
+    )
+
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    if meta.coarse != "md5pq":
+        raise ValueError(
+            f"{index_path} is not an IVF-PQ index (coarse={meta.coarse!r}); "
+            "rebuild_ivf_index handles the full-precision flavors"
+        )
+    new_nc = int(n_centroids or meta.n_centroids)
+    new_m = int(m or meta.m)
+    new_cw = int(n_codewords or meta.n_codewords)
+    if int(meta.dim) % new_m:
+        raise ValueError(f"dim {meta.dim} not divisible by m={new_m} subspaces")
+    union = vectors_df.select(
+        F.col(id_col or meta.id_col).alias(meta.id_col),
+        F.col(vec_col or meta.vec_col).alias(meta.vec_col),
+    )
+    _guard_delivery_id_type(
+        union, meta.id_col, meta.asDict().get("id_type")
+        or dict(
+            spark.read.parquet(f"{index_path}/postings/batch=base").dtypes
+        )[meta.id_col],
+        index_path,
+    )
+    committed = _committed_batches(spark, index_path)
+    tomb = _tombstoned_ids(
+        spark, index_path, dict(union.dtypes)[meta.id_col], committed
+    )
+    if tomb is not None:
+        union = union.join(
+            tomb.withColumnRenamed("doc", meta.id_col), meta.id_col, "left_anti"
+        )
+    prior_ext, prior_del = folded_ids(spark, index_path)
+    new_ext, new_del = _classify_committed(spark, index_path, committed)
+    if dst_index is None:
+        # the anti-join reads this root's tombstones, which the build
+        # deletes inside its meta-less window — pin the retained set first
+        union = union.localCheckpoint(eager=True)
+        dst_index = index_path
+    if dst_index != index_path:
+        # a reused dst root must not resurrect an unrelated world's ids
+        folded_clear(spark, dst_index)
+    folded_record(
+        spark,
+        dst_index,
+        sorted(set(prior_ext) | set(new_ext)),
+        sorted(set(prior_del) | set(new_del)),
+    )
+    build_ivfpq_index(
+        union,
+        dst_index,
+        n_centroids=new_nc,
+        m=new_m,
+        n_codewords=new_cw,
+        dim=int(meta.dim),
+        id_col=meta.id_col,
+        vec_col=meta.vec_col,
+        _clear_folded=False,
+    )
 
 
 def ivfpq_topk_persisted(

@@ -7692,28 +7692,235 @@ def embedding_onboarding_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     idx = _run_scoped_path("neardup_store", sf_dir)
+    _build_once(idx, lambda: _mk_neardup_store(spark, sf_dir, idx))
+    new = emb.filter(F.col("vec_id") % 3 == 2)
+    return NS.filter_against_neardup_index(spark, idx, new).select("vec_id")
 
-    def _mk() -> None:
-        # n_planes=None -> the corpus-scaled occupancy rule (the oracle's
-        # np CTE computes the same count-based expression)
-        NS.build_neardup_index(
-            emb.filter(F.col("vec_id") % 3 == 0), idx,
-            n_planes=None, n_tables=4, dim=64, threshold=0.45,
+
+def _mk_neardup_store(spark: SparkSession, sf_dir: str, idx: str) -> None:
+    """The shared build→deliver→takedown lifecycle behind BOTH neardup
+    rows (`embedding_onboarding_indexed` probes it, `neardup_store_health`
+    audits it) — one `_build_once` key, one store per run.
+    ``n_planes=None`` -> the corpus-scaled occupancy rule (the onboarding
+    oracle's np CTE computes the same count-based expression)."""
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+
+    emb = _read(spark, sf_dir, "embeddings")
+    NS.build_neardup_index(
+        emb.filter(F.col("vec_id") % 3 == 0), idx,
+        n_planes=None, n_tables=4, dim=64, threshold=0.45,
+    )
+    NS.extend_neardup_index(
+        emb.filter(F.col("vec_id") % 3 == 1), idx, batch_id="crawl-1"
+    )
+    NS.delete_from_neardup_index(
+        spark,
+        idx,
+        emb.filter((F.col("vec_id") % 3 == 1) & (F.col("vec_id") % 5 == 0))
+        .select("vec_id"),
+        batch_id="take-1",
+    )
+
+
+@_register(
+    "neardup_store_health",
+    """
+    SELECT 'base' AS batch,
+           CAST(4 * (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 = 0)
+                AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 = 0)
+                AS BIGINT) AS n_ids,
+           CAST(0 AS BIGINT) AS n_tombstones
+    UNION ALL
+    SELECT 'crawl-1',
+           CAST(4 * (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 = 1)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 = 1)
+                AS BIGINT),
+           CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'take-1', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id % 3 = 1 AND vec_id % 5 = 0) AS BIGINT)
+    """,
+    "embedding near-dup store health report (r16): one row per "
+    "ledger-committed delivery from the store's OWN artifacts — bucket "
+    "posting rows, stored verify vectors, takedown ids — completing the "
+    "observability set across all five persisted stores (the r15 verdict "
+    "named this the one store without a registered health row).  Every "
+    "vector posts exactly n_tables times (no eligibility gate, unlike "
+    "shingles), so n_rows = 4 x n_ids per positive delivery and the "
+    "takedown reads (0, 0, k); the oracle recomputes every delivery's "
+    "expected footprint from the corpus, so the hash audits the store's "
+    "whole bookkeeping",
+)
+def neardup_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+
+    idx = _run_scoped_path("neardup_store", sf_dir)
+    _build_once(idx, lambda: _mk_neardup_store(spark, sf_dir, idx))
+    return NS.neardup_store_health(spark, idx)
+
+
+@_register(
+    "fleet_maintenance_plan",
+    r"""
+    WITH bt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nv
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS n
+      FROM documents
+    ),
+    el AS (SELECT doc_id FROM dl WHERE n >= 5 AND doc_id % 3 IN (0, 1)),
+    dt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dead
+      FROM el
+    )
+    SELECT 'bm25_maint_index' AS store, 'bm25' AS kind,
+           CAST(3 AS BIGINT) AS n_batches,
+           nv AS n_tombstones,
+           n - nv AS live_units,
+           (1000000000 * nv) // n AS tombstone_nanos,
+           ((1000000000 * nv) // n) > 100000000 AS compact_recommended
+    FROM bt
+    UNION ALL
+    SELECT 'dedup_store', 'dedup', CAST(3 AS BIGINT),
+           dead, total - dead,
+           (1000000000 * dead) // total,
+           ((1000000000 * dead) // total) > 100000000
+    FROM dt
+    UNION ALL
+    SELECT 'ivf_drift_index', 'ivf', CAST(2 AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT),
+           CAST(0 AS BIGINT), FALSE
+    """,
+    "FLEET maintenance sweep (r16 verdict item 3): one compaction-policy "
+    "row per store root across a three-KIND fleet — the BM25 index with a "
+    "14%% takedown slice (over threshold, compact recommended), the "
+    "two-batch IVF index (clean, no action), and the signature store with "
+    "its resident-only tombstone accounting — computed by "
+    "maintenance_sweep from each store's OWN artifacts at O(batches) "
+    "cost.  This is the table the top-level `maintain:` block acts on; "
+    "the oracle recomputes every number for every kind from the corpus "
+    "from scratch, so one hash pins the whole fleet-view bookkeeping "
+    "(including the r16 dedup live_units fix: distinct fingerprinted ids, "
+    "not band-row division).  The run-scoped root paths are mapped to "
+    "their stable store labels so the row hashes cross-run",
+)
+def fleet_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import dedup_store as DSTORE
+    from chat_data_pipeline_spark.operators import maintenance as MT
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _read(spark, sf_dir, "embeddings")
+
+    bidx = _run_scoped_path("bm25_maint_index", sf_dir)
+
+    def _mk_bm25() -> None:
+        RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), bidx)
+        RT.extend_text_index(
+            docs.filter(F.col("doc_id") % 2 == 1), bidx, batch_id="b1"
         )
-        NS.extend_neardup_index(
-            emb.filter(F.col("vec_id") % 3 == 1), idx, batch_id="crawl-1"
-        )
-        NS.delete_from_neardup_index(
+        RT.delete_from_text_index(
             spark,
-            idx,
-            emb.filter((F.col("vec_id") % 3 == 1) & (F.col("vec_id") % 5 == 0))
-            .select("vec_id"),
+            bidx,
+            docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+            batch_id="take",
+        )
+
+    vidx = _run_scoped_path("ivf_drift_index", sf_dir)
+
+    def _mk_ivf() -> None:
+        SIM.build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), vidx,
+            n_centroids=16, coarse="md5", dim=64,
+        )
+        SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), vidx, batch_id="b1")
+
+    didx = _run_scoped_path("dedup_store", sf_dir)
+
+    def _mk_dedup() -> None:
+        DSTORE.build_dedup_index(
+            docs.filter(F.col("doc_id") % 3 == 0), didx, family="md5"
+        )
+        DSTORE.extend_dedup_index(
+            docs.filter(F.col("doc_id") % 3 == 1), didx, batch_id="crawl-1"
+        )
+        DSTORE.delete_from_dedup_index(
+            spark,
+            didx,
+            docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"),
             batch_id="take-1",
         )
 
-    _build_once(idx, _mk)
-    new = emb.filter(F.col("vec_id") % 3 == 2)
-    return NS.filter_against_neardup_index(spark, idx, new).select("vec_id")
+    _build_once(bidx, _mk_bm25)
+    _build_once(vidx, _mk_ivf)
+    _build_once(didx, _mk_dedup)
+    sweep = MT.maintenance_sweep(spark, [bidx, vidx, didx])
+    # the run-scoped roots are cdp_{label}_{md5}_{pid} temp paths — map
+    # each back to its stable label so the row hashes across runs
+    return sweep.select(
+        F.regexp_extract(
+            F.col("root"), r"cdp_([a-z0-9_]+)_[0-9a-f]{12}_\d+$", 1
+        ).alias("store"),
+        "kind", "n_batches", "n_tombstones", "live_units",
+        "tombstone_nanos", "compact_recommended",
+    ).orderBy("store")
+
+
+@_register(
+    "ann_ivfpq_rebuild_report",
+    _ivfpq_md5_oracle(" WHERE vec_id % 7 <> 1"),
+    "COMPRESSED-store rebuild-from-source serving (r16 verdict item 6): "
+    "the IVF-PQ root builds over the even half, delivers the odd half, "
+    "tombstones the vec_id%%7==1 slice, then rebuild_ivfpq_index "
+    "re-encodes the EXPLICITLY re-supplied source corpus into a fresh "
+    "write-then-swap root — PQ storage is lossy, so the source vectors "
+    "are the one artifact the rebuild must be handed back; the operator "
+    "excludes the currently-tombstoned ids (deletes become physical) and "
+    "spends the folded delivery ids.  The served per-query top-10 over "
+    "the rebuilt root is BIT-IDENTICAL to a compressed index freshly "
+    "built over the retained vectors — the oracle drops the victims from "
+    "the corpus-side CTEs while querying from the full table, the same "
+    "parameterized template as the delete-serving row, so the hash pins "
+    "the whole recover-a-drifted-compressed-store path end to end",
+)
+def ann_ivfpq_rebuild_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dst = _run_scoped_path("ivfpq_rebuild_dst", sf_dir)
+
+    def _mk() -> None:
+        src = _run_scoped_path("ivfpq_rebuild_src", sf_dir)
+        SIM.build_ivfpq_index(
+            emb.filter(F.col("vec_id") % 2 == 0), src,
+            n_centroids=16, m=8, n_codewords=16, dim=64,
+        )
+        SIM.extend_ivfpq_index(
+            emb.filter(F.col("vec_id") % 2 == 1), src, batch_id="b1"
+        )
+        SIM.delete_from_ivf_index(
+            spark,
+            src,
+            emb.filter(F.col("vec_id") % 7 == 1).select("vec_id"),
+            batch_id="take",
+        )
+        SIM.rebuild_ivfpq_index(spark, src, emb, dst_index=dst)
+
+    # SERVING row: the rebuild chain memoizes, probes are steady-state
+    _build_once(dst, _mk)
+    out = SIM.ivfpq_topk_persisted(spark, dst, queries, k=10, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 # ===========================================================================
@@ -8757,6 +8964,135 @@ _WINDOW_TAIL.append("docs_bm25_batch_serving")
 # keeps the re-admitted embedding_neardup_lsh_md5 + decontaminate_semantic
 # + the new onboarding row in-window.
 _WINDOW_TAIL.append("dedup_semantic")
+# ---------------------------------------------------------------------------
+# round-16 staleness rotation — executes the standing queue documented in
+# README (rotation-policy rule 3): the complete round-11 band, ALL 37 rows
+# (the r15 verdict expected the residue to lead r17, but r16's rule-1/2
+# slate needs only 13 slots, so the whole band fits).  Removing them from
+# the tail restores their original early registration positions inside the
+# first-50 driver window.
+for _name in (
+    "bpe_encode_corpus",
+    "bpe_fertility_by_lang",
+    "bpe_first_merge",
+    "bpe_merges_corpus",
+    "corpus_cms_heavy_hitters",
+    "corpus_source_similarity",
+    "customers_without_orders",
+    "dedup_cross_corpus_md5",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "docs_remove_empty_lines",
+    "dsir_select_en",
+    "embeddings_hard_negatives",
+    "events_error_context",
+    "events_grouping_sets",
+    "events_json_extract",
+    "events_sessionize_batch",
+    "events_top_users",
+    "events_type_cube",
+    "events_value_quantiles",
+    "filter_gender",
+    "filter_repetition",
+    "filter_truncation",
+    "lineitem_unpivot_measures",
+    "orders_rollup",
+    "q10_returned_revenue",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "quality_scores",
+    "sample_token_budget_scalable",
+    "sample_weighted_chars",
+    "split_leakage_audit",
+    "token_counts",
+    "unigram_encode_corpus",
+):
+    _WINDOW_TAIL.remove(_name)
+# round-16 rule-2 re-admission: ann_topk_ivfpq_persisted rides
+# build_ivfpq_index (which gained the _clear_folded rebuild contract this
+# round) back into the window from the tail, alongside the in-window
+# riders ann_ivfpq_delete_serving (same build path), bm25_maintenance_plan
+# (maintenance_plan's live_units/id_type fixes + store_kind_and_meta), and
+# embedding_onboarding_indexed (its lifecycle builder became the
+# _mk_neardup_store helper shared with the NEW neardup_store_health row).
+_WINDOW_TAIL.remove("ann_topk_ivfpq_persisted")
+# Rule 1 admits the round's three NEW oracle-backed rows by registration:
+# neardup_store_health (the fifth store's bookkeeping audit — the r15
+# verdict named it the one store without a registered health row),
+# fleet_maintenance_plan (the 3-kind maintenance_sweep the `maintain:`
+# block acts on), and ann_ivfpq_rebuild_report (the compressed store's
+# rebuild-from-source recovery, probing bit-exact against the
+# parameterized md5 template).
+#
+# Rotated OUT to make room: 41 rows, every one hash-green in
+# CORRECTNESS_r15 (the freshest evidence in the registry, rule-3 ranks
+# them last) with implementing regions untouched by round 16 (r16 touches
+# maintenance.py, build_ivfpq_index's folded contract + the new
+# rebuild_ivfpq_index, the serve_frame meta read, cli lease wiring, and
+# streaming/pipeline.py — whose riders are exactly the four named above;
+# the lease module is new code exercised only by streams/CLI, never by
+# registered rows).  Family coverage stays in-window: relational re-admits
+# q2/q3/q4/q5/q9/q10 + customers_without_orders + orders_rollup +
+# lineitem_unpivot_measures; events re-admits error_context/grouping_sets/
+# json_extract/sessionize_batch/top_users/type_cube/value_quantiles;
+# cleaners re-admit docs_remove_empty_lines; filters re-admit
+# gender/repetition/truncation + quality_scores; dedup re-admits
+# cross_corpus_md5/simhash/doc_fingerprints/split_leakage_audit/
+# corpus_source_similarity; BPE/unigram re-admit all five tokenizer rows;
+# sketches re-admit corpus_cms_heavy_hitters; sampling re-admits
+# token_budget_scalable + weighted_chars; selection re-admits
+# dsir_select_en; embeddings re-admit hard_negatives with the IVF-PQ
+# riders + the new rebuild row + both neardup rows held; retrieval keeps
+# docs_bm25_indexed + bm25_maintenance_plan; the pipeline framework keeps
+# pipeline_lifecycle; classifiers keep quality_classifier_train;
+# multimodal keeps multimodal_resize; decontamination keeps
+# decontaminate_semantic; LM quality keeps docs_bigram_lm.
+_WINDOW_TAIL += [
+    "q1_pricing_summary",
+    "q7_nation_volume",
+    "q6_revenue_forecast",
+    "users_intersect",
+    "q18_large_orders",
+    "orders_running_total",
+    "events_value_hist_quantiles",
+    "events_pivot_types",
+    "docs_normalize",
+    "docs_clean_new_lines",
+    "filter_word_count",
+    "filter_lowercase_ratio",
+    "filter_empty",
+    "filter_ethics_harsh",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_md5",
+    "dedup_onboarding_indexed",
+    "dedup_store_health",
+    "embedding_neardup_lsh_md5",
+    "ann_topk_pq_md5",
+    "ann_topk_ivfpq_md5",
+    "conversation_dedup",
+    "split_train_val_test",
+    "classifier_eval_report",
+    "docs_bm25_delete_serving",
+    "bm25_index_health",
+    "dedup_keep_best",
+    "sample_temperature_lang",
+    "dedup_cluster_histogram",
+    "filter_gopher_quality",
+    "docs_c4_clean",
+    "dedup_soft_weights",
+    "docs_ccnet_buckets",
+    "corpus_hll_distinct",
+    "dedup_banding_calibration",
+    "events_key_skew",
+    "ann_topk_ivf_persisted",
+    "ann_ivf_delete_serving",
+    "docs_hybrid_rrf",
+    "ann_ivf_drift_report",
+    "ann_ivf_rebuild_report",
+]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
 del _name

@@ -707,17 +707,16 @@ def _maybe_auto_compact(
 ) -> None:
     """Writer-side maintenance for the delivery streams (r15): every
     ``every`` epochs, run ``compact_if_needed`` against the store this
-    stream is delivering into.  SAFE when — and only when — this
-    delivery stream is the root's ONLY writer: the compaction then
-    serializes with its own deliveries by construction, and the
-    folded-batch manifest makes a crash-replay of an already-folded
-    epoch a no-op instead of a double-count (see
-    ``retrieval.folded_record``).  Do NOT enable it while a takedown
-    stream (or any other writer) shares the root — a compaction racing
-    the other writer's ledger commit could fold state without spending
-    that delivery's id; run compaction as its own serialized maintenance
-    window in that topology.  Thresholds default to the maintenance
-    module's."""
+    stream is delivering into.  Runs INSIDE the calling trigger's writer
+    lease (r16, ``operators/lease.py``), so the single-writer requirement
+    this carried as a docstring caveat is now enforced at runtime: a
+    takedown stream (or any other lease-honoring writer) sharing the root
+    serializes against the delivery trigger — compaction included — and
+    can never commit between the compactor's ledger snapshot and its base
+    rewrite.  The folded-batch manifest independently keeps a
+    crash-replay of an already-folded epoch a no-op instead of a
+    double-count (see ``retrieval.folded_record``).  Thresholds default
+    to the maintenance module's."""
     if not every or (epoch + 1) % int(every):
         return
     from chat_data_pipeline_spark.operators.maintenance import (
@@ -742,6 +741,23 @@ def _maybe_auto_compact(
     )
 
 
+def _step_lease(spark, store_path: str, kind: str, checkpoint_path: str,
+                ttl_seconds: int, wait_seconds: float):
+    """The per-trigger writer lease every delivery/takedown stream step
+    takes around its mutation (r16: the single-writer contract as a
+    runtime guard — see ``operators/lease.py``).  Two streams sharing a
+    root serialize per micro-batch; a trigger that cannot get the lease
+    inside ``wait_seconds`` raises, failing the query LOUDLY instead of
+    racing a concurrent compaction.  The owner string names this stream's
+    kind + checkpoint so the loser's error says who blocked it."""
+    from chat_data_pipeline_spark.operators.lease import writer_lease
+
+    return writer_lease(
+        spark, store_path, f"{kind}:{checkpoint_path}",
+        ttl_seconds=ttl_seconds, wait_seconds=wait_seconds,
+    )
+
+
 def streaming_index_delivery(
     stream: DataFrame,
     index_path: str,
@@ -752,6 +768,8 @@ def streaming_index_delivery(
     max_batches: int | None = None,
     max_tombstone_nanos: int | None = None,
     batch_id_prefix: str = "s",
+    lease_ttl_seconds: int = 900,
+    lease_wait_seconds: float = 120,
 ):
     """Live corpus → fresh servable BM25 index (r14): each micro-batch
     becomes ONE ledger-committed delivery via
@@ -787,17 +805,19 @@ def streaming_index_delivery(
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # no empty ledger entries for idle triggers
             return
-        extend_text_index(
-            batch_df.select(id_col, text_col),
-            index_path,
-            batch_id=f"{batch_id_prefix}{batch_id}",
-            text_col=text_col,
-            id_col=id_col,
-        )
-        _maybe_auto_compact(
-            batch_df.sparkSession, index_path, batch_id, auto_compact_every,
-            max_batches, max_tombstone_nanos,
-        )
+        with _step_lease(batch_df.sparkSession, index_path, "bm25-delivery",
+                         checkpoint_path, lease_ttl_seconds, lease_wait_seconds):
+            extend_text_index(
+                batch_df.select(id_col, text_col),
+                index_path,
+                batch_id=f"{batch_id_prefix}{batch_id}",
+                text_col=text_col,
+                id_col=id_col,
+            )
+            _maybe_auto_compact(
+                batch_df.sparkSession, index_path, batch_id, auto_compact_every,
+                max_batches, max_tombstone_nanos,
+            )
 
     return (
         stream.writeStream.foreachBatch(step)
@@ -814,6 +834,8 @@ def streaming_ivf_delivery(
     max_batches: int | None = None,
     max_tombstone_nanos: int | None = None,
     batch_id_prefix: str = "s",
+    lease_ttl_seconds: int = 900,
+    lease_wait_seconds: float = 120,
 ):
     """ANN twin of :func:`streaming_index_delivery`: every micro-batch of
     vectors is assigned with the index's OWN coarse arithmetic (so the
@@ -832,13 +854,15 @@ def streaming_ivf_delivery(
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        extend_ivf_index(
-            batch_df, index_path, batch_id=f"{batch_id_prefix}{batch_id}"
-        )
-        _maybe_auto_compact(
-            batch_df.sparkSession, index_path, batch_id, auto_compact_every,
-            max_batches, max_tombstone_nanos,
-        )
+        with _step_lease(batch_df.sparkSession, index_path, "ivf-delivery",
+                         checkpoint_path, lease_ttl_seconds, lease_wait_seconds):
+            extend_ivf_index(
+                batch_df, index_path, batch_id=f"{batch_id_prefix}{batch_id}"
+            )
+            _maybe_auto_compact(
+                batch_df.sparkSession, index_path, batch_id, auto_compact_every,
+                max_batches, max_tombstone_nanos,
+            )
 
     return (
         stream.writeStream.foreachBatch(step)
@@ -855,6 +879,8 @@ def streaming_ivfpq_delivery(
     max_batches: int | None = None,
     max_tombstone_nanos: int | None = None,
     batch_id_prefix: str = "s",
+    lease_ttl_seconds: int = 900,
+    lease_wait_seconds: float = 120,
 ):
     """Compressed-ANN twin of :func:`streaming_ivf_delivery` (closes the
     r14 verdict's reachability gap on the newest store): every micro-batch
@@ -874,13 +900,15 @@ def streaming_ivfpq_delivery(
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        extend_ivfpq_index(
-            batch_df, index_path, batch_id=f"{batch_id_prefix}{batch_id}"
-        )
-        _maybe_auto_compact(
-            batch_df.sparkSession, index_path, batch_id, auto_compact_every,
-            max_batches, max_tombstone_nanos,
-        )
+        with _step_lease(batch_df.sparkSession, index_path, "ivfpq-delivery",
+                         checkpoint_path, lease_ttl_seconds, lease_wait_seconds):
+            extend_ivfpq_index(
+                batch_df, index_path, batch_id=f"{batch_id_prefix}{batch_id}"
+            )
+            _maybe_auto_compact(
+                batch_df.sparkSession, index_path, batch_id, auto_compact_every,
+                max_batches, max_tombstone_nanos,
+            )
 
     return (
         stream.writeStream.foreachBatch(step)
@@ -895,6 +923,8 @@ def streaming_ivfpq_takedown(
     checkpoint_path: str,
     id_col: str = "vec_id",
     batch_id_prefix: str = "t",
+    lease_ttl_seconds: int = 900,
+    lease_wait_seconds: float = 120,
 ):
     """Takedown twin for the compressed store: each micro-batch of vector
     ids lands as one ledger-committed tombstone delivery.  Deletes are
@@ -910,12 +940,14 @@ def streaming_ivfpq_takedown(
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        delete_from_ivf_index(
-            batch_df.sparkSession,
-            index_path,
-            batch_df.select(id_col),
-            batch_id=f"{batch_id_prefix}{batch_id}",
-        )
+        with _step_lease(batch_df.sparkSession, index_path, "ivfpq-takedown",
+                         checkpoint_path, lease_ttl_seconds, lease_wait_seconds):
+            delete_from_ivf_index(
+                batch_df.sparkSession,
+                index_path,
+                batch_df.select(id_col),
+                batch_id=f"{batch_id_prefix}{batch_id}",
+            )
 
     return (
         stream.writeStream.foreachBatch(step)
@@ -930,6 +962,8 @@ def streaming_index_takedown(
     checkpoint_path: str,
     id_col: str = "doc_id",
     batch_id_prefix: str = "t",
+    lease_ttl_seconds: int = 900,
+    lease_wait_seconds: float = 120,
 ):
     """Live takedown feed → tombstone deliveries (r14): the removal twin of
     :func:`streaming_index_delivery`.  Each micro-batch of document ids
@@ -947,23 +981,27 @@ def streaming_index_takedown(
     to probes.  Ids already tombstoned by an earlier epoch are excluded up
     front, so an id reported twice never double-subtracts df/stats.
 
-    Coordination contract: one writer at a time per index root (same as
-    every maintenance operator here) — run the delivery and takedown
-    streams against the same root only with a trigger discipline that
-    serializes them, or point them at different roots and reconcile with
-    compaction.  A delivery containing a currently-tombstoned id fails
-    loudly by design (compact first, then re-deliver)."""
+    Coordination contract: one writer at a time per index root — since
+    r16 ENFORCED by the per-trigger writer lease (``operators/lease.py``):
+    a takedown stream sharing a root with a delivery stream (even a
+    self-compacting one) serializes per micro-batch, and a trigger that
+    cannot get the lease inside ``lease_wait_seconds`` fails the query
+    loudly instead of racing a compaction.  A delivery containing a
+    currently-tombstoned id still fails loudly by design (compact first,
+    then re-deliver)."""
     from chat_data_pipeline_spark.operators.retrieval import delete_from_text_index
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        delete_from_text_index(
-            batch_df.sparkSession,
-            index_path,
-            batch_df.select(id_col),
-            batch_id=f"{batch_id_prefix}{batch_id}",
-        )
+        with _step_lease(batch_df.sparkSession, index_path, "bm25-takedown",
+                         checkpoint_path, lease_ttl_seconds, lease_wait_seconds):
+            delete_from_text_index(
+                batch_df.sparkSession,
+                index_path,
+                batch_df.select(id_col),
+                batch_id=f"{batch_id_prefix}{batch_id}",
+            )
 
     return (
         stream.writeStream.foreachBatch(step)
@@ -978,6 +1016,8 @@ def streaming_ivf_takedown(
     checkpoint_path: str,
     id_col: str = "vec_id",
     batch_id_prefix: str = "t",
+    lease_ttl_seconds: int = 900,
+    lease_wait_seconds: float = 120,
 ):
     """ANN twin of :func:`streaming_index_takedown`: each micro-batch of
     vector ids lands as one ledger-committed ``delete_from_ivf_index``
@@ -991,12 +1031,14 @@ def streaming_ivf_takedown(
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        delete_from_ivf_index(
-            batch_df.sparkSession,
-            index_path,
-            batch_df.select(id_col),
-            batch_id=f"{batch_id_prefix}{batch_id}",
-        )
+        with _step_lease(batch_df.sparkSession, index_path, "ivf-takedown",
+                         checkpoint_path, lease_ttl_seconds, lease_wait_seconds):
+            delete_from_ivf_index(
+                batch_df.sparkSession,
+                index_path,
+                batch_df.select(id_col),
+                batch_id=f"{batch_id_prefix}{batch_id}",
+            )
 
     return (
         stream.writeStream.foreachBatch(step)
@@ -1013,6 +1055,8 @@ def streaming_neardup_store_delivery(
     max_batches: int | None = None,
     max_tombstone_nanos: int | None = None,
     batch_id_prefix: str = "s",
+    lease_ttl_seconds: int = 900,
+    lease_wait_seconds: float = 120,
 ):
     """Live deliveries into the persisted SRP-LSH embedding near-dup store
     (r15): each micro-batch of (id, vector) rows fingerprints ONCE with
@@ -1032,13 +1076,15 @@ def streaming_neardup_store_delivery(
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        extend_neardup_index(
-            batch_df, store_path, batch_id=f"{batch_id_prefix}{batch_id}"
-        )
-        _maybe_auto_compact(
-            batch_df.sparkSession, store_path, batch_id, auto_compact_every,
-            max_batches, max_tombstone_nanos,
-        )
+        with _step_lease(batch_df.sparkSession, store_path, "neardup-delivery",
+                         checkpoint_path, lease_ttl_seconds, lease_wait_seconds):
+            extend_neardup_index(
+                batch_df, store_path, batch_id=f"{batch_id_prefix}{batch_id}"
+            )
+            _maybe_auto_compact(
+                batch_df.sparkSession, store_path, batch_id, auto_compact_every,
+                max_batches, max_tombstone_nanos,
+            )
 
     return (
         stream.writeStream.foreachBatch(step)
@@ -1096,6 +1142,8 @@ def streaming_dedup_store_delivery(
     max_batches: int | None = None,
     max_tombstone_nanos: int | None = None,
     batch_id_prefix: str = "s",
+    lease_ttl_seconds: int = 900,
+    lease_wait_seconds: float = 120,
 ):
     """Live signature deliveries into the persisted MinHash store (r14):
     each micro-batch of curated documents fingerprints ONCE — with the
@@ -1113,13 +1161,15 @@ def streaming_dedup_store_delivery(
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        extend_dedup_index(
-            batch_df, store_path, batch_id=f"{batch_id_prefix}{batch_id}"
-        )
-        _maybe_auto_compact(
-            batch_df.sparkSession, store_path, batch_id, auto_compact_every,
-            max_batches, max_tombstone_nanos,
-        )
+        with _step_lease(batch_df.sparkSession, store_path, "dedup-delivery",
+                         checkpoint_path, lease_ttl_seconds, lease_wait_seconds):
+            extend_dedup_index(
+                batch_df, store_path, batch_id=f"{batch_id_prefix}{batch_id}"
+            )
+            _maybe_auto_compact(
+                batch_df.sparkSession, store_path, batch_id, auto_compact_every,
+                max_batches, max_tombstone_nanos,
+            )
 
     return (
         stream.writeStream.foreachBatch(step)

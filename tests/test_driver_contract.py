@@ -81,40 +81,40 @@ def test_correctness_window_is_all_oracle_backed():
     # history; round 12 executed the standing README queue — r4 + full r5
     # bands — so the pinned set below IS the r12 window.)
     must_be_windowed = {
-        # round-15 rule-1: the NEW compressed-store delete-serving row,
-        # the maintenance-policy row, and the semantic-onboarding row
-        "ann_ivfpq_delete_serving", "bm25_maintenance_plan",
-        "embedding_onboarding_indexed",
-        # round-15 rule-2 holds: riders of the regions r15 touched —
-        # rrf_fuse's query-id type preservation (docs_hybrid_rrf), the
-        # delivery id-type guards on the four stores' extend paths
-        # (docs_bm25_indexed's build→extend→probe lifecycle,
-        # dedup_onboarding_indexed + dedup_store_health via
-        # extend_dedup_index, ann_ivf_drift_report + ann_ivf_rebuild_report
-        # via extend_ivf_index)
-        "docs_hybrid_rrf", "docs_bm25_indexed",
-        "dedup_onboarding_indexed", "dedup_store_health",
-        "ann_ivf_drift_report", "ann_ivf_rebuild_report",
-        # round-15 staleness rotation rule 3 — the complete r10 band:
-        "ann_topk_ivfpq_md5", "ann_topk_pq_md5", "conversation_dedup",
-        "dedup_cluster_histogram", "dedup_keep_best", "dedup_minhash_md5",
-        "dedup_ngram_jaccard", "dedup_soft_weights", "docs_ccnet_buckets",
-        "docs_clean_new_lines", "docs_normalize",
-        "embedding_neardup_lsh_md5", "events_pivot_types",
-        "events_value_hist_quantiles", "filter_empty", "filter_ethics_harsh",
-        "filter_lowercase_ratio", "filter_word_count",
-        "orders_running_total", "q18_large_orders", "q1_pricing_summary",
-        "q6_revenue_forecast", "q7_nation_volume", "sample_temperature_lang",
-        "users_intersect",
-        # standing residents (r14-green; family-coverage holds)
-        "pipeline_lifecycle", "split_train_val_test",
-        "decontaminate_semantic",
-        "dedup_banding_calibration", "events_key_skew",
-        "corpus_hll_distinct", "docs_bigram_lm", "filter_gopher_quality",
-        "docs_c4_clean", "quality_classifier_train",
-        "classifier_eval_report", "docs_bm25_delete_serving",
-        "ann_topk_ivf_persisted",
-        "ann_ivf_delete_serving", "bm25_index_health", "multimodal_resize",
+        # round-16 rule-1: the fifth store's health audit, the 3-kind
+        # fleet maintenance sweep, and the compressed-store
+        # rebuild-from-source row
+        "neardup_store_health", "fleet_maintenance_plan",
+        "ann_ivfpq_rebuild_report",
+        # round-16 rule-2 holds: riders of the regions r16 touched —
+        # maintenance_plan's live_units/id_type fixes + store_kind_and_meta
+        # (bm25_maintenance_plan), build_ivfpq_index's _clear_folded
+        # rebuild contract (ann_ivfpq_delete_serving +
+        # ann_topk_ivfpq_persisted, the latter re-admitted from the tail),
+        # and the neardup lifecycle builder's refactor into the shared
+        # _mk_neardup_store helper (embedding_onboarding_indexed)
+        "bm25_maintenance_plan", "ann_ivfpq_delete_serving",
+        "ann_topk_ivfpq_persisted", "embedding_onboarding_indexed",
+        # round-16 staleness rotation rule 3 — the complete r11 band:
+        "bpe_encode_corpus", "bpe_fertility_by_lang", "bpe_first_merge",
+        "bpe_merges_corpus", "corpus_cms_heavy_hitters",
+        "corpus_source_similarity", "customers_without_orders",
+        "dedup_cross_corpus_md5", "dedup_simhash", "doc_fingerprints",
+        "docs_remove_empty_lines", "dsir_select_en",
+        "embeddings_hard_negatives", "events_error_context",
+        "events_grouping_sets", "events_json_extract",
+        "events_sessionize_batch", "events_top_users", "events_type_cube",
+        "events_value_quantiles", "filter_gender", "filter_repetition",
+        "filter_truncation", "lineitem_unpivot_measures", "orders_rollup",
+        "q10_returned_revenue", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "q9_product_profit", "quality_scores",
+        "sample_token_budget_scalable", "sample_weighted_chars",
+        "split_leakage_audit", "token_counts", "unigram_encode_corpus",
+        # standing residents (r15-green; family-coverage holds)
+        "pipeline_lifecycle", "docs_bm25_indexed",
+        "quality_classifier_train", "multimodal_resize",
+        "decontaminate_semantic", "docs_bigram_lm",
     }
     assert must_be_windowed <= set(window)
 

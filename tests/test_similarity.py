@@ -1218,3 +1218,80 @@ def test_extend_ivf_and_ivfpq_refuse_wrong_id_type(spark, emb, tmp_path):
     SIM.build_ivfpq_index(half_a, pidx, n_centroids=16, m=8, n_codewords=16, dim=64)
     with pytest.raises(ValueError, match="id type"):
         SIM.extend_ivfpq_index(bad, pidx, batch_id=1)
+
+
+def test_rebuild_ivfpq_index_from_source_vectors(spark, emb, queries, tmp_path):
+    """r16: the compressed store's re-shard story — the caller hands back
+    the source corpus (the artifact PQ storage cannot reconstruct), the
+    rebuild excludes currently-tombstoned ids, spends the folded ids, and
+    probes of the rebuilt root bit-match a fresh compressed build over
+    the retained vectors — including at a LARGER n_centroids re-shard."""
+    import os
+
+    from chat_data_pipeline_spark.operators import retrieval as RT
+
+    idx = str(tmp_path / "ivfpq_reb")
+    SIM.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, n_centroids=16, m=8,
+        n_codewords=16, dim=64,
+    )
+    SIM.extend_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), idx, batch_id="b1")
+    victims = emb.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+    SIM.delete_from_ivf_index(spark, idx, victims, batch_id="take")
+
+    # in-place rebuild at the same params: deletes become physical
+    SIM.rebuild_ivfpq_index(spark, idx, emb)
+    assert not os.path.exists(f"{idx}/tombstones")
+    fresh = str(tmp_path / "ivfpq_reb_fresh")
+    SIM.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 5 != 2), fresh, n_centroids=16, m=8,
+        n_codewords=16, dim=64,
+    )
+    got = _ppq(spark, idx, queries)
+    assert got == _ppq(spark, fresh, queries) and len(got) > 0
+
+    # the rebuild SPENT the folded delivery ids: a crash-replay of either
+    # is a logged no-op, and cross-kind reuse is refused
+    assert RT.folded_kind(spark, idx, "b1") == "extension"
+    assert RT.folded_kind(spark, idx, "take") == "delete"
+    before = _ppq(spark, idx, queries)
+    SIM.extend_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), idx, batch_id="b1")
+    assert _ppq(spark, idx, queries) == before
+    assert RT._committed_batches(spark, idx) == ["base"]
+
+    # write-then-swap re-shard into MORE lists (finer pruning): probes
+    # bit-match a fresh build at the new param over the same vectors
+    dst = str(tmp_path / "ivfpq_reb_dst")
+    SIM.rebuild_ivfpq_index(spark, idx, emb.filter(F.col("vec_id") % 5 != 2),
+                            dst_index=dst, n_centroids=32)
+    fresh32 = str(tmp_path / "ivfpq_reb_fresh32")
+    SIM.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 5 != 2), fresh32, n_centroids=32, m=8,
+        n_codewords=16, dim=64,
+    )
+    assert _ppq(spark, dst, queries) == _ppq(spark, fresh32, queries)
+
+
+def test_failed_ivfpq_rebuild_request_leaves_root_servable(
+    spark, emb, queries, tmp_path
+):
+    """Validation runs BEFORE the live root is invalidated: a corpus frame
+    with the wrong id type, a non-divisible m, or a non-pq root must
+    raise without bricking a serving index."""
+    idx = str(tmp_path / "ivfpq_reb_guard")
+    SIM.build_ivfpq_index(emb, idx, n_centroids=16, m=8, n_codewords=16, dim=64)
+    before = _ppq(spark, idx, queries)
+
+    bad_type = emb.select(F.col("vec_id").cast("string").alias("vec_id"), "embedding")
+    with pytest.raises(ValueError, match="id type"):
+        SIM.rebuild_ivfpq_index(spark, idx, bad_type)
+    with pytest.raises(ValueError, match="divisible"):
+        SIM.rebuild_ivfpq_index(spark, idx, emb, m=7)
+    assert _ppq(spark, idx, queries) == before  # still serving, bit-identical
+
+    # the full-precision root refuses the pq rebuild (and vice versa — the
+    # lossy refusal on rebuild_ivf_index is covered by the lifecycle test)
+    vidx = str(tmp_path / "ivf_not_pq")
+    SIM.build_ivf_index(emb, vidx, n_centroids=16, coarse="md5", dim=64)
+    with pytest.raises(ValueError, match="not an IVF-PQ"):
+        SIM.rebuild_ivfpq_index(spark, vidx, emb)

@@ -2136,8 +2136,27 @@ def test_cli_ivfpq_lifecycle(spark, tmp_path):
 
     assert RT.resolve_index_alias(spark, alias) == idx
 
-    with _pytest.raises(ValueError, match="lossy"):
-        _run_indexing(spark, df_unused, {"ivfpq": {"path": idx, "action": "rebuild"}})
+    # r16: rebuild is YAML-reachable but REQUIRES the source corpus back
+    # (PQ storage is lossy); a re-shard to more lists bit-matches a fresh
+    # build at the new param over the same vectors
+    full = str(tmp_path / "vec_full.parquet")
+    emb.filter(F.col("vec_id") % 9 != 5).write.parquet(full)
+    _run_indexing(
+        spark, df_unused,
+        {"ivfpq": {"path": idx, "action": "rebuild", "dataset": full,
+                   "id_expr": "vec_id", "vec_col": "embedding",
+                   "n_centroids": 32}},
+    )
+    direct32 = str(tmp_path / "cli_ivfpq_direct32")
+    SIM.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 9 != 5), direct32,
+        n_centroids=32, m=8, n_codewords=16, dim=64,
+    )
+    assert sorted(
+        map(tuple, SIM.ivfpq_topk_persisted(spark, idx, queries, k=10, n_probe=4).collect())
+    ) == sorted(
+        map(tuple, SIM.ivfpq_topk_persisted(spark, direct32, queries, k=10, n_probe=4).collect())
+    )
     with _pytest.raises(ValueError, match="ids_dataset"):
         _run_indexing(
             spark, df_unused,

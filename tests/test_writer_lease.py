@@ -1,0 +1,185 @@
+"""r16: the root-level writer lease — the single-writer-per-store-root
+contract promoted from a docstring caveat to a runtime guard.  The
+corruption shape it closes: a compaction racing another writer's ledger
+commit folds state it never saw, without spending that delivery's id.
+With the lease, every delivery/takedown stream trigger and every CLI
+maintenance mutation serializes per root, and a contender that cannot
+get the lease inside its wait budget fails LOUDLY instead of racing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chat_data_pipeline_spark.operators import lease as L
+from chat_data_pipeline_spark.operators import retrieval as RT
+
+SF_DIR = "/root/testdata/sf0.001"
+TERMS = ["join", "hash", "scan", "window", "sort"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_lease_exclusive_acquire_release(spark, tmp_path):
+    root = str(tmp_path / "store")
+    L.acquire_writer_lease(spark, root, "writer-a", wait_seconds=0)
+    assert L.lease_holder(spark, root) == "writer-a"
+    # a second writer cannot take it inside its budget, and the error
+    # names the blocker
+    with pytest.raises(L.LeaseUnavailableError, match="writer-a"):
+        L.acquire_writer_lease(spark, root, "writer-b", wait_seconds=0.5)
+    L.release_writer_lease(spark, root, "writer-a")
+    assert L.lease_holder(spark, root) is None
+    # now writer-b gets it immediately
+    L.acquire_writer_lease(spark, root, "writer-b", wait_seconds=0)
+    L.release_writer_lease(spark, root, "writer-b")
+
+
+def test_lease_waits_out_a_short_holder(spark, tmp_path):
+    """A contender with a wait budget SERIALIZES behind the holder: take
+    the lease, release it from a timer thread, and the blocked acquire
+    must succeed within its budget."""
+    import threading
+    import time
+
+    root = str(tmp_path / "store")
+    L.acquire_writer_lease(spark, root, "holder", wait_seconds=0)
+
+    def _release_soon():
+        time.sleep(1.0)
+        L.release_writer_lease(spark, root, "holder")
+
+    t = threading.Thread(target=_release_soon)
+    t.start()
+    t0 = time.monotonic()
+    L.acquire_writer_lease(spark, root, "waiter", wait_seconds=10)
+    waited = time.monotonic() - t0
+    t.join()
+    assert 0.5 <= waited < 10
+    assert L.lease_holder(spark, root) == "waiter"
+    L.release_writer_lease(spark, root, "waiter")
+
+
+def test_stale_lease_takeover(spark, tmp_path):
+    """A LOCK older than its ttl belongs to a crashed writer — the next
+    contender reaps it and proceeds; the dead owner's late release must
+    NOT evict the usurper."""
+    root = str(tmp_path / "store")
+    L.acquire_writer_lease(spark, root, "crashed", wait_seconds=0)
+    # ttl=0: immediately stale
+    L.acquire_writer_lease(spark, root, "usurper", ttl_seconds=0, wait_seconds=5)
+    assert L.lease_holder(spark, root) == "usurper"
+    # the crashed writer's finally-block release is refused
+    L.release_writer_lease(spark, root, "crashed")
+    assert L.lease_holder(spark, root) == "usurper"
+    L.release_writer_lease(spark, root, "usurper")
+    assert L.lease_holder(spark, root) is None
+
+
+def test_contended_stream_fails_loudly_not_silently(spark, docs, tmp_path):
+    """The verdict's 'done' shape, deterministic half: while another
+    writer HOLDS the root, a takedown stream trigger must fail its query
+    loudly — never tombstone behind the holder's back."""
+    from chat_data_pipeline_spark.streaming.pipeline import (
+        streaming_index_takedown,
+    )
+
+    idx = str(tmp_path / "held_idx")
+    RT.build_text_index(docs, idx)
+    L.acquire_writer_lease(spark, idx, "a-live-compaction", wait_seconds=0)
+
+    feed = tmp_path / "held_feed"
+    feed.mkdir()
+    docs.filter(F.col("doc_id") % 10 == 0).select("doc_id").repartition(
+        1
+    ).write.parquet(str(feed / "f0.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*")
+    )
+    q = streaming_index_takedown(
+        stream, idx, str(tmp_path / "held_ckpt"), lease_wait_seconds=1
+    )
+    try:
+        with pytest.raises(Exception, match="writer lease|a-live-compaction"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        L.release_writer_lease(spark, idx, "a-live-compaction")
+    # nothing landed: no tombstones, ledger still base-only
+    assert RT._committed_batches(spark, idx) == ["base"]
+
+
+def test_delivery_with_auto_compact_and_takedown_share_a_root(
+    spark, docs, tmp_path
+):
+    """The verdict's 'done' shape, live half: a self-compacting delivery
+    stream and a takedown stream run CONCURRENTLY against one root.  The
+    per-trigger lease serializes them — a takedown can never commit
+    between the compactor's ledger snapshot and its base rewrite — so the
+    final probes equal a direct build over exactly (base + deliveries -
+    victims), with nothing folded-but-unspent."""
+    from chat_data_pipeline_spark.streaming.pipeline import (
+        streaming_index_delivery,
+        streaming_index_takedown,
+    )
+
+    idx = str(tmp_path / "shared_root")
+    base = docs.filter(F.col("doc_id") % 4 == 0)
+    RT.build_text_index(base, idx)
+
+    dfeed = tmp_path / "dfeed"
+    dfeed.mkdir()
+    for i in (1, 2, 3):
+        docs.filter(F.col("doc_id") % 4 == i).repartition(1).write.parquet(
+            str(dfeed / f"f{i}.parquet")
+        )
+    # victims live in the BASE only, so a takedown can never tombstone an
+    # id a later delivery re-delivers (which fails loudly by design)
+    tfeed = tmp_path / "tfeed"
+    tfeed.mkdir()
+    victims = docs.filter(F.col("doc_id") % 8 == 4).select("doc_id")
+    victims.repartition(1).write.parquet(str(tfeed / "v0.parquet"))
+
+    dstream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(dfeed) + "/*")
+    )
+    tstream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tfeed) + "/*")
+    )
+    dq = streaming_index_delivery(
+        dstream, idx, str(tmp_path / "dckpt"),
+        auto_compact_every=1, max_batches=1,
+    )
+    tq = streaming_index_takedown(tstream, idx, str(tmp_path / "tckpt"))
+    try:
+        dq.processAllAvailable()
+        tq.processAllAvailable()
+        dq.processAllAvailable()  # let a post-takedown compaction fold it
+    finally:
+        dq.stop()
+        tq.stop()
+
+    direct = str(tmp_path / "shared_direct")
+    RT.build_text_index(
+        docs.join(victims, "doc_id", "left_anti"), direct
+    )
+    assert sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, idx, TERMS, k=20).collect())
+    ) == sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, direct, TERMS, k=20).collect())
+    )
+    # the root is quiescent: no lease left behind
+    assert L.lease_holder(spark, idx) is None
