@@ -233,23 +233,47 @@ def maintenance_sweep(
     roots: list[str],
     max_batches: int = DEFAULT_MAX_BATCHES,
     max_tombstone_nanos: int = DEFAULT_MAX_TOMBSTONE_NANOS,
+    max_concurrency: int = 8,
 ) -> DataFrame:
     """Fleet view: one :func:`maintenance_plan` row per store root, with
     the root prepended — the single table an operator (or a scheduled
     config) reads to see which of a deployment's indexes need attention.
-    The driver-side loop is over the FLEET (human-scale, each plan is
-    O(batches)); nothing corpus-sized ever moves."""
+    Nothing corpus-sized ever moves (each plan is O(batches)).
+
+    Per-root plans evaluate CONCURRENTLY (r16, the r15 verdict's
+    fleet-latency note: each plan fires several small Spark jobs, and a
+    thousand-root sweep run serially would be latency-bound on driver
+    round-trips).  Spark schedules jobs submitted from multiple driver
+    threads independently, so ``max_concurrency`` roots' metadata jobs
+    overlap; the output row order stays the input ``roots`` order
+    regardless of completion order.  The sweep only READS ledger-committed
+    state — it needs no writer lease; the `maintain:` block takes the
+    per-root lease around any compaction it then runs."""
     if not roots:
         raise ValueError("maintenance_sweep needs at least one store root")
-    out = None
-    for root in roots:
-        plan = maintenance_plan(
+    from concurrent.futures import ThreadPoolExecutor
+
+    roots = [str(r) for r in roots]
+
+    def _one(root: str):
+        return maintenance_plan(
             spark, root, max_batches, max_tombstone_nanos
-        ).withColumn("root", F.lit(str(root)))
-        out = plan if out is None else out.unionByName(plan)
-    return out.select(
-        "root", "kind", "n_batches", "n_tombstones", "live_units",
-        "tombstone_nanos", "compact_recommended",
+        ).first()
+
+    with ThreadPoolExecutor(
+        max_workers=max(1, min(int(max_concurrency), len(roots)))
+    ) as ex:
+        rows = list(ex.map(_one, roots))
+    return spark.createDataFrame(
+        [
+            (
+                root, row.kind, row.n_batches, row.n_tombstones,
+                row.live_units, row.tombstone_nanos, row.compact_recommended,
+            )
+            for root, row in zip(roots, rows)
+        ],
+        "root string, kind string, n_batches long, n_tombstones long, "
+        "live_units long, tombstone_nanos long, compact_recommended boolean",
     )
 
 
