@@ -23,8 +23,10 @@ LOUDLY instead of racing.
 Mechanics (plain Hadoop-FS metadata ops — HDFS/S3A/local alike, never a
 Spark job):
 
-- acquisition is one atomic ``FileSystem.createNewFile`` on
-  ``{root}/_writer_lease/LOCK`` — exactly one contender wins;
+- acquisition is one atomic exclusive create of
+  ``{root}/_writer_lease/LOCK`` — exactly one contender wins (see
+  ``_atomic_create`` for the per-scheme arbiter: JDK O_CREAT|O_EXCL on
+  local paths, namenode-arbitrated create(overwrite=false) on HDFS);
 - the holder then writes ``{root}/_writer_lease/owner`` (overwrite) for
   observability; release deletes the lease dir;
 - stale-lease takeover: a LOCK whose modification time is older than
@@ -42,10 +44,11 @@ round-trips.  The lease is the concurrency boundary for long-lived
 writers that share a root — which is exactly the streams and the
 scheduled maintenance blocks.
 
-NOTE: ``createNewFile`` atomicity holds on HDFS and local filesystems;
-on eventually-consistent object stores without atomic create (plain S3A
-pre-S3-strong-consistency) the lease degrades to advisory — the same
-caveat every file-based coordination scheme on such stores carries.
+NOTE: exclusive-create atomicity holds on HDFS (namenode-arbitrated) and
+local filesystems (JDK O_CREAT|O_EXCL); on object stores without atomic
+exclusive create (plain S3A without conditional writes) the lease
+degrades to advisory — the same caveat every file-based coordination
+scheme on such stores carries.
 """
 
 from __future__ import annotations
@@ -71,6 +74,35 @@ def _lease_paths(spark, root: str):
     fs, lock, jvm = _fs_for(spark, f"{root}/_writer_lease/LOCK")
     owner_path = jvm.org.apache.hadoop.fs.Path(f"{root}/_writer_lease/owner")
     return fs, lock, owner_path, jvm
+
+
+def _atomic_create(fs, lock, jvm) -> bool:
+    """True iff THIS caller created the LOCK file — the mutual-exclusion
+    arbiter, so it must be genuinely atomic per filesystem:
+
+    - ``file:`` scheme: Hadoop's RawLocalFileSystem.create(f, overwrite=
+      false) is CHECK-THEN-ACT (two racers can both pass the exists check
+      and both 'win' — measured by the contention-storm test, 4 holders
+      at once), so local roots go through ``java.io.File.createNewFile``,
+      which the JDK documents as a single atomic O_CREAT|O_EXCL operation;
+    - everything else (HDFS & co.): ``FileSystem.createNewFile``, whose
+      create(overwrite=false) the namenode arbitrates server-side; the
+      LOSER of a simultaneous race may see FileAlreadyExistsException
+      instead of False — both mean 'someone else holds it'."""
+    uri = lock.toUri()
+    if uri.getScheme() in (None, "file"):
+        f = jvm.java.io.File(uri.getPath())
+        parent = f.getParentFile()
+        if parent is not None:
+            parent.mkdirs()
+        try:
+            return bool(f.createNewFile())
+        except Exception:
+            return False
+    try:
+        return bool(fs.createNewFile(lock))
+    except Exception:
+        return False
 
 
 def _read_small(fs, path, jvm) -> str:
@@ -110,7 +142,7 @@ def acquire_writer_lease(
     fs, lock, owner_path, jvm = _lease_paths(spark, root)
     deadline = time.monotonic() + float(wait_seconds)
     while True:
-        if fs.createNewFile(lock):
+        if _atomic_create(fs, lock, jvm):
             out = fs.create(owner_path, True)
             try:
                 out.write(bytearray(owner.encode("utf-8")))

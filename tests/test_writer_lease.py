@@ -183,3 +183,41 @@ def test_delivery_with_auto_compact_and_takedown_share_a_root(
     )
     # the root is quiescent: no lease left behind
     assert L.lease_holder(spark, idx) is None
+
+
+def test_lease_mutual_exclusion_under_contention_storm(spark, tmp_path):
+    """Atomicity proof for the createNewFile race: 8 driver threads hammer
+    acquire/critical-section/release on one root; a shared non-atomic
+    counter incremented inside the critical section must never observe a
+    torn update (two writers inside at once would lose increments)."""
+    import threading
+
+    root = str(tmp_path / "storm")
+    N_THREADS, N_ITERS = 8, 10
+    state = {"inside": 0, "max_inside": 0, "count": 0}
+    errors: list[Exception] = []
+
+    def worker(i: int):
+        try:
+            for _ in range(N_ITERS):
+                with L.writer_lease(spark, root, f"w{i}", wait_seconds=60):
+                    state["inside"] += 1
+                    state["max_inside"] = max(state["max_inside"], state["inside"])
+                    cur = state["count"]
+                    # widen the race window: a second concurrent holder
+                    # would interleave here and lose an increment
+                    threading.Event().wait(0.005)
+                    state["count"] = cur + 1
+                    state["inside"] -= 1
+        except Exception as e:  # surface failures from worker threads
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(N_THREADS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert state["max_inside"] == 1  # never two holders at once
+    assert state["count"] == N_THREADS * N_ITERS  # no lost updates
+    assert L.lease_holder(spark, root) is None  # fully released
