@@ -434,13 +434,26 @@ def _delete_ids_frame(spark: SparkSession, df: DataFrame, spec: dict, kind: str)
     return base.select(F.expr(id_expr))
 
 
-def _cli_lease(spark, path: str, label: str):
+def _cli_lease(spark, path: str, label: str, spec: dict | None = None):
     """Per-root writer lease for CLI maintenance mutations (r16): a YAML
     compact against a root that a live delivery/takedown stream writes
-    must serialize with its triggers, not race them."""
-    from chat_data_pipeline_spark.operators.lease import writer_lease
+    must serialize with its triggers, not race them.  The block may tune
+    `lease_wait_seconds` (how long to queue behind a live writer before
+    failing loudly — a scheduled job might prefer 0 and a retry next
+    tick) and `lease_ttl_seconds` (crash-takeover horizon; keep it above
+    the longest trigger/compaction on the root)."""
+    from chat_data_pipeline_spark.operators.lease import (
+        DEFAULT_TTL_SECONDS,
+        DEFAULT_WAIT_SECONDS,
+        writer_lease,
+    )
 
-    return writer_lease(spark, path, label)
+    spec = spec or {}
+    return writer_lease(
+        spark, path, label,
+        ttl_seconds=int(spec.get("lease_ttl_seconds", DEFAULT_TTL_SECONDS)),
+        wait_seconds=float(spec.get("lease_wait_seconds", DEFAULT_WAIT_SECONDS)),
+    )
 
 
 def _run_auto_compact(spark: SparkSession, spec: dict, kind: str) -> str:
@@ -451,14 +464,13 @@ def _run_auto_compact(spark: SparkSession, spec: dict, kind: str) -> str:
     `_finish_with_alias` points a serving alias at dst_path only when the
     compaction actually wrote it — a skipped run swaps to the live
     `path`, never to a stale dst root."""
-    from chat_data_pipeline_spark.operators.lease import writer_lease
     from chat_data_pipeline_spark.operators.maintenance import (
         DEFAULT_MAX_BATCHES,
         DEFAULT_MAX_TOMBSTONE_NANOS,
         compact_if_needed,
     )
 
-    with writer_lease(spark, str(spec["path"]), f"cli:auto_compact:{kind}"):
+    with _cli_lease(spark, str(spec["path"]), f"cli:auto_compact:{kind}", spec):
         did = compact_if_needed(
             spark,
             str(spec["path"]),
@@ -518,7 +530,7 @@ def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         # maintenance action: folds committed deliveries (and any
         # tombstones, which become physical) into a fresh base — ignores
         # this run's rows; pair with a separate extend config
-        with _cli_lease(spark, str(spec["path"]), "cli:compact:bm25"):
+        with _cli_lease(spark, str(spec["path"]), "cli:compact:bm25", spec):
             RT.compact_text_index(
                 spark,
                 str(spec["path"]),
@@ -591,7 +603,7 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             spark, path, _delete_ids_frame(spark, df, spec, "ivf"), spec["batch_id"]
         )
     elif action == "compact":
-        with _cli_lease(spark, path, "cli:compact:ivf"):
+        with _cli_lease(spark, path, "cli:compact:ivf", spec):
             SIM.compact_ivf_index(spark, path, dst_index=dst)
     elif action == "rebuild":
         # the drift repair: coarse-retrain over base+committed postings,
@@ -664,10 +676,10 @@ def _run_ivfpq_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             spec["batch_id"],
         )
     elif action == "compact":
-        with _cli_lease(spark, path, "cli:compact:ivfpq"):
+        with _cli_lease(spark, path, "cli:compact:ivfpq", spec):
             SIM.compact_ivf_index(spark, path, dst_index=dst)
     elif action == "rebuild":
-        with _cli_lease(spark, path, "cli:rebuild:ivfpq"):
+        with _cli_lease(spark, path, "cli:rebuild:ivfpq", spec):
             SIM.rebuild_ivfpq_index(
                 spark,
                 path,
@@ -744,7 +756,7 @@ def _run_dedup_store_indexing(spark: SparkSession, df: DataFrame, spec: dict) ->
             spark, path, base.select(F.expr(id_expr)), spec["batch_id"]
         )
     elif action == "compact":
-        with _cli_lease(spark, path, "cli:compact:dedup"):
+        with _cli_lease(spark, path, "cli:compact:dedup", spec):
             DS.compact_dedup_index(
                 spark,
                 path,
@@ -933,7 +945,7 @@ def _run_neardup_store_indexing(
             spec["batch_id"],
         )
     elif action == "compact":
-        with _cli_lease(spark, path, "cli:compact:neardup"):
+        with _cli_lease(spark, path, "cli:compact:neardup", spec):
             NS.compact_neardup_index(spark, path, dst_index=dst)
     elif action == "auto_compact":
         action = _run_auto_compact(spark, spec, "neardup")
@@ -1000,12 +1012,10 @@ def _run_takedown(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame:
         "dedup": DS.delete_from_dedup_index,
         "neardup": NS.delete_from_neardup_index,
     }
-    from chat_data_pipeline_spark.operators.lease import writer_lease
-
     for kind in stores:
         # per-root writer lease (r16): a compliance run may fan into roots
         # that live delivery streams are writing — serialize per store
-        with writer_lease(spark, str(spec[kind]), "cli:takedown"):
+        with _cli_lease(spark, str(spec[kind]), "cli:takedown", spec):
             deleters[kind](spark, str(spec[kind]), victims, spec["batch_id"])
         logger.info("takedown: %s %s", kind, spec[kind])
     return victims
@@ -1043,13 +1053,11 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
     mt = int(spec.get("max_tombstone_nanos", DEFAULT_MAX_TOMBSTONE_NANOS))
     acted = False
     if spec.get("auto_compact"):
-        from chat_data_pipeline_spark.operators.lease import writer_lease
-
         for root in roots:
             # per-root writer lease (r16): the fleet sweep may include
             # roots with live delivery/takedown streams — serialize the
             # compaction decision+act against their triggers
-            with writer_lease(spark, root, "cli:maintain"):
+            with _cli_lease(spark, root, "cli:maintain", spec):
                 if compact_if_needed(spark, root, mb, mt):
                     logger.info("maintain: compacted %s", root)
                     acted = True

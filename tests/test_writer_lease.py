@@ -221,3 +221,34 @@ def test_lease_mutual_exclusion_under_contention_storm(spark, tmp_path):
     assert state["max_inside"] == 1  # never two holders at once
     assert state["count"] == N_THREADS * N_ITERS  # no lost updates
     assert L.lease_holder(spark, root) is None  # fully released
+
+
+def test_cli_maintain_block_honors_lease_tuning(spark, docs, tmp_path):
+    """The `maintain:`/`takedown:`/index blocks accept lease_wait_seconds /
+    lease_ttl_seconds: a scheduled job pointed at a root with a live
+    writer can choose fail-fast (wait 0) over queueing, and the error
+    names the blocker."""
+    from chat_data_pipeline_spark.cli import _run_maintenance
+
+    idx = str(tmp_path / "tuned_idx")
+    RT.build_text_index(docs, idx)
+    # force a compaction recommendation so the maintain block must write
+    RT.extend_text_index(docs.limit(10), idx, batch_id="b1")
+    L.acquire_writer_lease(spark, idx, "live-delivery-stream", wait_seconds=0)
+    try:
+        with pytest.raises(L.LeaseUnavailableError, match="live-delivery-stream"):
+            _run_maintenance(
+                spark,
+                {"roots": [idx], "auto_compact": True, "max_batches": 0,
+                 "lease_wait_seconds": 0},
+            )
+    finally:
+        L.release_writer_lease(spark, idx, "live-delivery-stream")
+    # with the root free the same block compacts and reports post-state
+    report = _run_maintenance(
+        spark,
+        {"roots": [idx], "auto_compact": True, "max_batches": 0,
+         "lease_wait_seconds": 0},
+    ).collect()
+    assert len(report) == 1 and report[0].n_batches == 1  # folded to base
+    assert RT._committed_batches(spark, idx) == ["base"]
