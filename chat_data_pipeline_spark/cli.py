@@ -383,16 +383,28 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
         raise ValueError(
             f"index: unknown index kind(s) {sorted(unknown)}; supported: {sorted(known)}"
         )
-    if "bm25" in index_cfg:
-        _run_bm25_indexing(spark, df, dict(index_cfg.get("bm25") or {}))
-    if "ivf" in index_cfg:
-        _run_ivf_indexing(spark, df, dict(index_cfg.get("ivf") or {}))
-    if "ivfpq" in index_cfg:
-        _run_ivfpq_indexing(spark, df, dict(index_cfg.get("ivfpq") or {}))
-    if "dedup" in index_cfg:
-        _run_dedup_store_indexing(spark, df, dict(index_cfg.get("dedup") or {}))
-    if "neardup" in index_cfg:
-        _run_neardup_store_indexing(spark, df, dict(index_cfg.get("neardup") or {}))
+    handlers = {
+        "bm25": _run_bm25_indexing,
+        "ivf": _run_ivf_indexing,
+        "ivfpq": _run_ivfpq_indexing,
+        "dedup": _run_dedup_store_indexing,
+        "neardup": _run_neardup_store_indexing,
+    }
+    for kind, handler in handlers.items():
+        if kind not in index_cfg:
+            continue
+        spec = dict(index_cfg.get(kind) or {})
+        if "path" not in spec:
+            handler(spark, df, spec)  # surfaces the kind's own config error
+            continue
+        # ONE writer lease per index block, covering EVERY action — not
+        # just compact/rebuild: an extend or delete committing between a
+        # concurrent compactor's ledger snapshot and its base rewrite
+        # would be folded-over without its id being spent (the partition
+        # dir survives but ledger_reset erases the commit marker — silent
+        # loss), so every CLI mutation serializes against live writers.
+        with _cli_lease(spark, str(spec["path"]), f"cli:index.{kind}", spec):
+            handler(spark, df, spec)
 
 
 def _finish_with_alias(
@@ -470,16 +482,18 @@ def _run_auto_compact(spark: SparkSession, spec: dict, kind: str) -> str:
         compact_if_needed,
     )
 
-    with _cli_lease(spark, str(spec["path"]), f"cli:auto_compact:{kind}", spec):
-        did = compact_if_needed(
-            spark,
-            str(spec["path"]),
-            max_batches=int(spec.get("max_batches", DEFAULT_MAX_BATCHES)),
-            max_tombstone_nanos=int(
-                spec.get("max_tombstone_nanos", DEFAULT_MAX_TOMBSTONE_NANOS)
-            ),
-            dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
-        )
+    # no lease here: every caller (the index-block dispatcher, the
+    # maintain: block loop) already holds the root's writer lease, and
+    # the lease is deliberately non-reentrant
+    did = compact_if_needed(
+        spark,
+        str(spec["path"]),
+        max_batches=int(spec.get("max_batches", DEFAULT_MAX_BATCHES)),
+        max_tombstone_nanos=int(
+            spec.get("max_tombstone_nanos", DEFAULT_MAX_TOMBSTONE_NANOS)
+        ),
+        dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
+    )
     logger.info(
         "index.%s: auto_compact %s %s",
         kind,
@@ -530,12 +544,11 @@ def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         # maintenance action: folds committed deliveries (and any
         # tombstones, which become physical) into a fresh base — ignores
         # this run's rows; pair with a separate extend config
-        with _cli_lease(spark, str(spec["path"]), "cli:compact:bm25", spec):
-            RT.compact_text_index(
-                spark,
-                str(spec["path"]),
-                dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
-            )
+        RT.compact_text_index(
+            spark,
+            str(spec["path"]),
+            dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
+        )
     elif action == "auto_compact":
         action = _run_auto_compact(spark, spec, "bm25")
     else:
@@ -603,8 +616,7 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             spark, path, _delete_ids_frame(spark, df, spec, "ivf"), spec["batch_id"]
         )
     elif action == "compact":
-        with _cli_lease(spark, path, "cli:compact:ivf", spec):
-            SIM.compact_ivf_index(spark, path, dst_index=dst)
+        SIM.compact_ivf_index(spark, path, dst_index=dst)
     elif action == "rebuild":
         # the drift repair: coarse-retrain over base+committed postings,
         # re-assign, cut over (see ivf_index_drift_report's thresholds)
@@ -676,25 +688,23 @@ def _run_ivfpq_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             spec["batch_id"],
         )
     elif action == "compact":
-        with _cli_lease(spark, path, "cli:compact:ivfpq", spec):
-            SIM.compact_ivf_index(spark, path, dst_index=dst)
+        SIM.compact_ivf_index(spark, path, dst_index=dst)
     elif action == "rebuild":
-        with _cli_lease(spark, path, "cli:rebuild:ivfpq", spec):
-            SIM.rebuild_ivfpq_index(
-                spark,
-                path,
-                source,
-                dst_index=dst,
-                n_centroids=int(spec["n_centroids"])
-                if spec.get("n_centroids")
-                else None,
-                m=int(spec["m"]) if spec.get("m") else None,
-                n_codewords=int(spec["n_codewords"])
-                if spec.get("n_codewords")
-                else None,
-                id_col="__vec_id__",
-                vec_col="__vec__",
-            )
+        SIM.rebuild_ivfpq_index(
+            spark,
+            path,
+            source,
+            dst_index=dst,
+            n_centroids=int(spec["n_centroids"])
+            if spec.get("n_centroids")
+            else None,
+            m=int(spec["m"]) if spec.get("m") else None,
+            n_codewords=int(spec["n_codewords"])
+            if spec.get("n_codewords")
+            else None,
+            id_col="__vec_id__",
+            vec_col="__vec__",
+        )
     elif action == "auto_compact":
         action = _run_auto_compact(spark, spec, "ivfpq")
     _finish_with_alias(spark, spec, action, ("compact", "rebuild"))
@@ -756,12 +766,11 @@ def _run_dedup_store_indexing(spark: SparkSession, df: DataFrame, spec: dict) ->
             spark, path, base.select(F.expr(id_expr)), spec["batch_id"]
         )
     elif action == "compact":
-        with _cli_lease(spark, path, "cli:compact:dedup", spec):
-            DS.compact_dedup_index(
-                spark,
-                path,
-                dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
-            )
+        DS.compact_dedup_index(
+            spark,
+            path,
+            dst_index=str(spec["dst_path"]) if spec.get("dst_path") else None,
+        )
     elif action == "auto_compact":
         action = _run_auto_compact(spark, spec, "dedup")
     _finish_with_alias(spark, spec, action, ("compact",))
@@ -799,14 +808,16 @@ def _run_onboarding(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame
     )
     if spec.get("deliver_batch_id"):
         # delivery is EAGER (it writes the store artifacts); the returned
-        # plan stays lazy for the output write
-        DS.extend_dedup_index(
-            kept,
-            store,
-            spec["deliver_batch_id"],
-            column=column,
-            id_col="__onboard_id__",
-        )
+        # plan stays lazy for the output write.  Leased: the store may
+        # have a live delivery stream growing it.
+        with _cli_lease(spark, store, "cli:onboard-deliver", spec):
+            DS.extend_dedup_index(
+                kept,
+                store,
+                spec["deliver_batch_id"],
+                column=column,
+                id_col="__onboard_id__",
+            )
     logger.info("onboard: filtered against %s", store)
     return kept.drop("__onboard_id__")
 
@@ -862,13 +873,16 @@ def _run_semantic_onboarding(
         spark, store, probe, id_col="__onboard_id__", vec_col="__onboard_vec__"
     ).localCheckpoint(eager=True)
     if spec.get("deliver_batch_id"):
-        NS.extend_neardup_index(
-            probe.join(matched, "__onboard_id__", "left_anti"),
-            store,
-            spec["deliver_batch_id"],
-            id_col="__onboard_id__",
-            vec_col="__onboard_vec__",
-        )
+        # leased like the lexical onboard's deliver-back: the store may
+        # have a live delivery stream growing it
+        with _cli_lease(spark, store, "cli:onboard-semantic-deliver", spec):
+            NS.extend_neardup_index(
+                probe.join(matched, "__onboard_id__", "left_anti"),
+                store,
+                spec["deliver_batch_id"],
+                id_col="__onboard_id__",
+                vec_col="__onboard_vec__",
+            )
     out = src.join(matched, "__onboard_id__", "left_anti")
     logger.info("onboard_semantic: filtered against %s", store)
     return out.drop("__onboard_id__")
@@ -945,8 +959,7 @@ def _run_neardup_store_indexing(
             spec["batch_id"],
         )
     elif action == "compact":
-        with _cli_lease(spark, path, "cli:compact:neardup", spec):
-            NS.compact_neardup_index(spark, path, dst_index=dst)
+        NS.compact_neardup_index(spark, path, dst_index=dst)
     elif action == "auto_compact":
         action = _run_auto_compact(spark, spec, "neardup")
     _finish_with_alias(spark, spec, action, ("compact",))

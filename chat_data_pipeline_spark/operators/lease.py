@@ -29,13 +29,18 @@ Spark job):
   local paths, namenode-arbitrated create(overwrite=false) on HDFS);
 - the holder then writes ``{root}/_writer_lease/owner`` (overwrite) for
   observability; release deletes the lease dir;
+- a held lease HEARTBEATS: :func:`writer_lease` runs a daemon thread
+  that refreshes the LOCK mtime every ``ttl_seconds / 3``, so a live
+  holder is never judged stale no matter how long its trigger runs —
+  the ttl reaps only holders whose process died (the thread dies with
+  it);
 - stale-lease takeover: a LOCK whose modification time is older than
-  ``ttl_seconds`` belongs to a crashed writer — contenders delete it and
-  re-race the atomic create (both takeover-ers may delete, exactly one
-  wins the recreate).  Choose ``ttl_seconds`` above the longest trigger
-  (including an auto-compaction) and the takeover can only ever reap a
-  truly dead holder.  The check uses filesystem mtime, so it needs no
-  clock agreement between writers beyond what HDFS/S3 already assume.
+  ``ttl_seconds`` belongs to a dead writer — a contender re-stats the
+  LOCK immediately before deleting it (a changed mtime means another
+  reaper already recreated it; abort, don't evict the new holder) and
+  re-races the atomic create.  The check uses filesystem mtime, so it
+  needs no clock agreement between writers beyond what HDFS/S3 already
+  assume.
 
 Direct OPERATOR calls (``extend_*`` / ``delete_from_*`` / ``compact_*``
 from batch code) stay lease-free by design: a batch job owns its root by
@@ -138,9 +143,20 @@ def acquire_writer_lease(
     """Take the root's writer lease or raise :class:`LeaseUnavailableError`
     after ``wait_seconds`` of contention.  ``owner`` is a human-readable
     identity (stream kind + checkpoint, CLI block name) — it names the
-    blocker in the error a losing contender raises."""
+    blocker in the error a losing contender raises.
+
+    Stale takeover is double-stat-guarded: the LOCK is deleted only if a
+    SECOND stat immediately before the delete still shows the mtime that
+    was judged expired — if another reaper already reaped-and-recreated,
+    the fresh mtime aborts this takeover instead of evicting the new
+    holder.  (The residual window is one delete RPC after the confirming
+    stat, and it is only reachable at all for a lock whose holder stopped
+    heartbeating — see :func:`writer_lease` — i.e. a dead process.)
+    Every loop path honors the deadline: persistent stat/delete failures
+    surface as :class:`LeaseUnavailableError`, never a busy-spin."""
     fs, lock, owner_path, jvm = _lease_paths(spark, root)
     deadline = time.monotonic() + float(wait_seconds)
+    reaps = 0
     while True:
         if _atomic_create(fs, lock, jvm):
             out = fs.create(owner_path, True)
@@ -153,15 +169,29 @@ def acquire_writer_lease(
         try:
             mtime_ms = fs.getFileStatus(lock).getModificationTime()
         except Exception:
-            continue  # released between create and stat — re-race
-        if time.time() * 1000 > mtime_ms + float(ttl_seconds) * 1000:
-            logger.warning(
-                "writer lease on %s held by %s is past its %ss ttl; "
-                "taking it over as a stale lease",
-                root, lease_holder(spark, root), ttl_seconds,
-            )
-            fs.delete(lock, False)
-            continue  # re-race the atomic create
+            mtime_ms = None  # released/reaped between create and stat
+        if (
+            mtime_ms is not None
+            and time.time() * 1000 > mtime_ms + float(ttl_seconds) * 1000
+            and reaps < 3  # a persistently failing reap falls through to
+            # the deadline instead of retrying forever
+        ):
+            reaps += 1
+            try:
+                # confirming stat: only delete the exact lock we judged
+                # stale — a changed mtime means a new holder owns it now
+                if fs.getFileStatus(lock).getModificationTime() == mtime_ms:
+                    logger.warning(
+                        "writer lease on %s held by %s is past its %ss "
+                        "ttl with no heartbeat; taking it over as a "
+                        "stale lease",
+                        root, lease_holder(spark, root), ttl_seconds,
+                    )
+                    fs.delete(lock, False)
+            except Exception:
+                pass  # vanished mid-takeover — fine, re-race
+            continue  # immediate re-race (a wait_seconds=0 caller must
+            # still win a genuinely stale lock)
         if time.monotonic() >= deadline:
             raise LeaseUnavailableError(
                 f"writer lease on {root} is held by "
@@ -173,17 +203,21 @@ def acquire_writer_lease(
 
 
 def release_writer_lease(spark, root: str, owner: str) -> None:
-    """Release the lease this ``owner`` holds.  Releasing a lease another
-    owner re-took (possible only after a ttl takeover of a stalled-but-
-    alive holder) is refused so the usurper's lease survives."""
+    """Release the lease this ``owner`` holds.  Strictly owner-matched: a
+    lease another owner re-took (ttl takeover) is refused so the
+    usurper's lease survives, and a LOCK whose owner record is missing
+    ("<unknown>" — a contender mid-acquire between its LOCK create and
+    its owner write) is LEFT ALONE rather than evicted; a truly crashed
+    mid-acquire writer leaks its lock only until the ttl reaps it."""
     fs, lock, owner_path, jvm = _lease_paths(spark, root)
     holder = lease_holder(spark, root)
-    if holder not in (None, "<unknown>", owner):
-        logger.warning(
-            "not releasing writer lease on %s: now held by %r (this "
-            "writer %r lost it to a ttl takeover mid-run)",
-            root, holder, owner,
-        )
+    if holder != owner:
+        if holder is not None:
+            logger.warning(
+                "not releasing writer lease on %s: held by %r, not this "
+                "writer %r (mid-acquire contender or ttl-takeover usurper)",
+                root, holder, owner,
+            )
         return
     fs.delete(owner_path, False)
     fs.delete(lock, False)
@@ -198,9 +232,40 @@ def writer_lease(
     wait_seconds: float = DEFAULT_WAIT_SECONDS,
 ):
     """``with writer_lease(...):`` — the one-liner every orchestration-layer
-    mutation wraps."""
+    mutation wraps.
+
+    While held, a daemon HEARTBEAT thread refreshes the LOCK's mtime
+    every ``ttl_seconds / 3``, so a live holder can never be judged
+    stale no matter how long its trigger runs — a compaction that takes
+    an hour on a 100 TB store keeps its lease without tuning anything.
+    Ttl takeover therefore reaps only holders whose PROCESS died (the
+    daemon thread dies with it); the ttl default stops being a silent
+    corruption trap for long triggers.  If the heartbeat itself finds
+    the LOCK gone (this holder was wrongly reaped — clock skew far
+    beyond ttl), it stops beating; the strict owner-matched release then
+    refuses to evict whoever holds the root now."""
     acquire_writer_lease(spark, root, owner, ttl_seconds, wait_seconds)
+    import threading
+
+    fs, lock, _owner_path, jvm = _lease_paths(spark, root)
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(max(1.0, float(ttl_seconds) / 3.0)):
+            try:
+                if not fs.exists(lock):
+                    return  # lost the lock — stop claiming liveness
+                now_ms = int(time.time() * 1000)
+                fs.setTimes(lock, now_ms, -1)
+            except Exception:
+                return
+    beat = threading.Thread(
+        target=_beat, daemon=True, name=f"writer-lease-heartbeat:{root}"
+    )
+    beat.start()
     try:
         yield
     finally:
+        stop.set()
+        beat.join(timeout=10)
         release_writer_lease(spark, root, owner)

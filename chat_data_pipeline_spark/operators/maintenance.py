@@ -45,6 +45,13 @@ def store_kind_and_meta(spark, index_path: str):
     read per root instead of detect-then-re-read — per-micro-batch cost
     on ``streaming_query_serving``."""
     meta = spark.read.parquet(f"{index_path}/meta").first()
+    if meta is None:
+        # a parquet footer with zero rows (crash between file creation and
+        # row flush) must fail as loudly as a missing/unknown meta
+        raise ValueError(
+            f"{index_path}/meta exists but holds no rows — mid-write or "
+            "truncated store root; rebuild it before probing/maintaining"
+        )
     cols = set(meta.asDict())
     if "n_term_buckets" in cols:
         return "bm25", meta

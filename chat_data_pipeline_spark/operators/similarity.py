@@ -2800,13 +2800,10 @@ def rebuild_ivfpq_index(
     ``build_ivfpq_index`` over the retained vectors at the same params
     (tested, and driver-hashed via ``ann_ivfpq_rebuild_report``)."""
     from chat_data_pipeline_spark.operators.retrieval import (
-        _classify_committed,
         _committed_batches,
+        _fold_manifest_forward,
         _guard_delivery_id_type,
         _tombstoned_ids,
-        folded_clear,
-        folded_ids,
-        folded_record,
     )
 
     meta = spark.read.parquet(f"{index_path}/meta").first()
@@ -2839,22 +2836,15 @@ def rebuild_ivfpq_index(
         union = union.join(
             tomb.withColumnRenamed("doc", meta.id_col), meta.id_col, "left_anti"
         )
-    prior_ext, prior_del = folded_ids(spark, index_path)
-    new_ext, new_del = _classify_committed(spark, index_path, committed)
     if dst_index is None:
         # the anti-join reads this root's tombstones, which the build
         # deletes inside its meta-less window — pin the retained set first
         union = union.localCheckpoint(eager=True)
         dst_index = index_path
-    if dst_index != index_path:
-        # a reused dst root must not resurrect an unrelated world's ids
-        folded_clear(spark, dst_index)
-    folded_record(
-        spark,
-        dst_index,
-        sorted(set(prior_ext) | set(new_ext)),
-        sorted(set(prior_del) | set(new_del)),
-    )
+    # spent-id manifest BEFORE the new base can serve (shared compaction/
+    # rebuild protocol: carries src history forward, spends this rebuild's
+    # committed ids, clears a reused foreign dst's stale manifest)
+    _fold_manifest_forward(spark, index_path, dst_index, committed)
     build_ivfpq_index(
         union,
         dst_index,

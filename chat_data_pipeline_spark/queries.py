@@ -7783,7 +7783,7 @@ def neardup_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS dead
       FROM el
     )
-    SELECT 'bm25_maint_index' AS store, 'bm25' AS kind,
+    SELECT 'fleet_bm25_index' AS store, 'bm25' AS kind,
            CAST(3 AS BIGINT) AS n_batches,
            nv AS n_tombstones,
            n - nv AS live_units,
@@ -7791,13 +7791,13 @@ def neardup_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
            ((1000000000 * nv) // n) > 100000000 AS compact_recommended
     FROM bt
     UNION ALL
-    SELECT 'dedup_store', 'dedup', CAST(3 AS BIGINT),
+    SELECT 'fleet_dedup_store', 'dedup', CAST(3 AS BIGINT),
            dead, total - dead,
            (1000000000 * dead) // total,
            ((1000000000 * dead) // total) > 100000000
     FROM dt
     UNION ALL
-    SELECT 'ivf_drift_index', 'ivf', CAST(2 AS BIGINT),
+    SELECT 'fleet_ivf_index', 'ivf', CAST(2 AS BIGINT),
            CAST(0 AS BIGINT),
            CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT),
            CAST(0 AS BIGINT), FALSE
@@ -7813,7 +7813,11 @@ def neardup_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from scratch, so one hash pins the whole fleet-view bookkeeping "
     "(including the r16 dedup live_units fix: distinct fingerprinted ids, "
     "not band-row division).  The run-scoped root paths are mapped to "
-    "their stable store labels so the row hashes cross-run",
+    "their stable store labels so the row hashes cross-run.  The fleet "
+    "builds its OWN three scoped stores (fleet_* keys) rather than "
+    "sharing other rows' _build_once keys: a shared key's contents would "
+    "depend on which registered row ran first in the process, and a "
+    "byte-drifted twin builder would turn that order into a hash flake",
 )
 def fleet_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chat_data_pipeline_spark.operators import dedup_store as DSTORE
@@ -7822,7 +7826,7 @@ def fleet_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     emb = _read(spark, sf_dir, "embeddings")
 
-    bidx = _run_scoped_path("bm25_maint_index", sf_dir)
+    bidx = _run_scoped_path("fleet_bm25_index", sf_dir)
 
     def _mk_bm25() -> None:
         RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), bidx)
@@ -7836,7 +7840,7 @@ def fleet_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_id="take",
         )
 
-    vidx = _run_scoped_path("ivf_drift_index", sf_dir)
+    vidx = _run_scoped_path("fleet_ivf_index", sf_dir)
 
     def _mk_ivf() -> None:
         SIM.build_ivf_index(
@@ -7845,7 +7849,7 @@ def fleet_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), vidx, batch_id="b1")
 
-    didx = _run_scoped_path("dedup_store", sf_dir)
+    didx = _run_scoped_path("fleet_dedup_store", sf_dir)
 
     def _mk_dedup() -> None:
         DSTORE.build_dedup_index(

@@ -252,3 +252,22 @@ def test_cli_maintain_block_honors_lease_tuning(spark, docs, tmp_path):
     ).collect()
     assert len(report) == 1 and report[0].n_batches == 1  # folded to base
     assert RT._committed_batches(spark, idx) == ["base"]
+
+
+def test_heartbeat_keeps_long_trigger_alive_past_ttl(spark, tmp_path):
+    """A live holder must never be judged stale, however long its trigger
+    runs: hold via writer_lease with a tiny ttl, outlast it, and assert a
+    contender still cannot reap (the heartbeat refreshed the LOCK mtime);
+    only a NON-heartbeating (crashed-style) holder is reapable."""
+    import time
+
+    root = str(tmp_path / "longtrig")
+    with L.writer_lease(spark, root, "long-compaction", ttl_seconds=3):
+        time.sleep(4.5)  # well past ttl; heartbeat fires every ~1s
+        with pytest.raises(L.LeaseUnavailableError, match="long-compaction"):
+            L.acquire_writer_lease(
+                spark, root, "impatient", ttl_seconds=3, wait_seconds=1
+            )
+    # released: free again
+    L.acquire_writer_lease(spark, root, "next", wait_seconds=0)
+    L.release_writer_lease(spark, root, "next")
