@@ -284,3 +284,57 @@ def test_maintenance_plan_ignores_non_resident_tombstones(spark, docs, tmp_path)
     # ~5% resident dead stays under the 10% default even though the raw
     # tombstone set is >50% of the corpus
     assert not plan.compact_recommended
+
+
+def test_store_kind_raises_on_zero_row_meta(spark, docs, tmp_path):
+    """r16 review: a meta parquet with a valid footer but NO rows (crash
+    between file creation and row flush) must fail with the same loud
+    ValueError posture as a missing/unknown meta, not an AttributeError —
+    this path runs per micro-batch under streaming_query_serving."""
+    idx = str(tmp_path / "zero_meta")
+    RT.build_text_index(docs, idx)
+    spark.read.parquet(f"{idx}/meta").limit(0).write.mode("overwrite").parquet(
+        f"{idx}/meta"
+    )
+    with pytest.raises(ValueError, match="no rows"):
+        MT.detect_store_kind(spark, idx)
+    with pytest.raises(ValueError, match="no rows"):
+        MT.maintenance_plan(spark, idx)
+
+
+def test_maintenance_sweep_concurrent_keeps_input_order(
+    spark, docs, emb, tmp_path
+):
+    """The r16 concurrent sweep must report rows in the INPUT roots order
+    regardless of per-root completion order (threads finish whenever) —
+    a fleet report that reshuffles per run would hash-flake and confuse
+    diffing two sweeps."""
+    b, v = str(tmp_path / "ord_b"), str(tmp_path / "ord_v")
+    RT.build_text_index(docs, b)
+    SIM.build_ivf_index(emb, v, n_centroids=16, coarse="md5", dim=64)
+    fwd = MT.maintenance_sweep(spark, [b, v]).collect()
+    rev = MT.maintenance_sweep(spark, [v, b]).collect()
+    assert [r.root for r in fwd] == [b, v]
+    assert [r.root for r in rev] == [v, b]
+    assert [r.kind for r in fwd] == ["bm25", "ivf"]
+    # and a failing root surfaces loudly, not as a dropped row
+    with pytest.raises(Exception):
+        MT.maintenance_sweep(spark, [b, str(tmp_path / "missing_root")])
+
+
+def test_maintenance_plan_ignores_uncommitted_partial_delivery(
+    spark, docs, tmp_path
+):
+    """A crashed delivery (batch dir present, ledger marker absent) must
+    not move ANY plan number: not n_batches, not live_units — and with
+    the r16 base-partition id_type discipline, not even schema inference
+    on a pre-r15 root whose partial files carry garbage columns."""
+    idx = str(tmp_path / "crashy")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    before = MT.maintenance_plan(spark, idx).first()
+    # simulate the crash: artifacts land, the ledger commit never does
+    spark.createDataFrame(
+        [(999999, "zzz", 1)], "doc long, term string, tf long"
+    ).write.mode("overwrite").parquet(f"{idx}/postings/batch=ghost/bucket=0")
+    after = MT.maintenance_plan(spark, idx).first()
+    assert after == before

@@ -300,3 +300,43 @@ def test_onboard_semantic_missing_vectors_pass_through(spark, emb, tmp_path):
     # 2 matched (identical vector in the reference) and dropped; 1 probed
     # and survived; 3 never probed and PASSED THROUGH
     assert kept == {1, 3}
+
+
+def test_neardup_store_health_counts_committed_only(spark, emb, tmp_path):
+    """The health report audits ledger-committed deliveries ONLY: a
+    crashed delivery's partial batch dirs (postings AND vectors present,
+    commit marker absent) appear in no row, and the committed rows keep
+    the n_rows = n_tables x n_ids invariant plus the (0, 0, k) takedown
+    shape."""
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+
+    idx = str(tmp_path / "health_store")
+    NS.build_neardup_index(
+        emb.filter(F.col("vec_id") % 3 == 0), idx,
+        n_planes=4, n_tables=4, dim=64, threshold=0.45,
+    )
+    NS.extend_neardup_index(
+        emb.filter(F.col("vec_id") % 3 == 1), idx, batch_id="c1"
+    )
+    NS.delete_from_neardup_index(
+        spark, idx, emb.filter(F.col("vec_id") % 9 == 2).select("vec_id"),
+        batch_id="t1",
+    )
+    # crash-sim: artifacts land for batch "ghost", the ledger never commits
+    spark.createDataFrame([(999999, 0)], "id long, b long").write.parquet(
+        f"{idx}/postings/batch=ghost/t=0"
+    )
+    spark.createDataFrame(
+        [(999999, [0.0] * 64)], "id long, v array<double>"
+    ).write.parquet(f"{idx}/vectors/batch=ghost")
+
+    rows = {r.batch: r for r in NS.neardup_store_health(spark, idx).collect()}
+    assert set(rows) == {"base", "c1", "t1"}  # ghost invisible
+    n0 = emb.filter(F.col("vec_id") % 3 == 0).count()
+    n1 = emb.filter(F.col("vec_id") % 3 == 1).count()
+    assert (rows["base"].n_rows, rows["base"].n_ids) == (4 * n0, n0)
+    assert (rows["c1"].n_rows, rows["c1"].n_ids) == (4 * n1, n1)
+    k = emb.filter(F.col("vec_id") % 9 == 2).count()
+    assert (rows["t1"].n_rows, rows["t1"].n_ids, rows["t1"].n_tombstones) == (
+        0, 0, k,
+    )
