@@ -1064,11 +1064,10 @@ def streaming_neardup_store_delivery(
     ``extend_neardup_index`` delivery — the semantic-reference set future
     onboarding runs probe grows continuously, same effectively-once
     replay semantics and invisible-until-committed crash posture as the
-    other four stores' delivery streams.  Takedowns go through
-    :func:`neardup_store.delete_from_neardup_index` (use a batch-id
-    prefix disjoint from this stream's ``batch_id_prefix``, which itself
-    should be fresh per checkpoint generation — see
-    :func:`streaming_index_delivery`)."""
+    other four stores' delivery streams.  Takedowns are
+    :func:`streaming_neardup_store_takedown` (keep its prefix disjoint
+    from this stream's ``batch_id_prefix``, itself fresh per checkpoint
+    generation — see :func:`streaming_index_delivery`)."""
     from chat_data_pipeline_spark.operators.neardup_store import (
         extend_neardup_index,
     )
@@ -1084,6 +1083,87 @@ def streaming_neardup_store_delivery(
             _maybe_auto_compact(
                 batch_df.sparkSession, store_path, batch_id, auto_compact_every,
                 max_batches, max_tombstone_nanos,
+            )
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def streaming_neardup_store_takedown(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    batch_id_prefix: str = "t",
+    lease_ttl_seconds: int = 900,
+    lease_wait_seconds: float = 120,
+):
+    """Takedown twin for the embedding near-dup store (r16 — completes
+    the delivery/takedown matrix across all five persisted stores): each
+    micro-batch of reference ids lands as one ledger-committed
+    ``delete_from_neardup_index`` tombstone delivery, so a taken-down
+    item stops subtracting semantic near-copies of content that no
+    longer exists, live.  Same effectively-once replay semantics,
+    invisible-until-committed crash posture, per-trigger writer lease
+    and ``batch_id_prefix`` discipline as the other takedown streams;
+    compact to make the removals physical."""
+    from chat_data_pipeline_spark.operators.neardup_store import (
+        delete_from_neardup_index,
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with _step_lease(batch_df.sparkSession, store_path, "neardup-takedown",
+                         checkpoint_path, lease_ttl_seconds, lease_wait_seconds):
+            delete_from_neardup_index(
+                batch_df.sparkSession,
+                store_path,
+                batch_df.select(id_col),
+                batch_id=f"{batch_id_prefix}{batch_id}",
+            )
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def streaming_dedup_store_takedown(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    batch_id_prefix: str = "t",
+    lease_ttl_seconds: int = 900,
+    lease_wait_seconds: float = 120,
+):
+    """Takedown twin for the persisted MinHash signature store (r16):
+    each micro-batch of reference doc ids lands as one ledger-committed
+    ``delete_from_dedup_index`` tombstone delivery — a taken-down
+    document stops subtracting lexical near-copies at the next
+    onboarding probe, without a store rebuild.  Same effectively-once
+    replay semantics, invisible-until-committed crash posture,
+    per-trigger writer lease and ``batch_id_prefix`` discipline as the
+    other takedown streams; compact to make the removals physical."""
+    from chat_data_pipeline_spark.operators.dedup_store import (
+        delete_from_dedup_index,
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with _step_lease(batch_df.sparkSession, store_path, "dedup-takedown",
+                         checkpoint_path, lease_ttl_seconds, lease_wait_seconds):
+            delete_from_dedup_index(
+                batch_df.sparkSession,
+                store_path,
+                batch_df.select(id_col),
+                batch_id=f"{batch_id_prefix}{batch_id}",
             )
 
     return (
@@ -1151,11 +1231,10 @@ def streaming_dedup_store_delivery(
     ``extend_dedup_index`` delivery, so the reference set future onboarding
     runs probe grows continuously.  Same effectively-once replay semantics
     and invisible-until-committed crash posture as the BM25/IVF delivery
-    streams; the column names come from the store meta.  Takedowns go
-    through :func:`dedup_store.delete_from_dedup_index` (batch ids stay
-    caller-scoped; use a prefix disjoint from this stream's
-    ``batch_id_prefix``, itself fresh per checkpoint generation — see
-    :func:`streaming_index_delivery`)."""
+    streams; the column names come from the store meta.  Takedowns are
+    :func:`streaming_dedup_store_takedown` (keep its prefix disjoint
+    from this stream's ``batch_id_prefix``, itself fresh per checkpoint
+    generation — see :func:`streaming_index_delivery`)."""
     from chat_data_pipeline_spark.operators.dedup_store import extend_dedup_index
 
     def step(batch_df: DataFrame, batch_id: int) -> None:

@@ -2329,3 +2329,99 @@ def test_streaming_query_serving_stream_equals_batch(spark, tmp_path):
     assert sorted(
         map(tuple, got.drop("epoch").collect())
     ) == want
+
+
+def test_streaming_store_takedowns_stream_equals_batch(spark, tmp_path):
+    """r16: the takedown matrix completes — the signature store and the
+    embedding near-dup store get live takedown twins like the three
+    indexes.  A file feed of reference ids tombstones each store one
+    ledger-committed delete per micro-batch (id overlap across triggers
+    never double-subtracts), and the onboarding probes afterwards are
+    bit-identical to probes of a store freshly built over the retained
+    references."""
+    from pyspark.sql import functions as F
+
+    from chat_data_pipeline_spark.operators import dedup_store as DS
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+    from chat_data_pipeline_spark.streaming.pipeline import (
+        streaming_dedup_store_takedown,
+        streaming_neardup_store_takedown,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    store = str(tmp_path / "take_sigs")
+    DS.build_dedup_index(docs.filter(F.col("doc_id") % 2 == 0), store, family="md5")
+    feed = tmp_path / "sig_take_feed"
+    feed.mkdir()
+    # two triggers with overlapping victims
+    docs.filter(F.col("doc_id") % 8 == 0).select("doc_id").repartition(
+        1
+    ).write.parquet(str(feed / "f1.parquet"))
+    docs.filter(
+        (F.col("doc_id") % 8 == 0) | (F.col("doc_id") % 8 == 4)
+    ).select("doc_id").repartition(1).write.parquet(str(feed / "f2.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*")
+    )
+    q = streaming_dedup_store_takedown(stream, store, str(tmp_path / "sig_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    fresh = str(tmp_path / "take_sigs_fresh")
+    DS.build_dedup_index(
+        docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 4 != 0)),
+        fresh, family="md5",
+    )
+    got = sorted(
+        r.doc_id
+        for r in DS.filter_against_dedup_index(spark, store, probe).collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in DS.filter_against_dedup_index(spark, fresh, probe).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # embedding near-dup twin
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vstore = str(tmp_path / "take_vecs")
+    NS.build_neardup_index(
+        emb.filter(F.col("vec_id") % 2 == 0), vstore,
+        n_planes=4, n_tables=4, dim=64, threshold=0.45,
+    )
+    vfeed = tmp_path / "vec_take_feed"
+    vfeed.mkdir()
+    emb.filter(F.col("vec_id") % 6 == 0).select("vec_id").repartition(
+        1
+    ).write.parquet(str(vfeed / "f1.parquet"))
+    vstream = (
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(vfeed) + "/*")
+    )
+    vq = streaming_neardup_store_takedown(
+        vstream, vstore, str(tmp_path / "vec_ckpt")
+    )
+    try:
+        vq.processAllAvailable()
+    finally:
+        vq.stop()
+    vprobe = emb.filter(F.col("vec_id") % 2 == 1)
+    vfresh = str(tmp_path / "take_vecs_fresh")
+    NS.build_neardup_index(
+        emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") % 6 != 0)),
+        vfresh, n_planes=4, n_tables=4, dim=64, threshold=0.45,
+    )
+    vgot = sorted(
+        r.vec_id
+        for r in NS.filter_against_neardup_index(spark, vstore, vprobe).collect()
+    )
+    vwant = sorted(
+        r.vec_id
+        for r in NS.filter_against_neardup_index(spark, vfresh, vprobe).collect()
+    )
+    assert vgot == vwant and len(vgot) > 0
