@@ -49,6 +49,7 @@ Differences from the reference, by design (SURVEY.md §7.3):
 from __future__ import annotations
 
 import argparse
+import contextlib
 import logging
 import sys
 
@@ -403,7 +404,20 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
         # would be folded-over without its id being spent (the partition
         # dir survives but ledger_reset erases the commit marker — silent
         # loss), so every CLI mutation serializes against live writers.
-        with _cli_lease(spark, str(spec["path"]), f"cli:index.{kind}", spec):
+        # A write-then-swap compact/rebuild (dst_path) mutates TWO roots;
+        # a live stream on dst could otherwise race the dst base rewrite,
+        # so both roots are leased, in sorted order (fixed global order =
+        # no deadlock against another dual-root block).
+        roots = {str(spec["path"])}
+        if spec.get("dst_path") and str(spec.get("action", "build")) in (
+            "compact", "rebuild", "auto_compact",
+        ):
+            roots.add(str(spec["dst_path"]))
+        with contextlib.ExitStack() as _stack:
+            for _root in sorted(roots):
+                _stack.enter_context(
+                    _cli_lease(spark, _root, f"cli:index.{kind}", spec)
+                )
             handler(spark, df, spec)
 
 

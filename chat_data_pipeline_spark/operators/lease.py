@@ -27,13 +27,18 @@ Spark job):
   ``{root}/_writer_lease/LOCK`` — exactly one contender wins (see
   ``_atomic_create`` for the per-scheme arbiter: JDK O_CREAT|O_EXCL on
   local paths, namenode-arbitrated create(overwrite=false) on HDFS);
-- the holder then writes ``{root}/_writer_lease/owner`` (overwrite) for
-  observability; release deletes the lease dir;
+- the holder then writes ``{root}/_writer_lease/owner`` (overwrite) —
+  line 1 the human-readable owner, line 2 a per-acquisition unique
+  TOKEN; release verifies BOTH before deleting (a failed owner write
+  best-effort deletes the just-won LOCK before re-raising, so the root
+  is not blocked until ttl);
 - a held lease HEARTBEATS: :func:`writer_lease` runs a daemon thread
-  that refreshes the LOCK mtime every ``ttl_seconds / 3``, so a live
-  holder is never judged stale no matter how long its trigger runs —
-  the ttl reaps only holders whose process died (the thread dies with
-  it);
+  that re-verifies the owner token and refreshes the LOCK mtime every
+  ``ttl_seconds / 3`` (transient RPC failures retried on a tightened
+  cadence), so a live holder is never judged stale no matter how long
+  its trigger runs — the ttl reaps only holders whose process died (the
+  thread dies with it); a holder whose token vanished (usurped) fails
+  loudly with :class:`LeaseLostError` at exit;
 - stale-lease takeover: a LOCK whose modification time is older than
   ``ttl_seconds`` belongs to a dead writer — a contender re-stats the
   LOCK immediately before deleting it (a changed mtime means another
@@ -67,10 +72,23 @@ logger = logging.getLogger("chat_data_pipeline_spark")
 DEFAULT_TTL_SECONDS = 900
 DEFAULT_WAIT_SECONDS = 120
 _POLL_SECONDS = 0.2
+# consecutive heartbeat failures tolerated before the holder stops claiming
+# liveness; at the tightened ttl/10 retry cadence the whole failure run
+# spans ~3*ttl/10 — well inside one ttl, so a holder that gives up here was
+# about to be reapable anyway
+_BEAT_MAX_FAILURES = 3
 
 
 class LeaseUnavailableError(RuntimeError):
     """Another writer holds the root's lease and the wait budget ran out."""
+
+
+class LeaseLostError(RuntimeError):
+    """The lease was lost WHILE held (usurped by a stale-takeover racer, or
+    the holder could not prove liveness for several consecutive heartbeats).
+    Raised by :func:`writer_lease` on exit so the holder's otherwise-clean
+    run fails loudly instead of reporting success for a mutation that may
+    have raced another writer."""
 
 
 def _lease_paths(spark, root: str):
@@ -118,19 +136,28 @@ def _read_small(fs, path, jvm) -> str:
         stream.close()
 
 
-def lease_holder(spark, root: str) -> str | None:
-    """The current holder's owner string, or None when the root is free.
-    Best-effort observability (a holder that crashed between LOCK and
-    owner reads as ``"<unknown>"``)."""
+def _holder_record(spark, root: str) -> tuple[str, str] | None:
+    """(owner, token) of the current holder, ``("<unknown>", "")`` for a
+    LOCK whose owner file is missing, or None when the root is free."""
     fs, lock, owner_path, jvm = _lease_paths(spark, root)
     if not fs.exists(lock):
         return None
     if not fs.exists(owner_path):
-        return "<unknown>"
+        return ("<unknown>", "")
     try:
-        return _read_small(fs, owner_path, jvm)
+        raw = _read_small(fs, owner_path, jvm)
     except Exception:  # raced a release between the two exists checks
         return None
+    owner, _, token = raw.partition("\n")
+    return (owner, token.strip())
+
+
+def lease_holder(spark, root: str) -> str | None:
+    """The current holder's owner string, or None when the root is free.
+    Best-effort observability (a holder that crashed between LOCK and
+    owner reads as ``"<unknown>"``)."""
+    rec = _holder_record(spark, root)
+    return None if rec is None else rec[0]
 
 
 def acquire_writer_lease(
@@ -139,32 +166,57 @@ def acquire_writer_lease(
     owner: str,
     ttl_seconds: int = DEFAULT_TTL_SECONDS,
     wait_seconds: float = DEFAULT_WAIT_SECONDS,
-) -> None:
+) -> str:
     """Take the root's writer lease or raise :class:`LeaseUnavailableError`
     after ``wait_seconds`` of contention.  ``owner`` is a human-readable
     identity (stream kind + checkpoint, CLI block name) — it names the
-    blocker in the error a losing contender raises.
+    blocker in the error a losing contender raises.  Returns this
+    acquisition's unique TOKEN (also persisted in the owner file as its
+    second line): two acquisitions by the same owner string are still
+    distinguishable, so the heartbeat and release can verify ownership by
+    CONTENT — a stale-takeover racer that evicts this holder (see the
+    residual-window note below) is detected instead of silently refreshed.
 
     Stale takeover is double-stat-guarded: the LOCK is deleted only if a
     SECOND stat immediately before the delete still shows the mtime that
     was judged expired — if another reaper already reaped-and-recreated,
     the fresh mtime aborts this takeover instead of evicting the new
-    holder.  (The residual window is one delete RPC after the confirming
-    stat, and it is only reachable at all for a lock whose holder stopped
-    heartbeating — see :func:`writer_lease` — i.e. a dead process.)
+    holder.  (Residual window: two reapers can pass the confirming stat
+    on the SAME expired mtime — reaper A deletes+recreates, then B's
+    queued delete evicts A's fresh LOCK and B acquires too.  That window
+    is one delete RPC wide and reachable only after a holder missed a
+    full ttl of heartbeats; it cannot be closed with filesystem
+    primitives alone, so it is DETECTED instead: A's heartbeat sees its
+    owner token replaced, stops refreshing B's lock, and A's
+    :func:`writer_lease` exit raises :class:`LeaseLostError`.)
     Every loop path honors the deadline: persistent stat/delete failures
     surface as :class:`LeaseUnavailableError`, never a busy-spin."""
+    import uuid
+
     fs, lock, owner_path, jvm = _lease_paths(spark, root)
     deadline = time.monotonic() + float(wait_seconds)
+    token = uuid.uuid4().hex
     reaps = 0
     while True:
         if _atomic_create(fs, lock, jvm):
-            out = fs.create(owner_path, True)
+            # the owner write is NOT part of the mutual-exclusion arbiter,
+            # but a failure here must not leave the just-won LOCK behind
+            # with no heartbeat — that would block every writer on the
+            # root until the ttl reaps it.  Best-effort undo, then
+            # re-raise the real error.
             try:
-                out.write(bytearray(owner.encode("utf-8")))
-            finally:
-                out.close()
-            return
+                out = fs.create(owner_path, True)
+                try:
+                    out.write(bytearray(f"{owner}\n{token}".encode("utf-8")))
+                finally:
+                    out.close()
+            except Exception:
+                try:
+                    fs.delete(lock, False)
+                except Exception:
+                    pass
+                raise
+            return token
         # taken: reap it if the holder looks dead (LOCK older than ttl)
         try:
             mtime_ms = fs.getFileStatus(lock).getModificationTime()
@@ -202,16 +254,21 @@ def acquire_writer_lease(
         time.sleep(_POLL_SECONDS)
 
 
-def release_writer_lease(spark, root: str, owner: str) -> None:
-    """Release the lease this ``owner`` holds.  Strictly owner-matched: a
-    lease another owner re-took (ttl takeover) is refused so the
-    usurper's lease survives, and a LOCK whose owner record is missing
-    ("<unknown>" — a contender mid-acquire between its LOCK create and
-    its owner write) is LEFT ALONE rather than evicted; a truly crashed
-    mid-acquire writer leaks its lock only until the ttl reaps it."""
+def release_writer_lease(
+    spark, root: str, owner: str, token: str | None = None
+) -> None:
+    """Release the lease this ``owner`` holds.  Strictly owner-matched —
+    and, when the acquisition ``token`` is supplied, CONTENT-matched: a
+    lease another writer re-took (ttl takeover, even under the same owner
+    string) is refused so the usurper's lease survives, and a LOCK whose
+    owner record is missing ("<unknown>" — a contender mid-acquire between
+    its LOCK create and its owner write) is LEFT ALONE rather than
+    evicted; a truly crashed mid-acquire writer leaks its lock only until
+    the ttl reaps it."""
     fs, lock, owner_path, jvm = _lease_paths(spark, root)
-    holder = lease_holder(spark, root)
-    if holder != owner:
+    rec = _holder_record(spark, root)
+    holder = None if rec is None else rec[0]
+    if holder != owner or (token is not None and rec[1] != token):
         if holder is not None:
             logger.warning(
                 "not releasing writer lease on %s: held by %r, not this "
@@ -240,32 +297,82 @@ def writer_lease(
     an hour on a 100 TB store keeps its lease without tuning anything.
     Ttl takeover therefore reaps only holders whose PROCESS died (the
     daemon thread dies with it); the ttl default stops being a silent
-    corruption trap for long triggers.  If the heartbeat itself finds
-    the LOCK gone (this holder was wrongly reaped — clock skew far
-    beyond ttl), it stops beating; the strict owner-matched release then
-    refuses to evict whoever holds the root now."""
-    acquire_writer_lease(spark, root, owner, ttl_seconds, wait_seconds)
+    corruption trap for long triggers.
+
+    The heartbeat distinguishes three conditions (r17, per ADVICE):
+
+    - TRANSIENT errors (one failed exists/setTimes RPC — routine on
+      HDFS/S3A) are retried on a tightened ``ttl/10`` cadence; a single
+      blip no longer silently stops the heartbeat and hands the root to
+      a reaper mid-compaction.  Only ``_BEAT_MAX_FAILURES`` CONSECUTIVE
+      failures (well inside one ttl) give up.
+    - LOCK GONE or owner-token CHANGED means this holder was usurped by
+      a stale-takeover racer: stop beating immediately (never refresh a
+      lock that is now someone else's) and flag the loss.
+    - a flagged loss makes the context manager raise
+      :class:`LeaseLostError` on an otherwise-clean exit, so the holder
+      cannot report success for a mutation that may have raced another
+      writer; release stays token-matched and refuses to evict the
+      usurper either way."""
+    token = acquire_writer_lease(spark, root, owner, ttl_seconds, wait_seconds)
     import threading
 
-    fs, lock, _owner_path, jvm = _lease_paths(spark, root)
+    fs, lock, owner_path, jvm = _lease_paths(spark, root)
     stop = threading.Event()
+    lost_reason: list[str] = []
 
     def _beat() -> None:
-        while not stop.wait(max(1.0, float(ttl_seconds) / 3.0)):
+        interval = max(1.0, float(ttl_seconds) / 3.0)
+        retry = max(0.5, float(ttl_seconds) / 10.0)
+        failures = 0
+        while not stop.wait(interval if failures == 0 else retry):
             try:
                 if not fs.exists(lock):
-                    return  # lost the lock — stop claiming liveness
+                    lost_reason.append(
+                        "LOCK gone while held (reaped by a stale-takeover "
+                        "racer)"
+                    )
+                    return
+                raw = _read_small(fs, owner_path, jvm)
+                if raw.partition("\n")[2].strip() != token:
+                    lost_reason.append(
+                        "owner token changed while held (lease usurped by "
+                        f"{raw.partition(chr(10))[0]!r})"
+                    )
+                    return
                 now_ms = int(time.time() * 1000)
                 fs.setTimes(lock, now_ms, -1)
-            except Exception:
-                return
+                failures = 0
+            except Exception as exc:  # transient RPC failure — retry
+                failures += 1
+                if failures >= _BEAT_MAX_FAILURES:
+                    lost_reason.append(
+                        f"heartbeat failed {failures} consecutive attempts "
+                        f"({exc}); liveness can no longer be proven"
+                    )
+                    logger.warning(
+                        "writer lease heartbeat on %s giving up after %d "
+                        "consecutive failures: %s", root, failures, exc,
+                    )
+                    return
     beat = threading.Thread(
         target=_beat, daemon=True, name=f"writer-lease-heartbeat:{root}"
     )
     beat.start()
     try:
         yield
-    finally:
+    except BaseException:
         stop.set()
         beat.join(timeout=10)
-        release_writer_lease(spark, root, owner)
+        release_writer_lease(spark, root, owner, token)
+        raise
+    stop.set()
+    beat.join(timeout=10)
+    release_writer_lease(spark, root, owner, token)
+    if lost_reason:
+        raise LeaseLostError(
+            f"writer lease on {root} was lost while held by {owner!r}: "
+            f"{lost_reason[0]}; the mutation may have raced another writer "
+            "— verify the store (ledger + folded manifest) before trusting "
+            "this run"
+        )

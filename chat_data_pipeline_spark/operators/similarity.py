@@ -1605,7 +1605,11 @@ def extend_ivf_index(
     id_col, vec_col = meta.id_col, meta.vec_col
     # refuse a wrong-typed delivery up front, not at probe; meta pins
     # id_type since r15 (one tiny file already read above) — only a
-    # pre-r15 root falls back to inferring it from the postings tree
+    # pre-r15 root falls back to inferring it, and then from the BASE
+    # partition only: inferring over the whole postings tree would touch
+    # the footers of a crashed uncommitted delivery's partial files (the
+    # base is complete by construction, its commit marker being the meta
+    # write — same pin as maintenance.py's store_kind_and_meta path)
     from chat_data_pipeline_spark.operators.retrieval import (
         _guard_delivery_id_type,
     )
@@ -1614,7 +1618,9 @@ def extend_ivf_index(
         df,
         id_col,
         meta.asDict().get("id_type")
-        or dict(spark.read.parquet(f"{index_path}/postings").dtypes)[id_col],
+        or dict(
+            spark.read.parquet(f"{index_path}/postings/batch=base").dtypes
+        )[id_col],
         index_path,
     )
     # a delivery containing a tombstoned id is refused (same contract as
@@ -2450,11 +2456,9 @@ def rebuild_ivf_index(
     versioned rename, refuses meta-less targets).
     """
     from chat_data_pipeline_spark.operators.retrieval import (
-        _classify_committed,
         _committed_batches,
+        _fold_manifest_forward,
         _tombstoned_ids,
-        folded_ids,
-        folded_record,
     )
 
     meta = spark.read.parquet(f"{index_path}/meta").first()
@@ -2481,29 +2485,21 @@ def rebuild_ivf_index(
         union = union.join(
             tomb.withColumnRenamed("doc", meta.id_col), meta.id_col, "left_anti"
         )
-    # classify the batches this rebuild folds WHILE their tombstone dirs
-    # still exist, and write the spent-id manifest to dst BEFORE the new
-    # base can serve (r15 review: recording it after build_ivf_index's
-    # meta write left a crash window with a healthy root and no manifest
-    # — exactly the replay double-count hole the manifest closes).
-    # Early marking is safe: the marked batches stay ledger-committed in
-    # the old root until the rebuild lands.
-    prior_ext, prior_del = folded_ids(spark, index_path)
-    new_ext, new_del = _classify_committed(spark, index_path, committed)
     if dst_index is None:
         union = union.localCheckpoint(eager=True)
         dst_index = index_path
-    if dst_index != index_path:
-        from chat_data_pipeline_spark.operators.retrieval import folded_clear
-
-        # a reused dst root must not resurrect an unrelated world's ids
-        folded_clear(spark, dst_index)
-    folded_record(
-        spark,
-        dst_index,
-        sorted(set(prior_ext) | set(new_ext)),
-        sorted(set(prior_del) | set(new_del)),
-    )
+    # spent-id manifest via the ONE shared protocol (r17 unification —
+    # this was the last inline copy; rebuild_ivfpq_index and every
+    # compactor already route through _fold_manifest_forward): classify
+    # the folded batches WHILE their tombstone dirs still exist (the
+    # helper runs before build_ivf_index clears them) and write the
+    # manifest to dst BEFORE the new base can serve (r15 review: a
+    # post-meta write left a crash window with a healthy root and no
+    # manifest — exactly the replay double-count hole it closes).  Early
+    # marking is safe: the marked batches stay ledger-committed in the
+    # old root until the rebuild lands; a reused dst root's unrelated
+    # spent ids are cleared inside the helper.
+    _fold_manifest_forward(spark, index_path, dst_index, committed)
     build_ivf_index(
         union,
         dst_index,
@@ -2556,8 +2552,12 @@ def delete_from_ivf_index(
     )
     meta = spark.read.parquet(f"{index_path}/meta").first()
     committed = _committed_batches(spark, index_path)
+    # pre-r15 meta-less fallback pinned to the BASE partition (r17): full
+    # postings-tree inference would read the footers of a crashed
+    # uncommitted delivery's partial files; the base is complete by
+    # construction (its commit marker is the meta write)
     id_type = meta.asDict().get("id_type") or dict(
-        spark.read.parquet(f"{index_path}/postings").dtypes
+        spark.read.parquet(f"{index_path}/postings/batch=base").dtypes
     )[meta.id_col]
     want = ids.select(F.col(ids.columns[0]).cast(id_type).alias("doc")).distinct()
     tomb = _tombstoned_ids(
@@ -2736,11 +2736,15 @@ def extend_ivfpq_index(
             F.col(id_col or meta.id_col).alias(meta.id_col),
             F.col(vec_col or meta.vec_col).alias(meta.vec_col),
         )
+    # pre-r15 fallback pinned to batch=base (r17) — see extend_ivf_index:
+    # whole-tree inference touches crashed partial-delivery footers
     _guard_delivery_id_type(
         df,
         meta.id_col,
         meta.asDict().get("id_type")
-        or dict(spark.read.parquet(f"{index_path}/postings").dtypes)[meta.id_col],
+        or dict(
+            spark.read.parquet(f"{index_path}/postings/batch=base").dtypes
+        )[meta.id_col],
         index_path,
     )
     _guard_tombstoned_delivery(df.select(meta.id_col), index_path, meta.id_col)

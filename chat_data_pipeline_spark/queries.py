@@ -2448,24 +2448,33 @@ def dedup_onboarding_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     idx = _run_scoped_path("dedup_store", sf_dir)
-
-    def _mk() -> None:
-        DSTORE.build_dedup_index(docs.filter(F.col("doc_id") % 3 == 0), idx, family="md5")
-        DSTORE.extend_dedup_index(
-            docs.filter(F.col("doc_id") % 3 == 1), idx, batch_id="crawl-1"
-        )
-        DSTORE.delete_from_dedup_index(
-            spark,
-            idx,
-            docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"),
-            batch_id="take-1",
-        )
-
     # SERVING row: the store builds once per run, probes steady-state
-    _build_once(idx, _mk)
+    _build_once(idx, lambda: _mk_dedup_store(spark, sf_dir, idx))
     return DSTORE.filter_against_dedup_index(
         spark, idx, docs.filter(F.col("doc_id") % 3 == 2)
     ).select("doc_id")
+
+
+def _mk_dedup_store(spark: SparkSession, sf_dir: str, idx: str) -> None:
+    """The shared build→deliver→takedown lifecycle behind BOTH dedup-store
+    rows (`dedup_onboarding_indexed` probes it, `dedup_store_health`
+    audits it) — one `_build_once` key, one store per run (r17: extracted
+    from byte-identical inline copies, the `_mk_neardup_store` pattern; a
+    future edit can no longer drift one twin and turn first-caller-wins
+    build ordering into a hash flake)."""
+    from chat_data_pipeline_spark.operators import dedup_store as DSTORE
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    DSTORE.build_dedup_index(docs.filter(F.col("doc_id") % 3 == 0), idx, family="md5")
+    DSTORE.extend_dedup_index(
+        docs.filter(F.col("doc_id") % 3 == 1), idx, batch_id="crawl-1"
+    )
+    DSTORE.delete_from_dedup_index(
+        spark,
+        idx,
+        docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"),
+        batch_id="take-1",
+    )
 
 
 @_register(
@@ -2506,22 +2515,8 @@ def dedup_onboarding_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chat_data_pipeline_spark.operators import dedup_store as DSTORE
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     idx = _run_scoped_path("dedup_store", sf_dir)
-
-    def _mk() -> None:
-        DSTORE.build_dedup_index(docs.filter(F.col("doc_id") % 3 == 0), idx, family="md5")
-        DSTORE.extend_dedup_index(
-            docs.filter(F.col("doc_id") % 3 == 1), idx, batch_id="crawl-1"
-        )
-        DSTORE.delete_from_dedup_index(
-            spark,
-            idx,
-            docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"),
-            batch_id="take-1",
-        )
-
-    _build_once(idx, _mk)
+    _build_once(idx, lambda: _mk_dedup_store(spark, sf_dir, idx))
     return DSTORE.dedup_store_health(spark, idx)
 
 
@@ -7465,18 +7460,24 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "own, so the whole health report value-hashes cross-engine",
 )
 def ann_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
     idx = _run_scoped_path("ivf_drift_index", sf_dir)
-
-    def _build() -> None:
-        SIM.build_ivf_index(
-            emb.filter(F.col("vec_id") % 2 == 0), idx,
-            n_centroids=16, coarse="md5", dim=64,
-        )
-        SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), idx, batch_id="b1")
-
-    _build_once(idx, _build)
+    _build_once(idx, lambda: _mk_two_batch_ivf(spark, sf_dir, idx))
     return SIM.ivf_index_drift_report(spark, idx)
+
+
+def _mk_two_batch_ivf(spark: SparkSession, sf_dir: str, idx: str) -> None:
+    """The shared two-batch IVF fixture behind the drift/rebuild health
+    rows (`ann_ivf_drift_report` scores it as-is, `ann_ivf_rebuild_report`
+    rebuilds it into a fresh root) — even half as the base, odd half
+    delivered as extension ``b1`` (r17: extracted from byte-identical
+    inline copies so the two reports can never drift apart silently;
+    distinct `_build_once` keys, so each row still owns its root)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    SIM.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx,
+        n_centroids=16, coarse="md5", dim=64,
+    )
+    SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), idx, batch_id="b1")
 
 
 @_register(
@@ -7510,16 +7511,11 @@ def ann_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector, ledger reset, extension state folded in",
 )
 def ann_ivf_rebuild_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
     dst = _run_scoped_path("ivf_rebuild_dst", sf_dir)
 
     def _build() -> None:
         src = _run_scoped_path("ivf_rebuild_src", sf_dir)
-        SIM.build_ivf_index(
-            emb.filter(F.col("vec_id") % 2 == 0), src,
-            n_centroids=16, coarse="md5", dim=64,
-        )
-        SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), src, batch_id="b1")
+        _mk_two_batch_ivf(spark, sf_dir, src)
         SIM.rebuild_ivf_index(spark, src, dst_index=dst)
 
     _build_once(dst, _build)
@@ -9096,6 +9092,112 @@ _WINDOW_TAIL += [
     "docs_hybrid_rrf",
     "ann_ivf_drift_report",
     "ann_ivf_rebuild_report",
+]
+# ---------------------------------------------------------------------------
+# round-17 staleness rotation — executes the standing queue documented in
+# README (rotation-policy rule 3): the complete round-12 band, ALL 22 rows
+# (the oldest band in the registry after r16; no row's last driver hash
+# predates r12, so this band IS the whole backlog and fits one window with
+# slots to spare).  Removing them from the tail restores their original
+# early registration positions inside the first-50 driver window.
+for _name in (
+    "conversation_chatml",
+    "decontaminate_report",
+    "dedup_exact",
+    "docs_fix_mojibake",
+    "edit_pairs_concat",
+    "events_asof_view",
+    "filter_completion",
+    "filter_ethics",
+    "filter_stats_describe",
+    "multimodal_frame_sample",
+    "q12_late_shipments",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q8_market_share",
+    "sample_grouped_users",
+    "sample_proportional_mix",
+    "shuffle_hash_sample",
+    "union_provenance",
+):
+    _WINDOW_TAIL.remove(_name)
+# round-17 rule-2 re-admissions: the five rows riding this round's touched
+# regions back into the window — ann_ivf_delete_serving /
+# ann_ivf_drift_report / ann_ivf_rebuild_report (the r16-deferred
+# batch=base id_type pin landed in delete_from_ivf_index /
+# extend_ivf_index / extend_ivfpq_index, and rebuild_ivf_index now routes
+# its spent-id manifest through the shared _fold_manifest_forward instead
+# of an inline copy), and dedup_onboarding_indexed / dedup_store_health
+# (their byte-identical inline store builders became the shared
+# _mk_dedup_store helper; the drift/rebuild pair's fixture likewise became
+# _mk_two_batch_ivf).  The in-window riders of the same regions —
+# fleet_maintenance_plan (extend_ivf_index), ann_ivfpq_delete_serving
+# (delete_from_ivf_index), ann_ivfpq_rebuild_report (extend_ivfpq_index) —
+# stay held in the window to re-earn hashes on the changed code.
+for _name in (
+    "ann_ivf_delete_serving",
+    "ann_ivf_drift_report",
+    "ann_ivf_rebuild_report",
+    "dedup_onboarding_indexed",
+    "dedup_store_health",
+):
+    _WINDOW_TAIL.remove(_name)
+# Rotated OUT to make room: 27 rows, every one hash-green in
+# CORRECTNESS_r16 (the freshest evidence in the registry, rule-3 ranks
+# them last) with implementing regions untouched by round 17 (r17 touches
+# operators/lease.py + cli.py's dual-root lease — no registered riders by
+# design — plus the similarity.py fallbacks/rebuild and the queries.py
+# _mk extractions, whose riders are exactly the eight named above).
+# Family coverage stays in-window: relational re-admits the eight
+# q8/q12-q17/q19 shapes (q2/q3/q4/q5/q9/q10 + customers_without_orders +
+# orders_rollup + lineitem_unpivot_measures rotate out); events re-admits
+# events_asof_view (type_cube/json_extract/top_users/sessionize/
+# error_context/value_quantiles/grouping_sets rotate out on r16 hashes);
+# cleaners re-admit docs_fix_mojibake; filters re-admit completion/ethics/
+# stats_describe with both held pipelines' chains (truncation/gender/
+# repetition rotate out); dedup re-admits dedup_exact + the store pair
+# (cross_corpus_md5/simhash/doc_fingerprints/split_leakage_audit rotate
+# out); sampling re-admits grouped/proportional/shuffle_hash with
+# weighted_chars + token_budget_scalable held; conversation re-admits
+# chatml; decontamination re-admits decontaminate_report with semantic
+# held; multimodal re-admits frame_sample with resize held; sources
+# re-admit union_provenance; quality keeps classifier_train + bigram_lm
+# (quality_scores/token_counts rotate out, token counting stays exercised
+# by the held BPE rows); retrieval keeps docs_bm25_indexed +
+# bm25_maintenance_plan; ANN keeps the three IVF-PQ riders + both neardup
+# rows + embeddings_hard_negatives; sketches keep corpus_cms_heavy_hitters.
+_WINDOW_TAIL += [
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "orders_rollup",
+    "events_type_cube",
+    "q10_returned_revenue",
+    "customers_without_orders",
+    "events_json_extract",
+    "events_top_users",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "events_sessionize_batch",
+    "events_error_context",
+    "events_value_quantiles",
+    "events_grouping_sets",
+    "lineitem_unpivot_measures",
+    "docs_remove_empty_lines",
+    "filter_truncation",
+    "filter_gender",
+    "dedup_cross_corpus_md5",
+    "corpus_source_similarity",
+    "dedup_simhash",
+    "quality_scores",
+    "token_counts",
+    "doc_fingerprints",
+    "filter_repetition",
+    "split_leakage_audit",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end

@@ -81,40 +81,32 @@ def test_correctness_window_is_all_oracle_backed():
     # history; round 12 executed the standing README queue — r4 + full r5
     # bands — so the pinned set below IS the r12 window.)
     must_be_windowed = {
-        # round-16 rule-1: the fifth store's health audit, the 3-kind
-        # fleet maintenance sweep, and the compressed-store
-        # rebuild-from-source row
-        "neardup_store_health", "fleet_maintenance_plan",
-        "ann_ivfpq_rebuild_report",
-        # round-16 rule-2 holds: riders of the regions r16 touched —
-        # maintenance_plan's live_units/id_type fixes + store_kind_and_meta
-        # (bm25_maintenance_plan), build_ivfpq_index's _clear_folded
-        # rebuild contract (ann_ivfpq_delete_serving +
-        # ann_topk_ivfpq_persisted, the latter re-admitted from the tail),
-        # and the neardup lifecycle builder's refactor into the shared
-        # _mk_neardup_store helper (embedding_onboarding_indexed)
-        "bm25_maintenance_plan", "ann_ivfpq_delete_serving",
-        "ann_topk_ivfpq_persisted", "embedding_onboarding_indexed",
-        # round-16 staleness rotation rule 3 — the complete r11 band:
-        "bpe_encode_corpus", "bpe_fertility_by_lang", "bpe_first_merge",
-        "bpe_merges_corpus", "corpus_cms_heavy_hitters",
-        "corpus_source_similarity", "customers_without_orders",
-        "dedup_cross_corpus_md5", "dedup_simhash", "doc_fingerprints",
-        "docs_remove_empty_lines", "dsir_select_en",
-        "embeddings_hard_negatives", "events_error_context",
-        "events_grouping_sets", "events_json_extract",
-        "events_sessionize_batch", "events_top_users", "events_type_cube",
-        "events_value_quantiles", "filter_gender", "filter_repetition",
-        "filter_truncation", "lineitem_unpivot_measures", "orders_rollup",
-        "q10_returned_revenue", "q2_min_cost_supplier",
-        "q3_shipping_priority", "q4_order_priority",
-        "q5_local_supplier_volume", "q9_product_profit", "quality_scores",
-        "sample_token_budget_scalable", "sample_weighted_chars",
-        "split_leakage_audit", "token_counts", "unigram_encode_corpus",
-        # standing residents (r15-green; family-coverage holds)
+        # round-17 rule-2 holds: riders of the regions r17 touched — the
+        # batch=base id_type pin in delete_from_ivf_index /
+        # extend_ivf_index / extend_ivfpq_index, rebuild_ivf_index's
+        # unification onto _fold_manifest_forward, and the _mk_dedup_store
+        # / _mk_two_batch_ivf extractions in queries.py
+        "ann_ivf_delete_serving", "ann_ivf_drift_report",
+        "ann_ivf_rebuild_report", "dedup_onboarding_indexed",
+        "dedup_store_health", "fleet_maintenance_plan",
+        "ann_ivfpq_delete_serving", "ann_ivfpq_rebuild_report",
+        # round-17 staleness rotation rule 3 — the complete r12 band:
+        "conversation_chatml", "decontaminate_report", "dedup_exact",
+        "docs_fix_mojibake", "edit_pairs_concat", "events_asof_view",
+        "filter_completion", "filter_ethics", "filter_stats_describe",
+        "multimodal_frame_sample", "q12_late_shipments",
+        "q13_order_count_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_supplier_part_counts",
+        "q17_small_quantity_revenue", "q19_discounted_revenue",
+        "q8_market_share", "sample_grouped_users",
+        "sample_proportional_mix", "shuffle_hash_sample",
+        "union_provenance",
+        # standing residents (r16-green; family-coverage holds)
         "pipeline_lifecycle", "docs_bm25_indexed",
         "quality_classifier_train", "multimodal_resize",
         "decontaminate_semantic", "docs_bigram_lm",
+        "bm25_maintenance_plan", "embedding_onboarding_indexed",
+        "neardup_store_health", "ann_topk_ivfpq_persisted",
     }
     assert must_be_windowed <= set(window)
 

@@ -271,3 +271,275 @@ def test_heartbeat_keeps_long_trigger_alive_past_ttl(spark, tmp_path):
     # released: free again
     L.acquire_writer_lease(spark, root, "next", wait_seconds=0)
     L.release_writer_lease(spark, root, "next")
+
+
+def _overwrite_owner(spark, root: str, owner: str, token: str) -> None:
+    """Simulate a stale-takeover usurper landing its owner record (the
+    one-delete-RPC residual window the lease cannot close with filesystem
+    primitives — see acquire_writer_lease's docstring)."""
+    fs, _lock, owner_path, _jvm = L._lease_paths(spark, root)
+    out = fs.create(owner_path, True)
+    try:
+        out.write(bytearray(f"{owner}\n{token}".encode("utf-8")))
+    finally:
+        out.close()
+
+
+def test_usurped_holder_fails_loudly_at_exit(spark, tmp_path):
+    """r17 (ADVICE): the two-reaper residual window is DETECTED by
+    content — a holder whose per-acquisition token was replaced must (a)
+    stop heartbeating the usurper's lock, (b) refuse to release it, and
+    (c) raise LeaseLostError on an otherwise-clean exit instead of
+    reporting success for a possibly-raced mutation."""
+    import time
+
+    root = str(tmp_path / "usurped")
+    with pytest.raises(L.LeaseLostError, match="usurped"):
+        with L.writer_lease(spark, root, "victim", ttl_seconds=3):
+            _overwrite_owner(spark, root, "thief", "deadbeef")
+            time.sleep(2.5)  # at least one beat (ttl/3 = 1s) observes it
+    # the thief's lease survived the victim's release
+    assert L.lease_holder(spark, root) == "thief"
+    L.release_writer_lease(spark, root, "thief")
+
+
+def test_release_is_token_matched_not_just_owner_matched(spark, tmp_path):
+    """Two acquisitions under the SAME owner string are distinguishable:
+    a release carrying the old token must not evict a usurper that
+    re-took the root under the same name."""
+    root = str(tmp_path / "samename")
+    tok = L.acquire_writer_lease(spark, root, "w", wait_seconds=0)
+    _overwrite_owner(spark, root, "w", "a-different-acquisition")
+    L.release_writer_lease(spark, root, "w", tok)  # refused: token mismatch
+    assert L.lease_holder(spark, root) == "w"  # the usurper still holds it
+    L.release_writer_lease(spark, root, "w")  # owner-only cleanup
+
+
+def test_heartbeat_survives_transient_rpc_failures(spark, tmp_path, monkeypatch):
+    """r17 (ADVICE, medium): a single failed exists/setTimes/read RPC —
+    routine on HDFS/S3A — must NOT silently stop the heartbeat (which
+    would hand an hour-long compaction's root to the next reaper at ttl).
+    Two consecutive blips are retried on the tightened cadence; the
+    holder stays unreapable past ttl and exits clean."""
+    import time
+
+    root = str(tmp_path / "flaky")
+    calls = {"n": 0}
+    real = L._read_small
+
+    def flaky(fs, path, jvm):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("transient RPC blip")
+        return real(fs, path, jvm)
+
+    monkeypatch.setattr(L, "_read_small", flaky)
+    with L.writer_lease(spark, root, "survivor", ttl_seconds=3):
+        time.sleep(4.5)  # past ttl; beats at ~1s/1.5s fail, ~2s recovers
+        with pytest.raises(L.LeaseUnavailableError, match="survivor"):
+            L.acquire_writer_lease(
+                spark, root, "impatient", ttl_seconds=3, wait_seconds=1
+            )
+    assert calls["n"] > 2  # the failing beats really fired and recovered
+    assert L.lease_holder(spark, root) is None  # clean, loud-free exit
+
+
+def test_failed_owner_write_does_not_block_the_root(spark, tmp_path, monkeypatch):
+    """r17 (ADVICE): if the owner write throws right after winning the
+    atomic LOCK create, the LOCK must be best-effort undone before the
+    error surfaces — otherwise every writer queues behind a heartbeat-less
+    ghost until the ttl reaps it (900s of outage for one failed RPC)."""
+    root = str(tmp_path / "ghostless")
+    real_paths = L._lease_paths
+
+    class _FailingCreateFS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def create(self, *a, **k):
+            raise RuntimeError("disk full")
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def broken(spark_, root_):
+        fs, lock, owner_path, jvm = real_paths(spark_, root_)
+        return _FailingCreateFS(fs), lock, owner_path, jvm
+
+    monkeypatch.setattr(L, "_lease_paths", broken)
+    with pytest.raises(RuntimeError, match="disk full"):
+        L.acquire_writer_lease(spark, root, "unlucky", wait_seconds=0)
+    monkeypatch.undo()
+    # the root is NOT blocked: a fresh writer wins with zero wait budget
+    tok = L.acquire_writer_lease(spark, root, "next", wait_seconds=0)
+    L.release_writer_lease(spark, root, "next", tok)
+    assert L.lease_holder(spark, root) is None
+
+
+def test_cli_dual_root_lease_covers_dst_path(spark, docs, tmp_path):
+    """r17 (ADVICE): a write-then-swap compact (dst_path) mutates TWO
+    roots — a live writer on dst must block the CLI block, in sorted
+    acquisition order, and a non-dst-writing action with a stale dst_path
+    key must NOT queue behind the dst holder."""
+    from chat_data_pipeline_spark.cli import _run_indexing
+
+    src = str(tmp_path / "src_idx")
+    dst = str(tmp_path / "dst_idx")
+    RT.build_text_index(docs, src)
+    RT.extend_text_index(docs.limit(10), src, batch_id="b1")
+    L.acquire_writer_lease(spark, dst, "live-dst-stream", wait_seconds=0)
+    try:
+        with pytest.raises(L.LeaseUnavailableError, match="live-dst-stream"):
+            _run_indexing(
+                spark, docs,
+                {"bm25": {"path": src, "dst_path": dst, "action": "compact",
+                          "lease_wait_seconds": 0}},
+            )
+        # src stayed untouched by the refused compact (still 2 batches)
+        assert sorted(RT._committed_batches(spark, src)) == ["b1", "base"]
+        # an extend carrying the same stale dst_path key ignores dst's
+        # holder entirely (dst is not written by action=extend)
+        _run_indexing(
+            spark, docs.limit(5).withColumn("doc_id", F.col("doc_id") + 10_000_000),
+            {"bm25": {"path": src, "dst_path": dst, "action": "extend",
+                      "batch_id": "b2", "id_expr": "doc_id", "column": "text",
+                      "lease_wait_seconds": 0}},
+        )
+        assert "b2" in RT._committed_batches(spark, src)
+    finally:
+        L.release_writer_lease(spark, dst, "live-dst-stream")
+    # with dst free the same compact lands into dst
+    _run_indexing(
+        spark, docs,
+        {"bm25": {"path": src, "dst_path": dst, "action": "compact",
+                  "lease_wait_seconds": 0}},
+    )
+    assert RT._committed_batches(spark, dst) == ["base"]
+    assert L.lease_holder(spark, src) is None
+    assert L.lease_holder(spark, dst) is None
+
+
+def test_new_takedown_twins_fail_loudly_when_root_held(spark, docs, tmp_path):
+    """r16 grew the takedown matrix (dedup/neardup twins); r17 verdict
+    item 6 asks for contention coverage on exactly those new triggers:
+    while another writer holds the store root, each twin's micro-batch
+    must fail loudly and commit NOTHING, and a takedown+maintain pairing
+    must fail fast the same way."""
+    from chat_data_pipeline_spark.cli import _run_maintenance
+    from chat_data_pipeline_spark.operators import dedup_store as DS
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+    from chat_data_pipeline_spark.streaming.pipeline import (
+        streaming_dedup_store_takedown,
+        streaming_neardup_store_takedown,
+    )
+
+    # dedup-store twin
+    store = str(tmp_path / "held_sigs")
+    DS.build_dedup_index(docs.filter(F.col("doc_id") % 2 == 0), store, family="md5")
+    L.acquire_writer_lease(spark, store, "sig-compaction", wait_seconds=0)
+    feed = tmp_path / "held_sig_feed"
+    feed.mkdir()
+    docs.filter(F.col("doc_id") % 8 == 0).select("doc_id").repartition(
+        1
+    ).write.parquet(str(feed / "f0.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed) + "/*")
+    )
+    q = streaming_dedup_store_takedown(
+        stream, store, str(tmp_path / "held_sig_ckpt"), lease_wait_seconds=1
+    )
+    try:
+        with pytest.raises(Exception, match="writer lease|sig-compaction"):
+            q.processAllAvailable()
+        # takedown+maintain on the held root: fail-fast, names the blocker
+        with pytest.raises(L.LeaseUnavailableError, match="sig-compaction"):
+            _run_maintenance(
+                spark,
+                {"roots": [store], "auto_compact": True, "max_batches": 0,
+                 "lease_wait_seconds": 0},
+            )
+    finally:
+        q.stop()
+        L.release_writer_lease(spark, store, "sig-compaction")
+    assert RT._committed_batches(spark, store) == ["base"]  # nothing landed
+
+    # neardup-store twin
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .localCheckpoint(eager=True)
+    )
+    vstore = str(tmp_path / "held_vecs")
+    NS.build_neardup_index(
+        emb.filter(F.col("vec_id") % 2 == 0), vstore,
+        n_planes=4, n_tables=4, dim=64, threshold=0.45,
+    )
+    L.acquire_writer_lease(spark, vstore, "vec-compaction", wait_seconds=0)
+    vfeed = tmp_path / "held_vec_feed"
+    vfeed.mkdir()
+    emb.filter(F.col("vec_id") % 6 == 0).select("vec_id").repartition(
+        1
+    ).write.parquet(str(vfeed / "f0.parquet"))
+    vstream = (
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(vfeed) + "/*")
+    )
+    vq = streaming_neardup_store_takedown(
+        vstream, vstore, str(tmp_path / "held_vec_ckpt"), lease_wait_seconds=1
+    )
+    try:
+        with pytest.raises(Exception, match="writer lease|vec-compaction"):
+            vq.processAllAvailable()
+    finally:
+        vq.stop()
+        L.release_writer_lease(spark, vstore, "vec-compaction")
+    assert RT._committed_batches(spark, vstore) == ["base"]
+
+
+def test_two_takedown_streams_share_one_root(spark, docs, tmp_path):
+    """takedown+takedown contention (r17 verdict item 6): two live
+    takedown streams against ONE text-index root serialize per trigger
+    via the lease; after both drain, probes equal a direct build over
+    the corpus minus BOTH victim sets, and no lease is left behind."""
+    from chat_data_pipeline_spark.streaming.pipeline import (
+        streaming_index_takedown,
+    )
+
+    idx = str(tmp_path / "twin_take_root")
+    RT.build_text_index(docs, idx)
+    va = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    vb = docs.filter(F.col("doc_id") % 10 == 5).select("doc_id")
+    feeds = []
+    for name, victims in (("a", va), ("b", vb)):
+        feed = tmp_path / f"take_feed_{name}"
+        feed.mkdir()
+        victims.repartition(1).write.parquet(str(feed / "f0.parquet"))
+        feeds.append(
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed) + "/*")
+        )
+    qa = streaming_index_takedown(
+        feeds[0], idx, str(tmp_path / "tckpt_a"), batch_id_prefix="ta"
+    )
+    qb = streaming_index_takedown(
+        feeds[1], idx, str(tmp_path / "tckpt_b"), batch_id_prefix="tb"
+    )
+    try:
+        qa.processAllAvailable()
+        qb.processAllAvailable()
+    finally:
+        qa.stop()
+        qb.stop()
+    direct = str(tmp_path / "twin_take_direct")
+    RT.build_text_index(
+        docs.join(va.union(vb), "doc_id", "left_anti"), direct
+    )
+    assert sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, idx, TERMS, k=20).collect())
+    ) == sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, direct, TERMS, k=20).collect())
+    )
+    assert L.lease_holder(spark, idx) is None
