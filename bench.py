@@ -190,6 +190,12 @@ BENCH_QUERIES = [
     "neardup_store_health",
     "fleet_maintenance_plan",
     "ann_ivfpq_rebuild_report",
+    # round-17: the first driver-hashed compaction executions — the full
+    # build→extend→delete→compact chain lands behind the build-once memo,
+    # so best-of-3 reads the compacted single-batch root's serving cost
+    # (which must match the uncompacted delete-serving rows' numbers)
+    "bm25_compacted_serving",
+    "ivf_compacted_serving",
 ]
 
 
@@ -278,6 +284,12 @@ SCALE_PROBE_QUERIES = [
     # is corpus-sized by design and memoized out of the steady-state number)
     "fleet_maintenance_plan",
     "ann_ivfpq_rebuild_report",
+    # round-17: compacted-root serving — after the lifecycle memoizes, the
+    # steady-state probe reads a SINGLE-batch base, so the exponent should
+    # match (or beat) the multi-batch delete-serving rows' near-flat
+    # numbers on the same 10x corpus + 10x tombstone axes
+    "bm25_compacted_serving",
+    "ivf_compacted_serving",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second
