@@ -128,6 +128,15 @@ def _atomic_create(fs, lock, jvm) -> bool:
         return False
 
 
+def _clean_owner(owner: str) -> str:
+    """The owner-file protocol is line-oriented (line 1 owner, line 2
+    token), so an owner string containing a newline would corrupt the
+    token parse and make every heartbeat read as a usurpation — sanitize
+    at the write AND compare boundaries so both sides see the same
+    form."""
+    return " ".join(str(owner).splitlines()) or "<empty>"
+
+
 def _read_small(fs, path, jvm) -> str:
     stream = fs.open(path)
     try:
@@ -193,6 +202,7 @@ def acquire_writer_lease(
     surface as :class:`LeaseUnavailableError`, never a busy-spin."""
     import uuid
 
+    owner = _clean_owner(owner)
     fs, lock, owner_path, jvm = _lease_paths(spark, root)
     deadline = time.monotonic() + float(wait_seconds)
     token = uuid.uuid4().hex
@@ -265,6 +275,7 @@ def release_writer_lease(
     its LOCK create and its owner write) is LEFT ALONE rather than
     evicted; a truly crashed mid-acquire writer leaks its lock only until
     the ttl reaps it."""
+    owner = _clean_owner(owner)
     fs, lock, owner_path, jvm = _lease_paths(spark, root)
     rec = _holder_record(spark, root)
     holder = None if rec is None else rec[0]
@@ -361,14 +372,12 @@ def writer_lease(
     beat.start()
     try:
         yield
-    except BaseException:
+    finally:
         stop.set()
         beat.join(timeout=10)
         release_writer_lease(spark, root, owner, token)
-        raise
-    stop.set()
-    beat.join(timeout=10)
-    release_writer_lease(spark, root, owner, token)
+    # only reached on a CLEAN body exit (a body exception propagates past
+    # the finally and takes precedence over the lost flag)
     if lost_reason:
         raise LeaseLostError(
             f"writer lease on {root} was lost while held by {owner!r}: "

@@ -5055,12 +5055,17 @@ def docs_bm25_batch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@_register(
-    "docs_bm25_delete_serving",
-    r"""
+def _bm25_retained_topk_oracle(corpus_where: str = "") -> str:
+    """The BM25 retained-corpus top-10 recompute, parameterized by the
+    corpus filter — the ONE literal behind `docs_bm25_delete_serving` AND
+    `bm25_compacted_serving` (r17 review: tombstone-serving, compacted-
+    serving and a fresh build must hash-equal, so their oracles must be
+    the same string BY CONSTRUCTION, not by parallel editing — the
+    `_ivfpq_md5_oracle` template pattern)."""
+    return r"""
     WITH toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS ws
-      FROM documents WHERE doc_id % 7 <> 3
+      FROM documents""" + corpus_where + r"""
     ), dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
     stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
     tf AS (
@@ -5081,7 +5086,12 @@ def docs_bm25_batch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE dfreq.term = tf.term
     GROUP BY tf.doc_id
     ORDER BY bm25 DESC, doc_id ASC LIMIT 10
-    """,
+    """
+
+
+@_register(
+    "docs_bm25_delete_serving",
+    _bm25_retained_topk_oracle(" WHERE doc_id % 7 <> 3"),
     "tombstone-delete serving (r14): the index builds over the FULL corpus, "
     "then a takedown batch deletes the doc_id%7==3 slice WITHOUT a rebuild "
     "— one ledger-committed delivery whose negative df/stats partitions "
@@ -5122,31 +5132,7 @@ def _bm25_del_artifact(spark: SparkSession, sf_dir: str) -> str:
 
 @_register(
     "bm25_compacted_serving",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS ws
-      FROM documents WHERE doc_id % 7 <> 3
-    ), dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
-    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-    tf AS (
-      SELECT t.doc_id, tok.s AS term, d.dl, COUNT(*) AS tf
-      FROM toks t, unnest(t.ws) AS tok(s), dl d
-      WHERE d.doc_id = t.doc_id
-        AND tok.s IN ('join', 'hash', 'scan', 'window', 'sort')
-      GROUP BY t.doc_id, tok.s, d.dl
-    ),
-    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
-    SELECT tf.doc_id,
-           round(CAST(SUM(CAST(ROUND(
-             ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-             * tf.tf * (1.2 + 1.0)
-             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
-           * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS bm25
-    FROM tf, dfreq, stats
-    WHERE dfreq.term = tf.term
-    GROUP BY tf.doc_id
-    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
-    """,
+    _bm25_retained_topk_oracle(" WHERE doc_id % 7 <> 3"),
     "compaction-fold serving (r17): the first driver-hashed row that "
     "EXECUTES a compaction — build over the doc_id%3!=2 slice, deliver "
     "the %3==2 slice as an extension, tombstone the %7==3 victims "
@@ -5154,13 +5140,13 @@ def _bm25_del_artifact(spark: SparkSession, sf_dir: str) -> str:
     "extension's df/stats deltas into the base and makes the deletes "
     "physical; the served top-10 over the compacted SINGLE-batch root "
     "must be bit-identical to a fresh build over the retained corpus.  "
-    "The oracle is the same retained-corpus recompute as "
-    "docs_bm25_delete_serving BY DESIGN: tombstone-serving, "
+    "The oracle IS docs_bm25_delete_serving's, via the shared "
+    "_bm25_retained_topk_oracle template: tombstone-serving, "
     "compacted-serving and a fresh build are three engine paths that "
-    "must hash-equal — this row pins the fold arithmetic (df merge, "
+    "must hash-equal, so their oracles are the same string BY "
+    "CONSTRUCTION — this row pins the fold arithmetic (df merge, "
     "doclens union minus victims, ledger reset) that until now only "
-    "differential pytest covered; fold both literals onto one template "
-    "when the delete-serving row next rotates in-window",
+    "differential pytest covered",
 )
 def bm25_compacted_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _run_scoped_path("bm25_compact_index", sf_dir)
@@ -7309,15 +7295,20 @@ def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@_register(
-    "ann_ivf_delete_serving",
-    f"""
+def _ivf_retained_topk_oracle(assigned_where: str = "") -> str:
+    """The persisted-IVF retained-vector top-10 recompute, parameterized
+    by the corpus-side filter — the ONE literal behind
+    `ann_ivf_delete_serving` AND `ivf_compacted_serving` (r17 review:
+    same three-paths-one-hash argument as `_bm25_retained_topk_oracle`;
+    query vectors always come from the FULL table, mirroring serving
+    where deleted corpus entries keep arriving as queries)."""
+    return f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     nv AS (SELECT vec_id, {_NORMALIZE_SQL} AS v FROM e),
     cdots AS (SELECT vec_id, v, {_IVFPQ_CD} AS cd FROM nv),
     assigned AS (SELECT vec_id, v, list_position(cd, list_max(cd)) - 1 AS list
-                 FROM cdots WHERE vec_id % 5 <> 2),
+                 FROM cdots{assigned_where}),
     qd AS (SELECT vec_id AS query_id, v, cd FROM cdots WHERE vec_id < 8),
     probes AS (
       SELECT query_id, v, idx - 1 AS list,
@@ -7336,7 +7327,12 @@ def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
-    """,
+    """
+
+
+@_register(
+    "ann_ivf_delete_serving",
+    _ivf_retained_topk_oracle(" WHERE vec_id % 5 <> 2"),
     "ANN tombstone-delete serving (r14): the persisted md5 IVF index builds "
     "over the FULL vector corpus, a takedown batch deletes the vec_id%5==2 "
     "slice WITHOUT a rebuild (one ledger-committed tombstone set that "
@@ -7371,32 +7367,7 @@ def ann_ivf_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ivf_compacted_serving",
-    f"""
-    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
-    nv AS (SELECT vec_id, {_NORMALIZE_SQL} AS v FROM e),
-    cdots AS (SELECT vec_id, v, {_IVFPQ_CD} AS cd FROM nv),
-    assigned AS (SELECT vec_id, v, list_position(cd, list_max(cd)) - 1 AS list
-                 FROM cdots WHERE vec_id % 5 <> 2),
-    qd AS (SELECT vec_id AS query_id, v, cd FROM cdots WHERE vec_id < 8),
-    probes AS (
-      SELECT query_id, v, idx - 1 AS list,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cd[idx] DESC, idx ASC) AS pr
-      FROM qd CROSS JOIN (SELECT unnest(range(1, 17)) AS idx) t
-    ),
-    scored AS (
-      SELECT p.query_id, c.vec_id, round({_NORMED_DOT_SQL}, 6) AS cosine
-      FROM assigned c JOIN (SELECT * FROM probes WHERE pr <= 4) p ON p.list = c.list
-    ),
-    ranked AS (
-      SELECT query_id, vec_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, vec_id ASC) AS rank
-      FROM scored
-    )
-    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
-    """,
+    _ivf_retained_topk_oracle(" WHERE vec_id % 5 <> 2"),
     "ANN compaction-fold serving (r17, the IVF twin of "
     "bm25_compacted_serving): build over the even half, deliver the odd "
     "half as an extension, tombstone the vec_id%5==2 victims (spanning "
@@ -7404,10 +7375,11 @@ def ann_ivf_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single 'base' batch with the deletes made physical; the served "
     "per-query top-10 over the compacted root must be bit-identical to "
     "an index freshly built over the retained vectors — which is exactly "
-    "what the oracle recomputes (same retained-vector arithmetic as "
-    "ann_ivf_delete_serving BY DESIGN: tombstone-serving, "
+    "what the oracle recomputes (it IS ann_ivf_delete_serving's, via the "
+    "shared _ivf_retained_topk_oracle template: tombstone-serving, "
     "compacted-serving and a fresh build are three engine paths that "
-    "must hash-equal).  Pins the compaction path — list-clustered base "
+    "must hash-equal BY CONSTRUCTION).  Pins the compaction path — "
+    "list-clustered base "
     "rewrite, tombstone clear, ledger reset, id_type carry-forward — "
     "under a driver hash for the first time",
 )
@@ -9283,6 +9255,11 @@ for _name in (
     "ann_ivf_rebuild_report",
     "dedup_onboarding_indexed",
     "dedup_store_health",
+    # rides the oracle-template factoring back in: its literal became the
+    # shared _bm25_retained_topk_oracle that bm25_compacted_serving also
+    # uses (byte-identical output, but the registration region changed,
+    # so rule 2 holds it to re-earn a hash over the factored code)
+    "docs_bm25_delete_serving",
 ):
     _WINDOW_TAIL.remove(_name)
 # Rule 1 admits the round's two NEW oracle-backed rows by registration:
@@ -9291,16 +9268,17 @@ for _name in (
 # compact→probe, oracle = retained-corpus recompute; until now the fold
 # arithmetic was differential-pytest territory only).
 #
-# Rotated OUT to make room: 29 rows, every one hash-green in
+# Rotated OUT to make room: 30 rows, every one hash-green in
 # CORRECTNESS_r16 (the freshest evidence in the registry, rule-3 ranks
 # them last) with implementing regions untouched by round 17 (r17 touches
 # operators/lease.py + cli.py's dual-root lease — no registered riders by
-# design — plus the similarity.py fallbacks/rebuild and the queries.py
-# _mk extractions, whose riders are exactly the eight named above;
-# bpe_fertility_by_lang and embeddings_hard_negatives make room for the
-# two rule-1 rows — the tokenizer family keeps bpe_merges/first_merge/
-# encode + unigram_encode in-window, and the embedding family keeps both
-# neardup rows + the IVF-PQ riders).
+# design — plus the similarity.py fallbacks/rebuild, the queries.py
+# _mk extractions and the retained-topk oracle-template factorings, whose
+# riders are exactly the nine named above; bpe_fertility_by_lang,
+# embeddings_hard_negatives and unigram_encode_corpus make room for the
+# two rule-1 rows + the delete-serving rider — the tokenizer family keeps
+# bpe_merges/first_merge/encode in-window, and the embedding family keeps
+# both neardup rows + the IVF-PQ riders).
 # Family coverage stays in-window: relational re-admits the eight
 # q8/q12-q17/q19 shapes (q2/q3/q4/q5/q9/q10 + customers_without_orders +
 # orders_rollup + lineitem_unpivot_measures rotate out); events re-admits
@@ -9349,6 +9327,7 @@ _WINDOW_TAIL += [
     "split_leakage_audit",
     "bpe_fertility_by_lang",
     "embeddings_hard_negatives",
+    "unigram_encode_corpus",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end

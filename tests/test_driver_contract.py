@@ -92,6 +92,8 @@ def test_correctness_window_is_all_oracle_backed():
         "ann_ivfpq_delete_serving", "ann_ivfpq_rebuild_report",
         # round-17 rule-1: the first driver-hashed compaction executions
         "bm25_compacted_serving", "ivf_compacted_serving",
+        # rides the shared retained-topk oracle-template factoring
+        "docs_bm25_delete_serving",
         # round-17 staleness rotation rule 3 — the complete r12 band:
         "conversation_chatml", "decontaminate_report", "dedup_exact",
         "docs_fix_mojibake", "edit_pairs_concat", "events_asof_view",

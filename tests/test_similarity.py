@@ -1220,6 +1220,64 @@ def test_extend_ivf_and_ivfpq_refuse_wrong_id_type(spark, emb, tmp_path):
         SIM.extend_ivfpq_index(bad, pidx, batch_id=1)
 
 
+def test_pre_r15_id_type_fallback_reads_base_partition_only(
+    spark, emb, tmp_path
+):
+    """r17 (the r16-deferred pin): on a LEGACY root whose meta predates the
+    id_type field, the extend/delete guards must infer the id type from
+    `postings/batch=base` ONLY — full-tree schema inference would touch
+    the footers of a crashed uncommitted delivery's partial files.  Made
+    deterministic: a corrupt part-file in an uncommitted batch dir that
+    LISTS FIRST (`batch=aaa-ghost` sorts before `batch=base`) breaks any
+    whole-tree inference loudly, while the pinned base read never touches
+    it — a regression to full-tree inference fails this test instead of
+    passing by footer-sampling luck."""
+
+    def _strip_id_type(root: str) -> None:
+        meta = spark.read.parquet(f"{root}/meta").drop("id_type")
+        rows, schema = meta.collect(), meta.schema
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/meta")
+
+    def _plant_corrupt_ghost(root: str) -> None:
+        ghost = tmp_path / root.rsplit("/", 1)[1] / "postings" / "batch=aaa-ghost" / "list=0"
+        ghost.mkdir(parents=True)
+        (ghost / "part-00000.parquet").write_bytes(b"NOT A PARQUET FOOTER")
+
+    from chat_data_pipeline_spark.operators.retrieval import _committed_batches
+
+    idx = str(tmp_path / "legacy_ivf")
+    SIM.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx,
+        n_centroids=16, coarse="md5", dim=64,
+    )
+    _strip_id_type(idx)
+    _plant_corrupt_ghost(idx)
+    SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), idx, batch_id="b1")
+    SIM.delete_from_ivf_index(
+        spark, idx, emb.filter(F.col("vec_id") % 10 == 1).select("vec_id"),
+        batch_id="t1",
+    )
+    assert {"base", "b1", "t1"} <= set(_committed_batches(spark, idx))
+    # the wrong-type refusal still works through the legacy fallback
+    bad = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="id type"):
+        SIM.extend_ivf_index(bad, idx, batch_id="b2")
+
+    pidx = str(tmp_path / "legacy_ivfpq")
+    SIM.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), pidx,
+        n_centroids=16, m=8, n_codewords=16, dim=64,
+    )
+    _strip_id_type(pidx)
+    _plant_corrupt_ghost(pidx)
+    SIM.extend_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), pidx, batch_id="b1")
+    assert {"base", "b1"} <= set(_committed_batches(spark, pidx))
+
+
 def test_rebuild_ivfpq_index_from_source_vectors(spark, emb, queries, tmp_path):
     """r16: the compressed store's re-shard story — the caller hands back
     the source corpus (the artifact PQ storage cannot reconstruct), the
