@@ -190,12 +190,15 @@ BENCH_QUERIES = [
     "neardup_store_health",
     "fleet_maintenance_plan",
     "ann_ivfpq_rebuild_report",
-    # round-17: the first driver-hashed compaction executions — the full
-    # build→extend→delete→compact chain lands behind the build-once memo,
-    # so best-of-3 reads the compacted single-batch root's serving cost
-    # (which must match the uncompacted delete-serving rows' numbers)
+    # round-17: the compaction-hash matrix — the full build→extend→delete
+    # →compact chain lands behind the build-once memo on every persisted
+    # store, so best-of-3 reads the compacted single-batch root's serving
+    # cost (which must match the uncompacted delete/onboarding rows')
     "bm25_compacted_serving",
     "ivf_compacted_serving",
+    "ivfpq_compacted_serving",
+    "dedup_compacted_onboarding",
+    "neardup_compacted_onboarding",
 ]
 
 
@@ -287,9 +290,14 @@ SCALE_PROBE_QUERIES = [
     # round-17: compacted-root serving — after the lifecycle memoizes, the
     # steady-state probe reads a SINGLE-batch base, so the exponent should
     # match (or beat) the multi-batch delete-serving rows' near-flat
-    # numbers on the same 10x corpus + 10x tombstone axes
+    # numbers on the same 10x corpus + 10x tombstone axes; the dedup/
+    # neardup onboarding twins likewise track their uncompacted siblings'
+    # fingerprint-pass exponents
     "bm25_compacted_serving",
     "ivf_compacted_serving",
+    "ivfpq_compacted_serving",
+    "dedup_compacted_onboarding",
+    "neardup_compacted_onboarding",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second

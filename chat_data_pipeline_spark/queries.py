@@ -2400,9 +2400,12 @@ def dedup_cross_corpus_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "dedup_onboarding_indexed",
-    r"""
+# The signature-store onboarding survivor-set recompute — the ONE literal
+# behind `dedup_onboarding_indexed` AND `dedup_compacted_onboarding` (r17:
+# the compacted store must onboard IDENTICALLY, so the oracles are the
+# same string by construction — the retained-topk template argument
+# applied to the lexical store).
+_DEDUP_ONBOARDING_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS t
       FROM documents
@@ -2432,7 +2435,12 @@ def dedup_cross_corpus_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bandsig n JOIN bandsig r ON r.band = n.band AND r.sig = n.sig
         WHERE n.doc_id % 3 = 2
           AND r.doc_id % 3 <> 2 AND r.doc_id % 9 <> 0)
-    """,
+    """
+
+
+@_register(
+    "dedup_onboarding_indexed",
+    _DEDUP_ONBOARDING_ORACLE,
     "persisted-signature onboarding (r14): the dedup family's build-once "
     "lifecycle — the reference corpus fingerprints ONCE into the store "
     "(base = doc_id%3==0), a second curated crawl delivers its signatures "
@@ -2518,6 +2526,36 @@ def dedup_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _run_scoped_path("dedup_store", sf_dir)
     _build_once(idx, lambda: _mk_dedup_store(spark, sf_dir, idx))
     return DSTORE.dedup_store_health(spark, idx)
+
+
+@_register(
+    "dedup_compacted_onboarding",
+    _DEDUP_ONBOARDING_ORACLE,
+    "signature-store compaction (r17): the SAME lifecycle as "
+    "dedup_onboarding_indexed plus a compact_dedup_index before the probe "
+    "— the extension's bands fold into a single fresh base, the takedown's "
+    "tombstones become physical, the ledger resets — and onboarding the "
+    "%3==2 crawl against the compacted store must subtract EXACTLY the "
+    "same near-copies (oracle = the shared _DEDUP_ONBOARDING_ORACLE "
+    "constant, identical by construction).  With bm25/ivf (r17) and the "
+    "ivfpq/neardup twins this completes the compaction-hash matrix: every "
+    "persisted store's fold path carries a driver hash, not just "
+    "differential pytest",
+)
+def dedup_compacted_onboarding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import dedup_store as DSTORE
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = _run_scoped_path("dedup_compact_store", sf_dir)
+
+    def _mk() -> None:
+        _mk_dedup_store(spark, sf_dir, idx)
+        DSTORE.compact_dedup_index(spark, idx)
+
+    _build_once(idx, _mk)
+    return DSTORE.filter_against_dedup_index(
+        spark, idx, docs.filter(F.col("doc_id") % 3 == 2)
+    ).select("doc_id")
 
 
 @_register(
@@ -7670,6 +7708,50 @@ def ann_ivfpq_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivfpq_compacted_serving",
+    _ivfpq_md5_oracle(" WHERE vec_id % 5 <> 2"),
+    "COMPRESSED-store compaction serving (r17): build over the even half, "
+    "deliver the odd half as a codes-only extension, tombstone the "
+    "vec_id%5==2 victims, then the flavor-aware compact_ivf_index folds "
+    "the code postings into a single 'base' batch with the deletes made "
+    "physical — and the served per-query top-10 over the compacted root "
+    "is BIT-IDENTICAL to a compressed index freshly built over the "
+    "retained vectors (oracle = the parameterized _ivfpq_md5_oracle "
+    "template ann_ivfpq_delete_serving also probes against).  Completes "
+    "the r17 compaction-hash matrix's vector side: all five persisted "
+    "stores' fold paths now carry driver hashes",
+)
+def ivfpq_compacted_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = _run_scoped_path("ivfpq_compact_index", sf_dir)
+
+    def _mk() -> None:
+        SIM.build_ivfpq_index(
+            emb.filter(F.col("vec_id") % 2 == 0), idx,
+            n_centroids=16, m=8, n_codewords=16, dim=64,
+        )
+        SIM.extend_ivfpq_index(
+            emb.filter(F.col("vec_id") % 2 == 1), idx, batch_id="crawl-1"
+        )
+        SIM.delete_from_ivf_index(
+            spark,
+            idx,
+            emb.filter(F.col("vec_id") % 5 == 2).select("vec_id"),
+            batch_id="takedown",
+        )
+        SIM.compact_ivf_index(spark, idx)
+
+    # SERVING row: the lifecycle lands once per run, probes pay only the
+    # compacted single-batch code postings
+    _build_once(idx, _mk)
+    out = SIM.ivfpq_topk_persisted(spark, idx, queries, k=10, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
     "bm25_maintenance_plan",
     """
     WITH t AS (
@@ -7745,9 +7827,11 @@ def _srp_posting_sql(src: str, planes_expr: str = "4", n_tables: int = 4) -> str
     """
 
 
-@_register(
-    "embedding_onboarding_indexed",
-    f"""
+# The SRP-store semantic-onboarding survivor-set recompute — the ONE
+# literal behind `embedding_onboarding_indexed` AND
+# `neardup_compacted_onboarding` (r17: a compacted store must onboard
+# identically, so the oracles are the same string by construction).
+_NEARDUP_ONBOARDING_ORACLE = f"""
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
@@ -7778,7 +7862,12 @@ def _srp_posting_sql(src: str, planes_expr: str = "4", n_tables: int = 4) -> str
     )
     SELECT vec_id FROM nw
     WHERE vec_id NOT IN (SELECT nid FROM matched)
-    """,
+    """
+
+
+@_register(
+    "embedding_onboarding_indexed",
+    _NEARDUP_ONBOARDING_ORACLE,
     "SEMANTIC onboarding against the persisted embedding near-dup store "
     "(r15): the vector twin of dedup_onboarding_indexed — one oracle hash "
     "over the full build(ref)->deliver(crawl)->takedown(victims)->probe "
@@ -7867,6 +7956,34 @@ def neardup_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _run_scoped_path("neardup_store", sf_dir)
     _build_once(idx, lambda: _mk_neardup_store(spark, sf_dir, idx))
     return NS.neardup_store_health(spark, idx)
+
+
+@_register(
+    "neardup_compacted_onboarding",
+    _NEARDUP_ONBOARDING_ORACLE,
+    "SRP-store compaction (r17): the SAME lifecycle as "
+    "embedding_onboarding_indexed plus a compact_neardup_index before the "
+    "probe — postings AND verify vectors fold together into a single "
+    "fresh base with the takedown's tombstones made physical — and "
+    "onboarding the %3==2 crawl against the compacted store must subtract "
+    "EXACTLY the same semantic near-copies (oracle = the shared "
+    "_NEARDUP_ONBOARDING_ORACLE constant, identical by construction).  "
+    "Part of the r17 compaction-hash matrix across all five persisted "
+    "stores",
+)
+def neardup_compacted_onboarding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = _run_scoped_path("neardup_compact_store", sf_dir)
+
+    def _mk() -> None:
+        _mk_neardup_store(spark, sf_dir, idx)
+        NS.compact_neardup_index(spark, idx)
+
+    _build_once(idx, _mk)
+    new = emb.filter(F.col("vec_id") % 3 == 2)
+    return NS.filter_against_neardup_index(spark, idx, new).select("vec_id")
 
 
 @_register(
@@ -9262,22 +9379,28 @@ for _name in (
     "docs_bm25_delete_serving",
 ):
     _WINDOW_TAIL.remove(_name)
-# Rule 1 admits the round's two NEW oracle-backed rows by registration:
-# bm25_compacted_serving and ivf_compacted_serving — the first
+# Rule 1 admits the round's five NEW oracle-backed rows by registration:
+# bm25_compacted_serving, ivf_compacted_serving, ivfpq_compacted_serving,
+# dedup_compacted_onboarding and neardup_compacted_onboarding — the first
 # driver-hashed rows that EXECUTE a compaction (build→extend→delete→
-# compact→probe, oracle = retained-corpus recompute; until now the fold
-# arithmetic was differential-pytest territory only).
+# compact→probe on EVERY persisted store; oracle = the store's own
+# retained-corpus recompute via shared templates/constants, identical to
+# its tombstone-serving/onboarding sibling BY CONSTRUCTION; until now the
+# fold arithmetic was differential-pytest territory only).
 #
-# Rotated OUT to make room: 30 rows, every one hash-green in
+# Rotated OUT to make room: 33 rows, every one hash-green in
 # CORRECTNESS_r16 (the freshest evidence in the registry, rule-3 ranks
 # them last) with implementing regions untouched by round 17 (r17 touches
 # operators/lease.py + cli.py's dual-root lease — no registered riders by
 # design — plus the similarity.py fallbacks/rebuild, the queries.py
-# _mk extractions and the retained-topk oracle-template factorings, whose
+# _mk extractions and the retained/onboarding oracle factorings, whose
 # riders are exactly the nine named above; bpe_fertility_by_lang,
-# embeddings_hard_negatives and unigram_encode_corpus make room for the
-# two rule-1 rows + the delete-serving rider — the tokenizer family keeps
-# bpe_merges/first_merge/encode in-window, and the embedding family keeps
+# embeddings_hard_negatives, unigram_encode_corpus, bpe_first_merge,
+# sample_token_budget_scalable and docs_bigram_lm make room for the five
+# rule-1 rows + the delete-serving rider — the tokenizer family keeps
+# bpe_merges + bpe_encode in-window, sampling keeps grouped/proportional/
+# shuffle_hash/weighted_chars, LM quality keeps quality_classifier_train
+# + the classifier gate pipeline rows, and the embedding family keeps
 # both neardup rows + the IVF-PQ riders).
 # Family coverage stays in-window: relational re-admits the eight
 # q8/q12-q17/q19 shapes (q2/q3/q4/q5/q9/q10 + customers_without_orders +
@@ -9328,6 +9451,9 @@ _WINDOW_TAIL += [
     "bpe_fertility_by_lang",
     "embeddings_hard_negatives",
     "unigram_encode_corpus",
+    "bpe_first_merge",
+    "sample_token_budget_scalable",
+    "docs_bigram_lm",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end

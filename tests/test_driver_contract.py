@@ -90,8 +90,11 @@ def test_correctness_window_is_all_oracle_backed():
         "ann_ivf_rebuild_report", "dedup_onboarding_indexed",
         "dedup_store_health", "fleet_maintenance_plan",
         "ann_ivfpq_delete_serving", "ann_ivfpq_rebuild_report",
-        # round-17 rule-1: the first driver-hashed compaction executions
+        # round-17 rule-1: the compaction-hash matrix — every persisted
+        # store's fold path executed under a driver hash
         "bm25_compacted_serving", "ivf_compacted_serving",
+        "ivfpq_compacted_serving", "dedup_compacted_onboarding",
+        "neardup_compacted_onboarding",
         # rides the shared retained-topk oracle-template factoring
         "docs_bm25_delete_serving",
         # round-17 staleness rotation rule 3 — the complete r12 band:
@@ -108,7 +111,7 @@ def test_correctness_window_is_all_oracle_backed():
         # standing residents (r16-green; family-coverage holds)
         "pipeline_lifecycle", "docs_bm25_indexed",
         "quality_classifier_train", "multimodal_resize",
-        "decontaminate_semantic", "docs_bigram_lm",
+        "decontaminate_semantic",
         "bm25_maintenance_plan", "embedding_onboarding_indexed",
         "neardup_store_health", "ann_topk_ivfpq_persisted",
     }
