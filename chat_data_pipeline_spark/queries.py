@@ -7691,20 +7691,25 @@ def ann_ivfpq_delete_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     idx = _run_scoped_path("ivfpq_del_index", sf_dir)
-
-    def _mk() -> None:
-        SIM.build_ivfpq_index(emb, idx, n_centroids=16, m=8, n_codewords=16, dim=64)
-        SIM.delete_from_ivf_index(
-            spark,
-            idx,
-            emb.filter(F.col("vec_id") % 5 == 2).select("vec_id"),
-            batch_id="takedown",
-        )
-
     # SERVING row: build+delete once per run, probe steady-state
-    _build_once(idx, _mk)
+    _build_once(idx, lambda: _mk_ivfpq_del_store(spark, sf_dir, idx))
     out = SIM.ivfpq_topk_persisted(spark, idx, queries, k=10, n_probe=4)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _mk_ivfpq_del_store(spark: SparkSession, sf_dir: str, idx: str) -> None:
+    """Full-corpus compressed build + the vec_id%5==2 takedown — the
+    lifecycle behind `ann_ivfpq_delete_serving` AND the fleet row's
+    ivfpq member (r17: the `_mk_neardup_store` shared-builder pattern;
+    distinct `_build_once` keys, so each row still owns its root)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    SIM.build_ivfpq_index(emb, idx, n_centroids=16, m=8, n_codewords=16, dim=64)
+    SIM.delete_from_ivf_index(
+        spark,
+        idx,
+        emb.filter(F.col("vec_id") % 5 == 2).select("vec_id"),
+        batch_id="takedown",
+    )
 
 
 @_register(
@@ -8025,23 +8030,52 @@ def neardup_compacted_onboarding(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(0 AS BIGINT),
            CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT),
            CAST(0 AS BIGINT), FALSE
+    UNION ALL
+    SELECT 'fleet_ivfpq_index', 'ivfpq', CAST(2 AS BIGINT),
+           nv, n - nv,
+           (1000000000 * nv) // n,
+           ((1000000000 * nv) // n) > 100000000
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN vec_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nv
+      FROM embeddings
+    )
+    UNION ALL
+    SELECT 'fleet_neardup_store', 'neardup', CAST(3 AS BIGINT),
+           dead, total - dead,
+           (1000000000 * dead) // total,
+           ((1000000000 * dead) // total) > 100000000
+    FROM (
+      SELECT CAST(SUM(CASE WHEN vec_id % 3 IN (0, 1) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN vec_id % 3 = 1 AND vec_id % 5 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS dead
+      FROM embeddings
+    )
     """,
-    "FLEET maintenance sweep (r16 verdict item 3): one compaction-policy "
-    "row per store root across a three-KIND fleet — the BM25 index with a "
-    "14%% takedown slice (over threshold, compact recommended), the "
-    "two-batch IVF index (clean, no action), and the signature store with "
-    "its resident-only tombstone accounting — computed by "
-    "maintenance_sweep from each store's OWN artifacts at O(batches) "
-    "cost.  This is the table the top-level `maintain:` block acts on; "
-    "the oracle recomputes every number for every kind from the corpus "
-    "from scratch, so one hash pins the whole fleet-view bookkeeping "
-    "(including the r16 dedup live_units fix: distinct fingerprinted ids, "
-    "not band-row division).  The run-scoped root paths are mapped to "
-    "their stable store labels so the row hashes cross-run.  The fleet "
-    "builds its OWN three scoped stores (fleet_* keys) rather than "
-    "sharing other rows' _build_once keys: a shared key's contents would "
-    "depend on which registered row ran first in the process, and a "
-    "byte-drifted twin builder would turn that order into a hash flake",
+    "FLEET maintenance sweep (r16 verdict item 3, widened to ALL FIVE "
+    "kinds r17): one compaction-policy row per store root — the BM25 "
+    "index with a 14%% takedown slice (over threshold, compact "
+    "recommended), the two-batch IVF index (clean, no action), the "
+    "signature store with its resident-only tombstone accounting, the "
+    "COMPRESSED IVF-PQ store with a 20%% takedown slice (over threshold "
+    "— the code-postings residency arithmetic earns its first driver "
+    "hash here), and the SRP embedding store at its exactly-10%% "
+    "boundary slice (1e8 nanos is NOT > the 1e8 threshold — the strict "
+    "inequality itself is pinned) — computed by maintenance_sweep from "
+    "each store's OWN artifacts at O(batches) cost.  This is the table "
+    "the top-level `maintain:` block acts on; the oracle recomputes "
+    "every number for every kind from the corpus from scratch, so one "
+    "hash pins the whole fleet-view bookkeeping (including the r16 dedup "
+    "live_units fix: distinct fingerprinted ids, not band-row division). "
+    "The run-scoped root paths are mapped to their stable store labels "
+    "so the row hashes cross-run.  The fleet builds its OWN five scoped "
+    "stores (fleet_* keys, shared _mk_* builders where a sibling row "
+    "runs the same lifecycle) rather than sharing other rows' "
+    "_build_once keys: a shared key's contents would depend on which "
+    "registered row ran first in the process, and a byte-drifted twin "
+    "builder would turn that order into a hash flake",
 )
 def fleet_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chat_data_pipeline_spark.operators import dedup_store as DSTORE
@@ -8089,10 +8123,15 @@ def fleet_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_id="take-1",
         )
 
+    pidx = _run_scoped_path("fleet_ivfpq_index", sf_dir)
+    nidx = _run_scoped_path("fleet_neardup_store", sf_dir)
+
     _build_once(bidx, _mk_bm25)
     _build_once(vidx, _mk_ivf)
     _build_once(didx, _mk_dedup)
-    sweep = MT.maintenance_sweep(spark, [bidx, vidx, didx])
+    _build_once(pidx, lambda: _mk_ivfpq_del_store(spark, sf_dir, pidx))
+    _build_once(nidx, lambda: _mk_neardup_store(spark, sf_dir, nidx))
+    sweep = MT.maintenance_sweep(spark, [bidx, vidx, didx, pidx, nidx])
     # the run-scoped roots are cdp_{label}_{md5}_{pid} temp paths — map
     # each back to its stable label so the row hashes across runs
     return sweep.select(
