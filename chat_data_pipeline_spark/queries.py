@@ -7282,57 +7282,6 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(ev, "user_id", top_n=25)
 
 
-@_register(
-    "ann_topk_ivf_persisted",
-    f"""
-    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
-    nv AS (SELECT vec_id, {_NORMALIZE_SQL} AS v FROM e),
-    cdots AS (SELECT vec_id, v, {_IVFPQ_CD} AS cd FROM nv),
-    assigned AS (SELECT vec_id, v, list_position(cd, list_max(cd)) - 1 AS list
-                 FROM cdots),
-    qd AS (SELECT vec_id AS query_id, v, cd FROM cdots WHERE vec_id < 8),
-    probes AS (
-      SELECT query_id, v, idx - 1 AS list,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cd[idx] DESC, idx ASC) AS pr
-      FROM qd CROSS JOIN (SELECT unnest(range(1, 17)) AS idx) t
-    ),
-    scored AS (
-      SELECT p.query_id, c.vec_id, round({_NORMED_DOT_SQL}, 6) AS cosine
-      FROM assigned c JOIN (SELECT * FROM probes WHERE pr <= 4) p ON p.list = c.list
-    ),
-    ranked AS (
-      SELECT query_id, vec_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, vec_id ASC) AS rank
-      FROM scored
-    )
-    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
-    """,
-    "persisted-IVF top-10 (r12): the index BUILDS once (md5 coarse "
-    "assignment, postings parquet PARTITIONED BY inverted list, "
-    "overwrite-idempotent — the sketch-store posture applied to ANN), then "
-    "the probe LOADS it, prunes to the 4 probed lists at the file listing "
-    "(a literal IN on the partition column: n_probe/n_centroids of the "
-    "index files are even touched), and scores with the twin's fold "
-    "cosine — so load-and-probe replays the build-and-probe oracle "
-    "bit-for-bit; the 100 TB posture is build once, serve many probe "
-    "batches",
-)
-def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    idx = _run_scoped_path("ivf_index", sf_dir)
-    # LIFECYCLE row: builds every invocation by contract (_build_once note)
-    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
-    _BUILT_ARTIFACTS.add(idx)
-    out = SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4)
-    return out.withColumn("rank", F.col("rank").cast("long"))
-
-
 def _ivf_retained_topk_oracle(assigned_where: str = "") -> str:
     """The persisted-IVF retained-vector top-10 recompute, parameterized
     by the corpus-side filter — the ONE literal behind
@@ -7366,6 +7315,35 @@ def _ivf_retained_topk_oracle(assigned_where: str = "") -> str:
     )
     SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
     """
+
+
+@_register(
+    "ann_topk_ivf_persisted",
+    # the retained-topk template with NO corpus filter — a fresh full
+    # build serves the whole table (r17: last inline copy of this
+    # literal folded onto the shared template; byte-identical output)
+    _ivf_retained_topk_oracle(),
+    "persisted-IVF top-10 (r12): the index BUILDS once (md5 coarse "
+    "assignment, postings parquet PARTITIONED BY inverted list, "
+    "overwrite-idempotent — the sketch-store posture applied to ANN), then "
+    "the probe LOADS it, prunes to the 4 probed lists at the file listing "
+    "(a literal IN on the partition column: n_probe/n_centroids of the "
+    "index files are even touched), and scores with the twin's fold "
+    "cosine — so load-and-probe replays the build-and-probe oracle "
+    "bit-for-bit; the 100 TB posture is build once, serve many probe "
+    "batches",
+)
+def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = _run_scoped_path("ivf_index", sf_dir)
+    # LIFECYCLE row: builds every invocation by contract (_build_once note)
+    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
+    _BUILT_ARTIFACTS.add(idx)
+    out = SIM.ivf_topk_persisted(spark, idx, queries, k=10, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 @_register(
@@ -9411,11 +9389,13 @@ for _name in (
     "ann_ivf_rebuild_report",
     "dedup_onboarding_indexed",
     "dedup_store_health",
-    # rides the oracle-template factoring back in: its literal became the
-    # shared _bm25_retained_topk_oracle that bm25_compacted_serving also
-    # uses (byte-identical output, but the registration region changed,
-    # so rule 2 holds it to re-earn a hash over the factored code)
+    # ride the oracle-template factorings back in: their literals became
+    # the shared _bm25_retained_topk_oracle / _ivf_retained_topk_oracle
+    # that the compacted-serving rows also use (byte-identical output,
+    # but the registration regions changed, so rule 2 holds them to
+    # re-earn hashes over the factored code)
     "docs_bm25_delete_serving",
+    "ann_topk_ivf_persisted",
 ):
     _WINDOW_TAIL.remove(_name)
 # Rule 1 admits the round's five NEW oracle-backed rows by registration:
@@ -9493,6 +9473,10 @@ _WINDOW_TAIL += [
     "bpe_first_merge",
     "sample_token_budget_scalable",
     "docs_bigram_lm",
+    # displaced by the ann_topk_ivf_persisted rule-2 re-admission (its
+    # oracle folded onto the shared retained-topk template): sampling
+    # keeps grouped/proportional/shuffle_hash in-window
+    "sample_weighted_chars",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end

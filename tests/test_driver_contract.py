@@ -95,8 +95,8 @@ def test_correctness_window_is_all_oracle_backed():
         "bm25_compacted_serving", "ivf_compacted_serving",
         "ivfpq_compacted_serving", "dedup_compacted_onboarding",
         "neardup_compacted_onboarding",
-        # rides the shared retained-topk oracle-template factoring
-        "docs_bm25_delete_serving",
+        # ride the shared retained-topk oracle-template factorings
+        "docs_bm25_delete_serving", "ann_topk_ivf_persisted",
         # round-17 staleness rotation rule 3 — the complete r12 band:
         "conversation_chatml", "decontaminate_report", "dedup_exact",
         "docs_fix_mojibake", "edit_pairs_concat", "events_asof_view",
@@ -114,6 +114,7 @@ def test_correctness_window_is_all_oracle_backed():
         "decontaminate_semantic",
         "bm25_maintenance_plan", "embedding_onboarding_indexed",
         "neardup_store_health", "ann_topk_ivfpq_persisted",
+        "fleet_maintenance_plan", "ann_ivfpq_delete_serving",
     }
     assert must_be_windowed <= set(window)
 
