@@ -640,3 +640,36 @@ def test_serve_frame_hybrid_plan_shape(spark, tmp_path):
     # under the two roots) — the fusion stage never rescans a corpus table
     for schema in r.read_schemas:
         assert "text" not in schema or "tf" in schema, r.read_schemas
+
+
+def test_compacted_serving_probes_prune_to_base_and_lists(spark):
+    """r17 compaction-hash matrix plan shape: after the lifecycle folds to
+    a single 'base' batch, the steady-state IVF/IVF-PQ probes must prune
+    BOTH partition axes at the file listing — batch = base AND the probed
+    list INSET — so serving a compacted 100 TB store touches
+    n_probe/n_centroids of one batch's files, never the tree."""
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    for name in ("ivf_compacted_serving", "ivfpq_compacted_serving"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        r = plan_report(df)
+        batch_pruned = [
+            p for p in r.partition_filters if "batch" in p and "base" in p
+        ]
+        list_pruned = [p for p in r.partition_filters if "INSET" in p or "list" in p]
+        assert batch_pruned, (name, r.partition_filters)
+        assert list_pruned, (name, r.partition_filters)
+        assert r.n_python_stages <= 2, (name, r.n_python_stages)
+
+
+def test_compacted_onboarding_probe_is_collision_sized(spark):
+    """The compacted signature-store onboarding probe must stay the
+    banded shape: the new crawl fingerprints ONCE (bounded Python
+    stages), the reference side joins by band signature — no cartesian,
+    no whole-corpus re-fingerprint of the reference side."""
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["dedup_compacted_onboarding"].fn(spark, SF_DIR)
+    r = plan_report(df)
+    assert "CartesianProduct" not in r.text and "NestedLoop" not in r.text
+    assert r.n_python_stages <= 2, r.n_python_stages
