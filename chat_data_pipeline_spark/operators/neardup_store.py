@@ -51,6 +51,7 @@ from chat_data_pipeline_spark.operators.retrieval import (
     _guard_tombstoned_delivery,
     _tombstoned_ids,
     cluster_for_partitioned_write,
+    committed_tree,
     invalidate_index_meta,
     ledger_commit,
     ledger_reset,
@@ -200,6 +201,17 @@ def extend_neardup_index(
         )
     _guard_delivery_id_type(df, meta.id_col, meta.id_type, index_path)
     _guard_tombstoned_delivery(df.select(meta.id_col), index_path, meta.id_col)
+    # normalize the delivery's vector type to the BASE's (r17, same as
+    # extend_ivf_index): a widened delivery would land a physically
+    # heterogeneous vectors tree, which the schema-pinned loads refuse
+    base_vec_type = dict(
+        spark.read.parquet(f"{index_path}/vectors/batch=base").dtypes
+    ).get("v")
+    if (
+        base_vec_type is not None
+        and dict(df.dtypes)[meta.vec_col] != base_vec_type
+    ):
+        df = df.withColumn(meta.vec_col, F.col(meta.vec_col).cast(base_vec_type))
     posting, vectors = _postings_and_vectors(
         df, meta.id_col, meta.vec_col,
         int(meta.n_planes), int(meta.n_tables), int(meta.dim),
@@ -250,12 +262,12 @@ def compact_neardup_index(
     meta = spark.read.parquet(f"{index_path}/meta").first()
     committed = _committed_batches(spark, index_path)
     posting = (
-        spark.read.parquet(f"{index_path}/postings")
+        committed_tree(spark, index_path, "postings")
         .filter(F.col("batch").isin(committed))
         .select("id", "t", "b")
     )
     vectors = (
-        spark.read.parquet(f"{index_path}/vectors")
+        committed_tree(spark, index_path, "vectors")
         .filter(F.col("batch").isin(committed))
         .select("id", "v")
     )
@@ -310,12 +322,12 @@ def matched_against_neardup_index(
     nvec = vec_col or meta.vec_col
     committed = _committed_batches(spark, index_path)
     ref_post = (
-        spark.read.parquet(f"{index_path}/postings")
+        committed_tree(spark, index_path, "postings")
         .filter(F.col("batch").isin(committed))
         .select(F.col("id").alias("rid"), "t", "b")
     )
     ref_vecs = (
-        spark.read.parquet(f"{index_path}/vectors")
+        committed_tree(spark, index_path, "vectors")
         .filter(F.col("batch").isin(committed))
         .select(F.col("id").alias("rid"), F.col("v").alias("__rv__"))
     )

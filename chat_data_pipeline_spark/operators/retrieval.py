@@ -827,6 +827,28 @@ def _committed_batches(spark, index_path: str) -> list[str]:
     return out
 
 
+def committed_tree(spark, index_path: str, sub: str) -> DataFrame:
+    """Load a batch-partitioned store artifact tree (``postings`` /
+    ``vectors``) with its schema PINNED from the base partition instead
+    of inferred over the whole tree (r17): inference samples parquet
+    footers BEFORE any batch filter applies, so a crashed uncommitted
+    delivery's partial files could fail (or skew) the load — and the
+    probe/compaction paths that hit this are exactly what an operator
+    runs right after a crash.  The base partition is complete by
+    construction (its commit marker is the meta write), so its schema is
+    authoritative; callers still filter to the ledger-committed batches,
+    which prunes the debris partitions before any data is read.  One
+    tiny footer read on the base replaces tree-wide sampling — same
+    discipline as maintenance.py's explicit-schema reads."""
+    from pyspark.sql.types import StringType
+
+    base = spark.read.parquet(f"{index_path}/{sub}/batch=base")
+    schema = base.schema
+    if "batch" not in base.columns:
+        schema = schema.add("batch", StringType())
+    return spark.read.schema(schema).parquet(f"{index_path}/{sub}")
+
+
 def swap_index_alias(spark, alias_path: str, index_path: str) -> None:
     """Point an alias at an index root — the probe-side half of
     write-then-swap (:func:`compact_text_index` / ``rebuild_ivf_index``

@@ -1182,6 +1182,15 @@ def pq_md5_sign_codebooks(
     ]
 
 
+def _committed_tree(spark, index_path: str, sub: str):
+    """Schema-pinned tree load (see retrieval.committed_tree): probes and
+    compactors must never schema-infer over a tree that can hold a
+    crashed delivery's partial files."""
+    from chat_data_pipeline_spark.operators.retrieval import committed_tree
+
+    return committed_tree(spark, index_path, sub)
+
+
 def _fold_norm_rows(mat: np.ndarray) -> np.ndarray:
     """Row norms as columnwise fold accumulation (per-row ordered IEEE sums,
     the srp_md5 discipline) with the module's 1e-12 zero-vector floor."""
@@ -1627,6 +1636,16 @@ def extend_ivf_index(
     # extend_text_index): the tombstone would hide the new rows from
     # probes — compact first, then re-deliver
     _guard_tombstoned_delivery(df.select(id_col, vec_col), index_path, id_col)
+    # normalize the delivery's vector type to the BASE's (r17): a
+    # double-typed delivery over a float base (e.g. a drift transform's
+    # literal arithmetic widening the column) would otherwise land a
+    # physically heterogeneous tree, which the schema-pinned loads — and
+    # any columnar reader expecting one physical type per column — refuse
+    base_vec_type = dict(
+        spark.read.parquet(f"{index_path}/postings/batch=base").dtypes
+    ).get(vec_col)
+    if base_vec_type is not None and dict(df.dtypes)[vec_col] != base_vec_type:
+        df = df.withColumn(vec_col, F.col(vec_col).cast(base_vec_type))
     n_centroids, dim = int(meta.n_centroids), int(meta.dim)
     if meta.coarse == "md5":
         coarse_mat = np.asarray(
@@ -1715,7 +1734,7 @@ def ivf_topk_persisted(
     committed = _committed_batches(spark, index_path)
     # ledger-committed batches only: a crashed delivery's partial
     # part-files are invisible until its replay re-commits
-    postings = spark.read.parquet(f"{index_path}/postings").filter(
+    postings = _committed_tree(spark, index_path, "postings").filter(
         F.col("batch").isin(committed)
     )
     id_col, vec_col = meta.id_col, meta.vec_col
@@ -2252,7 +2271,7 @@ def ivf_index_drift_report(spark, index_path: str) -> DataFrame:
     meta = spark.read.parquet(f"{index_path}/meta").first()
     n_centroids, dim = int(meta.n_centroids), int(meta.dim)
     vec_col = meta.vec_col
-    postings = spark.read.parquet(f"{index_path}/postings").filter(
+    postings = _committed_tree(spark, index_path, "postings").filter(
         F.col("batch").isin(_committed_batches(spark, index_path))
     )
 
@@ -2348,7 +2367,7 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
     # lists either way, so compaction is layout-only for all of them
     payload = "pq_code" if meta.coarse == "md5pq" else meta.vec_col
     postings = (
-        spark.read.parquet(f"{index_path}/postings")
+        _committed_tree(spark, index_path, "postings")
         .filter(F.col("batch").isin(committed))
         .select(meta.id_col, payload, "list")
     )
@@ -2471,7 +2490,7 @@ def rebuild_ivf_index(
         )
     committed = _committed_batches(spark, index_path)
     union = (
-        spark.read.parquet(f"{index_path}/postings")
+        _committed_tree(spark, index_path, "postings")
         .filter(F.col("batch").isin(committed))
         .select(meta.id_col, meta.vec_col)
     )
@@ -2892,7 +2911,7 @@ def ivfpq_topk_persisted(
     n_codewords, dim = int(meta.n_codewords), int(meta.dim)
     dsub = dim // m_sub
     committed = _committed_batches(spark, index_path)
-    postings = spark.read.parquet(f"{index_path}/postings").filter(
+    postings = _committed_tree(spark, index_path, "postings").filter(
         F.col("batch").isin(committed)
     )
     id_col = meta.id_col

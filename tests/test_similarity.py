@@ -1278,6 +1278,64 @@ def test_pre_r15_id_type_fallback_reads_base_partition_only(
     assert {"base", "b1"} <= set(_committed_batches(spark, pidx))
 
 
+def test_probe_and_compact_survive_crashed_partial_files(
+    spark, emb, queries, tmp_path
+):
+    """r17 schema-pinned tree loads: probes, the drift report and
+    COMPACTION must all work over a postings tree holding a crashed
+    uncommitted delivery's corrupt partial files — the committed-batch
+    filter always hid the ROWS, but schema inference sampled footers
+    before any filter applied, so the repair path could fail exactly when
+    it was needed.  With the schema pinned from the base partition the
+    debris is never touched, and an in-place compaction's static
+    overwrite then clears it."""
+    import os
+
+    idx = str(tmp_path / "debris_ivf")
+    SIM.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx,
+        n_centroids=16, coarse="md5", dim=64,
+    )
+    SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), idx, batch_id="b1")
+    ghost = tmp_path / "debris_ivf" / "postings" / "batch=aaa-ghost" / "list=0"
+    ghost.mkdir(parents=True)
+    (ghost / "part-00000.parquet").write_bytes(b"NOT A PARQUET FOOTER")
+
+    # probe + drift report read through the debris untouched
+    want = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=5).collect())
+    )
+    assert len(want) > 0
+    assert {r.batch for r in SIM.ivf_index_drift_report(spark, idx).collect()} == {
+        "base", "b1",
+    }
+    # the repair path itself survives, and its static overwrite CLEARS
+    # the debris partition
+    SIM.compact_ivf_index(spark, idx)
+    assert not os.path.exists(str(ghost))
+    got = sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, idx, queries, k=5).collect())
+    )
+    assert got == want
+
+    # the neardup store's probe reads both trees schema-pinned
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+
+    ndx = str(tmp_path / "debris_nd")
+    NS.build_neardup_index(
+        emb.filter(F.col("vec_id") % 2 == 0), ndx,
+        n_planes=4, n_tables=4, dim=64, threshold=0.45,
+    )
+    # debris mirrors the real partition layout (postings sub-partition by
+    # table; a crashed delivery writes into leaf dirs, not mid-tree)
+    for leaf in ("postings/batch=aaa-ghost/t=0", "vectors/batch=aaa-ghost"):
+        g = tmp_path / "debris_nd" / leaf
+        g.mkdir(parents=True)
+        (g / "part-00000.parquet").write_bytes(b"NOT A PARQUET FOOTER")
+    probe = emb.filter(F.col("vec_id") % 2 == 1)
+    assert NS.filter_against_neardup_index(spark, ndx, probe).count() >= 0
+
+
 def test_rebuild_ivfpq_index_from_source_vectors(spark, emb, queries, tmp_path):
     """r16: the compressed store's re-shard story — the caller hands back
     the source corpus (the artifact PQ storage cannot reconstruct), the
