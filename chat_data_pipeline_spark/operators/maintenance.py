@@ -81,8 +81,15 @@ def _count_committed(spark, index_path: str, sub: str, committed: list[str]) -> 
     fs, path, _jvm = _fs_for(spark, f"{index_path}/{sub}")
     if not fs.exists(path):
         return 0
+    # partition-column-only explicit schema (r17): the count resolves
+    # from footer ROW COUNTS of the committed partitions, and pinning the
+    # schema skips tree-wide footer SAMPLING — a crashed delivery's
+    # corrupt partial files must not fail the maintenance read that
+    # decides the post-crash compaction (same discipline as every other
+    # read in this module)
     return (
-        spark.read.parquet(f"{index_path}/{sub}")
+        spark.read.schema("batch string")
+        .parquet(f"{index_path}/{sub}")
         .filter(F.col("batch").isin(committed))
         .count()
     )

@@ -338,3 +338,74 @@ def test_maintenance_plan_ignores_uncommitted_partial_delivery(
     ).write.mode("overwrite").parquet(f"{idx}/postings/batch=ghost/bucket=0")
     after = MT.maintenance_plan(spark, idx).first()
     assert after == before
+
+
+def test_cli_maintain_five_kind_fleet_with_crash_debris(
+    spark, docs, emb, tmp_path
+):
+    """r17 capstone: one `maintain:` block sweeps a fleet spanning the
+    new kinds (bm25 / ivfpq / neardup), every root carrying a crashed
+    delivery's corrupt partial files.  The sweep must read THROUGH the
+    debris (schema-pinned loads), compact each over-threshold store under
+    its per-root lease, clear the debris via the compactions' static
+    overwrites, and report the post-compaction state."""
+    from chat_data_pipeline_spark.cli import _run_maintenance
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+
+    bidx = str(tmp_path / "fleet_b")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), bidx)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 2 == 1), bidx, batch_id="b1")
+    RT.delete_from_text_index(
+        spark, bidx, docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+        batch_id="take",
+    )
+    pidx = str(tmp_path / "fleet_p")
+    SIM.build_ivfpq_index(emb, pidx, n_centroids=16, m=8, n_codewords=16, dim=64)
+    SIM.delete_from_ivf_index(
+        spark, pidx, emb.filter(F.col("vec_id") % 5 == 2).select("vec_id"),
+        batch_id="take",
+    )
+    nidx = str(tmp_path / "fleet_n")
+    NS.build_neardup_index(
+        emb.filter(F.col("vec_id") % 2 == 0), nidx,
+        n_planes=4, n_tables=4, dim=64, threshold=0.45,
+    )
+    NS.extend_neardup_index(emb.filter(F.col("vec_id") % 2 == 1), nidx, batch_id="b1")
+    NS.delete_from_neardup_index(
+        spark, nidx, emb.filter(F.col("vec_id") % 6 == 0).select("vec_id"),
+        batch_id="take",
+    )
+    # crashed-delivery debris in every root's real leaf layout
+    ghosts = []
+    for leaf in (
+        f"{bidx}/postings/batch=aaa-ghost/bkt=0",
+        f"{pidx}/postings/batch=aaa-ghost/list=0",
+        f"{nidx}/postings/batch=aaa-ghost/t=0",
+        f"{nidx}/vectors/batch=aaa-ghost",
+    ):
+        os.makedirs(leaf)
+        p = os.path.join(leaf, "part-00000.parquet")
+        with open(p, "wb") as fh:
+            fh.write(b"NOT A PARQUET FOOTER")
+        ghosts.append(leaf)
+
+    report = {
+        r.root: r
+        for r in _run_maintenance(
+            spark, {"roots": [bidx, pidx, nidx], "auto_compact": True}
+        ).collect()
+    }
+    # every store was over its tombstone threshold -> compacted to one
+    # folded base with the tombstones physical, and the report reflects
+    # the state the run LEFT BEHIND
+    for root in (bidx, pidx, nidx):
+        assert report[root].n_batches == 1, (root, report[root])
+        assert report[root].n_tombstones == 0
+        assert not report[root].compact_recommended
+    # the compactions' static overwrites cleared the debris partitions
+    for leaf in ghosts:
+        assert not os.path.exists(leaf), leaf
+    # no lease left behind on any root
+    from chat_data_pipeline_spark.operators import lease as L
+
+    assert all(L.lease_holder(spark, r) is None for r in (bidx, pidx, nidx))
