@@ -40,12 +40,16 @@ Spark job):
   thread dies with it); a holder whose token vanished (usurped) fails
   loudly with :class:`LeaseLostError` at exit;
 - stale-lease takeover: a LOCK whose modification time is older than
-  ``ttl_seconds`` belongs to a dead writer — a contender re-stats the
-  LOCK immediately before deleting it (a changed mtime means another
-  reaper already recreated it; abort, don't evict the new holder) and
-  re-races the atomic create.  The check uses filesystem mtime, so it
-  needs no clock agreement between writers beyond what HDFS/S3 already
-  assume.
+  ``ttl_seconds`` belongs to a dead writer — takeover is CREATE-ARBITERED
+  (r17): before any reaper may delete the stale LOCK it must atomically
+  create the generation marker ``REAP-<stale_mtime_ms>``, so exactly ONE
+  reaper per stale generation ever runs the delete — the two-reaper
+  residual window (A reaps and recreates, B's queued delete then evicts
+  A's fresh LOCK) has no second deleter left to race.  The winner still
+  re-stats the LOCK immediately before deleting it (a changed mtime
+  means the generation was already spent; abort) and then re-races the
+  normal atomic create.  The check uses filesystem mtime, so it needs no
+  clock agreement between writers beyond what HDFS/S3 already assume.
 
 Direct OPERATOR calls (``extend_*`` / ``delete_from_*`` / ``compact_*``
 from batch code) stay lease-free by design: a batch job owns its root by
@@ -100,8 +104,10 @@ def _lease_paths(spark, root: str):
 
 
 def _atomic_create(fs, lock, jvm) -> bool:
-    """True iff THIS caller created the LOCK file — the mutual-exclusion
-    arbiter, so it must be genuinely atomic per filesystem:
+    """True iff THIS caller created the file at ``lock`` — the
+    mutual-exclusion arbiter (used for both the LOCK itself and the
+    per-generation REAP markers), so it must be genuinely atomic per
+    filesystem:
 
     - ``file:`` scheme: Hadoop's RawLocalFileSystem.create(f, overwrite=
       false) is CHECK-THEN-ACT (two racers can both pass the exists check
@@ -126,6 +132,61 @@ def _atomic_create(fs, lock, jvm) -> bool:
         return bool(fs.createNewFile(lock))
     except Exception:
         return False
+
+
+def _reap_stale_lock(
+    spark, fs, lock, jvm, root: str, mtime_ms: int, ttl_seconds: int
+) -> None:
+    """Create-arbitered takeover of one stale LOCK generation (r17: closes
+    the two-reaper residual window the r16 design could only DETECT).
+
+    A reaper may delete the stale LOCK only after atomically creating the
+    generation marker ``_writer_lease/REAP-<stale_mtime_ms>`` — the same
+    exclusive-create primitive that arbitrates the LOCK itself.  Exactly
+    one contender per stale generation wins that create, so there is never
+    a SECOND queued delete left to evict the winner's freshly recreated
+    LOCK.  Losers simply re-poll: they either see the winner's new LOCK or
+    re-race the create once the winner's delete lands.
+
+    The marker is NOT removed by the winner — a loser suspended between
+    its expiry judgement and its marker create must keep losing after the
+    winner has moved on, so markers persist and are swept here only once
+    OLDER THAN ``2 * ttl_seconds`` (any reaper of that generation has
+    either long since won or is itself past reaping age; a reaper that
+    died after winning the marker but before the delete stops wedging the
+    root at the same horizon).  Residual exposure is therefore a reaper
+    suspended for more than two ttls between two adjacent RPCs — down
+    from one-delete-RPC-wide and unbounded — and the owner-token
+    heartbeat + exit verification still detect that case.
+
+    Every step is best-effort: any raced/failed RPC aborts THIS takeover
+    attempt and the caller re-polls (the deadline in the acquire loop
+    bounds the total wait either way)."""
+    lease_dir = lock.getParent()
+    marker = jvm.org.apache.hadoop.fs.Path(lease_dir, f"REAP-{int(mtime_ms)}")
+    horizon_ms = int(time.time() * 1000) - 2 * int(ttl_seconds) * 1000
+    try:
+        for st in fs.listStatus(lease_dir):
+            name = st.getPath().getName()
+            if name.startswith("REAP-") and st.getModificationTime() < horizon_ms:
+                fs.delete(st.getPath(), False)
+    except Exception:
+        pass  # listing raced a concurrent sweep — the marker create decides
+    if not _atomic_create(fs, marker, jvm):
+        return  # another reaper owns this generation; re-poll
+    try:
+        # confirming stat: only delete the exact lock judged stale — a
+        # changed mtime means this generation was already spent (the LOCK
+        # is a NEW holder's) and the delete must not run
+        if fs.getFileStatus(lock).getModificationTime() == int(mtime_ms):
+            logger.warning(
+                "writer lease on %s held by %s is past its %ss ttl with "
+                "no heartbeat; taking it over as a stale lease",
+                root, lease_holder(spark, root), ttl_seconds,
+            )
+            fs.delete(lock, False)
+    except Exception:
+        pass  # vanished mid-takeover — fine, re-race
 
 
 def _clean_owner(owner: str) -> str:
@@ -186,18 +247,17 @@ def acquire_writer_lease(
     CONTENT — a stale-takeover racer that evicts this holder (see the
     residual-window note below) is detected instead of silently refreshed.
 
-    Stale takeover is double-stat-guarded: the LOCK is deleted only if a
-    SECOND stat immediately before the delete still shows the mtime that
-    was judged expired — if another reaper already reaped-and-recreated,
-    the fresh mtime aborts this takeover instead of evicting the new
-    holder.  (Residual window: two reapers can pass the confirming stat
-    on the SAME expired mtime — reaper A deletes+recreates, then B's
-    queued delete evicts A's fresh LOCK and B acquires too.  That window
-    is one delete RPC wide and reachable only after a holder missed a
-    full ttl of heartbeats; it cannot be closed with filesystem
-    primitives alone, so it is DETECTED instead: A's heartbeat sees its
-    owner token replaced, stops refreshing B's lock, and A's
-    :func:`writer_lease` exit raises :class:`LeaseLostError`.)
+    Stale takeover is CREATE-ARBITERED and double-stat-guarded (see
+    :func:`_reap_stale_lock`): a reaper must first atomically create the
+    generation marker ``REAP-<stale_mtime_ms>``, so only ONE contender
+    per stale generation ever deletes — the r16 two-reaper residual
+    window (A reaps+recreates, B's queued delete evicts A's fresh LOCK)
+    has no second deleter left.  What remains reachable is a reaper
+    suspended for over TWO ttls between adjacent RPCs (the marker
+    retention horizon); the owner-token heartbeat and the exit-time
+    verification in :func:`writer_lease` still detect that, so the
+    defense stays layered: closed in the reachable regime, detected
+    beyond it.
     Every loop path honors the deadline: persistent stat/delete failures
     surface as :class:`LeaseUnavailableError`, never a busy-spin."""
     import uuid
@@ -239,19 +299,7 @@ def acquire_writer_lease(
             # the deadline instead of retrying forever
         ):
             reaps += 1
-            try:
-                # confirming stat: only delete the exact lock we judged
-                # stale — a changed mtime means a new holder owns it now
-                if fs.getFileStatus(lock).getModificationTime() == mtime_ms:
-                    logger.warning(
-                        "writer lease on %s held by %s is past its %ss "
-                        "ttl with no heartbeat; taking it over as a "
-                        "stale lease",
-                        root, lease_holder(spark, root), ttl_seconds,
-                    )
-                    fs.delete(lock, False)
-            except Exception:
-                pass  # vanished mid-takeover — fine, re-race
+            _reap_stale_lock(spark, fs, lock, jvm, root, mtime_ms, ttl_seconds)
             continue  # immediate re-race (a wait_seconds=0 caller must
             # still win a genuinely stale lock)
         if time.monotonic() >= deadline:
@@ -324,7 +372,12 @@ def writer_lease(
       :class:`LeaseLostError` on an otherwise-clean exit, so the holder
       cannot report success for a mutation that may have raced another
       writer; release stays token-matched and refuses to evict the
-      usurper either way."""
+      usurper either way.
+
+    The exit path additionally RE-VERIFIES the owner token once before
+    releasing (r17): a trigger shorter than one heartbeat interval would
+    otherwise complete without ever observing a usurpation — fast
+    mutations now get the same loud loss signal as long ones."""
     token = acquire_writer_lease(spark, root, owner, ttl_seconds, wait_seconds)
     import threading
 
@@ -375,6 +428,27 @@ def writer_lease(
     finally:
         stop.set()
         beat.join(timeout=10)
+        # exit-time verification (r17): a trigger SHORTER than one
+        # heartbeat interval would otherwise never observe a usurpation —
+        # re-verify the owner token once before releasing, so fast
+        # mutations get the same LeaseLostError signal as long ones.  A
+        # transient read failure proves nothing and stays silent (release
+        # is token-matched either way).
+        if not lost_reason:
+            try:
+                rec = _holder_record(spark, root)
+                if rec is None:
+                    lost_reason.append(
+                        "LOCK gone at release (reaped by a stale-takeover "
+                        "racer)"
+                    )
+                elif rec[1] != token:
+                    lost_reason.append(
+                        "owner token changed at release (lease usurped by "
+                        f"{rec[0]!r})"
+                    )
+            except Exception:
+                pass
         release_writer_lease(spark, root, owner, token)
     # only reached on a CLEAN body exit (a body exception propagates past
     # the finally and takes precedence over the lost flag)

@@ -543,3 +543,95 @@ def test_two_takedown_streams_share_one_root(spark, docs, tmp_path):
         map(tuple, RT.bm25_topk_indexed(spark, direct, TERMS, k=20).collect())
     )
     assert L.lease_holder(spark, idx) is None
+
+
+def test_stale_takeover_is_create_arbitered(spark, tmp_path):
+    """r17: a reaper may delete a stale LOCK only after atomically
+    creating the generation marker REAP-<stale_mtime> — with the marker
+    already spent (another reaper won it and sits between its marker and
+    its delete), a second reaper must NOT evict, and must time out
+    instead.  Once the marker itself ages past 2*ttl (its winner died
+    too), the next contender sweeps it and the takeover proceeds."""
+    import time
+
+    root = str(tmp_path / "arbitered")
+    L.acquire_writer_lease(spark, root, "crashed", wait_seconds=0)
+    fs, lock, _owner, jvm = L._lease_paths(spark, root)
+    stale_ms = int(time.time() * 1000) - 10_000
+    fs.setTimes(lock, stale_ms, -1)
+    marker = jvm.org.apache.hadoop.fs.Path(
+        lock.getParent(), f"REAP-{stale_ms}"
+    )
+    fs.create(marker, True).close()  # this generation is already spent
+    with pytest.raises(L.LeaseUnavailableError, match="crashed"):
+        L.acquire_writer_lease(
+            spark, root, "second-reaper", ttl_seconds=1, wait_seconds=1.0
+        )
+    # the stale LOCK was NOT evicted: only the marker's winner may delete
+    assert L.lease_holder(spark, root) == "crashed"
+    # the marker's winner died too: once it ages past 2*ttl the next
+    # contender sweeps it, wins the fresh marker, and reaps the LOCK
+    fs.setTimes(marker, stale_ms, -1)
+    L.acquire_writer_lease(
+        spark, root, "third-reaper", ttl_seconds=1, wait_seconds=5
+    )
+    assert L.lease_holder(spark, root) == "third-reaper"
+    L.release_writer_lease(spark, root, "third-reaper")
+
+
+def test_fast_usurpation_detected_at_exit_without_heartbeat(spark, tmp_path):
+    """r17: a trigger SHORTER than one heartbeat interval (ttl/3) never
+    beats, so usurpation during it was previously invisible — the
+    exit-time token re-verification must catch it and raise, and the
+    token-matched release must still leave the usurper's record alone."""
+    root = str(tmp_path / "fast_usurp")
+    with pytest.raises(L.LeaseLostError, match="at release"):
+        with L.writer_lease(spark, root, "victim", ttl_seconds=3600):
+            # first beat is 1200s away; the usurper swap happens NOW and
+            # the body ends immediately after
+            _overwrite_owner(spark, root, "thief", "deadbeef")
+    assert L.lease_holder(spark, root) == "thief"
+    L.release_writer_lease(spark, root, "thief")
+
+
+def test_stale_takeover_storm_single_winner(spark, tmp_path):
+    """r17: eight contenders race ONE stale lock — the generation marker
+    admits exactly one reaper, the rest serialize behind the winner's
+    fresh lease, and at no instant do two threads hold the root."""
+    import threading
+    import time
+
+    root = str(tmp_path / "reap_storm")
+    L.acquire_writer_lease(spark, root, "crashed", wait_seconds=0)
+    fs, lock, _owner, _jvm = L._lease_paths(spark, root)
+    fs.setTimes(lock, int(time.time() * 1000) - 60_000, -1)
+
+    mx = threading.Lock()
+    concurrent = [0]
+    peak = [0]
+    errors: list[Exception] = []
+
+    def _worker(i: int) -> None:
+        try:
+            tok = L.acquire_writer_lease(
+                spark, root, f"w{i}", ttl_seconds=30, wait_seconds=30
+            )
+        except Exception as exc:  # pragma: no cover - failure evidence
+            errors.append(exc)
+            return
+        with mx:
+            concurrent[0] += 1
+            peak[0] = max(peak[0], concurrent[0])
+        time.sleep(0.05)
+        with mx:
+            concurrent[0] -= 1
+        L.release_writer_lease(spark, root, f"w{i}", tok)
+
+    threads = [threading.Thread(target=_worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert peak[0] == 1
+    assert L.lease_holder(spark, root) is None
