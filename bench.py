@@ -199,6 +199,11 @@ BENCH_QUERIES = [
     "ivfpq_compacted_serving",
     "dedup_compacted_onboarding",
     "neardup_compacted_onboarding",
+    # round-17 second half: the crash-debris GC fleet row — builds its own
+    # five-kind fleet behind the build-once memo, then best-of-3 reads the
+    # per-run plant→sweep→report pass (FS metadata walks + the O(batches)
+    # live_units sweep)
+    "fleet_gc_report",
 ]
 
 
@@ -298,6 +303,11 @@ SCALE_PROBE_QUERIES = [
     "ivfpq_compacted_serving",
     "dedup_compacted_onboarding",
     "neardup_compacted_onboarding",
+    # round-17 second half: the GC fleet row is FS-metadata + O(batches)
+    # sweeps over five fixed-lifecycle stores — like the maintenance fleet
+    # row its exponent should sit at ~0 (the builds scale, the memo hides
+    # them; the sweep itself never reads the corpus)
+    "fleet_gc_report",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second

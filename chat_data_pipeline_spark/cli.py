@@ -1058,18 +1058,26 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
             - /stores/corpus_sigs
           max_batches: 8
           max_tombstone_nanos: 100000000
+          gc: true                            # sweep crash debris (r17)
+          gc_grace_seconds: 86400             # keep younger uncommitted dirs
           auto_compact: true                  # act, not just report
           report_path: /out/maintenance.parquet   # optional sink
 
     Reads every root's own artifacts (`maintenance_sweep` — O(batches)
-    per root, kind auto-detected), optionally compacts the flagged ones,
-    and returns the sweep report (recomputed AFTER the compactions when
-    `auto_compact` acted, so the persisted report reflects the state the
-    run left behind)."""
+    per root, kind auto-detected), optionally GCs crash debris
+    (uncommitted `batch=` dirs + crashed committers' `_temporary`
+    staging, `gc_debris` — pure FS metadata, no rewrite) and compacts
+    the flagged ones, and returns the sweep report (recomputed AFTER the
+    mutations when `gc`/`auto_compact` acted, so the persisted report
+    reflects the state the run left behind).  GC and compaction run
+    under ONE lease hold per root — a live delivery stream sharing the
+    root serializes against the whole hygiene pass, not each half."""
     from chat_data_pipeline_spark.operators.maintenance import (
+        DEFAULT_GC_GRACE_SECONDS,
         DEFAULT_MAX_BATCHES,
         DEFAULT_MAX_TOMBSTONE_NANOS,
         compact_if_needed,
+        gc_debris,
         maintenance_sweep,
     )
 
@@ -1078,14 +1086,36 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
         raise ValueError("maintain needs `roots` (a list of store roots)")
     mb = int(spec.get("max_batches", DEFAULT_MAX_BATCHES))
     mt = int(spec.get("max_tombstone_nanos", DEFAULT_MAX_TOMBSTONE_NANOS))
+    do_gc = bool(spec.get("gc"))
     acted = False
-    if spec.get("auto_compact"):
+    if do_gc or spec.get("auto_compact"):
         for root in roots:
             # per-root writer lease (r16): the fleet sweep may include
             # roots with live delivery/takedown streams — serialize the
-            # compaction decision+act against their triggers
+            # gc + compaction decision+act against their triggers
             with _cli_lease(spark, root, "cli:maintain", spec):
-                if compact_if_needed(spark, root, mb, mt):
+                if do_gc:
+                    g = gc_debris(
+                        spark,
+                        root,
+                        int(
+                            spec.get(
+                                "gc_grace_seconds", DEFAULT_GC_GRACE_SECONDS
+                            )
+                        ),
+                    ).first()
+                    if g.debris_removed or g.tmp_removed:
+                        logger.info(
+                            "maintain: gc removed %d uncommitted batch "
+                            "dir(s) + %d _temporary dir(s) from %s "
+                            "(%d kept in grace)",
+                            g.debris_removed, g.tmp_removed, root,
+                            g.debris_kept,
+                        )
+                        acted = True
+                if spec.get("auto_compact") and compact_if_needed(
+                    spark, root, mb, mt
+                ):
                     logger.info("maintain: compacted %s", root)
                     acted = True
     report = maintenance_sweep(spark, roots, mb, mt)
@@ -1095,7 +1125,7 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
         write_table(report, str(spec["report_path"]))
         logger.info("maintain: wrote %s", spec["report_path"])
     if acted:
-        logger.info("maintain: report reflects post-compaction state")
+        logger.info("maintain: report reflects post-gc/compaction state")
     return report
 
 

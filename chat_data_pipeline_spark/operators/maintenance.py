@@ -30,6 +30,16 @@ from pyspark.sql import functions as F
 # store's physical rows are dead weight the anti-join must filter.
 DEFAULT_MAX_BATCHES = 8
 DEFAULT_MAX_TOMBSTONE_NANOS = 100_000_000
+# GC grace: an uncommitted batch dir younger than this is presumed to be a
+# delivery still in flight (writing before its ledger commit), not crash
+# debris — a day is far past any sane trigger duration, and the CLI path
+# additionally holds the root's writer lease so nothing CAN be in flight.
+DEFAULT_GC_GRACE_SECONDS = 86_400
+
+# top-level control dirs a GC walk must never enter: they are not
+# batch-partitioned artifact subtrees (the lease dir is skipped by its
+# "_" prefix)
+_CONTROL_DIRS = frozenset({"meta", "batches", "folded"})
 
 
 def store_kind_and_meta(spark, index_path: str):
@@ -288,6 +298,127 @@ def maintenance_sweep(
         ],
         "root string, kind string, n_batches long, n_tombstones long, "
         "live_units long, tombstone_nanos long, compact_recommended boolean",
+    )
+
+
+def gc_debris(
+    spark,
+    index_path: str,
+    grace_seconds: int = DEFAULT_GC_GRACE_SECONDS,
+) -> DataFrame:
+    """Remove a store root's CRASH DEBRIS without the compaction rewrite
+    (r17): uncommitted ``batch=`` partition dirs — a delivery that died
+    between its artifact write and its ledger commit — and crashed Spark
+    committers' ``_temporary`` staging dirs.
+
+    Probes never READ debris (every probe filters to ledger-committed
+    batches, and the r17 schema-pinned loads stopped even schema inference
+    from touching it), and an in-place compaction's static overwrite
+    clears it — but compaction REWRITES the store, and on a 100 TB root
+    nobody should have to rewrite terabytes of live postings just to drop
+    a crashed delivery's partial files.  GC is the cheap path: a pure
+    Hadoop-FS metadata walk (list the artifact subtrees, list their
+    ``batch=`` children, delete the uncommitted ones), O(dirs), never a
+    Spark job over data.
+
+    Safety rails, in order:
+
+    - the root must classify (:func:`store_kind_and_meta`) — a meta-less
+      mid-rebuild root fails loudly rather than getting swept;
+    - only immediate ``batch=<id>`` children of non-control top-level
+      dirs are candidates; the ledger-committed set (plus ``base``) is
+      never touched, whatever its age;
+    - an uncommitted dir younger than ``grace_seconds`` is KEPT — it may
+      be a delivery in flight writing ahead of its ledger commit.  The
+      CLI ``maintain:`` path holds the root's writer lease while sweeping
+      (nothing can be in flight on a lease-disciplined root), so the
+      grace is the belt to the lease's suspenders, and direct operator
+      calls get the same default protection;
+    - deletion is per-dir recursive, so sub-partitioned layouts (bm25
+      ``bkt=``, ivf/ivfpq ``list=``, neardup ``t=``) need no per-kind
+      cases.
+
+    Returns one row: ``(kind, n_batches, debris_removed, debris_kept,
+    tmp_removed)`` — ``n_batches`` counts the committed set (base
+    included, matching :func:`maintenance_plan`), ``debris_kept`` the
+    in-grace survivors a next sweep will re-judge."""
+    import time
+
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _committed_batches,
+        _fs_for,
+    )
+
+    kind, _meta = store_kind_and_meta(spark, index_path)
+    committed = set(_committed_batches(spark, index_path))
+    fs, root, _jvm = _fs_for(spark, index_path)
+    horizon_ms = int(time.time() * 1000) - int(grace_seconds) * 1000
+    removed = kept = tmp_removed = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory() or name in _CONTROL_DIRS or name.startswith("_"):
+            continue
+        for child in fs.listStatus(st.getPath()):
+            cname = child.getPath().getName()
+            if not child.isDirectory():
+                continue
+            if cname == "_temporary":
+                # a crashed Spark write's committer staging dir
+                if child.getModificationTime() < horizon_ms:
+                    fs.delete(child.getPath(), True)
+                    tmp_removed += 1
+                else:
+                    kept += 1
+                continue
+            if not cname.startswith("batch="):
+                continue
+            if cname.split("=", 1)[1] in committed:
+                continue
+            if child.getModificationTime() < horizon_ms:
+                fs.delete(child.getPath(), True)
+                removed += 1
+            else:
+                kept += 1
+    return spark.createDataFrame(
+        [(kind, len(committed), removed, kept, tmp_removed)],
+        "kind string, n_batches long, debris_removed long, "
+        "debris_kept long, tmp_removed long",
+    )
+
+
+def gc_sweep(
+    spark,
+    roots: list[str],
+    grace_seconds: int = DEFAULT_GC_GRACE_SECONDS,
+    max_concurrency: int = 8,
+) -> DataFrame:
+    """Fleet GC: one :func:`gc_debris` row per store root with the root
+    prepended — the hygiene half of :func:`maintenance_sweep`'s fleet
+    view.  Per-root walks run concurrently (pure FS metadata ops; the
+    pool bounds namenode pressure), output order stays the input order."""
+    if not roots:
+        raise ValueError("gc_sweep needs at least one store root")
+    from concurrent.futures import ThreadPoolExecutor
+
+    roots = [str(r) for r in roots]
+
+    def _one(root: str):
+        return gc_debris(spark, root, grace_seconds).first()
+
+    with ThreadPoolExecutor(
+        max_workers=max(1, min(int(max_concurrency), len(roots)))
+    ) as ex:
+        rows = list(ex.map(_one, roots))
+    return spark.createDataFrame(
+        [
+            (
+                root, row.kind, row.n_batches, row.debris_removed,
+                row.debris_kept, row.tmp_removed,
+            )
+            for root, row in zip(roots, rows)
+        ],
+        "root string, kind string, n_batches long, debris_removed long, "
+        "debris_kept long, tmp_removed long",
     )
 
 

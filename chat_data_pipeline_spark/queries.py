@@ -7969,9 +7969,16 @@ def neardup_compacted_onboarding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NS.filter_against_neardup_index(spark, idx, new).select("vec_id")
 
 
-@_register(
-    "fleet_maintenance_plan",
-    r"""
+# The fleet rows' corpus arithmetic, shared BY STRING between the
+# `fleet_maintenance_plan` and `fleet_gc_report` oracles (the oracle-
+# template convention: two rows whose expected numbers derive from the
+# same lifecycles must share one set of CTEs, so an edit cannot drift one
+# twin).  Per kind: bt = bm25 docs + doc_id%7==3 victims; dl/el/dt = the
+# dedup store's >=5-token fingerprintable thirds + doc_id%9==0 victims;
+# iv = the clean IVF corpus; pq = the full compressed corpus + vec_id%5==2
+# victims; nd = the neardup store's vec_id%3 in (0,1) residents +
+# vec_id%3==1 AND vec_id%5==0 victims.
+_FLEET_CORPUS_CTES = r"""
     WITH bt AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
@@ -7989,7 +7996,27 @@ def neardup_compacted_onboarding(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS dead
       FROM el
+    ),
+    iv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    pq AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN vec_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nv
+      FROM embeddings
+    ),
+    nd AS (
+      SELECT CAST(SUM(CASE WHEN vec_id % 3 IN (0, 1) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN vec_id % 3 = 1 AND vec_id % 5 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS dead
+      FROM embeddings
     )
+"""
+
+
+@_register(
+    "fleet_maintenance_plan",
+    _FLEET_CORPUS_CTES + r"""
     SELECT 'fleet_bm25_index' AS store, 'bm25' AS kind,
            CAST(3 AS BIGINT) AS n_batches,
            nv AS n_tombstones,
@@ -8006,31 +8033,20 @@ def neardup_compacted_onboarding(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'fleet_ivf_index', 'ivf', CAST(2 AS BIGINT),
            CAST(0 AS BIGINT),
-           CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT),
+           (SELECT n FROM iv),
            CAST(0 AS BIGINT), FALSE
     UNION ALL
     SELECT 'fleet_ivfpq_index', 'ivfpq', CAST(2 AS BIGINT),
            nv, n - nv,
            (1000000000 * nv) // n,
            ((1000000000 * nv) // n) > 100000000
-    FROM (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CASE WHEN vec_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT)
-               AS nv
-      FROM embeddings
-    )
+    FROM pq
     UNION ALL
     SELECT 'fleet_neardup_store', 'neardup', CAST(3 AS BIGINT),
            dead, total - dead,
            (1000000000 * dead) // total,
            ((1000000000 * dead) // total) > 100000000
-    FROM (
-      SELECT CAST(SUM(CASE WHEN vec_id % 3 IN (0, 1) THEN 1 ELSE 0 END)
-                  AS BIGINT) AS total,
-             CAST(SUM(CASE WHEN vec_id % 3 = 1 AND vec_id % 5 = 0
-                           THEN 1 ELSE 0 END) AS BIGINT) AS dead
-      FROM embeddings
-    )
+    FROM nd
     """,
     "FLEET maintenance sweep (r16 verdict item 3, widened to ALL FIVE "
     "kinds r17): one compaction-policy row per store root — the BM25 "
@@ -8056,57 +8072,17 @@ def neardup_compacted_onboarding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "builder would turn that order into a hash flake",
 )
 def fleet_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chat_data_pipeline_spark.operators import dedup_store as DSTORE
     from chat_data_pipeline_spark.operators import maintenance as MT
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    emb = _read(spark, sf_dir, "embeddings")
-
     bidx = _run_scoped_path("fleet_bm25_index", sf_dir)
-
-    def _mk_bm25() -> None:
-        RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), bidx)
-        RT.extend_text_index(
-            docs.filter(F.col("doc_id") % 2 == 1), bidx, batch_id="b1"
-        )
-        RT.delete_from_text_index(
-            spark,
-            bidx,
-            docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
-            batch_id="take",
-        )
-
     vidx = _run_scoped_path("fleet_ivf_index", sf_dir)
-
-    def _mk_ivf() -> None:
-        SIM.build_ivf_index(
-            emb.filter(F.col("vec_id") % 2 == 0), vidx,
-            n_centroids=16, coarse="md5", dim=64,
-        )
-        SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), vidx, batch_id="b1")
-
     didx = _run_scoped_path("fleet_dedup_store", sf_dir)
-
-    def _mk_dedup() -> None:
-        DSTORE.build_dedup_index(
-            docs.filter(F.col("doc_id") % 3 == 0), didx, family="md5"
-        )
-        DSTORE.extend_dedup_index(
-            docs.filter(F.col("doc_id") % 3 == 1), didx, batch_id="crawl-1"
-        )
-        DSTORE.delete_from_dedup_index(
-            spark,
-            didx,
-            docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"),
-            batch_id="take-1",
-        )
-
     pidx = _run_scoped_path("fleet_ivfpq_index", sf_dir)
     nidx = _run_scoped_path("fleet_neardup_store", sf_dir)
 
-    _build_once(bidx, _mk_bm25)
-    _build_once(vidx, _mk_ivf)
-    _build_once(didx, _mk_dedup)
+    _build_once(bidx, lambda: _mk_fleet_bm25(spark, sf_dir, bidx))
+    _build_once(vidx, lambda: _mk_fleet_ivf(spark, sf_dir, vidx))
+    _build_once(didx, lambda: _mk_fleet_dedup(spark, sf_dir, didx))
     _build_once(pidx, lambda: _mk_ivfpq_del_store(spark, sf_dir, pidx))
     _build_once(nidx, lambda: _mk_neardup_store(spark, sf_dir, nidx))
     sweep = MT.maintenance_sweep(spark, [bidx, vidx, didx, pidx, nidx])
@@ -8119,6 +8095,52 @@ def fleet_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind", "n_batches", "n_tombstones", "live_units",
         "tombstone_nanos", "compact_recommended",
     ).orderBy("store")
+
+
+def _mk_fleet_bm25(spark: SparkSession, sf_dir: str, idx: str) -> None:
+    """The fleet rows' BM25 lifecycle: even half base, odd half delivered,
+    doc_id%7==3 takedown (r17: extracted so `fleet_maintenance_plan` and
+    `fleet_gc_report` share one builder under distinct `_build_once`
+    keys — a byte-drifted twin would silently split the two fleets)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id="b1")
+    RT.delete_from_text_index(
+        spark,
+        idx,
+        docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+        batch_id="take",
+    )
+
+
+def _mk_fleet_ivf(spark: SparkSession, sf_dir: str, idx: str) -> None:
+    """The fleet rows' clean two-batch IVF lifecycle (no tombstones)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    SIM.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx,
+        n_centroids=16, coarse="md5", dim=64,
+    )
+    SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), idx, batch_id="b1")
+
+
+def _mk_fleet_dedup(spark: SparkSession, sf_dir: str, idx: str) -> None:
+    """The fleet rows' signature-store lifecycle: thirds split build +
+    delivery, doc_id%9==0 takedown."""
+    from chat_data_pipeline_spark.operators import dedup_store as DSTORE
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    DSTORE.build_dedup_index(
+        docs.filter(F.col("doc_id") % 3 == 0), idx, family="md5"
+    )
+    DSTORE.extend_dedup_index(
+        docs.filter(F.col("doc_id") % 3 == 1), idx, batch_id="crawl-1"
+    )
+    DSTORE.delete_from_dedup_index(
+        spark,
+        idx,
+        docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"),
+        batch_id="take-1",
+    )
 
 
 @_register(
@@ -8166,6 +8188,117 @@ def ann_ivfpq_rebuild_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     _build_once(dst, _mk)
     out = SIM.ivfpq_topk_persisted(spark, dst, queries, k=10, n_probe=4)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _plant_gc_debris(spark: SparkSession, root: str, sub: str, shard: str | None) -> None:
+    """Deterministic crash debris for the GC row, planted EVERY run (the
+    row removes it again — idempotent by construction): two stale
+    uncommitted ``batch=`` dirs + one in-grace dir + one stale
+    ``_temporary`` committer staging dir under the store's primary
+    artifact subtree, each carrying a corrupt part-file and mirroring the
+    kind's real leaf layout (partition discovery walks dirs even under
+    pinned schemas, so mid-tree debris would raise instead of being
+    pruned).  Ages are pinned by setTimes: the stale dirs 8h back (past
+    the row's 1h grace), the in-grace dir to NOW (so a long-lived process
+    can never age it across runs)."""
+    import time
+
+    from chat_data_pipeline_spark.operators.retrieval import _fs_for
+
+    fs, _p, jvm = _fs_for(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    now_ms = int(time.time() * 1000)
+    leaf = f"/{shard}" if shard else ""
+    for name, age_ms in (
+        ("batch=zz-crash1", now_ms - 8 * 3_600_000),
+        ("batch=zz-crash2", now_ms - 8 * 3_600_000),
+        ("batch=zz-fresh", now_ms),
+        ("_temporary", now_ms - 8 * 3_600_000),
+    ):
+        inner = "/0" if name == "_temporary" else leaf
+        d = P(f"{root}/{sub}/{name}{inner}")
+        fs.mkdirs(d)
+        out = fs.create(P(d, "part-00000.parquet"), True)
+        out.write(bytearray(b"NOT A PARQUET FOOTER"))
+        out.close()
+        fs.setTimes(P(f"{root}/{sub}/{name}"), age_ms, -1)
+
+
+@_register(
+    "fleet_gc_report",
+    _FLEET_CORPUS_CTES + r"""
+    SELECT 'gc_bm25_index' AS store, 'bm25' AS kind,
+           CAST(3 AS BIGINT) AS n_batches,
+           n - nv AS live_units,
+           CAST(2 AS BIGINT) AS debris_removed,
+           CAST(1 AS BIGINT) AS debris_kept,
+           CAST(1 AS BIGINT) AS tmp_removed
+    FROM bt
+    UNION ALL
+    SELECT 'gc_dedup_store', 'dedup', CAST(3 AS BIGINT),
+           total - dead, CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(1 AS BIGINT)
+    FROM dt
+    UNION ALL
+    SELECT 'gc_ivf_index', 'ivf', CAST(2 AS BIGINT),
+           (SELECT n FROM iv), CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT 'gc_ivfpq_index', 'ivfpq', CAST(2 AS BIGINT),
+           n - nv, CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    FROM pq
+    UNION ALL
+    SELECT 'gc_neardup_store', 'neardup', CAST(3 AS BIGINT),
+           total - dead, CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(1 AS BIGINT)
+    FROM nd
+    """,
+    "FLEET crash-debris GC (r17): every persisted store kind accumulates "
+    "the same debris shape after a crash — an uncommitted `batch=` dir "
+    "(delivery died between artifact write and ledger commit) or a Spark "
+    "committer's `_temporary` staging dir — and on a 100 TB root the only "
+    "previous remedy was a full compaction REWRITE.  `gc_debris` removes "
+    "it with a pure FS metadata walk instead: this row builds its own "
+    "five-kind fleet (gc_* keys, the shared _mk_fleet_*/_mk_* builders), "
+    "plants two stale uncommitted dirs + one in-grace dir + one stale "
+    "_temporary per root in each kind's REAL leaf layout (bm25 bkt=, "
+    "ivf/ivfpq list=, neardup t=, dedup band=), sweeps with a 1h grace, "
+    "and reports per root alongside the post-GC maintenance live_units.  "
+    "The oracle recomputes live_units/n_batches for every kind from the "
+    "corpus via the SAME CTE block the fleet-maintenance oracle uses "
+    "(debris counts are the planted constants), so one hash pins BOTH "
+    "that GC removed exactly the stale debris and that the "
+    "ledger-committed store it left behind still serves the corpus truth",
+)
+def fleet_gc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import maintenance as MT
+
+    fleet = (
+        ("gc_bm25_index", _mk_fleet_bm25, "postings", "bkt=0"),
+        ("gc_dedup_store", _mk_fleet_dedup, "bands", "band=0"),
+        ("gc_ivf_index", _mk_fleet_ivf, "postings", "list=0"),
+        ("gc_ivfpq_index", _mk_ivfpq_del_store, "postings", "list=0"),
+        ("gc_neardup_store", _mk_neardup_store, "postings", "t=0"),
+    )
+    roots = []
+    for label, mk, sub, shard in fleet:
+        root = _run_scoped_path(label, sf_dir)
+        _build_once(root, lambda r=root, m=mk: m(spark, sf_dir, r))
+        _plant_gc_debris(spark, root, sub, shard)
+        roots.append(root)
+    swept = MT.gc_sweep(spark, roots, grace_seconds=3600)
+    live = MT.maintenance_sweep(spark, roots).select("root", "live_units")
+    return (
+        swept.join(live, "root")
+        .select(
+            F.regexp_extract(
+                F.col("root"), r"cdp_([a-z0-9_]+)_[0-9a-f]{12}_\d+$", 1
+            ).alias("store"),
+            "kind", "n_batches", "live_units", "debris_removed",
+            "debris_kept", "tmp_removed",
+        )
+        .orderBy("store")
+    )
 
 
 # ===========================================================================
@@ -9438,7 +9571,9 @@ for _name in (
 # (quality_scores/token_counts rotate out, token counting stays exercised
 # by the held BPE rows); retrieval keeps docs_bm25_indexed +
 # bm25_maintenance_plan; ANN keeps the three IVF-PQ riders + both neardup
-# rows + embeddings_hard_negatives; sketches keep corpus_cms_heavy_hitters.
+# rows + embeddings_hard_negatives; sketches kept corpus_cms_heavy_hitters
+# until the round's second half displaced it for fleet_gc_report (see the
+# tail entry below).
 _WINDOW_TAIL += [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -9477,6 +9612,13 @@ _WINDOW_TAIL += [
     # oracle folded onto the shared retained-topk template): sampling
     # keeps grouped/proportional/shuffle_hash in-window
     "sample_weighted_chars",
+    # displaced by fleet_gc_report (NEW never-verified oracle-backed, r17
+    # second half: the crash-debris GC fleet row — never-verified entries
+    # outrank re-verification): corpus_cms_heavy_hitters is hash-green in
+    # CORRECTNESS_r16, its module (operators/sketches.py) and query def
+    # are byte-unchanged this round, and the CMS family keeps its
+    # stream≡batch differential pytest + the full-registry parity sweep
+    "corpus_cms_heavy_hitters",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end

@@ -409,3 +409,121 @@ def test_cli_maintain_five_kind_fleet_with_crash_debris(
     from chat_data_pipeline_spark.operators import lease as L
 
     assert all(L.lease_holder(spark, r) is None for r in (bidx, pidx, nidx))
+
+
+def _age_dir(spark, path: str, ms_ago: int = 86_400_000 * 2) -> None:
+    """Backdate a dir's mtime so the GC grace judges it stale."""
+    import time
+
+    from chat_data_pipeline_spark.operators.retrieval import _fs_for
+
+    fs, p, _jvm = _fs_for(spark, path)
+    fs.setTimes(p, int(time.time() * 1000) - ms_ago, -1)
+
+
+def test_gc_debris_removes_only_stale_uncommitted(spark, docs, tmp_path):
+    """r17: GC deletes uncommitted batch dirs PAST the grace and crashed
+    committers' _temporary staging, keeps in-grace debris for the next
+    sweep, never touches ledger-committed dirs of any age, and leaves
+    serving bit-identical — all without a compaction rewrite."""
+    idx = str(tmp_path / "gc_bm25")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id="b1")
+    terms = ["join", "hash", "scan"]
+    want = sorted(map(tuple, RT.bm25_topk_indexed(spark, idx, terms, k=10).collect()))
+
+    stale = f"{idx}/postings/batch=aaa-ghost/bkt=0"
+    fresh = f"{idx}/doclens/batch=zz-fresh"
+    tmpd = f"{idx}/postings/_temporary/0"
+    for leaf in (stale, fresh, tmpd):
+        os.makedirs(leaf)
+        with open(os.path.join(leaf, "part-00000.parquet"), "wb") as fh:
+            fh.write(b"NOT A PARQUET FOOTER")
+    _age_dir(spark, f"{idx}/postings/batch=aaa-ghost")
+    _age_dir(spark, f"{idx}/postings/_temporary")
+    # age the COMMITTED extension too: committed dirs are immune by the
+    # ledger, not by their age
+    _age_dir(spark, f"{idx}/doclens/batch=b1")
+
+    row = MT.gc_debris(spark, idx, grace_seconds=3600).first()
+    assert (row.kind, row.n_batches) == ("bm25", 2)
+    assert (row.debris_removed, row.debris_kept, row.tmp_removed) == (1, 1, 1)
+    assert not os.path.exists(f"{idx}/postings/batch=aaa-ghost")
+    assert not os.path.exists(f"{idx}/postings/_temporary")
+    assert os.path.exists(fresh)  # in grace: a delivery may be in flight
+    assert os.path.exists(f"{idx}/doclens/batch=b1")
+    assert sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, idx, terms, k=10).collect())
+    ) == want
+    # the in-grace survivor falls to the next sweep once it ages out
+    _age_dir(spark, fresh)
+    row2 = MT.gc_debris(spark, idx, grace_seconds=3600).first()
+    assert (row2.debris_removed, row2.debris_kept, row2.tmp_removed) == (1, 0, 0)
+    assert not os.path.exists(fresh)
+
+
+def test_gc_debris_refuses_metaless_root(spark, tmp_path):
+    """A meta-less (mid-rebuild / not-a-store) root must fail loudly, not
+    get swept."""
+    root = str(tmp_path / "not_a_store")
+    os.makedirs(f"{root}/postings/batch=x")
+    with pytest.raises(Exception):
+        MT.gc_debris(spark, root)
+
+
+def test_cli_maintain_gc_sweeps_fleet_under_lease(spark, docs, emb, tmp_path):
+    """r17: `maintain: {gc: true}` sweeps every root's crash debris under
+    the per-root writer lease, the report reflects the post-gc state, and
+    the plan numbers are debris-invariant (GC changes bytes on disk, not
+    ledger-committed truth)."""
+    from chat_data_pipeline_spark.cli import _run_maintenance
+    from chat_data_pipeline_spark.operators import lease as L
+
+    bidx = str(tmp_path / "gcf_b")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), bidx)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 2 == 1), bidx, batch_id="b1")
+    vidx = str(tmp_path / "gcf_v")
+    SIM.build_ivf_index(emb, vidx, n_centroids=16, coarse="md5", dim=64)
+    before = {
+        r.root: r for r in MT.maintenance_sweep(spark, [bidx, vidx]).collect()
+    }
+    ghosts = [
+        f"{bidx}/postings/batch=aaa-ghost/bkt=0",
+        f"{vidx}/postings/batch=aaa-ghost/list=0",
+    ]
+    for leaf in ghosts:
+        os.makedirs(leaf)
+        with open(os.path.join(leaf, "part-00000.parquet"), "wb") as fh:
+            fh.write(b"NOT A PARQUET FOOTER")
+        _age_dir(spark, leaf.rsplit("/", 1)[0])
+
+    report = {
+        r.root: r
+        for r in _run_maintenance(
+            spark, {"roots": [bidx, vidx], "gc": True}
+        ).collect()
+    }
+    for leaf in ghosts:
+        assert not os.path.exists(leaf.rsplit("/", 1)[0]), leaf
+    after = {
+        r.root: r for r in MT.maintenance_sweep(spark, [bidx, vidx]).collect()
+    }
+    assert before == after
+    assert report[bidx].kind == "bm25" and report[vidx].kind == "ivf"
+    assert all(L.lease_holder(spark, r) is None for r in (bidx, vidx))
+
+
+def test_gc_sweep_keeps_input_order_and_kinds(spark, docs, emb, tmp_path):
+    """gc_sweep mirrors maintenance_sweep's fleet contract: pooled
+    per-root walks, output rows in input order, kind per root."""
+    didx = str(tmp_path / "gcs_d")
+    DS.build_dedup_index(docs, didx, family="md5")
+    vidx = str(tmp_path / "gcs_v")
+    SIM.build_ivf_index(emb, vidx, n_centroids=16, coarse="md5", dim=64)
+    out = MT.gc_sweep(spark, [vidx, didx]).collect()
+    assert [r.root for r in out] == [vidx, didx]
+    assert [r.kind for r in out] == ["ivf", "dedup"]
+    assert all(
+        (r.debris_removed, r.debris_kept, r.tmp_removed) == (0, 0, 0)
+        for r in out
+    )
