@@ -204,6 +204,10 @@ BENCH_QUERIES = [
     # per-run plant→sweep→report pass (FS metadata walks + the O(batches)
     # live_units sweep)
     "fleet_gc_report",
+    # round-17 second half: the WordPiece greedy encode — like the BPE
+    # fold encode, cost is one declarative scan per DISTINCT word behind
+    # the shared reassembly pipeline
+    "wordpiece_encode_corpus",
 ]
 
 
@@ -308,6 +312,10 @@ SCALE_PROBE_QUERIES = [
     # row its exponent should sit at ~0 (the builds scale, the memo hides
     # them; the sweep itself never reads the corpus)
     "fleet_gc_report",
+    # round-17 second half: the WordPiece encode scales with the distinct-
+    # word table like the BPE encode — the fixed-vocab twin isolates
+    # 10x-bytes from 10x-vocabulary exactly as for that row
+    "wordpiece_encode_corpus",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second
@@ -320,7 +328,11 @@ SCALE_PROBE_QUERIES = [
 # r8 probe runs — local noise spans it); for the BPE encode
 # it is the per-document output reassembly (inherent output-proportional
 # work, and embarrassingly parallel).
-FIXED_VOCAB_QUERIES = ["docs_bigram_lm", "bpe_encode_corpus"]
+FIXED_VOCAB_QUERIES = [
+    "docs_bigram_lm",
+    "bpe_encode_corpus",
+    "wordpiece_encode_corpus",
+]
 
 
 def _build_scale_corpus(

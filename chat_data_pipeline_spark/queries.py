@@ -6312,6 +6312,121 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_fertility(docs, _BPE_FIXED_MERGES, "text", "lang")
 
 
+# Fixed WordPiece vocabulary for the oracle-twin encode row (the
+# _BPE_FIXED_MERGES posture: a literal parameter, so the ENCODE semantics
+# — greedy longest-match, ## continuations, whole-word [UNK] fallback —
+# value-hash cross-engine without a trainer in the way).  ASCII \w singles
+# in BOTH forms keep every ASCII word encodable (no silent [UNK] floor);
+# non-ASCII words exercise the [UNK] path naturally.  Longest piece: 4.
+_WP_SINGLES = list("abcdefghijklmnopqrstuvwxyz0123456789_")
+_WP_PIECES: list[str] = (
+    _WP_SINGLES
+    + ["##" + c for c in _WP_SINGLES]
+    + [
+        # word-initial multi-char pieces
+        "the", "and", "for", "with", "that", "re", "in", "con", "pre",
+        "un", "de", "st", "wh", "jo", "ha", "sc", "wi", "so",
+        # continuation multi-char pieces
+        "##ing", "##tion", "##ed", "##er", "##es", "##on", "##at",
+        "##or", "##an", "##le", "##nt", "##in", "##ow", "##sh",
+    ]
+)
+
+
+def _wordpiece_fold_sql(pieces: list[str]) -> str:
+    """The per-word WordPiece greedy scan as ONE DuckDB ``list_reduce``
+    fold — CASE-for-CASE the arithmetic of
+    ``operators/wordpiece.wordpiece_tokens``.  The accumulator is the
+    token list itself (list_reduce seeds from the first element, so the
+    iteration list carries ``len(w)+1`` empty seeds); the scan position is
+    RE-DERIVED each step from the tokens already emitted (sum of piece
+    lengths net of ``##`` prefixes) — equivalent to the Spark fold's
+    explicit ``pos`` because every emitted piece consumed exactly its
+    net length; the ``[UNK]`` sentinel doubles as the bad-state flag
+    (guarded before the position is ever used)."""
+    from chat_data_pipeline_spark.operators.wordpiece import _piece_buckets
+
+    init, cont = _piece_buckets(pieces)
+    lens = sorted(set(init) | set(cont), reverse=True)
+    # list_sum widens to HUGEINT — cast back down so substring binds
+    pos = (
+        "CAST(1 + coalesce(list_sum(list_transform(acc, t -> len(t) - "
+        "CASE WHEN t LIKE '##%' THEN 2 ELSE 0 END)), 0) AS BIGINT)"
+    )
+
+    def _arr(vals: list[str]) -> str:
+        return "[" + ", ".join(f"'{v}'" for v in vals) + "]"
+
+    rungs = []
+    for length in lens:
+        sub = f"substring(w, {pos}, {length})"
+        hit_i = (
+            f"list_contains({_arr(init[length])}, {sub})"
+            if init.get(length)
+            else "FALSE"
+        )
+        hit_c = (
+            f"list_contains({_arr(cont[length])}, {sub})"
+            if cont.get(length)
+            else "FALSE"
+        )
+        rungs.append(
+            f"WHEN CASE WHEN {pos} = 1 THEN {hit_i} ELSE {hit_c} END "
+            f"THEN {length}"
+        )
+    mlen = "CASE " + " ".join(rungs) + " END"
+    piece = (
+        f"CASE WHEN {pos} = 1 THEN substring(w, {pos}, {mlen}) "
+        f"ELSE '##' || substring(w, {pos}, {mlen}) END"
+    )
+    step = (
+        f"CASE WHEN (len(acc) > 0 AND acc[-1] = '[UNK]') OR {pos} > len(w) "
+        f"THEN acc "
+        f"WHEN ({mlen}) IS NULL THEN ['[UNK]'] "
+        f"ELSE list_append(acc, {piece}) END"
+    )
+    return (
+        "list_reduce(list_transform(range(0, len(w) + 1), "
+        f"i -> CAST([] AS VARCHAR[])), (acc, x) -> {step})"
+    )
+
+
+@_register(
+    "wordpiece_encode_corpus",
+    f"""
+    WITH sel AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[\\p{{L}}\\p{{N}}_]+') AS ws
+      FROM documents
+    ), enc AS (
+      SELECT doc_id,
+             flatten(list_transform(ws, w -> {_wordpiece_fold_sql(_WP_PIECES)})) AS toks
+      FROM sel
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(toks, ' '), '') AS wp_text,
+           CAST(len(toks) AS BIGINT) AS n_wp_tokens
+    FROM enc
+    """,
+    "WordPiece ENCODE oracle twin (r17): greedy longest-match-first under "
+    "the fixed literal vocabulary — the third classic subword scheme next "
+    "to the BPE fold encode and the unigram Viterbi encode, completing "
+    "the tokenizer-family matrix (BERT-style ## continuations, "
+    "whole-word [UNK] fallback on any unmatched position).  The Spark "
+    "side is one declarative struct-state fold per DISTINCT word (the "
+    "shared Zipf-bounded encode_vocab_and_reassemble pipeline); the "
+    "oracle replays the identical scan as a DuckDB list_reduce whose "
+    "position re-derives from the emitted pieces, so the full corpus "
+    "encoding (wp_text + token count, [UNK]s included) value-hashes "
+    "cross-engine",
+)
+def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import wordpiece as WP
+
+    docs = _read(spark, sf_dir, "documents")
+    return WP.wordpiece_encode(docs, _WP_PIECES)
+
+
 @_register(
     "dedup_soft_weights",
     r"""
@@ -9619,6 +9734,15 @@ _WINDOW_TAIL += [
     # are byte-unchanged this round, and the CMS family keeps its
     # stream≡batch differential pytest + the full-registry parity sweep
     "corpus_cms_heavy_hitters",
+    # displaced by wordpiece_encode_corpus (NEW never-verified
+    # oracle-backed, r17 second half: the greedy longest-match encode
+    # completing the BPE/unigram/WordPiece tokenizer matrix):
+    # dsir_select_en is hash-green in CORRECTNESS_r16, its module
+    # (operators/selection.py) and query def are byte-unchanged this
+    # round, and the selection family keeps the sampling rows
+    # (grouped/proportional/shuffle_hash) in-window + the full-registry
+    # parity sweep
+    "dsir_select_en",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end
