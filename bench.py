@@ -208,6 +208,10 @@ BENCH_QUERIES = [
     # fold encode, cost is one declarative scan per DISTINCT word behind
     # the shared reassembly pipeline
     "wordpiece_encode_corpus",
+    # round-17 second half: snapshot serving — the file-level clone lands
+    # behind the build-once memo; best-of-3 reads the snapshot root's
+    # steady-state probe (which must match the source's delete-serving)
+    "ivf_snapshot_serving",
 ]
 
 
@@ -316,6 +320,11 @@ SCALE_PROBE_QUERIES = [
     # word table like the BPE encode — the fixed-vocab twin isolates
     # 10x-bytes from 10x-vocabulary exactly as for that row
     "wordpiece_encode_corpus",
+    # round-17 second half: the snapshot root's served probe must stay in
+    # the same near-flat class as the source delete-serving row — the
+    # clone preserves batch structure byte-for-byte, so any divergence
+    # would mean the copy changed the plan
+    "ivf_snapshot_serving",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second

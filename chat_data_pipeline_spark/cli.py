@@ -370,6 +370,16 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
     With ``alias:``, a skipped run swaps serving to ``path``; only a run
     that actually compacted swaps to ``dst_path``.
 
+    Every kind also accepts ``action: snapshot`` (r17): clone the root's
+    ledger-committed state to ``dst_path`` at the FILE level — committed
+    ``batch=`` dirs, the spent-id manifest, a fresh consistent-cut
+    ledger, meta last; crash debris and the lease dir never travel and
+    nothing is decoded or shuffled, so the cost is IO bandwidth only (the
+    serving-tier clone / pre-migration backup verb beside compaction's
+    rewrite and gc's debris delete).  ``overwrite_dst: true`` replaces an
+    existing destination; with ``alias:`` the pointer cuts over to the
+    fresh snapshot after it commits.
+
     Both kinds share the commit-ledger crash posture: indexing is an EAGER
     action (it writes the artifacts), a config run that dies mid-delivery
     leaves the batch invisible to probes and re-running the same config
@@ -410,7 +420,7 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
         # no deadlock against another dual-root block).
         roots = {str(spec["path"])}
         if spec.get("dst_path") and str(spec.get("action", "build")) in (
-            "compact", "rebuild", "auto_compact",
+            "compact", "rebuild", "auto_compact", "snapshot",
         ):
             roots.add(str(spec["dst_path"]))
         with contextlib.ExitStack() as _stack:
@@ -517,6 +527,31 @@ def _run_auto_compact(spark: SparkSession, spec: dict, kind: str) -> str:
     return "compact" if did else "auto_compact_noop"
 
 
+def _run_snapshot(spark: SparkSession, spec: dict, kind: str) -> None:
+    """Shared `action: snapshot` for all five index kinds (r17): clone the
+    root's ledger-committed state to `dst_path` at the file level —
+    committed batch dirs + the spent-id manifest + a fresh consistent-cut
+    ledger + meta last; crash debris and the lease dir never travel (see
+    `operators/maintenance.snapshot_store`).  Runs under the dual-root
+    lease the index-block dispatcher already takes for dst-writing
+    actions, so a live stream on either root serializes with the copy."""
+    from chat_data_pipeline_spark.operators.maintenance import snapshot_store
+
+    if not spec.get("dst_path"):
+        raise ValueError(f"index.{kind} action=snapshot needs `dst_path`")
+    row = snapshot_store(
+        spark,
+        str(spec["path"]),
+        str(spec["dst_path"]),
+        overwrite=bool(spec.get("overwrite_dst", False)),
+    ).first()
+    logger.info(
+        "index.%s: snapshot %s -> %s (%d committed batches, %d dirs)",
+        kind, spec["path"], spec["dst_path"], row.n_batches,
+        row.batch_dirs_copied,
+    )
+
+
 def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     from chat_data_pipeline_spark.operators import retrieval as RT
 
@@ -565,12 +600,14 @@ def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         )
     elif action == "auto_compact":
         action = _run_auto_compact(spark, spec, "bm25")
+    elif action == "snapshot":
+        _run_snapshot(spark, spec, "bm25")
     else:
         raise ValueError(
             "index.bm25 action must be 'build', 'extend', 'delete', "
-            f"'compact' or 'auto_compact', got {action!r}"
+            f"'compact', 'auto_compact' or 'snapshot', got {action!r}"
         )
-    _finish_with_alias(spark, spec, action, ("compact",))
+    _finish_with_alias(spark, spec, action, ("compact", "snapshot"))
     logger.info("index.bm25: %s %s", action, spec["path"])
 
 
@@ -589,10 +626,11 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     action = str(spec.get("action", "build"))
     dst = str(spec["dst_path"]) if spec.get("dst_path") else None
     if action not in ("build", "extend", "delete", "compact", "rebuild",
-                      "auto_compact"):
+                      "auto_compact", "snapshot"):
         raise ValueError(
             "index.ivf action must be 'build', 'extend', 'delete', "
-            f"'compact', 'rebuild' or 'auto_compact', got {action!r}"
+            f"'compact', 'rebuild', 'auto_compact' or 'snapshot', "
+            f"got {action!r}"
         )
     if action in ("extend", "delete") and "batch_id" not in spec:
         raise ValueError(f"index.ivf action={action} needs `batch_id`")
@@ -643,7 +681,9 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         )
     elif action == "auto_compact":
         action = _run_auto_compact(spark, spec, "ivf")
-    _finish_with_alias(spark, spec, action, ("compact", "rebuild"))
+    elif action == "snapshot":
+        _run_snapshot(spark, spec, "ivf")
+    _finish_with_alias(spark, spec, action, ("compact", "rebuild", "snapshot"))
     logger.info("index.ivf: %s %s", action, path)
 
 
@@ -664,11 +704,13 @@ def _run_ivfpq_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     action = str(spec.get("action", "build"))
     dst = str(spec["dst_path"]) if spec.get("dst_path") else None
     if action not in (
-        "build", "extend", "delete", "compact", "rebuild", "auto_compact"
+        "build", "extend", "delete", "compact", "rebuild", "auto_compact",
+        "snapshot",
     ):
         raise ValueError(
             "index.ivfpq action must be 'build', 'extend', 'delete', "
-            f"'compact', 'rebuild' or 'auto_compact', got {action!r}"
+            f"'compact', 'rebuild', 'auto_compact' or 'snapshot', "
+            f"got {action!r}"
         )
     if action in ("extend", "delete") and "batch_id" not in spec:
         raise ValueError(f"index.ivfpq action={action} needs `batch_id`")
@@ -721,7 +763,9 @@ def _run_ivfpq_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         )
     elif action == "auto_compact":
         action = _run_auto_compact(spark, spec, "ivfpq")
-    _finish_with_alias(spark, spec, action, ("compact", "rebuild"))
+    elif action == "snapshot":
+        _run_snapshot(spark, spec, "ivfpq")
+    _finish_with_alias(spark, spec, action, ("compact", "rebuild", "snapshot"))
     logger.info("index.ivfpq: %s %s", action, path)
 
 
@@ -737,7 +781,8 @@ def _run_dedup_store_indexing(spark: SparkSession, df: DataFrame, spec: dict) ->
         raise ValueError("index.dedup needs `path` (the store root)")
     path = str(spec["path"])
     action = str(spec.get("action", "build"))
-    if action not in ("build", "extend", "delete", "compact", "auto_compact"):
+    if action not in ("build", "extend", "delete", "compact", "auto_compact",
+                      "snapshot"):
         raise ValueError(
             "index.dedup action must be 'build', 'extend', 'delete', "
             f"'compact' or 'auto_compact', got {action!r}"
@@ -787,7 +832,9 @@ def _run_dedup_store_indexing(spark: SparkSession, df: DataFrame, spec: dict) ->
         )
     elif action == "auto_compact":
         action = _run_auto_compact(spark, spec, "dedup")
-    _finish_with_alias(spark, spec, action, ("compact",))
+    elif action == "snapshot":
+        _run_snapshot(spark, spec, "dedup")
+    _finish_with_alias(spark, spec, action, ("compact", "snapshot"))
     logger.info("index.dedup: %s %s", action, path)
 
 
@@ -934,7 +981,8 @@ def _run_neardup_store_indexing(
     path = str(spec["path"])
     action = str(spec.get("action", "build"))
     dst = str(spec["dst_path"]) if spec.get("dst_path") else None
-    if action not in ("build", "extend", "delete", "compact", "auto_compact"):
+    if action not in ("build", "extend", "delete", "compact", "auto_compact",
+                      "snapshot"):
         raise ValueError(
             "index.neardup action must be 'build', 'extend', 'delete', "
             f"'compact' or 'auto_compact', got {action!r}"
@@ -976,7 +1024,9 @@ def _run_neardup_store_indexing(
         NS.compact_neardup_index(spark, path, dst_index=dst)
     elif action == "auto_compact":
         action = _run_auto_compact(spark, spec, "neardup")
-    _finish_with_alias(spark, spec, action, ("compact",))
+    elif action == "snapshot":
+        _run_snapshot(spark, spec, "neardup")
+    _finish_with_alias(spark, spec, action, ("compact", "snapshot"))
     logger.info("index.neardup: %s %s", action, path)
 
 
@@ -1271,6 +1321,33 @@ def serve_frame(spark: SparkSession, q: DataFrame, spec: dict) -> DataFrame:
     return arms[0].filter(F.col("rank") <= k)
 
 
+def _index_block_is_corpus_free(index_cfg: dict) -> bool:
+    """True when EVERY spec in the index block can run without this run's
+    curated rows (r17, so a pure-maintenance config — e.g. a scheduled
+    snapshot — needs no dummy `datasets:`): maintenance actions never
+    read a corpus; vector kinds may source build/extend/rebuild from
+    `dataset:`; deletes may source victims from `ids_dataset:`.  The
+    text stores' build/extend always index the curated rows, so those
+    keep requiring `datasets:`."""
+    for kind in ("bm25", "ivf", "ivfpq", "dedup", "neardup"):
+        spec = index_cfg.get(kind)
+        if not spec:
+            continue
+        action = str(spec.get("action", "build"))
+        if action in ("compact", "auto_compact", "snapshot"):
+            continue
+        if (
+            kind in ("ivf", "ivfpq", "neardup")
+            and action in ("build", "extend", "rebuild")
+            and spec.get("dataset")
+        ):
+            continue
+        if action == "delete" and spec.get("ids_dataset"):
+            continue
+        return False
+    return True
+
+
 def run_config(spark: SparkSession, config: dict) -> DataFrame:
     """ref:main.py lifecycle A (SURVEY.md §3.1), lazily composed."""
     from chat_data_pipeline_spark.operators import conversation as CV
@@ -1280,11 +1357,28 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
     serve_cfg = config.get("serve")
     takedown_cfg = config.get("takedown")
     maintain_cfg = config.get("maintain")
-    if "datasets" not in config and (serve_cfg or takedown_cfg or maintain_cfg):
+    corpus_free_index = bool(config.get("index")) and _index_block_is_corpus_free(
+        config["index"]
+    )
+    if "datasets" not in config and (
+        serve_cfg or takedown_cfg or maintain_cfg or corpus_free_index
+    ):
         # a pure SERVING / COMPLIANCE / MAINTENANCE job: no corpus to
         # curate — act on the named index roots and return (main()
-        # writes/counts the rest).  Order: takedowns land first, then
-        # maintenance (which may compact them physical), then probes.
+        # writes/counts the rest).  Order: corpus-free index actions
+        # (snapshot / compact / auto_compact, or source-supplied
+        # deliveries) land first, then takedowns, then maintenance
+        # (which may compact them physical), then probes.
+        if corpus_free_index:
+            _run_indexing(spark, None, config["index"])
+            if not (serve_cfg or takedown_cfg or maintain_cfg):
+                return spark.createDataFrame(
+                    [
+                        (k, str((config["index"].get(k) or {}).get("action", "build")))
+                        for k in config["index"]
+                    ],
+                    "kind string, action string",
+                )
         if takedown_cfg:
             victims = _run_takedown(spark, None, dict(takedown_cfg))
             if not serve_cfg and not maintain_cfg:
@@ -1294,6 +1388,13 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
             if not serve_cfg:
                 return report
         return _run_serving(spark, dict(serve_cfg))
+    if "datasets" not in config and config.get("index"):
+        raise ValueError(
+            "this `index:` block needs the run's curated rows — add "
+            "`datasets:` (or use a corpus-free action: snapshot / compact "
+            "/ auto_compact, a vector-kind build/extend/rebuild with "
+            "`dataset:`, or a delete with `ids_dataset:`)"
+        )
 
     paths = [d["path"] if isinstance(d, dict) else d for d in config["datasets"]]
     df = combine_sources(spark, paths)

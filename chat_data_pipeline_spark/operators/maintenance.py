@@ -422,6 +422,121 @@ def gc_sweep(
     )
 
 
+def snapshot_store(
+    spark,
+    src_index: str,
+    dst_index: str,
+    overwrite: bool = False,
+) -> DataFrame:
+    """Clone a store root's LEDGER-COMMITTED state to ``dst_index`` — the
+    third hygiene verb beside compaction (rewrite) and GC (debris delete):
+    a snapshot COPIES, byte-for-byte at the file level, never decoding a
+    posting or shuffling a row, so on a 100 TB root it costs IO bandwidth
+    only — no compute, no fold, no re-cluster — which is what you want for
+    a serving-tier clone, a pre-migration backup, or an isolation copy a
+    downstream team may probe without leasing the live root.
+
+    What travels (and what doesn't):
+
+    - every artifact subtree's COMMITTED ``batch=`` dirs — the batch
+      structure (and tombstone sets) are preserved as-is, so probes of the
+      snapshot are bit-identical to probes of the source at the captured
+      cut; crash debris (uncommitted dirs, ``_temporary``) and the
+      ``_writer_lease`` dir are naturally excluded;
+    - the ``folded`` spent-id manifest, whole — a delivery id the source's
+      compaction history spent must stay spent against the clone, or a
+      stream replay pointed at the snapshot would double-deliver;
+    - a FRESH ledger holding exactly the batch ids captured at the start
+      of the copy — the live ledger dir is deliberately NOT copied, so a
+      delivery committing on the source mid-copy can never appear in the
+      snapshot's ledger without its artifacts (the consistent-cut rule);
+    - ``meta`` LAST: the snapshot's commit marker, same discipline as the
+      builds — a crash anywhere above leaves a meta-less dst that fails
+      loudly everywhere instead of half-serving.
+
+    Coordination: run it under the source's writer lease (the CLI
+    ``action: snapshot`` path does) or on a root you own — the committed
+    set is captured once up front either way, so the worst a racing
+    writer costs is missing its newest batch, never inconsistency.
+
+    Returns one row: ``(kind, n_batches, batch_dirs_copied, subtrees)``."""
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _committed_batches,
+        _fs_for,
+        ledger_commit,
+    )
+
+    kind, _meta = store_kind_and_meta(spark, src_index)
+    committed = _committed_batches(spark, src_index)
+    cset = set(committed)
+    fs, src, jvm = _fs_for(spark, src_index)
+    dst = jvm.org.apache.hadoop.fs.Path(dst_index)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    futil = jvm.org.apache.hadoop.fs.FileUtil
+    if fs.exists(dst):
+        # "_"-prefixed children don't count as content: the CLI's
+        # dual-root lease has already materialized {dst}/_writer_lease by
+        # the time the copy starts, and overwrite must clear prior store
+        # content while leaving that held lease alone
+        leftovers = [
+            st
+            for st in fs.listStatus(dst)
+            if not st.getPath().getName().startswith("_")
+        ]
+        if leftovers and not overwrite:
+            raise ValueError(
+                f"snapshot destination {dst_index} already exists; pass "
+                "overwrite=True (CLI: overwrite_dst) to replace it"
+            )
+        for st in leftovers:
+            fs.delete(st.getPath(), True)
+    fs.mkdirs(dst)
+    n_dirs = 0
+    subtrees = 0
+    for st in fs.listStatus(src):
+        name = st.getPath().getName()
+        if not st.isDirectory() or name.startswith("_") or name in (
+            "meta", "batches",
+        ):
+            continue
+        if name == "folded":
+            futil.copy(
+                fs, st.getPath(), fs,
+                jvm.org.apache.hadoop.fs.Path(f"{dst_index}/folded"),
+                False, True, conf,
+            )
+            continue
+        copied_here = 0
+        for child in fs.listStatus(st.getPath()):
+            cname = child.getPath().getName()
+            if not (child.isDirectory() and cname.startswith("batch=")):
+                continue
+            if cname.split("=", 1)[1] not in cset:
+                continue
+            if copied_here == 0:
+                fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{dst_index}/{name}"))
+            futil.copy(
+                fs, child.getPath(), fs,
+                jvm.org.apache.hadoop.fs.Path(f"{dst_index}/{name}/{cname}"),
+                False, True, conf,
+            )
+            copied_here += 1
+        n_dirs += copied_here
+        subtrees += 1 if copied_here else 0
+    for bid in committed:
+        if bid != "base":
+            ledger_commit(spark, dst_index, bid)
+    # meta LAST — the commit marker
+    futil.copy(
+        fs, jvm.org.apache.hadoop.fs.Path(f"{src_index}/meta"), fs,
+        jvm.org.apache.hadoop.fs.Path(f"{dst_index}/meta"), False, True, conf,
+    )
+    return spark.createDataFrame(
+        [(kind, len(committed), int(n_dirs), int(subtrees))],
+        "kind string, n_batches long, batch_dirs_copied long, subtrees long",
+    )
+
+
 def compact_if_needed(
     spark,
     index_path: str,

@@ -527,3 +527,117 @@ def test_gc_sweep_keeps_input_order_and_kinds(spark, docs, emb, tmp_path):
         (r.debris_removed, r.debris_kept, r.tmp_removed) == (0, 0, 0)
         for r in out
     )
+
+
+def test_snapshot_store_clones_committed_state_only(spark, docs, tmp_path):
+    """r17: the file-level clone — committed batches + tombstones + the
+    spent-id manifest travel; crash debris and the lease dir never do;
+    probes of the snapshot bit-match the source; the destination is a
+    full store (its own ledger) that refuses accidental overwrite."""
+    from chat_data_pipeline_spark.operators import retrieval as RTL
+
+    src = str(tmp_path / "snap_src")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), src)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 2 == 1), src, batch_id="b1")
+    RT.delete_from_text_index(
+        spark, src, docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+        batch_id="take",
+    )
+    # compact first so a folded manifest exists, then deliver again
+    RT.compact_text_index(spark, src)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 7 == 3), src, batch_id="b2")
+    # debris + a lease file that must NOT travel
+    ghost = f"{src}/postings/batch=aaa-ghost/bkt=0"
+    os.makedirs(ghost)
+    with open(f"{ghost}/part-00000.parquet", "wb") as fh:
+        fh.write(b"NOT A PARQUET FOOTER")
+    from chat_data_pipeline_spark.operators import lease as L
+
+    L.acquire_writer_lease(spark, src, "holder", wait_seconds=0)
+
+    dst = str(tmp_path / "snap_dst")
+    row = MT.snapshot_store(spark, src, dst).first()
+    L.release_writer_lease(spark, src, "holder")
+    assert row.kind == "bm25" and row.n_batches == 2  # base + b2 post-compact
+    assert not os.path.exists(f"{dst}/postings/batch=aaa-ghost")
+    assert not os.path.exists(f"{dst}/_writer_lease")
+    terms = ["join", "hash", "scan"]
+    assert sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, dst, terms, k=10).collect())
+    ) == sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, src, terms, k=10).collect())
+    )
+    # the spent-id manifest traveled: replaying a folded delivery against
+    # the SNAPSHOT is a no-op, same as against the source
+    before = RT.bm25_topk_indexed(spark, dst, terms, k=10).collect()
+    RT.extend_text_index(docs.limit(5), dst, batch_id="b1")  # folded id
+    assert RT.bm25_topk_indexed(spark, dst, terms, k=10).collect() == before
+    assert set(RTL._committed_batches(spark, dst)) == {"base", "b2"}
+    # existing destination refused without overwrite
+    with pytest.raises(ValueError, match="overwrite"):
+        MT.snapshot_store(spark, src, dst)
+    MT.snapshot_store(spark, src, dst, overwrite=True)
+
+
+def test_cli_snapshot_action_with_alias_cutover(spark, docs, tmp_path):
+    """r17: `action: snapshot` is YAML-reachable on the index block, runs
+    under the dual-root lease, and the serving alias cuts over to the
+    fresh snapshot only after its meta commits."""
+    from chat_data_pipeline_spark.cli import _run_indexing
+    from chat_data_pipeline_spark.operators.retrieval import resolve_index_alias
+
+    src = str(tmp_path / "clis_src")
+    RT.build_text_index(docs, src)
+    dst = str(tmp_path / "clis_dst")
+    alias = str(tmp_path / "clis_alias")
+    _run_indexing(
+        spark,
+        None,
+        {"bm25": {"path": src, "action": "snapshot", "dst_path": dst,
+                  "alias": alias}},
+    )
+    assert resolve_index_alias(spark, alias) == dst
+    terms = ["join", "hash"]
+    assert sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, dst, terms, k=5).collect())
+    ) == sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, src, terms, k=5).collect())
+    )
+    # missing dst_path fails loudly
+    with pytest.raises(ValueError, match="dst_path"):
+        _run_indexing(
+            spark, None, {"bm25": {"path": src, "action": "snapshot"}}
+        )
+
+
+def test_snapshot_store_refuses_metaless_root(spark, tmp_path):
+    root = str(tmp_path / "snap_not_store")
+    os.makedirs(f"{root}/postings/batch=base")
+    with pytest.raises(Exception):
+        MT.snapshot_store(spark, root, str(tmp_path / "snap_never"))
+
+
+def test_cli_dataset_free_index_config(spark, docs, tmp_path):
+    """r17: a pure-maintenance YAML (index snapshot, no `datasets:`) runs
+    end-to-end through main(); a corpus-needing block without `datasets:`
+    fails with guidance instead of a KeyError."""
+    from chat_data_pipeline_spark.cli import main as cli_main, run_config
+
+    src = str(tmp_path / "dsfree_src")
+    RT.build_text_index(docs, src)
+    dst = str(tmp_path / "dsfree_dst")
+    cfg = tmp_path / "dsfree.yaml"
+    cfg.write_text(
+        f"index:\n  bm25:\n    path: {src}\n    action: snapshot\n"
+        f"    dst_path: {dst}\n"
+    )
+    cli_main(["--config_path", str(cfg)])
+    assert os.path.exists(f"{dst}/meta")
+    terms = ["join", "hash"]
+    assert sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, dst, terms, k=5).collect())
+    ) == sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, src, terms, k=5).collect())
+    )
+    with pytest.raises(ValueError, match="datasets"):
+        run_config(spark, {"index": {"bm25": {"path": src, "action": "build"}}})
