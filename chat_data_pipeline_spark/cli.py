@@ -785,7 +785,7 @@ def _run_dedup_store_indexing(spark: SparkSession, df: DataFrame, spec: dict) ->
                       "snapshot"):
         raise ValueError(
             "index.dedup action must be 'build', 'extend', 'delete', "
-            f"'compact' or 'auto_compact', got {action!r}"
+            f"'compact', 'auto_compact' or 'snapshot', got {action!r}"
         )
     if action in ("extend", "delete") and "batch_id" not in spec:
         raise ValueError(f"index.dedup action={action} needs `batch_id`")
@@ -985,7 +985,7 @@ def _run_neardup_store_indexing(
                       "snapshot"):
         raise ValueError(
             "index.neardup action must be 'build', 'extend', 'delete', "
-            f"'compact' or 'auto_compact', got {action!r}"
+            f"'compact', 'auto_compact' or 'snapshot', got {action!r}"
         )
     if action in ("extend", "delete") and "batch_id" not in spec:
         raise ValueError(f"index.neardup action={action} needs `batch_id`")
@@ -1325,7 +1325,8 @@ def _index_block_is_corpus_free(index_cfg: dict) -> bool:
     """True when EVERY spec in the index block can run without this run's
     curated rows (r17, so a pure-maintenance config — e.g. a scheduled
     snapshot — needs no dummy `datasets:`): maintenance actions never
-    read a corpus; vector kinds may source build/extend/rebuild from
+    read a corpus; the IVF rebuild re-trains from the store's own
+    postings; vector kinds may source build/extend/rebuild from
     `dataset:`; deletes may source victims from `ids_dataset:`.  The
     text stores' build/extend always index the curated rows, so those
     keep requiring `datasets:`."""
@@ -1335,6 +1336,11 @@ def _index_block_is_corpus_free(index_cfg: dict) -> bool:
             continue
         action = str(spec.get("action", "build"))
         if action in ("compact", "auto_compact", "snapshot"):
+            continue
+        if action == "rebuild" and kind == "ivf":
+            # the IVF rebuild re-trains from the store's OWN committed
+            # postings — it never reads a corpus (the ivfpq rebuild DOES:
+            # PQ storage is lossy, so it needs `dataset:` back)
             continue
         if (
             kind in ("ivf", "ivfpq", "neardup")

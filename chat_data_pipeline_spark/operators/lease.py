@@ -184,6 +184,21 @@ def _reap_stale_lock(
                 "no heartbeat; taking it over as a stale lease",
                 root, lease_holder(spark, root), ttl_seconds,
             )
+            # the dead holder's OWNER record goes first: were it left
+            # behind, a suspended-past-ttl holder resuming in the gap
+            # between this delete and the winner's own owner write would
+            # re-read its stale token, "verify" ownership, and release
+            # the winner's fresh LOCK.  With the record gone the gap
+            # reads "<unknown>"/no-token, which every verifier treats as
+            # not-mine.  (A reaper crash between these two deletes
+            # leaves an owner-less LOCK — the documented "<unknown>"
+            # state the next ttl reaps.)
+            try:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(lease_dir, "owner"), False
+                )
+            except Exception:
+                pass
             fs.delete(lock, False)
     except Exception:
         pass  # vanished mid-takeover — fine, re-race
@@ -364,7 +379,11 @@ def writer_lease(
       HDFS/S3A) are retried on a tightened ``ttl/10`` cadence; a single
       blip no longer silently stops the heartbeat and hands the root to
       a reaper mid-compaction.  Only ``_BEAT_MAX_FAILURES`` CONSECUTIVE
-      failures (well inside one ttl) give up.
+      failures (well inside one ttl) give up — and a give-up is recorded
+      as SUSPICION, adjudicated by the exit-time token re-verification:
+      an intact token proves no takeover happened and the run exits
+      clean; a changed/absent token (or a still-failing read) escalates
+      to :class:`LeaseLostError`.
     - LOCK GONE or owner-token CHANGED means this holder was usurped by
       a stale-takeover racer: stop beating immediately (never refresh a
       lock that is now someone else's) and flag the loss.
@@ -384,6 +403,11 @@ def writer_lease(
     fs, lock, owner_path, jvm = _lease_paths(spark, root)
     stop = threading.Event()
     lost_reason: list[str] = []
+    # give-up is SUSPICION, not proof: the exit path re-verifies the token
+    # and only escalates to a loss if it actually changed/vanished — a
+    # completed hour-long compaction must not be failed over a transient
+    # FS brown-out that never cost it the lease
+    suspect_reason: list[str] = []
 
     def _beat() -> None:
         interval = max(1.0, float(ttl_seconds) / 3.0)
@@ -410,9 +434,10 @@ def writer_lease(
             except Exception as exc:  # transient RPC failure — retry
                 failures += 1
                 if failures >= _BEAT_MAX_FAILURES:
-                    lost_reason.append(
+                    suspect_reason.append(
                         f"heartbeat failed {failures} consecutive attempts "
-                        f"({exc}); liveness can no longer be proven"
+                        f"({exc}); liveness could not be proven past that "
+                        "point"
                     )
                     logger.warning(
                         "writer lease heartbeat on %s giving up after %d "
@@ -431,9 +456,12 @@ def writer_lease(
         # exit-time verification (r17): a trigger SHORTER than one
         # heartbeat interval would otherwise never observe a usurpation —
         # re-verify the owner token once before releasing, so fast
-        # mutations get the same LeaseLostError signal as long ones.  A
-        # transient read failure proves nothing and stays silent (release
-        # is token-matched either way).
+        # mutations get the same LeaseLostError signal as long ones.
+        # The same check ADJUDICATES a heartbeat give-up: an intact token
+        # here proves no takeover ever happened (any usurpation rewrites
+        # or removes it and can never restore it), so the suspicion is
+        # cleared; a token mismatch/absence escalates it to a real loss;
+        # a read failure leaves it standing (still can't prove liveness).
         if not lost_reason:
             try:
                 rec = _holder_record(spark, root)
@@ -447,8 +475,17 @@ def writer_lease(
                         "owner token changed at release (lease usurped by "
                         f"{rec[0]!r})"
                     )
+                elif suspect_reason:
+                    logger.info(
+                        "writer lease on %s: heartbeat had given up (%s) "
+                        "but the owner token is intact at release — no "
+                        "takeover occurred, exiting clean",
+                        root, suspect_reason[0],
+                    )
+                    suspect_reason.clear()
             except Exception:
-                pass
+                if suspect_reason:
+                    lost_reason.append(suspect_reason[0])
         release_writer_lease(spark, root, owner, token)
     # only reached on a CLEAN body exit (a body exception propagates past
     # the finally and takes precedence over the lost flag)

@@ -473,6 +473,15 @@ def snapshot_store(
     dst = jvm.org.apache.hadoop.fs.Path(dst_index)
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     futil = jvm.org.apache.hadoop.fs.FileUtil
+    # a snapshot ONTO its own source (config typo + overwrite=True) would
+    # delete the live store's content before "copying" it — refuse by
+    # qualified-path identity, not string equality, so /a/b vs /a/b/ and
+    # scheme-prefixed spellings are caught too
+    if fs.makeQualified(dst).equals(fs.makeQualified(src)):
+        raise ValueError(
+            f"snapshot destination equals the source root ({src_index}); "
+            "a snapshot must clone into a DIFFERENT root"
+        )
     if fs.exists(dst):
         # "_"-prefixed children don't count as content: the CLI's
         # dual-root lease has already materialized {dst}/_writer_lease by

@@ -641,3 +641,32 @@ def test_cli_dataset_free_index_config(spark, docs, tmp_path):
     )
     with pytest.raises(ValueError, match="datasets"):
         run_config(spark, {"index": {"bm25": {"path": src, "action": "build"}}})
+
+
+def test_snapshot_store_refuses_its_own_source(spark, docs, tmp_path):
+    """r17 review: dst == src with overwrite=True would delete the live
+    store's content before 'copying' it — refused by qualified-path
+    identity (trailing slashes and scheme spellings included)."""
+    src = str(tmp_path / "snap_self")
+    RT.build_text_index(docs, src)
+    for dst in (src, src + "/", f"file:{src}"):
+        with pytest.raises(ValueError, match="DIFFERENT root"):
+            MT.snapshot_store(spark, src, dst, overwrite=True)
+    assert os.path.exists(f"{src}/meta")  # the store survived untouched
+
+
+def test_corpus_free_gate_accepts_ivf_rebuild(spark):
+    """r17 review: the IVF rebuild re-trains from the store's own
+    committed postings — a scheduled drift-repair config must not need a
+    dummy `datasets:` (the lossy ivfpq rebuild still does)."""
+    from chat_data_pipeline_spark.cli import _index_block_is_corpus_free
+
+    assert _index_block_is_corpus_free(
+        {"ivf": {"path": "/x", "dst_path": "/y", "action": "rebuild"}}
+    )
+    assert not _index_block_is_corpus_free(
+        {"ivfpq": {"path": "/x", "action": "rebuild"}}
+    )
+    assert _index_block_is_corpus_free(
+        {"ivfpq": {"path": "/x", "action": "rebuild", "dataset": "/emb.parquet"}}
+    )

@@ -635,3 +635,46 @@ def test_stale_takeover_storm_single_winner(spark, tmp_path):
     assert not errors
     assert peak[0] == 1
     assert L.lease_holder(spark, root) is None
+
+
+def test_reap_removes_dead_holders_owner_record(spark, tmp_path):
+    """r17 review: the takeover must delete the dead holder's OWNER file
+    along with its LOCK — a stale record left behind would let a
+    suspended holder resuming in the winner's create-to-owner-write gap
+    'verify' its own token and release the winner's fresh LOCK."""
+    import time
+
+    root = str(tmp_path / "reap_owner")
+    L.acquire_writer_lease(spark, root, "crashed", wait_seconds=0)
+    fs, lock, owner_path, jvm = L._lease_paths(spark, root)
+    stale_ms = int(time.time() * 1000) - 60_000
+    fs.setTimes(lock, stale_ms, -1)
+    L._reap_stale_lock(spark, fs, lock, jvm, root, stale_ms, 1)
+    assert not fs.exists(lock)
+    assert not fs.exists(owner_path)  # the stale record went with it
+
+
+def test_heartbeat_giveup_with_intact_token_exits_clean(
+    spark, tmp_path, monkeypatch
+):
+    """r17 review: a heartbeat that gave up after consecutive transient
+    failures is SUSPICION, not proof — when the exit re-verification
+    finds this acquisition's token intact (no takeover ever happened),
+    the run must exit clean instead of failing a completed mutation."""
+    import time
+
+    root = str(tmp_path / "giveup_clean")
+    calls = {"n": 0}
+    real = L._read_small
+
+    def flaky(fs, path, jvm):
+        calls["n"] += 1
+        if calls["n"] <= L._BEAT_MAX_FAILURES:
+            raise RuntimeError("transient RPC brown-out")
+        return real(fs, path, jvm)
+
+    monkeypatch.setattr(L, "_read_small", flaky)
+    with L.writer_lease(spark, root, "survivor", ttl_seconds=3):
+        time.sleep(5.5)  # beats at ~1s/1.3s/1.6s all fail -> give-up
+    assert calls["n"] > L._BEAT_MAX_FAILURES  # exit re-verify DID read
+    assert L.lease_holder(spark, root) is None  # released, no raise
