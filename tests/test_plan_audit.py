@@ -673,3 +673,33 @@ def test_compacted_onboarding_probe_is_collision_sized(spark):
     r = plan_report(df)
     assert "CartesianProduct" not in r.text and "NestedLoop" not in r.text
     assert r.n_python_stages <= 2, r.n_python_stages
+
+
+def test_wordpiece_encode_is_pure_column(docs):
+    """r17 second half: the WordPiece greedy scan is one declarative
+    struct-state fold — ZERO Python stages, the encoded vocab re-joins
+    occurrences via broadcast, every scan pruned (same budget as the BPE
+    fold encoder beside it)."""
+    from chat_data_pipeline_spark.operators import wordpiece as WP
+    from chat_data_pipeline_spark.queries import _WP_PIECES
+
+    r = plan_report(WP.wordpiece_encode(docs, _WP_PIECES))
+    assert r.n_python_stages == 0
+    assert r.n_broadcasts >= 1
+    assert r.n_exchanges <= 2 and r.scans_are_pruned
+
+
+def test_snapshot_root_probe_keeps_source_plan_shape(spark):
+    """r17 second half: the snapshot clone preserves batch structure and
+    tombstones byte-for-byte, so the served probe over the SNAPSHOT must
+    carry the same scale-critical plan facts as a probe of the source —
+    probed-list pruning at the file listing and the bounded Python
+    budget.  Any divergence would mean the copy changed the plan."""
+    from chat_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["ivf_snapshot_serving"].fn(spark, SF_DIR)
+    r = plan_report(df)
+    list_pruned = [p for p in r.partition_filters if "INSET" in p or "list" in p]
+    assert list_pruned, r.partition_filters
+    assert r.n_python_stages <= 2, r.n_python_stages
+    assert "CartesianProduct" not in r.text and "NestedLoop" not in r.text
