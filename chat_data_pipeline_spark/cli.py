@@ -1321,6 +1321,101 @@ def serve_frame(spark: SparkSession, q: DataFrame, spec: dict) -> DataFrame:
     return arms[0].filter(F.col("rank") <= k)
 
 
+def _run_tokenize(spark: SparkSession, df: DataFrame, spec: dict) -> None:
+    """Top-level ``tokenize:`` block (r17) — encode the CURATED rows with
+    one of the engine's three subword schemes and persist the encoding,
+    making the tokenizer family YAML-reachable the way indexes and
+    serving already are:
+
+        tokenize:
+          scheme: bpe               # bpe | unigram | wordpiece
+          column: response          # text column of the curated rows
+          id_expr: id
+          output_path: /out/tokens.parquet
+          num_merges: 200           # bpe: learn this many merges here...
+          merges: [[e, r], ...]     # ...or apply a FIXED table instead
+          vocab_size: 512           # unigram trainer budget
+          pieces: [the, "##ing"]    # wordpiece vocab; default: the ASCII
+                                    # character floor (every ASCII word
+                                    # encodes, non-ASCII reads [UNK])
+
+    Output schema is uniform across schemes: ``(id, tokens, n_tokens,
+    scheme)`` — tokens space-joined in word order.  BPE without a
+    ``merges:`` table trains on THIS run's curated rows (the corpus the
+    encoding will serve); unigram always trains here (its model is not a
+    portable literal).  All three encodes run once per DISTINCT word /
+    narrow Arrow pass — the registered rows' scale shapes, unchanged."""
+    scheme = str(spec.get("scheme", "bpe"))
+    column = str(spec.get("column", "response"))
+    id_expr = str(spec.get("id_expr", "id"))
+    out_path = spec.get("output_path")
+    if not out_path:
+        raise ValueError("tokenize needs `output_path`")
+    source = df.select(
+        F.expr(id_expr).alias("__tid__"), F.col(column).alias("__text__")
+    )
+    if scheme == "bpe":
+        from chat_data_pipeline_spark.operators.bpe import (
+            bpe_encode_fold,
+            learn_bpe_merges,
+        )
+
+        merges = (
+            [(str(l), str(r)) for l, r in spec["merges"]]
+            if spec.get("merges")
+            else learn_bpe_merges(
+                source,
+                "__text__",
+                num_merges=int(spec.get("num_merges", 50)),
+                min_frequency=int(spec.get("min_frequency", 2)),
+            )
+        )
+        out = bpe_encode_fold(source, merges, "__text__", "__tid__").select(
+            F.col("__tid__").alias("id"),
+            F.col("bpe_text").alias("tokens"),
+            F.col("n_bpe_tokens").cast("long").alias("n_tokens"),
+        )
+    elif scheme == "unigram":
+        from chat_data_pipeline_spark.operators.unigram_lm import (
+            train_unigram_lm,
+            unigram_encode_tokens,
+        )
+
+        logp = train_unigram_lm(
+            source, "__text__", vocab_size=int(spec.get("vocab_size", 512))
+        )
+        out = unigram_encode_tokens(source, logp, "__text__", "__tid__").select(
+            F.col("__tid__").alias("id"),
+            F.concat_ws(" ", F.col("pieces")).alias("tokens"),
+            F.col("n_pieces").cast("long").alias("n_tokens"),
+        )
+    elif scheme == "wordpiece":
+        from chat_data_pipeline_spark.operators.wordpiece import (
+            DEFAULT_PIECES,
+            wordpiece_encode,
+        )
+
+        pieces = (
+            [str(p) for p in spec["pieces"]]
+            if spec.get("pieces")
+            else DEFAULT_PIECES
+        )
+        out = wordpiece_encode(source, pieces, "__text__", "__tid__").select(
+            F.col("__tid__").alias("id"),
+            F.col("wp_text").alias("tokens"),
+            F.col("n_wp_tokens").cast("long").alias("n_tokens"),
+        )
+    else:
+        raise ValueError(
+            "tokenize scheme must be 'bpe', 'unigram' or 'wordpiece', "
+            f"got {scheme!r}"
+        )
+    from chat_data_pipeline_spark.sources.io import write_table
+
+    write_table(out.withColumn("scheme", F.lit(scheme)), str(out_path))
+    logger.info("tokenize: wrote %s encoding to %s", scheme, out_path)
+
+
 def _index_block_is_corpus_free(index_cfg: dict) -> bool:
     """True when EVERY spec in the index block can run without this run's
     curated rows (r17, so a pure-maintenance config — e.g. a scheduled
@@ -1444,6 +1539,12 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
         # — the artifact a curation job should leave behind is an index of
         # what it kept, not of the raw feed
         _run_indexing(spark, df, index_cfg)
+
+    tokenize_cfg = config.get("tokenize")
+    if tokenize_cfg:
+        # subword-encode the CURATED rows (same placement rationale as the
+        # index block: tokenize what the run kept)
+        _run_tokenize(spark, df, dict(tokenize_cfg))
 
     if takedown_cfg:
         # compliance delivery AFTER index maintenance: victims default to

@@ -34,6 +34,15 @@ from pyspark.sql import functions as F
 
 UNK = "[UNK]"
 
+# Character-floor default vocabulary for the CLI `tokenize:` block: every
+# ASCII ``\w`` word encodes (one piece per character), non-ASCII words hit
+# [UNK] — the honest zero-training baseline; real deployments pass their
+# own `pieces:` list.
+_ASCII_WORD_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789_"
+DEFAULT_PIECES: list[str] = list(_ASCII_WORD_CHARS) + [
+    "##" + c for c in _ASCII_WORD_CHARS
+]
+
 
 def _piece_buckets(
     pieces: list[str],

@@ -2425,3 +2425,108 @@ def test_streaming_store_takedowns_stream_equals_batch(spark, tmp_path):
         for r in NS.filter_against_neardup_index(spark, vfresh, vprobe).collect()
     )
     assert vgot == vwant and len(vgot) > 0
+
+
+TOKENIZE_CONFIG = """
+datasets:
+  - path: {conv_path}
+seed: 42
+response:
+  cleaners: []
+  filters: []
+  deduplication:
+    do_deduplication: false
+instruction:
+  cleaners: []
+  filters: []
+  deduplication:
+    do_deduplication: false
+tokenize:
+  scheme: {scheme}
+  column: response
+  id_expr: id
+  output_path: {out_path}
+{extra}"""
+
+
+def test_cli_tokenize_block_all_three_schemes(spark, tmp_path):
+    """r17: the `tokenize:` block makes the subword family YAML-reachable —
+    each scheme writes the uniform (id, tokens, n_tokens, scheme) table,
+    and the wordpiece/bpe encodings match the direct operator composition
+    over the same curated rows."""
+    from chat_data_pipeline_spark.cli import load_yaml, run_config
+    from chat_data_pipeline_spark.operators.bpe import bpe_encode_fold
+    from chat_data_pipeline_spark.operators.wordpiece import (
+        DEFAULT_PIECES,
+        wordpiece_encode,
+    )
+
+    conv_path = str(tmp_path / "conv.parquet")
+    spark.createDataFrame(
+        [
+            (i, "src", [("ask me", False, "User"),
+                        (f"lower river water {i % 5}", True, "Assistant")])
+            for i in range(30)
+        ],
+        "id long, source string, conversation array<struct<content string, do_train boolean, role string>>",
+    ).write.parquet(conv_path)
+    curated = spark.read.parquet(conv_path).select(
+        F.col("id"),
+        F.element_at("conversation", -1)["content"].alias("response"),
+    )
+
+    outs = {}
+    for scheme, extra in (
+        ("wordpiece", ""),
+        ("bpe", "  merges: [[e, r], [o, w], [a, t]]\n"),
+        ("unigram", "  vocab_size: 64\n"),
+    ):
+        out_path = str(tmp_path / f"tok_{scheme}.parquet")
+        cfg = tmp_path / f"tok_{scheme}.yaml"
+        cfg.write_text(
+            TOKENIZE_CONFIG.format(
+                conv_path=conv_path, scheme=scheme, out_path=out_path,
+                extra=extra,
+            )
+        )
+        run_config(spark, load_yaml(str(cfg)))
+        outs[scheme] = spark.read.parquet(out_path)
+
+    for scheme, df in outs.items():
+        assert {f.name for f in df.schema.fields} == {
+            "id", "tokens", "n_tokens", "scheme",
+        }
+        assert df.count() == 30
+        assert df.filter(F.col("scheme") != scheme).count() == 0
+        assert df.filter(F.col("n_tokens") <= 0).count() == 0
+
+    want_wp = {
+        r.id: (r.wp_text, r.n_wp_tokens)
+        for r in wordpiece_encode(
+            curated, DEFAULT_PIECES, "response", "id"
+        ).collect()
+    }
+    got_wp = {r.id: (r.tokens, r.n_tokens) for r in outs["wordpiece"].collect()}
+    assert got_wp == want_wp
+
+    want_bpe = {
+        r.id: (r.bpe_text, r.n_bpe_tokens)
+        for r in bpe_encode_fold(
+            curated, [("e", "r"), ("o", "w"), ("a", "t")], "response", "id"
+        ).collect()
+    }
+    got_bpe = {r.id: (r.tokens, r.n_tokens) for r in outs["bpe"].collect()}
+    assert got_bpe == want_bpe
+
+    with pytest.raises(ValueError, match="output_path"):
+        run_config(
+            spark,
+            {
+                "datasets": [{"path": conv_path}],
+                "response": {"cleaners": [], "filters": [],
+                             "deduplication": {"do_deduplication": False}},
+                "instruction": {"cleaners": [], "filters": [],
+                                "deduplication": {"do_deduplication": False}},
+                "tokenize": {"scheme": "bpe"},
+            },
+        )

@@ -109,3 +109,28 @@ def test_wordpiece_unk_is_whole_word_not_partial(spark):
     df = spark.createDataFrame([(1, "themé")], "doc_id long, text string")
     row = WP.wordpiece_encode(df, _WP_PIECES).first()
     assert (row.wp_text, row.n_wp_tokens) == ("[UNK]", 1)
+
+
+def test_wordpiece_matches_reference_on_randomized_words(spark):
+    """Seeded randomized differential: 400 words over a mixed alphabet
+    (ASCII letters/digits/underscore plus non-ASCII letters that force
+    the [UNK] path) — the declarative fold must equal the textbook loop
+    on every one, in one batched comparison."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789_éüλ漢"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.wp_text, r.n_wp_tokens)
+        for r in WP.wordpiece_encode(df, _WP_PIECES).collect()
+    }
+    for i, w in enumerate(words):
+        toks = _ref_wordpiece(w, _WP_PIECES)
+        assert got[i] == (" ".join(toks), len(toks)), (i, w)
