@@ -1321,6 +1321,45 @@ def serve_frame(spark: SparkSession, q: DataFrame, spec: dict) -> DataFrame:
     return arms[0].filter(F.col("rank") <= k)
 
 
+def _tokenize_str_list(vals, key: str) -> list[str]:
+    """Strict string-list validation for tokenizer vocab entries: YAML 1.1
+    silently loads bare `on`/`no`/`yes`/`off` as BOOLEANS, and a str()
+    coercion would turn them into literal 'True'/'False' pieces that never
+    match real text — reject non-strings with the quoting remedy."""
+    out = []
+    for v in vals:
+        if not isinstance(v, str):
+            raise ValueError(
+                f"tokenize.{key} entries must be strings, got {v!r} — "
+                "quote YAML-1.1 boolean-like tokens ('on', 'no', 'yes', "
+                "'off') and numbers"
+            )
+        out.append(v)
+    return out
+
+
+def _tokenize_merge_pairs(vals) -> list[tuple[str, str]]:
+    """Strict [left, right] pair validation for a fixed BPE merge table.
+    The stdlib mini-YAML fallback cannot parse nested lists (it would
+    hand back fragment strings like '[e'), so malformed entries must fail
+    loudly instead of silently applying a corrupted table."""
+    pairs = []
+    for m in vals:
+        if (
+            not isinstance(m, (list, tuple))
+            or len(m) != 2
+            or not all(isinstance(x, str) for x in m)
+        ):
+            raise ValueError(
+                "tokenize.merges must be a list of [left, right] string "
+                f"pairs, got {m!r} (note: without PyYAML the stdlib "
+                "mini-YAML fallback cannot parse nested lists — install "
+                "PyYAML or use `num_merges:` to train here)"
+            )
+        pairs.append((m[0], m[1]))
+    return pairs
+
+
 def _run_tokenize(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     """Top-level ``tokenize:`` block (r17) — encode the CURATED rows with
     one of the engine's three subword schemes and persist the encoding,
@@ -1360,16 +1399,18 @@ def _run_tokenize(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             learn_bpe_merges,
         )
 
-        merges = (
-            [(str(l), str(r)) for l, r in spec["merges"]]
-            if spec.get("merges")
-            else learn_bpe_merges(
+        # presence-based, not truthiness: an explicit `merges: []` pins
+        # the zero-merge character-level table — it must not silently
+        # fall back to training a run-dependent one
+        if "merges" in spec:
+            merges = _tokenize_merge_pairs(spec["merges"])
+        else:
+            merges = learn_bpe_merges(
                 source,
                 "__text__",
                 num_merges=int(spec.get("num_merges", 50)),
                 min_frequency=int(spec.get("min_frequency", 2)),
             )
-        )
         out = bpe_encode_fold(source, merges, "__text__", "__tid__").select(
             F.col("__tid__").alias("id"),
             F.col("bpe_text").alias("tokens"),
@@ -1395,11 +1436,12 @@ def _run_tokenize(spark: SparkSession, df: DataFrame, spec: dict) -> None:
             wordpiece_encode,
         )
 
-        pieces = (
-            [str(p) for p in spec["pieces"]]
-            if spec.get("pieces")
-            else DEFAULT_PIECES
-        )
+        # presence-based: an explicit `pieces: []` means "everything is
+        # [UNK]" — the user's literal table, not the ASCII default
+        if "pieces" in spec:
+            pieces = _tokenize_str_list(spec["pieces"], "pieces")
+        else:
+            pieces = DEFAULT_PIECES
         out = wordpiece_encode(source, pieces, "__text__", "__tid__").select(
             F.col("__tid__").alias("id"),
             F.col("wp_text").alias("tokens"),
@@ -1461,6 +1503,14 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
     corpus_free_index = bool(config.get("index")) and _index_block_is_corpus_free(
         config["index"]
     )
+    if "datasets" not in config and config.get("tokenize"):
+        # tokenize encodes THIS run's curated rows by definition — there
+        # is no corpus-free variant, and silently skipping it on a
+        # serve/maintain-only config would be worse than refusing
+        raise ValueError(
+            "the `tokenize:` block encodes this run's curated rows — add "
+            "`datasets:` (tokenize has no corpus-free form)"
+        )
     if "datasets" not in config and (
         serve_cfg or takedown_cfg or maintain_cfg or corpus_free_index
     ):
@@ -1495,6 +1545,12 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
             "`datasets:` (or use a corpus-free action: snapshot / compact "
             "/ auto_compact, a vector-kind build/extend/rebuild with "
             "`dataset:`, or a delete with `ids_dataset:`)"
+        )
+    if "datasets" not in config:
+        raise ValueError(
+            "this config has no `datasets:` and no dataset-free block "
+            "(serve / maintain / takedown / corpus-free index) — nothing "
+            "to run"
         )
 
     paths = [d["path"] if isinstance(d, dict) else d for d in config["datasets"]]

@@ -2530,3 +2530,62 @@ def test_cli_tokenize_block_all_three_schemes(spark, tmp_path):
                 "tokenize": {"scheme": "bpe"},
             },
         )
+
+
+def test_cli_tokenize_config_validation(spark, tmp_path):
+    """r17 review: the tokenize block's config parsing is STRICT —
+    YAML-1.1 boolean-like vocab entries, mini-YAML nested-list fragments,
+    and dataset-less configs all fail loudly instead of silently encoding
+    garbage; explicit empty tables keep their literal meaning."""
+    from chat_data_pipeline_spark.cli import run_config
+    from chat_data_pipeline_spark.operators.bpe import bpe_encode_fold
+
+    conv_path = str(tmp_path / "vconv.parquet")
+    spark.createDataFrame(
+        [(i, "s", [("q", False, "User"), (f"water {i % 3}", True, "Assistant")])
+         for i in range(9)],
+        "id long, source string, conversation array<struct<content string, do_train boolean, role string>>",
+    ).write.parquet(conv_path)
+
+    def cfg(tok):
+        return {
+            "datasets": [{"path": conv_path}],
+            "response": {"cleaners": [], "filters": [],
+                         "deduplication": {"do_deduplication": False}},
+            "instruction": {"cleaners": [], "filters": [],
+                            "deduplication": {"do_deduplication": False}},
+            "tokenize": tok,
+        }
+
+    out = str(tmp_path / "v1.parquet")
+    # YAML-1.1 booleans masquerading as pieces are rejected with guidance
+    with pytest.raises(ValueError, match="quote YAML-1.1"):
+        run_config(spark, cfg({"scheme": "wordpiece", "output_path": out,
+                               "pieces": ["the", True]}))
+    # mini-YAML nested-list fragments (strings) are rejected, not applied
+    with pytest.raises(ValueError, match="left, right"):
+        run_config(spark, cfg({"scheme": "bpe", "output_path": out,
+                               "merges": ["[e", "r]"]}))
+    # explicit merges: [] pins the character-level table (no training)
+    run_config(spark, cfg({"scheme": "bpe", "output_path": out,
+                           "merges": []}))
+    got = spark.read.parquet(out)
+    curated = spark.read.parquet(conv_path).select(
+        F.col("id"),
+        F.element_at("conversation", -1)["content"].alias("response"),
+    )
+    want = {
+        r.id: (r.bpe_text, r.n_bpe_tokens)
+        for r in bpe_encode_fold(curated, [], "response", "id").collect()
+    }
+    assert {r.id: (r.tokens, r.n_tokens) for r in got.collect()} == want
+    # tokenize has no corpus-free form: dataset-less configs refuse, even
+    # when another block would otherwise take the dataset-less early path
+    with pytest.raises(ValueError, match="no corpus-free form"):
+        run_config(spark, {"tokenize": {"scheme": "bpe", "output_path": out}})
+    with pytest.raises(ValueError, match="no corpus-free form"):
+        run_config(
+            spark,
+            {"maintain": {"roots": ["/nowhere"]},
+             "tokenize": {"scheme": "bpe", "output_path": out}},
+        )
