@@ -1110,6 +1110,9 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
           max_tombstone_nanos: 100000000
           gc: true                            # sweep crash debris (r17)
           gc_grace_seconds: 86400             # keep younger uncommitted dirs
+          snapshot_dir: /backups/indexes      # file-level backup per root
+                                              # (r17: {dir}/{root basename},
+                                              # replaced each run)
           auto_compact: true                  # act, not just report
           report_path: /out/maintenance.parquet   # optional sink
 
@@ -1119,9 +1122,13 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
     staging, `gc_debris` — pure FS metadata, no rewrite) and compacts
     the flagged ones, and returns the sweep report (recomputed AFTER the
     mutations when `gc`/`auto_compact` acted, so the persisted report
-    reflects the state the run left behind).  GC and compaction run
+    reflects the state the run left behind).  With `snapshot_dir`, every
+    root is CLONED to `{snapshot_dir}/{basename}` (committed-state
+    file-level copy, replacing last run's clone) BEFORE any compaction —
+    the scheduled-backup loop: if this run's rewrite goes wrong, the
+    pre-maintenance cut is on disk.  GC, snapshot and compaction run
     under ONE lease hold per root — a live delivery stream sharing the
-    root serializes against the whole hygiene pass, not each half."""
+    root serializes against the whole hygiene pass, not each third."""
     from chat_data_pipeline_spark.operators.maintenance import (
         DEFAULT_GC_GRACE_SECONDS,
         DEFAULT_MAX_BATCHES,
@@ -1129,6 +1136,7 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
         compact_if_needed,
         gc_debris,
         maintenance_sweep,
+        snapshot_store,
     )
 
     roots = [str(r) for r in (spec.get("roots") or [])]
@@ -1137,8 +1145,17 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
     mb = int(spec.get("max_batches", DEFAULT_MAX_BATCHES))
     mt = int(spec.get("max_tombstone_nanos", DEFAULT_MAX_TOMBSTONE_NANOS))
     do_gc = bool(spec.get("gc"))
+    snap_dir = str(spec["snapshot_dir"]).rstrip("/") if spec.get("snapshot_dir") else None
+    if snap_dir:
+        basenames = [r.rstrip("/").rsplit("/", 1)[-1] for r in roots]
+        if len(set(basenames)) != len(basenames):
+            raise ValueError(
+                "maintain.snapshot_dir maps each root to "
+                "{snapshot_dir}/{basename} — the fleet's root basenames "
+                f"must be distinct, got {sorted(basenames)}"
+            )
     acted = False
-    if do_gc or spec.get("auto_compact"):
+    if do_gc or snap_dir or spec.get("auto_compact"):
         for root in roots:
             # per-root writer lease (r16): the fleet sweep may include
             # roots with live delivery/takedown streams — serialize the
@@ -1163,6 +1180,13 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
                             g.debris_kept,
                         )
                         acted = True
+                if snap_dir:
+                    # backup BEFORE compaction: the clone is the cut to
+                    # roll back to if this run's rewrite goes wrong
+                    dst = f"{snap_dir}/{root.rstrip('/').rsplit('/', 1)[-1]}"
+                    snapshot_store(spark, root, dst, overwrite=True)
+                    logger.info("maintain: snapshotted %s -> %s", root, dst)
+                    acted = True
                 if spec.get("auto_compact") and compact_if_needed(
                     spark, root, mb, mt
                 ):

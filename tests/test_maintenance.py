@@ -670,3 +670,55 @@ def test_corpus_free_gate_accepts_ivf_rebuild(spark):
     assert _index_block_is_corpus_free(
         {"ivfpq": {"path": "/x", "action": "rebuild", "dataset": "/emb.parquet"}}
     )
+
+
+def test_cli_maintain_snapshot_dir_backs_up_the_fleet(spark, docs, emb, tmp_path):
+    """r17: `maintain: {snapshot_dir}` is the scheduled-backup loop —
+    every root clones to {dir}/{basename} under its lease BEFORE any
+    compaction (the cut to roll back to), debris never travels, probes
+    of the clones bit-match the sources, and a second run replaces the
+    previous clones cleanly; colliding basenames are refused up front."""
+    from chat_data_pipeline_spark.cli import _run_maintenance
+
+    bidx = str(tmp_path / "bk_bm25")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), bidx)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 2 == 1), bidx, batch_id="b1")
+    vidx = str(tmp_path / "bk_ivf")
+    SIM.build_ivf_index(emb, vidx, n_centroids=16, coarse="md5", dim=64)
+    ghost = f"{bidx}/postings/batch=aaa-ghost/bkt=0"
+    os.makedirs(ghost)
+    with open(f"{ghost}/part-00000.parquet", "wb") as fh:
+        fh.write(b"NOT A PARQUET FOOTER")
+    snap = str(tmp_path / "backups")
+
+    _run_maintenance(spark, {"roots": [bidx, vidx], "snapshot_dir": snap})
+    bclone, vclone = f"{snap}/bk_bm25", f"{snap}/bk_ivf"
+    assert not os.path.exists(f"{bclone}/postings/batch=aaa-ghost")
+    terms = ["join", "hash"]
+    assert sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, bclone, terms, k=5).collect())
+    ) == sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, bidx, terms, k=5).collect())
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, vclone, q, k=5).collect())
+    ) == sorted(
+        map(tuple, SIM.ivf_topk_persisted(spark, vidx, q, k=5).collect())
+    )
+    # second scheduled run replaces the clones (overwrite semantics)
+    _run_maintenance(spark, {"roots": [bidx, vidx], "snapshot_dir": snap})
+    assert os.path.exists(f"{bclone}/meta")
+    # colliding basenames refused before anything mutates
+    twin = str(tmp_path / "sub" / "bk_bm25")
+    os.makedirs(os.path.dirname(twin), exist_ok=True)
+    RT.build_text_index(docs.limit(10), twin)
+    with pytest.raises(ValueError, match="distinct"):
+        _run_maintenance(
+            spark, {"roots": [bidx, twin], "snapshot_dir": snap}
+        )
+    from chat_data_pipeline_spark.operators import lease as L
+
+    assert all(L.lease_holder(spark, r) is None for r in (bidx, vidx))
