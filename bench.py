@@ -212,6 +212,9 @@ BENCH_QUERIES = [
     # behind the build-once memo; best-of-3 reads the snapshot root's
     # steady-state probe (which must match the source's delete-serving)
     "ivf_snapshot_serving",
+    # round-17 second half: the WordPiece fairness audit — distinct-word
+    # fold + broadcast re-join + map-side-combinable group aggregate
+    "wordpiece_fertility_by_lang",
 ]
 
 
@@ -325,6 +328,10 @@ SCALE_PROBE_QUERIES = [
     # clone preserves batch structure byte-for-byte, so any divergence
     # would mean the copy changed the plan
     "ivf_snapshot_serving",
+    # round-17 second half: the fertility audit shares the encode row's
+    # distinct-word scaling — its exponent should track
+    # wordpiece_encode_corpus's near-flat number on both corpus axes
+    "wordpiece_fertility_by_lang",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second
@@ -341,6 +348,7 @@ FIXED_VOCAB_QUERIES = [
     "docs_bigram_lm",
     "bpe_encode_corpus",
     "wordpiece_encode_corpus",
+    "wordpiece_fertility_by_lang",
 ]
 
 

@@ -146,6 +146,72 @@ def wordpiece_tokens(word: Column, pieces: list[str]) -> Column:
     return F.when(final["bad"], F.array(F.lit(UNK))).otherwise(final["toks"])
 
 
+def wordpiece_fertility(
+    df: DataFrame,
+    pieces: list[str],
+    column: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer-fairness audit under a fixed WordPiece vocabulary:
+    ``(group_col, n_words, n_unk_words, n_pieces, fertility)`` — the
+    pieces-per-ENCODABLE-word ratio plus the out-of-vocabulary word count
+    per group.  The WordPiece-specific fairness signal is the UNK side:
+    a vocabulary that merely over-fragments a language inflates its
+    fertility (the BPE audit's metric), but one that cannot SPELL a
+    language at all collapses its words to ``[UNK]`` — silent data loss
+    the fertility ratio alone would hide, so UNK words are counted
+    separately and excluded from the ratio (``fertility`` is NULL for a
+    group with no encodable words).
+
+    Same scale shape as ``operators/bpe.bpe_fertility``: the greedy fold
+    runs once per DISTINCT word, the occurrence re-join carries only
+    ``(word, n_pieces, is_unk)``, and the group aggregate is
+    map-side-combinable."""
+    from chat_data_pipeline_spark.functions import text as T
+
+    docw = df.select(
+        F.col(group_col).alias("__grp__"),
+        F.explode(T.words(F.col(column))).alias("word"),
+    )
+    toks = wordpiece_tokens(F.col("word"), pieces)
+    enc = (
+        docw.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.size(toks).alias("__np__"),
+            # UNK is only ever emitted as the whole-word fallback, and
+            # \w+ words can never literally equal the bracketed sentinel
+            ((F.size(toks) == 1) & (F.element_at(toks, 1) == UNK)).alias(
+                "__unk__"
+            ),
+        )
+    )
+    agg = (
+        docw.join(enc, "word")
+        .groupBy("__grp__")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.when(F.col("__unk__"), 1).otherwise(0)).alias(
+                "n_unk_words"
+            ),
+            F.sum(F.when(F.col("__unk__"), 0).otherwise(F.col("__np__"))).alias(
+                "n_pieces"
+            ),
+        )
+    )
+    encodable = F.col("n_words") - F.col("n_unk_words")
+    return agg.select(
+        F.col("__grp__").alias(group_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_unk_words").cast("long").alias("n_unk_words"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.when(
+            encodable > 0, F.col("n_pieces").cast("double") / encodable
+        ).alias("fertility"),
+    )
+
+
 def wordpiece_encode(
     df: DataFrame,
     pieces: list[str],

@@ -6428,6 +6428,57 @@ def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "wordpiece_fertility_by_lang",
+    f"""
+    WITH docw AS (
+      SELECT lang,
+             unnest(regexp_extract_all(lower(coalesce(text, '')), '[\\p{{L}}\\p{{N}}_]+')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT DISTINCT w FROM docw
+    ), encl AS (
+      SELECT w, {_wordpiece_fold_sql(_WP_PIECES)} AS toks
+      FROM vocab
+    ), encn AS (
+      SELECT w, CAST(len(toks) AS BIGINT) AS np,
+             (len(toks) = 1 AND toks[1] = '[UNK]') AS unk
+      FROM encl
+    ), agg AS (
+      SELECT d.lang, COUNT(*) AS n_words,
+             SUM(CASE WHEN e.unk THEN 1 ELSE 0 END) AS n_unk_words,
+             SUM(CASE WHEN e.unk THEN 0 ELSE e.np END) AS n_pieces
+      FROM docw d JOIN encn e ON e.w = d.w
+      GROUP BY 1
+    )
+    SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_unk_words AS BIGINT) AS n_unk_words,
+           CAST(n_pieces AS BIGINT) AS n_pieces,
+           CASE WHEN n_words > n_unk_words
+                THEN CAST(n_pieces AS DOUBLE) / (n_words - n_unk_words)
+           END AS fertility
+    FROM agg
+    """,
+    "WordPiece tokenizer-FAIRNESS audit (r17 second half): pieces-per-"
+    "encodable-word by language under the fixed vocabulary, plus the "
+    "out-of-vocabulary word count the BPE fertility metric cannot see — "
+    "a vocab that merely over-fragments a language inflates its "
+    "fertility, but one that cannot SPELL it collapses words to [UNK], "
+    "silent data loss that only the separate UNK count surfaces (UNK "
+    "words are excluded from the ratio; fertility is NULL for a group "
+    "with no encodable words).  Same per-DISTINCT-word fold + broadcast "
+    "re-join + map-side-combinable group aggregate as bpe_fertility_by_"
+    "lang; the oracle replays the scan via the shared "
+    "_wordpiece_fold_sql list_reduce and the one IEEE division "
+    "value-hashes cross-engine",
+)
+def wordpiece_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import wordpiece as WP
+
+    docs = _read(spark, sf_dir, "documents")
+    return WP.wordpiece_fertility(docs, _WP_PIECES, "text", "lang")
+
+
+@_register(
     "dedup_soft_weights",
     r"""
     SELECT doc_id,
@@ -9794,6 +9845,15 @@ _WINDOW_TAIL += [
     # keeps bpe_encode_corpus + wordpiece_encode_corpus in-window (the
     # trainer keeps its pure-Python differential pytest + parity sweep)
     "bpe_merges_corpus",
+    # displaced by wordpiece_fertility_by_lang (NEW never-verified
+    # oracle-backed, r17 second half: the tokenizer-fairness audit with
+    # the UNK side the BPE metric cannot see): bpe_encode_corpus is
+    # hash-green in CORRECTNESS_r16, its module (operators/bpe.py) and
+    # query def are byte-unchanged this round, and the tokenizer family
+    # keeps wordpiece_encode_corpus + wordpiece_fertility_by_lang
+    # in-window (the fold encoder keeps its chained-list_reduce oracle in
+    # the full-registry parity sweep + the pure-column plan audit)
+    "bpe_encode_corpus",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end

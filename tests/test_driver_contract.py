@@ -98,11 +98,12 @@ def test_correctness_window_is_all_oracle_backed():
         # ride the shared retained-topk oracle-template factorings
         "docs_bm25_delete_serving", "ann_topk_ivf_persisted",
         # round-17 second half: the crash-debris GC fleet row, the
-        # WordPiece encode row and the snapshot serving row (all NEW,
-        # never-driver-verified — displacing r16-green
-        # corpus_cms_heavy_hitters / dsir_select_en / bpe_merges_corpus)
+        # WordPiece encode + fertility rows and the snapshot serving row
+        # (all NEW, never-driver-verified — displacing r16-green
+        # corpus_cms_heavy_hitters / dsir_select_en / bpe_merges_corpus /
+        # bpe_encode_corpus)
         "fleet_gc_report", "wordpiece_encode_corpus",
-        "ivf_snapshot_serving",
+        "ivf_snapshot_serving", "wordpiece_fertility_by_lang",
         # round-17 staleness rotation rule 3 — the complete r12 band:
         "conversation_chatml", "decontaminate_report", "dedup_exact",
         "docs_fix_mojibake", "edit_pairs_concat", "events_asof_view",

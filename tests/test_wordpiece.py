@@ -134,3 +134,31 @@ def test_wordpiece_matches_reference_on_randomized_words(spark):
     for i, w in enumerate(words):
         toks = _ref_wordpiece(w, _WP_PIECES)
         assert got[i] == (" ".join(toks), len(toks)), (i, w)
+
+
+def test_wordpiece_fertility_counts_unk_separately(spark):
+    """The fairness audit: fertility averages pieces over ENCODABLE words
+    only, UNK words are counted on the side (the data-loss signal), and
+    an all-UNK group reads NULL fertility, not a division blow-up."""
+    df = spark.createDataFrame(
+        [
+            (1, "en", "the sort"),       # 'the'=1 piece, 'sort'=3 pieces
+            (2, "en", "the"),            # repeat occurrence counts again
+            (3, "zh", "漢字 漢字 the"),   # 2 UNK occurrences + 1 encodable
+            (4, "el", "λόγος"),          # all-UNK group
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {
+        r.lang: r
+        for r in WP.wordpiece_fertility(df, _WP_PIECES, "text", "lang").collect()
+    }
+    en = rows["en"]
+    assert (en.n_words, en.n_unk_words, en.n_pieces) == (3, 0, 5)
+    assert abs(en.fertility - 5 / 3) < 1e-12
+    zh = rows["zh"]
+    assert (zh.n_words, zh.n_unk_words, zh.n_pieces) == (3, 2, 1)
+    assert abs(zh.fertility - 1.0) < 1e-12
+    el = rows["el"]
+    assert (el.n_words, el.n_unk_words, el.n_pieces) == (1, 1, 0)
+    assert el.fertility is None
