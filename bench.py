@@ -215,6 +215,10 @@ BENCH_QUERIES = [
     # round-17 second half: the WordPiece fairness audit — distinct-word
     # fold + broadcast re-join + map-side-combinable group aggregate
     "wordpiece_fertility_by_lang",
+    # round-17 third session: the read-only structural fsck audit — pure
+    # FS metadata walks over the five-kind fleet behind the build-once
+    # memo, plus the same O(batches) live_units sweep the GC row pays
+    "fleet_fsck_report",
 ]
 
 
@@ -332,6 +336,10 @@ SCALE_PROBE_QUERIES = [
     # distinct-word scaling — its exponent should track
     # wordpiece_encode_corpus's near-flat number on both corpus axes
     "wordpiece_fertility_by_lang",
+    # round-17 third session: the fsck fleet row is the GC row's cost
+    # class — FS-metadata dir walks + the O(batches) live_units sweep;
+    # its exponent should likewise sit at ~0
+    "fleet_fsck_report",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second

@@ -1108,6 +1108,8 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
             - /stores/corpus_sigs
           max_batches: 8
           max_tombstone_nanos: 100000000
+          fsck: true                          # audit integrity FIRST (r17)
+          fsck_report_path: /out/fsck.parquet # optional audit sink
           gc: true                            # sweep crash debris (r17)
           gc_grace_seconds: 86400             # keep younger uncommitted dirs
           snapshot_dir: /backups/indexes      # file-level backup per root
@@ -1115,6 +1117,16 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
                                               # replaced each run)
           auto_compact: true                  # act, not just report
           report_path: /out/maintenance.parquet   # optional sink
+
+    With `fsck`, the run AUDITS every root first (`fsck_sweep` —
+    read-only FS metadata: missing committed artifacts, fold/ledger
+    overlap, debris, lease health) and then refuses to auto-compact any
+    root the audit called `corrupt`: compacting a root whose committed
+    artifacts are already missing would fold the data loss into the base
+    permanently — a corrupt root needs a rebuild or a snapshot restore,
+    and the audit row (logged, and persisted via `fsck_report_path`)
+    says which.  GC and snapshot still run on corrupt roots (GC touches
+    only uncommitted debris; the snapshot preserves the evidence).
 
     Reads every root's own artifacts (`maintenance_sweep` — O(batches)
     per root, kind auto-detected), optionally GCs crash debris
@@ -1134,6 +1146,7 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
         DEFAULT_MAX_BATCHES,
         DEFAULT_MAX_TOMBSTONE_NANOS,
         compact_if_needed,
+        fsck_sweep,
         gc_debris,
         maintenance_sweep,
         snapshot_store,
@@ -1154,6 +1167,28 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
                 "{snapshot_dir}/{basename} — the fleet's root basenames "
                 f"must be distinct, got {sorted(basenames)}"
             )
+    corrupt_roots: set[str] = set()
+    if spec.get("fsck"):
+        # audit the state AS FOUND, before any mutation below changes it
+        # (read-only FS metadata — needs no lease, same as the sweep)
+        audit = fsck_sweep(spark, roots)
+        for row in audit.collect():
+            if row.status != "ok":
+                logger.warning(
+                    "maintain: fsck %s on %s (missing_batch_dirs=%d, "
+                    "fold_ledger_overlap=%d, orphan_dirs=%d, tmp_dirs=%d, "
+                    "lease_stale=%s)",
+                    row.status, row.root, row.missing_batch_dirs,
+                    row.fold_ledger_overlap, row.orphan_dirs, row.tmp_dirs,
+                    row.lease_stale,
+                )
+            if row.status == "corrupt":
+                corrupt_roots.add(row.root)
+        if spec.get("fsck_report_path"):
+            from chat_data_pipeline_spark.sources.io import write_table
+
+            write_table(audit, str(spec["fsck_report_path"]))
+            logger.info("maintain: wrote %s", spec["fsck_report_path"])
     acted = False
     if do_gc or snap_dir or spec.get("auto_compact"):
         for root in roots:
@@ -1187,11 +1222,21 @@ def _run_maintenance(spark: SparkSession, spec: dict) -> DataFrame:
                     snapshot_store(spark, root, dst, overwrite=True)
                     logger.info("maintain: snapshotted %s -> %s", root, dst)
                     acted = True
-                if spec.get("auto_compact") and compact_if_needed(
-                    spark, root, mb, mt
-                ):
-                    logger.info("maintain: compacted %s", root)
-                    acted = True
+                if spec.get("auto_compact"):
+                    if root in corrupt_roots:
+                        # compaction folds committed batches into a new
+                        # base — on a root fsck found corrupt (missing
+                        # committed artifacts / fold-ledger overlap) that
+                        # would bake the damage in permanently
+                        logger.error(
+                            "maintain: refusing to auto-compact %s — fsck "
+                            "reported it corrupt; rebuild the store or "
+                            "restore a snapshot instead",
+                            root,
+                        )
+                    elif compact_if_needed(spark, root, mb, mt):
+                        logger.info("maintain: compacted %s", root)
+                        acted = True
     report = maintenance_sweep(spark, roots, mb, mt)
     if spec.get("report_path"):
         from chat_data_pipeline_spark.sources.io import write_table

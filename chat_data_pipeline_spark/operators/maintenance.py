@@ -546,6 +546,176 @@ def snapshot_store(
     )
 
 
+def fsck_store(
+    spark,
+    index_path: str,
+    ttl_seconds: int | None = None,
+) -> DataFrame:
+    """Structural integrity audit of one store root — the READ-ONLY fourth
+    hygiene verb beside compaction (rewrite), GC (debris delete) and
+    snapshot (clone): fsck never modifies anything, it reports what the
+    other three should act on.  On a 100 TB deployment the failure modes
+    it checks are exactly the ones probes can't surface on their own:
+
+    - **missing committed artifacts** (``missing_batch_dirs``): a ledger
+      id whose ``batch=`` dir exists in NO artifact subtree.  Probes
+      filter to committed batches, so a missing partition silently serves
+      ZERO rows for that delivery — data loss that looks like a clean
+      result.  This is the one state no probe, plan or GC run reports.
+    - **fold/ledger overlap** (``fold_ledger_overlap``): a batch id both
+      ledger-committed (probes merge it) and manifest-folded (the base
+      already contains it) — double-served rows after a crash landed
+      between a compaction's fold write and its ledger reset.
+    - **crash debris** (``orphan_dirs`` / ``tmp_dirs``): the uncommitted
+      ``batch=`` dirs and ``_temporary`` staging :func:`gc_debris`
+      deletes — counted here regardless of age (fsck diagnoses; GC's
+      grace window is an acting-safely concern, not a reporting one).
+    - **lease health** (``lease_held`` / ``lease_stale`` /
+      ``reap_markers``): a LOCK past its ttl means a writer died
+      mid-mutation (its debris is likely in the same report); leftover
+      ``REAP-`` generation markers are normal within ``2*ttl`` of a
+      takeover and listed for the operator's timeline.
+    - **meta health** (``meta_ok``): unlike every serving path — where a
+      meta-less root must raise — fsck is the tool you point AT a broken
+      root, so classification failure is a reported ``'unknown'`` /
+      ``'corrupt'`` row, not an exception (a fleet sweep with one
+      mid-rebuild root still audits the other nine hundred).
+
+    ``status`` ranks the findings: ``'corrupt'`` (missing artifacts,
+    fold/ledger overlap, or no meta — serving is wrong or impossible),
+    ``'attention'`` (debris or a stale lease — serving is correct but the
+    root needs GC / takeover), else ``'ok'``.
+
+    Cost shape: pure Hadoop-FS metadata — one meta footer read, one
+    ledger listing, one two-level dir walk, O(dirs) like :func:`gc_debris`;
+    never a Spark job over data, never a corpus-sized read."""
+    import time
+
+    from chat_data_pipeline_spark.operators.lease import DEFAULT_TTL_SECONDS
+    from chat_data_pipeline_spark.operators.retrieval import (
+        _committed_batches,
+        _fs_for,
+        folded_ids,
+    )
+
+    ttl = DEFAULT_TTL_SECONDS if ttl_seconds is None else int(ttl_seconds)
+    schema = (
+        "kind string, meta_ok boolean, n_batches long, "
+        "missing_batch_dirs long, orphan_dirs long, tmp_dirs long, "
+        "folded_spent long, fold_ledger_overlap long, lease_held boolean, "
+        "lease_stale boolean, reap_markers long, status string"
+    )
+    try:
+        kind, _meta = store_kind_and_meta(spark, index_path)
+        meta_ok = True
+    except Exception:
+        return spark.createDataFrame(
+            [("unknown", False, 0, 0, 0, 0, 0, 0, False, False, 0, "corrupt")],
+            schema,
+        )
+
+    committed = _committed_batches(spark, index_path)
+    cset = set(committed)
+    fs, root, jvm = _fs_for(spark, index_path)
+
+    seen_ids: set[str] = set()
+    orphans = tmp_dirs = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory() or name in _CONTROL_DIRS or name.startswith("_"):
+            continue
+        for child in fs.listStatus(st.getPath()):
+            cname = child.getPath().getName()
+            if not child.isDirectory():
+                continue
+            if cname == "_temporary":
+                tmp_dirs += 1
+                continue
+            if not cname.startswith("batch="):
+                continue
+            bid = cname.split("=", 1)[1]
+            if bid in cset:
+                seen_ids.add(bid)
+            else:
+                orphans += 1
+    missing = len(cset - seen_ids)
+
+    ext_ids, del_ids = folded_ids(spark, index_path)
+    folded = set(ext_ids) | set(del_ids)
+    overlap = len(folded & cset)
+
+    lease_held = lease_stale = False
+    reap_markers = 0
+    lease_dir = jvm.org.apache.hadoop.fs.Path(f"{index_path}/_writer_lease")
+    if fs.exists(lease_dir):
+        now_ms = int(time.time() * 1000)
+        for st in fs.listStatus(lease_dir):
+            name = st.getPath().getName()
+            if name == "LOCK":
+                lease_held = True
+                lease_stale = now_ms - st.getModificationTime() > ttl * 1000
+            elif name.startswith("REAP-"):
+                reap_markers += 1
+
+    if missing or overlap:
+        status = "corrupt"
+    elif orphans or tmp_dirs or lease_stale:
+        status = "attention"
+    else:
+        status = "ok"
+    return spark.createDataFrame(
+        [(
+            kind, meta_ok, len(committed), missing, orphans, tmp_dirs,
+            len(folded), overlap, lease_held, lease_stale, reap_markers,
+            status,
+        )],
+        schema,
+    )
+
+
+def fsck_sweep(
+    spark,
+    roots: list[str],
+    ttl_seconds: int | None = None,
+    max_concurrency: int = 8,
+) -> DataFrame:
+    """Fleet fsck: one :func:`fsck_store` row per root with the root
+    prepended — the audit table a scheduled ``maintain:`` run writes
+    BEFORE it acts, so the operator sees what GC/compaction are about to
+    fix and what they can't (a ``'corrupt'`` root needs a rebuild or a
+    snapshot restore, not a sweep).  Per-root walks run concurrently
+    (pure FS metadata ops; the pool bounds namenode pressure), output
+    order stays the input order; a broken root reports, never raises."""
+    if not roots:
+        raise ValueError("fsck_sweep needs at least one store root")
+    from concurrent.futures import ThreadPoolExecutor
+
+    roots = [str(r) for r in roots]
+
+    def _one(root: str):
+        return fsck_store(spark, root, ttl_seconds).first()
+
+    with ThreadPoolExecutor(
+        max_workers=max(1, min(int(max_concurrency), len(roots)))
+    ) as ex:
+        rows = list(ex.map(_one, roots))
+    return spark.createDataFrame(
+        [
+            (
+                root, row.kind, row.meta_ok, row.n_batches,
+                row.missing_batch_dirs, row.orphan_dirs, row.tmp_dirs,
+                row.folded_spent, row.fold_ledger_overlap, row.lease_held,
+                row.lease_stale, row.reap_markers, row.status,
+            )
+            for root, row in zip(roots, rows)
+        ],
+        "root string, kind string, meta_ok boolean, n_batches long, "
+        "missing_batch_dirs long, orphan_dirs long, tmp_dirs long, "
+        "folded_spent long, fold_ledger_overlap long, lease_held boolean, "
+        "lease_stale boolean, reap_markers long, status string",
+    )
+
+
 def compact_if_needed(
     spark,
     index_path: str,

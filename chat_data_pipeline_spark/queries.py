@@ -8510,6 +8510,129 @@ def fleet_gc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plant_fsck_findings(spark: SparkSession, fleet: dict[str, str]) -> None:
+    """Deterministic per-root findings for the fsck row, planted EVERY run
+    (fsck is read-only, so re-planting is idempotent by construction):
+    crash debris on the bm25 root (the GC row's planter — fsck counts all
+    three uncommitted dirs, grace being an acting concern, not a
+    reporting one), a dead writer's stale LOCK + leftover REAP generation
+    marker on the dedup root, a DELETED committed artifact dir on the ivf
+    root (the silent-zero-rows state only fsck reports), and a
+    fold/ledger overlap on the ivfpq root (the crash window between a
+    compaction's fold write and its ledger reset).  The neardup root is
+    left untouched — the 'ok' control."""
+    import shutil
+    import time
+
+    from chat_data_pipeline_spark.operators.retrieval import _fs_for, folded_record
+
+    _plant_gc_debris(spark, fleet["fsck_bm25_index"], "postings", "bkt=0")
+    lease_dir = f"{fleet['fsck_dedup_store']}/_writer_lease"
+    fs, ldir, jvm = _fs_for(spark, lease_dir)
+    fs.mkdirs(ldir)
+    P = jvm.org.apache.hadoop.fs.Path
+    for name in ("LOCK", "REAP-1755000000000"):
+        fs.create(P(ldir, name), True).close()
+    # 2x the 900s default ttl back: unambiguously a dead writer
+    fs.setTimes(P(ldir, "LOCK"), int(time.time() * 1000) - 1_800_000, -1)
+    shutil.rmtree(
+        f"{fleet['fsck_ivf_index']}/postings/batch=b1", ignore_errors=True
+    )
+    folded_record(spark, fleet["fsck_ivfpq_index"], [], ["takedown"])
+
+
+@_register(
+    "fleet_fsck_report",
+    _FLEET_CORPUS_CTES + r"""
+    SELECT 'fsck_bm25_index' AS store, 'bm25' AS kind,
+           CAST(3 AS BIGINT) AS n_batches,
+           n - nv AS live_units,
+           CAST(0 AS BIGINT) AS missing_batch_dirs,
+           CAST(3 AS BIGINT) AS orphan_dirs,
+           CAST(1 AS BIGINT) AS tmp_dirs,
+           CAST(0 AS BIGINT) AS folded_spent,
+           CAST(0 AS BIGINT) AS fold_ledger_overlap,
+           FALSE AS lease_stale,
+           CAST(0 AS BIGINT) AS reap_markers,
+           'attention' AS status
+    FROM bt
+    UNION ALL
+    SELECT 'fsck_dedup_store', 'dedup', CAST(3 AS BIGINT), total - dead,
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE, CAST(1 AS BIGINT),
+           'attention'
+    FROM dt
+    UNION ALL
+    SELECT 'fsck_ivf_index', 'ivf', CAST(2 AS BIGINT),
+           (SELECT CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM embeddings),
+           CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE, CAST(0 AS BIGINT),
+           'corrupt'
+    UNION ALL
+    SELECT 'fsck_ivfpq_index', 'ivfpq', CAST(2 AS BIGINT), n - nv,
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(1 AS BIGINT), CAST(1 AS BIGINT), FALSE, CAST(0 AS BIGINT),
+           'corrupt'
+    FROM pq
+    UNION ALL
+    SELECT 'fsck_neardup_store', 'neardup', CAST(3 AS BIGINT), total - dead,
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE, CAST(0 AS BIGINT),
+           'ok'
+    FROM nd
+    """,
+    "FLEET structural fsck (r17): the READ-ONLY audit verb beside "
+    "compaction/GC/snapshot — per root it reports the failure states "
+    "probes can't surface: a ledger-committed delivery whose batch= dir "
+    "is GONE (probes filter to committed batches and silently serve zero "
+    "rows — the ivf member here, called corrupt, its live_units visibly "
+    "down to the surviving base half, which the oracle recomputes from "
+    "the corpus), a batch id both committed and manifest-folded (double-"
+    "served rows; the ivfpq member), crash debris counted at ANY age "
+    "(the bm25 member), and a dead writer's stale LOCK + leftover REAP "
+    "marker (the dedup member) — with the untouched neardup root as the "
+    "'ok' control.  The `maintain:` block runs this audit FIRST and "
+    "refuses to auto-compact a corrupt root (folding would bake the loss "
+    "into the base).  live_units joins from maintenance_sweep via the "
+    "SAME corpus CTEs the other two fleet rows hash against, so one hash "
+    "pins both the finding columns and that the stores behind them still "
+    "account for the corpus truth.  Five own-keyed roots (fsck_*), the "
+    "shared _mk_* builders, findings re-planted idempotently every run",
+)
+def fleet_fsck_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chat_data_pipeline_spark.operators import maintenance as MT
+
+    fleet_mk = (
+        ("fsck_bm25_index", _mk_fleet_bm25),
+        ("fsck_dedup_store", _mk_fleet_dedup),
+        ("fsck_ivf_index", _mk_fleet_ivf),
+        ("fsck_ivfpq_index", _mk_ivfpq_del_store),
+        ("fsck_neardup_store", _mk_neardup_store),
+    )
+    fleet: dict[str, str] = {}
+    for label, mk in fleet_mk:
+        root = _run_scoped_path(label, sf_dir)
+        _build_once(root, lambda r=root, m=mk: m(spark, sf_dir, r))
+        fleet[label] = root
+    _plant_fsck_findings(spark, fleet)
+    roots = list(fleet.values())
+    audit = MT.fsck_sweep(spark, roots)
+    live = MT.maintenance_sweep(spark, roots).select("root", "live_units")
+    return (
+        audit.join(live, "root")
+        .select(
+            F.regexp_extract(
+                F.col("root"), r"cdp_([a-z0-9_]+)_[0-9a-f]{12}_\d+$", 1
+            ).alias("store"),
+            "kind", "n_batches", "live_units", "missing_batch_dirs",
+            "orphan_dirs", "tmp_dirs", "folded_spent", "fold_ledger_overlap",
+            "lease_stale", "reap_markers", "status",
+        )
+        .orderBy("store")
+    )
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
@@ -9854,6 +9977,15 @@ _WINDOW_TAIL += [
     # in-window (the fold encoder keeps its chained-list_reduce oracle in
     # the full-registry parity sweep + the pure-column plan audit)
     "bpe_encode_corpus",
+    # displaced by fleet_fsck_report (NEW never-verified oracle-backed,
+    # r17 third session: the read-only structural audit — the one verb
+    # that reports missing committed artifacts and fold/ledger overlap,
+    # which no probe, plan or GC run can surface): multimodal_resize is
+    # hash-green in CORRECTNESS_r16, its module (operators/multimodal.py)
+    # and query def are byte-unchanged this round, and the multimodal
+    # family keeps multimodal_frame_sample in-window (the r12 band) +
+    # the full-registry parity sweep
+    "multimodal_resize",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end

@@ -104,6 +104,11 @@ def test_correctness_window_is_all_oracle_backed():
         # bpe_encode_corpus)
         "fleet_gc_report", "wordpiece_encode_corpus",
         "ivf_snapshot_serving", "wordpiece_fertility_by_lang",
+        # round-17 third session: the read-only structural fsck audit
+        # (NEW, never-driver-verified — displacing r16-green
+        # multimodal_resize, whose module is byte-unchanged this round;
+        # the multimodal family keeps multimodal_frame_sample in-window)
+        "fleet_fsck_report",
         # round-17 staleness rotation rule 3 — the complete r12 band:
         "conversation_chatml", "decontaminate_report", "dedup_exact",
         "docs_fix_mojibake", "edit_pairs_concat", "events_asof_view",
@@ -117,7 +122,7 @@ def test_correctness_window_is_all_oracle_backed():
         "union_provenance",
         # standing residents (r16-green; family-coverage holds)
         "pipeline_lifecycle", "docs_bm25_indexed",
-        "quality_classifier_train", "multimodal_resize",
+        "quality_classifier_train",
         "decontaminate_semantic",
         "bm25_maintenance_plan", "embedding_onboarding_indexed",
         "neardup_store_health", "ann_topk_ivfpq_persisted",

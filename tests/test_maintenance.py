@@ -722,3 +722,197 @@ def test_cli_maintain_snapshot_dir_backs_up_the_fleet(spark, docs, emb, tmp_path
     from chat_data_pipeline_spark.operators import lease as L
 
     assert all(L.lease_holder(spark, r) is None for r in (bidx, vidx))
+
+
+# ---------------------------------------------------------------------------
+# fsck (r17): the read-only structural audit
+# ---------------------------------------------------------------------------
+
+
+def test_fsck_clean_store_ok_and_post_compaction_fold_accounting(
+    spark, docs, tmp_path
+):
+    """A healthy lifecycle reads 'ok' at every stage, and after an
+    in-place compaction the report shows the folded ids as SPENT (manifest
+    count) with zero fold/ledger overlap — the ledger reset and the fold
+    write are two halves of one protocol, and fsck is the check that both
+    halves landed."""
+    idx = str(tmp_path / "fsck_bm25")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id="b1")
+    RT.delete_from_text_index(
+        spark, idx, docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+        batch_id="take",
+    )
+    row = MT.fsck_store(spark, idx).first()
+    assert (row.kind, row.meta_ok, row.status) == ("bm25", True, "ok")
+    assert row.n_batches == 3
+    assert (
+        row.missing_batch_dirs, row.orphan_dirs, row.tmp_dirs,
+        row.folded_spent, row.fold_ledger_overlap, row.reap_markers,
+    ) == (0, 0, 0, 0, 0, 0)
+    assert not row.lease_held and not row.lease_stale
+
+    RT.compact_text_index(spark, idx)
+    row2 = MT.fsck_store(spark, idx).first()
+    assert (row2.status, row2.n_batches) == ("ok", 1)
+    assert row2.folded_spent == 2  # b1 + take, spent by the fold
+    assert row2.fold_ledger_overlap == 0
+
+
+def test_fsck_detects_missing_committed_artifacts(spark, emb, tmp_path):
+    """The one state nothing else reports: a ledger-committed delivery
+    whose batch= dir is gone serves SILENT zero rows (probes filter to
+    committed batches and find nothing) — fsck calls the root corrupt."""
+    import shutil
+
+    idx = str(tmp_path / "fsck_ivf")
+    SIM.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx,
+        n_centroids=16, coarse="md5", dim=64,
+    )
+    SIM.extend_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), idx, batch_id="b1")
+    assert MT.fsck_store(spark, idx).first().status == "ok"
+    shutil.rmtree(f"{idx}/postings/batch=b1")
+    row = MT.fsck_store(spark, idx).first()
+    assert (row.kind, row.status) == ("ivf", "corrupt")
+    assert row.missing_batch_dirs == 1
+    assert row.n_batches == 2  # the ledger still claims both
+
+
+def test_fsck_counts_debris_of_any_age_and_never_modifies(
+    spark, docs, tmp_path
+):
+    """fsck counts ALL uncommitted dirs (GC's grace window is an
+    acting-safely concern; diagnosis reports the fresh ones too) and is
+    strictly read-only — every byte it audited is still there after."""
+    idx = str(tmp_path / "fsck_debris")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    stale = f"{idx}/postings/batch=aaa-ghost/bkt=0"
+    fresh = f"{idx}/doclens/batch=zz-fresh"
+    tmpd = f"{idx}/postings/_temporary/0"
+    for leaf in (stale, fresh, tmpd):
+        os.makedirs(leaf)
+        with open(os.path.join(leaf, "part-00000.parquet"), "wb") as fh:
+            fh.write(b"NOT A PARQUET FOOTER")
+    _age_dir(spark, f"{idx}/postings/batch=aaa-ghost")
+    row = MT.fsck_store(spark, idx).first()
+    assert (row.status, row.orphan_dirs, row.tmp_dirs) == ("attention", 2, 1)
+    assert row.missing_batch_dirs == 0
+    for leaf in (stale, fresh, tmpd):
+        assert os.path.exists(leaf)  # read-only: the debris is GC's job
+
+
+def test_fsck_fold_ledger_overlap_is_corrupt(spark, docs, tmp_path):
+    """A batch id both ledger-committed AND manifest-folded double-serves
+    (probes merge the batch the base already contains) — the crash window
+    between a compaction's fold write and its ledger reset."""
+    idx = str(tmp_path / "fsck_overlap")
+    RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    RT.extend_text_index(docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id="b1")
+    RT.folded_record(spark, idx, ["b1"], [])  # fold landed, reset didn't
+    row = MT.fsck_store(spark, idx).first()
+    assert row.status == "corrupt"
+    assert (row.fold_ledger_overlap, row.folded_spent) == (1, 1)
+
+
+def test_fsck_reports_metaless_root_instead_of_raising(spark, tmp_path):
+    """Unlike every serving path, fsck is the tool you point AT a broken
+    root — classification failure is a reported row, not an exception,
+    so a fleet sweep with one mid-rebuild root still audits the rest."""
+    root = str(tmp_path / "fsck_not_a_store")
+    os.makedirs(f"{root}/postings/batch=x")
+    row = MT.fsck_store(spark, root).first()
+    assert (row.kind, row.meta_ok, row.status) == ("unknown", False, "corrupt")
+
+
+def test_fsck_lease_health(spark, docs, tmp_path):
+    """A held-and-beating lease reads 'ok' (normal during any mutation); a
+    LOCK past its ttl plus a leftover REAP generation marker reads
+    'attention' — the dead-writer signature whose debris is usually in
+    the same report."""
+    from chat_data_pipeline_spark.operators import lease as L
+
+    idx = str(tmp_path / "fsck_lease")
+    RT.build_text_index(docs.limit(50), idx)
+    with L.writer_lease(spark, idx, owner="fsck-test"):
+        row = MT.fsck_store(spark, idx).first()
+        assert (row.lease_held, row.lease_stale, row.status) == (
+            True, False, "ok",
+        )
+    # fabricate a dead writer: a LOCK aged past the ttl + a REAP marker
+    os.makedirs(f"{idx}/_writer_lease", exist_ok=True)
+    for name in ("LOCK", "REAP-123"):
+        with open(f"{idx}/_writer_lease/{name}", "wb"):
+            pass
+    _age_dir(spark, f"{idx}/_writer_lease/LOCK", ms_ago=2 * 900 * 1000)
+    row2 = MT.fsck_store(spark, idx).first()
+    assert (row2.lease_held, row2.lease_stale, row2.status) == (
+        True, True, "attention",
+    )
+    assert row2.reap_markers == 1
+
+
+def test_cli_maintain_fsck_audits_first_and_blocks_corrupt_compaction(
+    spark, docs, tmp_path
+):
+    """`maintain: {fsck: true, auto_compact: true}`: the audit runs over
+    the state AS FOUND, lands in fsck_report_path, and a root the audit
+    called corrupt is REFUSED compaction (folding committed batches into
+    a new base would bake the missing-artifact loss in permanently) while
+    healthy over-threshold roots still compact."""
+    import shutil
+
+    from chat_data_pipeline_spark.cli import _run_maintenance
+
+    def _mk(idx):
+        RT.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+        RT.extend_text_index(
+            docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id="b1"
+        )
+        RT.delete_from_text_index(
+            spark, idx,
+            docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+            batch_id="take",
+        )
+
+    bad = str(tmp_path / "fsck_cli_bad")
+    good = str(tmp_path / "fsck_cli_good")
+    _mk(bad)
+    _mk(good)
+    # a committed id counts as missing only when NO artifact subtree has
+    # it (per-subtree membership is delivery-kind-specific): drop b1 from
+    # all four the extension wrote
+    for sub in ("doclens", "postings", "stats", "dfreq"):
+        shutil.rmtree(f"{bad}/{sub}/batch=b1")
+    report_path = str(tmp_path / "fsck_report")
+    out = _run_maintenance(
+        spark,
+        {
+            "roots": [bad, good],
+            "fsck": True,
+            "fsck_report_path": report_path,
+            "auto_compact": True,
+        },
+    )
+    got = {r.root: r for r in out.collect()}
+    assert got[bad].n_batches == 3  # refused: still uncompacted
+    assert got[good].n_batches == 1  # healthy root compacted
+    audit = {r.root: r for r in spark.read.parquet(report_path).collect()}
+    assert audit[bad].status == "corrupt"
+    assert audit[bad].missing_batch_dirs == 1
+    assert audit[good].status == "ok"
+    from chat_data_pipeline_spark.operators import lease as L
+
+    assert all(L.lease_holder(spark, r) is None for r in (bad, good))
+
+
+def test_fsck_sweep_keeps_input_order(spark, docs, emb, tmp_path):
+    b = str(tmp_path / "fsck_sw_bm25")
+    RT.build_text_index(docs.limit(40), b)
+    v = str(tmp_path / "fsck_sw_ivf")
+    SIM.build_ivf_index(emb, v, n_centroids=16, coarse="md5", dim=64)
+    out = MT.fsck_sweep(spark, [v, b]).collect()
+    assert [(r.root, r.kind, r.status) for r in out] == [
+        (v, "ivf", "ok"), (b, "bm25", "ok"),
+    ]
