@@ -219,6 +219,11 @@ BENCH_QUERIES = [
     # FS metadata walks over the five-kind fleet behind the build-once
     # memo, plus the same O(batches) live_units sweep the GC row pays
     "fleet_fsck_report",
+    # round-17 third session: backup-restore serving — the loss+restore
+    # chain lands behind the build-once memo; best-of-3 reads the
+    # restored root's steady-state probe (which must match the source
+    # delete-serving row's cost)
+    "bm25_restore_serving",
 ]
 
 
@@ -340,6 +345,11 @@ SCALE_PROBE_QUERIES = [
     # class — FS-metadata dir walks + the O(batches) live_units sweep;
     # its exponent should likewise sit at ~0
     "fleet_fsck_report",
+    # round-17 third session: the restored root's served probe must stay
+    # in the same class as the source delete-serving row — the restore
+    # preserves batch structure and tombstones byte-for-byte, so any
+    # divergence would mean the round trip changed the plan
+    "bm25_restore_serving",
 ]
 
 # The two operators whose r7 exponents (0.57 / 0.48) stood out get a second

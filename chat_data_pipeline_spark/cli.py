@@ -380,6 +380,13 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
     existing destination; with ``alias:`` the pointer cuts over to the
     fresh snapshot after it commits.
 
+    ``action: restore`` (r17) is the recovery half: bring a backup
+    (``from_path``) back onto ``path`` — what the fsck audit's 'corrupt'
+    verdict calls for.  The backup must classify as this block's kind,
+    and restoring over a root that still has content requires the
+    explicit ``overwrite_dst: true`` (a restore is destructive by
+    design); both roots are leased for the copy.
+
     Both kinds share the commit-ledger crash posture: indexing is an EAGER
     action (it writes the artifacts), a config run that dies mid-delivery
     leaves the batch invisible to probes and re-running the same config
@@ -423,6 +430,10 @@ def _run_indexing(spark: SparkSession, df: DataFrame, index_cfg: dict) -> None:
             "compact", "rebuild", "auto_compact", "snapshot",
         ):
             roots.add(str(spec["dst_path"]))
+        # restore READS from_path while a scheduled `maintain:` backup may
+        # be replacing that same clone — lease it alongside the live root
+        if spec.get("from_path") and str(spec.get("action", "build")) == "restore":
+            roots.add(str(spec["from_path"]))
         with contextlib.ExitStack() as _stack:
             for _root in sorted(roots):
                 _stack.enter_context(
@@ -552,6 +563,48 @@ def _run_snapshot(spark: SparkSession, spec: dict, kind: str) -> None:
     )
 
 
+def _run_restore(spark: SparkSession, spec: dict, kind: str) -> None:
+    """Shared `action: restore` for all five index kinds (r17): bring a
+    backup (a root `action: snapshot` or `maintain: {snapshot_dir}` wrote
+    earlier) back onto the live root — the recovery half of the backup
+    loop, and what the fsck audit's 'corrupt' verdict tells the operator
+    to do instead of compacting.  Mechanically a reversed snapshot:
+    `snapshot_store(from_path -> path)` — file-level committed-state
+    copy, fresh consistent-cut ledger, meta last — under the dual-root
+    lease the dispatcher takes for restore (a `maintain:` run replacing
+    the SAME backup dir mid-restore would otherwise hand back a
+    half-written clone).  Guard rails: `from_path` must classify as this
+    block's kind (a config pointing index.bm25 at an ivf backup is a
+    typo, not a restore), and restoring over a root that still has
+    content requires the explicit `overwrite_dst: true` — a restore is
+    destructive by design, so the confirmation is part of the verb."""
+    from chat_data_pipeline_spark.operators.maintenance import (
+        snapshot_store,
+        store_kind_and_meta,
+    )
+
+    if not spec.get("from_path"):
+        raise ValueError(
+            f"index.{kind} action=restore needs `from_path` (the backup "
+            "root to restore from)"
+        )
+    src = str(spec["from_path"])
+    src_kind, _meta = store_kind_and_meta(spark, src)
+    if src_kind != kind:
+        raise ValueError(
+            f"index.{kind} action=restore: {src} is a {src_kind} store — "
+            "restore refuses a cross-kind backup (wrong `from_path`?)"
+        )
+    row = snapshot_store(
+        spark, src, str(spec["path"]),
+        overwrite=bool(spec.get("overwrite_dst", False)),
+    ).first()
+    logger.info(
+        "index.%s: restored %s <- %s (%d committed batches, %d dirs)",
+        kind, spec["path"], src, row.n_batches, row.batch_dirs_copied,
+    )
+
+
 def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     from chat_data_pipeline_spark.operators import retrieval as RT
 
@@ -602,10 +655,13 @@ def _run_bm25_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         action = _run_auto_compact(spark, spec, "bm25")
     elif action == "snapshot":
         _run_snapshot(spark, spec, "bm25")
+    elif action == "restore":
+        _run_restore(spark, spec, "bm25")
     else:
         raise ValueError(
             "index.bm25 action must be 'build', 'extend', 'delete', "
-            f"'compact', 'auto_compact' or 'snapshot', got {action!r}"
+            f"'compact', 'auto_compact', 'snapshot' or 'restore', "
+            f"got {action!r}"
         )
     _finish_with_alias(spark, spec, action, ("compact", "snapshot"))
     logger.info("index.bm25: %s %s", action, spec["path"])
@@ -626,11 +682,11 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     action = str(spec.get("action", "build"))
     dst = str(spec["dst_path"]) if spec.get("dst_path") else None
     if action not in ("build", "extend", "delete", "compact", "rebuild",
-                      "auto_compact", "snapshot"):
+                      "auto_compact", "snapshot", "restore"):
         raise ValueError(
             "index.ivf action must be 'build', 'extend', 'delete', "
-            f"'compact', 'rebuild', 'auto_compact' or 'snapshot', "
-            f"got {action!r}"
+            f"'compact', 'rebuild', 'auto_compact', 'snapshot' or "
+            f"'restore', got {action!r}"
         )
     if action in ("extend", "delete") and "batch_id" not in spec:
         raise ValueError(f"index.ivf action={action} needs `batch_id`")
@@ -683,6 +739,8 @@ def _run_ivf_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         action = _run_auto_compact(spark, spec, "ivf")
     elif action == "snapshot":
         _run_snapshot(spark, spec, "ivf")
+    elif action == "restore":
+        _run_restore(spark, spec, "ivf")
     _finish_with_alias(spark, spec, action, ("compact", "rebuild", "snapshot"))
     logger.info("index.ivf: %s %s", action, path)
 
@@ -705,12 +763,12 @@ def _run_ivfpq_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
     dst = str(spec["dst_path"]) if spec.get("dst_path") else None
     if action not in (
         "build", "extend", "delete", "compact", "rebuild", "auto_compact",
-        "snapshot",
+        "snapshot", "restore",
     ):
         raise ValueError(
             "index.ivfpq action must be 'build', 'extend', 'delete', "
-            f"'compact', 'rebuild', 'auto_compact' or 'snapshot', "
-            f"got {action!r}"
+            f"'compact', 'rebuild', 'auto_compact', 'snapshot' or "
+            f"'restore', got {action!r}"
         )
     if action in ("extend", "delete") and "batch_id" not in spec:
         raise ValueError(f"index.ivfpq action={action} needs `batch_id`")
@@ -765,6 +823,8 @@ def _run_ivfpq_indexing(spark: SparkSession, df: DataFrame, spec: dict) -> None:
         action = _run_auto_compact(spark, spec, "ivfpq")
     elif action == "snapshot":
         _run_snapshot(spark, spec, "ivfpq")
+    elif action == "restore":
+        _run_restore(spark, spec, "ivfpq")
     _finish_with_alias(spark, spec, action, ("compact", "rebuild", "snapshot"))
     logger.info("index.ivfpq: %s %s", action, path)
 
@@ -782,10 +842,11 @@ def _run_dedup_store_indexing(spark: SparkSession, df: DataFrame, spec: dict) ->
     path = str(spec["path"])
     action = str(spec.get("action", "build"))
     if action not in ("build", "extend", "delete", "compact", "auto_compact",
-                      "snapshot"):
+                      "snapshot", "restore"):
         raise ValueError(
             "index.dedup action must be 'build', 'extend', 'delete', "
-            f"'compact', 'auto_compact' or 'snapshot', got {action!r}"
+            f"'compact', 'auto_compact', 'snapshot' or 'restore', "
+            f"got {action!r}"
         )
     if action in ("extend", "delete") and "batch_id" not in spec:
         raise ValueError(f"index.dedup action={action} needs `batch_id`")
@@ -834,6 +895,8 @@ def _run_dedup_store_indexing(spark: SparkSession, df: DataFrame, spec: dict) ->
         action = _run_auto_compact(spark, spec, "dedup")
     elif action == "snapshot":
         _run_snapshot(spark, spec, "dedup")
+    elif action == "restore":
+        _run_restore(spark, spec, "dedup")
     _finish_with_alias(spark, spec, action, ("compact", "snapshot"))
     logger.info("index.dedup: %s %s", action, path)
 
@@ -982,10 +1045,11 @@ def _run_neardup_store_indexing(
     action = str(spec.get("action", "build"))
     dst = str(spec["dst_path"]) if spec.get("dst_path") else None
     if action not in ("build", "extend", "delete", "compact", "auto_compact",
-                      "snapshot"):
+                      "snapshot", "restore"):
         raise ValueError(
             "index.neardup action must be 'build', 'extend', 'delete', "
-            f"'compact', 'auto_compact' or 'snapshot', got {action!r}"
+            f"'compact', 'auto_compact', 'snapshot' or 'restore', "
+            f"got {action!r}"
         )
     if action in ("extend", "delete") and "batch_id" not in spec:
         raise ValueError(f"index.neardup action={action} needs `batch_id`")
@@ -1026,6 +1090,8 @@ def _run_neardup_store_indexing(
         action = _run_auto_compact(spark, spec, "neardup")
     elif action == "snapshot":
         _run_snapshot(spark, spec, "neardup")
+    elif action == "restore":
+        _run_restore(spark, spec, "neardup")
     _finish_with_alias(spark, spec, action, ("compact", "snapshot"))
     logger.info("index.neardup: %s %s", action, path)
 
@@ -1541,7 +1607,7 @@ def _index_block_is_corpus_free(index_cfg: dict) -> bool:
         if not spec:
             continue
         action = str(spec.get("action", "build"))
-        if action in ("compact", "auto_compact", "snapshot"):
+        if action in ("compact", "auto_compact", "snapshot", "restore"):
             continue
         if action == "rebuild" and kind == "ivf":
             # the IVF rebuild re-trains from the store's OWN committed

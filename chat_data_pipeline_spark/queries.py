@@ -8633,6 +8633,53 @@ def fleet_fsck_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bm25_restore_serving",
+    _bm25_retained_topk_oracle(" WHERE doc_id % 7 <> 3"),
+    "backup-restore serving (r17): the RECOVERY half of the backup loop "
+    "— build over the full corpus, tombstone the doc_id%7==3 slice, "
+    "snapshot the root to a backup, DESTROY the live root outright (the "
+    "catastrophic-loss case fsck reports as corrupt), then restore it "
+    "from the backup (snapshot_store reversed — the same file-level "
+    "committed-state copy the CLI `action: restore` runs under its "
+    "dual-root lease and cross-kind guard).  The served top-10 over the "
+    "restored root is BIT-IDENTICAL to the pre-loss store: the oracle "
+    "IS docs_bm25_delete_serving's via the shared "
+    "_bm25_retained_topk_oracle template, making restore the THIRD "
+    "engine path pinned to that hash (tombstone-serving, "
+    "compacted-serving, restore-serving) — the batch structure, the "
+    "tombstone set, the spent-id manifest and the consistent-cut ledger "
+    "all have to survive the round trip for the hash to land",
+)
+def bm25_restore_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _run_scoped_path("bm25_restore_live", sf_dir)
+    bak = _run_scoped_path("bm25_restore_backup", sf_dir)
+
+    def _mk() -> None:
+        import shutil
+
+        from chat_data_pipeline_spark.operators import maintenance as MT
+
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        RT.build_text_index(docs, idx)
+        RT.delete_from_text_index(
+            spark,
+            idx,
+            docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+            batch_id="takedown",
+        )
+        MT.snapshot_store(spark, idx, bak)
+        shutil.rmtree(idx)  # catastrophic loss of the live root
+        MT.snapshot_store(spark, bak, idx, overwrite=True)
+
+    # SERVING row: the loss+restore chain memoizes, probes are
+    # steady-state — the bench number is the restored root's serving cost
+    _build_once(idx, _mk)
+    return RT.bm25_topk_indexed(
+        spark, idx, ["join", "hash", "scan", "window", "sort"], k=10
+    )
+
+
 # ===========================================================================
 # Driver correctness window ordering
 # ===========================================================================
@@ -9986,6 +10033,15 @@ _WINDOW_TAIL += [
     # family keeps multimodal_frame_sample in-window (the r12 band) +
     # the full-registry parity sweep
     "multimodal_resize",
+    # displaced by bm25_restore_serving (NEW never-verified
+    # oracle-backed, r17 third session: the backup-restore round trip —
+    # the recovery verb fsck's 'corrupt' verdict points at):
+    # docs_bm25_indexed is hash-green in CORRECTNESS_r16, its module
+    # (operators/retrieval.py) and query def are byte-unchanged this
+    # round, and the retrieval family keeps docs_bm25_delete_serving +
+    # bm25_compacted_serving + bm25_maintenance_plan + the new restore
+    # row in-window
+    "docs_bm25_indexed",
 ]
 for _name in _WINDOW_TAIL:
     REGISTRY[_name] = REGISTRY.pop(_name)  # dict re-insertion moves to the end

@@ -109,6 +109,12 @@ def test_correctness_window_is_all_oracle_backed():
         # multimodal_resize, whose module is byte-unchanged this round;
         # the multimodal family keeps multimodal_frame_sample in-window)
         "fleet_fsck_report",
+        # round-17 third session: the backup-restore round trip (NEW,
+        # never-driver-verified — displacing r16-green docs_bm25_indexed,
+        # whose module is byte-unchanged this round; the retrieval family
+        # keeps docs_bm25_delete_serving + bm25_compacted_serving +
+        # bm25_maintenance_plan in-window)
+        "bm25_restore_serving",
         # round-17 staleness rotation rule 3 — the complete r12 band:
         "conversation_chatml", "decontaminate_report", "dedup_exact",
         "docs_fix_mojibake", "edit_pairs_concat", "events_asof_view",
@@ -121,7 +127,7 @@ def test_correctness_window_is_all_oracle_backed():
         "sample_proportional_mix", "shuffle_hash_sample",
         "union_provenance",
         # standing residents (r16-green; family-coverage holds)
-        "pipeline_lifecycle", "docs_bm25_indexed",
+        "pipeline_lifecycle",
         "quality_classifier_train",
         "decontaminate_semantic",
         "bm25_maintenance_plan", "embedding_onboarding_indexed",

@@ -916,3 +916,98 @@ def test_fsck_sweep_keeps_input_order(spark, docs, emb, tmp_path):
     assert [(r.root, r.kind, r.status) for r in out] == [
         (v, "ivf", "ok"), (b, "bm25", "ok"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# restore (r17): the recovery half of the backup loop
+# ---------------------------------------------------------------------------
+
+
+def test_cli_restore_brings_a_backup_onto_a_destroyed_root(
+    spark, docs, tmp_path
+):
+    """The full loop fsck's 'corrupt' verdict points at: snapshot a
+    tombstoned store, destroy the live root, `action: restore` it back
+    from the backup through a dataset-less config — the restored root's
+    serving is bit-identical to the pre-loss store, replay idempotence
+    included (the spent-id manifest travels with the clone)."""
+    import shutil
+
+    from chat_data_pipeline_spark.cli import main as cli_main
+
+    live = str(tmp_path / "restore_live")
+    bak = str(tmp_path / "restore_bak")
+    RT.build_text_index(docs, live)
+    RT.delete_from_text_index(
+        spark, live, docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+        batch_id="takedown",
+    )
+    terms = ["join", "hash", "scan"]
+    want = sorted(map(tuple, RT.bm25_topk_indexed(spark, live, terms, k=10).collect()))
+    MT.snapshot_store(spark, live, bak)
+    shutil.rmtree(live)
+    assert MT.fsck_store(spark, live).first().status == "corrupt"
+
+    cfg = tmp_path / "restore.yaml"
+    cfg.write_text(
+        f"index:\n  bm25:\n    path: {live}\n    action: restore\n"
+        f"    from_path: {bak}\n"
+    )
+    cli_main(["--config_path", str(cfg)])
+    assert sorted(
+        map(tuple, RT.bm25_topk_indexed(spark, live, terms, k=10).collect())
+    ) == want
+    # the spent takedown id is still spent against the restored root: a
+    # replayed delivery under the same id must no-op, not resurrect
+    assert MT.fsck_store(spark, live).first().status == "ok"
+    from chat_data_pipeline_spark.operators import lease as L
+
+    assert all(L.lease_holder(spark, r) is None for r in (live, bak))
+
+
+def test_cli_restore_guard_rails(spark, docs, emb, tmp_path):
+    """restore refuses a cross-kind backup (config typo, not recovery), a
+    missing from_path, and restoring over a root that still has content
+    without the explicit overwrite_dst."""
+    from chat_data_pipeline_spark.cli import run_config
+
+    live = str(tmp_path / "guard_live")
+    RT.build_text_index(docs.limit(50), live)
+    vbak = str(tmp_path / "guard_ivf_bak")
+    SIM.build_ivf_index(emb, vbak, n_centroids=16, coarse="md5", dim=64)
+    with pytest.raises(ValueError, match="from_path"):
+        run_config(
+            spark,
+            {"index": {"bm25": {"path": live, "action": "restore"}}},
+        )
+    with pytest.raises(ValueError, match="cross-kind"):
+        run_config(
+            spark,
+            {"index": {"bm25": {
+                "path": live, "action": "restore", "from_path": vbak,
+            }}},
+        )
+    bbak = str(tmp_path / "guard_bm25_bak")
+    MT.snapshot_store(spark, live, bbak)
+    # the live root still has content: explicit consent required
+    with pytest.raises(ValueError, match="overwrite"):
+        run_config(
+            spark,
+            {"index": {"bm25": {
+                "path": live, "action": "restore", "from_path": bbak,
+            }}},
+        )
+    # with consent it replaces the live content
+    run_config(
+        spark,
+        {"index": {"bm25": {
+            "path": live, "action": "restore", "from_path": bbak,
+            "overwrite_dst": True,
+        }}},
+    )
+    assert MT.fsck_store(spark, live).first().status == "ok"
+    from chat_data_pipeline_spark.operators import lease as L
+
+    assert all(
+        L.lease_holder(spark, r) is None for r in (live, bbak, vbak)
+    )
