@@ -178,59 +178,99 @@ def maintenance_plan(
     if res_id is None:
         res_id = meta.id_col
 
-    def _resident_dead() -> int:
-        if tomb is None:
-            return 0
-        # explicit single-column schema (the probe paths' discipline): a
-        # crashed uncommitted delivery's partial files must not drive
-        # schema inference — the committed-batch filter hides their ROWS,
-        # but inference reads footers before any filter applies
+    # residency artifact loaded with an explicit single-column schema (the
+    # probe paths' discipline): a crashed uncommitted delivery's partial
+    # files must not drive schema inference — the committed-batch filter
+    # hides their ROWS, but inference reads footers before any filter
+    # applies
+    def _resident_ids():
         return (
             spark.read.schema(f"{res_id} {id_type}")
             .parquet(f"{index_path}/{res_sub}")
             .filter(F.col("batch").isin(committed))
             .select(F.col(res_id).alias("doc"))
-            .join(tomb, "doc", "left_semi")
-            .distinct()
-            .count()
         )
 
-    dead = _resident_dead()
+    # dead + live in ONE residency scan per root (r17, guide §2.4/§1.2):
+    # the former shape paid two driver-paced jobs over the same artifact
+    # (a distinct/metadata count for live, a semi-join count for dead) —
+    # at fleet-sweep time those serial small-job latencies, not data
+    # volume, dominate.  The tombstone set is deduped then left-joined
+    # with a flag, so one aggregation yields (resident_rows, dead):
+    # identical numbers — dead counts DISTINCT matched ids exactly as the
+    # old semi-join+distinct did, and the no-tombstone common case keeps
+    # the pure footer-metadata count (no data scan at all).
+    flagged_tomb = (
+        None
+        if tomb is None
+        else tomb.distinct().withColumn("__dead__", F.lit(1))
+    )
+
+    def _rows_and_dead() -> tuple[int, int]:
+        if flagged_tomb is None:
+            return 0, 0  # rows unused on this path (see callers below)
+        row = (
+            _resident_ids()
+            .join(flagged_tomb, "doc", "left")
+            .agg(
+                F.count(F.lit(1)).alias("__rows__"),
+                F.coalesce(
+                    F.count_distinct(
+                        F.when(F.col("__dead__").isNotNull(), F.col("doc"))
+                    ),
+                    F.lit(0),
+                ).alias("__dead__"),
+            )
+            .first()
+        )
+        return int(row[0]), int(row[1])
 
     if kind == "bm25":
-        fs, spath, _jvm = _fs_for(spark, f"{index_path}/stats")
-        live = 0
-        if fs.exists(spath):
-            live = int(
+        # live (cross-batch stats sum) and dead (doclens semi-join) read
+        # DIFFERENT artifacts — run the two tiny jobs concurrently
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _bm25_live() -> int:
+            fs, spath, _jvm = _fs_for(spark, f"{index_path}/stats")
+            if not fs.exists(spath):
+                return 0
+            return int(
                 spark.read.schema("n_docs long, sum_dl long")
                 .parquet(f"{index_path}/stats")
                 .filter(F.col("batch").isin(committed))
                 .agg(F.coalesce(F.sum("n_docs"), F.lit(0)))
                 .first()[0]
             )
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            live_f = ex.submit(_bm25_live)
+            _rows, dead = _rows_and_dead()
+            live = live_f.result()
     elif kind == "dedup":
         # distinct fingerprinted ids, NOT band rows // band count: the
         # per-doc band-row count is only nominally fixed (the sha1 family
         # drops whole-sentinel bands per-band, md5 emits zero rows for
         # shingle-less docs), so a row-count division undercounts on
         # corpora with short/empty docs — and with it the dead fraction
-        # that gates auto_compact.  One column-pruned distinct over `id`,
-        # the same cost class as the residency semi-join above.
-        live = (
-            spark.read.schema(f"id {id_type}")
-            .parquet(f"{index_path}/bands")
-            .filter(F.col("batch").isin(committed))
-            .select("id")
-            .distinct()
-            .count()
-        ) - dead
-    elif kind == "neardup":
-        # one verify-vector row per stored embedding
-        rows = _count_committed(spark, index_path, "vectors", committed)
-        live = rows - dead
-    else:  # ivf / ivfpq: one posting row per vector
-        rows = _count_committed(spark, index_path, "postings", committed)
-        live = rows - dead
+        # that gates auto_compact.  One column-pruned distinct over `id`
+        # carrying the tombstone flag yields live and dead together.
+        ids = _resident_ids().distinct()
+        if flagged_tomb is None:
+            live, dead = ids.count(), 0
+        else:
+            row = ids.join(flagged_tomb, "doc", "left").agg(
+                F.count(F.lit(1)).alias("__rows__"),
+                F.coalesce(F.sum("__dead__"), F.lit(0)).alias("__dead__"),
+            ).first()
+            dead = int(row[1])
+            live = int(row[0]) - dead
+    else:  # neardup / ivf / ivfpq: one vector/posting row per embedding
+        if flagged_tomb is None:
+            dead = 0
+            live = _count_committed(spark, index_path, res_sub, committed)
+        else:
+            rows, dead = _rows_and_dead()
+            live = rows - dead
 
     n_tombstones = dead
     physical = live + dead

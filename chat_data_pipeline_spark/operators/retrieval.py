@@ -226,19 +226,30 @@ def build_text_index(
     toks = docs.select(
         F.col(id_col).alias("doc"), T.words(F.col(text_col)).alias("__toks__")
     ).withColumn("dl", F.size("__toks__"))
-    postings = (
+    # the two corpus-sized passes (postings aggregation, doclens projection)
+    # are independent — materialize their checkpoints CONCURRENTLY (r17,
+    # guide §2.6: independent jobs submitted from driver threads back-fill
+    # each other's stragglers), then fan the four artifact writes out the
+    # same way below.  Semantics unchanged: both plans are the ones the
+    # former lazy checkpoints materialized on first write.
+    from concurrent.futures import ThreadPoolExecutor
+
+    postings_src = (
         toks.select("doc", "dl", F.explode("__toks__").alias("term"))
         .groupBy("doc", "dl", "term")
         .agg(F.count("*").alias("tf"))
         .withColumn("bkt", token_bucket(F.col("term"), N_TERM_BUCKETS))
-        .localCheckpoint(eager=False)
     )
-    dfreq = postings.groupBy("bkt", "term").agg(F.count("*").alias("df"))
     # doc-granular (doc, dl) rows: deletes subtract stats through THESE, not
     # the postings, so a zero-token document (dl=0, no posting rows) still
     # subtracts its n_docs contribution exactly; stats rides the same
     # lineage so the corpus tokenizes once for both
-    dlens = toks.select("doc", "dl").localCheckpoint(eager=False)
+    dlens_src = toks.select("doc", "dl")
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_post = ex.submit(lambda: postings_src.localCheckpoint(eager=True))
+        f_dl = ex.submit(lambda: dlens_src.localCheckpoint(eager=True))
+        postings, dlens = f_post.result(), f_dl.result()
+    dfreq = postings.groupBy("bkt", "term").agg(F.count("*").alias("df"))
     stats = dlens.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
@@ -258,16 +269,32 @@ def build_text_index(
     if _clear:  # base build: write through the root, clearing old batches
         _write_text_base(spark, index_path, p_out, d_out, stats, dlens, id_type)
     else:  # extension: overwrite only this delivery's partition
-        p_out.write.mode("overwrite").option(
-            "partitionOverwriteMode", "static"
-        ).partitionBy("bkt").parquet(f"{index_path}/postings/batch={batch_id}")
-        d_out.write.mode("overwrite").option(
-            "partitionOverwriteMode", "static"
-        ).partitionBy("bkt").parquet(f"{index_path}/dfreq/batch={batch_id}")
-        stats.write.mode("overwrite").parquet(f"{index_path}/stats/batch={batch_id}")
-        dlens.write.mode("overwrite").parquet(
-            f"{index_path}/doclens/batch={batch_id}"
-        )
+        # the four artifact writes target disjoint paths and share only
+        # already-materialized checkpoints — run them concurrently (r17);
+        # the ledger commit stays strictly AFTER all four complete
+        def _w_post():
+            p_out.write.mode("overwrite").option(
+                "partitionOverwriteMode", "static"
+            ).partitionBy("bkt").parquet(f"{index_path}/postings/batch={batch_id}")
+
+        def _w_dfreq():
+            d_out.write.mode("overwrite").option(
+                "partitionOverwriteMode", "static"
+            ).partitionBy("bkt").parquet(f"{index_path}/dfreq/batch={batch_id}")
+
+        def _w_stats():
+            stats.write.mode("overwrite").parquet(
+                f"{index_path}/stats/batch={batch_id}"
+            )
+
+        def _w_dlens():
+            dlens.write.mode("overwrite").parquet(
+                f"{index_path}/doclens/batch={batch_id}"
+            )
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            for f in [ex.submit(w) for w in (_w_post, _w_dfreq, _w_stats, _w_dlens)]:
+                f.result()
         # the delivery's commit marker is written LAST: a crash mid-delivery
         # (postings landed, df/stats didn't) must leave the batch INVISIBLE
         # to probes — BM25's exactness claim depends on the three artifacts
@@ -323,18 +350,28 @@ def _write_text_base(
         # spent-id manifest it just wrote
         folded_clear(spark, index_path)
     base = F.lit("base")
-    p_out.withColumn("batch", base).write.mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).partitionBy("batch", "bkt").parquet(f"{index_path}/postings")
-    d_out.withColumn("batch", base).write.mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).partitionBy("batch", "bkt").parquet(f"{index_path}/dfreq")
-    stats.withColumn("batch", base).write.mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).partitionBy("batch").parquet(f"{index_path}/stats")
-    dlens.withColumn("batch", base).write.mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).partitionBy("batch").parquet(f"{index_path}/doclens")
+    # the four base artifacts land at disjoint paths from already-
+    # materialized checkpoints — write them concurrently (r17, guide §2.6);
+    # crash consistency is unchanged because the whole window is meta-less
+    # (meta deleted above, rewritten LAST below), so partial concurrent
+    # writes leave a root every probe rejects loudly, same as before
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w(df, sub: str, bucketed: bool):
+        part_cols = ["batch", "bkt"] if bucketed else ["batch"]
+        df.withColumn("batch", base).write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy(*part_cols).parquet(f"{index_path}/{sub}")
+
+    jobs = [
+        (p_out, "postings", True),
+        (d_out, "dfreq", True),
+        (stats, "stats", False),
+        (dlens, "doclens", False),
+    ]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        for f in [ex.submit(_w, df, sub, b) for df, sub, b in jobs]:
+            f.result()
     ledger_reset(spark, index_path)
     spark.createDataFrame(
         [(id_type, N_TERM_BUCKETS)], "id_type string, n_term_buckets int"

@@ -8281,28 +8281,42 @@ _FLEET_CORPUS_CTES = r"""
     "builder would turn that order into a hash flake",
 )
 def fleet_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from chat_data_pipeline_spark.operators import maintenance as MT
 
-    bidx = _run_scoped_path("fleet_bm25_index", sf_dir)
-    vidx = _run_scoped_path("fleet_ivf_index", sf_dir)
-    didx = _run_scoped_path("fleet_dedup_store", sf_dir)
-    pidx = _run_scoped_path("fleet_ivfpq_index", sf_dir)
-    nidx = _run_scoped_path("fleet_neardup_store", sf_dir)
+    fleet = (
+        ("fleet_bm25_index", _mk_fleet_bm25),
+        ("fleet_ivf_index", _mk_fleet_ivf),
+        ("fleet_dedup_store", _mk_fleet_dedup),
+        ("fleet_ivfpq_index", _mk_ivfpq_del_store),
+        ("fleet_neardup_store", _mk_neardup_store),
+    )
 
-    _build_once(bidx, lambda: _mk_fleet_bm25(spark, sf_dir, bidx))
-    _build_once(vidx, lambda: _mk_fleet_ivf(spark, sf_dir, vidx))
-    _build_once(didx, lambda: _mk_fleet_dedup(spark, sf_dir, didx))
-    _build_once(pidx, lambda: _mk_ivfpq_del_store(spark, sf_dir, pidx))
-    _build_once(nidx, lambda: _mk_neardup_store(spark, sf_dir, nidx))
-    sweep = MT.maintenance_sweep(spark, [bidx, vidx, didx, pidx, nidx])
-    # the run-scoped roots are cdp_{label}_{md5}_{pid} temp paths — map
-    # each back to its stable label so the row hashes across runs
-    return sweep.select(
-        F.regexp_extract(
-            F.col("root"), r"cdp_([a-z0-9_]+)_[0-9a-f]{12}_\d+$", 1
-        ).alias("store"),
-        "kind", "n_batches", "n_tombstones", "live_units",
-        "tombstone_nanos", "compact_recommended",
+    # r17 optimization (guide §2.6): per-root build-once → plan chains
+    # pipeline across a thread pool (a first-invocation build of one root
+    # no longer serializes the other four), and the 5 plan rows assemble
+    # DRIVER-side under their stable labels — the run-scoped
+    # cdp_{label}_{md5}_{pid} paths never reach the output, so the row
+    # hashes across runs exactly as the former regexp_extract shape did.
+    def _one(label: str, mk):
+        root = _run_scoped_path(label, sf_dir)
+        _build_once(root, lambda: mk(spark, sf_dir, root))
+        return (label, MT.maintenance_plan(spark, root).first())
+
+    with ThreadPoolExecutor(max_workers=len(fleet)) as ex:
+        rows = list(ex.map(lambda a: _one(*a), fleet))
+    out = sorted(
+        (
+            label, p.kind, p.n_batches, p.n_tombstones, p.live_units,
+            p.tombstone_nanos, p.compact_recommended,
+        )
+        for label, p in rows
+    )
+    return spark.createDataFrame(
+        out,
+        "store string, kind string, n_batches long, n_tombstones long, "
+        "live_units long, tombstone_nanos long, compact_recommended boolean",
     ).orderBy("store")
 
 
@@ -8480,6 +8494,8 @@ def _plant_gc_debris(spark: SparkSession, root: str, sub: str, shard: str | None
     "ledger-committed store it left behind still serves the corpus truth",
 )
 def fleet_gc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from chat_data_pipeline_spark.operators import maintenance as MT
 
     fleet = (
@@ -8489,29 +8505,44 @@ def fleet_gc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("gc_ivfpq_index", _mk_ivfpq_del_store, "postings", "list=0"),
         ("gc_neardup_store", _mk_neardup_store, "postings", "t=0"),
     )
-    roots = []
-    for label, mk, sub, shard in fleet:
+
+    # r17 optimization (guide §2.6): the row's steady-state cost is a chain
+    # of SMALL driver-paced metadata jobs, so the former
+    # plant-all → gc_sweep(all) → maintenance_sweep(all) shape paid two
+    # fleet-wide BARRIERS (each root's maintenance plan waited for every
+    # root's GC walk) plus a Spark join of two 5-row tables.  Each root's
+    # chain (build-once → plant → gc → plan) is independent of every other
+    # root's, so the chains pipeline per root across a thread pool and the
+    # two per-root rows merge DRIVER-side — same rows, no cross-root
+    # barrier, no tiny-table join.  gc runs strictly BEFORE the same
+    # root's plan (the plan's partition discovery must never race the GC
+    # delete on the same subtree); different roots never share a path.
+    def _one(label: str, mk, sub: str, shard: str | None):
         root = _run_scoped_path(label, sf_dir)
-        _build_once(root, lambda r=root, m=mk: m(spark, sf_dir, r))
+        _build_once(root, lambda: mk(spark, sf_dir, root))
         _plant_gc_debris(spark, root, sub, shard)
-        roots.append(root)
-    swept = MT.gc_sweep(spark, roots, grace_seconds=3600)
-    live = MT.maintenance_sweep(spark, roots).select("root", "live_units")
-    return (
-        swept.join(live, "root")
-        .select(
-            F.regexp_extract(
-                F.col("root"), r"cdp_([a-z0-9_]+)_[0-9a-f]{12}_\d+$", 1
-            ).alias("store"),
-            "kind", "n_batches", "live_units", "debris_removed",
-            "debris_kept", "tmp_removed",
+        g = MT.gc_debris(spark, root, grace_seconds=3600).first()
+        p = MT.maintenance_plan(spark, root).first()
+        return (label, g, p)
+
+    with ThreadPoolExecutor(max_workers=len(fleet)) as ex:
+        rows = list(ex.map(lambda a: _one(*a), fleet))
+    out = sorted(
+        (
+            label, g.kind, g.n_batches, p.live_units,
+            g.debris_removed, g.debris_kept, g.tmp_removed,
         )
-        .orderBy("store")
+        for label, g, p in rows
     )
+    return spark.createDataFrame(
+        out,
+        "store string, kind string, n_batches long, live_units long, "
+        "debris_removed long, debris_kept long, tmp_removed long",
+    ).orderBy("store")
 
 
-def _plant_fsck_findings(spark: SparkSession, fleet: dict[str, str]) -> None:
-    """Deterministic per-root findings for the fsck row, planted EVERY run
+def _plant_fsck_finding(spark: SparkSession, label: str, root: str) -> None:
+    """Deterministic per-root finding for the fsck row, planted EVERY run
     (fsck is read-only, so re-planting is idempotent by construction):
     crash debris on the bm25 root (the GC row's planter — fsck counts all
     three uncommitted dirs, grace being an acting concern, not a
@@ -8520,25 +8551,28 @@ def _plant_fsck_findings(spark: SparkSession, fleet: dict[str, str]) -> None:
     root (the silent-zero-rows state only fsck reports), and a
     fold/ledger overlap on the ivfpq root (the crash window between a
     compaction's fold write and its ledger reset).  The neardup root is
-    left untouched — the 'ok' control."""
+    left untouched — the 'ok' control.  Dispatched per root (r17) so each
+    root's plant→audit→plan chain can pipeline independently."""
     import shutil
     import time
 
     from chat_data_pipeline_spark.operators.retrieval import _fs_for, folded_record
 
-    _plant_gc_debris(spark, fleet["fsck_bm25_index"], "postings", "bkt=0")
-    lease_dir = f"{fleet['fsck_dedup_store']}/_writer_lease"
-    fs, ldir, jvm = _fs_for(spark, lease_dir)
-    fs.mkdirs(ldir)
-    P = jvm.org.apache.hadoop.fs.Path
-    for name in ("LOCK", "REAP-1755000000000"):
-        fs.create(P(ldir, name), True).close()
-    # 2x the 900s default ttl back: unambiguously a dead writer
-    fs.setTimes(P(ldir, "LOCK"), int(time.time() * 1000) - 1_800_000, -1)
-    shutil.rmtree(
-        f"{fleet['fsck_ivf_index']}/postings/batch=b1", ignore_errors=True
-    )
-    folded_record(spark, fleet["fsck_ivfpq_index"], [], ["takedown"])
+    if label == "fsck_bm25_index":
+        _plant_gc_debris(spark, root, "postings", "bkt=0")
+    elif label == "fsck_dedup_store":
+        lease_dir = f"{root}/_writer_lease"
+        fs, ldir, jvm = _fs_for(spark, lease_dir)
+        fs.mkdirs(ldir)
+        P = jvm.org.apache.hadoop.fs.Path
+        for name in ("LOCK", "REAP-1755000000000"):
+            fs.create(P(ldir, name), True).close()
+        # 2x the 900s default ttl back: unambiguously a dead writer
+        fs.setTimes(P(ldir, "LOCK"), int(time.time() * 1000) - 1_800_000, -1)
+    elif label == "fsck_ivf_index":
+        shutil.rmtree(f"{root}/postings/batch=b1", ignore_errors=True)
+    elif label == "fsck_ivfpq_index":
+        folded_record(spark, root, [], ["takedown"])
 
 
 @_register(
@@ -8610,27 +8644,40 @@ def fleet_fsck_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("fsck_ivfpq_index", _mk_ivfpq_del_store),
         ("fsck_neardup_store", _mk_neardup_store),
     )
-    fleet: dict[str, str] = {}
-    for label, mk in fleet_mk:
+    # r17 optimization (guide §2.6, the fleet_gc_report restructure): each
+    # root's build-once → plant → fsck → plan chain is independent, so the
+    # chains pipeline per root across a thread pool instead of paying two
+    # fleet-wide sweep barriers, and the audit/live rows merge DRIVER-side
+    # instead of through a Spark join of two 5-row tables.  fsck runs
+    # strictly before the same root's plan; different roots never share a
+    # path, so no walk can race a plant.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(label: str, mk):
         root = _run_scoped_path(label, sf_dir)
-        _build_once(root, lambda r=root, m=mk: m(spark, sf_dir, r))
-        fleet[label] = root
-    _plant_fsck_findings(spark, fleet)
-    roots = list(fleet.values())
-    audit = MT.fsck_sweep(spark, roots)
-    live = MT.maintenance_sweep(spark, roots).select("root", "live_units")
-    return (
-        audit.join(live, "root")
-        .select(
-            F.regexp_extract(
-                F.col("root"), r"cdp_([a-z0-9_]+)_[0-9a-f]{12}_\d+$", 1
-            ).alias("store"),
-            "kind", "n_batches", "live_units", "missing_batch_dirs",
-            "orphan_dirs", "tmp_dirs", "folded_spent", "fold_ledger_overlap",
-            "lease_stale", "reap_markers", "status",
+        _build_once(root, lambda: mk(spark, sf_dir, root))
+        _plant_fsck_finding(spark, label, root)
+        a = MT.fsck_store(spark, root).first()
+        p = MT.maintenance_plan(spark, root).first()
+        return (label, a, p)
+
+    with ThreadPoolExecutor(max_workers=len(fleet_mk)) as ex:
+        rows = list(ex.map(lambda a: _one(*a), fleet_mk))
+    out = sorted(
+        (
+            label, a.kind, a.n_batches, p.live_units, a.missing_batch_dirs,
+            a.orphan_dirs, a.tmp_dirs, a.folded_spent, a.fold_ledger_overlap,
+            a.lease_stale, a.reap_markers, a.status,
         )
-        .orderBy("store")
+        for label, a, p in rows
     )
+    return spark.createDataFrame(
+        out,
+        "store string, kind string, n_batches long, live_units long, "
+        "missing_batch_dirs long, orphan_dirs long, tmp_dirs long, "
+        "folded_spent long, fold_ledger_overlap long, lease_stale boolean, "
+        "reap_markers long, status string",
+    ).orderBy("store")
 
 
 @_register(

@@ -1011,3 +1011,21 @@ def test_cli_restore_guard_rails(spark, docs, emb, tmp_path):
     assert all(
         L.lease_holder(spark, r) is None for r in (live, bbak, vbak)
     )
+
+
+def test_maintenance_plan_fused_counts_ivf_with_tombstones(spark, emb, tmp_path):
+    """r17 optimization: live and dead now come from ONE residency scan
+    (left join against the deduped tombstone set) instead of a
+    footer-metadata count plus a separate semi-join count — the plan
+    numbers for a tombstoned root must be unchanged."""
+    idx = str(tmp_path / "fused_ivf")
+    SIM.build_ivf_index(emb, idx, n_centroids=16, coarse="md5", dim=64)
+    victims = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    SIM.delete_from_ivf_index(spark, idx, victims, batch_id="take")
+    n = emb.count()
+    k = victims.count()
+    plan = MT.maintenance_plan(spark, idx).first()
+    assert plan.kind == "ivf"
+    assert plan.n_tombstones == k
+    assert plan.live_units == n - k
+    assert plan.tombstone_nanos == (10**9 * k) // n
