@@ -287,7 +287,10 @@ def bpe_merge_table(
         spark_df, column, num_merges, min_frequency, checkpoint_interval, batch_k
     )
     spark = spark_df.sparkSession
-    return spark.createDataFrame(
+    from chat_data_pipeline_spark.session import values_df
+
+    return values_df(
+        spark,
         [(i + 1, l, r, l + r) for i, (l, r) in enumerate(merges)],
         "rank int, left string, right string, merged string",
     )

@@ -773,10 +773,53 @@ def banding_calibration(
         )
         .localCheckpoint(eager=True)
     )
-    bands = (
-        minhash_md5_fingerprints(
-            reps.select("id", "__text__"), "__text__", "id", ngram_size, num_perm, num_bands
+    # ONE tokenize+shingle pass (r17, guide §1.2): the fingerprint AND the
+    # exact-Jaccard posting below both consume the rep-level distinct
+    # shingle table, so it checkpoints once here — the former shape ran
+    # word_shingles twice (once inside minhash_md5_fingerprints, once for
+    # the posting), re-paying the regex+slice pass over every rep text.
+    # Fingerprint arithmetic is byte-identical: md5_perm_hash over the
+    # same exploded distinct shingles, min per permutation, '|'-joined
+    # band signatures (the minhash_md5_fingerprints plan inlined over the
+    # shared posting; shingle-less reps drop at the explode exactly as
+    # before).
+    if num_perm % num_bands:
+        raise ValueError(
+            f"num_perm={num_perm} not divisible by num_bands={num_bands}"
         )
+    rows_per_band = num_perm // num_bands
+    shingled = (
+        repartition_for_compute(reps.select("id", "__text__"))
+        .select(
+            "id",
+            F.explode(word_shingles(F.col("__text__"), ngram_size)).alias("__s__"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    hashed = shingled.select(
+        "id",
+        *[
+            md5_perm_hash(j, F.col("__s__")).alias(f"__h{j}__")
+            for j in range(num_perm)
+        ],
+    )
+    sig_rows = hashed.groupBy("id").agg(
+        *[F.min(f"__h{j}__").alias(f"__h{j}__") for j in range(num_perm)]
+    )
+    band_sig_arr = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"__h{b * rows_per_band + r}__")
+                    for r in range(rows_per_band)
+                ],
+            ).cast("binary")
+            for b in range(num_bands)
+        ]
+    )
+    bands = (
+        sig_rows.select("id", band_sig_arr.alias("sigs"))
         .select("id", F.posexplode("sigs").alias("band", "sig"))
         .localCheckpoint(eager=True)
     )
@@ -829,9 +872,7 @@ def banding_calibration(
         .agg(F.count(F.lit(1)).alias("nbm"))
         .localCheckpoint(eager=False)
     )
-    posting = repartition_for_compute(reps.select("id", "__text__")).select(
-        "id", F.explode(word_shingles(F.col("__text__"), ngram_size)).alias("s")
-    )
+    posting = shingled.select("id", F.col("__s__").alias("s"))
     sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs.join(posting.alias("pa"), F.col("src") == F.col("pa.id"))

@@ -133,7 +133,10 @@ def _write_dedup_base(
         "partitionOverwriteMode", "static"
     ).partitionBy("batch", "band").parquet(f"{index_path}/bands")
     ledger_reset(spark, index_path)
-    spark.createDataFrame(
+    from chat_data_pipeline_spark.session import values_df
+
+    values_df(
+        spark,
         [meta_row],
         "family string, ngram_size int, num_perm int, num_bands int, "
         "threshold double, min_ngram_size int, seed int, "

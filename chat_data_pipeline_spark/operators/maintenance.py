@@ -23,8 +23,39 @@ engine-extension surface like the stores themselves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
+
+# Row factories for the driver-side "values" forms below (r17): each
+# maintenance verb computes plain Python values, so callers that consume
+# the numbers directly (fleet sweeps, compact_if_needed, the registered
+# fleet rows) read them WITHOUT a createDataFrame -> .first() round trip —
+# measured ~1 s of fixed driver latency per call in a warmed session.
+# The public DataFrame APIs wrap the same rows unchanged.
+_PLAN_ROW = Row(
+    "kind", "n_batches", "n_tombstones", "live_units", "tombstone_nanos",
+    "compact_recommended",
+)
+_PLAN_SCHEMA = (
+    "kind string, n_batches long, n_tombstones long, live_units long, "
+    "tombstone_nanos long, compact_recommended boolean"
+)
+_GC_ROW = Row("kind", "n_batches", "debris_removed", "debris_kept", "tmp_removed")
+_GC_SCHEMA = (
+    "kind string, n_batches long, debris_removed long, "
+    "debris_kept long, tmp_removed long"
+)
+_FSCK_ROW = Row(
+    "kind", "meta_ok", "n_batches", "missing_batch_dirs", "orphan_dirs",
+    "tmp_dirs", "folded_spent", "fold_ledger_overlap", "lease_held",
+    "lease_stale", "reap_markers", "status",
+)
+_FSCK_SCHEMA = (
+    "kind string, meta_ok boolean, n_batches long, "
+    "missing_batch_dirs long, orphan_dirs long, tmp_dirs long, "
+    "folded_spent long, fold_ledger_overlap long, lease_held boolean, "
+    "lease_stale boolean, reap_markers long, status string"
+)
 
 # Defaults: compact once probes pay an 8-way merge, or once 10% of the
 # store's physical rows are dead weight the anti-join must filter.
@@ -110,7 +141,24 @@ def maintenance_plan(
     index_path: str,
     max_batches: int = DEFAULT_MAX_BATCHES,
     max_tombstone_nanos: int = DEFAULT_MAX_TOMBSTONE_NANOS,
+    kind_meta: tuple | None = None,
 ) -> DataFrame:
+    """DataFrame form of :func:`maintenance_plan_values` (one row)."""
+    return spark.createDataFrame(
+        [maintenance_plan_values(
+            spark, index_path, max_batches, max_tombstone_nanos, kind_meta
+        )],
+        _PLAN_SCHEMA,
+    )
+
+
+def maintenance_plan_values(
+    spark,
+    index_path: str,
+    max_batches: int = DEFAULT_MAX_BATCHES,
+    max_tombstone_nanos: int = DEFAULT_MAX_TOMBSTONE_NANOS,
+    kind_meta: tuple | None = None,
+) -> Row:
     """One-row compaction recommendation from the store's own artifacts.
 
     Columns: ``(kind, n_batches, n_tombstones, live_units,
@@ -148,7 +196,12 @@ def maintenance_plan(
         _tombstoned_ids,
     )
 
-    kind, meta = store_kind_and_meta(spark, index_path)
+    # ``kind_meta``: a caller that already classified the root (a fleet
+    # chain running gc/fsck and the plan on the same root) passes the
+    # (kind, meta_row) pair so the chain pays ONE meta read, not one per
+    # verb (r17; the store_kind_and_meta docstring's posture extended
+    # across operators)
+    kind, meta = kind_meta or store_kind_and_meta(spark, index_path)
     committed = _committed_batches(spark, index_path)
     n_batches = len(committed)
 
@@ -278,17 +331,9 @@ def maintenance_plan(
     recommended = n_batches > int(max_batches) or tombstone_nanos > int(
         max_tombstone_nanos
     )
-    return spark.createDataFrame(
-        [(
-            kind,
-            int(n_batches),
-            int(n_tombstones),
-            int(live),
-            int(tombstone_nanos),
-            bool(recommended),
-        )],
-        "kind string, n_batches long, n_tombstones long, live_units long, "
-        "tombstone_nanos long, compact_recommended boolean",
+    return _PLAN_ROW(
+        kind, int(n_batches), int(n_tombstones), int(live),
+        int(tombstone_nanos), bool(recommended),
     )
 
 
@@ -320,9 +365,9 @@ def maintenance_sweep(
     roots = [str(r) for r in roots]
 
     def _one(root: str):
-        return maintenance_plan(
+        return maintenance_plan_values(
             spark, root, max_batches, max_tombstone_nanos
-        ).first()
+        )
 
     with ThreadPoolExecutor(
         max_workers=max(1, min(int(max_concurrency), len(roots)))
@@ -345,7 +390,21 @@ def gc_debris(
     spark,
     index_path: str,
     grace_seconds: int = DEFAULT_GC_GRACE_SECONDS,
+    kind_meta: tuple | None = None,
 ) -> DataFrame:
+    """DataFrame form of :func:`gc_debris_values` (one row)."""
+    return spark.createDataFrame(
+        [gc_debris_values(spark, index_path, grace_seconds, kind_meta)],
+        _GC_SCHEMA,
+    )
+
+
+def gc_debris_values(
+    spark,
+    index_path: str,
+    grace_seconds: int = DEFAULT_GC_GRACE_SECONDS,
+    kind_meta: tuple | None = None,
+) -> Row:
     """Remove a store root's CRASH DEBRIS without the compaction rewrite
     (r17): uncommitted ``batch=`` partition dirs — a delivery that died
     between its artifact write and its ledger commit — and crashed Spark
@@ -389,7 +448,7 @@ def gc_debris(
         _fs_for,
     )
 
-    kind, _meta = store_kind_and_meta(spark, index_path)
+    kind, _meta = kind_meta or store_kind_and_meta(spark, index_path)
     committed = set(_committed_batches(spark, index_path))
     fs, root, _jvm = _fs_for(spark, index_path)
     horizon_ms = int(time.time() * 1000) - int(grace_seconds) * 1000
@@ -419,11 +478,7 @@ def gc_debris(
                 removed += 1
             else:
                 kept += 1
-    return spark.createDataFrame(
-        [(kind, len(committed), removed, kept, tmp_removed)],
-        "kind string, n_batches long, debris_removed long, "
-        "debris_kept long, tmp_removed long",
-    )
+    return _GC_ROW(kind, len(committed), removed, kept, tmp_removed)
 
 
 def gc_sweep(
@@ -443,7 +498,7 @@ def gc_sweep(
     roots = [str(r) for r in roots]
 
     def _one(root: str):
-        return gc_debris(spark, root, grace_seconds).first()
+        return gc_debris_values(spark, root, grace_seconds)
 
     with ThreadPoolExecutor(
         max_workers=max(1, min(int(max_concurrency), len(roots)))
@@ -590,7 +645,21 @@ def fsck_store(
     spark,
     index_path: str,
     ttl_seconds: int | None = None,
+    kind_meta: tuple | None = None,
 ) -> DataFrame:
+    """DataFrame form of :func:`fsck_store_values` (one row)."""
+    return spark.createDataFrame(
+        [fsck_store_values(spark, index_path, ttl_seconds, kind_meta)],
+        _FSCK_SCHEMA,
+    )
+
+
+def fsck_store_values(
+    spark,
+    index_path: str,
+    ttl_seconds: int | None = None,
+    kind_meta: tuple | None = None,
+) -> Row:
     """Structural integrity audit of one store root — the READ-ONLY fourth
     hygiene verb beside compaction (rewrite), GC (debris delete) and
     snapshot (clone): fsck never modifies anything, it reports what the
@@ -639,19 +708,12 @@ def fsck_store(
     )
 
     ttl = DEFAULT_TTL_SECONDS if ttl_seconds is None else int(ttl_seconds)
-    schema = (
-        "kind string, meta_ok boolean, n_batches long, "
-        "missing_batch_dirs long, orphan_dirs long, tmp_dirs long, "
-        "folded_spent long, fold_ledger_overlap long, lease_held boolean, "
-        "lease_stale boolean, reap_markers long, status string"
-    )
     try:
-        kind, _meta = store_kind_and_meta(spark, index_path)
+        kind, _meta = kind_meta or store_kind_and_meta(spark, index_path)
         meta_ok = True
     except Exception:
-        return spark.createDataFrame(
-            [("unknown", False, 0, 0, 0, 0, 0, 0, False, False, 0, "corrupt")],
-            schema,
+        return _FSCK_ROW(
+            "unknown", False, 0, 0, 0, 0, 0, 0, False, False, 0, "corrupt"
         )
 
     committed = _committed_batches(spark, index_path)
@@ -703,13 +765,9 @@ def fsck_store(
         status = "attention"
     else:
         status = "ok"
-    return spark.createDataFrame(
-        [(
-            kind, meta_ok, len(committed), missing, orphans, tmp_dirs,
-            len(folded), overlap, lease_held, lease_stale, reap_markers,
-            status,
-        )],
-        schema,
+    return _FSCK_ROW(
+        kind, meta_ok, len(committed), missing, orphans, tmp_dirs,
+        len(folded), overlap, lease_held, lease_stale, reap_markers, status,
     )
 
 
@@ -733,7 +791,7 @@ def fsck_sweep(
     roots = [str(r) for r in roots]
 
     def _one(root: str):
-        return fsck_store(spark, root, ttl_seconds).first()
+        return fsck_store_values(spark, root, ttl_seconds)
 
     with ThreadPoolExecutor(
         max_workers=max(1, min(int(max_concurrency), len(roots)))
@@ -770,9 +828,9 @@ def compact_if_needed(
     committing between the two at worst makes the compaction fold one
     more batch — never an inconsistency (same single-writer-per-root
     coordination contract as every maintenance operator here)."""
-    plan = maintenance_plan(
+    plan = maintenance_plan_values(
         spark, index_path, max_batches, max_tombstone_nanos
-    ).first()
+    )
     if not plan.compact_recommended:
         return False
     if plan.kind == "bm25":

@@ -109,12 +109,27 @@ def _postings_and_vectors(
 def _write_batch(
     index_path: str, batch_dir: str, posting: DataFrame, vectors: DataFrame
 ) -> None:
-    cluster_for_partitioned_write(posting, ["t"], F.col("b")).write.mode(
-        "overwrite"
-    ).option("partitionOverwriteMode", "static").partitionBy("t").parquet(
-        f"{index_path}/postings/{batch_dir}"
-    )
-    vectors.write.mode("overwrite").parquet(f"{index_path}/vectors/{batch_dir}")
+    # both frames derive from the eagerly-checkpointed verify-vector base
+    # (_postings_and_vectors), and the two writes target disjoint paths —
+    # run them concurrently (r17, guide §2.6); callers' ledger/meta
+    # commit markers stay strictly after both complete
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_post():
+        cluster_for_partitioned_write(posting, ["t"], F.col("b")).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "static").partitionBy("t").parquet(
+            f"{index_path}/postings/{batch_dir}"
+        )
+
+    def _w_vec():
+        vectors.write.mode("overwrite").parquet(
+            f"{index_path}/vectors/{batch_dir}"
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for f in (ex.submit(_w_post), ex.submit(_w_vec)):
+            f.result()
 
 
 def build_neardup_index(
@@ -165,7 +180,10 @@ def build_neardup_index(
     _write_batch(index_path, "batch=base", posting, vectors)
     ledger_reset(spark, index_path)
     id_type = dict(df.dtypes)[id_col]
-    spark.createDataFrame(
+    from chat_data_pipeline_spark.session import values_df
+
+    values_df(
+        spark,
         [(
             int(n_planes), int(n_tables), int(dim), float(threshold),
             id_type, id_col, vec_col,
@@ -291,7 +309,10 @@ def compact_neardup_index(
         _fs.delete(_p, True)
     _write_batch(dst_index, "batch=base", posting, vectors)
     ledger_reset(spark, dst_index)
-    spark.createDataFrame(
+    from chat_data_pipeline_spark.session import values_df
+
+    values_df(
+        spark,
         [(
             int(meta.n_planes), int(meta.n_tables), int(meta.dim),
             float(meta.threshold), meta.id_type, meta.id_col, meta.vec_col,

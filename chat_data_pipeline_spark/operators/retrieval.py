@@ -373,8 +373,12 @@ def _write_text_base(
         for f in [ex.submit(_w, df, sub, b) for df, sub, b in jobs]:
             f.result()
     ledger_reset(spark, index_path)
-    spark.createDataFrame(
-        [(id_type, N_TERM_BUCKETS)], "id_type string, n_term_buckets int"
+    from chat_data_pipeline_spark.session import values_df
+
+    # meta via the JVM-local VALUES constructor (r17): the parallelize
+    # path pays a Python-worker round trip per write — one per BUILD
+    values_df(
+        spark, [(id_type, N_TERM_BUCKETS)], "id_type string, n_term_buckets int"
     ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
@@ -1213,7 +1217,10 @@ def bm25_topk_indexed_batch(
         )
     terms = sorted({t for _, ts in qterms for t in ts})
     bkts = sorted({_term_bucket_py(t) for t in terms})
-    qt = spark.createDataFrame(
+    from chat_data_pipeline_spark.session import values_df
+
+    qt = values_df(
+        spark,
         [(qid, t) for qid, ts in qterms for t in ts],
         f"{query_id_col} {dict(queries.dtypes)[query_id_col]}, term string",
     )

@@ -1504,8 +1504,10 @@ def build_ivf_index(
         # frame computes all defaultParallelism pickled partitions serially in
         # ONE task (~130 ms of Python-worker round-trip each — measured ~4 s
         # of pure overhead on local[32])
-        spark.createDataFrame(
-            cent_rows, "list int, centroid array<double>"
+        from chat_data_pipeline_spark.session import values_df
+
+        values_df(
+            spark, cent_rows, "list int, centroid array<double>"
         ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
         postings = _ivf_assign_expr(
             df.select(id_col, vec_col), vec_col, centroids, "__lists__", 1
@@ -1554,7 +1556,10 @@ def build_ivf_index(
         # crash window with a servable root and no manifest, reopening
         # the replay double-count this machinery closes)
         folded_clear(spark, index_path)
-    spark.createDataFrame(
+    from chat_data_pipeline_spark.session import values_df
+
+    values_df(
+        spark,
         [(coarse, int(n_centroids), int(dim), id_col, vec_col,
           dict(df.dtypes)[id_col])],
         "coarse string, n_centroids int, dim int, id_col string, "
@@ -2418,7 +2423,10 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
     # pre-r15 root lacks the field, so recover it from the postings once)
     id_type = meta.asDict().get("id_type") or dict(postings.dtypes)[meta.id_col]
     if meta.coarse == "md5pq":
-        spark.createDataFrame(
+        from chat_data_pipeline_spark.session import values_df
+
+        values_df(
+            spark,
             [(meta.coarse, int(meta.n_centroids), int(meta.m),
               int(meta.n_codewords), int(meta.dim), meta.id_col, meta.vec_col,
               id_type)],
@@ -2426,7 +2434,10 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
             "id_col string, vec_col string, id_type string",
         ).repartition(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
     else:
-        spark.createDataFrame(
+        from chat_data_pipeline_spark.session import values_df
+
+        values_df(
+            spark,
             [(meta.coarse, int(meta.n_centroids), int(meta.dim), meta.id_col,
               meta.vec_col, id_type)],
             "coarse string, n_centroids int, dim int, id_col string, "
@@ -2706,7 +2717,10 @@ def build_ivfpq_index(
         "partitionOverwriteMode", "static"
     ).partitionBy("batch", "list").parquet(f"{index_path}/postings")
     ledger_reset(spark, index_path)
-    spark.createDataFrame(
+    from chat_data_pipeline_spark.session import values_df
+
+    values_df(
+        spark,
         [("md5pq", int(n_centroids), int(m), int(n_codewords), int(dim),
           id_col, vec_col, dict(df.dtypes)[id_col])],
         "coarse string, n_centroids int, m int, n_codewords int, dim int, "

@@ -205,7 +205,10 @@ def unigram_vocab_table(
     artifact a tokenizer consumes (6-dp rounding for display stability)."""
     logp = train_unigram_lm(df, column, vocab_size, **kwargs)
     spark = df.sparkSession
-    return spark.createDataFrame(
+    from chat_data_pipeline_spark.session import values_df
+
+    return values_df(
+        spark,
         sorted((p, round(lp, 6)) for p, lp in logp.items()),
         "piece string, logprob double",
     )

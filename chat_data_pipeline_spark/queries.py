@@ -71,6 +71,16 @@ def _register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
+def _values_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Local-table constructor via a pure-JVM VALUES query (r17): see
+    session.values_df — avoids the parallelize path's Python-worker round
+    trip (~0.5 s per downstream action) for every driver-built result or
+    parameter table below."""
+    from chat_data_pipeline_spark.session import values_df
+
+    return values_df(spark, rows, schema)
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         return _read_events(spark, sf_dir)
@@ -4490,8 +4500,9 @@ def _cls_train_and_persist(spark: SparkSession, sf_dir: str) -> list[int]:
         rounds=_CLS_TRAIN_ROUNDS,
     )
     path = _run_scoped_path("cls_weights", sf_dir)
-    spark.createDataFrame(
-        [(b, int(w)) for b, w in enumerate(weights)], "bucket int, weight long"
+    _values_df(
+        spark, [(b, int(w)) for b, w in enumerate(weights)],
+        "bucket int, weight long",
     ).repartition(1).write.mode("overwrite").parquet(path)
     _BUILT_ARTIFACTS.add(path)
     return weights
@@ -4529,8 +4540,9 @@ def _cls_load_weights(spark: SparkSession, sf_dir: str) -> list[int]:
 def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LIFECYCLE row: trains every invocation by contract (_build_once note)
     weights = _cls_train_and_persist(spark, sf_dir)
-    return spark.createDataFrame(
-        [(b, int(w)) for b, w in enumerate(weights)], "bucket int, weight long"
+    return _values_df(
+        spark, [(b, int(w)) for b, w in enumerate(weights)],
+        "bucket int, weight long",
     )
 
 
@@ -5081,7 +5093,8 @@ def docs_bm25_batch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     idx = _run_scoped_path("bm25_index", sf_dir)
     _build_once(idx, lambda: RT.build_text_index(docs, idx))
-    queries = spark.createDataFrame(
+    queries = _values_df(
+        spark,
         [
             (0, ["join", "hash"]),
             (1, ["scan", "window", "sort"]),
@@ -7748,7 +7761,8 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _build_once(
         vidx, lambda: SIM.build_ivf_index(emb, vidx, n_centroids=16, coarse="md5", dim=64)
     )
-    qterms = spark.createDataFrame(
+    qterms = _values_df(
+        spark,
         [(0, ["join", "hash"]), (1, ["scan", "window", "sort"]), (2, ["hash", "sort"])],
         "query_id long, terms array<string>",
     )
@@ -8302,7 +8316,7 @@ def fleet_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _one(label: str, mk):
         root = _run_scoped_path(label, sf_dir)
         _build_once(root, lambda: mk(spark, sf_dir, root))
-        return (label, MT.maintenance_plan(spark, root).first())
+        return (label, MT.maintenance_plan_values(spark, root))
 
     with ThreadPoolExecutor(max_workers=len(fleet)) as ex:
         rows = list(ex.map(lambda a: _one(*a), fleet))
@@ -8313,8 +8327,8 @@ def fleet_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for label, p in rows
     )
-    return spark.createDataFrame(
-        out,
+    return _values_df(
+        spark, out,
         "store string, kind string, n_batches long, n_tombstones long, "
         "live_units long, tombstone_nanos long, compact_recommended boolean",
     ).orderBy("store")
@@ -8521,8 +8535,12 @@ def fleet_gc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = _run_scoped_path(label, sf_dir)
         _build_once(root, lambda: mk(spark, sf_dir, root))
         _plant_gc_debris(spark, root, sub, shard)
-        g = MT.gc_debris(spark, root, grace_seconds=3600).first()
-        p = MT.maintenance_plan(spark, root).first()
+        # one meta read per root, shared by both verbs (r17)
+        km = MT.store_kind_and_meta(spark, root)
+        # the *_values forms return driver Rows directly — no
+        # createDataFrame -> .first() round trip per verb (r17)
+        g = MT.gc_debris_values(spark, root, grace_seconds=3600, kind_meta=km)
+        p = MT.maintenance_plan_values(spark, root, kind_meta=km)
         return (label, g, p)
 
     with ThreadPoolExecutor(max_workers=len(fleet)) as ex:
@@ -8534,8 +8552,8 @@ def fleet_gc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for label, g, p in rows
     )
-    return spark.createDataFrame(
-        out,
+    return _values_df(
+        spark, out,
         "store string, kind string, n_batches long, live_units long, "
         "debris_removed long, debris_kept long, tmp_removed long",
     ).orderBy("store")
@@ -8657,8 +8675,17 @@ def fleet_fsck_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = _run_scoped_path(label, sf_dir)
         _build_once(root, lambda: mk(spark, sf_dir, root))
         _plant_fsck_finding(spark, label, root)
-        a = MT.fsck_store(spark, root).first()
-        p = MT.maintenance_plan(spark, root).first()
+        # one meta read per root shared by both verbs, and — unlike the GC
+        # chain, where the delete walk must finish before the plan's
+        # partition discovery — fsck is READ-ONLY, so the audit and the
+        # plan run CONCURRENTLY on the planted root (r17, guide §2.6)
+        km = MT.store_kind_and_meta(spark, root)
+        with ThreadPoolExecutor(max_workers=2) as ex2:
+            a_f = ex2.submit(
+                lambda: MT.fsck_store_values(spark, root, kind_meta=km)
+            )
+            p = MT.maintenance_plan_values(spark, root, kind_meta=km)
+            a = a_f.result()
         return (label, a, p)
 
     with ThreadPoolExecutor(max_workers=len(fleet_mk)) as ex:
@@ -8671,8 +8698,8 @@ def fleet_fsck_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for label, a, p in rows
     )
-    return spark.createDataFrame(
-        out,
+    return _values_df(
+        spark, out,
         "store string, kind string, n_batches long, live_units long, "
         "missing_batch_dirs long, orphan_dirs long, tmp_dirs long, "
         "folded_spent long, fold_ledger_overlap long, lease_stale boolean, "

@@ -93,3 +93,80 @@ def repartition_for_compute(df, partitions: int | None = None):
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def values_df(spark, rows, schema: str):
+    """Build a small LOCAL DataFrame as a pure-JVM ``VALUES`` query instead
+    of ``spark.createDataFrame`` (r17 optimization): the parallelize-backed
+    path pickles rows into a Python RDD, so EVERY downstream action pays a
+    Python-worker round trip — measured ~0.5 s per action in a warmed
+    session vs ~0.02 s for the VALUES form, which parses and evaluates
+    entirely in the JVM (LocalRelation).  Intended for the driver-side
+    result/parameter tables the query layer builds (fleet reports, trained
+    weights, query-term tables) — anything row-count-bounded.
+
+    ``schema`` is the same DDL string ``createDataFrame`` takes
+    (``"name type, name2 type2"``); every column is CAST to its declared
+    type, so integer/double/array literals land with exactly the types the
+    old path produced.  Supported cell types: None, bool, int, float, str,
+    and (nested) lists of those.  Falls back to ``createDataFrame`` for an
+    empty row list (VALUES needs at least one tuple).
+    """
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+
+    def _split_cols(ddl: str) -> list[tuple[str, str]]:
+        cols, depth, cur = [], 0, []
+        for ch in ddl:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                cols.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        cols.append("".join(cur))
+        out = []
+        for c in cols:
+            name, typ = c.strip().split(None, 1)
+            out.append((name, typ.strip()))
+        return out
+
+    def _lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return f"CAST({v} AS BIGINT)"
+        if isinstance(v, float):
+            if v != v:
+                return "CAST('NaN' AS DOUBLE)"
+            if v == float("inf"):
+                return "CAST('Infinity' AS DOUBLE)"
+            if v == float("-inf"):
+                return "CAST('-Infinity' AS DOUBLE)"
+            return f"CAST('{v!r}' AS DOUBLE)"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+        if isinstance(v, (list, tuple)):
+            return "array(" + ", ".join(_lit(x) for x in v) + ")"
+        raise TypeError(f"values_df: unsupported cell type {type(v).__name__}")
+
+    cols = _split_cols(schema)
+    for r in rows:
+        if len(r) != len(cols):
+            raise ValueError(
+                f"values_df: row arity {len(r)} != schema arity {len(cols)}"
+            )
+    body = ", ".join(
+        "(" + ", ".join(_lit(v) for v in r) + ")" for r in rows
+    )
+    proj = ", ".join(
+        f"CAST(col{i + 1} AS {typ}) AS `{name}`"
+        for i, (name, typ) in enumerate(cols)
+    )
+    return spark.sql(f"SELECT {proj} FROM VALUES {body}")

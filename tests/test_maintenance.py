@@ -1029,3 +1029,28 @@ def test_maintenance_plan_fused_counts_ivf_with_tombstones(spark, emb, tmp_path)
     assert plan.n_tombstones == k
     assert plan.live_units == n - k
     assert plan.tombstone_nanos == (10**9 * k) // n
+
+
+def test_kind_meta_passthrough_matches_self_read(spark, docs, tmp_path):
+    """r17 optimization: a fleet chain classifies a root once and hands the
+    (kind, meta) pair to gc_debris / fsck_store / maintenance_plan — each
+    verb's output must be identical to the self-reading form."""
+    idx = str(tmp_path / "km_bm25")
+    RT.build_text_index(docs, idx)
+    RT.delete_from_text_index(
+        spark, idx, docs.filter(F.col("doc_id") % 4 == 1).select("doc_id"),
+        batch_id="take",
+    )
+    km = MT.store_kind_and_meta(spark, idx)
+    assert (
+        MT.maintenance_plan(spark, idx, kind_meta=km).first()
+        == MT.maintenance_plan(spark, idx).first()
+    )
+    assert (
+        MT.fsck_store(spark, idx, kind_meta=km).first()
+        == MT.fsck_store(spark, idx).first()
+    )
+    assert (
+        MT.gc_debris(spark, idx, kind_meta=km).first()
+        == MT.gc_debris(spark, idx).first()
+    )
