@@ -262,16 +262,16 @@ def connected_components_min_label(
                 parent[hi] = lo
         nodes = {r[0] for r in probe} | {r[1] for r in probe}
         node_type = edges.schema["src"].dataType
-        from pyspark.sql.types import StructField, StructType
+        # JVM-local VALUES table (r17): the label table feeds the survivor
+        # anti-join of every dedup row, and a parallelize-backed frame
+        # would make that downstream action pay a Python-worker round trip
+        from chat_data_pipeline_spark.session import values_df
 
-        return edges.sparkSession.createDataFrame(
+        ddl = node_type.simpleString()
+        return values_df(
+            edges.sparkSession,
             [(n, find(n)) for n in sorted(nodes)],
-            StructType(
-                [
-                    StructField("node", node_type, False),
-                    StructField("label", node_type, False),
-                ]
-            ),
+            f"node {ddl}, label {ddl}",
         )
 
     # distributed path: checkpoint the edge set HERE (not before the probe —

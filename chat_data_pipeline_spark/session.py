@@ -152,6 +152,8 @@ def values_df(spark, rows, schema: str):
             return f"CAST('{v!r}' AS DOUBLE)"
         if isinstance(v, str):
             return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+        if isinstance(v, (bytes, bytearray)):
+            return "X'" + bytes(v).hex() + "'"
         if isinstance(v, (list, tuple)):
             return "array(" + ", ".join(_lit(x) for x in v) + ")"
         raise TypeError(f"values_df: unsupported cell type {type(v).__name__}")
