@@ -388,7 +388,9 @@ def dedup_store_health(spark, index_path: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_tombstones"))
         )
     else:
-        tombs = spark.createDataFrame([], "batch string, n_tombstones long")
+        from chat_data_pipeline_spark.session import values_df
+
+        tombs = values_df(spark, [], "batch string, n_tombstones long")
     out = bands.join(tombs, "batch", "full_outer")
     return out.fillna(
         {"n_rows": 0, "n_ids": 0, "n_tombstones": 0}

@@ -144,10 +144,13 @@ def maintenance_plan(
     kind_meta: tuple | None = None,
 ) -> DataFrame:
     """DataFrame form of :func:`maintenance_plan_values` (one row)."""
-    return spark.createDataFrame(
-        [maintenance_plan_values(
+    from chat_data_pipeline_spark.session import values_df
+
+    return values_df(
+        spark,
+        [tuple(maintenance_plan_values(
             spark, index_path, max_batches, max_tombstone_nanos, kind_meta
-        )],
+        ))],
         _PLAN_SCHEMA,
     )
 
@@ -373,7 +376,10 @@ def maintenance_sweep(
         max_workers=max(1, min(int(max_concurrency), len(roots)))
     ) as ex:
         rows = list(ex.map(_one, roots))
-    return spark.createDataFrame(
+    from chat_data_pipeline_spark.session import values_df
+
+    return values_df(
+        spark,
         [
             (
                 root, row.kind, row.n_batches, row.n_tombstones,
@@ -393,8 +399,11 @@ def gc_debris(
     kind_meta: tuple | None = None,
 ) -> DataFrame:
     """DataFrame form of :func:`gc_debris_values` (one row)."""
-    return spark.createDataFrame(
-        [gc_debris_values(spark, index_path, grace_seconds, kind_meta)],
+    from chat_data_pipeline_spark.session import values_df
+
+    return values_df(
+        spark,
+        [tuple(gc_debris_values(spark, index_path, grace_seconds, kind_meta))],
         _GC_SCHEMA,
     )
 
@@ -504,7 +513,10 @@ def gc_sweep(
         max_workers=max(1, min(int(max_concurrency), len(roots)))
     ) as ex:
         rows = list(ex.map(_one, roots))
-    return spark.createDataFrame(
+    from chat_data_pipeline_spark.session import values_df
+
+    return values_df(
+        spark,
         [
             (
                 root, row.kind, row.n_batches, row.debris_removed,
@@ -635,7 +647,10 @@ def snapshot_store(
         fs, jvm.org.apache.hadoop.fs.Path(f"{src_index}/meta"), fs,
         jvm.org.apache.hadoop.fs.Path(f"{dst_index}/meta"), False, True, conf,
     )
-    return spark.createDataFrame(
+    from chat_data_pipeline_spark.session import values_df
+
+    return values_df(
+        spark,
         [(kind, len(committed), int(n_dirs), int(subtrees))],
         "kind string, n_batches long, batch_dirs_copied long, subtrees long",
     )
@@ -648,8 +663,11 @@ def fsck_store(
     kind_meta: tuple | None = None,
 ) -> DataFrame:
     """DataFrame form of :func:`fsck_store_values` (one row)."""
-    return spark.createDataFrame(
-        [fsck_store_values(spark, index_path, ttl_seconds, kind_meta)],
+    from chat_data_pipeline_spark.session import values_df
+
+    return values_df(
+        spark,
+        [tuple(fsck_store_values(spark, index_path, ttl_seconds, kind_meta))],
         _FSCK_SCHEMA,
     )
 
@@ -797,7 +815,10 @@ def fsck_sweep(
         max_workers=max(1, min(int(max_concurrency), len(roots)))
     ) as ex:
         rows = list(ex.map(_one, roots))
-    return spark.createDataFrame(
+    from chat_data_pipeline_spark.session import values_df
+
+    return values_df(
+        spark,
         [
             (
                 root, row.kind, row.meta_ok, row.n_batches,

@@ -109,12 +109,11 @@ def values_df(spark, rows, schema: str):
     (``"name type, name2 type2"``); every column is CAST to its declared
     type, so integer/double/array literals land with exactly the types the
     old path produced.  Supported cell types: None, bool, int, float, str,
-    and (nested) lists of those.  Falls back to ``createDataFrame`` for an
-    empty row list (VALUES needs at least one tuple).
+    bytes, and (nested) lists of those.  An empty row list builds the
+    schema-typed empty relation via ``SELECT ... LIMIT 0`` (VALUES needs at
+    least one tuple).
     """
     rows = list(rows)
-    if not rows:
-        return spark.createDataFrame(rows, schema)
 
     def _split_cols(ddl: str) -> list[tuple[str, str]]:
         cols, depth, cur = [], 0, []
@@ -159,6 +158,11 @@ def values_df(spark, rows, schema: str):
         raise TypeError(f"values_df: unsupported cell type {type(v).__name__}")
 
     cols = _split_cols(schema)
+    if not rows:
+        proj = ", ".join(
+            f"CAST(NULL AS {typ}) AS `{name}`" for name, typ in cols
+        )
+        return spark.sql(f"SELECT {proj} LIMIT 0")
     for r in rows:
         if len(r) != len(cols):
             raise ValueError(
