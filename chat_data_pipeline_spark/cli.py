@@ -282,10 +282,12 @@ def _run_training(spark: SparkSession, df: DataFrame, train_cfg: dict) -> None:
         **kwargs,
     )
     wpath = str(spec["weights_path"])
-    # repartition(1), not coalesce(1): coalesce over a driver-parallelized
-    # frame computes every pickled partition serially in one task
-    spark.createDataFrame(
-        [(b, int(w)) for b, w in enumerate(weights)], "bucket int, weight long"
+    from chat_data_pipeline_spark.session import values_df
+
+    # VALUES-backed local table (r17): the write action evaluates in the
+    # JVM with no Python-worker round trip; repartition(1) keeps one file
+    values_df(
+        spark, [(b, int(w)) for b, w in enumerate(weights)], "bucket int, weight long"
     ).repartition(1).write.mode("overwrite").parquet(wpath)
     logger.info(
         "train.quality_classifier: wrote %d-bucket weights to %s", n_buckets, wpath
@@ -1658,7 +1660,10 @@ def run_config(spark: SparkSession, config: dict) -> DataFrame:
         if corpus_free_index:
             _run_indexing(spark, None, config["index"])
             if not (serve_cfg or takedown_cfg or maintain_cfg):
-                return spark.createDataFrame(
+                from chat_data_pipeline_spark.session import values_df
+
+                return values_df(
+                    spark,
                     [
                         (k, str((config["index"].get(k) or {}).get("action", "build")))
                         for k in config["index"]

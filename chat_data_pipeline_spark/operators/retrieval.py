@@ -1321,10 +1321,11 @@ def text_index_health(spark, index_path: str) -> DataFrame:
     def _per_batch(sub: str, schema: str, aggs: list, names: list[str]) -> DataFrame:
         fs, path, _jvm = _fs_for(spark, f"{index_path}/{sub}")
         if not fs.exists(path):
-            out = spark.createDataFrame(
-                [], "batch string, " + ", ".join(f"{n} long" for n in names)
+            from chat_data_pipeline_spark.session import values_df
+
+            return values_df(
+                spark, [], "batch string, " + ", ".join(f"{n} long" for n in names)
             )
-            return out
         return (
             spark.read.schema(schema)
             .parquet(f"{index_path}/{sub}")
