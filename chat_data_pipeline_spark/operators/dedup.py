@@ -760,18 +760,26 @@ def banding_calibration(
     read as lower bounds).  The default never binds on a sanely-banded
     corpus; ``None`` disables the cap.
 
-    EAGER: constructing the result executes the fingerprint pass (and,
-    with a cap, one bucket-size profile job over the checkpointed bands).
+    With a cap, constructing the result executes one bucket-size profile
+    job (which materializes the lazy rep/shingle/band checkpoints as side
+    effects); uncapped, everything materializes under the caller's action.
     """
     from chat_data_pipeline_spark.session import repartition_for_compute
 
+    # The three block checkpoints below are LAZY (r17, guide §2.6): the
+    # oversized-bucket profile job is the first action, so it materializes
+    # reps -> shingled -> bands as side effects of ONE action, and the
+    # final-histogram action reuses all three stored blocks — the former
+    # eager form paid three dedicated materialization jobs (plus the
+    # profile and the final DAG: five sequential driver actions for a row
+    # whose artifacts are rep-sized).  Identical data, identical reuse.
     reps = (
         df.groupBy(F.col(column).alias("__text__"))
         .agg(
             F.min(F.col(id_col)).alias("id"),
             F.count(F.lit(1)).alias("__m__"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # ONE tokenize+shingle pass (r17, guide §1.2): the fingerprint AND the
     # exact-Jaccard posting below both consume the rep-level distinct
@@ -794,7 +802,7 @@ def banding_calibration(
             "id",
             F.explode(word_shingles(F.col("__text__"), ngram_size)).alias("__s__"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     hashed = shingled.select(
         "id",
@@ -821,7 +829,7 @@ def banding_calibration(
     bands = (
         sig_rows.select("id", band_sig_arr.alias("sigs"))
         .select("id", F.posexplode("sigs").alias("band", "sig"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if max_bucket_size is not None:
         from pyspark.sql import Window
