@@ -156,15 +156,22 @@ def train_linear_classifier_fixed_point(
     Returns the trained ``n_buckets`` weights (integer micro-units).
     """
     from pyspark.sql import DataFrame as _DF  # noqa: F401  (doc parity)
+    from pyspark.sql import Observation
 
+    # the sizing count rides the checkpoint's own materialization job as an
+    # observed metric (r17, guide §1.2 — the CC loop's convergence-check
+    # trick): a separate count() re-ran a whole driver-paced action over
+    # the stored blocks before the first GD round could start
+    obs = Observation()
     feats = (
         df.select(
             (label_col.cast("long") * int(scale)).alias("__y__"),
             doc_bucket_features(F.col(text_col), n_buckets).alias("__b__"),
         )
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_docs = feats.count()
+    n_docs = int(obs.get["n"] or 0)
     if lr_den_mult is None:
         lr_den_mult = 4 * int(n_buckets)
     lr_den = max(1, int(n_docs)) * int(lr_den_mult)

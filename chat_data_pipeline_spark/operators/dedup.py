@@ -624,12 +624,15 @@ def minhash_dedup_md5(
     fingerprints = minhash_md5_fingerprints(
         df, column, id_col, ngram_size, num_perm, num_bands
     )
-    # Materialize once: the CC loop and the final anti-join are separate
-    # actions, and without the checkpoint each would re-execute the whole
-    # tokenize→shingle→hash subtree (and re-compile its codegen into every
-    # downstream stage).  Output is one signature row per doc — tiny
-    # relative to the corpus at any scale (the S5 defragment pattern).
-    fingerprints = fingerprints.localCheckpoint(eager=True)
+    # NO checkpoint (r17, guide §1.2): in the common capped-CC path the
+    # fingerprint table has exactly ONE consumer — the edge probe collect
+    # (the survivor anti-join reads df + the driver label table, never the
+    # fingerprints) — so an eager checkpoint here was a dedicated
+    # materialization action that saved nothing downstream.  On the rare
+    # driver_max_edges fall-through the distributed CC loop checkpoints its
+    # EDGES (one re-execution of this subtree, documented there); the
+    # production sha1 path (minhash_dedup, non-verbose) already runs
+    # checkpoint-free for the same reason.
     return _minhash_filter_from_fingerprints(df, fingerprints, id_col)
 
 
@@ -1319,7 +1322,12 @@ def ngram_jaccard_edges(
         .select("id", F.size("__sh__").alias("n_sh"), F.explode("__sh__").alias("shingle"))
         .select("id", "n_sh", F.xxhash64("shingle").alias("shingle"))
     )
-    postings = postings.localCheckpoint(eager=True)
+    # LAZY (r17, guide §2.6): the pairable-list aggregation below is the
+    # first action over the postings, so its eager checkpoint job doubles
+    # as the postings materialization — the former eager form paid a
+    # dedicated action for the same stored blocks.  The self-join's two
+    # sides then read the cached blocks exactly as before.
+    postings = postings.localCheckpoint(eager=False)
     # Document-frequency band [2, max_shingle_freq] as a pairable-list
     # semi-join (NOT a per-shingle window count: the r4 window version
     # required Exchange+Sort over the FULL postings and was computed twice
@@ -1409,7 +1417,14 @@ def ngram_jaccard_dedup(
     key = F.xxhash64(F.coalesce(F.col(column), F.lit("")))
     members = df.select(F.col(id_col).alias("node"), key.alias("__k__"))
     reps = members.groupBy("__k__").agg(F.min("node").alias("rep"))
-    mapping = members.join(reps, "__k__").select("node", "rep").localCheckpoint(eager=True)
+    # LAZY (r17, guide §2.6): first materialized as a side effect of the
+    # pairable-list action inside ngram_jaccard_edges (whose postings build
+    # consumes the mapping exactly once via rep_rows); the survivor
+    # expansion below then reads the stored blocks.  With the postings
+    # checkpoint also lazy, the row runs 3 sequential actions instead of 5.
+    mapping = (
+        members.join(reps, "__k__").select("node", "rep").localCheckpoint(eager=False)
+    )
 
     rep_rows = df.join(
         mapping.filter(F.col("node") == F.col("rep")).select(F.col("node").alias(id_col)),

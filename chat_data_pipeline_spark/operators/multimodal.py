@@ -275,8 +275,12 @@ def image_neardup_dedup(
     )
 
     _validate_simhash_params(hamming_threshold, n_bands)  # before the sig job
+    # LAZY like the text twin's signature checkpoint (simhash_dedup, r17
+    # guide §2.6): the banding downstream's first action materializes the
+    # aHash pass as a side effect instead of paying a dedicated job; the
+    # survivor-expansion join then reads the stored blocks.
     sigs = image_ahash64(df, id_col, payload_col, src_width).localCheckpoint(
-        eager=True
+        eager=False
     )
     return _simhash_dedup_from_sigs(
         df, sigs, id_col, hamming_threshold, n_bands

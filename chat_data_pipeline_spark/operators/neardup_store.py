@@ -161,13 +161,25 @@ def build_neardup_index(
     fingerprint store)."""
     import math
 
+    from pyspark.sql import Observation
+
     spark = df.sparkSession
+    # the plane-rule count rides the verify-vector base's checkpoint
+    # materialization as an observed metric (r17, guide §1.2): the former
+    # separate df.count() was a SECOND full pass over the build corpus
+    # before fingerprinting could start
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    obs = None
     if n_planes is None:
-        n = df.count()
+        obs = Observation()
+        base = base.observe(obs, F.count(F.lit(1)).alias("n"))
+    base = base.localCheckpoint(eager=True)
+    if obs is not None:
+        n = int(obs.get["n"] or 0)
         n_planes = 4 + max(0, int(math.floor(math.log2(max(n, 1) / 500.0))))
-    posting, vectors = _postings_and_vectors(
-        df, id_col, vec_col, int(n_planes), int(n_tables), int(dim)
-    )
+    buckets = _srp_bucket_udf(int(n_planes), int(n_tables), int(dim))
+    posting = base.select("id", F.posexplode(buckets(F.col("v"))).alias("t", "b"))
+    vectors = base
     invalidate_index_meta(spark, index_path)
     # a REBUILD clears stale extension batches, tombstones and the
     # spent-id manifest inside the meta-less window (probes reject the

@@ -1097,8 +1097,12 @@ def embedding_neardup_pairs_srp_md5(
     # references the posting on BOTH sides and the v1/v2 re-fetch reads the
     # base twice — without the checkpoints the bucket UDF and the source
     # scan each execute twice per query (verified: 2 ArrowEvalPython + 4
-    # FileScans in the un-checkpointed plan)
-    base = base.localCheckpoint(eager=True)
+    # FileScans in the un-checkpointed plan).  base is LAZY (r17, guide
+    # §2.6): its only consumer in the FIRST action is the posting
+    # checkpoint's UDF branch, which materializes the base blocks as a side
+    # effect; the v1/v2 re-fetch in the final action reads the stored
+    # blocks.  One dedicated materialization action saved, same reuse.
+    base = base.localCheckpoint(eager=False)
     posting = base.select(
         "id", F.posexplode(buckets(F.col("v"))).alias("t", "b")
     ).localCheckpoint(eager=True)
@@ -2189,16 +2193,24 @@ def semantic_dedup(
 
     import pandas as pd
 
+    # ONE upstream computation (r17, guide §1.2): the sizing count, the
+    # centroid sample and the assignment pass each re-executed the caller's
+    # input plan (for a union/transform-shaped input that is 3 full
+    # upstream computations); the narrow (id, vec) projection checkpoints
+    # lazily — the count below materializes it — and the two later passes
+    # read the stored blocks.  The final survivor semi-join still reads the
+    # ORIGINAL df (all caller columns, one more pass), as before.
+    work = df.select(id_col, vec_col).localCheckpoint(eager=False)
     if n_clusters is None:
-        n_clusters = max(4, math.ceil(df.count() / target_cluster_size))
+        n_clusters = max(4, math.ceil(work.count() / target_cluster_size))
     # sample_rows auto-scales with n_clusters inside _train_centroids
     # (max(10k, 8·n_clusters)) — a fixed sample would silently cap the
     # trained centroid count and let per-cluster size grow with the corpus,
     # defeating the ~target² bound this docstring promises; beyond
     # MAX_DRIVER_CENTROIDS the trainer fails with guidance instead.
-    centroids = _train_centroids(df, vec_col, n_clusters, seed=seed, id_col=id_col)
+    centroids = _train_centroids(work, vec_col, n_clusters, seed=seed, id_col=id_col)
     assigned = _ivf_assign_expr(
-        df.select(id_col, vec_col), vec_col, centroids, "__lists__", 1
+        work, vec_col, centroids, "__lists__", 1
     ).select(id_col, vec_col, F.element_at("__lists__", 1).alias("__cluster__"))
     id_type = dict(df.dtypes)[id_col]
     thr = float(threshold)

@@ -66,6 +66,15 @@ def exact_substring_dedup(
     occ = base.select(
         "id", F.explode(_window_hashes(F.col("t"), k)).alias("w")
     ).select("id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    # ONE shared exchange (r17, guide §2.4 "two operations keyed the same
+    # way can share one exchange"): the duplicate-window aggregation and
+    # the join-back both consume occ keyed on h, but as separate subtrees
+    # the tokenize+rolling-hash pass ran TWICE per query (plan showed 3
+    # corpus scans).  Hash-partitioning occ once lets the aggregation run
+    # complete-mode over it and the join reuse the same shuffle
+    # (ReusedExchange in the plan, 2 corpus scans) — the rolling xxhash
+    # window pass is the row's dominant per-byte cost at any scale.
+    occ = occ.repartition("h")
 
     dup = occ.groupBy("h").agg(
         F.count("*").alias("c"), F.min(F.struct("id", "pos")).alias("w")

@@ -7766,15 +7766,27 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0, ["join", "hash"]), (1, ["scan", "window", "sort"]), (2, ["hash", "sort"])],
         "query_id long, terms array<string>",
     )
-    lex = RT.bm25_topk_indexed_batch(spark, bidx, qterms, k=20).select(
-        "query_id", "doc_id", "rank"
-    )
     qvec = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    vec = SIM.ivf_topk_persisted(spark, vidx, qvec, k=20, n_probe=4).select(
-        "query_id", F.col("vec_id").alias("doc_id"), "rank"
-    )
+    # the two serving probes are independent until the fuse, and each pays
+    # a serial driver preamble (meta read + query-table collect) before its
+    # plan exists — overlap them on two threads (r17, guide §2.6); the
+    # fused DAG below composes the returned lazy plans exactly as before
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _f_lex = _ex.submit(
+            lambda: RT.bm25_topk_indexed_batch(spark, bidx, qterms, k=20).select(
+                "query_id", "doc_id", "rank"
+            )
+        )
+        _f_vec = _ex.submit(
+            lambda: SIM.ivf_topk_persisted(spark, vidx, qvec, k=20, n_probe=4).select(
+                "query_id", F.col("vec_id").alias("doc_id"), "rank"
+            )
+        )
+        lex, vec = _f_lex.result(), _f_vec.result()
     out = RT.rrf_fuse([lex, vec], id_col="doc_id", k=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
