@@ -66,22 +66,26 @@ def exact_substring_dedup(
     occ = base.select(
         "id", F.explode(_window_hashes(F.col("t"), k)).alias("w")
     ).select("id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-    # ONE shared exchange (r17, guide §2.4 "two operations keyed the same
-    # way can share one exchange"): the duplicate-window aggregation and
-    # the join-back both consume occ keyed on h, but as separate subtrees
-    # the tokenize+rolling-hash pass ran TWICE per query (plan showed 3
-    # corpus scans).  Hash-partitioning occ once lets the aggregation run
-    # complete-mode over it and the join reuse the same shuffle
-    # (ReusedExchange in the plan, 2 corpus scans) — the rolling xxhash
-    # window pass is the row's dominant per-byte cost at any scale.
-    occ = occ.repartition("h")
+    # ONE tokenize+rolling-hash pass (r17, guide §1.2 / §2.4): the former
+    # groupBy(h)-then-join-back shape referenced occ as TWO separate
+    # subtrees, so the window-hash Generate ran twice per query (3 corpus
+    # scans in the plan) — and the planner cannot share the exchange
+    # because the join-back's left-outer key pushes isnotnull(id) into
+    # only ITS copy.  Per-h window functions compute the same (c, w)
+    # against each occurrence row directly: occ appears ONCE (2 corpus
+    # scans), one Exchange(h)+Sort replaces the agg exchange plus the
+    # duplicate pass and the dup broadcast.  Same rows out: count/min
+    # over the identical per-h groups, identical first-occurrence filter.
+    from pyspark.sql import Window
 
-    dup = occ.groupBy("h").agg(
-        F.count("*").alias("c"), F.min(F.struct("id", "pos")).alias("w")
-    ).filter(F.col("c") > 1)
+    w_h = Window.partitionBy("h")
     cuts = (
-        occ.join(dup, "h")
-        .filter((F.col("id") != F.col("w.id")) | (F.col("pos") != F.col("w.pos")))
+        occ.withColumn("c", F.count(F.lit(1)).over(w_h))
+        .withColumn("w", F.min(F.struct("id", "pos")).over(w_h))
+        .filter(
+            (F.col("c") > 1)
+            & ((F.col("id") != F.col("w.id")) | (F.col("pos") != F.col("w.pos")))
+        )
         .groupBy("id")
         .agg(F.collect_set("pos").alias("starts"))
     )
