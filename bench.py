@@ -631,7 +631,14 @@ def scale_probe(factor: int = 10) -> None:
             )
             for i in range(n_q)
         ]
-        qtab = spark.createDataFrame(rows, "query_id long, terms array<string>")
+        # VALUES-backed local table (r17): the registered serving rows build
+        # their query tables through values_df, so the probe should too — a
+        # parallelize-backed qtab added a Python-worker round trip to every
+        # timed serving action, measuring harness overhead instead of the
+        # serving path (measurement fix, noted in OPTIMIZATION_r17.md).
+        from chat_data_pipeline_spark.session import values_df
+
+        qtab = values_df(spark, rows, "query_id long, terms array<string>")
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
