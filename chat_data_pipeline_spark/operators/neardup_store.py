@@ -97,10 +97,15 @@ def _srp_bucket_udf(n_planes: int, n_tables: int, dim: int):
 def _postings_and_vectors(
     df: DataFrame, id_col: str, vec_col: str,
     n_planes: int, n_tables: int, dim: int,
+    eager: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
+    # eager=True for deliveries (_write_batch races two concurrent write
+    # jobs over the base — it must be materialized first); the PROBE path
+    # passes eager=False so its single collision/verify action materializes
+    # the blocks as a side effect instead of paying a dedicated job
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=eager)
     buckets = _srp_bucket_udf(n_planes, n_tables, dim)
     posting = base.select("id", F.posexplode(buckets(F.col("v"))).alias("t", "b"))
     return posting, base
@@ -340,6 +345,7 @@ def matched_against_neardup_index(
     new_df: DataFrame,
     id_col: str | None = None,
     vec_col: str | None = None,
+    _meta=None,
 ) -> DataFrame:
     """The MATCHED new-side ids — every ``new_df`` row whose embedding
     bucket-collides with a live reference entry AND fold-cosines at or
@@ -349,8 +355,11 @@ def matched_against_neardup_index(
     separable: a consumer restricting the probe to a SUBSET of its rows
     (the ``onboard_semantic`` side-table shape) must anti-join the
     matches, never semi-join the survivors — rows that were never probed
-    would otherwise silently disappear as if they had matched."""
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    would otherwise silently disappear as if they had matched.
+
+    ``_meta``: a caller that already read the store meta Row passes it
+    through (one meta read per probe, not one per layer — r17)."""
+    meta = _meta or spark.read.parquet(f"{index_path}/meta").first()
     nid = id_col or meta.id_col
     nvec = vec_col or meta.vec_col
     committed = _committed_batches(spark, index_path)
@@ -379,6 +388,9 @@ def matched_against_neardup_index(
         int(meta.n_planes),
         int(meta.n_tables),
         int(meta.dim),
+        # probe: the collision/verify action below is the first (and only)
+        # consumer job — let it materialize the new-side blocks lazily
+        eager=False,
     )
     cand = (
         new_post.select(F.col("id").alias("nid"), "t", "b")
@@ -444,7 +456,7 @@ def filter_against_neardup_index(
     meta = spark.read.parquet(f"{index_path}/meta").first()
     nid = id_col or meta.id_col
     matched = matched_against_neardup_index(
-        spark, index_path, new_df, id_col=id_col, vec_col=vec_col
+        spark, index_path, new_df, id_col=id_col, vec_col=vec_col, _meta=meta
     )
     return new_df.join(matched, nid, "left_anti")
 
