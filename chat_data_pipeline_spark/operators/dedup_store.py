@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from chat_data_pipeline_spark.operators.retrieval import (
     _committed_batches,
+    read_meta_row,
     _fold_manifest_forward,
     _fs_for,
     _guard_batch_id_kind,
@@ -215,7 +216,7 @@ def extend_dedup_index(
     _guard_batch_id_kind(
         spark, index_path, batch_id, "tombstones", "extension", "delete"
     )
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     column = column or meta.text_col
     id_col = id_col or meta.id_col
     _guard_delivery_id_type(df, id_col, meta.id_type, index_path)
@@ -252,7 +253,7 @@ def delete_from_dedup_index(
     _guard_batch_id_kind(
         spark, index_path, batch_id, "bands", "delete", "extension"
     )
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     committed = _committed_batches(spark, index_path)
     want = ids.select(
         F.col(ids.columns[0]).cast(meta.id_type).alias("doc")
@@ -303,7 +304,7 @@ def filter_against_dedup_index(
     (band, sig) semi-join, one anti-join back — bit-identical to
     :func:`dedup.cross_corpus_minhash_filter` / ``_md5`` over the union of
     live reference batches (tested)."""
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     column = column or meta.text_col
     id_col = id_col or meta.id_col
     ref_keys = _committed_bands(spark, index_path, meta).select("band", "sig").distinct()
@@ -327,7 +328,7 @@ def compact_dedup_index(spark, index_path: str, dst_index: str | None = None) ->
     deployment passes ``dst_index`` and swaps probes over
     (``retrieval.swap_index_alias`` works here too — resolution only needs
     the root's meta)."""
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     committed = _committed_batches(spark, index_path)
     bands = _committed_bands(spark, index_path, meta, committed).select(
         "id", "sig", "band"
@@ -366,7 +367,7 @@ def dedup_store_health(spark, index_path: str) -> DataFrame:
 
     Scale shape: one map-side-combined count agg over the postings plus an
     id-sized tombstone count; O(batches) output rows."""
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     committed = _committed_batches(spark, index_path)
     bands = (
         spark.read.schema(f"id {meta.id_type}, sig {meta.sig_type}")

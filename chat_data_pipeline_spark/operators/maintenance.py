@@ -85,7 +85,9 @@ def store_kind_and_meta(spark, index_path: str):
     maintenance plan, the serve engine's per-arm validation) pay ONE meta
     read per root instead of detect-then-re-read — per-micro-batch cost
     on ``streaming_query_serving``."""
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    from chat_data_pipeline_spark.operators.retrieval import read_meta_row
+
+    meta = read_meta_row(spark, index_path)
     if meta is None:
         # a parquet footer with zero rows (crash between file creation and
         # row flush) must fail as loudly as a missing/unknown meta

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from chat_data_pipeline_spark.operators.retrieval import (
     _committed_batches,
+    read_meta_row,
     _fold_manifest_forward,
     _fs_for,
     _guard_batch_id_kind,
@@ -228,7 +229,7 @@ def extend_neardup_index(
     _guard_batch_id_kind(
         spark, index_path, batch_id, "tombstones", "extension", "delete"
     )
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     if id_col or vec_col:
         df = df.select(
             F.col(id_col or meta.id_col).alias(meta.id_col),
@@ -271,7 +272,7 @@ def delete_from_neardup_index(
     _guard_batch_id_kind(
         spark, index_path, batch_id, "postings", "delete", "extension"
     )
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     committed = _committed_batches(spark, index_path)
     want = ids.select(
         F.col(ids.columns[0]).cast(meta.id_type).alias("doc")
@@ -294,7 +295,7 @@ def compact_neardup_index(
     together so the verify side can never dangle.  Same in-place
     (checkpoint-pinned) vs write-then-swap (``dst_index``) split as the
     other stores' compactors."""
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     committed = _committed_batches(spark, index_path)
     posting = (
         committed_tree(spark, index_path, "postings")
@@ -359,7 +360,7 @@ def matched_against_neardup_index(
 
     ``_meta``: a caller that already read the store meta Row passes it
     through (one meta read per probe, not one per layer — r17)."""
-    meta = _meta or spark.read.parquet(f"{index_path}/meta").first()
+    meta = _meta or read_meta_row(spark, index_path)
     nid = id_col or meta.id_col
     nvec = vec_col or meta.vec_col
     committed = _committed_batches(spark, index_path)
@@ -453,7 +454,7 @@ def filter_against_neardup_index(
     joins sized by the collisions — bit-identical to the in-flight
     ``embedding_neardup_pairs_srp_md5`` arithmetic restricted to
     cross-corpus pairs (the registered row value-hashes it)."""
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     nid = id_col or meta.id_col
     matched = matched_against_neardup_index(
         spark, index_path, new_df, id_col=id_col, vec_col=vec_col, _meta=meta
@@ -483,7 +484,7 @@ def neardup_store_health(spark, index_path: str) -> DataFrame:
     Scale shape: two map-side-combined count aggs (posting footer
     metadata + vector rows) plus an id-sized tombstone count; O(batches)
     output rows."""
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     committed = _committed_batches(spark, index_path)
     posts = (
         spark.read.schema(f"id {meta.id_type}, b long")

@@ -304,6 +304,49 @@ def build_text_index(
         ledger_commit(spark, index_path, batch_id)
 
 
+def read_meta_row(spark, index_path: str):
+    """One-row store-meta read with ZERO Spark jobs on ``file:``-scheme
+    roots (r17 optimization).  ``spark.read.parquet(meta).first()`` costs
+    TWO driver-paced jobs — a parquet footer schema-inference job plus the
+    ``executeTake`` — and every store verb (probe, delivery, maintenance,
+    fsck/gc/plan chain) starts with exactly this read, so a 5-root fleet
+    sweep paid 10 jobs before touching any real artifact.  The meta file
+    is one row of flat scalars by construction of all five store writers
+    (``values_df(...).repartition(1)``), so for local roots the part file
+    is read driver-side via pyarrow and wrapped in a ``Row`` with the same
+    field order and Python value types the Spark path produced.
+
+    Semantics pinned to the old path: a missing/corrupt meta falls back to
+    the Spark read so the error type/message stays identical; a zero-row
+    meta (crash between file creation and row flush) returns ``None``
+    exactly like ``first()``.  Non-local schemes (HDFS/S3A) always take
+    the Spark read — the cost being cut is per-call driver latency, which
+    at cluster scale is the same fixed overhead this removes locally."""
+    try:
+        fs, path, _jvm = _fs_for(spark, f"{index_path}/meta")
+        if fs.getScheme() == "file":
+            import pyarrow.parquet as pq
+
+            parts = sorted(
+                st.getPath().toUri().getPath()
+                for st in fs.listStatus(path)
+                if st.getPath().getName().endswith(".parquet")
+            )
+            if not parts:
+                raise IOError(f"no parquet part files under {index_path}/meta")
+            rows: list[dict] = []
+            for p in parts:
+                rows.extend(pq.read_table(p).to_pylist())
+            if not rows:
+                return None
+            from pyspark.sql import Row
+
+            return Row(**rows[0])
+    except Exception:  # noqa: BLE001 — any surprise: identical Spark path
+        pass
+    return spark.read.parquet(f"{index_path}/meta").first()
+
+
 def invalidate_index_meta(spark, index_path: str) -> None:
     """Delete the index's meta FIRST in every base (re)build / in-place
     compaction — meta is the build's commit marker (written LAST), and a
@@ -398,7 +441,7 @@ def compact_text_index(spark, index_path: str, dst_index: str | None = None) -> 
     FRESH root with no checkpoint, and the caller swaps probes over to it
     (write-then-swap, the zero-downtime pattern — :func:`swap_index_alias`
     is that pointer as an operator)."""
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     committed = _committed_batches(spark, index_path)
     tomb = _tombstoned_ids(spark, index_path, meta.id_type, committed)
     p_schema = f"doc {meta.id_type}, dl int, term string, tf long"
@@ -483,7 +526,7 @@ def extend_text_index(
     _guard_batch_id_kind(
         docs.sparkSession, index_path, bid, "tombstones", "extension", "delete"
     )
-    meta = docs.sparkSession.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(docs.sparkSession, index_path)
     _guard_delivery_id_type(docs, id_col, meta.id_type, index_path)
     _guard_tombstoned_delivery(docs, index_path, id_col)
     build_text_index(
@@ -640,7 +683,7 @@ def delete_from_text_index(
     _guard_batch_id_kind(
         spark, index_path, batch_id, "postings", "delete", "extension"
     )
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     committed = _committed_batches(spark, index_path)
     id_type = meta.id_type
     want = ids.select(F.col(ids.columns[0]).cast(id_type).alias("doc")).distinct()
@@ -916,7 +959,7 @@ def swap_index_alias(spark, alias_path: str, index_path: str) -> None:
     Fails fast if the target has no readable ``meta`` — an alias must
     never be swapped onto a root that is mid-rebuild (meta-less window) or
     missing."""
-    spark.read.parquet(f"{index_path}/meta").first()  # target must be servable
+    read_meta_row(spark, index_path)  # target must be servable
     fs, adir, jvm = _fs_for(spark, alias_path)
     fs.mkdirs(adir)
     existing = sorted(
@@ -1084,7 +1127,7 @@ def bm25_topk_indexed(
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
     bkts = sorted({_term_bucket_py(t) for t in terms})
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     committed = _committed_batches(spark, index_path)
     # explicit schemas (from meta): zero footer sampling — the pruned read
     # lists only the probed bkt dirs of COMMITTED batches and opens nothing
@@ -1224,7 +1267,7 @@ def bm25_topk_indexed_batch(
         [(qid, t) for qid, ts in qterms for t in ts],
         f"{query_id_col} {dict(queries.dtypes)[query_id_col]}, term string",
     )
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     committed = _committed_batches(spark, index_path)
     p_schema = f"doc {meta.id_type}, dl int, term string, tf long"
     postings = (
@@ -1315,7 +1358,7 @@ def text_index_health(spark, index_path: str) -> DataFrame:
     Scale shape: postings are touched only by a count aggregate
     (map-side-combined, no row leaves the executors); dfreq/stats/
     tombstones are term-/batch-/id-sized.  O(batches) output rows."""
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     committed = _committed_batches(spark, index_path)
 
     def _per_batch(sub: str, schema: str, aggs: list, names: list[str]) -> DataFrame:

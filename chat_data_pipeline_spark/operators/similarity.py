@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from chat_data_pipeline_spark.operators.dedup import connected_components_min_label
+from chat_data_pipeline_spark.operators.retrieval import read_meta_row
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -1612,7 +1613,7 @@ def extend_ivf_index(
     _guard_batch_id_kind(
         spark, index_path, batch_id, "tombstones", "extension", "delete"
     )
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     # optional column-name overrides: a caller whose frame uses its own
     # names aliases here instead of pre-reading meta (one read, not two)
     if id_col or vec_col:
@@ -1739,7 +1740,7 @@ def ivf_topk_persisted(
         _tombstoned_ids,
     )
 
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     committed = _committed_batches(spark, index_path)
     # ledger-committed batches only: a crashed delivery's partial
     # part-files are invisible until its replay re-commits
@@ -2285,7 +2286,7 @@ def ivf_index_drift_report(spark, index_path: str) -> DataFrame:
 
     from chat_data_pipeline_spark.operators.retrieval import _committed_batches
 
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     n_centroids, dim = int(meta.n_centroids), int(meta.dim)
     vec_col = meta.vec_col
     postings = _committed_tree(spark, index_path, "postings").filter(
@@ -2377,7 +2378,7 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
         ledger_reset,
     )
 
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     committed = _committed_batches(spark, index_path)
     # payload column by flavor: the compressed md5pq store folds its codes,
     # the full-precision flavors their vectors — assignments never move
@@ -2503,7 +2504,7 @@ def rebuild_ivf_index(
         _tombstoned_ids,
     )
 
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     if meta.coarse == "md5pq":
         raise ValueError(
             "rebuild_ivf_index cannot rebuild a compressed md5pq index: PQ "
@@ -2592,7 +2593,7 @@ def delete_from_ivf_index(
     _guard_batch_id_kind(
         spark, index_path, batch_id, "postings", "delete", "extension"
     )
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     committed = _committed_batches(spark, index_path)
     # pre-r15 meta-less fallback pinned to the BASE partition (r17): full
     # postings-tree inference would read the footers of a crashed
@@ -2773,7 +2774,7 @@ def extend_ivfpq_index(
     _guard_batch_id_kind(
         spark, index_path, batch_id, "tombstones", "extension", "delete"
     )
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     if meta.coarse != "md5pq":
         raise ValueError(f"{index_path} is not an IVF-PQ index (coarse={meta.coarse!r})")
     if id_col or vec_col:
@@ -2855,7 +2856,7 @@ def rebuild_ivfpq_index(
         _tombstoned_ids,
     )
 
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     if meta.coarse != "md5pq":
         raise ValueError(
             f"{index_path} is not an IVF-PQ index (coarse={meta.coarse!r}); "
@@ -2930,7 +2931,7 @@ def ivfpq_topk_persisted(
         _tombstoned_ids,
     )
 
-    meta = spark.read.parquet(f"{index_path}/meta").first()
+    meta = read_meta_row(spark, index_path)
     if meta.coarse != "md5pq":
         raise ValueError(f"{index_path} is not an IVF-PQ index (coarse={meta.coarse!r})")
     n_centroids, m_sub = int(meta.n_centroids), int(meta.m)

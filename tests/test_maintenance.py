@@ -1054,3 +1054,34 @@ def test_kind_meta_passthrough_matches_self_read(spark, docs, tmp_path):
         MT.gc_debris(spark, idx, kind_meta=km).first()
         == MT.gc_debris(spark, idx).first()
     )
+
+
+def test_read_meta_row_matches_spark_read(spark, docs, emb, tmp_path):
+    """The r17 driver-side meta read must hand back exactly the Row the
+    spark.read path produced — same field names, order, and value types —
+    for every store kind, and must keep the old path's edge semantics
+    (zero-row meta -> None, missing meta -> the Spark error)."""
+    b = str(tmp_path / "mr_bm25")
+    RT.build_text_index(docs, b)
+    v = str(tmp_path / "mr_ivf")
+    SIM.build_ivf_index(emb, v, n_centroids=16, coarse="md5", dim=64)
+    for root in (b, v):
+        fast = RT.read_meta_row(spark, root)
+        slow = spark.read.parquet(f"{root}/meta").first()
+        assert fast == slow
+        assert list(fast.asDict()) == list(slow.asDict())
+        assert [type(x) for x in fast] == [type(x) for x in slow]
+
+    # zero-row meta (crash between file creation and row flush) -> None
+    z = str(tmp_path / "mr_zero")
+    spark.range(0).selectExpr(
+        "CAST('x' AS STRING) AS id_type", "CAST(1 AS INT) AS n_term_buckets"
+    ).repartition(1).write.mode("overwrite").parquet(f"{z}/meta")
+    assert RT.read_meta_row(spark, z) is None
+
+    # missing root -> the Spark path's loud failure
+    with pytest.raises(Exception) as exc:
+        RT.read_meta_row(spark, str(tmp_path / "mr_missing"))
+    assert "PATH_NOT_FOUND" in str(exc.value) or "Path does not exist" in str(
+        exc.value
+    )
