@@ -924,11 +924,51 @@ def committed_tree(spark, index_path: str, sub: str) -> DataFrame:
     which prunes the debris partitions before any data is read.  One
     tiny footer read on the base replaces tree-wide sampling — same
     discipline as maintenance.py's explicit-schema reads."""
-    from pyspark.sql.types import StringType
+    from pyspark.sql.types import IntegerType, StringType
 
-    base = spark.read.parquet(f"{index_path}/{sub}/batch=base")
-    schema = base.schema
-    if "batch" not in base.columns:
+    schema = None
+    try:
+        # driver-side schema (r17): the base read above existed ONLY for
+        # its schema, yet paid a schema-inference Spark job per call.
+        # Derive the same schema from one base part file's footer plus the
+        # partition dirs walked to reach it (our artifact layouts nest at
+        # most bkt=<int> / band=<int> under batch=); anything unexpected
+        # falls back to the inference read below, unchanged.
+        import re as _re
+
+        from chat_data_pipeline_spark.session import local_parquet_schema
+
+        fs, _root, jvm = _fs_for(spark, index_path)
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{sub}/batch=base")
+        part_cols: list[str] = []
+        fs.getFileStatus(p)  # missing base must fail like the old read
+        for _ in range(3):
+            found_file = any(
+                s.isFile() and s.getPath().getName().endswith(".parquet")
+                for s in fs.listStatus(p)
+            )
+            if found_file:
+                schema = local_parquet_schema(spark, p.toUri().getPath())
+                break
+            sub_dirs = [
+                s.getPath()
+                for s in fs.listStatus(p)
+                if s.isDirectory()
+                and _re.match(r"^\w+=-?\d+$", s.getPath().getName())
+            ]
+            if not sub_dirs:
+                break
+            part_cols.append(sub_dirs[0].getName().split("=", 1)[0])
+            p = sub_dirs[0]
+        if schema is not None:
+            for c in part_cols:
+                schema = schema.add(c, IntegerType())
+    except Exception:  # noqa: BLE001 — any surprise: inference path below
+        schema = None
+    if schema is None:
+        base = spark.read.parquet(f"{index_path}/{sub}/batch=base")
+        schema = base.schema
+    if "batch" not in schema.fieldNames():
         schema = schema.add("batch", StringType())
     return spark.read.schema(schema).parquet(f"{index_path}/{sub}")
 

@@ -84,7 +84,12 @@ def _values_df(spark: SparkSession, rows, schema: str) -> DataFrame:
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         return _read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # pinned-schema read (r17): resolves the parquet schema driver-side on
+    # local paths, skipping the per-call schema-inference Spark job every
+    # registered query otherwise pays per input table
+    from chat_data_pipeline_spark.session import read_parquet_pinned
+
+    return read_parquet_pinned(spark, f"{sf_dir}/{table}.parquet")
 
 
 def _run_scoped_path(kind: str, sf_dir: str) -> str:
@@ -157,7 +162,9 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       wall-clock AND the epoch the DuckDB oracle computes from the same
       naive values.
     """
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from chat_data_pipeline_spark.session import read_parquet_pinned
+
+    df = read_parquet_pinned(spark, f"{sf_dir}/events.parquet")
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

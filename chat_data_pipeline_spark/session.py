@@ -104,6 +104,91 @@ def repartition_for_compute(df, partitions: int | None = None):
     return df
 
 
+def local_parquet_schema(spark, path: str):
+    """Driver-side parquet schema for a ``file:``-scheme path, or ``None``
+    when it can't be derived safely (non-local scheme, no part file, any
+    mapping surprise) — the caller then uses plain ``spark.read.parquet``
+    inference, so behavior is never worse than before.
+
+    Why (r17 optimization): ``spark.read.parquet(path)`` runs schema
+    inference as a driver-paced SPARK JOB (a ``parquet at ...`` 1-task
+    job reading a footer), so every registered query paid ~1 extra job
+    per input table and every store probe one per artifact tree.  Reading
+    the same footer with pyarrow on the driver yields the identical
+    schema with zero jobs.  The arrow→Spark mapping is pinned to what
+    Spark's own inference produces under this session's config:
+    ``timestamp[ns]`` → ``long`` (mirroring the session-wide
+    ``spark.sql.legacy.parquet.nanosAsLong=true``), naive timestamps →
+    TIMESTAMP_NTZ (Spark 4's ``inferTimestampNTZ`` default), and every
+    field forced nullable (file-source relations are always nullable).
+    Verified equal to ``spark.read.parquet(...).schema`` for every
+    testdata table at every scale factor and every store artifact kind
+    (tests/test_maintenance.py::test_local_parquet_schema_parity)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.getScheme() != "file":
+            return None
+        st = fs.getFileStatus(jpath)
+        part = None
+        if st.isFile():
+            part = jpath
+        else:
+            for s in fs.listStatus(jpath):
+                n = s.getPath().getName()
+                if s.isFile() and n.endswith(".parquet"):
+                    part = s.getPath()
+                    break
+        if part is None:
+            return None
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        aschema = pq.read_schema(part.toUri().getPath())
+        fields = []
+        for f in aschema:
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+                # nanosAsLong: the vectorized reader serves TIMESTAMP(NANOS)
+                # as bigint session-wide (see get_spark)
+                fields.append(pa.field(f.name, pa.int64()))
+            else:
+                fields.append(f)
+        derived = from_arrow_schema(pa.schema(fields), prefer_timestamp_ntz=True)
+        return _force_nullable(derived)
+    except Exception:  # noqa: BLE001 — any surprise: Spark inference
+        return None
+
+
+def _force_nullable(dt):
+    """File-source relations are always nullable in Spark; match that."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _force_nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_force_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _force_nullable(dt.keyType), _force_nullable(dt.valueType), True
+        )
+    return dt
+
+
+def read_parquet_pinned(spark, path: str):
+    """``spark.read.parquet`` with the schema pinned driver-side when the
+    path is local (zero-job schema resolution); plain inference otherwise."""
+    schema = local_parquet_schema(spark, path)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(path)
+
+
 def values_df(spark, rows, schema: str):
     """Build a small LOCAL DataFrame as a pure-JVM ``VALUES`` query instead
     of ``spark.createDataFrame`` (r17 optimization): the parallelize-backed

@@ -1085,3 +1085,57 @@ def test_read_meta_row_matches_spark_read(spark, docs, emb, tmp_path):
     assert "PATH_NOT_FOUND" in str(exc.value) or "Path does not exist" in str(
         exc.value
     )
+
+
+def test_local_parquet_schema_parity(spark, docs, emb, tmp_path):
+    """The r17 driver-side schema derivation must equal Spark's own
+    inference EXACTLY (names, order, types, nullability) for every input
+    table at every scale factor and for committed_tree over every store
+    artifact layout (flat, bkt=, list=, t=, band= partitions)."""
+    import glob
+    import os
+
+    from chat_data_pipeline_spark.session import local_parquet_schema
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        for path in sorted(glob.glob(f"/root/testdata/{sf}/*.parquet")):
+            if os.path.isdir(path) and not glob.glob(f"{path}/*.parquet"):
+                continue
+            derived = local_parquet_schema(spark, path)
+            assert derived is not None, path
+            assert derived == spark.read.parquet(path).schema, path
+
+    b = str(tmp_path / "sch_bm25")
+    RT.build_text_index(docs, b)
+    v = str(tmp_path / "sch_ivf")
+    SIM.build_ivf_index(emb, v, n_centroids=16, coarse="md5", dim=64)
+    d = str(tmp_path / "sch_dedup")
+    DS.build_dedup_index(docs, d, family="md5", num_bands=4)
+    from chat_data_pipeline_spark.operators import neardup_store as NS
+
+    nd = str(tmp_path / "sch_neardup")
+    NS.build_neardup_index(emb, nd, n_planes=8, n_tables=2, dim=64)
+
+    def _inferred_tree_schema(root, sub):
+        # the pre-r17 shape: schema from an inference read of batch=base,
+        # then the tree read with it — compare the resulting DataFrame
+        # schemas (Spark re-orders partition columns to directory order
+        # in both paths)
+        from pyspark.sql.types import StringType
+
+        base = spark.read.parquet(f"{root}/{sub}/batch=base")
+        s = base.schema
+        if "batch" not in base.columns:
+            s = s.add("batch", StringType())
+        return spark.read.schema(s).parquet(f"{root}/{sub}").schema
+
+    for root, subs in [
+        (b, ["postings", "dfreq", "stats", "doclens"]),
+        (v, ["postings"]),
+        (d, ["bands"]),
+        (nd, ["postings", "vectors"]),
+    ]:
+        for sub in subs:
+            got = RT.committed_tree(spark, root, sub).schema
+            want = _inferred_tree_schema(root, sub)
+            assert got == want, f"{root}/{sub}: {got} != {want}"
