@@ -689,10 +689,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents2")
         )
     )
-    top = rev.agg(F.max("total_cents2").alias("__max__"))
+    # global-max as a WINDOW over the aggregated table (r17, guide §2.4):
+    # the separate max-aggregate consumer duplicated the whole lineitem
+    # scan+agg subtree in the plan (2 lineitem scans); the window computes
+    # the identical LONG max in the same pass.  Single-partition window,
+    # but over the supplier-sized aggregate (8-byte key + long), never the
+    # corpus — strictly cheaper than a second 100 TB lineitem pass.
+    from pyspark.sql import Window as _W
+
+    rev = rev.withColumn(
+        "__max__", F.max("total_cents2").over(_W.partitionBy())
+    )
     return (
         supplier.join(rev, supplier.s_suppkey == rev.supplier_no)
-        .crossJoin(F.broadcast(top))
         .filter(F.col("total_cents2") == F.col("__max__"))
         .select(
             "s_suppkey",
@@ -864,9 +873,17 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("value_cents"))
     )
-    tot = pv.agg(F.sum("value_cents").cast("long").alias("__t__"))
+    # global-sum threshold as a WINDOW (r17, guide §2.4): the separate
+    # total-aggregate duplicated the lineitem⋈suppliers⋈region subtree
+    # (2 scans of every input); the window computes the identical LONG sum
+    # over the part-sized aggregate in the same pass.
+    from pyspark.sql import Window as _W
+
+    pv = pv.withColumn(
+        "__t__", F.sum("value_cents").over(_W.partitionBy()).cast("long")
+    )
     return (
-        pv.crossJoin(F.broadcast(tot))
+        pv
         .filter(F.col("value_cents") * 1000 > F.col("__t__"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -915,11 +932,17 @@ def q20_top_suppliers_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"))
     )
-    pt = w.groupBy(F.col("l_partkey").alias("__pk__")).agg(
-        F.sum("qty").alias("total_qty")
-    )
+    # per-part total as a keyed WINDOW (r17, guide §2.4): the separate
+    # per-part aggregate + join-back duplicated the lineitem⋈part subtree
+    # (2 scans of each); the window over l_partkey computes the identical
+    # LONG sum on the already-aggregated (part, supplier) table — one
+    # corpus pass, one small exchange.
+    from pyspark.sql import Window as _W
+
     winners = (
-        w.join(pt, w.l_partkey == pt.__pk__)
+        w.withColumn(
+            "total_qty", F.sum("qty").over(_W.partitionBy("l_partkey"))
+        )
         .filter(2 * F.col("qty") > F.col("total_qty"))
         .select("l_suppkey")
     )
