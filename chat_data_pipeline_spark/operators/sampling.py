@@ -307,6 +307,11 @@ def temperature_sample(
     p_nanos = _alpha_weight_nanos("__c__", alpha)
     counts = df.groupBy(group_col).agg(F.count("*").alias("__c__"))
     counts = counts.withColumn("__p__", p_nanos)
+    # group-cardinality checkpoint (r17, guide §1.2): counts feeds the
+    # totals aggregate and the quota broadcast — unpinned, each consumer
+    # re-ran the corpus count aggregation (3 corpus scans in the plan
+    # audit; now 2 — the count pass and the rank window, both irreducible)
+    counts = counts.localCheckpoint(eager=True)
     tot = counts.agg(
         F.sum("__c__").alias("__n__"),
         F.sum("__p__").alias("__z__"),
@@ -441,6 +446,11 @@ def token_budget_select_scalable(
     bounds = df.groupBy(*gcols).agg(
         F.percentile_approx(F.col(priority_col), fracs).alias("__bounds__")
     )
+    # model-sized checkpoint (r17, guide §1.2): bounds is broadcast into
+    # BOTH downstream corpus consumers (the bucket projection feeding the
+    # offsets aggregate AND the final matched join) — unpinned, the
+    # quantile aggregation re-scanned the corpus under each
+    bounds = bounds.localCheckpoint(eager=True)
     # null-SAFE group join: a plain equi-join would silently drop NULL-group
     # rows that the exact window keeps (partitionBy groups nulls together) —
     # the decomposition must be row-identical to the exact form
@@ -474,6 +484,12 @@ def token_budget_select_scalable(
         .drop("__bsum__")
         .filter(F.col("__off__") <= budget)
     )
+    # groups×n_buckets-sized checkpoint (r17): offsets is joined back
+    # against the corpus rows — unpinned, its whole corpus aggregation
+    # subtree re-ran inside the final join (plan audit: 4 corpus scans
+    # for this operator; now 3 — quantiles, bucket sums, final window,
+    # each a real pass the decomposition needs)
+    offsets = offsets.localCheckpoint(eager=True)
     w = (
         Window.partitionBy(*(gcols + ["__bkt__"]))
         .orderBy(F.col(priority_col).desc(), F.col(id_col).asc())
@@ -558,6 +574,17 @@ def mix_manifest(
         )
         .withColumn("weight_nanos", _alpha_weight_nanos("n_docs", alpha))
     )
+    # GROUP-cardinality-sized checkpoint (r17, guide §1.2): counts feeds
+    # the weight total, the share table AND the share broadcast for the
+    # fill — without pinning it, each consumer re-expands the whole
+    # corpus aggregation subtree, and when the caller's projection embeds
+    # a tokenize (corpus_mix_manifest's word_count) the plan ran FIVE
+    # corpus scans with four redundant tokenize passes (plan audit).  The
+    # checkpoint is bounded state (one row per group), exactly the
+    # posture the docstring prescribes; the corpus is now scanned twice —
+    # once for the group stats, once for the prefix window — which is the
+    # operator's irreducible shape without unbounded corpus-row state.
+    counts = counts.localCheckpoint(eager=True)
     tot = counts.agg(F.sum("weight_nanos").alias("__z__"))
     # budget * weight overflows int64 at real magnitudes (a trillion-token
     # budget x 1e10-nano weights ~ 1e22), so the product runs in

@@ -109,6 +109,13 @@ def corpus_drift_report(
             for c in ("n_old", "n_new", "tokens_old", "tokens_new")
         ],
     )
+    # group-cardinality checkpoint (r17, guide §1.2): joined feeds BOTH the
+    # totals aggregate and the final share projection — unpinned, each
+    # consumer re-expanded the two per-snapshot corpus aggregates, so every
+    # snapshot was tokenized TWICE (4 corpus scans in the plan audit; the
+    # docstring's "scanned exactly once per snapshot" was aspirational
+    # until now).  Bounded state: one row per group.
+    joined = joined.localCheckpoint(eager=True)
     totals = joined.agg(
         F.sum("tokens_old").alias("__to__"), F.sum("tokens_new").alias("__tn__")
     )

@@ -437,11 +437,12 @@ def test_q12_q14_q19_no_forced_broadcast_on_sf_growing_tables(spark):
 
 
 def test_q8_q15_q17_broadcast_discipline_and_no_python(spark):
-    """r12 second TPC-H batch under the same doctrine: q8 and q17 carry
-    ZERO forced-broadcast subtrees (7-table snowflake and the correlated-
-    avg rejoin both leave AQE free); q15's single hint is the ONE-ROW
-    global-max table — fixed cardinality at any sf, the sanctioned
-    pattern.  None of the three touches Python."""
+    """r12 second TPC-H batch under the same doctrine: q8, q17 AND q15
+    carry ZERO forced-broadcast subtrees (7-table snowflake, the
+    correlated-avg rejoin, and — since the r17 window rewrite — q15,
+    whose global-max rides a window over the aggregated table instead of
+    a hinted scalar-max rejoin, so lineitem is scanned once).  None of
+    the three touches Python."""
     from chat_data_pipeline_spark.plans.audit import (
         forced_broadcast_subtrees,
         plan_report,
@@ -451,17 +452,22 @@ def test_q8_q15_q17_broadcast_discipline_and_no_python(spark):
     for name, n_hints in (
         ("q8_market_share", 0),
         ("q17_small_quantity_revenue", 0),
-        ("q15_top_supplier", 1),
+        ("q15_top_supplier", 0),
     ):
         df = REGISTRY[name].fn(spark, SF_DIR)
         subs = forced_broadcast_subtrees(df)
         assert len(subs) == n_hints, (name, subs)
         assert plan_report(df).n_python_stages == 0, name
-    # the q15 hint must be the scalar-max aggregate, not an sf-growing table
-    (sub,) = forced_broadcast_subtrees(
-        REGISTRY["q15_top_supplier"].fn(spark, SF_DIR)
+    # the r17 shape: one lineitem scan, the max from a window
+    plan = (
+        REGISTRY["q15_top_supplier"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
-    assert "max" in sub.lower(), sub
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan, plan
 
 
 def test_docs_classifier_gate_plan_shape(spark):
