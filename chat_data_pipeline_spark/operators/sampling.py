@@ -307,17 +307,16 @@ def temperature_sample(
     p_nanos = _alpha_weight_nanos("__c__", alpha)
     counts = df.groupBy(group_col).agg(F.count("*").alias("__c__"))
     counts = counts.withColumn("__p__", p_nanos)
-    # group-cardinality checkpoint (r17, guide §1.2): counts feeds the
-    # totals aggregate and the quota broadcast — unpinned, each consumer
-    # re-ran the corpus count aggregation (3 corpus scans in the plan
-    # audit; now 2 — the count pass and the rank window, both irreducible)
-    counts = counts.localCheckpoint(eager=True)
-    tot = counts.agg(
-        F.sum("__c__").alias("__n__"),
-        F.sum("__p__").alias("__z__"),
-    )
+    # global totals as a WINDOW over the group table (r17, guide §2.4):
+    # the former separate totals aggregate + crossJoin re-expanded the
+    # corpus count aggregation under a second consumer (3 corpus scans in
+    # the plan audit; now 2 — the count pass and the rank window, both
+    # irreducible — in ONE action, no checkpoint).  Integer sums over the
+    # group-cardinality table: order-immune, values identical.
+    _wall = Window.partitionBy()
     quota = (
-        counts.crossJoin(F.broadcast(tot))
+        counts.withColumn("__n__", F.sum("__c__").over(_wall))
+        .withColumn("__z__", F.sum("__p__").over(_wall))
         .withColumn(
             "__q__",
             F.least(
@@ -449,8 +448,11 @@ def token_budget_select_scalable(
     # model-sized checkpoint (r17, guide §1.2): bounds is broadcast into
     # BOTH downstream corpus consumers (the bucket projection feeding the
     # offsets aggregate AND the final matched join) — unpinned, the
-    # quantile aggregation re-scanned the corpus under each
-    bounds = bounds.localCheckpoint(eager=True)
+    # quantile aggregation re-scanned the corpus under each.  LAZY: the
+    # offsets checkpoint below is the first action over a plan containing
+    # bounds and its single consumer there, so it materializes these
+    # blocks as a side effect — no dedicated quantile job.
+    bounds = bounds.localCheckpoint(eager=False)
     # null-SAFE group join: a plain equi-join would silently drop NULL-group
     # rows that the exact window keeps (partitionBy groups nulls together) —
     # the decomposition must be row-identical to the exact form
