@@ -767,7 +767,10 @@ def banding_calibration(
     job (which materializes the lazy rep/shingle/band checkpoints as side
     effects); uncapped, everything materializes under the caller's action.
     """
-    from chat_data_pipeline_spark.session import repartition_for_compute
+    from chat_data_pipeline_spark.session import (
+        COMPUTE_MIN_EST_BYTES,
+        repartition_for_compute,
+    )
 
     # The three block checkpoints below are LAZY (r17, guide §2.6): the
     # oversized-bucket profile job is the first action, so it materializes
@@ -800,7 +803,13 @@ def banding_calibration(
         )
     rows_per_band = num_perm // num_bands
     shingled = (
-        repartition_for_compute(reps.select("id", "__text__"))
+        # size-floored width (r18, guide §2.1) — same rationale and
+        # measurement as ngram_jaccard_edges' posting build: native shingle
+        # work over a rep-sized table anti-scaled at 32 local cores
+        repartition_for_compute(
+            reps.select("id", "__text__"),
+            min_est_bytes_per_partition=COMPUTE_MIN_EST_BYTES,
+        )
         .select(
             "id",
             F.explode(word_shingles(F.col("__text__"), ngram_size)).alias("__s__"),
@@ -1289,12 +1298,18 @@ def ngram_jaccard_edges(
     ngram_size: int = 5,
     threshold: float = 0.7,
     max_shingle_freq: int | None = None,
+    compute_partitions: int | None = None,
 ) -> DataFrame:
     """Exact-Jaccard candidate edges via shingle-inverted-index self-join.
 
     Scale levers: shingles above ``max_shingle_freq`` document-frequency are
     dropped before the self-join (a stop-shingle cap — giant postings lists
     produce quadratic candidate blowup while contributing no discrimination).
+
+    ``compute_partitions`` (r18): explicit width for the tokenize+shingle
+    stage, for callers whose ``df`` is a join (its optimizer size estimate
+    is a child product, so the in-function size floor cannot bind) —
+    ``ngram_jaccard_dedup`` derives it from the raw corpus projection.
     """
     # Postings carry xxhash64(shingle), not the 5-word string: the self-join
     # shuffles/broadcasts 8-byte keys instead of ~30-byte strings, and
@@ -1304,7 +1319,10 @@ def ngram_jaccard_edges(
     # once per join side / pushed-down filter copy.  The tokenize+shingle
     # projection is the CPU-heavy part — spread it across cores first (no-op
     # when the scan already has enough splits).
-    from chat_data_pipeline_spark.session import repartition_for_compute
+    from chat_data_pipeline_spark.session import (
+        COMPUTE_MIN_EST_BYTES,
+        repartition_for_compute,
+    )
 
     # Each posting row carries n_sh = |doc's distinct shingle set|, computed
     # natively from the shingle array BEFORE the explode (and before the
@@ -1314,7 +1332,19 @@ def ngram_jaccard_edges(
     # denominator joins with +4 bytes per posting, and it is what makes the
     # size-bound prune below expressible inside the self-join condition.
     postings = (
-        repartition_for_compute(df.select(id_col, column))
+        # size-floored width (r18, guide §2.1): the shingle build is native
+        # expression work — at tiny input sizes core-count task sets cost
+        # more to launch than they compute (measured 32c SLOWER than 8c at
+        # sf0.1; width 6 beat width 32 by ~35%); the floor caps the fan at
+        # ceil(est_bytes / 48 KB) and saturates to full width as the corpus
+        # grows (the 10× probe corpus already clears it)
+        repartition_for_compute(
+            df.select(id_col, column),
+            partitions=compute_partitions,
+            min_est_bytes_per_partition=(
+                None if compute_partitions else COMPUTE_MIN_EST_BYTES
+            ),
+        )
         .select(
             F.col(id_col).alias("id"),
             word_shingles(F.col(column), ngram_size).alias("__sh__"),
@@ -1430,8 +1460,15 @@ def ngram_jaccard_dedup(
         mapping.filter(F.col("node") == F.col("rep")).select(F.col("node").alias(id_col)),
         id_col,
     )
+    # the shingle stage's width comes from the RAW corpus projection's size
+    # estimate (r18, guide §2.1): rep_rows is a join, whose estimate is a
+    # child product — useless for sizing; reps ≤ docs so the corpus bytes
+    # are the honest upper bound
+    from chat_data_pipeline_spark.session import compute_width_estimate
+
     edges = ngram_jaccard_edges(
-        rep_rows, column, id_col, ngram_size, threshold, max_shingle_freq
+        rep_rows, column, id_col, ngram_size, threshold, max_shingle_freq,
+        compute_partitions=compute_width_estimate(df.select(id_col, column)),
     ).select(F.col("src").alias("dst"), F.col("dst").alias("src"))
     # src column holds the larger id after the swap; direction is irrelevant
     # to the undirected component search.

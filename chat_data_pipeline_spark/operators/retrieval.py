@@ -339,6 +339,13 @@ def read_meta_row(spark, index_path: str):
                 rows.extend(pq.read_table(p).to_pylist())
             if not rows:
                 return None
+            if len(rows) > 1:
+                # metas are one-row by construction of all five store
+                # writers; a non-conforming multi-row meta must take the
+                # Spark path below (r17 ADVICE) — this fast path's
+                # lexicographic part ordering could otherwise silently
+                # pick a different row than Spark's first()
+                raise IOError(f"multi-row meta under {index_path}/meta")
             from pyspark.sql import Row
 
             return Row(**rows[0])

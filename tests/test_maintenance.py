@@ -1139,3 +1139,75 @@ def test_local_parquet_schema_parity(spark, docs, emb, tmp_path):
             got = RT.committed_tree(spark, root, sub).schema
             want = _inferred_tree_schema(root, sub)
             assert got == want, f"{root}/{sub}: {got} != {want}"
+
+
+def test_read_meta_row_multi_row_takes_spark_path(spark, tmp_path):
+    """A non-conforming multi-row meta must NOT be served by the pyarrow
+    fast path (its lexicographic part ordering could pick a different row
+    than Spark's first()) — the fast path raises internally and the
+    result is exactly what spark.read...first() returns (r18, from r17
+    ADVICE)."""
+    m = str(tmp_path / "mr_multi")
+    spark.sql(
+        "SELECT * FROM VALUES ('x', 1), ('y', 2) AS t(id_type, n_term_buckets)"
+    ).repartition(1).write.mode("overwrite").parquet(f"{m}/meta")
+    fast = RT.read_meta_row(spark, m)
+    slow = spark.read.parquet(f"{m}/meta").first()
+    assert fast == slow
+
+
+def test_local_parquet_schema_int96_falls_back(spark, tmp_path):
+    """An INT96-written timestamp file must return None (Spark inference
+    fallback): nanosAsLong only applies to INT64 TIMESTAMP(NANOS), but
+    pyarrow reports INT96 as timestamp[ns] too — a pinned bigint schema
+    would misread the scan (r18, from r17 ADVICE)."""
+    from chat_data_pipeline_spark.session import (
+        local_parquet_schema,
+        read_parquet_pinned,
+    )
+
+    p = str(tmp_path / "int96_ts")
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        spark.sql(
+            "SELECT timestamp_ntz'2020-01-02 03:04:05' AS ts, 7 AS k"
+        ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "k").write.mode(
+            "overwrite"
+        ).parquet(p)
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+        else:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    assert local_parquet_schema(spark, p) is None
+    # and the pinned reader therefore agrees with plain inference
+    assert read_parquet_pinned(spark, p).schema == spark.read.parquet(p).schema
+
+
+def test_repartition_for_compute_memo_decisions_unchanged(spark):
+    """The r18 probe memo must change only the probe COST, never the
+    decision: a semantically identical frame re-probed through the memo
+    returns the same partitioning as a fresh exact probe (pinning VERDICT
+    item 5's 'decisions unchanged')."""
+    from chat_data_pipeline_spark.session import (
+        _compute_probe_memo,
+        repartition_for_compute,
+    )
+
+    path = f"{SF_DIR}/documents.parquet"
+
+    def fresh():
+        return spark.read.parquet(path).select("doc_id", "text")
+
+    _compute_probe_memo.clear()
+    first = repartition_for_compute(fresh())
+    assert len(_compute_probe_memo) == 1  # exact probe ran and was recorded
+    exact_decision = first.rdd.getNumPartitions()
+    memo_hit = repartition_for_compute(fresh())
+    assert len(_compute_probe_memo) == 1  # second call hit the memo
+    assert memo_hit.rdd.getNumPartitions() == exact_decision
+    # an explicit target keys separately and still widens when below it
+    widened = repartition_for_compute(fresh(), partitions=64)
+    assert widened.rdd.getNumPartitions() == 64
+    assert repartition_for_compute(fresh(), partitions=64).rdd.getNumPartitions() == 64
