@@ -285,10 +285,11 @@ def _run_training(spark: SparkSession, df: DataFrame, train_cfg: dict) -> None:
     from chat_data_pipeline_spark.session import values_df
 
     # VALUES-backed local table (r17): the write action evaluates in the
-    # JVM with no Python-worker round trip; repartition(1) keeps one file
+    # JVM with no Python-worker round trip; coalesce(1) keeps one file
+    # without the exchange repartition(1) paid (r18)
     values_df(
         spark, [(b, int(w)) for b, w in enumerate(weights)], "bucket int, weight long"
-    ).repartition(1).write.mode("overwrite").parquet(wpath)
+    ).coalesce(1).write.mode("overwrite").parquet(wpath)
     logger.info(
         "train.quality_classifier: wrote %d-bucket weights to %s", n_buckets, wpath
     )

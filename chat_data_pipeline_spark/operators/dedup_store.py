@@ -142,7 +142,7 @@ def _write_dedup_base(
         "family string, ngram_size int, num_perm int, num_bands int, "
         "threshold double, min_ngram_size int, seed int, "
         "id_type string, sig_type string, text_col string, id_col string",
-    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
 def build_dedup_index(

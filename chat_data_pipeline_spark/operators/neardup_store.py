@@ -208,7 +208,7 @@ def build_neardup_index(
         )],
         "n_planes int, n_tables int, dim int, threshold double, "
         "id_type string, id_col string, vec_col string",
-    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
 def extend_neardup_index(
@@ -337,7 +337,7 @@ def compact_neardup_index(
         )],
         "n_planes int, n_tables int, dim int, threshold double, "
         "id_type string, id_col string, vec_col string",
-    ).repartition(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
 
 
 def matched_against_neardup_index(

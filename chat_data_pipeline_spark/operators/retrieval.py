@@ -243,16 +243,32 @@ def build_text_index(
     # doc-granular (doc, dl) rows: deletes subtract stats through THESE, not
     # the postings, so a zero-token document (dl=0, no posting rows) still
     # subtracts its n_docs contribution exactly; stats rides the same
-    # lineage so the corpus tokenizes once for both
-    dlens_src = toks.select("doc", "dl")
+    # lineage so the corpus tokenizes once for both.  The (n_docs, sum_dl)
+    # totals ride the checkpoint's own materialization as OBSERVED metrics
+    # (r18, guide §1.2 — the trainer's sizing-count trick): the former
+    # stats frame re-aggregated the stored blocks under its artifact
+    # write, paying a dedicated exchange/stage; as a VALUES table the
+    # stats write is a LocalTableScan with identical content (count/sum
+    # as BIGINT, the readers' pinned schema).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    dlens_src = toks.select("doc", "dl").observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+    )
     with ThreadPoolExecutor(max_workers=2) as ex:
         f_post = ex.submit(lambda: postings_src.localCheckpoint(eager=True))
         f_dl = ex.submit(lambda: dlens_src.localCheckpoint(eager=True))
         postings, dlens = f_post.result(), f_dl.result()
     dfreq = postings.groupBy("bkt", "term").agg(F.count("*").alias("df"))
-    stats = dlens.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    from chat_data_pipeline_spark.session import values_df
+
+    stats = values_df(
+        spark,
+        [(int(obs.get["n"] or 0), int(obs.get["s"] or 0))],
+        "n_docs long, sum_dl long",
     )
     id_type = dict(docs.dtypes)[id_col]
     # salt the bucket-clustered writes so the corpus-sized postings table is
@@ -429,7 +445,7 @@ def _write_text_base(
     # path pays a Python-worker round trip per write — one per BUILD
     values_df(
         spark, [(id_type, N_TERM_BUCKETS)], "id_type string, n_term_buckets int"
-    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
 def compact_text_index(spark, index_path: str, dst_index: str | None = None) -> None:

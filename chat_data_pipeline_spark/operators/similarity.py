@@ -1505,15 +1505,17 @@ def build_ivf_index(
         centroids = trained_centroids  # trained above, pre-invalidation
         dim = int(centroids.shape[1])
         cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-        # repartition(1), NOT coalesce(1): coalesce over a driver-parallelized
-        # frame computes all defaultParallelism pickled partitions serially in
-        # ONE task (~130 ms of Python-worker round-trip each — measured ~4 s
-        # of pure overhead on local[32])
+        # coalesce(1), not repartition(1) (r18): the r15 warning against
+        # coalesce guarded the PARALLELIZE-backed frame (serial pickled
+        # partitions in one task); a values_df LocalRelation is a single
+        # JVM partition, so coalesce is a no-op wrapper while
+        # repartition(1) inserted a round-robin exchange — one extra
+        # driver-paced job per artifact write (measured 2 jobs -> 1)
         from chat_data_pipeline_spark.session import values_df
 
         values_df(
             spark, cent_rows, "list int, centroid array<double>"
-        ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
         postings = _ivf_assign_expr(
             df.select(id_col, vec_col), vec_col, centroids, "__lists__", 1
         ).select(
@@ -1569,7 +1571,7 @@ def build_ivf_index(
           dict(df.dtypes)[id_col])],
         "coarse string, n_centroids int, dim int, id_col string, "
         "vec_col string, id_type string",
-    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
 def extend_ivf_index(
@@ -2423,7 +2425,7 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
     _tfs, _tpath, _tjvm = _fs_for(spark, f"{dst_index}/tombstones")
     _tfs.delete(_tpath, True)
     if cent is not None:
-        cent.repartition(1).write.mode("overwrite").parquet(
+        cent.coalesce(1).write.mode("overwrite").parquet(
             f"{dst_index}/centroids"
         )
     cluster_for_partitioned_write(
@@ -2445,7 +2447,7 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
               id_type)],
             "coarse string, n_centroids int, m int, n_codewords int, dim int, "
             "id_col string, vec_col string, id_type string",
-        ).repartition(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
     else:
         from chat_data_pipeline_spark.session import values_df
 
@@ -2455,7 +2457,7 @@ def compact_ivf_index(spark, index_path: str, dst_index: str | None = None) -> N
               meta.vec_col, id_type)],
             "coarse string, n_centroids int, dim int, id_col string, "
             "vec_col string, id_type string",
-        ).repartition(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{dst_index}/meta")
 
 
 def rebuild_ivf_index(
@@ -2738,7 +2740,7 @@ def build_ivfpq_index(
           id_col, vec_col, dict(df.dtypes)[id_col])],
         "coarse string, n_centroids int, m int, n_codewords int, dim int, "
         "id_col string, vec_col string, id_type string",
-    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
 def extend_ivfpq_index(

@@ -4533,7 +4533,7 @@ def _cls_train_and_persist(spark: SparkSession, sf_dir: str) -> list[int]:
     _values_df(
         spark, [(b, int(w)) for b, w in enumerate(weights)],
         "bucket int, weight long",
-    ).repartition(1).write.mode("overwrite").parquet(path)
+    ).coalesce(1).write.mode("overwrite").parquet(path)
     _BUILT_ARTIFACTS.add(path)
     return weights
 
