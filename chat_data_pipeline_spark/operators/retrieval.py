@@ -1461,30 +1461,18 @@ def text_index_health(spark, index_path: str) -> DataFrame:
     tombs = _per_batch(
         "tombstones", f"doc {meta.id_type}", [F.count("*")], ["n_tombstones"]
     )
-    # one-exchange assembly (r17, guide §2.4): the former three FULL OUTER
-    # joins cost an Exchange+Sort pair per side over these O(batches)
-    # tables; padding each source to the full column set with literal
-    # zeros and summing per batch needs ONE exchange and produces the
-    # identical rows — every column is owned by exactly one source, so
-    # its per-batch sum is that source's value (or 0 when absent, exactly
-    # what fillna(0) produced after the outer joins).
-    cols = ["n_docs", "sum_dl", "n_terms", "sum_df", "n_postings",
-            "n_tombstones"]
-    padded = [
-        df.select(
-            "batch",
-            *[
-                (F.col(c) if c in df.columns else F.lit(0).cast("long")).alias(c)
-                for c in cols
-            ],
-        )
-        for df in (stats, dfreq, postings, tombs)
-    ]
-    from functools import reduce
-
-    out = reduce(DataFrame.unionByName, padded)
-    return (
-        out.groupBy("batch")
-        .agg(*[F.sum(c).cast("long").alias(c) for c in cols])
-        .orderBy("batch")
-    )
+    # REVERTED to the join assembly (r18): the r17 zero-padded-union form
+    # ("one exchange") was kept on an at-scale shape argument with no
+    # measurement; the r18 batch-count instrument (16-delivery store,
+    # interleaved best-of-4) measured the union ~20% SLOWER (0.73-0.78 s
+    # joins vs 0.91-0.92 s union) — the full-outer joins REUSE the
+    # per-artifact aggregates' batch-hash partitioning (guide §2.4
+    # exchange sharing), while the union discards it and pays a fresh
+    # exchange + a second aggregation over 4×batches rows.  Rows
+    # identical either way (each column is owned by exactly one source).
+    out = stats
+    for other in (dfreq, postings, tombs):
+        out = out.join(other, "batch", "full_outer")
+    fill = {c: 0 for c in ("n_docs", "sum_dl", "n_terms", "sum_df",
+                           "n_postings", "n_tombstones")}
+    return out.fillna(fill).orderBy("batch")
