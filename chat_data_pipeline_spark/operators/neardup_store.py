@@ -393,11 +393,18 @@ def matched_against_neardup_index(
         # consumer job — let it materialize the new-side blocks lazily
         eager=False,
     )
+    # EXPLICIT-width candidate dedup (r18, guide §2.5 AQE caveat — same fix
+    # as embedding_neardup_pairs_srp_md5): .distinct()'s exchange is
+    # AQE-coalesced by bytes, collapsing the downstream cosine-verify
+    # mapInPandas onto 1-2 tasks; the keyed repartition is exempt and
+    # dropDuplicates reuses its partitioning.  Same rows as .distinct().
+    n_verify = spark.sparkContext.defaultParallelism
     cand = (
         new_post.select(F.col("id").alias("nid"), "t", "b")
         .join(ref_post, ["t", "b"])
         .select("nid", "rid")
-        .distinct()
+        .repartition(n_verify, "nid", "rid")
+        .dropDuplicates()
     )
     pairs = cand.join(
         new_vecs.select(F.col("id").alias("nid"), F.col("v").alias("__nv__")),

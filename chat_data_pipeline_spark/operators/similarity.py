@@ -929,7 +929,16 @@ def embedding_neardup_pairs(
                     }
                 )
 
-        return buckets.repartition("__bucket__").mapInPandas(
+        # EXPLICIT partition count (r18, guide §2.5 AQE caveat): without a
+        # number, AQE sizes this exchange by BYTES and coalesced the whole
+        # byte-small bucket table into 1-2 partitions — serializing the
+        # quadratic numpy scoring onto one core (measured: the scoring job
+        # ran 1.95 s in a 1-task stage at 32 cores).  A user-specified
+        # numPartitions is exempt from AQE coalescing; defaultParallelism
+        # scales with the cluster, and every bucket still lands whole in
+        # exactly one partition (hash on __bucket__ either way).
+        n_score = df.sparkSession.sparkContext.defaultParallelism
+        return buckets.repartition(n_score, "__bucket__").mapInPandas(
             score_partition, f"id1 {id_type}, id2 {id_type}, cosine double"
         )
 
@@ -1108,6 +1117,16 @@ def embedding_neardup_pairs_srp_md5(
         "id", F.posexplode(buckets(F.col("v"))).alias("t", "b")
     ).localCheckpoint(eager=True)
     a, b = posting.alias("a"), posting.alias("b")
+    # EXPLICIT-width pair dedup (r18, guide §2.5 AQE caveat): .distinct()'s
+    # ENSURE_REQUIREMENTS exchange is AQE-coalesced by BYTES, and the pair
+    # table is byte-small — the whole downstream cosine-verify ArrowEval
+    # stage collapsed onto 1-2 tasks (measured: the verify job ran 1.4 s in
+    # a 2-task stage at 32 cores).  A user-specified keyed repartition is
+    # exempt from coalescing, and dropDuplicates over the same keys REUSES
+    # its partitioning (no extra exchange); the broadcast vector re-fetch
+    # joins then preserve the width into the verify.  Same rows as
+    # .distinct().
+    n_verify = df.sparkSession.sparkContext.defaultParallelism
     cand = (
         a.join(
             b,
@@ -1116,7 +1135,8 @@ def embedding_neardup_pairs_srp_md5(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
+        .repartition(n_verify, "id1", "id2")
+        .dropDuplicates()
     )
     v1 = base.select(F.col("id").alias("id1"), F.col("v").alias("__v1__"))
     v2 = base.select(F.col("id").alias("id2"), F.col("v").alias("__v2__"))
